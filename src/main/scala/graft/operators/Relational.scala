@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core: scan/filter/agg, joins (broadcast where the dim is
+  * small), windows, semi/anti joins, distinct counting, JSON extraction.
+  *
+  * Scale notes: every query here is declarative so Catalyst pushes
+  * filters/pruning into the parquet scan; dimension tables (region,
+  * nation, supplier, customer at TPC-H ratios) are broadcast explicitly
+  * so the fact scan never shuffles for them; aggregations are
+  * partial-agg friendly (map-side combine).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: one full lineitem scan, 4-group agg.
+    * At 100 TB this is scan-bound; partial aggregation makes the shuffle
+    * 4 rows per task.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, revenue per order,
+    * top-N. customer is broadcast (small dim); orders⋈lineitem shuffles
+    * on orderkey — the natural co-partitioning key for both tables.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: full star join; all dims broadcast so lineitem
+    * (the 100 TB fact) is scanned once with zero dim-induced shuffles;
+    * the only shuffle is the final tiny groupBy(n_name).
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Window functions: per-supplier ship-order ranking + running
+    * quantity. Single shuffle on l_suppkey; both windows share the
+    * same partitioning so Spark evaluates them in one Window node.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        round(sum(col("l_quantity")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .filter(col("rn") <= 5)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"), col("running_qty"))
+  }
+
+  /** Semi + anti join: customers with an open ('O') order but no
+    * finished ('F') order. Both sides aggregate to key-sets before the
+    * join at scale; expressed as left_semi/left_anti so Catalyst can
+    * choose broadcast/shuffle-hash and skip payload columns.
+    */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val open = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fin = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    cust.join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+      .join(fin, cust("c_custkey") === fin("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Exact + approximate distinct counting. The exact count shuffles
+    * on the key; approx (HLL) is a constant-size sketch mergeable
+    * map-side — the 100 TB default. Oracle checks the exact column;
+    * approx is emitted alongside for the bench.
+    */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+  }
+
+  /** JSON extraction over events.props — the tagtree "extended labels"
+    * path (arbitrary tag maps). get_json_object is codegen'd; at scale
+    * prefer from_json with an explicit schema once known.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+  }
+}
