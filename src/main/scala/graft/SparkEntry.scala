@@ -11,6 +11,30 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. tag-index core
+    "series_ingest" -> (index.IndexQueries.seriesIngest _),
+    "inverted_index" -> (index.IndexQueries.invertedIndex _),
+    "match_eq" -> (index.IndexQueries.matchEq _),
+    "match_neq" -> (index.IndexQueries.matchNeq _),
+    "match_range" -> (index.IndexQueries.matchRange _),
+    "match_regex" -> (index.IndexQueries.matchRegex _),
+    "match_nregex" -> (index.IndexQueries.matchNregex _),
+    "match_conj" -> (index.IndexQueries.matchConj _),
+    "label_values" -> (index.IndexQueries.labelValues _),
+    "series_lookup" -> (index.IndexQueries.seriesLookup _),
+    "series_exists" -> (index.IndexQueries.seriesExists _),
+    "match_timerange" -> (index.IndexQueries.matchTimerange _),
+    "select_range" -> (index.IndexQueries.selectRange _),
+    // B. TSDB analytics
+    "series_seek" -> (tsdb.Tsdb.seriesSeek _),
+    "agg_by_label" -> (tsdb.Tsdb.aggByLabel _),
+    "rate" -> (tsdb.Tsdb.rate _),
+    "over_time" -> (tsdb.Tsdb.overTime _),
+    "topk" -> (tsdb.Tsdb.topk _),
+    "quantile" -> (tsdb.Tsdb.quantile _),
+    "count_values" -> (tsdb.Tsdb.countValues _),
+    "downsample" -> (tsdb.Tsdb.downsample _),
+    "ingest_batch" -> (tsdb.Tsdb.ingestBatch _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -26,6 +50,145 @@ object SparkEntry {
     * by name).
     */
   def oracleSql: Map[String, String] = Map(
+    // A. tag-index core
+    "series_ingest" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  epoch_us(min(ts))//1000000 AS first_ts,
+        |  epoch_us(max(ts))//1000000 AS last_ts,
+        |  count(*) AS n_samples
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "inverted_index" ->
+      """WITH series AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |         min(ts) AS min_ts, max(ts) AS max_ts
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'usr' AS label_name, usr AS label_value, count(*) AS n_series,
+        |  epoch_us(min(min_ts))//1000000 AS min_ts,
+        |  epoch_us(max(max_ts))//1000000 AS max_ts
+        |FROM series GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'typ' AS label_name, typ AS label_value, count(*) AS n_series,
+        |  epoch_us(min(min_ts))//1000000 AS min_ts,
+        |  epoch_us(max(max_ts))//1000000 AS max_ts
+        |FROM series GROUP BY 1, 2""".stripMargin,
+    "match_eq" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    "match_neq" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE event_type = 'click' AND CAST(user_id AS VARCHAR) <> '7'""".stripMargin,
+    "match_range" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE CAST(user_id AS VARCHAR) >= '2' AND CAST(user_id AS VARCHAR) <= '5'""".stripMargin,
+    "match_regex" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events WHERE regexp_full_match(event_type, '(click|view)')""".stripMargin,
+    "match_nregex" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE CAST(user_id AS VARCHAR) = '3'
+        |  AND NOT regexp_full_match(event_type, '(error|signup)')""".stripMargin,
+    "match_conj" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
+        |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    "label_values" ->
+      "SELECT DISTINCT event_type AS value FROM events",
+    "series_lookup" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events WHERE event_id < 10""".stripMargin,
+    "series_exists" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events WHERE user_id = 5 AND event_type = 'click'""".stripMargin,
+    "match_timerange" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE event_type = 'error'
+        |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "select_range" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  epoch_us(ts)//1000000 AS ts_sec, round(value, 2) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-12 00:00:00'""".stripMargin,
+    // B. TSDB analytics
+    "series_seek" ->
+      """SELECT usr, typ, ts_sec, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(ts)//1000000 AS ts_sec, round(value, 2) AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1""".stripMargin,
+    "agg_by_label" ->
+      """SELECT event_type AS typ,
+        |  epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v,
+        |  round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "rate" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
+        |    sum(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS cum,
+        |    epoch_us(ts) AS us
+        |  FROM events)
+        |SELECT usr, typ, hour_sec, count(*) AS n,
+        |  round((max(cum) - min(cum)) / ((max(us) - min(us)) / 1000000.0), 4) AS rate
+        |FROM c GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+    "over_time" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  epoch_us(ts)//1000000 AS ts_sec,
+        |  round(avg(value) OVER w, 4) AS avg_1h,
+        |  round(max(value) OVER w, 2) AS max_1h,
+        |  count(*) OVER w AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |             ORDER BY epoch_us(ts)//1000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "topk" ->
+      """WITH hourly AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
+        |    round(sum(value), 2) AS sum_v
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT hour_sec, rk, usr, typ, sum_v FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY hour_sec
+        |    ORDER BY sum_v DESC, usr, typ) AS rk
+        |  FROM hourly)
+        |WHERE rk <= 3""".stripMargin,
+    "quantile" ->
+      """SELECT event_type AS typ,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+    "count_values" ->
+      """SELECT event_type AS typ, CAST(floor(value) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "downsample" ->
+      """SELECT usr, typ, step_sec, last_v FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(ts)//1000000 - (epoch_us(ts)//1000000) % 900 AS step_sec,
+        |    round(value, 2) AS last_v,
+        |    row_number() OVER (PARTITION BY user_id, event_type,
+        |      epoch_us(ts)//1000000 - (epoch_us(ts)//1000000) % 900
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "ingest_batch" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS typ,
+        |  count(*) AS n_samples, count(DISTINCT user_id) AS n_series,
+        |  round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // C. relational core
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,99 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import MatchOp._
+
+/** Oracle-shaped queries over the tag index (SURVEY.md §2.A).
+  * Output conventions for DuckDB parity: label columns are strings
+  * (`usr`, `typ`), timestamps are epoch-seconds BIGINTs, floats are
+  * rounded.
+  */
+object IndexQueries {
+
+  private def idx(spark: SparkSession, dir: String): TagIndex =
+    TagIndex.forEvents(spark, dir)
+
+  private def series(df: DataFrame): DataFrame = df.select("usr", "typ")
+
+  /** A1: ingest — distinct label-sets become series with time bounds. */
+  def seriesIngest(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).seriesCatalog.select(
+      col("usr"), col("typ"),
+      unix_timestamp(col("min_ts")).as("first_ts"),
+      unix_timestamp(col("max_ts")).as("last_ts"),
+      col("n_samples"))
+
+  /** A12: the materialized inverted index, aggregated per label entry. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).invertedIndex
+      .groupBy(col("label_name"), col("label_value"))
+      .agg(count(lit(1)).as("n_series"),
+        unix_timestamp(min(col("min_ts"))).as("min_ts"),
+        unix_timestamp(max(col("max_ts"))).as("max_ts"))
+
+  /** A2 */
+  def matchEq(spark: SparkSession, dir: String): DataFrame =
+    series(idx(spark, dir).resolveMatchers(Seq(LabelMatcher("typ", Eql, "click"))))
+
+  /** A3 */
+  def matchNeq(spark: SparkSession, dir: String): DataFrame =
+    series(idx(spark, dir).resolveMatchers(Seq(
+      LabelMatcher("typ", Eql, "click"), LabelMatcher("usr", Neq, "7"))))
+
+  /** A4: lexicographic value range (labels are strings in the reference). */
+  def matchRange(spark: SparkSession, dir: String): DataFrame =
+    series(idx(spark, dir).resolveMatchers(Seq(
+      LabelMatcher("usr", Gte, "2"), LabelMatcher("usr", Lte, "5"))))
+
+  /** A5: anchored regex. */
+  def matchRegex(spark: SparkSession, dir: String): DataFrame =
+    series(idx(spark, dir).resolveMatchers(Seq(
+      LabelMatcher("typ", EqlRegex, "(click|view)"))))
+
+  /** A6: negated regex subtracting from an inclusive set. */
+  def matchNregex(spark: SparkSession, dir: String): DataFrame =
+    series(idx(spark, dir).resolveMatchers(Seq(
+      LabelMatcher("usr", Eql, "3"), LabelMatcher("typ", NeqRegex, "(error|signup)"))))
+
+  /** A7: conjunction mixing =, range and != */
+  def matchConj(spark: SparkSession, dir: String): DataFrame =
+    series(idx(spark, dir).resolveMatchers(Seq(
+      LabelMatcher("typ", Eql, "purchase"),
+      LabelMatcher("usr", Gte, "10"),
+      LabelMatcher("usr", Neq, "12"))))
+
+  /** A8 */
+  def labelValues(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labelValues("typ")
+
+  /** A9: tsid → labels (get_labels): recover series labels for sample ids. */
+  def seriesLookup(spark: SparkSession, dir: String): DataFrame = {
+    val i = idx(spark, dir)
+    val wanted = i.labeled.filter(col("event_id") < 10).select("event_id", "tsid")
+    wanted.join(i.seriesCatalog.select("tsid", "usr", "typ"), Seq("tsid"))
+      .select("event_id", "usr", "typ")
+  }
+
+  /** A10: exact label-set existence. */
+  def seriesExists(spark: SparkSession, dir: String): DataFrame =
+    series(idx(spark, dir).exists(Map("usr" -> "5", "typ" -> "click")))
+
+  /** A11: matchers + time range, index-pruned then sample-exact. */
+  def matchTimerange(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = lit("2024-01-08 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-15 00:00:00").cast("timestamp")
+    idx(spark, dir).select(Seq(LabelMatcher("typ", Eql, "error")), t1, t2)
+      .select("usr", "typ").distinct()
+  }
+
+  /** B1: full select path — matchers + range → samples. */
+  def selectRange(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-12 00:00:00").cast("timestamp")
+    idx(spark, dir).select(Seq(LabelMatcher("typ", Eql, "purchase")), t1, t2)
+      .select(col("event_id"), col("usr"), col("typ"),
+        unix_timestamp(col("ts")).as("ts_sec"),
+        round(col("value"), 2).as("value"))
+  }
+}

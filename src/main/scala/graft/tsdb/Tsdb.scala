@@ -1,0 +1,131 @@
+package graft.tsdb
+
+import graft.index.TagIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** PromQL-flavoured analytics over the tag-indexed sample stream
+  * (SURVEY.md §2.B) — what a user of the reference's Prometheus
+  * adapter (/root/reference/include/tagtree/adapters/prom/querier.h)
+  * computes downstream of select().
+  *
+  * All operators are per-series window or groupBy compositions:
+  * one shuffle on (tsid) or (bucket), partial-agg friendly, no
+  * driver-side iteration. At 100 TB the sample table is partitioned
+  * by date and bucketed by tsid, so per-series windows are sort-only
+  * within buckets and bucket aggs shuffle pre-combined rows.
+  */
+object Tsdb {
+
+  private def idx(spark: SparkSession, dir: String): TagIndex =
+    TagIndex.forEvents(spark, dir)
+
+  private val hourSec = unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec")
+
+  /** B2: SeriesIterator.seek(t) (storage.h:15) as a set operation —
+    * for every series, the first sample at-or-after t.
+    */
+  def seriesSeek(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = lit("2024-01-15 00:00:00").cast("timestamp")
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts"), col("event_id"))
+    idx(spark, dir).labeled
+      .filter(col("ts") >= t0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("usr"), col("typ"),
+        unix_timestamp(col("ts")).as("ts_sec"), round(col("value"), 2).as("value"))
+  }
+
+  /** B3: instant aggregation by label per hour bucket (sum/avg/count by). */
+  def aggByLabel(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(col("typ"), hourSec)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_v"),
+        round(avg(col("value")), 4).as("avg_v"))
+
+  /** B4: rate() — per-series cumulative counter, per-hour increase over
+    * elapsed time. The cumsum is an ordered window (deterministic
+    * summation order on both engines); the per-hour delta is
+    * max(cum)-min(cum) over the bucket.
+    */
+  def rate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts"), col("event_id"))
+    idx(spark, dir).labeled
+      .withColumn("cum", sum(col("value")).over(w))
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("usr"), col("typ"), hourSec)
+      .agg(count(lit(1)).as("n"), max(col("cum")).as("cmax"),
+        min(col("cum")).as("cmin"), max(col("us")).as("umax"), min(col("us")).as("umin"))
+      .filter(col("n") >= 2)
+      .select(col("usr"), col("typ"), col("hour_sec"), col("n"),
+        round((col("cmax") - col("cmin")) / ((col("umax") - col("umin")) / lit(1e6)), 4)
+          .as("rate"))
+  }
+
+  /** B5: *_over_time — trailing 1h range-window stats per series. */
+  def overTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    idx(spark, dir).labeled
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("avg_1h", round(avg(col("value")).over(w), 4))
+      .withColumn("max_1h", round(max(col("value")).over(w), 2))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .select(col("event_id"), col("usr"), col("typ"), col("ts_sec"),
+        col("avg_1h"), col("max_1h"), col("n_1h"))
+  }
+
+  /** B6: topk(3) series by hourly sum(value). Ordering key is the
+    * *rounded* sum plus full label tiebreak, so ranking is
+    * deterministic and engine-independent.
+    */
+  def topk(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = idx(spark, dir).labeled
+      .groupBy(col("usr"), col("typ"), hourSec)
+      .agg(round(sum(col("value")), 2).as("sum_v"))
+    val w = Window.partitionBy(col("hour_sec"))
+      .orderBy(col("sum_v").desc, col("usr"), col("typ"))
+    hourly.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("hour_sec", "rk", "usr", "typ", "sum_v")
+  }
+
+  /** B7: exact interpolated quantiles of sample values per label. */
+  def quantile(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(col("typ"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  /** B8: count_values — histogram of floor(value) per label. */
+  def countValues(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(col("typ"), floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** B9: downsample/align — last sample value per series per 15-min step
+    * (the gauge variant of the adapter's step-aligned iteration).
+    */
+  def downsample(spark: SparkSession, dir: String): DataFrame = {
+    val step = (unix_timestamp(col("ts")) - (unix_timestamp(col("ts")) % 900)).as("step_sec")
+    val w = Window.partitionBy(col("tsid"), col("step_sec"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    idx(spark, dir).labeled
+      .withColumn("step_sec", step)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("usr"), col("typ"), col("step_sec"), round(col("value"), 2).as("last_v"))
+  }
+
+  /** B10: appender commit batch — day-partitioned ingest summary
+    * (the parquet-layout analog of appender.h + WAL commit).
+    */
+  def ingestBatch(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("typ"))
+      .agg(count(lit(1)).as("n_samples"),
+        countDistinct(col("usr")).as("n_series"),
+        round(sum(col("value")), 2).as("sum_v"))
+}
