@@ -43,6 +43,22 @@ object SparkEntry {
     "semi_anti" -> (operators.Relational.semiAnti _),
     "distinct_count" -> (operators.Relational.distinctCount _),
     "json_extract" -> (operators.Relational.jsonExtract _),
+    // D. dedup
+    "dedup_exact" -> (dedup.Dedup.exact _),
+    "dedup_minhash" -> (dedup.Dedup.minhashLsh _),
+    "dedup_simhash" -> (dedup.Dedup.simhash _),
+    "dedup_ngram_jaccard" -> (dedup.Dedup.ngramJaccard _),
+    "dedup_embedding" -> (dedup.Dedup.embeddingCosine _),
+    // E. similarity search
+    "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
+    "ann_lsh" -> (similarity.Ann.lshTopk _),
+    // F. text analysis
+    "text_langid" -> (text.TextAnalysis.langid _),
+    "text_quality" -> (text.TextAnalysis.quality _),
+    "text_tokencount" -> (text.TextAnalysis.tokenCount _),
+    "text_fingerprint" -> (text.TextAnalysis.fingerprint _),
+    // G. multimodal
+    "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -247,5 +263,111 @@ object SparkEntry {
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // D. dedup
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_minhash" -> exactJaccardSql,
+    "dedup_ngram_jaccard" -> exactJaccardSql,
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 4) AS cs
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT ia, ib, cs FROM p WHERE cs >= 0.45""".stripMargin,
+    // E. similarity search
+    "ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
+        |  FROM q JOIN n ON n.vec_id <> q.query_id)
+        |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+    // F. text analysis
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    round((len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |         + len(list_filter(string_split(text, ' '), x -> x = 'a'))) * 1.0
+        |      / len(string_split(text, ' ')), 4) AS en_score
+        |  FROM documents)
+        |SELECT doc_id, lang, n_words, en_score,
+        |  CASE WHEN en_score >= 0.02 THEN 'en' ELSE 'unk' END AS pred
+        |FROM t""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |    (len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |         + len(list_filter(string_split(text, ' '), x -> x = 'a'))) * 1.0
+        |      / len(string_split(text, ' ')) AS stop_raw,
+        |    round((len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |         + len(list_filter(string_split(text, ' '), x -> x = 'a'))) * 1.0
+        |      / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |    round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |      / len(string_split(text, ' ')), 4) AS uniq_ratio,
+        |    round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |      / len(string_split(text, ' ')), 4) AS mean_wlen
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_uniq, stop_ratio, uniq_ratio, mean_wlen,
+        |  round(least(1.0, (n_uniq * 1.0 / n_words) * 0.5
+        |    + CASE WHEN n_words BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN stop_raw >= 0.01 AND stop_raw <= 0.2 THEN 0.2 ELSE 0.0 END), 4)
+        |    AS quality
+        |FROM t""".stripMargin,
+    "text_tokencount" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z]+|[^a-z ]')) AS n_bpeish,
+        |  length(text) AS n_chars_m
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_min(list_transform(range(1, greatest(len(w) - 3, 1)), i ->
+        |      (CAST(ascii(w[i][1])*961 + ascii(w[i][-1])*31 + length(w[i]) AS BIGINT) * 1
+        |     + CAST(ascii(w[i+1][1])*961 + ascii(w[i+1][-1])*31 + length(w[i+1]) AS BIGINT) * 131
+        |     + CAST(ascii(w[i+2][1])*961 + ascii(w[i+2][-1])*31 + length(w[i+2]) AS BIGINT) * 17161
+        |     + CAST(ascii(w[i+3][1])*961 + ascii(w[i+3][-1])*31 + length(w[i+3]) AS BIGINT) * 2248091
+        |     + CAST(ascii(w[i+4][1])*961 + ascii(w[i+4][-1])*31 + length(w[i+4]) AS BIGINT) * 294499921
+        |      ) % 1000000007)) AS fp
+        |  FROM t)
+        |SELECT doc_id, fp FROM h WHERE fp IS NOT NULL""".stripMargin,
   )
+
+  /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the
+    * exact candidate-join implementation (D4) and the MinHash+LSH path
+    * (D2), whose verified output equals the exact pairs at this
+    * banding configuration.
+    */
+  private val exactJaccardSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM words),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT ia, ib,
+      |    round(c * 1.0 / (ca.n + cb.n - c), 4) AS j
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = ia
+      |  JOIN cnt cb ON cb.doc_id = ib)
+      |SELECT ia, ib, j FROM j WHERE j >= 0.8""".stripMargin
 }

@@ -1,0 +1,172 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines (SURVEY.md §2.D).
+  *
+  * Candidate generation is always bucket-local (LSH bands, simhash
+  * chunks, shared shingles) — never an all-pairs cross join — so every
+  * operator scales as Σ bucket² instead of corpus². Verification
+  * (exact Jaccard / hamming) runs only on candidates.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles, 1-based indexing (matches the DuckDB oracle's
+    * `w[i] || ' ' || w[i+1] || ' ' || w[i+2]`).
+    */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 3,
+          transform(sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ",
+              element_at(col("w"), i),
+              element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("s"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for a set of candidate (ia, ib) pairs; returns pairs
+    * with `j >= threshold`. Cost ∝ candidate shingles, not corpus².
+    */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("ia"), col("s"))
+    val shB = sh.select(col("doc_id").as("ib"), col("s"))
+    val common = cand.join(shA, Seq("ia"))
+      .join(shB, Seq("ib", "s"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "ia").withColumnRenamed("n", "na")), Seq("ia"))
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "ib").withColumnRenamed("n", "nb")), Seq("ib"))
+      .withColumn("j", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("j") >= threshold)
+      .select(col("ia"), col("ib"), col("j"))
+  }
+
+  /** D1: exact dedup — one keeper per distinct text, with group size.
+    * At scale: hash-shuffle on xxhash64(text) (here groupBy text itself
+    * so the oracle can replicate; the hash variant is the same plan
+    * with a narrower shuffle key).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .select(col("keep_id"), col("n"))
+
+  /** D4: exact n-gram Jaccard pairs ≥ 0.8. Candidates = pairs sharing
+    * ≥1 shingle (inverted-index join), then exact verify. At 100 TB the
+    * shingle join is salted on hot shingles; here the semantics.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val cand = sh.select(col("doc_id").as("ia"), col("s"))
+      .join(sh.select(col("doc_id").as("ib"), col("s")), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    verifyJaccard(sh, cand, 0.8)
+  }
+
+  private val NumPerms = 64
+  private val Bands = 16
+  private val Rows = 4 // NumPerms / Bands
+
+  /** D2: MinHash + LSH banding + exact verification.
+    * 64 permutations via affine hashing of the shingle's xxhash64;
+    * 16 bands × 4 rows → P(candidate | j=0.8) ≈ 0.9998, so after exact
+    * verification the output equals the exact-Jaccard pairs (the
+    * DuckDB oracle) on this data. The band bucket join is the scale
+    * path: comparisons are bucket-local.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // affine permutations mod a Mersenne prime: a*(h mod P) stays under
+    // 2^62, so no ANSI overflow and no wrap-around dependence
+    val P = 2147483647L // 2^31 - 1
+    val rnd = new scala.util.Random(987654321L)
+    val perms = Array.fill(NumPerms)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val hashed = sh.withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+    val sigAggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"sig$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until Rows).map(r => col(s"sig${b * Rows + r}")): _*).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val cand = buckets.select(col("doc_id").as("ia"), col("band"), col("bh"))
+      .join(buckets.select(col("doc_id").as("ib"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+
+    verifyJaccard(sh, cand, 0.8)
+  }
+
+  /** D3: SimHash over word frequencies; candidates via 8-bit chunk
+    * blocking (hamming ≤ 7 ⇒ ≥1 of 8 chunks equal by pigeonhole),
+    * verified with bit_count(xor). The loose radius matters: word-freq
+    * simhash of ~0.97-jaccard docs can still differ in 4-6 bits.
+    * Output is hash-function-dependent → rows-only gate.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i")
+    }
+    val fp = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val fps = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+
+    val chunks = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("fp"), c * 8).bitwiseAND(lit(0xFFL)).as("ch"))): _*)).as("cc"))
+      .select(col("doc_id"), col("fp"), col("cc.c").as("c"), col("cc.ch").as("ch"))
+
+    chunks.select(col("doc_id").as("ia"), col("fp").as("fa"), col("c"), col("ch"))
+      .join(chunks.select(col("doc_id").as("ib"), col("fp").as("fb"), col("c"), col("ch")),
+        Seq("c", "ch"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        expr("bit_count(fa ^ fb)").cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= 7)
+  }
+
+  /** D5: embedding-cosine near-dup pairs ≥ 0.45 (double-precision dot,
+    * matches the oracle's explicit double math). Brute-force pair join
+    * here; the LSH-bucketed scale path is graft.similarity.Ann.
+    */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb"))
+    a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("cs", round(col("dot") / (col("na") * col("nb")), 4))
+      .filter(col("cs") >= 0.45)
+      .select(col("ia"), col("ib"), col("cs"))
+  }
+}

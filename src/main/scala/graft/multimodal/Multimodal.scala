@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media item: opaque binary payload + typed metadata.
+  * At 100 TB this is the row shape of a multimodal lakehouse table —
+  * payloads inline up to ~1 MB, larger ones as object-store pointers
+  * (the `uri` field), partitioned by ingest date and bucketed by id.
+  */
+case class MediaItem(
+    doc_id: Long,
+    payload: Array[Byte],
+    uri: String,
+    fmt: String,
+    width: Int,
+    height: Int)
+
+case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    mean_byte: Double,
+    nonzero_ratio: Double,
+    feat: Array[Double])
+
+/** Multimodal column pipeline (SURVEY.md §2.G).
+  *
+  * The decode step is STUBBED (this container has no image/audio
+  * codecs): `decodeStub` derives deterministic pseudo-features from the
+  * payload bytes. Everything around it — the typed schema, the
+  * per-partition batch iteration (the Scala analog of a Pandas-UDF
+  * `mapInPandas` batch), the partition sizing, and the downstream
+  * aggregation — is the real Spark plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  /** Synthesize the media table from documents: utf-8 payload stands in
+    * for an encoded image; metadata is derived deterministically.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        concat(lit("synthetic://doc/"), col("doc_id")).as("uri"),
+        lit("fake/raw").as("fmt"),
+        (pmod(col("n_chars"), lit(64)) + 1).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(48)) + 1).cast("int").as("height"))
+      .as[MediaItem]
+  }
+
+  /** STUB decode: byte statistics standing in for codec output.
+    * Replace the body with a real codec call; the signature —
+    * Iterator[MediaItem] → Iterator[MediaFeatures] per partition,
+    * batch-amortized setup — is the contract.
+    */
+  private def decodeStub(items: Iterator[MediaItem]): Iterator[MediaFeatures] = {
+    // per-partition setup would happen here (codec init, model load)
+    items.map { m =>
+      val bytes = m.payload
+      val n = bytes.length.toLong
+      var sum = 0L
+      var nz = 0L
+      val hist = new Array[Double](4)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sum += b
+        if (b != 0) nz += 1
+        hist(b % 4) += 1.0
+        i += 1
+      }
+      MediaFeatures(m.doc_id, n,
+        if (n == 0) 0.0 else sum.toDouble / n,
+        if (n == 0) 0.0 else nz.toDouble / n,
+        hist.map(h => if (n == 0) 0.0 else h / n))
+    }
+  }
+
+  /** G1: the full pipeline — media table → per-partition batch decode →
+    * feature columns → corpus-level aggregate alongside per-item rows.
+    */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = mediaTable(spark, dir)
+      .repartition(col("doc_id")) // spread payload bytes evenly pre-decode
+      .mapPartitions(decodeStub)
+    feats.select(col("doc_id"), col("n_bytes"),
+      round(col("mean_byte"), 4).as("mean_byte"),
+      round(col("nonzero_ratio"), 4).as("nonzero_ratio"),
+      round(element_at(col("feat"), 1), 4).as("f0"),
+      round(element_at(col("feat"), 2), 4).as("f1"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embedding column (SURVEY.md §2.E).
+  *
+  * E1 brute-force is the exactness baseline: broadcast the (small)
+  * query set against the corpus scan — at 100 TB this is one pass over
+  * the vectors with no shuffle except the final per-query top-k.
+  * E2 is the scale path: random-hyperplane LSH buckets bound the
+  * candidate set; comparisons are bucket-local.
+  */
+object Ann {
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0d), (acc, x) => acc + x) / (na * nb)
+
+  /** E1: exact top-5 cosine neighbors for query vectors (vec_id < 10).
+    * Ordering key is the rounded cosine + neighbor id, so ranking is
+    * deterministic and engine-independent.
+    */
+  def bruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val joined = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
+  }
+
+  private val Tables_ = 4 // LSH tables
+  private val Bits = 6 // hyperplanes per table
+
+  /** Deterministic pseudo-Gaussian hyperplanes (seeded). */
+  private def planes(dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(424242L)
+    Array.fill(Tables_ * Bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** E2: LSH ANN — L=4 tables × 6-bit signatures; candidates = union of
+    * same-bucket vectors across tables, re-ranked by exact cosine.
+    * Output is hyperplane-dependent → rows-only gate; the spec checks
+    * recall against E1 instead.
+    */
+  def lshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val dim = 64
+    val ps = planes(dim)
+    // signature bit = sign(dot(v, plane)); bucket per table = packed bits
+    def dot(p: Array[Double]): Column =
+      (0 until dim).map(d => element_at(col("v"), d + 1) * lit(p(d))).reduce(_ + _)
+    val bucketCols = (0 until Tables_).map { t =>
+      struct(lit(t).as("t"),
+        (0 until Bits).map { b =>
+          when(dot(ps(t * Bits + b)) >= 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _).as("bucket"))
+    }
+    val bucketed = all.select(col("vec_id"), col("v"), col("norm"),
+      explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+    // candidate ids first (cheap distinct on a pair of longs); vectors
+    // joined back only for the exact-cosine re-rank
+    val qBuckets = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val candIds = bucketed.select(col("vec_id"), col("t"), col("bucket"))
+      .join(broadcast(qBuckets), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+
+    val qVecs = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val cand = candIds
+      .join(broadcast(qVecs), Seq("query_id"))
+      .join(all, Seq("vec_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    cand.withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
+  }
+}

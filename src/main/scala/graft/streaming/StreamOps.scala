@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A raw sample on the ingest stream. */
+case class Sample(event_id: Long, ts: java.sql.Timestamp, usr: String, typ: String, value: Double)
+
+/** Streaming series-tracker state (the reference's in-memory index
+  * entry: tsid + bounds, mem_index.h:19-29).
+  */
+case class SeriesState(tsid: Long, firstSeenSec: Long, nSamples: Long)
+
+/** Emitted on every state update (Update output mode). */
+case class SeriesUpdate(usr: String, typ: String, tsid: Long, firstSeenSec: Long, nSamples: Long, isNew: Boolean)
+
+/** Structured Streaming ingest path (SURVEY.md §2.H) — the Spark
+  * analog of the reference's WAL → MemIndex maintenance
+  * (/root/reference/src/index/index_server.cpp add_series + commit):
+  * checkpointed state replaces the WAL; watermarked windows replace
+  * compaction thresholds.
+  */
+object StreamOps extends Serializable {
+
+  /** The same series identity as batch ingest: xxhash64 (seed 42) of
+    * the space-joined labels — TagIndex uses xxhash64(concat_ws(" ",
+    * labels)), so streaming and batch assign identical tsids and an
+    * entity can move between the paths without re-keying.
+    */
+  def tsidOf(usr: String, typ: String): Long = {
+    val u = UTF8String.fromString(usr + " " + typ)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+  }
+
+  /** H1: watermarked sliding-window aggregation per label — the
+    * streaming form of Tsdb.aggByLabel. 10-minute lateness bound;
+    * state for closed windows is dropped automatically.
+    */
+  def windowedAgg(samples: DataFrame): DataFrame =
+    samples
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("typ"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("window.start").as("win_start"), col("typ"), col("n"), col("sum_v"))
+
+  /** H2: streaming add_series — mapGroupsWithState keyed by label set;
+    * first sample creates the series (isNew=true, stable hash tsid),
+    * later samples bump counters. State size ∝ #series, not #samples.
+    */
+  def trackSeries(samples: Dataset[Sample]): Dataset[SeriesUpdate] = {
+    import samples.sparkSession.implicits._
+    def update(key: (String, String), batch: Iterator[Sample],
+        state: GroupState[SeriesState]): SeriesUpdate = {
+      val rows = batch.toSeq
+      val minSec = rows.map(_.ts.getTime / 1000).min
+      val prior = state.getOption
+      val next = prior match {
+        case Some(s) => s.copy(nSamples = s.nSamples + rows.size)
+        case None => SeriesState(tsidOf(key._1, key._2), minSec, rows.size.toLong)
+      }
+      state.update(next)
+      SeriesUpdate(key._1, key._2, next.tsid, next.firstSeenSec, next.nSamples, prior.isEmpty)
+    }
+    samples
+      .groupByKey(s => (s.usr, s.typ))
+      .mapGroupsWithState[SeriesState, SeriesUpdate](update _)
+  }
+}

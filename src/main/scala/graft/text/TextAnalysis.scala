@@ -1,0 +1,87 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.F).
+  * Everything is pure column arithmetic (whole-stage codegen, no UDFs)
+  * and every operator is replicated exactly by its DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private def words: Column = split(col("text"), " ")
+
+  private def countWord(w: String): Column =
+    size(filter(words, x => x === lit(w)))
+
+  /** F1: language ID — marker-word ratio heuristic (on this synthetic
+    * corpus the English function words 'the'/'a' are the only markers;
+    * real corpora extend the marker lists per language).
+    */
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("en_score",
+        round((countWord("the") + countWord("a")) / col("n_words").cast("double"), 4))
+      .withColumn("pred", when(col("en_score") >= 0.02, lit("en")).otherwise(lit("unk")))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("en_score"), col("pred"))
+
+  /** F2: quality scoring — length, lexical diversity, stopword ratio,
+    * mean word length, combined into a bounded score.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("n_uniq", size(array_distinct(words)))
+      .withColumn("stop_raw",
+        (countWord("the") + countWord("a")) / col("n_words").cast("double"))
+      .withColumn("stop_ratio", round(col("stop_raw"), 4))
+      .withColumn("uniq_ratio", round(col("n_uniq") / col("n_words").cast("double"), 4))
+      .withColumn("mean_wlen",
+        round((length(col("text")) - col("n_words") + 1) / col("n_words").cast("double"), 4))
+      // the formula uses the *unrounded* ratios: feeding 4-decimal
+      // rounded values into ×0.5 lands exactly on .00005 decimal
+      // boundaries, where Spark (shortest-string HALF_UP) and DuckDB
+      // (binary-double) round() disagree
+      .withColumn("quality",
+        round(least(lit(1.0),
+          (col("n_uniq") / col("n_words").cast("double")) * 0.5
+          + when(col("n_words").between(20, 400), 0.3).otherwise(0.0)
+          + when((col("stop_raw") >= 0.01) && (col("stop_raw") <= 0.2), 0.2)
+            .otherwise(0.0)), 4))
+      .select(col("doc_id"), col("n_words"), col("n_uniq"), col("stop_ratio"),
+        col("uniq_ratio"), col("mean_wlen"), col("quality"))
+
+  /** F3: token counting — whitespace tokens and a BPE-ish regex token
+    * stream (letter runs vs. non-letter singles), plus chars.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws", size(words))
+      .withColumn("n_bpeish", size(expr("regexp_extract_all(text, '[a-z]+|[^a-z ]', 0)")))
+      .withColumn("n_chars_m", length(col("text")))
+      .select(col("doc_id"), col("n_ws"), col("n_bpeish"), col("n_chars_m"))
+
+  /** F4: document fingerprint — Karp–Rabin rolling hash over 5-word
+    * windows; the fingerprint is the minimum window hash (winnowing
+    * with a single global window). Word code uses first/last char +
+    * length so the DuckDB oracle can reproduce it bit-for-bit.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val B = Array(1L, 131L, 131L * 131, 131L * 131 * 131, 131L * 131 * 131 * 131)
+    def code(w: Column): Column =
+      ascii(substring(w, 1, 1)) * 961 + ascii(substring(w, -1, 1)) * 31 + length(w)
+    // guard: Spark's sequence(1, n) runs *descending* for n < 1
+    val winHash = when(size(words) >= 5,
+      transform(sequence(lit(1), size(words) - 4),
+        i => (0 until 5).map(k =>
+          code(element_at(words, i + k)).cast("long") * B(k)).reduce(_ + _) % M))
+      .otherwise(array().cast("array<bigint>"))
+    Tables.documents(spark, dir)
+      .withColumn("fp", array_min(winHash))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), col("fp"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.{Sample, StreamOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("H1: watermarked windowed agg over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamOps.windowedAgg(in.toDF())
+      .writeStream.format("memory").queryName("h1_out").outputMode("update").start()
+    try {
+      in.addData(
+        Sample(0, ts(0), "1", "click", 2.0),
+        Sample(1, ts(1), "1", "click", 3.0),
+        Sample(2, ts(7), "2", "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("h1_out")
+        .groupBy(col("win_start"), col("typ"))
+        .agg(max(col("n")).as("n"), max(col("sum_v")).as("sum_v"))
+        .collect()
+      val click = rows.find(_.getString(1) == "click").get
+      assert(click.getLong(2) == 2 && click.getDouble(3) == 5.0)
+      assert(rows.exists(r => r.getString(1) == "view" && r.getLong(2) == 1))
+    } finally q.stop()
+  }
+
+  test("H2: streaming add_series assigns batch-identical tsids and tracks state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamOps.trackSeries(in.toDS())
+      .writeStream.format("memory").queryName("h2_out").outputMode("update").start()
+    try {
+      in.addData(Sample(0, ts(0), "1", "click", 2.0), Sample(1, ts(1), "1", "click", 3.0))
+      q.processAllAvailable()
+      in.addData(Sample(2, ts(2), "1", "click", 4.0), Sample(3, ts(3), "9", "error", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("h2_out").as[streaming.SeriesUpdate].collect()
+      val clicks = rows.filter(r => r.usr == "1" && r.typ == "click")
+      assert(clicks.map(_.nSamples).max == 3, "state accumulates across batches")
+      assert(clicks.count(_.isNew) == 1, "series created exactly once")
+      assert(rows.filter(_.usr == "9").forall(_.isNew))
+      // streaming tsid == batch tsid (same xxhash64 identity)
+      val batchTsid = spark.createDataset(Seq(("1", "click"))).toDF("usr", "typ")
+        .select(xxhash64(concat_ws(" ", col("usr"), col("typ")))).head().getLong(0)
+      assert(clicks.head.tsid == batchTsid)
+    } finally q.stop()
+  }
+}
