@@ -35,6 +35,7 @@ object SparkEntry {
     "count_values" -> (tsdb.Tsdb.countValues _),
     "downsample" -> (tsdb.Tsdb.downsample _),
     "ingest_batch" -> (tsdb.Tsdb.ingestBatch _),
+    "asof_join" -> (tsdb.Tsdb.asofCheckpoints _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -199,6 +200,18 @@ object SparkEntry {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
+    "asof_join" ->
+      """WITH series AS (SELECT DISTINCT user_id, event_type FROM events),
+        |probes AS (SELECT user_id, event_type,
+        |    unnest([TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-10 00:00:00',
+        |            TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-20 00:00:00',
+        |            TIMESTAMP '2024-01-25 00:00:00']) AS pts
+        |  FROM series)
+        |SELECT CAST(p.user_id AS VARCHAR) AS usr, p.event_type AS typ,
+        |  epoch_us(p.pts)//1000000 AS pts_sec, round(e.value, 2) AS v
+        |FROM probes p ASOF LEFT JOIN events e
+        |  ON p.user_id = e.user_id AND p.event_type = e.event_type
+        |  AND e.ts <= p.pts""".stripMargin,
     "ingest_batch" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS typ,
         |  count(*) AS n_samples, count(DISTINCT user_id) AS n_series,

@@ -16,6 +16,11 @@ object Dedup {
   /** Word 3-gram shingles, 1-based indexing (matches the DuckDB oracle's
     * `w[i] || ' ' || w[i+1] || ' ' || w[i+2]`).
     */
+  /** Word 3-gram shingles, 1-based indexing (matches the DuckDB oracle's
+    * `w[i] || ' ' || w[i+1] || ' ' || w[i+2]`), hashed to 64-bit ids so
+    * every downstream join/shuffle moves longs instead of strings
+    * (collision odds over ~10⁹ distinct shingles: ~1e-9 per pair).
+    */
   private def shingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     docs.select(col("doc_id"), w.as("w"))
@@ -27,22 +32,41 @@ object Dedup {
               element_at(col("w"), i + 1),
               element_at(col("w"), i + 2))))
           .otherwise(array().cast("array<string>"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sid"))
       .distinct()
   }
 
-  /** Exact Jaccard for a set of candidate (ia, ib) pairs; returns pairs
-    * with `j >= threshold`. Cost ∝ candidate shingles, not corpus².
+  /** Exact pairwise Jaccard via one shared-shingle join + count — the
+    * common-count and candidate generation are the same pass.
+    */
+  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.select(col("doc_id").as("ia"), col("sid"))
+      .join(sh.select(col("doc_id").as("ib"), col("sid")), Seq("sid"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(cnt.select(col("doc_id").as("ia"), col("n").as("na"))), Seq("ia"))
+      .join(broadcast(cnt.select(col("doc_id").as("ib"), col("n").as("nb"))), Seq("ib"))
+      .withColumn("j", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("j") >= threshold)
+      .select(col("ia"), col("ib"), col("j"))
+  }
+
+  /** Exact Jaccard restricted to candidate (ia, ib) pairs; returns
+    * pairs with `j >= threshold`. Cost ∝ candidate shingles, not
+    * corpus².
     */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("ia"), col("s"))
-    val shB = sh.select(col("doc_id").as("ib"), col("s"))
+    val shA = sh.select(col("doc_id").as("ia"), col("sid"))
+    val shB = sh.select(col("doc_id").as("ib"), col("sid"))
     val common = cand.join(shA, Seq("ia"))
-      .join(shB, Seq("ib", "s"))
+      .join(shB, Seq("ib", "sid"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
     common
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "ia").withColumnRenamed("n", "na")), Seq("ia"))
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "ib").withColumnRenamed("n", "nb")), Seq("ib"))
+      .join(broadcast(cnt.select(col("doc_id").as("ia"), col("n").as("na"))), Seq("ia"))
+      .join(broadcast(cnt.select(col("doc_id").as("ib"), col("n").as("nb"))), Seq("ib"))
       .withColumn("j", round(col("c") / (col("na") + col("nb") - col("c")), 4))
       .filter(col("j") >= threshold)
       .select(col("ia"), col("ib"), col("j"))
@@ -63,14 +87,8 @@ object Dedup {
     * ≥1 shingle (inverted-index join), then exact verify. At 100 TB the
     * shingle join is salted on hot shingles; here the semantics.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
-    val cand = sh.select(col("doc_id").as("ia"), col("s"))
-      .join(sh.select(col("doc_id").as("ib"), col("s")), Seq("s"))
-      .filter(col("ia") < col("ib"))
-      .select("ia", "ib").distinct()
-    verifyJaccard(sh, cand, 0.8)
-  }
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingles(Tables.documents(spark, dir)).cache(), 0.8)
 
   private val NumPerms = 64
   private val Bands = 16
@@ -92,7 +110,7 @@ object Dedup {
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
 
     val sh = shingles(Tables.documents(spark, dir)).cache()
-    val hashed = sh.withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+    val hashed = sh.withColumn("h", pmod(col("sid"), lit(P)))
     val sigAggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"sig$i")
     }
@@ -157,15 +175,15 @@ object Dedup {
     * here; the LSH-bucketed scale path is graft.similarity.Ann.
     */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
     val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb"))
     a.crossJoin(b).filter(col("ia") < col("ib"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _),
-        lit(0.0d), (acc, x) => acc + x))
-      .withColumn("cs", round(col("dot") / (col("na") * col("nb")), 4))
+      .withColumn("cs", round(
+        call_function("vec_dot", col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cs") >= 0.45)
       .select(col("ia"), col("ib"), col("cs"))
   }

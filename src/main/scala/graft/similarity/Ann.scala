@@ -15,13 +15,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** Embeddings kept as array<float> end-to-end — vec_dot widens to
+    * double inside its codegen loop, so no per-row array<double> copy.
+    */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+  }
 
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0d), (acc, x) => acc + x) / (na * nb)
+    call_function("vec_dot", a, b) / (na * nb)
 
   /** E1: exact top-5 cosine neighbors for query vectors (vec_id < 10).
     * Ordering key is the rounded cosine + neighbor id, so ranking is
@@ -59,7 +64,7 @@ object Ann {
     val ps = planes(dim)
     // signature bit = sign(dot(v, plane)); bucket per table = packed bits
     def dot(p: Array[Double]): Column =
-      (0 until dim).map(d => element_at(col("v"), d + 1) * lit(p(d))).reduce(_ + _)
+      call_function("vec_dot", col("v"), typedlit(p.toSeq))
     val bucketCols = (0 until Tables_).map { t =>
       struct(lit(t).as("t"),
         (0 until Bits).map { b =>

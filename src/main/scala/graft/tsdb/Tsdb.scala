@@ -119,6 +119,23 @@ object Tsdb {
       .select(col("usr"), col("typ"), col("step_sec"), round(col("value"), 2).as("last_v"))
   }
 
+  /** B11: as-of join — every series' value as of fixed checkpoint
+    * times (the set-form of iterator seek; graft.plans.AsOfJoin).
+    */
+  def asofCheckpoints(spark: SparkSession, dir: String): DataFrame = {
+    val i = idx(spark, dir)
+    val checkpoints = Seq("2024-01-05", "2024-01-10", "2024-01-15",
+      "2024-01-20", "2024-01-25").map(d => lit(d + " 00:00:00").cast("timestamp"))
+    val probes = i.seriesCatalog.select(col("usr"), col("typ"))
+      .withColumn("pts", explode(array(checkpoints: _*)))
+    graft.plans.AsOfJoin.asofJoin(
+      i.labeled.select(col("usr"), col("typ"), col("ts"), col("value")),
+      probes, Seq("usr", "typ"), "ts", "value", "pts")
+      .select(col("usr"), col("typ"),
+        unix_timestamp(col("pts")).as("pts_sec"),
+        round(col("asof_value"), 2).as("v"))
+  }
+
   /** B10: appender commit batch — day-partitioned ingest summary
     * (the parquet-layout analog of appender.h + WAL commit).
     */
