@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object QDebug {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (name <- args) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      println(s"$name rows=$n sec=${(System.nanoTime()-t0)/1e9}")
+    }
+    spark.stop()
+  }
+}

@@ -36,6 +36,10 @@ object SparkEntry {
     "downsample" -> (tsdb.Tsdb.downsample _),
     "ingest_batch" -> (tsdb.Tsdb.ingestBatch _),
     "asof_join" -> (tsdb.Tsdb.asofCheckpoints _),
+    "delta" -> (tsdb.Tsdb.delta _),
+    "irate" -> (tsdb.Tsdb.irate _),
+    "resets" -> (tsdb.Tsdb.resets _),
+    "label_ops" -> (tsdb.Tsdb.labelOps _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -200,6 +204,42 @@ object SparkEntry {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
+    "delta" ->
+      """SELECT usr, typ, bucket_sec, n, delta FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(ts)//1000000 - (epoch_us(ts)//1000000) % 21600 AS bucket_sec,
+        |    count(*) AS n,
+        |    round(arg_max(value, ts) - arg_min(value, ts), 2) AS delta
+        |  FROM events GROUP BY 1, 2, 3)
+        |WHERE n >= 2""".stripMargin,
+    "irate" ->
+      """WITH r AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    value, epoch_us(ts) AS us, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |l AS (SELECT usr, typ, count(*) AS n,
+        |    arg_max(value, ts) AS v1, arg_min(value, ts) AS v0,
+        |    max(us) AS u1, min(us) AS u0
+        |  FROM r WHERE rn <= 2 GROUP BY 1, 2)
+        |SELECT usr, typ,
+        |  round(abs(v1 - v0) / ((u1 - u0) / 1000000.0), 4) AS irate
+        |FROM l WHERE n = 2 AND u1 > u0""".stripMargin,
+    "resets" ->
+      """WITH r AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT usr, typ,
+        |  CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS resets
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "label_ops" ->
+      """SELECT regexp_replace(event_type, '^(click|view)$', 'interaction') AS klass,
+        |  count(DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type) AS n_instances,
+        |  count(*) AS n_samples, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1""".stripMargin,
     "asof_join" ->
       """WITH series AS (SELECT DISTINCT user_id, event_type FROM events),
         |probes AS (SELECT user_id, event_type,

@@ -24,14 +24,21 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to its microsecond TimestampType; read it as a long of nanos and
-    * convert with integer division (exact to the microsecond).
+    * to its microsecond TimestampType; read it as a long of nanos
+    * (`ts_ns`). Time-range predicates belong on THIS column — they push
+    * into the parquet scan as INT64 stats filters and prune row groups,
+    * which a filter on the converted timestamp cannot.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    load(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
   }
+
+  /** events with `ts` converted to TimestampType (exact to the µs). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsRaw(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .drop("ts_ns")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -102,23 +102,23 @@ object Dedup {
     * path: comparisons are bucket-local.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // affine permutations mod a Mersenne prime: a*(h mod P) stays under
-    // 2^62, so no ANSI overflow and no wrap-around dependence
-    val P = 2147483647L // 2^31 - 1
     val rnd = new scala.util.Random(987654321L)
     val perms = Array.fill(NumPerms)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
 
     val sh = shingles(Tables.documents(spark, dir)).cache()
-    val hashed = sh.withColumn("h", pmod(col("sid"), lit(P)))
-    val sigAggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"sig$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    // one custom TypedImperativeAggregate computes all 64 minima in a
+    // single primitive buffer (vs 64 separate min() agg columns)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => graft.functions.MinHashSigAgg(exprs.head, perms), "built-in")
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(call_function("minhash_sig", col("sid")).as("sig"))
 
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until Rows).map(r => col(s"sig${b * Rows + r}")): _*).as("bh"))
+        xxhash64((0 until Rows).map(r =>
+          element_at(col("sig"), b * Rows + r + 1)): _*).as("bh"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))

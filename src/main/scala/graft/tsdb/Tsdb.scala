@@ -119,6 +119,61 @@ object Tsdb {
       .select(col("usr"), col("typ"), col("step_sec"), round(col("value"), 2).as("last_v"))
   }
 
+  /** B12: delta() — last minus first sample value per series per 6h
+    * bucket (gauge delta). max_by/min_by keep it a single partial-agg
+    * groupBy — no window, no second shuffle.
+    */
+  def delta(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (unix_timestamp(col("ts")) - (unix_timestamp(col("ts")) % 21600)).as("bucket_sec")
+    idx(spark, dir).labeled
+      .groupBy(col("usr"), col("typ"), bucket)
+      .agg(count(lit(1)).as("n"),
+        round(max_by(col("value"), col("ts")) - min_by(col("value"), col("ts")), 2).as("delta"))
+      .filter(col("n") >= 2)
+  }
+
+  /** B13: irate() — instantaneous rate from the last two samples of
+    * each series (PromQL irate at the range end).
+    */
+  def irate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts").desc, col("event_id").desc)
+    idx(spark, dir).labeled
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("usr"), col("typ"))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("value"), col("ts")).as("v1"), min_by(col("value"), col("ts")).as("v0"),
+        max(unix_micros(col("ts"))).as("u1"), min(unix_micros(col("ts"))).as("u0"))
+      .filter(col("n") === 2 && col("u1") > col("u0"))
+      .select(col("usr"), col("typ"),
+        round(abs(col("v1") - col("v0")) / ((col("u1") - col("u0")) / lit(1e6)), 4).as("irate"))
+  }
+
+  /** B14: resets() — count of value decreases per series (counter reset
+    * detection over the whole range).
+    */
+  def resets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts"), col("event_id"))
+    idx(spark, dir).labeled
+      .withColumn("__prev", lag(col("value"), 1).over(w))
+      .groupBy(col("usr"), col("typ"))
+      .agg(sum(when(col("value") < col("__prev"), 1).otherwise(0)).as("resets"))
+  }
+
+  /** B15: label_replace + label_join — PromQL's label-manipulation
+    * surface: rewrite typ through an anchored regex into a coarser
+    * class, join labels into an instance id, re-aggregate.
+    */
+  def labelOps(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .withColumn("klass",
+        regexp_replace(col("typ"), "^(click|view)$", "interaction"))
+      .withColumn("instance", concat_ws(":", col("usr"), col("typ")))
+      .groupBy(col("klass"))
+      .agg(countDistinct(col("instance")).as("n_instances"),
+        count(lit(1)).as("n_samples"),
+        round(sum(col("value")), 2).as("sum_v"))
+
   /** B11: as-of join — every series' value as of fixed checkpoint
     * times (the set-form of iterator seek; graft.plans.AsOfJoin).
     */

@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.Io
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IoSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  val tmp: String = java.nio.file.Files.createTempDirectory("graft_io").toString
+
+  test("day-partitioned sample write prunes partitions on read") {
+    val out = s"$tmp/samples"
+    Io.writePartitionedSamples(spark, dir, out)
+    val days = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("day="))
+    assert(days.length >= 28, s"expected ~30 day dirs, got ${days.length}")
+
+    val one = Io.readDay(spark, out, "2024-01-05")
+    val expected = Tables.events(spark, dir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(one.count() == expected)
+    // the day predicate must be a PartitionFilter, not a data filter
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"no partition pruning in plan:\n$plan")
+  }
+
+  test("csv round-trip preserves rows and schema") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars")
+    Io.writeCsv(docs, s"$tmp/docs_csv")
+    val back = Io.readCsv(spark, s"$tmp/docs_csv",
+      "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema)
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+  }
+
+  test("json round-trip preserves rows") {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "event_type", "value")
+    Io.writeJson(ev, s"$tmp/ev_json")
+    val back = Io.readJson(spark, s"$tmp/ev_json",
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    assert(back.count() == ev.count())
+  }
+
+  test("orc round-trip preserves rows") {
+    val docs = Tables.documents(spark, dir)
+    Io.writeOrc(docs, s"$tmp/docs_orc")
+    assert(Io.readOrc(spark, s"$tmp/docs_orc").count() == docs.count())
+  }
+}

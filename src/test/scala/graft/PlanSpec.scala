@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the properties that make these operators
+  * survive a 100× scale-up. A green run means filters reach the parquet
+  * scan, small dims broadcast, and scans read only the columns they
+  * need — checked on the actual executed plans, not by convention.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1: scan prunes to the referenced columns only") {
+    val p = plan("q1_agg")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"), read)
+  }
+
+  test("q5: all dimension joins broadcast (fact never shuffles for dims)") {
+    val p = plan("q5_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("select_range: time range pushed as INT64 stats filter on raw nanos") {
+    val p = plan("select_range")
+    assert(p.contains("GreaterThanOrEqual(ts,") || p.contains("GreaterThanOrEqual(ts_ns"),
+      s"time range not pushed to scan:\n$p")
+  }
+
+  test("match_eq: posting resolution broadcasts into the catalog semi-join") {
+    val p = plan("match_eq")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("q1: aggregation is partial (map-side combine before shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+  }
+
+  test("embedding ops keep whole-stage codegen (VecDot does not break spans)") {
+    // AQE only materializes codegen nodes in the *final* plan — execute first
+    val df = SparkEntry.queries("dedup_embedding")(spark, dir)
+    df.collect()
+    // '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
+    assert(p.linesIterator.exists(l => l.contains("vecdot") && l.contains("*(")),
+      s"vecdot not inside a codegen stage:\n$p")
+    assert(!p.toLowerCase.contains("zip_with"), "interpreted HOF in hot path")
+  }
+}
