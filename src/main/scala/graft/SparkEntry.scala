@@ -48,6 +48,7 @@ object SparkEntry {
     "semi_anti" -> (operators.Relational.semiAnti _),
     "distinct_count" -> (operators.Relational.distinctCount _),
     "json_extract" -> (operators.Relational.jsonExtract _),
+    "salted_agg" -> (operators.Skew.saltedAgg _),
     // D. dedup
     "dedup_exact" -> (dedup.Dedup.exact _),
     "dedup_minhash" -> (dedup.Dedup.minhashLsh _),
@@ -316,6 +317,10 @@ object SparkEntry {
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v,
+        |  round(sum(value) / count(*), 4) AS avg_v
+        |FROM events GROUP BY 1""".stripMargin,
     // D. dedup
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n
