@@ -21,6 +21,8 @@ object SparkEntry {
     "match_nregex" -> (index.IndexQueries.matchNregex _),
     "match_conj" -> (index.IndexQueries.matchConj _),
     "label_values" -> (index.IndexQueries.labelValues _),
+    "label_names" -> (index.IndexQueries.labelNames _),
+    "match_json_label" -> (index.IndexQueries.matchJsonLabel _),
     "series_lookup" -> (index.IndexQueries.seriesLookup _),
     "series_exists" -> (index.IndexQueries.seriesExists _),
     "match_timerange" -> (index.IndexQueries.matchTimerange _),
@@ -119,6 +121,15 @@ object SparkEntry {
         |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
     "label_values" ->
       "SELECT DISTINCT event_type AS value FROM events",
+    "label_names" ->
+      "SELECT 'usr' AS label_name UNION ALL SELECT 'typ' AS label_name",
+    "match_json_label" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS VARCHAR) AS kb
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS VARCHAR) = '3'
+        |  AND CAST(user_id AS VARCHAR) <= '5'""".stripMargin,
     "series_lookup" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ
         |FROM events WHERE event_id < 10""".stripMargin,

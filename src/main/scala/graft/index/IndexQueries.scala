@@ -67,6 +67,31 @@ object IndexQueries {
   def labelValues(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).labelValues("typ")
 
+  /** A8b: label_names — the index's label-name universe. */
+  def labelNames(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).invertedIndex.select(col("label_name")).distinct()
+
+  /** A13: generic n-label model — the JSON `props.k` (bucketed mod 10)
+    * joins {usr, typ} as a third label, and matchers mix all three.
+    * Shows the index is label-set-generic, not hardcoded to two labels
+    * (the reference's labels are arbitrary vectors, promql/labels.h).
+    */
+  def matchJsonLabel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.eventsRaw(spark, dir).select(
+      col("event_id"), col("ts_ns"),
+      timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("value"),
+      col("user_id").cast("string").as("usr"),
+      col("event_type").as("typ"),
+      pmod(get_json_object(col("props"), "$.k").cast("long"), lit(10))
+        .cast("string").as("kb"))
+    val i = new TagIndex(ev, Seq("usr", "typ", "kb"))
+    i.resolveMatchers(Seq(
+      LabelMatcher("typ", Eql, "view"),
+      LabelMatcher("kb", Eql, "3"),
+      LabelMatcher("usr", Lte, "5")))
+      .select("usr", "typ", "kb")
+  }
+
   /** A9: tsid → labels (get_labels): recover series labels for sample ids. */
   def seriesLookup(spark: SparkSession, dir: String): DataFrame = {
     val i = idx(spark, dir)

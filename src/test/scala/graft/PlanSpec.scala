@@ -49,6 +49,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("q3: top-N uses TakeOrdered, not a full global sort") {
+    val p = plan("q3_join")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
+
   test("q1: aggregation is partial (map-side combine before shuffle)") {
     val p = plan("q1_agg")
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
