@@ -42,6 +42,8 @@ object SparkEntry {
     "irate" -> (tsdb.Tsdb.irate _),
     "resets" -> (tsdb.Tsdb.resets _),
     "label_ops" -> (tsdb.Tsdb.labelOps _),
+    "sliding_window" -> (tsdb.Tsdb.slidingWindow _),
+    "predict_linear" -> (tsdb.Tsdb.predictLinear _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -252,6 +254,28 @@ object SparkEntry {
         |  count(DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type) AS n_instances,
         |  count(*) AS n_samples, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY 1""".stripMargin,
+    "sliding_window" ->
+      """WITH e AS (SELECT event_type AS typ, value,
+        |    epoch_us(ts)//1000000 AS sec FROM events),
+        |w AS (SELECT typ, value, sec - (sec % 300) AS ws FROM e
+        |      UNION ALL
+        |      SELECT typ, value, sec - (sec % 300) - 300 AS ws FROM e)
+        |SELECT ws AS win_start_sec, typ, count(*) AS n,
+        |  round(sum(value), 2) AS sum_v
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "predict_linear" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, value,
+        |    epoch_us(ts) / 1000000.0 AS sec
+        |  FROM events),
+        |f AS (SELECT usr, typ, count(*) AS n,
+        |    regr_slope(value, sec) AS slope,
+        |    regr_intercept(value, sec) AS icept
+        |  FROM s GROUP BY 1, 2)
+        |SELECT usr, typ,
+        |  round(icept + slope * (epoch_us(TIMESTAMP '2024-01-31 00:00:00')//1000000 + 3600), 2)
+        |    AS predicted
+        |FROM f WHERE n >= 2 AND slope IS NOT NULL""".stripMargin,
     "asof_join" ->
       """WITH series AS (SELECT DISTINCT user_id, event_type FROM events),
         |probes AS (SELECT user_id, event_type,

@@ -46,6 +46,21 @@ object StreamOps extends Serializable {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("window.start").as("win_start"), col("typ"), col("n"), col("sum_v"))
 
+  /** H3: checkpointed ingest to the lakehouse layout — the WAL analog.
+    * foreachBatch appends day-partitioned parquet; the streaming
+    * checkpoint gives exactly-once batches across restarts (the spec
+    * kills and resumes the query and asserts no duplicates).
+    */
+  def streamToStore(samples: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("append").partitionBy("day").parquet(outPath)
+      }
+      .start()
+
   /** H2: streaming add_series — mapGroupsWithState keyed by label set;
     * first sample creates the series (isNew=true, stable hash tsid),
     * later samples bump counters. State size ∝ #series, not #samples.

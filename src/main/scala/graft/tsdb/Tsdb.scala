@@ -191,6 +191,34 @@ object Tsdb {
         round(col("asof_value"), 2).as("v"))
   }
 
+  /** B16: hopping-window aggregation — 10-minute windows sliding by 5
+    * (each sample lands in two windows). Same `window()` construct the
+    * streaming path uses, here over the batch table.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("typ"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(unix_timestamp(col("window.start")).as("win_start_sec"),
+        col("typ"), col("n"), col("sum_v"))
+
+  /** B17: predict_linear — per-series least-squares fit of value over
+    * time, extrapolated 1h past the range end (PromQL predict_linear).
+    * regr_slope/regr_intercept are single-pass partial aggregates.
+    */
+  def predictLinear(spark: SparkSession, dir: String): DataFrame = {
+    val horizon = unix_timestamp(lit("2024-01-31 00:00:00").cast("timestamp")) + 3600
+    idx(spark, dir).labeled
+      .withColumn("sec", unix_micros(col("ts")) / lit(1e6))
+      .groupBy(col("usr"), col("typ"))
+      .agg(count(lit(1)).as("n"),
+        expr("regr_slope(value, sec)").as("slope"),
+        expr("regr_intercept(value, sec)").as("icept"))
+      .filter(col("n") >= 2 && col("slope").isNotNull)
+      .select(col("usr"), col("typ"),
+        round(col("icept") + col("slope") * horizon, 2).as("predicted"))
+  }
+
   /** B10: appender commit batch — day-partitioned ingest summary
     * (the parquet-layout analog of appender.h + WAL commit).
     */
