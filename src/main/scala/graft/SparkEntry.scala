@@ -23,6 +23,7 @@ object SparkEntry {
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_names" -> (index.IndexQueries.labelNames _),
     "match_json_label" -> (index.IndexQueries.matchJsonLabel _),
+    "postings_list" -> (index.IndexQueries.postingsList _),
     "series_lookup" -> (index.IndexQueries.seriesLookup _),
     "series_exists" -> (index.IndexQueries.seriesExists _),
     "match_timerange" -> (index.IndexQueries.matchTimerange _),
@@ -125,6 +126,12 @@ object SparkEntry {
       "SELECT DISTINCT event_type AS value FROM events",
     "label_names" ->
       "SELECT 'usr' AS label_name UNION ALL SELECT 'typ' AS label_name",
+    "postings_list" ->
+      """SELECT event_type AS typ,
+        |  array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',')
+        |    AS postings,
+        |  count(DISTINCT user_id) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "match_json_label" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
         |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS VARCHAR) AS kb

@@ -22,17 +22,20 @@ object Dedup {
     * (collision odds over ~10⁹ distinct shingles: ~1e-9 per pair).
     */
   private def shingles(docs: DataFrame): DataFrame = {
+    // hash each word once, then hash the 3 word-hashes per window —
+    // equivalent identity to hashing the joined string (collisions
+    // negligible either way) without materializing ~|words| shingle
+    // strings per document
     val w = split(col("text"), " ")
-    docs.select(col("doc_id"), w.as("w"))
+    docs.select(col("doc_id"), transform(w, x => xxhash64(x)).as("hw"))
       .select(col("doc_id"),
-        explode(when(size(col("w")) >= 3,
-          transform(sequence(lit(1), size(col("w")) - 2),
-            i => concat_ws(" ",
-              element_at(col("w"), i),
-              element_at(col("w"), i + 1),
-              element_at(col("w"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sid"))
+        explode(when(size(col("hw")) >= 3,
+          transform(sequence(lit(1), size(col("hw")) - 2),
+            i => xxhash64(
+              element_at(col("hw"), i),
+              element_at(col("hw"), i + 1),
+              element_at(col("hw"), i + 2))))
+          .otherwise(array().cast("array<bigint>"))).as("sid"))
       .distinct()
   }
 

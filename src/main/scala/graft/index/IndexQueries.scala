@@ -71,6 +71,17 @@ object IndexQueries {
   def labelNames(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).invertedIndex.select(col("label_name")).distinct()
 
+  /** A15: posting-list materialization — per label entry the sorted
+    * series list (the DataFrame analog of the reference's Roaring
+    * posting bitmaps, mem_postings.h), emitted as a joined string so
+    * the oracle can hash-compare it.
+    */
+  def postingsList(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(col("typ"))
+      .agg(array_join(array_sort(collect_set(col("usr"))), ",").as("postings"),
+        countDistinct(col("usr")).as("n"))
+
   /** A13: generic n-label model — the JSON `props.k` (bucketed mod 10)
     * joins {usr, typ} as a third label, and matchers mix all three.
     * Shows the index is label-set-generic, not hardcoded to two labels
