@@ -44,6 +44,7 @@ object SparkEntry {
     "resets" -> (tsdb.Tsdb.resets _),
     "label_ops" -> (tsdb.Tsdb.labelOps _),
     "sliding_window" -> (tsdb.Tsdb.slidingWindow _),
+    "session_window" -> (tsdb.Tsdb.sessionWindow _),
     "predict_linear" -> (tsdb.Tsdb.predictLinear _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
@@ -270,6 +271,20 @@ object SparkEntry {
         |SELECT ws AS win_start_sec, typ, count(*) AS n,
         |  round(sum(value), 2) AS sum_v
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "session_window" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, value, event_id,
+        |    epoch_us(ts)//1000000 AS sec, epoch_us(ts) AS us
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY usr, typ ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY usr, typ
+        |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m)
+        |SELECT min(sec) AS sess_start_sec, usr, typ,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM s GROUP BY usr, typ, sess""".stripMargin,
     "predict_linear" ->
       """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS usr,
         |    event_type AS typ, value,

@@ -80,15 +80,24 @@ object Tsdb {
   /** B6: topk(3) series by hourly sum(value). Ordering key is the
     * *rounded* sum plus full label tiebreak, so ranking is
     * deterministic and engine-independent.
+    *
+    * Uses the bounded-heap TopKAgg instead of a row_number window: at
+    * scale a window sorts every group's full row set, while the
+    * aggregate carries ≤ k entries per group through partial
+    * aggregation and the shuffle (graft.functions.TopKAgg).
     */
   def topk(spark: SparkSession, dir: String): DataFrame = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk3", exprs => graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2), 3),
+      "built-in")
     val hourly = idx(spark, dir).labeled
       .groupBy(col("usr"), col("typ"), hourSec)
       .agg(round(sum(col("value")), 2).as("sum_v"))
-    val w = Window.partitionBy(col("hour_sec"))
-      .orderBy(col("sum_v").desc, col("usr"), col("typ"))
-    hourly.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-      .select("hour_sec", "rk", "usr", "typ", "sum_v")
+    hourly.groupBy(col("hour_sec"))
+      .agg(call_function("topk3", col("sum_v"), col("usr"), col("typ")).as("top"))
+      .select(col("hour_sec"), posexplode(col("top")))
+      .select(col("hour_sec"), (col("pos") + 1).as("rk"),
+        col("col.a").as("usr"), col("col.b").as("typ"), col("col.v").as("sum_v"))
   }
 
   /** B7: exact interpolated quantiles of sample values per label. */
@@ -218,6 +227,17 @@ object Tsdb {
       .select(col("usr"), col("typ"),
         round(col("icept") + col("slope") * horizon, 2).as("predicted"))
   }
+
+  /** B18: session windows — per-series activity sessions with a
+    * 30-minute inactivity gap (the streaming `session_window` construct
+    * over the batch table; oracle via gaps-and-islands SQL).
+    */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(session_window(col("ts"), "30 minutes"), col("usr"), col("typ"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(unix_timestamp(col("session_window.start")).as("sess_start_sec"),
+        col("usr"), col("typ"), col("n"), col("sum_v"))
 
   /** B10: appender commit batch — day-partitioned ingest summary
     * (the parquet-layout analog of appender.h + WAL commit).
