@@ -55,6 +55,8 @@ object SparkEntry {
     "distinct_count" -> (operators.Relational.distinctCount _),
     "json_extract" -> (operators.Relational.jsonExtract _),
     "salted_agg" -> (operators.Skew.saltedAgg _),
+    "interval_join" -> (operators.Relational.intervalJoin _),
+    "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     // D. dedup
     "dedup_exact" -> (dedup.Dedup.exact _),
     "dedup_minhash" -> (dedup.Dedup.minhashLsh _),
@@ -271,6 +273,35 @@ object SparkEntry {
         |SELECT ws AS win_start_sec, typ, count(*) AS n,
         |  round(sum(value), 2) AS sum_v
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "interval_join" ->
+      """SELECT e.event_id, CAST(e.user_id AS VARCHAR) AS usr,
+        |  count(p.event_id) AS n_nearby
+        |FROM events e LEFT JOIN events p
+        |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+        |  AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 3600000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1, 2""".stripMargin,
+    "histogram_quantile" ->
+      """WITH h AS (SELECT event_type AS typ, count(*) AS total,
+        |    sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS c25,
+        |    sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS c50,
+        |    sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c100,
+        |    sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS c200
+        |  FROM events GROUP BY 1)
+        |SELECT typ, total,
+        |  round(CASE
+        |    WHEN c25 >= total*0.5 THEN 0 + (total*0.5 - 0)/(c25 - 0)*25
+        |    WHEN c50 >= total*0.5 THEN 25 + (total*0.5 - c25)/(c50 - c25)*25
+        |    WHEN c100 >= total*0.5 THEN 50 + (total*0.5 - c50)/(c100 - c50)*50
+        |    WHEN c200 >= total*0.5 THEN 100 + (total*0.5 - c100)/(c200 - c100)*100
+        |    ELSE 200 END, 4) AS hq50,
+        |  round(CASE
+        |    WHEN c25 >= total*0.9 THEN 0 + (total*0.9 - 0)/(c25 - 0)*25
+        |    WHEN c50 >= total*0.9 THEN 25 + (total*0.9 - c25)/(c50 - c25)*25
+        |    WHEN c100 >= total*0.9 THEN 50 + (total*0.9 - c50)/(c100 - c50)*50
+        |    WHEN c200 >= total*0.9 THEN 100 + (total*0.9 - c100)/(c200 - c100)*100
+        |    ELSE 200 END, 4) AS hq90
+        |FROM h""".stripMargin,
     "session_window" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS usr,
         |    event_type AS typ, value, event_id,

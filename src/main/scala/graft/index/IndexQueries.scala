@@ -88,14 +88,16 @@ object IndexQueries {
     * (the reference's labels are arbitrary vectors, promql/labels.h).
     */
   def matchJsonLabel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.eventsRaw(spark, dir).select(
-      col("event_id"), col("ts_ns"),
-      timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("value"),
-      col("user_id").cast("string").as("usr"),
-      col("event_type").as("typ"),
-      pmod(get_json_object(col("props"), "$.k").cast("long"), lit(10))
-        .cast("string").as("kb"))
-    val i = new TagIndex(ev, Seq("usr", "typ", "kb"))
+    val i = TagIndex.memo(spark, dir, "usr,typ,kb") {
+      val ev = graft.Tables.eventsRaw(spark, dir).select(
+        col("event_id"), col("ts_ns"),
+        timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("value"),
+        col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(10))
+          .cast("string").as("kb"))
+      new TagIndex(ev, Seq("usr", "typ", "kb"))
+    }
     i.resolveMatchers(Seq(
       LabelMatcher("typ", Eql, "view"),
       LabelMatcher("kb", Eql, "3"),

@@ -119,6 +119,28 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
   }
 
+  /** Interval (range) join: for every error event, purchases by the
+    * same user within ±1h — the batch form of a stream-stream interval
+    * join. µs-exact bounds on unix_micros so the oracle is bitwise
+    * comparable; at scale both sides bucket by (usr, time-band) so the
+    * range condition is band-local.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("u"), unix_micros(col("ts")).as("eu"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu_u"), unix_micros(col("ts")).as("pu"))
+    // the range bound lives in the JOIN condition: errors with no
+    // in-range purchase must survive with n_nearby = 0
+    err.join(pur,
+        col("u") === col("pu_u") && abs(col("pu") - col("eu")) <= 3600L * 1000000L,
+        "left_outer")
+      .groupBy(col("event_id"), col("u"))
+      .agg(count(col("pid")).as("n_nearby"))
+      .select(col("event_id"), col("u").cast("string").as("usr"), col("n_nearby"))
+  }
+
   /** JSON extraction over events.props — the tagtree "extended labels"
     * path (arbitrary tag maps). get_json_object is codegen'd; at scale
     * prefer from_json with an explicit schema once known.

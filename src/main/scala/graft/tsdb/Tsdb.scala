@@ -1,7 +1,7 @@
 package graft.tsdb
 
 import graft.index.TagIndex
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -238,6 +238,32 @@ object Tsdb {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(unix_timestamp(col("session_window.start")).as("sess_start_sec"),
         col("usr"), col("typ"), col("n"), col("sum_v"))
+
+  /** B19: histogram_quantile — cumulative bucket counts over fixed
+    * bounds (le ∈ {25,50,100,200,+Inf}) with PromQL's linear
+    * interpolation inside the target bucket. Pure conditional
+    * aggregation: one pass, partial-agg friendly.
+    */
+  def histogramQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Seq(25.0, 50.0, 100.0, 200.0)
+    def cum(b: Double) = sum(when(col("value") <= b, 1).otherwise(0)).as(s"c${b.toInt}")
+    def interp(q: Double): Column = {
+      val rank = col("total") * q
+      val lowers: Seq[Double] = 0.0 +: bounds.dropRight(1)
+      bounds.zip(lowers).foldRight(lit(bounds.last): Column) {
+        case ((b: Double, lo: Double), rest: Column) =>
+          val cPrev = if (lo == 0.0) lit(0) else col(s"c${lo.toInt}")
+          when(col(s"c${b.toInt}") >= rank,
+            lit(lo) + (rank - cPrev) / (col(s"c${b.toInt}") - cPrev) * (b - lo))
+            .otherwise(rest)
+      }
+    }
+    idx(spark, dir).labeled
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("total"), cum(25), cum(50), cum(100), cum(200))
+      .select(col("typ"), col("total"),
+        round(interp(0.5), 4).as("hq50"), round(interp(0.9), 4).as("hq90"))
+  }
 
   /** B10: appender commit batch — day-partitioned ingest summary
     * (the parquet-layout analog of appender.h + WAL commit).
