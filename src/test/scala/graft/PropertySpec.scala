@@ -1,0 +1,118 @@
+package graft
+
+import graft.index.{LabelMatcher, MatchOp, TagIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Seeded randomized cross-checks: Spark operators vs plain-Scala
+  * brute-force models, over many generated datasets/matcher sets.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import MatchOp._
+
+  private def bruteForce(series: Set[(String, String)],
+      ms: Seq[LabelMatcher]): Set[(String, String)] = {
+    def valueOf(s: (String, String), name: String): String =
+      if (name == "usr") s._1 else s._2
+    def positive(s: (String, String), m: LabelMatcher): Boolean = {
+      val v = valueOf(s, m.name)
+      m.op match {
+        case Eql | Neq => v == m.value
+        case Lss => v < m.value
+        case Gtr => v > m.value
+        case Lte => v <= m.value
+        case Gte => v >= m.value
+        case EqlRegex | NeqRegex => v.matches(m.value)
+      }
+    }
+    val (inc, exc) = ms.partition(_.inclusive)
+    val base = if (inc.isEmpty) series else series.filter(s => inc.forall(positive(s, _)))
+    base.filterNot(s => exc.exists(positive(s, _)))
+  }
+
+  test("matcher algebra equals brute force over random datasets") {
+    val rnd = new Random(20240812L)
+    for (iter <- 1 to 8) {
+      import spark.implicits._
+      val users = (0 until rnd.between(3, 10)).map(_.toString)
+      val types = Seq("click", "view", "error", "signup").take(rnd.between(2, 5))
+      val rows = (0 until rnd.between(20, 80)).map { i =>
+        (i.toLong, (100L + i * 7).toLong, rnd.nextDouble() * 100,
+          users(rnd.nextInt(users.length)), types(rnd.nextInt(types.length)))
+      }
+      val df = rows.toDF("event_id", "ts_sec", "value", "usr", "typ")
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      val idx = new TagIndex(df, Seq("usr", "typ"))
+      val series = rows.map(r => (r._4, r._5)).toSet
+
+      def randMatcher(): LabelMatcher = {
+        val name = if (rnd.nextBoolean()) "usr" else "typ"
+        val pool = if (name == "usr") users else types
+        val v = pool(rnd.nextInt(pool.length))
+        rnd.nextInt(8) match {
+          case 0 => LabelMatcher(name, Eql, v)
+          case 1 => LabelMatcher(name, Neq, v)
+          case 2 => LabelMatcher(name, Lss, v)
+          case 3 => LabelMatcher(name, Gtr, v)
+          case 4 => LabelMatcher(name, Lte, v)
+          case 5 => LabelMatcher(name, Gte, v)
+          case 6 => LabelMatcher(name, EqlRegex, pool.take(2).mkString("(", "|", ")"))
+          case 7 => LabelMatcher(name, NeqRegex, pool.take(2).mkString("(", "|", ")"))
+        }
+      }
+      val ms = Seq.fill(rnd.between(1, 4))(randMatcher())
+      val got = idx.resolveMatchers(ms).select("usr", "typ").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val want = bruteForce(series, ms)
+      assert(got == want, s"iter $iter matchers $ms: got $got want $want")
+    }
+  }
+
+  test("TopKAgg equals sort-based top-k on random groups") {
+    val rnd = new Random(77L)
+    import spark.implicits._
+    val rows = (0 until 500).map { i =>
+      (s"g${rnd.nextInt(7)}", math.floor(rnd.nextDouble() * 50) / 10.0,
+        s"a${rnd.nextInt(20)}", s"b${rnd.nextInt(3)}")
+    }
+    val df = rows.toDF("g", "v", "a", "b")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk3", exprs => functions.TopKAgg(exprs(0), exprs(1), exprs(2), 3), "built-in")
+    val got = df.groupBy(col("g"))
+      .agg(call_function("topk3", col("v"), col("a"), col("b")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.v"), col("col.a"), col("col.b"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        (r.getDouble(2), r.getString(3), r.getString(4)))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3, r._4))
+        .sortBy { case (v, a, b) => (-v, a, b) }
+        .take(3).zipWithIndex.map { case (t, i) => (g, i, t) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("VecDot equals a plain double fold exactly") {
+    val rnd = new Random(99L)
+    import spark.implicits._
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    graft.functions.VecFunctions.register(spark)
+    val got = df.select(col("id"), call_function("vec_dot", col("v"), col("v")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      assert(got(id) == want, s"id $id")
+    }
+  }
+}
