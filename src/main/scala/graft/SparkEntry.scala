@@ -174,7 +174,7 @@ object SparkEntry {
       """SELECT event_type AS typ,
         |  epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
         |  count(*) AS n, round(sum(value), 2) AS sum_v,
-        |  round(avg(value), 4) AS avg_v
+        |  floor(avg(value) * 10000 + 0.5) / 10000 AS avg_v
         |FROM events GROUP BY 1, 2""".stripMargin,
     "rate" ->
       """WITH c AS (

@@ -37,13 +37,17 @@ object Tsdb {
         unix_timestamp(col("ts")).as("ts_sec"), round(col("value"), 2).as("value"))
   }
 
-  /** B3: instant aggregation by label per hour bucket (sum/avg/count by). */
+  /** B3: instant aggregation by label per hour bucket (sum/avg/count by).
+    * avg is rounded via floor(x*1e4 + 0.5)/1e4 — pure IEEE ops that both
+    * engines evaluate identically, unlike round(), whose half-tie
+    * handling differs (Spark shortest-string HALF_UP vs DuckDB binary).
+    */
   def aggByLabel(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).labeled
       .groupBy(col("typ"), hourSec)
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("sum_v"),
-        round(avg(col("value")), 4).as("avg_v"))
+        (floor(avg(col("value")) * 10000 + 0.5) / 10000).as("avg_v"))
 
   /** B4: rate() — per-series cumulative counter, per-hour increase over
     * elapsed time. The cumsum is an ordered window (deterministic
