@@ -73,6 +73,7 @@ object SparkEntry {
     "text_fingerprint" -> (text.TextAnalysis.fingerprint _),
     // G. multimodal
     "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
+    "mm_framesample" -> (multimodal.Multimodal.frameSample _),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same

@@ -78,6 +78,40 @@ object Multimodal {
     }
   }
 
+  /** A "video": the payload chunked into fixed-size frames. */
+  case class VideoItem(doc_id: Long, frames: Array[Array[Byte]], fps: Int)
+
+  case class FrameStats(doc_id: Long, n_frames: Int, n_sampled: Int, mean_sampled_byte: Double)
+
+  /** G2: frame sampling — every k-th frame of each chunked payload goes
+    * through the (stubbed) per-frame decode; the per-partition iterator
+    * shape is where a real codec/model batch call plugs in. Sampling
+    * happens BEFORE decode, which is the entire point at 100 TB: IO and
+    * decode cost scale with sampled frames, not stored frames.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val every = 4
+    val frameBytes = 64
+    val videos = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        VideoItem(id, payload.grouped(frameBytes).toArray, 30)
+      }
+    videos.mapPartitions { items =>
+      // per-partition codec init would go here (STUB)
+      items.map { v =>
+        val sampled = v.frames.indices.by(every).map(v.frames)
+        val bytes = sampled.flatten
+        FrameStats(v.doc_id, v.frames.length, sampled.length,
+          if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length)
+      }
+    }.select(col("doc_id"), col("n_frames"), col("n_sampled"),
+      round(col("mean_sampled_byte"), 4).as("mean_sampled_byte"))
+  }
+
   /** G1: the full pipeline — media table → per-partition batch decode →
     * feature columns → corpus-level aggregate alongside per-item rows.
     */

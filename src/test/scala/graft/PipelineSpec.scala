@@ -46,6 +46,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling takes every 4th frame") {
+    val rows = multimodal.Multimodal.frameSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, ns) = (r.getInt(1), r.getInt(2))
+      assert(ns == (nf + 3) / 4, s"doc ${r.getLong(0)}: $nf frames, $ns sampled")
+    }
+  }
+
   test("multimodal pipeline emits one feature row per document") {
     val nDocs = Tables.documents(spark, dir).count()
     val feats = multimodal.Multimodal.pipeline(spark, dir)
