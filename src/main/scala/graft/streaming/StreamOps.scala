@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -45,6 +45,60 @@ object StreamOps extends Serializable {
       .groupBy(window(col("ts"), "5 minutes"), col("typ"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("window.start").as("win_start"), col("typ"), col("n"), col("sum_v"))
+
+  /** Open per-series hourly bucket. */
+  case class RateState(bucketStart: Long, sumV: Double, n: Long)
+
+  /** Emitted when a bucket closes. */
+  case class RateOut(usr: String, typ: String, bucket_start_sec: Long, n: Long, rate: Double)
+
+  /** H4: streaming per-series hourly rate with custom event-time state —
+    * flatMapGroupsWithState + EventTimeTimeout. A bucket closes (and its
+    * row is emitted, Append mode) either when a sample for a NEWER
+    * bucket arrives, or when the watermark passes bucket end + lateness
+    * (the timeout path — series that simply stop still flush).
+    * Note: a window aggregation handles in-bucket lateness more fully;
+    * this operator is the custom-state form for logic window() can't
+    * express (e.g. emit-on-next-bucket).
+    */
+  def streamingRate(samples: Dataset[Sample]): Dataset[RateOut] = {
+    import samples.sparkSession.implicits._
+    val lateMs = 10 * 60 * 1000L
+    def close(key: (String, String), s: RateState): RateOut =
+      RateOut(key._1, key._2, s.bucketStart, s.n,
+        math.floor(s.sumV / 3600.0 * 10000 + 0.5) / 10000)
+    def fn(key: (String, String), rows: Iterator[Sample],
+        state: GroupState[RateState]): Iterator[RateOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[RateOut]()
+      if (state.hasTimedOut) {
+        state.getOption.foreach(s => out += close(key, s))
+        state.remove()
+      } else {
+        var s = state.getOption.orNull
+        rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+          val b = r.ts.getTime / 1000 / 3600 * 3600
+          if (s == null) s = RateState(b, r.value, 1)
+          else if (b == s.bucketStart) s = s.copy(sumV = s.sumV + r.value, n = s.n + 1)
+          else if (b > s.bucketStart) {
+            out += close(key, s)
+            s = RateState(b, r.value, 1)
+          } // else: older than the open bucket — dropped (beyond lateness)
+        }
+        if (s != null) {
+          state.update(s)
+          state.setTimeoutTimestamp(
+            math.max((s.bucketStart + 3600) * 1000L + lateMs,
+              state.getCurrentWatermarkMs() + 1))
+        }
+      }
+      out.iterator
+    }
+    samples
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(s => (s.usr, s.typ))
+      .flatMapGroupsWithState[RateState, RateOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** H3: checkpointed ingest to the lakehouse layout — the WAL analog.
     * foreachBatch appends day-partitioned parquet; the streaming

@@ -67,6 +67,37 @@ class StreamingSpec extends AnyFunSuite {
       == "2024-01-01")
   }
 
+  test("H4: streaming rate closes buckets on next-bucket arrival and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[Sample]
+    val q = StreamOps.streamingRate(in.toDS())
+      .writeStream.format("memory").queryName("h4_out").outputMode("append").start()
+    try {
+      // hour 10: two samples; then a sample in hour 11 closes hour 10
+      in.addData(Sample(0, at(10, 5), "1", "click", 1800.0),
+        Sample(1, at(10, 40), "1", "click", 1800.0))
+      q.processAllAvailable()
+      in.addData(Sample(2, at(11, 20), "1", "click", 7200.0))
+      q.processAllAvailable()
+      val afterArrival = spark.table("h4_out").as[streaming.StreamOps.RateOut].collect()
+      assert(afterArrival.exists(r =>
+        r.bucket_start_sec == at(10, 0).getTime / 1000 && r.n == 2 && r.rate == 1.0),
+        s"hour-10 bucket not closed on arrival: ${afterArrival.toSeq}")
+
+      // advance the watermark far past hour 11 + lateness → timeout flush
+      in.addData(Sample(3, at(15, 0), "9", "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Sample(4, at(16, 0), "9", "view", 1.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("h4_out").as[streaming.StreamOps.RateOut].collect()
+      assert(afterTimeout.exists(r =>
+        r.bucket_start_sec == at(11, 0).getTime / 1000 && r.n == 1 && r.rate == 2.0),
+        s"hour-11 bucket not flushed by timeout: ${afterTimeout.toSeq}")
+    } finally q.stop()
+  }
+
   test("H2: streaming add_series assigns batch-identical tsids and tracks state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
