@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedup.Dedup.simhash _),
     "dedup_ngram_jaccard" -> (dedup.Dedup.ngramJaccard _),
     "dedup_embedding" -> (dedup.Dedup.embeddingCosine _),
+    "dedup_clusters" -> (dedup.Dedup.clusters _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
     "ann_lsh" -> (similarity.Ann.lshTopk _),
@@ -416,6 +417,29 @@ object SparkEntry {
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_minhash" -> exactJaccardSql,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT ia, ib FROM pairs
+        |  JOIN cnt ca ON ca.doc_id = ia
+        |  JOIN cnt cb ON cb.doc_id = ib
+        |  WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= 0.8),
+        |edges AS (SELECT ia AS a, ib AS b FROM jp
+        |          UNION ALL SELECT ib AS a, ia AS b FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(min(b), a) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -173,6 +173,37 @@ object Dedup {
       .filter(col("hd") <= 7)
   }
 
+  /** D6: duplicate clusters — connected components over the exact-
+    * Jaccard pair graph (what a pipeline actually deduplicates by:
+    * keep one doc per component). Iterative min-label propagation,
+    * each round one join + one groupBy, until fixpoint — the standard
+    * distributed CC shape (rounds ≤ graph diameter, and near-dup
+    * components are tiny cliques/chains).
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("ia", "ib").cache()
+    // undirected edges, both directions
+    val edges = pairs.unionAll(
+      pairs.select(col("ib").as("ia"), col("ia").as("ib"))).cache()
+    var labels = edges.select(col("ia").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "ib")
+          .withColumnRenamed("label", "nlabel"), Seq("ib"))
+        .groupBy(col("ia").as("node")).agg(min(col("nlabel")).as("nmin"))
+      val next = labels.join(viaNeighbor, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** D5: embedding-cosine near-dup pairs ≥ 0.45 (double-precision dot,
     * matches the oracle's explicit double math). Brute-force pair join
     * here; the LSH-bucketed scale path is graft.similarity.Ann.
