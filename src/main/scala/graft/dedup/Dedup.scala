@@ -187,19 +187,31 @@ object Dedup {
       pairs.select(col("ib").as("ia"), col("ia").as("ib"))).cache()
     var labels = edges.select(col("ia").as("node")).distinct()
       .withColumn("label", col("node")).cache()
-    var changed = 1L
-    while (changed > 0) {
+    // labels only decrease, so Σlabel strictly decreases until the
+    // fixpoint — one scalar agg per round is the convergence check
+    // (vs a join+count), and old rounds unpersist immediately
+    var prevSum = Long.MinValue
+    var converged = false
+    while (!converged) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("node", "ib")
           .withColumnRenamed("label", "nlabel"), Seq("ib"))
         .groupBy(col("ia").as("node")).agg(min(col("nlabel")).as("nmin"))
-      val next = labels.join(viaNeighbor, Seq("node"), "left")
+      val stepped = labels.join(viaNeighbor, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jumping (path halving): adopt our label's own label,
+      // collapsing chains in O(log diameter) rounds instead of O(diameter)
+      val parents = stepped.select(col("node").as("__ln"), col("label").as("__pl"))
+      val next = stepped.join(parents, col("label") === col("__ln"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__pl"), col("label"))).as("label"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
       labels = next
+      converged = s == prevSum
+      prevSum = s
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
