@@ -5,9 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The curation composite exercises dedup (exact + near-dup
+    * clustering), text quality, and aggregation in one pipeline.
+    */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    operators.Curation.pipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,6 +59,7 @@ object SparkEntry {
     "json_extract" -> (operators.Relational.jsonExtract _),
     "salted_agg" -> (operators.Skew.saltedAgg _),
     "interval_join" -> (operators.Relational.intervalJoin _),
+    "curation_pipeline" -> (operators.Curation.pipeline _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     // D. dedup
     "dedup_exact" -> (dedup.Dedup.exact _),
@@ -411,6 +415,49 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v,
         |  round(sum(value) / count(*), 4) AS avg_v
         |FROM events GROUP BY 1""".stripMargin,
+    "curation_pipeline" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT ia, ib FROM pairs
+        |  JOIN cnt ca ON ca.doc_id = ia
+        |  JOIN cnt cb ON cb.doc_id = ib
+        |  WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= 0.8),
+        |edges AS (SELECT ia AS a, ib AS b FROM jp
+        |          UNION ALL SELECT ib AS a, ia AS b FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clus AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |drop_near AS (SELECT doc_id FROM clus WHERE doc_id <> cluster_id),
+        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |q AS (SELECT doc_id FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |      round((len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |           + len(list_filter(string_split(text, ' '), x -> x = 'a'))) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |      round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS uniq_ratio
+        |    FROM documents)
+        |  WHERE n_words BETWEEN 20 AND 1000
+        |    AND stop_ratio <= 0.3 AND uniq_ratio >= 0.3),
+        |surv AS (SELECT d.* FROM documents d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM drop_near)
+        |    AND d.doc_id IN (SELECT doc_id FROM q))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM surv GROUP BY 1""".stripMargin,
     // D. dedup
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship composite: a training-data curation pipeline over the
+  * document corpus — exactly what this engine exists for at 100 TB.
+  *
+  * Stages (each individually oracle-verified elsewhere):
+  *  1. exact dedup: keep the min doc_id per identical text
+  *  2. near-dup dedup: connected components over the Jaccard≥0.8 pair
+  *     graph (graft.dedup.Dedup.clusters); keep each component's min id
+  *  3. quality gate: word count in [20, 1000], stopword ratio ≤ 0.3,
+  *     lexical diversity ≥ 0.3 (graft.text.TextAnalysis.quality)
+  * Output: surviving corpus statistics per language.
+  *
+  * At scale every stage is the bucket-local / partial-agg shape used by
+  * its standalone operator; the composition adds no extra shuffles
+  * beyond its parts.
+  */
+object Curation {
+
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    // 1. exact dedup survivors
+    val exactKeep = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+    // 2. near-dup clusters: drop every member that is not its
+    //    component's representative (docs in no cluster survive)
+    val clusterDrop = graft.dedup.Dedup.clusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+
+    // 3. quality gate
+    val q = graft.text.TextAnalysis.quality(spark, dir)
+      .filter(col("n_words").between(20, 1000) &&
+        col("stop_ratio") <= 0.3 && col("uniq_ratio") >= 0.3)
+      .select("doc_id")
+
+    docs.join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(clusterDrop, Seq("doc_id"), "left_anti")
+      .join(q, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+}
