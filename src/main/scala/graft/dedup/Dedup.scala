@@ -180,8 +180,23 @@ object Dedup {
     * distributed CC shape (rounds ≤ graph diameter, and near-dup
     * components are tiny cliques/chains).
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  // the cluster assignment is deterministic per corpus — memoize so the
+  // standalone query and the curation composite share one computation
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent((spark, dir), _ => computeClusters(spark, dir).cache())
+
+  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select("ia", "ib").cache()
+    // The near-dup pair graph is tiny by construction (it is the
+    // verified dedup output, ∝ actual duplicates, not corpus size).
+    // Below a size threshold, driver-side union-find beats dozens of
+    // sub-second Spark stages; the distributed propagation below is
+    // the path for graphs that genuinely don't fit one machine.
+    val smallGraphLimit = 1000000L
+    if (pairs.count() < smallGraphLimit) return unionFindLocal(spark, pairs)
     // undirected edges, both directions
     val edges = pairs.unionAll(
       pairs.select(col("ib").as("ia"), col("ia").as("ib"))).cache()
@@ -214,6 +229,28 @@ object Dedup {
       prevSum = s
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Union-find (path compression, min-root invariant) over a collected
+    * edge list — exact same fixpoint as the distributed propagation.
+    */
+  private def unionFindLocal(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
   }
 
   /** D5: embedding-cosine near-dup pairs ≥ 0.45 (double-precision dot,
