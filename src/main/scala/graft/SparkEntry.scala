@@ -27,6 +27,7 @@ object SparkEntry {
     "label_names" -> (index.IndexQueries.labelNames _),
     "match_json_label" -> (index.IndexQueries.matchJsonLabel _),
     "postings_list" -> (index.IndexQueries.postingsList _),
+    "absent" -> (index.IndexQueries.absent _),
     "series_lookup" -> (index.IndexQueries.seriesLookup _),
     "series_exists" -> (index.IndexQueries.seriesExists _),
     "match_timerange" -> (index.IndexQueries.matchTimerange _),
@@ -135,6 +136,9 @@ object SparkEntry {
       "SELECT DISTINCT event_type AS value FROM events",
     "label_names" ->
       "SELECT 'usr' AS label_name UNION ALL SELECT 'typ' AS label_name",
+    "absent" ->
+      """SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS absent
+        |FROM events WHERE event_type = 'nonexistent'""".stripMargin,
     "postings_list" ->
       """SELECT event_type AS typ,
         |  array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',')

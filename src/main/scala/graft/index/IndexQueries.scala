@@ -125,6 +125,14 @@ object IndexQueries {
       .select("usr", "typ").distinct()
   }
 
+  /** A16: absent() — 1 when no series matches the matcher set, else 0
+    * (PromQL's alerting primitive for missing series). Always one row.
+    */
+  def absent(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).resolveMatchers(Seq(LabelMatcher("typ", Eql, "nonexistent")))
+      .agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") === 0, 1).otherwise(0).as("absent"))
+
   /** B1: full select path — matchers + range → samples. */
   def selectRange(spark: SparkSession, dir: String): DataFrame = {
     val t1 = lit("2024-01-10 00:00:00").cast("timestamp")

@@ -77,6 +77,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("time-pruned resolve and select equal brute force on random ranges") {
+    val rnd = new Random(31337L)
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      (i.toLong, rnd.between(0L, 1000L), rnd.nextDouble() * 10,
+        rnd.nextInt(4).toString, Seq("click", "view")(rnd.nextInt(2)))
+    }
+    val df = rows.toDF("event_id", "ts_sec", "value", "usr", "typ")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val idx = new TagIndex(df, Seq("usr", "typ"))
+    for (_ <- 1 to 5) {
+      val (t1, t2) = {
+        val a = rnd.between(0L, 1000L); val b = rnd.between(0L, 1000L)
+        (math.min(a, b), math.max(a, b))
+      }
+      val m = LabelMatcher("typ", Eql, "click")
+      // resolve: conservative series-level pruning on [min_ts, max_ts]
+      val gotSeries = idx.resolveMatchers(Seq(m),
+        Some(timestamp_seconds(lit(t1))), Some(timestamp_seconds(lit(t2))))
+        .select("usr", "typ").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val perSeries = rows.filter(_._5 == "click").groupBy(r => (r._4, r._5))
+      val wantSeries = perSeries.collect {
+        case (k, rs) if rs.map(_._2).min <= t2 && rs.map(_._2).max >= t1 => k
+      }.toSet
+      assert(gotSeries == wantSeries, s"resolve [$t1,$t2]")
+      // select: sample-exact
+      val gotIds = idx.select(Seq(m), timestamp_seconds(lit(t1)), timestamp_seconds(lit(t2)))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val wantIds = rows.filter(r => r._5 == "click" && r._2 >= t1 && r._2 <= t2)
+        .map(_._1).toSet
+      assert(gotIds == wantIds, s"select [$t1,$t2]")
+    }
+  }
+
   test("TopKAgg equals sort-based top-k on random groups") {
     val rnd = new Random(77L)
     import spark.implicits._
