@@ -49,6 +49,7 @@ object SparkEntry {
     "label_ops" -> (tsdb.Tsdb.labelOps _),
     "sliding_window" -> (tsdb.Tsdb.slidingWindow _),
     "session_window" -> (tsdb.Tsdb.sessionWindow _),
+    "holt_winters" -> (tsdb.Tsdb.holtWinters _),
     "predict_linear" -> (tsdb.Tsdb.predictLinear _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
@@ -283,6 +284,31 @@ object SparkEntry {
         |SELECT ws AS win_start_sec, typ, count(*) AS n,
         |  round(sum(value), 2) AS sum_v
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "holt_winters" ->
+      """WITH RECURSIVE
+        |o AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, count(*) AS n,
+        |    list_transform(
+        |      list_sort(list(struct_pack(us := epoch_us(ts),
+        |        eid := event_id, v := value))),
+        |      x -> x.v) AS l
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT usr, typ,
+        |    unnest(list_transform(range(1, len(l) + 1),
+        |      i -> struct_pack(idx := i, v := l[i]))) AS e
+        |  FROM o),
+        |hw(usr, typ, k, s, b) AS (
+        |  SELECT usr, typ, 2 AS k, l[2] AS s, l[2] - l[1] AS b
+        |  FROM o WHERE n >= 2
+        |  UNION ALL
+        |  SELECT h.usr, h.typ, h.k + 1,
+        |    0.3*(q.e).v + 0.7*(h.s + h.b) AS s,
+        |    0.1*(0.3*(q.e).v + 0.7*(h.s + h.b) - h.s) + 0.9*h.b AS b
+        |  FROM hw h JOIN seq q ON q.usr = h.usr AND q.typ = h.typ
+        |    AND (q.e).idx = h.k + 1)
+        |SELECT h.usr, h.typ, o.n, round(h.s, 4) AS hw
+        |FROM hw h JOIN o ON o.usr = h.usr AND o.typ = h.typ AND h.k = o.n
+        |WHERE o.n >= 3""".stripMargin,
     "interval_join" ->
       """SELECT e.event_id, CAST(e.user_id AS VARCHAR) AS usr,
         |  count(p.event_id) AS n_nearby

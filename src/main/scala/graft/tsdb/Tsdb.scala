@@ -269,6 +269,35 @@ object Tsdb {
         round(interp(0.5), 4).as("hq50"), round(interp(0.9), 4).as("hq90"))
   }
 
+  /** B20: holt_winters — PromQL double exponential smoothing
+    * (sf=0.3, tf=0.1) per series over the time-ordered sample stream,
+    * emitting the final smoothed level. The recurrence is a fold over
+    * a per-series sorted array; the DuckDB oracle runs the *same*
+    * shifted recurrence through list_reduce, so doubles match
+    * bit-for-bit before rounding. Per-series state is (s, b, i) — a
+    * bounded struct, not the sample list, at executor scale.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(col("usr"), col("typ"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("value").as("v")))).as("ord"))
+      .withColumn("els", expr(
+        "transform(ord, x -> named_struct('s', x.v, 'b', cast(0.0 as double), 'i', cast(0.0 as double)))"))
+      .withColumn("hw", round(expr(
+        """aggregate(slice(els, 2, size(els) - 1), element_at(els, 1),
+          |  (acc, x) -> CASE WHEN acc.i = 0.0
+          |    THEN named_struct('s', x.s, 'b', x.s - acc.s, 'i', cast(1.0 as double))
+          |    ELSE named_struct(
+          |      's', 0.3*x.s + 0.7*(acc.s + acc.b),
+          |      'b', 0.1*(0.3*x.s + 0.7*(acc.s + acc.b) - acc.s) + 0.9*acc.b,
+          |      'i', acc.i + 1.0) END,
+          |  acc -> acc.s)""".stripMargin), 4))
+      .filter(col("n") >= 3)
+      .select(col("usr"), col("typ"), col("n"), col("hw"))
+
   /** B10: appender commit batch — day-partitioned ingest summary
     * (the parquet-layout analog of appender.h + WAL commit).
     */
