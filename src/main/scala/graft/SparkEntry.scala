@@ -38,6 +38,7 @@ object SparkEntry {
     "rate" -> (tsdb.Tsdb.rate _),
     "over_time" -> (tsdb.Tsdb.overTime _),
     "topk" -> (tsdb.Tsdb.topk _),
+    "bottomk" -> (tsdb.Tsdb.bottomk _),
     "quantile" -> (tsdb.Tsdb.quantile _),
     "count_values" -> (tsdb.Tsdb.countValues _),
     "downsample" -> (tsdb.Tsdb.downsample _),
@@ -217,6 +218,17 @@ object SparkEntry {
         |SELECT hour_sec, rk, usr, typ, sum_v FROM (
         |  SELECT *, row_number() OVER (PARTITION BY hour_sec
         |    ORDER BY sum_v DESC, usr, typ) AS rk
+        |  FROM hourly)
+        |WHERE rk <= 3""".stripMargin,
+    "bottomk" ->
+      """WITH hourly AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
+        |    round(sum(value), 2) AS sum_v
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT hour_sec, rk, usr, typ, sum_v FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY hour_sec
+        |    ORDER BY sum_v ASC, usr, typ) AS rk
         |  FROM hourly)
         |WHERE rk <= 3""".stripMargin,
     "quantile" ->

@@ -104,6 +104,19 @@ object Tsdb {
         col("col.a").as("usr"), col("col.b").as("typ"), col("col.v").as("sum_v"))
   }
 
+  /** B6b: bottomk(3) — symmetric to topk; window formulation (the
+    * ascending bounded-heap variant of TopKAgg would serve at scale).
+    */
+  def bottomk(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = idx(spark, dir).labeled
+      .groupBy(col("usr"), col("typ"), hourSec)
+      .agg(round(sum(col("value")), 2).as("sum_v"))
+    val w = Window.partitionBy(col("hour_sec"))
+      .orderBy(col("sum_v").asc, col("usr"), col("typ"))
+    hourly.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("hour_sec", "rk", "usr", "typ", "sum_v")
+  }
+
   /** B7: exact interpolated quantiles of sample values per label. */
   def quantile(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).labeled

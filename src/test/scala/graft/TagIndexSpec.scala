@@ -86,6 +86,19 @@ class TagIndexSpec extends AnyFunSuite {
     assert(out.select("event_id").collect().map(_.getLong(0)).toSet == Set(4L))
   }
 
+  test("empty sample stream yields empty results, not errors") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Double, String, String)]
+      .toDF("event_id", "ts_sec", "value", "usr", "typ")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val e = new TagIndex(empty, Seq("usr", "typ"))
+    assert(e.resolveMatchers(Seq(LabelMatcher("typ", Eql, "x"))).count() == 0)
+    assert(e.resolveMatchers(Seq(LabelMatcher("typ", NeqRegex, ".*"))).count() == 0)
+    assert(e.labelValues("typ").count() == 0)
+    assert(e.select(Seq(LabelMatcher("typ", Eql, "x")),
+      timestamp_seconds(lit(0)), timestamp_seconds(lit(100))).count() == 0)
+  }
+
   test("time-pruned resolve skips series outside range") {
     val out = index.resolveMatchers(Seq(LabelMatcher("usr", Eql, "1")),
       Some(timestamp_seconds(lit(5000))), Some(timestamp_seconds(lit(6000))))
