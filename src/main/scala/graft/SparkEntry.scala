@@ -595,6 +595,38 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-z]+|[^a-z ]')) AS n_bpeish,
         |  length(text) AS n_chars_m
         |FROM documents""".stripMargin,
+    // G. multimodal — the corpus is pure ASCII (verified: octet_length
+    // == length for every doc), so the byte-level stub features are
+    // exactly reproducible from char codes in SQL.
+    "mm_pipeline" ->
+      """WITH c AS (SELECT doc_id, length(text) AS len,
+        |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes
+        |  FROM documents)
+        |SELECT doc_id, CAST(len AS BIGINT) AS n_bytes,
+        |  floor(list_sum(codes) * 1.0 / len * 10000 + 0.5) / 10000 AS mean_byte,
+        |  floor(list_sum(list_transform(codes,
+        |      x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END)) * 1.0 / len * 10000 + 0.5) / 10000
+        |    AS nonzero_ratio,
+        |  floor(list_sum(list_transform(codes,
+        |      x -> CASE WHEN x % 4 = 0 THEN 1 ELSE 0 END)) * 1.0 / len * 10000 + 0.5) / 10000 AS f0,
+        |  floor(list_sum(list_transform(codes,
+        |      x -> CASE WHEN x % 4 = 1 THEN 1 ELSE 0 END)) * 1.0 / len * 10000 + 0.5) / 10000 AS f1
+        |FROM c""".stripMargin,
+    "mm_framesample" ->
+      """WITH c AS (SELECT doc_id, length(text) AS len,
+        |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes
+        |  FROM documents),
+        |s AS (SELECT doc_id, len, codes,
+        |    CAST((len + 63)//64 AS INT) AS n_frames,
+        |    list_sum(list_transform(range(1, len + 1),
+        |      i -> CASE WHEN ((i-1)//64) % 4 = 0 THEN codes[i] ELSE 0 END)) AS samp_sum,
+        |    list_sum(list_transform(range(1, len + 1),
+        |      i -> CASE WHEN ((i-1)//64) % 4 = 0 THEN 1 ELSE 0 END)) AS samp_n
+        |  FROM c)
+        |SELECT doc_id, n_frames,
+        |  CAST((n_frames + 3)//4 AS INT) AS n_sampled,
+        |  floor(samp_sum * 1.0 / samp_n * 10000 + 0.5) / 10000 AS mean_sampled_byte
+        |FROM s""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |h AS (SELECT doc_id,

@@ -109,7 +109,7 @@ object Multimodal {
           else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length)
       }
     }.select(col("doc_id"), col("n_frames"), col("n_sampled"),
-      round(col("mean_sampled_byte"), 4).as("mean_sampled_byte"))
+      (floor(col("mean_sampled_byte") * 10000 + 0.5) / 10000).as("mean_sampled_byte"))
   }
 
   /** G1: the full pipeline — media table → per-partition batch decode →
@@ -120,10 +120,15 @@ object Multimodal {
     val feats = mediaTable(spark, dir)
       .repartition(col("doc_id")) // spread payload bytes evenly pre-decode
       .mapPartitions(decodeStub)
+    // floor-based rounding: the underlying doubles are bit-identical to
+    // the oracle's (exact integer sums / lengths), so floor(x*1e4+0.5)
+    // can never disagree — round() can, on decimal-tie expansions like
+    // sum/160
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
     feats.select(col("doc_id"), col("n_bytes"),
-      round(col("mean_byte"), 4).as("mean_byte"),
-      round(col("nonzero_ratio"), 4).as("nonzero_ratio"),
-      round(element_at(col("feat"), 1), 4).as("f0"),
-      round(element_at(col("feat"), 2), 4).as("f1"))
+      r4(col("mean_byte")).as("mean_byte"),
+      r4(col("nonzero_ratio")).as("nonzero_ratio"),
+      r4(element_at(col("feat"), 1)).as("f0"),
+      r4(element_at(col("feat"), 2)).as("f1"))
   }
 }
