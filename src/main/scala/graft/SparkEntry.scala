@@ -52,6 +52,7 @@ object SparkEntry {
     "session_window" -> (tsdb.Tsdb.sessionWindow _),
     "holt_winters" -> (tsdb.Tsdb.holtWinters _),
     "predict_linear" -> (tsdb.Tsdb.predictLinear _),
+    "offset_compare" -> (tsdb.Tsdb.offsetCompare _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -296,6 +297,16 @@ object SparkEntry {
         |SELECT ws AS win_start_sec, typ, count(*) AS n,
         |  round(sum(value), 2) AS sum_v
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "offset_compare" ->
+      """WITH d AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, strftime(ts, '%Y-%m-%d') AS day,
+        |    round(sum(value), 2) AS sum_v
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT usr, typ, day, sum_v, prev_v,
+        |  round(sum_v - prev_v, 2) AS dod
+        |FROM (SELECT *, lag(sum_v) OVER (PARTITION BY usr, typ
+        |        ORDER BY day) AS prev_v FROM d)
+        |WHERE prev_v IS NOT NULL""".stripMargin,
     "holt_winters" ->
       """WITH RECURSIVE
         |o AS (SELECT CAST(user_id AS VARCHAR) AS usr,

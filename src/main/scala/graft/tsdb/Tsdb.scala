@@ -311,6 +311,22 @@ object Tsdb {
       .filter(col("n") >= 3)
       .select(col("usr"), col("typ"), col("n"), col("hw"))
 
+  /** B21: offset comparison — PromQL's `offset` modifier as day-over-
+    * day deltas: each series' daily sum vs its value one day earlier
+    * (lag window over day buckets).
+    */
+  def offsetCompare(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("usr"), col("typ")).orderBy(col("day"))
+    idx(spark, dir).labeled
+      .groupBy(col("usr"), col("typ"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("value")), 2).as("sum_v"))
+      .withColumn("prev_v", lag(col("sum_v"), 1).over(w))
+      .filter(col("prev_v").isNotNull)
+      .select(col("usr"), col("typ"), col("day"),
+        col("sum_v"), col("prev_v"),
+        round(col("sum_v") - col("prev_v"), 2).as("dod"))
+  }
+
   /** B10: appender commit batch — day-partitioned ingest summary
     * (the parquet-layout analog of appender.h + WAL commit).
     */
