@@ -18,11 +18,14 @@ object Ann {
   /** Embeddings kept as array<float> end-to-end — vec_dot widens to
     * double inside its codegen loop, so no per-row array<double> copy.
     */
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    withNorm(spark, Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v")))
+
+  /** Adds the precomputed L2 norm; input needs (vec_id, v). */
+  def withNorm(spark: SparkSession, df: DataFrame): DataFrame = {
     graft.functions.VecFunctions.register(spark)
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    df.withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
   }
 
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
@@ -32,9 +35,11 @@ object Ann {
     * Ordering key is the rounded cosine + neighbor id, so ranking is
     * deterministic and engine-independent.
     */
-  def bruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
-    val q = all.filter(col("vec_id") < 10)
+  def bruteforceTopk(spark: SparkSession, dir: String): DataFrame =
+    bruteforceTopkOn(vecs(spark, dir), col("vec_id") < 10)
+
+  def bruteforceTopkOn(all: DataFrame, isQuery: Column): DataFrame = {
+    val q = all.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val joined = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
@@ -58,8 +63,10 @@ object Ann {
     * Output is hyperplane-dependent → rows-only gate; the spec checks
     * recall against E1 instead.
     */
-  def lshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
+  def lshTopk(spark: SparkSession, dir: String): DataFrame =
+    lshTopkOn(vecs(spark, dir), col("vec_id") < 10)
+
+  def lshTopkOn(all: DataFrame, isQuery: Column): DataFrame = {
     val dim = 64
     val ps = planes(dim)
     // signature bit = sign(dot(v, plane)); bucket per table = packed bits
@@ -78,14 +85,14 @@ object Ann {
 
     // candidate ids first (cheap distinct on a pair of longs); vectors
     // joined back only for the exact-cosine re-rank
-    val qBuckets = bucketed.filter(col("vec_id") < 10)
+    val qBuckets = bucketed.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val candIds = bucketed.select(col("vec_id"), col("t"), col("bucket"))
       .join(broadcast(qBuckets), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
 
-    val qVecs = all.filter(col("vec_id") < 10)
+    val qVecs = all.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val cand = candIds
       .join(broadcast(qVecs), Seq("query_id"))

@@ -46,6 +46,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH ANN finds planted near-duplicate neighbors (recall >= 0.9)") {
+    // the operator's contract is near-dup retrieval; the shipped
+    // embeddings table has no planted neighbors (max cosine ~0.5), so
+    // recall is pinned on a seeded planted-cluster dataset instead
+    import spark.implicits._
+    val rnd = new scala.util.Random(123456789L)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian()).toFloat)))
+    // ids 1000+i are near-copies of base i (small perturbation)
+    val planted = (0 until 50).map { i =>
+      val src = base(i)._2
+      ((1000 + i).toLong, src.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = similarity.Ann.withNorm(spark,
+      (base ++ planted).toDF("vec_id", "v"))
+    val lsh = similarity.Ann.lshTopkOn(df, org.apache.spark.sql.functions.col("vec_id") >= 1000)
+      .filter(col("rk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = (0 until 50).count(i => lsh.get((1000 + i).toLong).contains(i.toLong))
+    assert(hits >= 45, s"planted-neighbor top-1 recall $hits/50")
+  }
+
   test("frame sampling takes every 4th frame") {
     val rows = multimodal.Multimodal.frameSample(spark, dir).collect()
     assert(rows.nonEmpty)
