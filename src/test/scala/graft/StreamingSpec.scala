@@ -98,6 +98,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H2b: series tracking runs on the RocksDB state store (production backend)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Sample]
+    val q = StreamOps.trackSeries(in.toDS())
+      .writeStream.format("memory").queryName("h2b_out").outputMode("update").start()
+    try {
+      in.addData(Sample(0, ts(0), "4", "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Sample(1, ts(1), "4", "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("h2b_out").as[streaming.SeriesUpdate].collect()
+      assert(rows.map(_.nSamples).max == 2, "RocksDB-backed state accumulates")
+    } finally {
+      q.stop()
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("H2: streaming add_series assigns batch-identical tsids and tracks state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
