@@ -17,20 +17,34 @@ object Bench {
     // codegen, file-listing warm), which is what a long-running cluster
     // service observes; noted in the JSON via runs/agg.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            ok = false
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // -1 sentinel: a throwing query must not masquerade as a fast one
+      name -> (if (ok) times.min else -1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","failed":$failedJson}"""
+    // Both channels: the bare line on stdout (build.sbt passes forked
+    // stdout through unwrapped) and a file the driver can always read.
+    println(json)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] write /tmp/bench.json failed: $e") }
     spark.stop()
   }
 }
