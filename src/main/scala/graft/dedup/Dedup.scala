@@ -254,17 +254,26 @@ object Dedup {
   }
 
   /** D5: embedding-cosine near-dup pairs ≥ 0.45 (double-precision dot,
-    * matches the oracle's explicit double math). Brute-force pair join
-    * here; the LSH-bucketed scale path is graft.similarity.Ann.
+    * matches the oracle's explicit double math).
+    *
+    * Candidates come from random-hyperplane LSH buckets
+    * ([[graft.similarity.Ann.lshPairCandidates]]) — bucket-local
+    * self-join, never corpus² — then exact vec_dot verification, the
+    * same candidates→verify shape as D2. The table count is sized for
+    * the 0.45 threshold: per-bit collision p = 1-arccos(0.45)/π ≈
+    * 0.649, so 48 tables × 4 bits give per-pair miss (1-p⁴)⁴⁸ ≈ 9e-5 —
+    * verified exact-equal to the brute-force oracle at sf0.01/sf0.1
+    * (planes are seeded, so the match is deterministic).
     */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb"))
-    a.crossJoin(b).filter(col("ia") < col("ib"))
+    val cand = graft.similarity.Ann.lshPairCandidates(e, bits = 4, tables = 48)
+    cand
+      .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("norm").as("na")), Seq("ia"))
+      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb")), Seq("ib"))
       .withColumn("cs", round(
         call_function("vec_dot", col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cs") >= 0.45)

@@ -53,9 +53,44 @@ object Ann {
   private val Bits = 6 // hyperplanes per table
 
   /** Deterministic pseudo-Gaussian hyperplanes (seeded). */
-  private def planes(dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(424242L)
-    Array.fill(Tables_ * Bits)(Array.fill(dim)(rnd.nextGaussian()))
+  private def planes(dim: Int): Array[Array[Double]] =
+    planesFor(Tables_ * Bits, dim, 424242L)
+
+  private def planesFor(n: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** All-pairs LSH candidate generation: random-hyperplane signatures,
+    * `tables` tables × `bits` bits; a pair is a candidate iff it shares
+    * a bucket in ≥1 table. Returns distinct (ia, ib) with ia < ib.
+    *
+    * The self-join is bucket-local — Σ bucket² per table, never
+    * corpus² — which is what lets a cosine-threshold pair scan run on
+    * the full corpus at 100 TB. Per-bit collision probability is
+    * 1 - θ/π, so recall at threshold cs is 1-(1-p^bits)^tables with
+    * p = 1 - arccos(cs)/π: size `tables` for the miss rate the
+    * downstream pipeline tolerates (verification is exact, so misses
+    * only lose pairs, never admit false ones).
+    */
+  def lshPairCandidates(all: DataFrame, bits: Int, tables: Int,
+                        dim: Int = 64, seed: Long = 424242L): DataFrame = {
+    val ps = planesFor(tables * bits, dim, seed)
+    def dot(p: Array[Double]): Column =
+      call_function("vec_dot", col("v"), typedlit(p.toSeq))
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        (0 until bits).map { b =>
+          when(dot(ps(t * bits + b)) >= 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _).as("bucket"))
+    }
+    val bucketed = all.select(col("vec_id"), explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    bucketed.select(col("vec_id").as("ia"), col("t"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("ib"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
   }
 
   /** E2: LSH ANN — L=4 tables × 6-bit signatures; candidates = union of

@@ -60,6 +60,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
   }
 
+  test("dedup_embedding: candidates are bucket-local, no cross join in the plan") {
+    val df = SparkEntry.queries("dedup_embedding")(spark, dir)
+    df.collect() // AQE: final plan only materializes after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"corpus² cross join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"corpus² nested-loop join:\n$p")
+  }
+
   test("embedding ops keep whole-stage codegen (VecDot does not break spans)") {
     // AQE only materializes codegen nodes in the *final* plan — execute first
     val df = SparkEntry.queries("dedup_embedding")(spark, dir)
