@@ -39,22 +39,42 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact pairwise Jaccard via one shared-shingle join + count — the
-    * common-count and candidate generation are the same pass.
+  /** Prefix-filtered candidate pairs for Jaccard ≥ t (Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07): under a global
+    * shingle order by ascending document frequency (ties by sid), any
+    * pair with J(a,b) ≥ t must share a shingle within the first
+    * n - ceil(t·n) + 1 shingles of each document — so only that prefix
+    * is indexed for the self-join. Exact (no false negatives), and the
+    * skew killer: a boilerplate shingle shared by k documents sorts to
+    * the END of the order and never enters a prefix unless the doc has
+    * almost nothing rarer, so no k² candidate blow-up on hot shingles
+    * (the reference semantics put no such shingle in near-dup prefixes
+    * unless the docs genuinely are near-dups).
     */
-  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.select(col("doc_id").as("ia"), col("sid"))
-      .join(sh.select(col("doc_id").as("ib"), col("sid")), Seq("sid"))
+  private[graft] def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, Seq("sid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // epsilon guards fp noise in n*t the SAFE way: ceil can only come
+    // out smaller, which lengthens the prefix (a candidate superset —
+    // never a false negative)
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sid"))
+    prefix.select(col("doc_id").as("ia"), col("sid"))
+      .join(prefix.select(col("doc_id").as("ib"), col("sid")), Seq("sid"))
       .filter(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
-    common
-      .join(broadcast(cnt.select(col("doc_id").as("ia"), col("n").as("na"))), Seq("ia"))
-      .join(broadcast(cnt.select(col("doc_id").as("ib"), col("n").as("nb"))), Seq("ib"))
-      .withColumn("j", round(col("c") / (col("na") + col("nb") - col("c")), 4))
-      .filter(col("j") >= threshold)
-      .select(col("ia"), col("ib"), col("j"))
+      .select(col("ia"), col("ib")).distinct()
   }
+
+  /** Exact pairwise Jaccard ≥ threshold: prefix-filtered candidates,
+    * then exact verification over the full shingle sets.
+    */
+  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
 
   /** Exact Jaccard restricted to candidate (ia, ib) pairs; returns
     * pairs with `j >= threshold`. Cost ∝ candidate shingles, not
@@ -238,10 +258,15 @@ object Dedup {
     import spark.implicits._
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap[Long, Long]()
+    // iterative find (walk to root, then compress): parent chains can
+    // reach O(n) depth under min-value unions, so recursion would risk
+    // StackOverflowError at the 1M-edge gate
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

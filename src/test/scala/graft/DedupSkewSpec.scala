@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Prefix-filter guarantees for the n-gram Jaccard join: (1) a viral
+  * shingle shared by 10k documents must NOT produce k² candidates —
+  * the classic dedup skew-bomb at 100 TB; (2) the filter is exact —
+  * every pair with J ≥ t survives candidate generation.
+  */
+class DedupSkewSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("one shingle in 10k docs yields zero hot-key candidates") {
+    import spark.implicits._
+    // every doc shares shingle 0 (df = 10k) plus 4 unique shingles;
+    // no pair has J >= 0.8 (overlap 1/9), so candidates should be ~0 —
+    // a naive shared-shingle join would emit ~5*10^7 pairs here
+    val sh = (0L until 10000L).flatMap { d =>
+      0L +: (1L to 4L).map(k => d * 10 + k)
+    }.zip((0L until 10000L).flatMap(d => Seq.fill(5)(d)))
+      .map { case (sid, d) => (d, sid) }.toDF("doc_id", "sid")
+    val nCand = dedup.Dedup.prefixCandidates(sh, 0.8).count()
+    assert(nCand == 0, s"hot shingle leaked $nCand candidate pairs")
+  }
+
+  test("prefix candidates are a superset of all true j>=0.8 pairs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // naive exact pairs via the unfiltered shared-shingle join
+    val sh = docs
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),
+           i -> xxhash64(xxhash64(split(text,' ')[i-1]),
+                         xxhash64(split(text,' ')[i]),
+                         xxhash64(split(text,' ')[i+1])))""")).as("sid"))
+      .distinct().cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("doc_id").as("ia"), col("sid"))
+      .join(sh.select(col("doc_id").as("ib"), col("sid")), Seq("sid"))
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.8)
+      .select("ia", "ib")
+    val cand = dedup.Dedup.prefixCandidates(sh, 0.8)
+    val missed = truth.exceptAll(cand).count()
+    assert(missed == 0, s"$missed true pairs missing from prefix candidates")
+    assert(truth.count() > 0, "vacuous test: no true pairs at sf0.001")
+  }
+}
