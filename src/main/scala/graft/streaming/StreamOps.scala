@@ -26,12 +26,13 @@ case class SeriesUpdate(usr: String, typ: String, tsid: Long, firstSeenSec: Long
 object StreamOps extends Serializable {
 
   /** The same series identity as batch ingest: xxhash64 (seed 42) of
-    * the space-joined labels — TagIndex uses xxhash64(concat_ws(" ",
+    * the NUL-joined labels — TagIndex uses xxhash64(concat_ws(NUL,
     * labels)), so streaming and batch assign identical tsids and an
-    * entity can move between the paths without re-keying.
+    * entity can move between the paths without re-keying (NUL cannot
+    * occur inside a label value, so the encoding is unambiguous).
     */
   def tsidOf(usr: String, typ: String): Long = {
-    val u = UTF8String.fromString(usr + " " + typ)
+    val u = UTF8String.fromString(usr + "\u0000" + typ)
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
   }
 

@@ -139,9 +139,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(clicks.map(_.nSamples).max == 3, "state accumulates across batches")
       assert(clicks.count(_.isNew) == 1, "series created exactly once")
       assert(rows.filter(_.usr == "9").forall(_.isNew))
-      // streaming tsid == batch tsid (same xxhash64 identity)
-      val batchTsid = spark.createDataset(Seq(("1", "click"))).toDF("usr", "typ")
-        .select(xxhash64(concat_ws(" ", col("usr"), col("typ")))).head().getLong(0)
+      // streaming tsid == batch tsid: compare against a tsid actually
+      // assigned by the batch index, not a re-derived hash (a re-derived
+      // hash with the wrong separator would match vacuously)
+      val batchTsid = index.TagIndex.forEvents(spark, "/root/testdata/sf0.001")
+        .seriesCatalog.filter(col("usr") === "1" && col("typ") === "click")
+        .select("tsid").head().getLong(0)
       assert(clicks.head.tsid == batchTsid)
     } finally q.stop()
   }
