@@ -68,7 +68,7 @@ final case class LabelMatcher(name: String, op: MatchOp, value: String) {
   * (index_server.cpp:44-67), but deterministic and coordination-free
   * so a 1000-executor ingest needs no id counter.
   */
-class TagIndex(val samples: DataFrame, labelNames: Seq[String]) {
+class TagIndex(val samples: DataFrame, val labelNames: Seq[String]) {
 
   /** Samples with a tsid column. */
   val labeled: DataFrame = {
