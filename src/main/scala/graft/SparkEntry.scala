@@ -204,8 +204,11 @@ object SparkEntry {
       """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
         |  epoch_us(ts)//1000000 AS ts_sec,
         |  round(avg(value) OVER w, 4) AS avg_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h,
+        |  round(min(value) OVER w, 2) AS min_1h,
         |  round(max(value) OVER w, 2) AS max_1h,
-        |  count(*) OVER w AS n_1h
+        |  count(*) OVER w AS n_1h,
+        |  floor(stddev_samp(value) OVER w * 10000 + 0.5) / 10000 AS sd_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, event_type
         |             ORDER BY epoch_us(ts)//1000000

@@ -23,6 +23,13 @@ object Tsdb {
 
   private val hourSec = unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec")
 
+  /** Input / output rows of the holt_winters streaming fold (top-level
+    * visibility: Dataset encoders codegen against these classes).
+    */
+  case class HwRow(tsid: Long, usr: String, typ: String,
+      us: Long, eid: Long, v: Double)
+  case class HwOut(usr: String, typ: String, n: Long, hw: Double)
+
   /** B2: SeriesIterator.seek(t) (storage.h:15) as a set operation —
     * for every series, the first sample at-or-after t.
     */
@@ -68,17 +75,26 @@ object Tsdb {
           .as("rate"))
   }
 
-  /** B5: *_over_time — trailing 1h range-window stats per series. */
+  /** B5: *_over_time — the full PromQL trailing-range stat set
+    * (avg/sum/min/max/count/stddev) over a 1h range window per series.
+    * stddev is sample stddev (NULL on 1-row windows in both engines);
+    * its rounding uses the floor(x*1e4+0.5)/1e4 form so half-ties
+    * resolve identically to the oracle.
+    */
   def overTime(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("tsid")).orderBy(col("ts_sec"))
       .rangeBetween(-3600, Window.currentRow)
     idx(spark, dir).labeled
       .withColumn("ts_sec", unix_timestamp(col("ts")))
       .withColumn("avg_1h", round(avg(col("value")).over(w), 4))
+      .withColumn("sum_1h", round(sum(col("value")).over(w), 2))
+      .withColumn("min_1h", round(min(col("value")).over(w), 2))
       .withColumn("max_1h", round(max(col("value")).over(w), 2))
       .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sd_1h", floor(stddev(col("value")).over(w) * 10000 + 0.5) / 10000)
       .select(col("event_id"), col("usr"), col("typ"), col("ts_sec"),
-        col("avg_1h"), col("max_1h"), col("n_1h"))
+        col("avg_1h"), col("sum_1h"), col("min_1h"), col("max_1h"),
+        col("n_1h"), col("sd_1h"))
   }
 
   /** B6: topk(3) series by hourly sum(value). Ordering key is the
@@ -284,32 +300,57 @@ object Tsdb {
 
   /** B20: holt_winters — PromQL double exponential smoothing
     * (sf=0.3, tf=0.1) per series over the time-ordered sample stream,
-    * emitting the final smoothed level. The recurrence is a fold over
-    * a per-series sorted array; the DuckDB oracle runs the *same*
-    * shifted recurrence through list_reduce, so doubles match
-    * bit-for-bit before rounding. Per-series state is (s, b, i) — a
-    * bounded struct, not the sample list, at executor scale.
+    * emitting the final smoothed level.
+    *
+    * The recurrence is order-dependent and non-associative, so no
+    * partial-aggregate merge can express it. Instead: hash-repartition
+    * by tsid, secondary-sort within partitions by (us, eid), then a
+    * streaming per-partition fold carrying ONLY (s, b) per open series
+    * — a billion-sample series costs O(1) executor memory, unlike a
+    * collect_list of the series. (mapPartitions is the right tool here:
+    * the 100 TB layout buckets samples by tsid sorted by ts, making the
+    * exchange free.) The DuckDB oracle runs the same shifted recurrence
+    * through list_reduce with identical IEEE op order, so doubles match
+    * bit-for-bit before rounding.
     */
-  def holtWinters(spark: SparkSession, dir: String): DataFrame =
-    idx(spark, dir).labeled
-      .groupBy(col("usr"), col("typ"))
-      .agg(count(lit(1)).as("n"),
-        sort_array(collect_list(struct(
-          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
-          col("value").as("v")))).as("ord"))
-      .withColumn("els", expr(
-        "transform(ord, x -> named_struct('s', x.v, 'b', cast(0.0 as double), 'i', cast(0.0 as double)))"))
-      .withColumn("hw", round(expr(
-        """aggregate(slice(els, 2, size(els) - 1), element_at(els, 1),
-          |  (acc, x) -> CASE WHEN acc.i = 0.0
-          |    THEN named_struct('s', x.s, 'b', x.s - acc.s, 'i', cast(1.0 as double))
-          |    ELSE named_struct(
-          |      's', 0.3*x.s + 0.7*(acc.s + acc.b),
-          |      'b', 0.1*(0.3*x.s + 0.7*(acc.s + acc.b) - acc.s) + 0.9*acc.b,
-          |      'i', acc.i + 1.0) END,
-          |  acc -> acc.s)""".stripMargin), 4))
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = idx(spark, dir).labeled
+      .select(col("tsid"), col("usr"), col("typ"),
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        col("value").as("v"))
+      .repartition(col("tsid"))
+      .sortWithinPartitions(col("tsid"), col("us"), col("eid"))
+      .as[HwRow]
+    val folded = rows.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[HwOut]
+      var cur = Long.MinValue
+      var usr = ""; var typ = ""
+      var s = 0.0; var b = 0.0; var n = 0L
+      def close(): Unit = if (n > 0) out += HwOut(usr, typ, n, s)
+      it.foreach { r =>
+        if (r.tsid != cur) {
+          close()
+          cur = r.tsid; usr = r.usr; typ = r.typ
+          s = r.v; b = 0.0; n = 1L
+        } else {
+          // identical op order to the oracle's list_reduce recurrence
+          if (n == 1L) { b = r.v - s; s = r.v }
+          else {
+            val s2 = 0.3 * r.v + 0.7 * (s + b)
+            b = 0.1 * (s2 - s) + 0.9 * b
+            s = s2
+          }
+          n += 1L
+        }
+      }
+      close()
+      out.iterator
+    }
+    folded.toDF()
       .filter(col("n") >= 3)
-      .select(col("usr"), col("typ"), col("n"), col("hw"))
+      .select(col("usr"), col("typ"), col("n"), round(col("hw"), 4).as("hw"))
+  }
 
   /** B21: offset comparison — PromQL's `offset` modifier as day-over-
     * day deltas: each series' daily sum vs its value one day earlier

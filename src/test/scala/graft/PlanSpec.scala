@@ -79,4 +79,20 @@ class PlanSpec extends AnyFunSuite {
       s"vecdot not inside a codegen stage:\n$p")
     assert(!p.toLowerCase.contains("zip_with"), "interpreted HOF in hot path")
   }
+
+  test("holt_winters: bounded state — no per-series collect_list buffer") {
+    val p = plan("holt_winters")
+    assert(!p.contains("collect_list"),
+      s"holt_winters buffers whole series in memory:\n$p")
+    // the fold runs over a tsid-partitioned, time-sorted stream
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions"), p)
+    assert(p.contains("Sort "), p)
+  }
+
+  test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
+    // the prefix filter must appear below the self-join: rank <= n - ceil(n*t) + 1
+    val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("CEIL") || p.contains("ceil"), p)
+  }
 }
