@@ -24,6 +24,7 @@ object SparkEntry {
     "match_nregex" -> (index.IndexQueries.matchNregex _),
     "match_conj" -> (index.IndexQueries.matchConj _),
     "label_values" -> (index.IndexQueries.labelValues _),
+    "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
     "match_json_label" -> (index.IndexQueries.matchJsonLabel _),
     "postings_list" -> (index.IndexQueries.postingsList _),
@@ -53,6 +54,7 @@ object SparkEntry {
     "holt_winters" -> (tsdb.Tsdb.holtWinters _),
     "predict_linear" -> (tsdb.Tsdb.predictLinear _),
     "offset_compare" -> (tsdb.Tsdb.offsetCompare _),
+    "subquery_rate" -> (tsdb.Tsdb.subqueryRate _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -137,6 +139,10 @@ object SparkEntry {
         |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
     "label_values" ->
       "SELECT DISTINCT event_type AS value FROM events",
+    "label_values_matched" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS value FROM events
+        |WHERE event_type = 'purchase'
+        |  AND CAST(user_id AS VARCHAR) >= '10'""".stripMargin,
     "label_names" ->
       "SELECT 'usr' AS label_name UNION ALL SELECT 'typ' AS label_name",
     "absent" ->
@@ -300,6 +306,20 @@ object SparkEntry {
         |SELECT ws AS win_start_sec, typ, count(*) AS n,
         |  round(sum(value), 2) AS sum_v
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "subquery_rate" ->
+      """WITH hourly AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
+        |    round(sum(value), 2) AS sum_v
+        |  FROM events GROUP BY 1, 2, 3),
+        |stepped AS (
+        |  SELECT usr, typ, hour_sec,
+        |    floor(sum_v / 3600 * 1000000 + 0.5) / 1000000 AS rate_1h
+        |  FROM hourly)
+        |SELECT usr, typ, hour_sec, rate_1h,
+        |  max(rate_1h) OVER (PARTITION BY usr, typ ORDER BY hour_sec
+        |    RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW) AS max_rate_1d
+        |FROM stepped""".stripMargin,
     "offset_compare" ->
       """WITH d AS (SELECT CAST(user_id AS VARCHAR) AS usr,
         |    event_type AS typ, strftime(ts, '%Y-%m-%d') AS day,

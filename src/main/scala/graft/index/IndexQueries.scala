@@ -67,6 +67,15 @@ object IndexQueries {
   def labelValues(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).labelValues("typ")
 
+  /** A8c: constrained label_values(name, matchers...) — which users
+    * ever emitted a purchase series with usr lexicographically ≥ "10"
+    * (labels are strings; ordering is lexicographic as in the
+    * reference).
+    */
+  def labelValuesMatched(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labelValues("usr", Seq(
+      LabelMatcher("typ", Eql, "purchase"), LabelMatcher("usr", Gte, "10")))
+
   /** A8b: label_names — the index's label-name universe. */
   def labelNames(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).invertedIndex.select(col("label_name")).distinct()

@@ -124,6 +124,15 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String]) {
     invertedIndex.filter(col("label_name") === name)
       .select(col("label_value").as("value")).distinct()
 
+  /** label_values(name, matchers...) — the constrained Prometheus-API
+    * form (adapters/prom exposes it via the querier: resolve the
+    * matcher set first, then distinct values of `name` over the matched
+    * series only). Cost ∝ matched series, never samples.
+    */
+  def labelValues(name: String, matchers: Seq[LabelMatcher]): DataFrame =
+    resolveMatchers(matchers)
+      .select(col(name).cast("string").as("value")).distinct()
+
   /** exists(labels): exact label-set lookup (index_server.h:36). */
   def exists(labels: Map[String, String]): DataFrame =
     resolveMatchers(labels.toSeq.map { case (n, v) => LabelMatcher(n, MatchOp.Eql, v) })

@@ -352,6 +352,29 @@ object Tsdb {
       .select(col("usr"), col("typ"), col("n"), round(col("hw"), 4).as("hw"))
   }
 
+  /** B22: PromQL subquery semantics — `max_over_time(rate(x[1h])[1d:1h])`:
+    * the inner range function is step-evaluated (1h steps, each step's
+    * rate = that hour's increase / 3600s), and the outer range function
+    * aggregates the step series over a trailing 1d window (24 steps,
+    * hour_sec range -82800..0). Two composed window/groupBy passes —
+    * the subquery re-evaluation costs one extra hourly aggregate, never
+    * a per-sample re-scan. Steps are evaluated where the series has
+    * samples (sparse evaluation; the oracle mirrors this). The inner
+    * step value is floor-rounded before the outer max so both engines
+    * rank identical doubles.
+    */
+  def subqueryRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("usr"), col("typ")).orderBy(col("hour_sec"))
+      .rangeBetween(-82800, Window.currentRow)
+    idx(spark, dir).labeled
+      .groupBy(col("usr"), col("typ"), hourSec)
+      .agg(round(sum(col("value")), 2).as("sum_v"))
+      .withColumn("rate_1h", floor(col("sum_v") / 3600 * 1000000 + 0.5) / 1000000)
+      .withColumn("max_rate_1d", max(col("rate_1h")).over(w))
+      .select(col("usr"), col("typ"), col("hour_sec"),
+        col("rate_1h"), col("max_rate_1d"))
+  }
+
   /** B21: offset comparison — PromQL's `offset` modifier as day-over-
     * day deltas: each series' daily sum vs its value one day earlier
     * (lag window over day buckets).
