@@ -50,6 +50,78 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  // one payload object store per source dataset, written once per JVM
+  private val objStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialize each payload as one object in a local object store
+    * (file:// scheme standing in for s3://; same Hadoop FileSystem API
+    * either way) and remember the store root. Idempotent per dataset —
+    * a _SUCCESS marker skips the rewrite.
+    */
+  private def objectStoreFor(spark: SparkSession, dir: String): String =
+    objStores.computeIfAbsent(dir, _ => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_objstore_" + Integer.toHexString(dir.hashCode)).toString
+      val marker = new java.io.File(base, "_SUCCESS")
+      if (!marker.exists()) {
+        mediaTable(spark, dir).foreachPartition { (it: Iterator[MediaItem]) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(s"file://$base/"), conf)
+          it.foreach { m =>
+            val p = new org.apache.hadoop.fs.Path(s"file://$base/doc_${m.doc_id}.bin")
+            val out = fs.create(p, true)
+            try out.write(m.payload) finally out.close()
+          }
+        }
+        marker.createNewFile()
+      }
+      base
+    })
+
+  /** The pointer-only media table — the >1 MB row shape at 100 TB: the
+    * table row carries metadata plus a `uri` pointer; the payload bytes
+    * live in the object store, not in the table.
+    */
+  def pointerTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    val store = objectStoreFor(spark, dir)
+    mediaTable(spark, dir).map(m => m.copy(
+      payload = Array.emptyByteArray,
+      uri = s"file://$store/doc_${m.doc_id}.bin"))
+  }
+
+  /** Pointer-dereferencing fetch stage ahead of decode: items that
+    * carry bytes inline pass through; pointer-only items are fetched
+    * through ONE Hadoop FileSystem handle per (partition, scheme) —
+    * the batch-amortized setup a real s3:// fetch needs. Fetch and
+    * decode stay separate stages so sampling/filtering can run between
+    * them (pay IO only for the items that survive).
+    */
+  def fetchPayloads(items: Dataset[MediaItem]): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      lazy val conf = new org.apache.hadoop.conf.Configuration()
+      val fsCache = scala.collection.mutable.HashMap
+        .empty[String, org.apache.hadoop.fs.FileSystem]
+      it.map { m =>
+        if (m.payload != null && m.payload.nonEmpty) m
+        else {
+          val uri = new java.net.URI(m.uri)
+          val fs = fsCache.getOrElseUpdate(
+            uri.getScheme + Option(uri.getAuthority).getOrElse(""),
+            org.apache.hadoop.fs.FileSystem.get(uri, conf))
+          val p = new org.apache.hadoop.fs.Path(uri)
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(p)
+          try in.readFully(0, buf) finally in.close()
+          m.copy(payload = buf)
+        }
+      }
+    }
+  }
+
   /** STUB decode: byte statistics standing in for codec output.
     * Replace the body with a real codec call; the signature —
     * Iterator[MediaItem] → Iterator[MediaFeatures] per partition,
@@ -112,13 +184,18 @@ object Multimodal {
       (floor(col("mean_sampled_byte") * 10000 + 0.5) / 10000).as("mean_sampled_byte"))
   }
 
-  /** G1: the full pipeline — media table → per-partition batch decode →
-    * feature columns → corpus-level aggregate alongside per-item rows.
+  /** G1: the full pipeline — pointer table → uri fetch → per-partition
+    * batch decode → feature columns. Payloads are NOT inline: the
+    * pipeline reads them through the object-store pointer path
+    * (fetchPayloads), which is how a >1 MB-payload table works at
+    * 100 TB. Output is identical to the inline path, so the same
+    * DuckDB oracle gates it.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = mediaTable(spark, dir)
-      .repartition(col("doc_id")) // spread payload bytes evenly pre-decode
+    val feats = fetchPayloads(
+      pointerTable(spark, dir)
+        .repartition(col("doc_id"))) // spread fetch IO evenly pre-decode
       .mapPartitions(decodeStub)
     // floor-based rounding: the underlying doubles are bit-identical to
     // the oracle's (exact integer sums / lengths), so floor(x*1e4+0.5)

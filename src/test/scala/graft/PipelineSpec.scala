@@ -87,4 +87,17 @@ class PipelineSpec extends AnyFunSuite {
     val b = multimodal.Multimodal.pipeline(spark, dir).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("mm pointer path: payloads dereferenced from the object store, not inline") {
+    import spark.implicits._
+    val ptrs = multimodal.Multimodal.pointerTable(spark, dir)
+    // the pointer table truly carries no payload bytes
+    assert(ptrs.collect().forall(m => m.payload.isEmpty && m.uri.startsWith("file://")))
+    // fetch restores byte-identical payloads
+    val fetched = multimodal.Multimodal.fetchPayloads(ptrs)
+      .collect().map(m => m.doc_id -> m.payload.toSeq).toMap
+    val inline = multimodal.Multimodal.mediaTable(spark, dir)
+      .collect().map(m => m.doc_id -> m.payload.toSeq).toMap
+    assert(fetched == inline && inline.nonEmpty)
+  }
 }
