@@ -116,6 +116,28 @@ object StreamOps extends Serializable {
       }
       .start()
 
+  /** H5: stream-stream interval join — the streaming twin of the batch
+    * interval join (Relational.intervalJoin): errors ⋈ purchases for
+    * the same user within ±1h of event time. Both sides carry
+    * watermarks and the join condition bounds both event times, so
+    * Spark evicts state as the watermark advances — state is
+    * ∝ (rate × 2h window), never unbounded. Equi-key on usr keeps the
+    * match hash-partitioned; the range predicate filters within the
+    * key bucket (no cartesian).
+    */
+  def intervalJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.withWatermark("ts", "1 hour").alias("e")
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    e.join(p,
+      col("e.usr") === col("p.usr") &&
+        col("p.ts") >= col("e.ts") - expr("INTERVAL 1 HOUR") &&
+        col("p.ts") <= col("e.ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("e.usr").as("usr"),
+        col("e.event_id").as("err_id"), col("e.ts").as("err_ts"),
+        col("p.event_id").as("pur_id"), col("p.ts").as("pur_ts"),
+        col("p.value").as("pur_v"))
+  }
+
   /** H2: streaming add_series — mapGroupsWithState keyed by label set;
     * first sample creates the series (isNew=true, stable hash tsid),
     * later samples bump counters. State size ∝ #series, not #samples.

@@ -148,4 +148,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(clicks.head.tsid == batchTsid)
     } finally q.stop()
   }
+
+  test("H5: stream-stream interval join is batch-equivalent on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val errRows = Seq(
+      Sample(0, at(10, 0), "1", "error", 1.0),
+      Sample(1, at(12, 0), "1", "error", 1.0),
+      Sample(2, at(10, 30), "2", "error", 1.0))
+    val purRows = Seq(
+      Sample(10, at(10, 45), "1", "purchase", 9.0),  // joins err 0 (45m) and NOT err 1 (75m)
+      Sample(11, at(12, 30), "1", "purchase", 7.0),  // joins err 1 (30m)
+      Sample(12, at(13, 0), "2", "purchase", 5.0),   // joins nothing (2.5h from err 2)
+      // joins err 2 (-40m); 9:50 stays above the post-batch-1 global
+      // watermark min(12:00, 10:45) - 1h = 9:45 (earlier would be
+      // dropped as late — correct watermark semantics, not a bug)
+      Sample(13, at(9, 50), "2", "purchase", 3.0))
+
+    val errs = MemoryStream[Sample]
+    val purs = MemoryStream[Sample]
+    val q = StreamOps.intervalJoin(errs.toDF(), purs.toDF())
+      .writeStream.format("memory").queryName("h5_out").outputMode("append").start()
+    try {
+      // replay across several micro-batches (out of batch-alignment
+      // with each other, so matches span batch boundaries)
+      errs.addData(errRows.take(2)); purs.addData(purRows.take(1))
+      q.processAllAvailable()
+      errs.addData(errRows.drop(2)); purs.addData(purRows.drop(1))
+      q.processAllAvailable()
+
+      val streamed = spark.table("h5_out")
+        .select("usr", "err_id", "pur_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = StreamOps.intervalJoin(errRows.toDF(), purRows.toDF())
+        .select("usr", "err_id", "pur_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch == Set(("1", 0L, 10L), ("1", 1L, 11L), ("2", 2L, 13L)))
+    } finally q.stop()
+  }
 }
