@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * operator scales as Σ bucket² instead of corpus². Verification
   * (exact Jaccard / hamming) runs only on candidates.
   */
+/** One embedding inside a tile of the blocked cosine join. */
+case class VecEntry(vec_id: Long, v: Array[Float], norm: Double)
+/** An unordered tile pair (gi ≤ gj) of the blocked cosine join. */
+case class TilePair(gi: Int, gj: Int, a: Array[VecEntry], b: Array[VecEntry])
+/** A raw above-threshold pair before oracle-parity rounding. */
+case class CsPair(ia: Long, ib: Long, cs_raw: Double)
+
 object Dedup {
 
   /** Word 3-gram shingles, 1-based indexing (matches the DuckDB oracle's
@@ -281,26 +288,76 @@ object Dedup {
   /** D5: embedding-cosine near-dup pairs ≥ 0.45 (double-precision dot,
     * matches the oracle's explicit double math).
     *
-    * Candidates come from random-hyperplane LSH buckets
-    * ([[graft.similarity.Ann.lshPairCandidates]]) — bucket-local
-    * self-join, never corpus² — then exact vec_dot verification, the
-    * same candidates→verify shape as D2. The table count is sized for
-    * the 0.45 threshold: per-bit collision p = 1-arccos(0.45)/π ≈
-    * 0.649, so 48 tables × 4 bits give per-pair miss (1-p⁴)⁴⁸ ≈ 9e-5 —
-    * verified exact-equal to the brute-force oracle at sf0.01/sf0.1
-    * (planes are seeded, so the match is deterministic).
+    * Plan choice, measured on this data: the corpus is near-isotropic
+    * — pairwise cosines top out at ~0.55, so there is NO similarity
+    * gap above the 0.45 threshold. In that regime any LSH candidate
+    * scheme with the recall an exact gate needs admits almost every
+    * pair (per-bit collision for a random pair is 0.5; 48×4-bit tables
+    * admit 1-(1-0.5⁴)⁴⁸ ≈ 95% of the corpus²), i.e. LSH degenerates to
+    * a cross join plus join overhead. The honest plan is the exact
+    * TILED block join — the distributed-GEMM shape: vectors hash into
+    * B tiles, each unordered tile pair is computed exactly once in a
+    * primitive double loop, tile pairs spread across executors via a
+    * hash repartition. Shuffle is B replicas of the corpus (B ~ √P,
+    * tiles sized to executor memory at scale); compute is the inherent
+    * N²/2 dots. For gapped / high-threshold corpora (real semantic
+    * dedup at cs ≥ 0.9) the LSH candidate path
+    * ([[graft.similarity.Ann.lshPairCandidates]]) is the plan — there
+    * pruning is real; here it would be cargo-cult LSH.
+    *
+    * The inner loop replicates VecDot's accumulation order exactly
+    * (sequential double-widened products), so the result is
+    * bit-identical to the oracle's.
     */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     graft.functions.VecFunctions.register(spark)
+    val B = 16
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
-    val cand = graft.similarity.Ann.lshPairCandidates(e, bits = 4, tables = 48)
-    cand
-      .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("norm").as("na")), Seq("ia"))
-      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb")), Seq("ib"))
-      .withColumn("cs", round(
-        call_function("vec_dot", col("va"), col("vb")) / (col("na") * col("nb")), 4))
+    val tiles = e
+      .withColumn("g", pmod(col("vec_id"), lit(B)).cast("int"))
+      .groupBy(col("g"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("norm"))).as("items"))
+    val keys = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
+      .toDF("gi", "gj")
+    val tilePairs = keys
+      .join(tiles.select(col("g").as("gi"), col("items").as("a")), Seq("gi"))
+      .join(tiles.select(col("g").as("gj"), col("items").as("b")), Seq("gj"))
+      .repartition(col("gi"), col("gj")) // spread tile pairs across executors
+      .as[TilePair]
+    val raw = tilePairs.flatMap { tp =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[CsPair]
+      val sameTile = tp.gi == tp.gj
+      var i = 0
+      while (i < tp.a.length) {
+        val x = tp.a(i)
+        var j = 0
+        while (j < tp.b.length) {
+          val y = tp.b(j)
+          if (!sameTile || x.vec_id < y.vec_id) {
+            val xv = x.v; val yv = y.v
+            val n = math.min(xv.length, yv.length)
+            var acc = 0.0
+            var k = 0
+            while (k < n) { acc += xv(k).toDouble * yv(k).toDouble; k += 1 }
+            val cs = acc / (x.norm * y.norm)
+            // pre-filter with margin; the exact threshold applies after
+            // the oracle-parity rounding below
+            if (cs >= 0.4499) {
+              if (x.vec_id < y.vec_id) out += CsPair(x.vec_id, y.vec_id, cs)
+              else out += CsPair(y.vec_id, x.vec_id, cs)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }
+    raw.toDF()
+      .withColumn("cs", round(col("cs_raw"), 4))
       .filter(col("cs") >= 0.45)
       .select(col("ia"), col("ib"), col("cs"))
   }
