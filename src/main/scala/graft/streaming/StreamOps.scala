@@ -36,6 +36,36 @@ object StreamOps extends Serializable {
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
   }
 
+  /** Kafka ingest wiring — the production stream source ahead of the
+    * H1-H5 operators. Config-only in this container (the
+    * spark-sql-kafka connector jar ships on the cluster, not here), so
+    * the builder and the payload parser are SEPARATE stages: the
+    * parser is testable against static frames, the builder is the
+    * one-line format swap. maxOffsetsPerTrigger bounds per-micro-batch
+    * input so state growth per trigger is bounded at any topic lag.
+    */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+      servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", 1000000L)
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** Kafka value payload (JSON) → typed samples; the stage between
+    * kafkaSource and the streaming operators. Works identically on a
+    * static frame with (value binary) — that is how the spec gates it.
+    */
+  def parseKafkaSamples(raw: DataFrame): Dataset[Sample] = {
+    import raw.sparkSession.implicits._
+    val schema = org.apache.spark.sql.catalyst.ScalaReflection
+      .schemaFor[Sample].dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    raw.select(from_json(col("value").cast("string"), schema).as("s"))
+      .select("s.*").as[Sample]
+  }
+
   /** H1: watermarked sliding-window aggregation per label — the
     * streaming form of Tsdb.aggByLabel. 10-minute lateness bound;
     * state for closed windows is dropped automatically.

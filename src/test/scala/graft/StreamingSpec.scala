@@ -188,4 +188,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch == Set(("1", 0L, 10L), ("1", 1L, 11L), ("2", 2L, 13L)))
     } finally q.stop()
   }
+
+  test("Kafka payload parser: JSON values round-trip to typed samples") {
+    import spark.implicits._
+    val want = Seq(
+      Sample(1, ts(0), "1", "click", 2.5),
+      Sample(2, ts(3), "9", "error", 1.0))
+    val isoFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+    val raw = want.map(s =>
+      (s"""{"event_id":${s.event_id},"ts":"${s.ts.toLocalDateTime.format(isoFmt)}",""" +
+        s""""usr":"${s.usr}","typ":"${s.typ}","value":${s.value}}""").getBytes("UTF-8"))
+      .toDF("value") // the (value: binary) shape kafkaSource emits
+    val got = StreamOps.parseKafkaSamples(raw).collect().toSeq
+    assert(got == want)
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (synthesized hot key)") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled down so the synthesized hot key counts as skew
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // left: one hot key (0) with 200k rows, 9 cold keys; right: tiny dim
+      val left = spark.range(0, 220000)
+        .select(when(col("id") < 200000, 0L).otherwise(col("id") % 10).as("k"),
+          concat(lit("payload_"), col("id")).as("pad"))
+      val right = spark.range(0, 10).select(col("id").as("k"), col("id").as("attr"))
+      val joined = left.join(right, Seq("k"))
+      // execute THIS dataframe (count() would spawn a separate query
+      // execution and leave joined's adaptive plan unfinalized)
+      assert(scala.jdk.CollectionConverters
+        .IteratorHasAsScala(joined.toLocalIterator()).asScala.length == 220000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
