@@ -23,6 +23,7 @@ object SparkEntry {
     "match_regex" -> (index.IndexQueries.matchRegex _),
     "match_nregex" -> (index.IndexQueries.matchNregex _),
     "match_conj" -> (index.IndexQueries.matchConj _),
+    "match_conj_stored" -> (index.IndexQueries.matchConjStored _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "dedup_clusters" -> (dedup.Dedup.clusters _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
+    "ann_ivf" -> (similarity.Ann.ivfTopk _),
     "ann_lsh" -> (similarity.Ann.lshTopk _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
@@ -133,6 +135,11 @@ object SparkEntry {
         |WHERE CAST(user_id AS VARCHAR) = '3'
         |  AND NOT regexp_full_match(event_type, '(error|signup)')""".stripMargin,
     "match_conj" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
+        |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    "match_conj_stored" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
         |FROM events
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'

@@ -114,6 +114,35 @@ object IndexQueries {
       .select("usr", "typ", "kb")
   }
 
+  // one materialized store per source dataset (written once per JVM)
+  private val stores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeFor(spark: SparkSession, dir: String): String =
+    stores.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_idxstore_" + Integer.toHexString(dir.hashCode)).toString
+      IndexStore.materialize(idx(spark, dir), p)
+      p
+    })
+
+  /** C9 (oracle-gated): the A7 conjunction resolved from the
+    * MATERIALIZED store instead of the in-memory index — the two paths
+    * share the resolution algebra, so the same oracle gates both; what
+    * this query proves is that the flushed parquet segments resolve
+    * identically (the reference's claim that MemIndex and the on-disk
+    * tree answer the same queries, index_server.cpp try_compact).
+    */
+  def matchConjStored(spark: SparkSession, dir: String): DataFrame = {
+    val store = storeFor(spark, dir)
+    val tsids = IndexStore.resolvePostings(spark, store, Seq(
+      LabelMatcher("typ", Eql, "purchase"),
+      LabelMatcher("usr", Gte, "10"),
+      LabelMatcher("usr", Neq, "12")))
+    idx(spark, dir).seriesCatalog
+      .join(tsids, Seq("tsid"), "left_semi")
+      .select("usr", "typ")
+  }
+
   /** A9: tsid → labels (get_labels): recover series labels for sample ids. */
   def seriesLookup(spark: SparkSession, dir: String): DataFrame = {
     val i = idx(spark, dir)

@@ -93,6 +93,84 @@ object Ann {
       .select(col("ia"), col("ib")).distinct()
   }
 
+  /** E3: IVF (inverted-file) ANN — spherical k-means coarse quantizer.
+    *
+    * Train: seeded init + a few Lloyd rounds, each round one pass
+    * (assign by max centroid dot, then a 64-column groupBy mean);
+    * centroids live on the driver (k × dim doubles) and broadcast into
+    * every assignment — at 100 TB you train on a sample and the corpus
+    * pass count stays the same. Query: probe the `nprobe` nearest
+    * cells, exact-cosine re-rank only within probed cells — candidates
+    * ∝ Σ probed cell sizes, and unlike LSH the cells ADAPT to the data
+    * distribution (clustered corpora get tight cells where it counts).
+    * Output is quantizer-dependent → rows-only gate; recall is pinned
+    * against the exact path in the spec, like E2.
+    */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkOn(vecs(spark, dir), col("vec_id") < 10)
+
+  def ivfTopkOn(all: DataFrame, isQuery: Column, k: Int = 16, nprobe: Int = 4,
+      iters: Int = 3, dim: Int = 64): DataFrame = {
+    val spark = all.sparkSession
+    graft.functions.VecFunctions.register(spark)
+    // spherical k-means works on unit vectors: assignment = max dot
+    val unit = all.withColumn("u",
+      expr("transform(v, x -> cast(x as double) / norm)"))
+
+    def cdot(cent: Array[Double]): Column =
+      call_function("vec_dot", col("u"), typedlit(cent.toSeq))
+    // scored cells as (dot, cid) structs: array_max picks the best dot,
+    // ties broken by the higher cid — deterministic
+    def scored(cents: Array[Array[Double]]): Column =
+      array(cents.zipWithIndex.map { case (c, i) =>
+        struct(cdot(c).as("d"), lit(i).as("cid"))
+      }: _*)
+    def withCell(cents: Array[Array[Double]]): DataFrame =
+      unit.withColumn("cell", array_max(scored(cents)).getField("cid"))
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val rnd = new scala.util.Random(77770001L)
+    var cents = Array.fill(k)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    for (_ <- 0 until iters) {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(i => sum(element_at(col("u"), i + 1)).as(s"s$i"))
+      val stats = withCell(cents).groupBy(col("cell"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val next = cents.clone() // empty cells keep their centroid
+      stats.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        next(cell) = normalize(Array.tabulate(dim)(i => r.getDouble(i + 2) / n))
+      }
+      cents = next
+    }
+
+    val assigned = withCell(cents)
+    // each query probes its nprobe best cells
+    val probes = unit.filter(isQuery)
+      .withColumn("pc", slice(reverse(array_sort(scored(cents))), 1, nprobe))
+      .select(col("vec_id").as("query_id"),
+        explode(expr("transform(pc, x -> x.cid)")).as("cell"))
+    val candIds = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+
+    val qVecs = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val cand = candIds
+      .join(broadcast(qVecs), Seq("query_id"))
+      .join(all, Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    cand.withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
+  }
+
   /** E2: LSH ANN — L=4 tables × 6-bit signatures; candidates = union of
     * same-bucket vectors across tables, re-ranked by exact cosine.
     * Output is hyperplane-dependent → rows-only gate; the spec checks

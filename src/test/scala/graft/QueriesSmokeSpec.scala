@@ -23,7 +23,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every query has an oracle or is a declared rows-only op") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only ops are allowed but must be deliberate; keep the list here
-    val rowsOnly = Set("dedup_simhash", "ann_lsh")
+    val rowsOnly = Set("dedup_simhash", "ann_lsh", "ann_ivf")
     assert(missing == rowsOnly, s"queries missing oracle: $missing")
   }
 
