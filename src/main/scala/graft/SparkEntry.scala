@@ -56,6 +56,7 @@ object SparkEntry {
     "predict_linear" -> (tsdb.Tsdb.predictLinear _),
     "offset_compare" -> (tsdb.Tsdb.offsetCompare _),
     "subquery_rate" -> (tsdb.Tsdb.subqueryRate _),
+    "binary_op" -> (tsdb.Tsdb.binaryOp _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -313,6 +314,21 @@ object SparkEntry {
         |SELECT ws AS win_start_sec, typ, count(*) AS n,
         |  round(sum(value), 2) AS sum_v
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "binary_op" ->
+      """WITH hourly AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
+        |    round(sum(value), 2) AS sum_v
+        |  FROM events GROUP BY 1, 2, 3),
+        |by_user AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
+        |    round(sum(value), 2) AS user_v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h.usr, h.typ, h.hour_sec, h.sum_v, b.user_v,
+        |  floor(h.sum_v / b.user_v * 10000 + 0.5) / 10000 AS share
+        |FROM hourly h JOIN by_user b USING (usr, hour_sec)
+        |WHERE b.user_v <> 0""".stripMargin,
     "subquery_rate" ->
       """WITH hourly AS (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,

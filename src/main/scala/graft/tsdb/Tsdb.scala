@@ -375,6 +375,28 @@ object Tsdb {
         col("rate_1h"), col("max_rate_1d"))
   }
 
+  /** B23: PromQL binary operation with vector matching —
+    * `series_hourly / on(usr, hour) group_left user_hourly`: the many
+    * side (per-series hourly sums, extra label typ) divides by the one
+    * side (per-user all-type hourly sums) matched on (usr, hour).
+    * One equi-join on the matching labels — the Spark form of PromQL's
+    * label-matched vector arithmetic; group_left = the many side keeps
+    * its extra labels through the join. Both vectors aggregate from
+    * the same shuffle key prefix, so at scale the second aggregate
+    * reuses the first's partitioning.
+    */
+  def binaryOp(spark: SparkSession, dir: String): DataFrame = {
+    val l = idx(spark, dir).labeled
+    val hourly = l.groupBy(col("usr"), col("typ"), hourSec)
+      .agg(round(sum(col("value")), 2).as("sum_v"))
+    val byUser = l.groupBy(col("usr"), hourSec)
+      .agg(round(sum(col("value")), 2).as("user_v"))
+    hourly.join(byUser, Seq("usr", "hour_sec"))
+      .filter(col("user_v") =!= 0) // a share of a zero total is undefined
+      .select(col("usr"), col("typ"), col("hour_sec"), col("sum_v"), col("user_v"),
+        (floor(col("sum_v") / col("user_v") * 10000 + 0.5) / 10000).as("share"))
+  }
+
   /** B21: offset comparison — PromQL's `offset` modifier as day-over-
     * day deltas: each series' daily sum vs its value one day earlier
     * (lag window over day buckets).
