@@ -52,6 +52,34 @@ object ScaleProbe {
         big.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       })
     t("distinct_series")(big.select("user_id", "event_type").distinct())
+    // bounded-state fold: memory stays O(1)/series at any factor
+    t("holt_winters")(tsdb.Tsdb.holtWintersOn(spark, idx.labeled))
+
+    // tiled exact cosine join over a factor× corpus (replicas shifted;
+    // the N² dot count is the inherent cost being measured)
+    graft.functions.VecFunctions.register(spark)
+    val ebase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val ebig = (0 until factor).map { k =>
+      ebase.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+    }.reduce(_ unionAll _)
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .cache()
+    println(s"vectors: ${ebig.count()}")
+    t("cosine_tiled")(dedup.Dedup.embeddingCosineOn(spark, ebig))
+
+    // prefix-filtered jaccard over a factor× corpus. Replica words are
+    // salted so replicas are NOT near-dups of each other — otherwise
+    // every document becomes a factor-way true duplicate and the
+    // OUTPUT (not the plan) grows ∝ factor²; salted, the true-dup
+    // structure scales linearly, which is what a probe should measure.
+    val dbase = Tables.documents(spark, "/root/testdata/sf0.1")
+    val dbig = (0 until factor).map { k =>
+      dbase.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r${k}_$$1"))
+    }.reduce(_ unionAll _)
+    t("ngram_jaccard")(dedup.Dedup.jaccardPairs(
+      dedup.Dedup.shingles(dbig).cache(), 0.8))
     spark.stop()
   }
 }

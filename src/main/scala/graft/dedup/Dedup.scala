@@ -28,7 +28,7 @@ object Dedup {
     * every downstream join/shuffle moves longs instead of strings
     * (collision odds over ~10⁹ distinct shingles: ~1e-9 per pair).
     */
-  private def shingles(docs: DataFrame): DataFrame = {
+  private[graft] def shingles(docs: DataFrame): DataFrame = {
     // hash each word once, then hash the 3 word-hashes per window —
     // equivalent identity to hashing the joined string (collisions
     // negligible either way) without materializing ~|words| shingle
@@ -80,7 +80,7 @@ object Dedup {
   /** Exact pairwise Jaccard ≥ threshold: prefix-filtered candidates,
     * then exact verification over the full shingle sets.
     */
-  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame =
+  private[graft] def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame =
     verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
 
   /** Exact Jaccard restricted to candidate (ia, ib) pairs; returns
@@ -310,12 +310,19 @@ object Dedup {
     * bit-identical to the oracle's.
     */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     graft.functions.VecFunctions.register(spark)
-    val B = 16
-    val e = Tables.embeddings(spark, dir)
+    embeddingCosineOn(spark, Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v")))))
+  }
+
+  /** DataFrame-generic tiled cosine join; input needs (vec_id, v,
+    * norm). Exposed so the scale probe can drive the same tiling over
+    * replicated corpora.
+    */
+  def embeddingCosineOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val B = 16
     val tiles = e
       .withColumn("g", pmod(col("vec_id"), lit(B)).cast("int"))
       .groupBy(col("g"))

@@ -313,9 +313,16 @@ object Tsdb {
     * through list_reduce with identical IEEE op order, so doubles match
     * bit-for-bit before rounding.
     */
-  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOn(spark, idx(spark, dir).labeled)
+
+  /** DataFrame-generic holt_winters; input needs (tsid, usr, typ, ts,
+    * event_id, value). Exposed so the scale probe can drive the same
+    * fold over replicated data.
+    */
+  def holtWintersOn(spark: SparkSession, labeled: DataFrame): DataFrame = {
     import spark.implicits._
-    val rows = idx(spark, dir).labeled
+    val rows = labeled
       .select(col("tsid"), col("usr"), col("typ"),
         unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
         col("value").as("v"))
