@@ -67,6 +67,7 @@ object SparkEntry {
     "json_extract" -> (operators.Relational.jsonExtract _),
     "salted_agg" -> (operators.Skew.saltedAgg _),
     "interval_join" -> (operators.Relational.intervalJoin _),
+    "rollup_agg" -> (operators.Relational.rollupAgg _),
     "curation_pipeline" -> (operators.Curation.pipeline _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     // D. dedup
@@ -452,6 +453,14 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_v
         |FROM events GROUP BY 1, 2""".stripMargin,
     // C. relational core
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -141,6 +141,23 @@ object Relational {
       .select(col("event_id"), col("u").cast("string").as("usr"), col("n_nearby"))
   }
 
+  /** C11: ROLLUP — the subtotal lattice over (returnflag, linestatus):
+    * the OLAP grouping-sets surface. Spark expands the lattice map-side
+    * (one Expand node, one shuffle) — same cost class as the flat
+    * groupBy. Grouping-null subtotal rows are labeled 'ALL' on both
+    * engines (the data columns are never NULL here, so coalesce is
+    * unambiguous).
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"), col("sum_price"))
+
   /** JSON extraction over events.props — the tagtree "extended labels"
     * path (arbitrary tag maps). get_json_object is codegen'd; at scale
     * prefer from_json with an explicit schema once known.
