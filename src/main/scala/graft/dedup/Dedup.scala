@@ -174,15 +174,14 @@ object Dedup {
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
 
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i")
-    }
-    val fp = (0 until 64).map(i =>
-        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    val fps = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("fp"))
+    // one 64-counter buffer aggregate (graft.functions.SimHashAgg)
+    // instead of 64 conditional sum() columns — identical fingerprints
+    // (integer counters commute), one buffer update per row
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_fp",
+      exprs => graft.functions.SimHashAgg(exprs(0), exprs(1)), "built-in")
+    val fps = words.groupBy(col("doc_id"))
+      .agg(call_function("simhash_fp", col("h"), col("cnt")).as("fp"))
 
     val chunks = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 8).map(c =>
