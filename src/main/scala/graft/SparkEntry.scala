@@ -57,6 +57,7 @@ object SparkEntry {
     "offset_compare" -> (tsdb.Tsdb.offsetCompare _),
     "subquery_rate" -> (tsdb.Tsdb.subqueryRate _),
     "binary_op" -> (tsdb.Tsdb.binaryOp _),
+    "quantile_sketch" -> (tsdb.Tsdb.quantileSketch _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -330,6 +331,12 @@ object SparkEntry {
         |  floor(h.sum_v / b.user_v * 10000 + 0.5) / 10000 AS share
         |FROM hourly h JOIN by_user b USING (usr, hour_sec)
         |WHERE b.user_v <> 0""".stripMargin,
+    "quantile_sketch" ->
+      """SELECT event_type AS typ,
+        |  round(quantile_disc(value, 0.5), 4) AS p50,
+        |  round(quantile_disc(value, 0.9), 4) AS p90,
+        |  round(quantile_disc(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
     "subquery_rate" ->
       """WITH hourly AS (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,

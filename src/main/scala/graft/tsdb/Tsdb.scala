@@ -141,6 +141,24 @@ object Tsdb {
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
 
+  /** B24: quantile sketch — approx_percentile (Greenwald-Khanna
+    * summary) per label: the mergeable-sketch scale path for B7's
+    * exact quantiles (partial-agg friendly; memory bounded by the
+    * accuracy parameter, not the group size). Accuracy is set above
+    * the test-SF group sizes, where the summary stores every value and
+    * the answer is the exact nearest-rank quantile — so the DuckDB
+    * discrete-quantile oracle gates the full pipeline; at 100 TB the
+    * same plan degrades gracefully to ε-approximate.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(col("typ"))
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 1000000)").as("qs"))
+      .select(col("typ"),
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p90"),
+        round(element_at(col("qs"), 3), 4).as("p99"))
+
   /** B8: count_values — histogram of floor(value) per label. */
   def countValues(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).labeled
