@@ -168,6 +168,18 @@ object StreamOps extends Serializable {
         col("p.value").as("pur_v"))
   }
 
+  /** H8: streaming exact dedup — the streaming twin of the batch exact
+    * dedup (D1): drop re-deliveries of the same event within the
+    * watermark horizon. dropDuplicatesWithinWatermark keeps one state
+    * entry per key only until the watermark passes it, so state is
+    * ∝ (rate × horizon), never the full history — the correct shape
+    * for at-least-once transports (Kafka redelivery, producer retry).
+    */
+  def dedupStream(samples: DataFrame): DataFrame =
+    samples
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** H2: streaming add_series — mapGroupsWithState keyed by label set;
     * first sample creates the series (isNew=true, stable hash tsid),
     * later samples bump counters. State size ∝ #series, not #samples.

@@ -240,4 +240,22 @@ class StreamingSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("H8: streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = StreamOps.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("h8_out").outputMode("append").start()
+    try {
+      in.addData(Sample(1, ts(0), "1", "click", 2.0), Sample(2, ts(1), "2", "view", 3.0))
+      q.processAllAvailable()
+      // re-delivery of event 1 (same id) plus a genuinely new event
+      in.addData(Sample(1, ts(0), "1", "click", 2.0), Sample(3, ts(2), "1", "click", 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("h8_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
 }
