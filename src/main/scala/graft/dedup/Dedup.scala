@@ -214,14 +214,17 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     clusterCache.computeIfAbsent((spark, dir), _ => computeClusters(spark, dir).cache())
 
-  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select("ia", "ib").cache()
     // The near-dup pair graph is tiny by construction (it is the
     // verified dedup output, ∝ actual duplicates, not corpus size).
     // Below a size threshold, driver-side union-find beats dozens of
     // sub-second Spark stages; the distributed propagation below is
     // the path for graphs that genuinely don't fit one machine.
-    val smallGraphLimit = 1000000L
+    // Configurable (session conf) so deployments can size it to their
+    // driver memory — and so the spec can force the distributed path.
+    val smallGraphLimit = spark.conf
+      .getOption("graft.dedup.smallGraphLimit").map(_.toLong).getOrElse(1000000L)
     if (pairs.count() < smallGraphLimit) return unionFindLocal(spark, pairs)
     // undirected edges, both directions
     val edges = pairs.unionAll(

@@ -54,4 +54,20 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(missed == 0, s"$missed true pairs missing from prefix candidates")
     assert(truth.count() > 0, "vacuous test: no true pairs at sf0.001")
   }
+
+  test("distributed CC propagation equals driver union-find on the same graph") {
+    // force the distributed min-label-propagation path by zeroing the
+    // small-graph threshold (now session-configurable), then compare
+    // against the default driver union-find — both must converge to
+    // the min doc_id per connected component
+    val key = "graft.dedup.smallGraphLimit"
+    val local = dedup.Dedup.computeClusters(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    try {
+      spark.conf.set(key, "0")
+      val dist = dedup.Dedup.computeClusters(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist == local && local.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
 }
