@@ -214,6 +214,12 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     clusterCache.computeIfAbsent((spark, dir), _ => computeClusters(spark, dir).cache())
 
+  /** Evict memoized cluster assignments (long-lived-service hygiene). */
+  def clearMemos(): Unit = {
+    clusterCache.values().forEach(_.unpersist(false))
+    clusterCache.clear()
+  }
+
   private[graft] def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select("ia", "ib").cache()
     // The near-dup pair graph is tiny by construction (it is the

@@ -220,6 +220,17 @@ object TagIndex {
   def memo(spark: SparkSession, dir: String, tag: String)(build: => TagIndex): TagIndex =
     cache.computeIfAbsent((spark, dir, tag), _ => build)
 
+  /** Evict all memoized indexes (unpersisting their cached tables) —
+    * for long-lived services; the memos otherwise live for the JVM.
+    */
+  def clearMemos(): Unit = {
+    cache.values().forEach { i =>
+      i.seriesCatalog.unpersist(false)
+      i.invertedIndex.unpersist(false)
+    }
+    cache.clear()
+  }
+
   def forEvents(spark: SparkSession, dir: String): TagIndex =
     memo(spark, dir, "usr,typ") {
       val ev = Tables.eventsRaw(spark, dir).select(

@@ -122,11 +122,25 @@ object Multimodal {
     }
   }
 
-  /** STUB decode: byte statistics standing in for codec output.
-    * Replace the body with a real codec call; the signature —
-    * Iterator[MediaItem] → Iterator[MediaFeatures] per partition,
-    * batch-amortized setup — is the contract.
+  /** The codec integration point: one instance per partition drives a
+    * batch of items — init (codec handles, model weights) happens once
+    * in `decode` before the iterator is consumed, amortized across the
+    * partition. Implementations must be Serializable (constructed on
+    * the driver, shipped to executors).
     */
+  trait MediaDecoder extends Serializable {
+    def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures]
+  }
+
+  /** STUB decoder: byte statistics standing in for codec output (this
+    * container has no image/audio codecs). A real implementation swaps
+    * in behind [[MediaDecoder]] without touching the pipeline plumbing.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
+      decodeStub(items)
+  }
+
   private def decodeStub(items: Iterator[MediaItem]): Iterator[MediaFeatures] = {
     // per-partition setup would happen here (codec init, model load)
     items.map { m =>
@@ -191,12 +205,17 @@ object Multimodal {
     * 100 TB. Output is identical to the inline path, so the same
     * DuckDB oracle gates it.
     */
-  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    pipelineWith(spark, dir, StubDecoder)
+
+  /** The pipeline with a caller-supplied codec behind [[MediaDecoder]]. */
+  def pipelineWith(spark: SparkSession, dir: String,
+      decoder: MediaDecoder): DataFrame = {
     import spark.implicits._
     val feats = fetchPayloads(
       pointerTable(spark, dir)
         .repartition(col("doc_id"))) // spread fetch IO evenly pre-decode
-      .mapPartitions(decodeStub)
+      .mapPartitions(decoder.decode _)
     // floor-based rounding: the underlying doubles are bit-identical to
     // the oracle's (exact integer sums / lengths), so floor(x*1e4+0.5)
     // can never disagree — round() can, on decimal-tie expansions like

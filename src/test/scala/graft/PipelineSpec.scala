@@ -120,4 +120,21 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(m => m.doc_id -> m.payload.toSeq).toMap
     assert(fetched == inline && inline.nonEmpty)
   }
+
+  test("Caches.clear evicts session memos; queries still answer after") {
+    // warm a memo, clear, re-run: same answer, no stale persisted state
+    val before = index.IndexQueries.matchEq(spark, dir).count()
+    Caches.clear()
+    val after = index.IndexQueries.matchEq(spark, dir).count()
+    assert(before == after && after > 0)
+  }
+
+  test("pipelineWith accepts a custom decoder behind the MediaDecoder trait") {
+    val constant = new multimodal.Multimodal.MediaDecoder {
+      override def decode(items: Iterator[multimodal.MediaItem]) =
+        items.map(m => multimodal.MediaFeatures(m.doc_id, 1L, 0.0, 0.0, Array(0.0, 0.0)))
+    }
+    val out = multimodal.Multimodal.pipelineWith(spark, dir, constant)
+    assert(out.select("n_bytes").distinct().count() == 1)
+  }
 }
