@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_fp"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHashAgg(exprs(0), exprs(1))))
   }
 }

