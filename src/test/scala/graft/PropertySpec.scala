@@ -149,4 +149,36 @@ class PropertySpec extends AnyFunSuite {
       assert(got(id) == want, s"id $id")
     }
   }
+
+  test("prefix filter admits every true j>=t pair on random corpora") {
+    import spark.implicits._
+    // random corpora with overlapping word pools: docs sharing a pool
+    // segment produce genuine high-jaccard pairs at varying rates; the
+    // exactness guarantee (candidates ⊇ true pairs) must hold at every
+    // threshold on every corpus
+    for (seed <- Seq(11, 22, 33); t <- Seq(0.6, 0.8, 0.9)) {
+      val rnd = new Random(seed)
+      val pool = (0 until 40).map(i => s"w$i")
+      val docs = (0L until 60L).map { d =>
+        val base = rnd.nextInt(5) * 6
+        val n = 8 + rnd.nextInt(6)
+        val words = (0 until n).map(_ => pool(base + rnd.nextInt(12)))
+        (d, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = dedup.Dedup.shingles(docs).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = sh.select(col("doc_id").as("ia"), col("sid"))
+        .join(sh.select(col("doc_id").as("ib"), col("sid")), Seq("sid"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+        .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+        .filter(col("c") / (col("na") + col("nb") - col("c")) >= t)
+        .select("ia", "ib")
+      val cand = dedup.Dedup.prefixCandidates(sh, t)
+      val missed = truth.exceptAll(cand).count()
+      assert(missed == 0, s"seed=$seed t=$t: $missed true pairs missed")
+      sh.unpersist()
+    }
+  }
 }
