@@ -58,6 +58,7 @@ object SparkEntry {
     "subquery_rate" -> (tsdb.Tsdb.subqueryRate _),
     "binary_op" -> (tsdb.Tsdb.binaryOp _),
     "quantile_sketch" -> (tsdb.Tsdb.quantileSketch _),
+    "text_pii" -> (text.TextAnalysis.piiScrub _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -331,6 +332,24 @@ object SparkEntry {
         |  floor(h.sum_v / b.user_v * 10000 + 0.5) / 10000 AS share
         |FROM hourly h JOIN by_user b USING (usr, hour_sec)
         |WHERE b.user_v <> 0""".stripMargin,
+    "text_pii" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || doc_id || '@mail.example 555-867-530'
+        |      || (doc_id % 10) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
+        |  FROM t)
+        |SELECT doc_id, n_emails, n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+        |  (n_emails + n_phones) = 2 AS clean_after_inject
+        |FROM c""".stripMargin,
     "quantile_sketch" ->
       """SELECT event_type AS typ,
         |  round(quantile_disc(value, 0.5), 4) AS p50,

@@ -63,6 +63,32 @@ object TextAnalysis {
       .withColumn("n_chars_m", length(col("text")))
       .select(col("doc_id"), col("n_ws"), col("n_bpeish"), col("n_chars_m"))
 
+  /** F5: PII detection + redaction — the standard curation scrub stage
+    * (emails, dashed phone numbers) as pure column regex ops: count
+    * occurrences, replace with typed placeholders, flag clean docs.
+    * The synthetic corpus contains no natural PII, so both engines
+    * append the same deterministic contact line first — that keeps the
+    * oracle's redaction check non-vacuous (every doc has exactly one
+    * email and one phone to find, plus whatever the text held).
+    * Patterns stay in the RE2 ∩ Java-regex dialect so Spark and DuckDB
+    * match identically.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    Tables.documents(spark, dir)
+      .withColumn("t", concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@mail.example 555-867-530"),
+        pmod(col("doc_id"), lit(10))))
+      .withColumn("n_emails", regexp_count(col("t"), lit(email)))
+      .withColumn("n_phones", regexp_count(col("t"), lit(phone)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"), phone, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("redacted"),
+        (col("n_emails") + col("n_phones") === 2).as("clean_after_inject"))
+  }
+
   /** F4: document fingerprint — Karp–Rabin rolling hash over 5-word
     * windows; the fingerprint is the minimum window hash (winnowing
     * with a single global window). Word code uses first/last char +
