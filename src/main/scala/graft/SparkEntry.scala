@@ -82,6 +82,7 @@ object SparkEntry {
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
     "ann_ivf" -> (similarity.Ann.ivfTopk _),
+    "ann_classify" -> (similarity.Ann.knnClassify _),
     "ann_lsh" -> (similarity.Ann.lshTopk _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
@@ -633,6 +634,27 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT ia, ib, cs FROM p WHERE cs >= 0.45""".stripMargin,
     // E. similarity search
+    "ann_classify" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 50),
+        |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id, n.label,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
+        |  FROM q JOIN n ON n.vec_id <> q.query_id),
+        |top5 AS (SELECT query_id, label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored) WHERE rk <= 5),
+        |votes AS (SELECT query_id, label, count(*) AS votes
+        |  FROM top5 GROUP BY 1, 2)
+        |SELECT query_id, label AS pred_label, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, label) AS m FROM votes)
+        |WHERE m = 1""".stripMargin,
     "ann_bruteforce" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -93,6 +93,35 @@ object Ann {
       .select(col("ia"), col("ib")).distinct()
   }
 
+  /** E4: kNN label propagation — classify query vectors by majority
+    * vote of their 5 nearest labeled neighbors (cosine): the
+    * similarity-search form of semi-supervised labeling a training-data
+    * pipeline runs to extend a seed label set. Brute-force neighbor
+    * scan with the query set broadcast (one corpus pass); ranking and
+    * vote ties broken deterministically (rounded cosine + neighbor id,
+    * then vote count + label) so both engines agree exactly.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    val all = withNorm(spark, Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"), col("label")))
+      .filter(col("label").isNotNull)
+    val q = all.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    val votes = scored.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("m", row_number().over(wVote)).filter(col("m") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** E3: IVF (inverted-file) ANN — spherical k-means coarse quantizer.
     *
     * Train: seeded init + a few Lloyd rounds, each round one pass
