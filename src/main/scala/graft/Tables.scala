@@ -16,6 +16,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Content fingerprint of a source file (path + size + mtime), for
+    * keying derived on-disk caches — a regenerated dataset at the same
+    * path must not hit a stale store.
+    */
+  def fingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    Integer.toHexString((path, f.length(), f.lastModified()).hashCode())
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

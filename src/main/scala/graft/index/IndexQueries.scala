@@ -120,7 +120,7 @@ object IndexQueries {
   private def storeFor(spark: SparkSession, dir: String): String =
     stores.computeIfAbsent(dir, _ => {
       val p = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_idxstore_" + Integer.toHexString(dir.hashCode)).toString
+        "graft_idxstore_" + graft.Tables.fingerprint(s"$dir/events.parquet")).toString
       IndexStore.materialize(idx(spark, dir), p)
       p
     })

@@ -61,7 +61,7 @@ object Multimodal {
   private def objectStoreFor(spark: SparkSession, dir: String): String =
     objStores.computeIfAbsent(dir, _ => {
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_objstore_" + Integer.toHexString(dir.hashCode)).toString
+        "graft_objstore_" + graft.Tables.fingerprint(s"$dir/documents.parquet")).toString
       val marker = new java.io.File(base, "_SUCCESS")
       if (!marker.exists()) {
         mediaTable(spark, dir).foreachPartition { (it: Iterator[MediaItem]) =>
