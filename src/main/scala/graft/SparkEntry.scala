@@ -70,6 +70,7 @@ object SparkEntry {
     "salted_agg" -> (operators.Skew.saltedAgg _),
     "interval_join" -> (operators.Relational.intervalJoin _),
     "rollup_agg" -> (operators.Relational.rollupAgg _),
+    "pivot_agg" -> (operators.Relational.pivotAgg _),
     "curation_pipeline" -> (operators.Curation.pipeline _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     // D. dedup
@@ -480,6 +481,14 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_v
         |FROM events GROUP BY 1, 2""".stripMargin,
     // C. relational core
+    "pivot_agg" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+        |FROM events GROUP BY 1""".stripMargin,
     "rollup_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,

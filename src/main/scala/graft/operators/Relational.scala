@@ -141,6 +141,21 @@ object Relational {
       .select(col("event_id"), col("u").cast("string").as("usr"), col("n_nearby"))
   }
 
+  /** C12: pivot — long-to-wide aggregation (per-user event-type count
+    * matrix). The pivot value set is declared explicitly: Spark then
+    * plans ONE pass with a conditional aggregate per value instead of
+    * a distinct-scan to discover columns (which at 100 TB is an extra
+    * full pass and a driver-side schema surprise).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val wide = Tables.events(spark, dir)
+      .groupBy(col("user_id").cast("string").as("usr"))
+      .pivot("event_type", types)
+      .count()
+    wide.select(col("usr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
   /** C11: ROLLUP — the subtotal lattice over (returnflag, linestatus):
     * the OLAP grouping-sets surface. Spark expands the lattice map-side
     * (one Expand node, one shuffle) — same cost class as the flat
