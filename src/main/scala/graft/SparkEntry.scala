@@ -59,6 +59,7 @@ object SparkEntry {
     "binary_op" -> (tsdb.Tsdb.binaryOp _),
     "quantile_sketch" -> (tsdb.Tsdb.quantileSketch _),
     "text_pii" -> (text.TextAnalysis.piiScrub _),
+    "stratified_sample" -> (text.TextAnalysis.stratifiedSample _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
     "q3_join" -> (operators.Relational.q3Join _),
@@ -334,6 +335,17 @@ object SparkEntry {
         |  floor(h.sum_v / b.user_v * 10000 + 0.5) / 10000 AS share
         |FROM hourly h JOIN by_user b USING (usr, hour_sec)
         |WHERE b.user_v <> 0""".stripMargin,
+    "stratified_sample" ->
+      """WITH k AS (
+        |  SELECT *, CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT) AS sn
+        |  FROM documents)
+        |SELECT source,
+        |  count(*) AS n_kept,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM k
+        |WHERE doc_id % 10 < (CASE WHEN sn < 5 THEN 2
+        |                          WHEN sn < 10 THEN 5 ELSE 8 END)
+        |GROUP BY 1""".stripMargin,
     "text_pii" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -63,6 +63,28 @@ object TextAnalysis {
       .withColumn("n_chars_m", length(col("text")))
       .select(col("doc_id"), col("n_ws"), col("n_bpeish"), col("n_chars_m"))
 
+  /** F6: deterministic stratified sampling — the mechanism behind
+    * training-mix construction: each source stratum keeps a different
+    * fraction, chosen by a pure function of the row id so the sample
+    * is reproducible across runs, partitionings and engines (Spark's
+    * sampleBy is partitioning-dependent, which breaks exactly the
+    * reproducibility a data pipeline audit needs). Here the selector
+    * is doc_id mod 10 (ids are synthetic-uniform); at scale the same
+    * plan uses a salted hash of a stable key — still one scan, no
+    * shuffle before the filter.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    // strata = source groups (src0..src19 here): low-quality sources
+    // keep 20%, mid 50%, the rest 80%
+    val srcNum = regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int")
+    val keep = when(srcNum < 5, 2).when(srcNum < 10, 5).otherwise(8)
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) < keep)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+  }
+
   /** F5: PII detection + redaction — the standard curation scrub stage
     * (emails, dashed phone numbers) as pure column regex ops: count
     * occurrences, replace with typed placeholders, flag clean docs.
