@@ -58,6 +58,7 @@ object SparkEntry {
     "subquery_rate" -> (tsdb.Tsdb.subqueryRate _),
     "binary_op" -> (tsdb.Tsdb.binaryOp _),
     "quantile_sketch" -> (tsdb.Tsdb.quantileSketch _),
+    "at_modifier" -> (tsdb.Tsdb.atModifier _),
     "text_pii" -> (text.TextAnalysis.piiScrub _),
     "stratified_sample" -> (text.TextAnalysis.stratifiedSample _),
     // C. relational core
@@ -364,6 +365,18 @@ object SparkEntry {
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
         |  (n_emails + n_phones) = 2 AS clean_after_inject
         |FROM c""".stripMargin,
+    "at_modifier" ->
+      """WITH w AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    ts, event_id, value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-20 12:00:00.000001'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY usr, typ
+        |        ORDER BY ts DESC, event_id DESC) AS rk FROM w)
+        |SELECT usr, typ, epoch_us(ts)//1000000 AS sample_ts_sec,
+        |  round(value, 2) AS value_at
+        |FROM r WHERE rk = 1""".stripMargin,
     "quantile_sketch" ->
       """SELECT event_type AS typ,
         |  round(quantile_disc(value, 0.5), 4) AS p50,

@@ -400,6 +400,28 @@ object Tsdb {
         col("rate_1h"), col("max_rate_1d"))
   }
 
+  /** B25: PromQL `@` modifier — an instant vector pinned to a fixed
+    * evaluation timestamp: for every series, the most recent sample at
+    * or before T (with PromQL's staleness horizon: nothing older than
+    * 5m before T). One filtered scan + max_by aggregate — the time
+    * filter rides the raw ts_ns column into parquet row-group stats,
+    * so at scale only the partitions around T are read.
+    */
+  def atModifier(spark: SparkSession, dir: String): DataFrame = {
+    val t = lit("2024-01-20 12:00:00").cast("timestamp")
+    val stale = lit("2024-01-20 00:00:00").cast("timestamp") // wide horizon: sparse series
+    val i = idx(spark, dir)
+    val window =
+      if (i.labeled.columns.contains("ts_ns"))
+        i.labeled.filter(col("ts_ns") >= unix_micros(stale) * 1000L &&
+          col("ts_ns") < (unix_micros(t) + 1L) * 1000L)
+      else
+        i.labeled.filter(col("ts") >= stale && col("ts") <= t)
+    window.groupBy(col("usr"), col("typ"))
+      .agg(unix_timestamp(max(col("ts"))).as("sample_ts_sec"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2).as("value_at"))
+  }
+
   /** B23: PromQL binary operation with vector matching —
     * `series_hourly / on(usr, hour) group_left user_hourly`: the many
     * side (per-series hourly sums, extra label typ) divides by the one
