@@ -95,6 +95,7 @@ object SparkEntry {
     // G. multimodal
     "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
     "mm_framesample" -> (multimodal.Multimodal.frameSample _),
+    "mm_audio_windows" -> (multimodal.Multimodal.audioFeatures _),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -760,6 +761,25 @@ object SparkEntry {
         |  floor(list_sum(list_transform(codes,
         |      x -> CASE WHEN x % 4 = 1 THEN 1 ELSE 0 END)) * 1.0 / len * 10000 + 0.5) / 10000 AS f1
         |FROM c""".stripMargin,
+    "mm_audio_windows" ->
+      """WITH c AS (SELECT doc_id, length(text) AS len,
+        |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes
+        |  FROM documents),
+        |w AS (SELECT doc_id, len, codes,
+        |    CAST((len + 31)//32 AS INT) AS n_win FROM c),
+        |e AS (SELECT doc_id, n_win, CAST(t.w_i AS INT) AS w_i,
+        |    CAST(list_sum(list_transform(
+        |      list_slice(codes, t.w_i*32 + 1, least((t.w_i+1)*32, len)),
+        |      x -> x*x)) AS BIGINT) AS energy
+        |  FROM w, UNNEST(range(w.n_win)) AS t(w_i)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY energy DESC, w_i) AS rk FROM e)
+        |SELECT doc_id,
+        |  CAST(max(n_win) AS INT) AS n_win,
+        |  CAST(sum(energy) AS BIGINT) AS total_energy,
+        |  CAST(max(CASE WHEN rk = 1 THEN w_i END) AS INT) AS peak_win,
+        |  CAST(max(CASE WHEN rk = 1 THEN energy END) AS BIGINT) AS peak_energy
+        |FROM r GROUP BY 1""".stripMargin,
     "mm_framesample" ->
       """WITH c AS (SELECT doc_id, length(text) AS len,
         |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes

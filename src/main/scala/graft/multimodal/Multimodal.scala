@@ -198,6 +198,41 @@ object Multimodal {
       (floor(col("mean_sampled_byte") * 10000 + 0.5) / 10000).as("mean_sampled_byte"))
   }
 
+  case class AudioFeatures(doc_id: Long, n_win: Int, total_energy: Long,
+      peak_win: Int, peak_energy: Long)
+
+  /** G3: audio-style windowed features — the payload treated as a PCM
+    * sample stream, chopped into fixed 32-byte windows with per-window
+    * energy (Σ sample²), peak-window detection, total energy. The
+    * per-partition iterator is where a real audio codec/VAD model
+    * batches; arithmetic is exact integers, so the ASCII-byte oracle
+    * matches bit-for-bit. Peak ties resolve to the FIRST max window on
+    * both engines.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = 32
+    mediaTable(spark, dir).mapPartitions { items =>
+      // per-partition codec/model init would go here (STUB)
+      items.map { m =>
+        val b = m.payload
+        val n = (b.length + win - 1) / win
+        var total = 0L; var peak = 0L; var peakI = 0
+        var w = 0
+        while (w < n) {
+          var e = 0L
+          var i = w * win
+          val end = math.min((w + 1) * win, b.length)
+          while (i < end) { val v = (b(i) & 0xff).toLong; e += v * v; i += 1 }
+          total += e
+          if (e > peak) { peak = e; peakI = w }
+          w += 1
+        }
+        AudioFeatures(m.doc_id, n, total, peakI, peak)
+      }
+    }.toDF()
+  }
+
   /** G1: the full pipeline — pointer table → uri fetch → per-partition
     * batch decode → feature columns. Payloads are NOT inline: the
     * pipeline reads them through the object-store pointer path
