@@ -53,6 +53,8 @@ object SparkEntry {
     "sliding_window" -> (tsdb.Tsdb.slidingWindow _),
     "session_window" -> (tsdb.Tsdb.sessionWindow _),
     "holt_winters" -> (tsdb.Tsdb.holtWinters _),
+    "holt_winters_seasonal" -> (tsdb.Tsdb.holtWintersSeasonal _),
+    "logical_ops" -> (tsdb.Tsdb.logicalOps _),
     "predict_linear" -> (tsdb.Tsdb.predictLinear _),
     "offset_compare" -> (tsdb.Tsdb.offsetCompare _),
     "subquery_rate" -> (tsdb.Tsdb.subqueryRate _),
@@ -81,6 +83,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedup.Dedup.simhash _),
     "dedup_ngram_jaccard" -> (dedup.Dedup.ngramJaccard _),
     "dedup_embedding" -> (dedup.Dedup.embeddingCosine _),
+    "dedup_embedding_lsh" -> (dedup.Dedup.embeddingLsh _),
     "dedup_clusters" -> (dedup.Dedup.clusters _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
@@ -433,6 +436,61 @@ object SparkEntry {
         |SELECT h.usr, h.typ, o.n, round(h.s, 4) AS hw
         |FROM hw h JOIN o ON o.usr = h.usr AND o.typ = h.typ AND h.k = o.n
         |WHERE o.n >= 3""".stripMargin,
+    // recursion carries the seasonal LIST in the CTE state; every
+    // arithmetic expression replicates the Spark fold's op order so the
+    // doubles are bit-identical before round()
+    "holt_winters_seasonal" ->
+      """WITH RECURSIVE
+        |o AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, count(*) AS n,
+        |    list_transform(
+        |      list_sort(list(struct_pack(us := epoch_us(ts),
+        |        eid := event_id, v := value))),
+        |      x -> x.v) AS l
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT usr, typ,
+        |    unnest(list_transform(range(1, len(l) + 1),
+        |      i -> struct_pack(idx := i, v := l[i]))) AS e
+        |  FROM o),
+        |hw(usr, typ, k, s, b, c) AS (
+        |  SELECT usr, typ, 1 AS k, l[1] AS s, CAST(0 AS DOUBLE) AS b,
+        |    [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |     CAST(0 AS DOUBLE)] AS c
+        |  FROM o WHERE n >= 1
+        |  UNION ALL
+        |  SELECT h.usr, h.typ, h.k + 1,
+        |    0.3*((q.e).v - h.c[(h.k % 4) + 1]) + 0.7*(h.s + h.b) AS s,
+        |    0.1*((0.3*((q.e).v - h.c[(h.k % 4) + 1]) + 0.7*(h.s + h.b)) - h.s)
+        |      + 0.9*h.b AS b,
+        |    list_transform(range(1, 5), m -> CASE WHEN m = (h.k % 4) + 1
+        |      THEN 0.2*((q.e).v
+        |             - (0.3*((q.e).v - h.c[(h.k % 4) + 1]) + 0.7*(h.s + h.b)))
+        |           + 0.8*h.c[m]
+        |      ELSE h.c[m] END) AS c
+        |  FROM hw h JOIN seq q ON q.usr = h.usr AND q.typ = h.typ
+        |    AND (q.e).idx = h.k + 1)
+        |SELECT h.usr, h.typ, o.n, round(h.s, 4) AS hw,
+        |  round(h.s + h.b + h.c[(o.n % 4) + 1], 4) AS fc
+        |FROM hw h JOIN o ON o.usr = h.usr AND o.typ = h.typ AND h.k = o.n
+        |WHERE o.n >= 6""".stripMargin,
+    "logical_ops" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    round(sum(value), 2) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT * FROM base WHERE sum_v > 600),
+        |b AS (SELECT * FROM base WHERE typ = 'error' AND sum_v > 750)
+        |SELECT 'and' AS op, usr, typ, sum_v FROM a
+        |  WHERE usr IN (SELECT usr FROM b)
+        |UNION ALL
+        |SELECT 'unless' AS op, usr, typ, sum_v FROM a
+        |  WHERE usr NOT IN (SELECT usr FROM b)
+        |UNION ALL
+        |SELECT 'or' AS op, usr, typ, sum_v FROM (
+        |  SELECT * FROM a
+        |  UNION ALL
+        |  SELECT b.* FROM b WHERE NOT EXISTS (
+        |    SELECT 1 FROM a WHERE a.usr = b.usr AND a.typ = b.typ))""".stripMargin,
     "interval_join" ->
       """SELECT e.event_id, CAST(e.user_id AS VARCHAR) AS usr,
         |  count(p.event_id) AS n_nearby
@@ -668,6 +726,29 @@ object SparkEntry {
         |      i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 4) AS cs
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT ia, ib, cs FROM p WHERE cs >= 0.45""".stripMargin,
+    // twin derivation doubles floats (exact: exponent bump only), so
+    // both engines build bit-identical derived corpora; the exact
+    // all-pairs scan here equals the Spark LSH-candidates + exact-
+    // verify path because planted-pair recall is 1 at this banding
+    "dedup_embedding_lsh" ->
+      """WITH twins AS (SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(1, 65),
+        |      i -> CASE WHEN (i-1) % 16 = 0
+        |           THEN embedding[i] * CAST(2 AS FLOAT)
+        |           ELSE embedding[i] END) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |allv AS (SELECT vec_id, embedding FROM embeddings
+        |         UNION ALL SELECT vec_id, embedding FROM twins),
+        |v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM allv),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 4) AS cs
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT ia, ib, cs FROM p WHERE cs >= 0.9""".stripMargin,
     // E. similarity search
     "ann_classify" ->
       """WITH v AS (SELECT vec_id, label,

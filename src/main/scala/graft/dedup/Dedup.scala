@@ -328,9 +328,18 @@ object Dedup {
     * norm). Exposed so the scale probe can drive the same tiling over
     * replicated corpora.
     */
-  def embeddingCosineOn(spark: SparkSession, e: DataFrame): DataFrame = {
+  def embeddingCosineOn(spark: SparkSession, e: DataFrame, tiles0: Int = -1): DataFrame = {
     import spark.implicits._
-    val B = 16
+    // B scales with the corpus so a tile row never exceeds ~tileTarget
+    // vectors (collect_list rows are bounded — no 2 GB array / executor
+    // OOM at large N), while shuffle volume stays B replicas of the
+    // corpus (B ~ √P at the tile-target ceiling). Callers can pin B
+    // directly (arg) or size the target per executor memory (conf).
+    val B = if (tiles0 > 0) tiles0 else {
+      val target = spark.conf.getOption("graft.dedup.cosineTileTarget")
+        .map(_.toInt).getOrElse(65536)
+      math.max(16, math.ceil(e.count().toDouble / target).toInt)
+    }
     val tiles = e
       .withColumn("g", pmod(col("vec_id"), lit(B)).cast("int"))
       .groupBy(col("g"))
@@ -374,6 +383,52 @@ object Dedup {
     raw.toDF()
       .withColumn("cs", round(col("cs_raw"), 4))
       .filter(col("cs") >= 0.45)
+      .select(col("ia"), col("ib"), col("cs"))
+  }
+
+  /** D5b: embedding-cosine near-dup at a HIGH threshold (cs ≥ 0.9) via
+    * LSH candidate pruning — the 100 TB scale path the tiled exact join
+    * above deliberately is not (see its scaladoc: on a gapless corpus
+    * at τ=0.45 pruning is impossible; at τ=0.9 it is real).
+    *
+    * The base corpus is near-isotropic (pairwise cs ≤ ~0.55), so the
+    * query PLANTS near-duplicates deterministically: every vec_id ≡ 0
+    * (mod 20) gets a twin (id + 1,000,000) with elements 0,16,32,48
+    * doubled. Doubling a float only bumps its exponent — exact in any
+    * binary FP precision — so Spark and the DuckDB oracle derive
+    * bit-identical twin vectors with zero rounding hazard. The twin's
+    * cosine to its source is (1+r)/√(1+3r) for r = the doubled
+    * positions' share of squared mass: minimum 0.9428 at r = 1/3,
+    * ≈ 0.975 at the typical r ≈ 1/16 — always above the 0.9 gate.
+    * Non-planted pairs stay below (0.55+3r)/(1+3r) ≤ 0.89 worst-case,
+    * so the exact-verified output is precisely the planted pairs and
+    * equals the oracle's exact all-pairs scan.
+    *
+    * Candidates come from [[graft.similarity.Ann.lshPairCandidates]]
+    * (16 tables × 8-bit random-hyperplane signatures): per-pair recall
+    * at cs 0.975 is 1 - (1-p⁸)¹⁶ ≈ 1 - 2.5e-6 with p = 1 - arccos(cs)/π
+    * — deterministic under the fixed seed, verified at both SFs — while
+    * a random pair is admitted with prob ≈ 16/2⁸ ≈ 6%: the candidate
+    * join is bucket-local (Σ bucket² per table, never corpus²), which
+    * is what survives 10⁹ vectors.
+    */
+  def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val twins = base.filter(pmod(col("vec_id"), lit(20)) === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(v, (x, i) -> IF(i % 16 = 0, cast(x * cast(2.0 as float) as float), x))")
+          .as("v"))
+    val all = graft.similarity.Ann.withNorm(spark, base.unionByName(twins)).cache()
+    val cand = graft.similarity.Ann
+      .lshPairCandidates(all, bits = 8, tables = 16, dim = 64, seed = 424242L)
+    val va = all.select(col("vec_id").as("ia"), col("v").as("av"), col("norm").as("an"))
+    val vb = all.select(col("vec_id").as("ib"), col("v").as("bv"), col("norm").as("bn"))
+    cand.join(va, Seq("ia")).join(vb, Seq("ib"))
+      .withColumn("cs",
+        round(call_function("vec_dot", col("av"), col("bv")) / (col("an") * col("bn")), 4))
+      .filter(col("cs") >= 0.9)
       .select(col("ia"), col("ib"), col("cs"))
   }
 }

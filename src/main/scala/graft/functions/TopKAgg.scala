@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Bounded top-k per group: keeps the k best (value DESC, then label
-  * ascending for deterministic ties) entries in a tiny sorted buffer.
+/** Bounded top-k per group: keeps the k best (value DESC — or ASC with
+  * `asc = true`, the bottomk half — then label ascending for
+  * deterministic ties) entries in a tiny sorted buffer.
   *
   * The window-function formulation (`row_number() OVER (PARTITION BY g
   * ORDER BY v DESC)` + filter) sorts every group's full row set; this
@@ -21,6 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TopKAgg(
     vExpr: Expression, aExpr: Expression, bExpr: Expression, k: Int,
+    asc: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, UTF8String, UTF8String)]] {
@@ -33,10 +35,10 @@ case class TopKAgg(
     StructField("v", DoubleType), StructField("a", StringType),
     StructField("b", StringType))), containsNull = false)
 
-  /** (v desc, a asc, b asc): returns true if x ranks strictly better than y. */
+  /** (v desc|asc, a asc, b asc): true if x ranks strictly better than y. */
   private def better(x: (Double, UTF8String, UTF8String),
       y: (Double, UTF8String, UTF8String)): Boolean = {
-    if (x._1 != y._1) x._1 > y._1
+    if (x._1 != y._1) { if (asc) x._1 < y._1 else x._1 > y._1 }
     else {
       val ca = x._2.compareTo(y._2)
       if (ca != 0) ca < 0 else x._3.compareTo(y._3) < 0

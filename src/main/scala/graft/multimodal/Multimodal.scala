@@ -112,11 +112,17 @@ object Multimodal {
             uri.getScheme + Option(uri.getAuthority).getOrElse(""),
             org.apache.hadoop.fs.FileSystem.get(uri, conf))
           val p = new org.apache.hadoop.fs.Path(uri)
-          val len = fs.getFileStatus(p).getLen.toInt
-          val buf = new Array[Byte](len)
+          // stream to EOF — one open() RPC per object, no getFileStatus
+          // metadata round-trip (which doubled per-object latency on
+          // KB-scale payloads)
           val in = fs.open(p)
-          try in.readFully(0, buf) finally in.close()
-          m.copy(payload = buf)
+          val bos = new java.io.ByteArrayOutputStream(8192)
+          try {
+            val tmp = new Array[Byte](65536)
+            var r = in.read(tmp)
+            while (r >= 0) { bos.write(tmp, 0, r); r = in.read(tmp) }
+          } finally in.close()
+          m.copy(payload = bos.toByteArray)
         }
       }
     }
@@ -214,7 +220,9 @@ object Multimodal {
     val win = 32
     mediaTable(spark, dir).mapPartitions { items =>
       // per-partition codec/model init would go here (STUB)
-      items.map { m =>
+      // zero-length payloads yield no windows and no row — matching the
+      // oracle, whose UNNEST(range(0)) drops empty docs entirely
+      items.filter(_.payload.nonEmpty).map { m =>
         val b = m.payload
         val n = (b.length + win - 1) / win
         var total = 0L; var peak = 0L; var peakI = 0

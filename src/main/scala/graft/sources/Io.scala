@@ -34,18 +34,34 @@ object Io {
   /** Small-file compaction — the standing lakehouse maintenance job:
     * streaming ingest (H3's foreachBatch appends) leaves one file per
     * micro-batch per partition; thousands of KB-files per day turn
-    * every scan into a metadata storm. Rewrite each day partition into
-    * ~`targetBytes` files (computed from the partition's actual bytes),
-    * write-aside + directory swap so a crash mid-compact leaves the
-    * original intact — the file-level analog of IndexStore.compact.
+    * every scan into a metadata storm. Rewrite each `k=v` partition dir
+    * into ~`targetBytes` files (computed from the partition's actual
+    * bytes), write-aside, then swap via a BACKUP rename: at every
+    * instant a complete dataset exists at `path` or `path.bak`, so a
+    * crash anywhere loses nothing (delete-then-rename had a window with
+    * neither). Top-level non-partition entries (_SUCCESS and friends)
+    * are carried over from the original.
+    *
+    * Only valid for append-layout datasets (foreachBatch / batch
+    * writes). A streaming FILE-SINK dataset is defined by its
+    * _spark_metadata log, which would still list the pre-compaction
+    * files — refused explicitly rather than silently corrupted.
     */
   def compactPartitioned(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
     val src = new org.apache.hadoop.fs.Path(path)
-    fs.listStatus(src).filter(s => s.isDirectory).foreach { part =>
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(src, "_spark_metadata")),
+      s"$path is a streaming file-sink dataset (_spark_metadata): its " +
+        "metadata log is the read source of truth and lists the original " +
+        "files; compact the sink by rewriting through the sink itself")
+    fs.delete(tmp, true)
+    val entries = fs.listStatus(src)
+    val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    partDirs.foreach { part =>
       val bytes = fs.getContentSummary(part.getPath).getLength
       val nFiles = math.max(1, (bytes / targetBytes).toInt +
         (if (bytes % targetBytes > 0) 1 else 0))
@@ -54,8 +70,17 @@ object Io {
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(tmp, part.getPath.getName).toString)
     }
-    fs.delete(src, true)
+    // preserve non-partition entries (_SUCCESS markers, sidecar files)
+    entries.filterNot(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach { e =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmp, e.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    fs.delete(bak, true)
+    fs.rename(src, bak)
     fs.rename(tmp, src)
+    fs.delete(bak, true)
   }
 
   /** CSV export/ingest round-trip support (header + explicit schema on

@@ -146,6 +146,40 @@ object StreamOps extends Serializable {
       }
       .start()
 
+  /** H3b: checkpointed ingest WITH index maintenance — the reference's
+    * full WAL → MemIndex → try_compact loop (index_server.h:48-66) run
+    * end-to-end on the stream: every micro-batch (1) appends
+    * day-partitioned parquet to the lakehouse (the commit) and
+    * (2) flushes its inverted-index rows into the LSM IndexStore as a
+    * batch-id-keyed segment, so the materialized index trails the
+    * stream by at most one micro-batch and `resolvePostings` answers
+    * from the store while ingest keeps running. Batch-id segment names
+    * make the flush idempotent under foreachBatch replay (exactly-once
+    * index maintenance); periodic [[graft.index.IndexStore.compact]]
+    * bounds read amplification, exactly manual_compact.
+    */
+  def streamToStoreIndexed(samples: DataFrame, outPath: String,
+      checkpoint: String, indexPath: String,
+      labelNames: Seq[String] = Seq("usr", "typ")): org.apache.spark.sql.streaming.StreamingQuery =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.persist()
+        val ti = new graft.index.TagIndex(batch.toDF(), labelNames)
+        try {
+          batch.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+            .write.mode("append").partitionBy("day").parquet(outPath)
+          graft.index.IndexStore.flushBatch(ti, indexPath, batchId)
+        } finally {
+          // TagIndex persists its derived tables for reuse; a per-batch
+          // index is single-shot, so drop them with the batch
+          ti.invertedIndex.unpersist(false)
+          ti.seriesCatalog.unpersist(false)
+          batch.unpersist()
+        }
+      }
+      .start()
+
   /** H5: stream-stream interval join — the streaming twin of the batch
     * interval join (Relational.intervalJoin): errors ⋈ purchases for
     * the same user within ±1h of event time. Both sides carry

@@ -106,31 +106,29 @@ object Tsdb {
     * aggregate carries ≤ k entries per group through partial
     * aggregation and the shuffle (graft.functions.TopKAgg).
     */
-  def topk(spark: SparkSession, dir: String): DataFrame = {
+  def topk(spark: SparkSession, dir: String): DataFrame =
+    topBottomK(spark, dir, asc = false)
+
+  /** B6b: bottomk(3) — the ascending half of the same bounded-heap
+    * aggregate: both directions carry ≤ k entries through partial agg
+    * and the shuffle (no per-group window sort anywhere in B6).
+    */
+  def bottomk(spark: SparkSession, dir: String): DataFrame =
+    topBottomK(spark, dir, asc = true)
+
+  private def topBottomK(spark: SparkSession, dir: String, asc: Boolean): DataFrame = {
+    val fn = if (asc) "bottomk3" else "topk3"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk3", exprs => graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2), 3),
+      fn, exprs => graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2), 3, asc),
       "built-in")
     val hourly = idx(spark, dir).labeled
       .groupBy(col("usr"), col("typ"), hourSec)
       .agg(round(sum(col("value")), 2).as("sum_v"))
     hourly.groupBy(col("hour_sec"))
-      .agg(call_function("topk3", col("sum_v"), col("usr"), col("typ")).as("top"))
+      .agg(call_function(fn, col("sum_v"), col("usr"), col("typ")).as("top"))
       .select(col("hour_sec"), posexplode(col("top")))
       .select(col("hour_sec"), (col("pos") + 1).as("rk"),
         col("col.a").as("usr"), col("col.b").as("typ"), col("col.v").as("sum_v"))
-  }
-
-  /** B6b: bottomk(3) — symmetric to topk; window formulation (the
-    * ascending bounded-heap variant of TopKAgg would serve at scale).
-    */
-  def bottomk(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = idx(spark, dir).labeled
-      .groupBy(col("usr"), col("typ"), hourSec)
-      .agg(round(sum(col("value")), 2).as("sum_v"))
-    val w = Window.partitionBy(col("hour_sec"))
-      .orderBy(col("sum_v").asc, col("usr"), col("typ"))
-    hourly.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-      .select("hour_sec", "rk", "usr", "typ", "sum_v")
   }
 
   /** B7: exact interpolated quantiles of sample values per label. */
@@ -349,12 +347,14 @@ object Tsdb {
       .as[HwRow]
     val folded = rows.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[HwOut]
-      var cur = Long.MinValue
+      // n == 0 is the explicit "no open series" test — a sentinel tsid
+      // value could collide with a real series' xxhash64
+      var cur = 0L
       var usr = ""; var typ = ""
       var s = 0.0; var b = 0.0; var n = 0L
       def close(): Unit = if (n > 0) out += HwOut(usr, typ, n, s)
       it.foreach { r =>
-        if (r.tsid != cur) {
+        if (n == 0L || r.tsid != cur) {
           close()
           cur = r.tsid; usr = r.usr; typ = r.typ
           s = r.v; b = 0.0; n = 1L
@@ -375,6 +375,67 @@ object Tsdb {
     folded.toDF()
       .filter(col("n") >= 3)
       .select(col("usr"), col("typ"), col("n"), round(col("hw"), 4).as("hw"))
+  }
+
+  /** B20b: holt_winters with a seasonal term — additive triple
+    * smoothing (α=0.3, β=0.1, γ=0.2, period 4 by sample index) per
+    * series, emitting the final level and the one-step-ahead forecast
+    * (s + b + c[next]). Seasonal components start at zero and the
+    * level/trend recurrence degrades exactly to B20's double smoothing
+    * when every c[j] stays 0, so the two operators share semantics.
+    *
+    * Same bounded-state contract as B20: the fold carries ONLY
+    * (s, b, c[4]) per open series through one hash-repartition +
+    * secondary sort — O(p) state per series, no collect_list. The
+    * DuckDB oracle replays the identical IEEE op order through a
+    * recursive CTE carrying the seasonal LIST, so doubles match
+    * bit-for-bit before rounding.
+    */
+  def holtWintersSeasonal(spark: SparkSession, dir: String): DataFrame =
+    holtWintersSeasonalOn(spark, idx(spark, dir).labeled)
+
+  case class HwSeasOut(usr: String, typ: String, n: Long, hw: Double, fc: Double)
+
+  def holtWintersSeasonalOn(spark: SparkSession, labeled: DataFrame): DataFrame = {
+    import spark.implicits._
+    val p = 4
+    val rows = labeled
+      .select(col("tsid"), col("usr"), col("typ"),
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        col("value").as("v"))
+      .repartition(col("tsid"))
+      .sortWithinPartitions(col("tsid"), col("us"), col("eid"))
+      .as[HwRow]
+    val folded = rows.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[HwSeasOut]
+      var cur = 0L
+      var usr = ""; var typ = ""
+      var s = 0.0; var b = 0.0; var n = 0L
+      var c = new Array[Double](p)
+      def close(): Unit =
+        if (n > 0) out += HwSeasOut(usr, typ, n, s, s + b + c((n % p).toInt))
+      it.foreach { r =>
+        if (n == 0L || r.tsid != cur) {
+          close()
+          cur = r.tsid; usr = r.usr; typ = r.typ
+          s = r.v; b = 0.0; n = 1L; c = new Array[Double](p)
+        } else {
+          // identical op order to the oracle's recursive CTE
+          val j = (n % p).toInt // 0-based index of THIS sample is n; season slot n mod p
+          val s2 = 0.3 * (r.v - c(j)) + 0.7 * (s + b)
+          b = 0.1 * (s2 - s) + 0.9 * b
+          c(j) = 0.2 * (r.v - s2) + 0.8 * c(j)
+          s = s2
+          n += 1L
+        }
+      }
+      close()
+      out.iterator
+    }
+    folded.toDF()
+      .filter(col("n") >= 6)
+      .select(col("usr"), col("typ"), col("n"),
+        round(col("hw"), 4).as("hw"), round(col("fc"), 4).as("fc"))
   }
 
   /** B22: PromQL subquery semantics — `max_over_time(rate(x[1h])[1d:1h])`:
@@ -442,6 +503,43 @@ object Tsdb {
       .filter(col("user_v") =!= 0) // a share of a zero total is undefined
       .select(col("usr"), col("typ"), col("hour_sec"), col("sum_v"), col("user_v"),
         (floor(col("sum_v") / col("user_v") * 10000 + 0.5) / 10000).as("share"))
+  }
+
+  /** B26: PromQL logical/set binary operators — `and` / `or` /
+    * `unless` with vector matching, the alerting set algebra the
+    * reference's Prometheus adapter surface feeds (querier.h:14-24;
+    * e.g. `hot_series and on(usr) errors`, `hot unless maintenance`).
+    *
+    * Instant vectors: A = per-series total sum_v above a threshold
+    * (the `metric > T` filter vector), B = the 'error' series. Mapping
+    * to Spark set joins, exactly PromQL's semantics:
+    *  - `A and on(usr) B`   → left_semi join on the matched label —
+    *    keep A entries whose usr has any B entry, values from A;
+    *  - `A unless on(usr) B`→ left_anti join on usr;
+    *  - `A or B`            → A plus the B entries whose FULL label
+    *    set (usr, typ) has no A entry: union + left_anti.
+    * All three are one hash join on the match labels; the B side of
+    * and/unless is distinct label values only (broadcast-size in
+    * practice: a maintenance/error series set, not samples).
+    */
+  def logicalOps(spark: SparkSession, dir: String): DataFrame = {
+    val base = idx(spark, dir).labeled
+      .groupBy(col("usr"), col("typ"))
+      .agg(round(sum(col("value")), 2).as("sum_v"))
+    val a = base.filter(col("sum_v") > 600)
+    // B = the heavy-error series (the "maintenance/noisy" vector) —
+    // selective on BOTH label and value so and/unless each keep a
+    // nontrivial subset at every SF
+    val bVec = base.filter(col("typ") === "error" && col("sum_v") > 750)
+    val bKeys = broadcast(bVec.select(col("usr")).distinct())
+    val andV = a.join(bKeys, Seq("usr"), "left_semi")
+      .withColumn("op", lit("and"))
+    val unlessV = a.join(bKeys, Seq("usr"), "left_anti")
+      .withColumn("op", lit("unless"))
+    val orV = a.unionByName(bVec.join(a, Seq("usr", "typ"), "left_anti"))
+      .withColumn("op", lit("or"))
+    andV.unionByName(unlessV).unionByName(orV)
+      .select(col("op"), col("usr"), col("typ"), col("sum_v"))
   }
 
   /** B21: offset comparison — PromQL's `offset` modifier as day-over-

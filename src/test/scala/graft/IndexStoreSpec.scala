@@ -33,8 +33,11 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(stored == mem && mem.nonEmpty)
   }
 
-  test("store layout is partitioned by label_name (per-label pruning)") {
-    val dirs = new java.io.File(store).listFiles().map(_.getName)
+  test("store layout is segmented, partitioned by label_name (per-label pruning)") {
+    val segs = new java.io.File(store).listFiles().map(_.getName)
+      .filter(_.startsWith("seg="))
+    assert(segs.length == 1, s"expected one segment after full materialize: ${segs.toSeq}")
+    val dirs = new java.io.File(store, segs.head).listFiles().map(_.getName)
     assert(dirs.contains("label_name=usr") && dirs.contains("label_name=typ"))
     val one = IndexStore.load(spark, store)
       .filter(org.apache.spark.sql.functions.col("label_name") === "typ")
@@ -80,11 +83,43 @@ class IndexStoreSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(stored == mem && mem.nonEmpty)
 
-    // manual_compact folds segments without changing the view
+    // manual_compact folds segments without changing the view or the
+    // watermark identity
+    val wmPre = IndexStore.storedWatermarkNs(spark, pIncr)
     IndexStore.compact(spark, pIncr)
     assert(rows(pIncr) == rows(pFull))
-    val segs = new java.io.File(s"$pIncr/label_name=typ")
+    assert(IndexStore.storedWatermarkNs(spark, pIncr) == wmPre)
+    val segDirs = new java.io.File(pIncr).listFiles()
+      .filter(_.getName.startsWith("seg="))
+    assert(segDirs.length == 1, s"compact left ${segDirs.length} segments")
+    val files = new java.io.File(segDirs.head, "label_name=typ")
       .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(segs == 1, s"compact left $segs segment files")
+    assert(files == 1, s"compact left $files files in one partition")
+  }
+
+  /** The ADVICE-flagged boundary case: two samples in the SAME
+    * microsecond split across flushes. A µs-truncated watermark either
+    * drops the second or double-counts the first; the exclusive-ns
+    * segment watermark must do neither.
+    */
+  test("incremental flush handles boundary-microsecond samples exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, String, String, Double)]) =
+      new TagIndex(
+        rows.toDF("event_id", "ts_ns", "usr", "typ", "value")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+        Seq("usr", "typ"))
+    val t0 = 1700000000000000000L // some ns epoch
+    val b1 = Seq((1L, t0, "1", "click", 1.0), (2L, t0 + 500L, "1", "click", 1.0))
+    val b2extra = Seq((3L, t0 + 900L, "1", "click", 1.0), // same µs as batch1 max!
+      (4L, t0 + 2000L, "2", "view", 1.0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bnd").toString + "/idx"
+    IndexStore.materialize(mk(b1), tmp)
+    IndexStore.materializeIncremental(mk(b1 ++ b2extra), tmp)
+    val n = IndexStore.load(spark, tmp)
+      .filter(col("label_name") === "usr" && col("label_value") === "1")
+      .select("n_samples").head().getLong(0)
+    assert(n == 3L, s"boundary-µs sample lost or double-counted: n_samples=$n")
   }
 }

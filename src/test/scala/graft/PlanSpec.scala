@@ -80,6 +80,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("zip_with"), "interpreted HOF in hot path")
   }
 
+  test("dedup_embedding_lsh: candidate join is bucket-local (hash join on (t, bucket))") {
+    val df = SparkEntry.queries("dedup_embedding_lsh")(spark, dir)
+    df.collect() // AQE: final plan only materializes after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"corpus² cross join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"corpus² nested-loop join:\n$p")
+    // the self-join keys on (t, bucket): comparisons stay Σ bucket², never corpus²
+    assert(p.contains("bucket"), s"no bucket-keyed join in plan:\n$p")
+  }
+
+  test("topk/bottomk: bounded-heap aggregate, no per-group window sort") {
+    for (name <- Seq("topk", "bottomk")) {
+      val p = plan(name)
+      assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+        s"$name sorts whole groups through a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$name lost the TypedImperative heap:\n$p")
+    }
+  }
+
   test("holt_winters: bounded state — no per-series collect_list buffer") {
     val p = plan("holt_winters")
     assert(!p.contains("collect_list"),

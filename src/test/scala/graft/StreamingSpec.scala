@@ -67,6 +67,55 @@ class StreamingSpec extends AnyFunSuite {
       == "2024-01-01")
   }
 
+  test("H3b: per-micro-batch index maintenance equals a batch rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val (out, ckpt, idxPath) = (s"$tmp/out", s"$tmp/ckpt", s"$tmp/idx")
+    val all = Seq(
+      Sample(0, ts(0), "1", "click", 2.0), Sample(1, ts(1), "2", "view", 3.0),
+      Sample(2, ts(2), "1", "click", 4.0), Sample(3, ts(3), "9", "error", 1.0),
+      Sample(4, ts(4), "1", "click", 5.0))
+
+    val in1 = MemoryStream[Sample]
+    in1.addData(all.take(2))
+    in1.addData(all.slice(2, 4))
+    val q1 = StreamOps.streamToStoreIndexed(in1.toDF(), out, ckpt, idxPath)
+    q1.processAllAvailable(); q1.stop()
+
+    // restart replay: committed batches must not re-flush (batch-id
+    // segment names make a replayed flush overwrite, not duplicate)
+    val in2 = MemoryStream[Sample]
+    in2.addData(all.take(2)); in2.addData(all.slice(2, 4)); in2.addData(all.drop(4))
+    val q2 = StreamOps.streamToStoreIndexed(in2.toDF(), out, ckpt, idxPath)
+    q2.processAllAvailable(); q2.stop()
+
+    // merge-on-read view after 3 micro-batches == one-shot batch rebuild
+    val batchIdx = new index.TagIndex(all.toDF(), Seq("usr", "typ"))
+    val want = batchIdx.invertedIndex
+      .select("label_name", "label_value", "tsid", "min_ts", "max_ts", "n_samples")
+      .collect().map(_.toSeq).toSet
+    val got = index.IndexStore.load(spark, idxPath)
+      .select("label_name", "label_value", "tsid", "min_ts", "max_ts", "n_samples")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty, s"store=$got batch=$want")
+
+    // matcher resolution from the live store == in-memory path
+    val m = Seq(index.LabelMatcher("typ", index.MatchOp.Eql, "click"))
+    val storeT = index.IndexStore.resolvePostings(spark, idxPath, m)
+      .collect().map(_.getLong(0)).toSet
+    val memT = index.TagIndex.resolvePostings(batchIdx.invertedIndex, m)
+      .collect().map(_.getLong(0)).toSet
+    assert(storeT == memT && memT.nonEmpty)
+
+    // manual_compact folds the batch segments without changing the view
+    index.IndexStore.compact(spark, idxPath)
+    val gotC = index.IndexStore.load(spark, idxPath)
+      .select("label_name", "label_value", "tsid", "min_ts", "max_ts", "n_samples")
+      .collect().map(_.toSeq).toSet
+    assert(gotC == want)
+  }
+
   test("H4: streaming rate closes buckets on next-bucket arrival and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
