@@ -72,6 +72,101 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** All random-hyperplane LSH bucket ids of a vector in ONE codegen
+  * pass: element t of the result packs `bits` sign bits of
+  * dot(v, plane[t*bits + b]).
+  *
+  * Why not `bits × tables` vec_dot columns with `typedlit` planes: each
+  * plane becomes dim literals in the projection's generated source —
+  * 16 tables × 8 bits × 64 dims ≈ 8k constants — which bloats codegen
+  * past JIT-friendly sizes and gets fully re-evaluated on every
+  * reference (both sides of a candidate self-join). Here the plane
+  * matrix rides along as ONE flat double[] reference object and the
+  * whole signature is a tight triple loop.
+  */
+case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+    tables: Int, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.length == tables * bits, "planes must be tables*bits rows")
+  private val dim = planes.headOption.map(_.length).getOrElse(0)
+  // flattened row-major: plane p's coords at [p*dim, (p+1)*dim)
+  private lazy val flat: Array[Double] = planes.flatten
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_buckets expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val f = isFloat
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += (if (f) v.getFloat(i).toDouble else v.getDouble(i)) * flat(off + i)
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val planesRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    int $off = ($t * $bits + $b) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ((double) $v.$get($i)) * $planesRef[$off + $i];
+         |    }
+         |    if ($acc >= 0) $bucket |= (1 << $b);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VecFunctions {
   /** Idempotent per-session registration; gives Column-API access via
     * call_function without depending on Column's private constructor.

@@ -61,6 +61,24 @@ object Ann {
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** (vec_id, v) → exploded (vec_id, t, bucket) LSH bucket rows via the
+    * single-pass [[graft.functions.LshBuckets]] codegen expression (one
+    * flat plane-matrix reference object — not tables×bits×dim literals
+    * in the generated source, which stalls JIT and re-evaluates per
+    * reference). Registered per (tables, bits, seed) so configs never
+    * cross-contaminate within a session.
+    */
+  private[graft] def lshBucketed(vecs: DataFrame, bits: Int, tables: Int,
+      dim: Int, seed: Long): DataFrame = {
+    val ps = planesFor(tables * bits, dim, seed)
+    val fn = s"lsh_buckets_${tables}_${bits}_$seed"
+    vecs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, exprs => graft.functions.LshBuckets(exprs.head, ps, tables, bits),
+      "built-in")
+    vecs.select(col("vec_id"), posexplode(call_function(fn, col("v"))))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
+  }
+
   /** All-pairs LSH candidate generation: random-hyperplane signatures,
     * `tables` tables × `bits` bits; a pair is a candidate iff it shares
     * a bucket in ≥1 table. Returns distinct (ia, ib) with ia < ib.
@@ -75,17 +93,8 @@ object Ann {
     */
   def lshPairCandidates(all: DataFrame, bits: Int, tables: Int,
                         dim: Int = 64, seed: Long = 424242L): DataFrame = {
-    val ps = planesFor(tables * bits, dim, seed)
-    def dot(p: Array[Double]): Column =
-      call_function("vec_dot", col("v"), typedlit(p.toSeq))
-    val bucketCols = (0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        (0 until bits).map { b =>
-          when(dot(ps(t * bits + b)) >= 0, lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _).as("bucket"))
-    }
-    val bucketed = all.select(col("vec_id"), explode(array(bucketCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val bucketed = lshBucketed(all.select(col("vec_id"), col("v")),
+      bits, tables, dim, seed)
     bucketed.select(col("vec_id").as("ia"), col("t"), col("bucket"))
       .join(bucketed.select(col("vec_id").as("ib"), col("t"), col("bucket")),
         Seq("t", "bucket"))
@@ -209,25 +218,13 @@ object Ann {
     lshTopkOn(vecs(spark, dir), col("vec_id") < 10)
 
   def lshTopkOn(all: DataFrame, isQuery: Column): DataFrame = {
-    val dim = 64
-    val ps = planes(dim)
-    // signature bit = sign(dot(v, plane)); bucket per table = packed bits
-    def dot(p: Array[Double]): Column =
-      call_function("vec_dot", col("v"), typedlit(p.toSeq))
-    val bucketCols = (0 until Tables_).map { t =>
-      struct(lit(t).as("t"),
-        (0 until Bits).map { b =>
-          when(dot(ps(t * Bits + b)) >= 0, lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _).as("bucket"))
-    }
-    val bucketed = all.select(col("vec_id"), col("v"), col("norm"),
-      explode(array(bucketCols: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val bucketed = lshBucketed(all.select(col("vec_id"), col("v")),
+      Bits, Tables_, 64, 424242L)
 
     // candidate ids first (cheap distinct on a pair of longs); vectors
     // joined back only for the exact-cosine re-rank
-    val qBuckets = bucketed.filter(isQuery)
+    val qBuckets = all.filter(isQuery).select(col("vec_id"), col("v"))
+      .transform(q => lshBucketed(q, Bits, Tables_, 64, 424242L))
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val candIds = bucketed.select(col("vec_id"), col("t"), col("bucket"))
       .join(broadcast(qBuckets), Seq("t", "bucket"))
