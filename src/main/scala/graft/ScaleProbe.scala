@@ -52,8 +52,9 @@ object ScaleProbe {
         big.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       })
     t("distinct_series")(big.select("user_id", "event_type").distinct())
-    // bounded-state fold: memory stays O(1)/series at any factor
+    // bounded-state folds: memory stays O(1)/series at any factor
     t("holt_winters")(tsdb.Tsdb.holtWintersOn(spark, idx.labeled))
+    t("hw_seasonal")(tsdb.Tsdb.holtWintersSeasonalOn(spark, idx.labeled))
 
     // tiled exact cosine join over a factor× corpus (replicas shifted;
     // the N² dot count is the inherent cost being measured)
@@ -67,6 +68,27 @@ object ScaleProbe {
       .cache()
     println(s"vectors: ${ebig.count()}")
     t("cosine_tiled")(dedup.Dedup.embeddingCosineOn(spark, ebig))
+
+    // LSH candidate scan (the D5b high-threshold path): replicas get
+    // k-dependent sign flips so they are NOT near-dups of each other —
+    // the probe then measures pure candidate generation + exact verify
+    // over a factor× corpus, with bucket-local joins the only shuffle
+    val edecor = (0 until factor).map { k =>
+      ebase.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+        .withColumn("v", expr(s"transform(v, (x, i) -> IF(i % ${k + 2} = 0, -x, x))"))
+    }.reduce(_ unionAll _)
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .cache()
+    println(s"decorrelated vectors: ${edecor.count()}")
+    t("lsh_pair_scan") {
+      val cand = similarity.Ann.lshPairCandidates(edecor, bits = 8, tables = 16)
+      val va = edecor.select(col("vec_id").as("ia"), col("v").as("av"), col("norm").as("an"))
+      val vb = edecor.select(col("vec_id").as("ib"), col("v").as("bv"), col("norm").as("bn"))
+      cand.join(va, Seq("ia")).join(vb, Seq("ib"))
+        .withColumn("cs",
+          round(call_function("vec_dot", col("av"), col("bv")) / (col("an") * col("bn")), 4))
+        .filter(col("cs") >= 0.9)
+    }
 
     // prefix-filtered jaccard over a factor× corpus. Replica words are
     // salted so replicas are NOT near-dups of each other — otherwise
