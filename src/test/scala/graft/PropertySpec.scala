@@ -150,6 +150,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LshBuckets equals the per-plane sign fold exactly") {
+    val rnd = new Random(4242L)
+    import spark.implicits._
+    val dim = 16; val tables = 5; val bits = 7
+    val planes = Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lshb_test", exprs => functions.LshBuckets(exprs.head, planes, tables, bits),
+      "built-in")
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), call_function("lshb_test", col("v")).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until tables).map { t =>
+        (0 until bits).map { b =>
+          val p = planes(t * bits + b)
+          val dot = v.indices.foldLeft(0.0)((acc, i) => acc + v(i).toDouble * p(i))
+          if (dot >= 0) 1 << b else 0
+        }.sum
+      }.toVector
+      assert(got(id) == want, s"id $id")
+    }
+  }
+
   test("prefix filter admits every true j>=t pair on random corpora") {
     import spark.implicits._
     // random corpora with overlapping word pools: docs sharing a pool
