@@ -95,6 +95,9 @@ object SparkEntry {
     "text_quality" -> (text.TextAnalysis.quality _),
     "text_tokencount" -> (text.TextAnalysis.tokenCount _),
     "text_fingerprint" -> (text.TextAnalysis.fingerprint _),
+    "text_repetition" -> (text.TextAnalysis.repetition _),
+    "text_decontaminate" -> (text.TextAnalysis.decontaminate _),
+    "freq_items" -> (operators.Relational.freqItems _),
     // G. multimodal
     "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
     "mm_framesample" -> (multimodal.Multimodal.frameSample _),
@@ -825,6 +828,59 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-z]+|[^a-z ]')) AS n_bpeish,
         |  length(text) AS n_chars_m
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2
+        |  FROM w),
+        |s AS (SELECT doc_id, len(g2) AS n_2grams,
+        |    len(g2) - len(list_distinct(g2)) AS n_dup FROM g)
+        |SELECT doc_id, n_2grams, n_dup,
+        |  floor(n_dup * 1.0 / n_2grams * 10000 + 0.5) / 10000 AS rep_ratio,
+        |  floor(n_dup * 1.0 / n_2grams * 10000 + 0.5) / 10000 > 0.1 AS flagged
+        |FROM s""".stripMargin,
+    // the canary injection mirrors the Spark side exactly: benchmark =
+    // doc_id%97==0, canary = that doc's first 8 words, appended to each
+    // doc_id%13==0 non-benchmark doc (round-robin by (doc_id//13) % nb)
+    "text_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |canaries AS (SELECT doc_id // 97 AS ci,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS canary
+        |  FROM bench),
+        |nb AS (SELECT count(*) AS nb FROM canaries),
+        |injected AS (SELECT d.doc_id,
+        |    d.text || ' ' || c.canary AS text
+        |  FROM documents d, nb
+        |  JOIN canaries c ON c.ci = (d.doc_id // 13) % nb.nb
+        |  WHERE d.doc_id % 13 = 0 AND d.doc_id % 97 <> 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 13 <> 0 OR doc_id % 97 = 0
+        |  UNION ALL SELECT doc_id, text FROM injected),
+        |cg AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |        ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS ng
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+        |        WHERE len(string_split(text, ' ')) >= 8)),
+        |bg AS (SELECT DISTINCT doc_id AS bid,
+        |    unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |        ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS ng
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench
+        |        WHERE len(string_split(text, ' ')) >= 8))
+        |SELECT cg.doc_id, count(DISTINCT cg.ng) AS n_shared,
+        |  count(DISTINCT bg.bid) AS n_bench
+        |FROM cg JOIN bg ON cg.ng = bg.ng AND cg.doc_id <> bg.bid
+        |GROUP BY 1""".stripMargin,
+    "freq_items" ->
+      """WITH c AS (SELECT event_type AS typ,
+        |    CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY typ
+        |    ORDER BY n DESC, bucket) AS rk FROM c)
+        |SELECT typ, rk, bucket, n FROM r WHERE rk <= 5""".stripMargin,
     // G. multimodal — the corpus is pure ASCII (verified: octet_length
     // == length for every doc), so the byte-level stub features are
     // exactly reproducible from char codes in SQL.

@@ -185,4 +185,28 @@ object Relational {
         round(avg(col("k")), 4).as("avg_k"),
         max(col("k")).as("max_k"))
   }
+
+  /** C13: frequent items (heavy hitters) — top-5 floor(value) buckets
+    * per label via the mergeable Misra–Gries summary
+    * (graft.functions.FreqItemsAgg): O(capacity) state per group
+    * through partial agg and the shuffle, vs a full per-group key
+    * histogram. Capacity (1024) exceeds the distinct-bucket count at
+    * test SF (≤ 328), where the summary is provably exact and the
+    * DuckDB group-by oracle gates the whole pipeline — the same
+    * exact-at-test-scale framing as the quantile sketch (B24); at
+    * 100 TB the identical plan degrades gracefully to ε-approximate
+    * heavy hitters (error ≤ n/1025).
+    */
+  def freqItems(spark: SparkSession, dir: String): DataFrame = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_items_1024",
+      exprs => graft.functions.FreqItemsAgg(exprs.head, 1024), "built-in")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("typ"))
+      .agg(call_function("freq_items_1024",
+        floor(col("value")).cast("long")).as("fi"))
+      .select(col("typ"), posexplode(slice(col("fi"), 1, 5)))
+      .select(col("typ"), (col("pos") + 1).as("rk"),
+        col("col.k").as("bucket"), col("col.n").as("n"))
+  }
 }

@@ -111,6 +111,81 @@ object TextAnalysis {
         (col("n_emails") + col("n_phones") === 2).as("clean_after_inject"))
   }
 
+  /** F7: intra-document repetition — the Gopher/C4-style quality rule
+    * that no inter-document dedup catches: the fraction of a document's
+    * word 2-grams that are repeats of an earlier 2-gram in the SAME
+    * document (boilerplate loops, template spam, decoding glitches).
+    * Pure per-row column arithmetic: one scan, no shuffle, no state —
+    * embarrassingly parallel at any scale.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(size(words) >= 2)
+      // materialize the split once (see fingerprint: re-referencing a
+      // split(...) expression inlines a fresh split per element_at)
+      .withColumn("__w", words)
+      .withColumn("__g2", transform(sequence(lit(1), size(col("__w")) - 1),
+        i => concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1))))
+      .withColumn("n_2grams", size(col("__g2")))
+      .withColumn("n_dup", col("n_2grams") - size(array_distinct(col("__g2"))))
+      .withColumn("rep_ratio",
+        floor(col("n_dup") / col("n_2grams").cast("double") * 10000 + 0.5) / 10000)
+      .select(col("doc_id"), col("n_2grams"), col("n_dup"), col("rep_ratio"),
+        (col("rep_ratio") > 0.1).as("flagged"))
+
+  /** F8: benchmark decontamination — the training-data hygiene pass
+    * every serious pipeline runs before training: flag corpus documents
+    * sharing any word 8-gram with a held-out benchmark/eval set (the
+    * GPT-3/Pile n-gram-collision rule). Here the "benchmark" is the
+    * deterministic doc_id ≡ 0 (mod 97) subset, and — because this
+    * synthetic corpus has almost no natural 8-gram collisions — each
+    * doc_id ≡ 0 (mod 13) document gets a benchmark canary (the first 8
+    * words of one benchmark doc, picked round-robin) appended, the same
+    * injection trick that keeps the PII oracle non-vacuous: the gate
+    * then proves known contamination is found, not that nothing exists.
+    *
+    * Shape at 100 TB: the benchmark gram set is small (eval suites are
+    * thousands of docs) → broadcast hash join against the corpus gram
+    * stream, grams hashed to longs; no shuffle of the corpus. Here
+    * grams stay strings so the DuckDB oracle is bit-exact.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // canaries keyed by dense benchmark index (ids are dense 0..N-1, so
+    // doc_id/97 enumerates the benchmark subset 0..nb-1)
+    val canaries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select((col("doc_id") / 97).cast("long").as("ci"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("canary"))
+    val nb = canaries.agg(count(lit(1)).as("nb"))
+    val injected = docs
+      .filter(pmod(col("doc_id"), lit(13)) === 0 && pmod(col("doc_id"), lit(97)) =!= 0)
+      .crossJoin(broadcast(nb))
+      .withColumn("ci", pmod(floor(col("doc_id") / 13).cast("long"), col("nb")))
+      .join(broadcast(canaries), Seq("ci"))
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("canary")).as("text"))
+    val corpus = docs
+      .filter(pmod(col("doc_id"), lit(13)) =!= 0 || pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(injected)
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(split(col("text"), " ")) >= 8)
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__w")) - 7),
+        i => concat_ws(" ", (0 until 8).map(k => element_at(col("__w"), i + k)): _*)))
+        .as("ng"))
+      .distinct()
+    val benchGrams = grams(docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("bid"), col("ng"))
+    grams(corpus)
+      .join(broadcast(benchGrams), Seq("ng"))
+      .filter(col("doc_id") =!= col("bid"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_shared"),
+        countDistinct(col("bid")).as("n_bench"))
+  }
+
   /** F4: document fingerprint — Karp–Rabin rolling hash over 5-word
     * windows; the fingerprint is the minimum window hash (winnowing
     * with a single global window). Word code uses first/last char +
