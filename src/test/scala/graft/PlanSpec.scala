@@ -108,6 +108,50 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Sort "), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // thresholds sized for the test corpus (defaults are 10GB-scale);
+      // at 100 TB the defaults fire on their own
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < lit("1992-06-01").cast("timestamp"))
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      // Catalyst injected a bloom-filter build from the selective side
+      // into the fact side's pre-shuffle scan stage
+      assert(p.contains("bloom_filter_agg"), s"no runtime bloom filter injected:\n$p")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning fires on the day-partitioned layout") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    sources.Io.writePartitionedSamples(spark, dir, s"$tmp/ev")
+    val ev = spark.read.parquet(s"$tmp/ev")
+    // dim with a selective predicate NOT derivable statically — only a
+    // runtime subquery can prune the fact partitions
+    val dim = spark.range(0, 20).select(
+      date_format(expr("date_add(date '2024-01-01', cast(id as int))"), "yyyy-MM-dd").as("day"),
+      (col("id") % 7).as("tag"))
+    val j = ev.join(dim.filter(col("tag") === 1), Seq("day"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning:\n$p")
+  }
+
   test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
     // the prefix filter must appear below the self-join: rank <= n - ceil(n*t) + 1
     val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
