@@ -90,6 +90,7 @@ object SparkEntry {
     "ann_ivf" -> (similarity.Ann.ivfTopk _),
     "ann_classify" -> (similarity.Ann.knnClassify _),
     "ann_lsh" -> (similarity.Ann.lshTopk _),
+    "ann_centroid" -> (similarity.Ann.centroidScore _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
     "text_quality" -> (text.TextAnalysis.quality _),
@@ -790,6 +791,27 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
         |WHERE rk <= 5""".stripMargin,
+    // centroid = per-label SUM of unit vectors (cosine is
+    // scale-invariant, so no count division); summation ORDER differs
+    // between engines only at the last ulp, absorbed by round(,4) like
+    // every other sum-based oracle here
+    "ann_centroid" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, label,
+        |    list_transform(e, x -> x / nrm) AS u FROM n),
+        |d AS (SELECT label, t.i AS i, sum(u[t.i]) AS s
+        |  FROM u, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2),
+        |c AS (SELECT label, list(s ORDER BY i) AS c,
+        |    sqrt(sum(s*s)) AS cn FROM d GROUP BY 1),
+        |sc AS (SELECT u.vec_id, u.label,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> u.u[i] * c.c[i])) / c.cn, 4) AS cs
+        |  FROM u JOIN c USING (label))
+        |SELECT vec_id, label, cs, cs < 0 AS outlier FROM sc""".stripMargin,
     // F. text analysis
     "text_langid" ->
       """WITH t AS (SELECT doc_id, lang,

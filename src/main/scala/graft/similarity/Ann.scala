@@ -209,6 +209,33 @@ object Ann {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
   }
 
+  /** E5: centroid coherence scoring — each labeled vector's cosine to
+    * its label's centroid direction (the SemDeDup/prototypicality
+    * signal a curation pipeline uses to drop mislabeled or off-cluster
+    * examples). Two passes, both partial-agg friendly: (1) per-label
+    * unit-vector SUM via the one-buffer [[graft.functions.VecSumAgg]]
+    * (cosine is scale-invariant, so the count never needs to divide),
+    * k×dim doubles total, broadcast back; (2) one scoring scan. No
+    * shuffle of the corpus beyond the k-row centroid aggregate —
+    * the shape that holds at 10⁹ vectors.
+    */
+  def centroidScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sum64", exprs => graft.functions.VecSumAgg(exprs.head, 64), "built-in")
+    val u = Tables.embeddings(spark, dir)
+      .filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
+    val cents = u.groupBy(col("label"))
+      .agg(call_function("vec_sum64", col("u")).as("c"))
+      .withColumn("cn", sqrt(call_function("vec_dot", col("c"), col("c"))))
+    u.join(broadcast(cents), Seq("label"))
+      .withColumn("cs", round(call_function("vec_dot", col("u"), col("c")) / col("cn"), 4))
+      .select(col("vec_id"), col("label"), col("cs"), (col("cs") < 0).as("outlier"))
+  }
+
   /** E2: LSH ANN — L=4 tables × 6-bit signatures; candidates = union of
     * same-bucket vectors across tables, re-ranked by exact cosine.
     * Output is hyperplane-dependent → rows-only gate; the spec checks
