@@ -49,6 +49,7 @@ object SparkEntry {
     "delta" -> (tsdb.Tsdb.delta _),
     "irate" -> (tsdb.Tsdb.irate _),
     "resets" -> (tsdb.Tsdb.resets _),
+    "changes" -> (tsdb.Tsdb.changes _),
     "label_ops" -> (tsdb.Tsdb.labelOps _),
     "sliding_window" -> (tsdb.Tsdb.slidingWindow _),
     "session_window" -> (tsdb.Tsdb.sessionWindow _),
@@ -314,6 +315,16 @@ object SparkEntry {
         |  FROM events)
         |SELECT usr, typ,
         |  CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS resets
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "changes" ->
+      """WITH r AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT usr, typ,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS changes
         |FROM r GROUP BY 1, 2""".stripMargin,
     "label_ops" ->
       """SELECT regexp_replace(event_type, '^(click|view)$', 'interaction') AS klass,

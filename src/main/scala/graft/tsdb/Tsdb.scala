@@ -218,6 +218,19 @@ object Tsdb {
       .agg(sum(when(col("value") < col("__prev"), 1).otherwise(0)).as("resets"))
   }
 
+  /** B28: changes() — count of consecutive-sample value CHANGES per
+    * series (any difference, vs resets() which counts only decreases).
+    * Same one-window-one-groupBy shape as B14.
+    */
+  def changes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts"), col("event_id"))
+    idx(spark, dir).labeled
+      .withColumn("__prev", lag(col("value"), 1).over(w))
+      .groupBy(col("usr"), col("typ"))
+      .agg(sum(when(col("__prev").isNotNull && col("value") =!= col("__prev"), 1)
+        .otherwise(0)).as("changes"))
+  }
+
   /** B15: label_replace + label_join — PromQL's label-manipulation
     * surface: rewrite typ through an anchored regex into a coarser
     * class, join labels into an instance id, re-aggregate.
