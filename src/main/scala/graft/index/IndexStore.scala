@@ -65,15 +65,31 @@ object IndexStore {
     Option(samples.agg(max(nsCol(samples))).head().get(0))
       .map(_.asInstanceOf[Long] + 1L)
 
+  /** Segment directory names that finished their write — a crash
+    * mid-flush leaves a seg dir WITHOUT Spark's _SUCCESS commit marker,
+    * and such a segment must count for nothing: not for the watermark
+    * (its name alone would make the retry skip the lost rows) and not
+    * for reads (partial files). Every store operation goes through this
+    * filter; uncommitted leftovers are overwritten by the retry.
+    */
+  private def committedSegs(spark: SparkSession, path: String): Seq[String] =
+    if (!exists(spark, path)) Seq.empty
+    else {
+      val f = fs(spark, path)
+      f.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("seg=") &&
+          f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.getName).toSeq
+    }
+
   /** The store's exclusive ingest-time watermark in raw ns, read from
-    * committed segment directory names (None for an empty/absent
+    * COMMITTED segment directory names (None for an empty/absent
     * store) — exactly what has been durably flushed, nothing else.
     */
   def storedWatermarkNs(spark: SparkSession, path: String): Option[Long] =
-    if (!exists(spark, path)) None
-    else fs(spark, path).listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("seg=")).map(_.stripPrefix("seg="))
+    committedSegs(spark, path)
+      .map(_.stripPrefix("seg="))
       .filter(n => n.nonEmpty && n.forall(_.isDigit)) // skip seg=b<id> batch segments
       .map(_.toLong).maxOption
 
@@ -129,14 +145,19 @@ object IndexStore {
   def flushBatch(idx: TagIndex, path: String, batchId: Long): Unit =
     write(idx.invertedIndex, s"$path/seg=b$batchId")
 
-  /** Merge-on-read view of the store: segments folded per entry. With
+  /** Merge-on-read view of the store: COMMITTED segments folded per
+    * entry (an uncommitted crash leftover contributes nothing). With
     * one segment (post-[[compact]]) the fold is the identity.
     */
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val segs = committedSegs(spark, path)
+    require(segs.nonEmpty, s"index store at $path has no committed segments")
+    spark.read.option("basePath", path)
+      .parquet(segs.map(s => s"$path/$s"): _*)
       .groupBy(col("label_name"), col("label_value"), col("tsid"))
       .agg(min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
         sum(col("n_samples")).as("n_samples"))
+  }
 
   /** manual_compact: fold all segments into one merged segment carrying
     * the same watermark. The merged store is built write-aside, then
@@ -149,9 +170,7 @@ object IndexStore {
     // numeric ns watermark when present, else the max batch id
     val segName = storedWatermarkNs(spark, path).map(wm => s"seg=$wm")
       .orElse {
-        if (!exists(spark, path)) None
-        else fs(spark, path).listStatus(new org.apache.hadoop.fs.Path(path))
-          .filter(_.isDirectory).map(_.getPath.getName)
+        committedSegs(spark, path)
           .filter(_.startsWith("seg=b")).map(_.stripPrefix("seg=b"))
           .filter(n => n.nonEmpty && n.forall(_.isDigit))
           .map(_.toLong).maxOption.map(b => s"seg=b$b")

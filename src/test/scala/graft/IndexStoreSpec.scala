@@ -97,6 +97,25 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(files == 1, s"compact left $files files in one partition")
   }
 
+  /** A crash mid-flush leaves a segment directory without Spark's
+    * _SUCCESS marker. Such a segment must count for nothing — above
+    * all not for the watermark, where its NAME alone would make the
+    * retry skip (and so permanently lose) the crashed batch's rows.
+    */
+  test("uncommitted segment directories are invisible to every store operation") {
+    val wm = IndexStore.storedWatermarkNs(spark, store)
+    assert(wm.nonEmpty)
+    val rows = IndexStore.load(spark, store).collect().map(_.toSeq).toSet
+    // simulate a crashed flush: a far-future segment with no _SUCCESS
+    val fake = new java.io.File(store, s"seg=${wm.get + 999999999L}")
+    assert(fake.mkdir())
+    try {
+      assert(IndexStore.storedWatermarkNs(spark, store) == wm,
+        "partial segment advanced the watermark — a flush retry would drop rows")
+      assert(IndexStore.load(spark, store).collect().map(_.toSeq).toSet == rows)
+    } finally fake.delete()
+  }
+
   /** The ADVICE-flagged boundary case: two samples in the SAME
     * microsecond split across flushes. A µs-truncated watermark either
     * drops the second or double-counts the first; the exclusive-ns
