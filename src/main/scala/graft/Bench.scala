@@ -34,7 +34,11 @@ object Bench {
       name -> ((mn, med))
     }
     val failed = results.collect { case (k, (v, _)) if v < 0 => k }.toSeq
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a default locale with comma decimal separators would
+    // render invalid JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
     val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + fmt(md) }

@@ -802,10 +802,12 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
         |WHERE rk <= 5""".stripMargin,
-    // centroid = per-label SUM of unit vectors (cosine is
-    // scale-invariant, so no count division); summation ORDER differs
-    // between engines only at the last ulp, absorbed by round(,4) like
-    // every other sum-based oracle here
+    // centroid = per-label SUM of unit vectors quantized to the 2^-20
+    // grid: each per-dim sum is a dyadic rational double represents
+    // EXACTLY (order-independent), so Spark and DuckDB centroids are
+    // bit-identical before rounding; cn and the dot run in sequential
+    // dim order on both sides (cosine is scale-invariant, so no count
+    // division anywhere)
     "ann_centroid" ->
       """WITH v AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -813,15 +815,17 @@ object SparkEntry {
         |n AS (SELECT vec_id, label, e,
         |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
         |u AS (SELECT vec_id, label,
-        |    list_transform(e, x -> x / nrm) AS u FROM n),
+        |    list_transform(e, x -> floor(x / nrm * 1048576.0 + 0.5) / 1048576.0)
+        |      AS u FROM n),
         |d AS (SELECT label, t.i AS i, sum(u[t.i]) AS s
         |  FROM u, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2),
-        |c AS (SELECT label, list(s ORDER BY i) AS c,
-        |    sqrt(sum(s*s)) AS cn FROM d GROUP BY 1),
+        |c AS (SELECT label, list(s ORDER BY i) AS c FROM d GROUP BY 1),
+        |c2 AS (SELECT label, c,
+        |    sqrt(list_sum(list_transform(c, x -> x*x))) AS cn FROM c),
         |sc AS (SELECT u.vec_id, u.label,
         |    round(list_sum(list_transform(range(1, 65),
-        |      i -> u.u[i] * c.c[i])) / c.cn, 4) AS cs
-        |  FROM u JOIN c USING (label))
+        |      i -> u.u[i] * c2.c[i])) / c2.cn, 4) AS cs
+        |  FROM u JOIN c2 USING (label))
         |SELECT vec_id, label, cs, cs < 0 AS outlier FROM sc""".stripMargin,
     // F. text analysis
     "text_langid" ->

@@ -119,11 +119,20 @@ object IndexStore {
     * segment named by the new watermark. Cost is ∝ the new batch — the
     * history is never rescanned. The ts_ns filter reaches parquet
     * row-group stats (a filter on the converted timestamp cannot push).
+    *
+    * Refuses a store built from batch-id segments ([[flushBatch]]):
+    * those carry no event-time watermark, so a time-based incremental
+    * flush cannot know what is already indexed — silently falling back
+    * to a full [[materialize]] would DELETE the streamed history.
     */
   def materializeIncremental(idx: TagIndex, path: String): Unit = {
     val spark = idx.samples.sparkSession
     storedWatermarkNs(spark, path) match {
-      case None => materialize(idx, path)
+      case None =>
+        require(committedSegs(spark, path).isEmpty,
+          s"store at $path holds batch-id segments (streaming flushBatch); " +
+            "time-watermark incremental flush does not apply — keep using flushBatch")
+        materialize(idx, path)
       case Some(wm) =>
         val fresh = idx.samples.filter(nsCol(idx.samples) >= wm)
         batchWmNs(fresh).foreach { newWm =>
@@ -137,13 +146,22 @@ object IndexStore {
     * `seg=b<batchId>`. In the streaming loop the micro-batch id is the
     * ingest clock (monotone and replay-stable under the checkpoint), so
     * this needs no event-time assumption — late data is indexed by the
-    * batch that carries it — and a foreachBatch replay after a failure
-    * overwrites the very same segment: exactly-once index maintenance.
-    * This is the reference's WAL → MemIndex → try_compact loop
+    * batch that carries it. Idempotence under foreachBatch replay:
+    * a COMMITTED segment for this batch id already holds exactly this
+    * batch's rows, so the replayed flush is a no-op — which also makes
+    * it safe for [[compact]] to reuse the max batch id as the merged
+    * segment's name (a replay can never clobber merged history);
+    * an UNCOMMITTED leftover (crash mid-write) is overwritten. Empty
+    * micro-batches (idle stream ticks) write nothing. This is the
+    * reference's WAL → MemIndex → try_compact loop
     * (index_server.h:48-66) with the checkpoint standing in for the WAL.
     */
-  def flushBatch(idx: TagIndex, path: String, batchId: Long): Unit =
-    write(idx.invertedIndex, s"$path/seg=b$batchId")
+  def flushBatch(idx: TagIndex, path: String, batchId: Long): Unit = {
+    val spark = idx.samples.sparkSession
+    if (!committedSegs(spark, path).contains(s"seg=b$batchId") &&
+        !idx.samples.isEmpty)
+      write(idx.invertedIndex, s"$path/seg=b$batchId")
+  }
 
   /** Merge-on-read view of the store: COMMITTED segments folded per
     * entry (an uncommitted crash leftover contributes nothing). With
@@ -151,27 +169,48 @@ object IndexStore {
     */
   def load(spark: SparkSession, path: String): DataFrame = {
     val segs = committedSegs(spark, path)
-    require(segs.nonEmpty, s"index store at $path has no committed segments")
-    spark.read.option("basePath", path)
-      .parquet(segs.map(s => s"$path/$s"): _*)
-      .groupBy(col("label_name"), col("label_value"), col("tsid"))
-      .agg(min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
-        sum(col("n_samples")).as("n_samples"))
+    if (segs.isEmpty) {
+      // a store that exists but holds no committed segments yet (e.g. a
+      // just-started streaming pipeline whose first batches were empty)
+      // is an EMPTY index, not an error
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("label_name", StringType), StructField("label_value", StringType),
+          StructField("tsid", LongType), StructField("min_ts", TimestampType),
+          StructField("max_ts", TimestampType), StructField("n_samples", LongType))))
+    } else
+      spark.read.option("basePath", path)
+        .parquet(segs.map(s => s"$path/$s"): _*)
+        .groupBy(col("label_name"), col("label_value"), col("tsid"))
+        .agg(min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
+          sum(col("n_samples")).as("n_samples"))
   }
 
   /** manual_compact: fold all segments into one merged segment carrying
-    * the same watermark. The merged store is built write-aside, then
-    * swapped via a backup rename — at every instant a complete store
-    * exists at `path` or at `path.bak`, so a crash anywhere loses
-    * nothing (the judge-flagged delete-then-rename window is gone).
+    * the same watermark identity — the numeric ns watermark when
+    * present, else the max batch id (safe against foreachBatch replay
+    * because [[flushBatch]] skips committed segments). Mixed stores
+    * (both families) are refused: a numeric merged name would let a
+    * later time-based flush re-index batch-segment samples past the
+    * watermark and double-count them.
+    *
+    * The merged store is built write-aside, then swapped via a backup
+    * rename with every rename result CHECKED — at every instant a
+    * complete store exists at `path` or at `path.bak`, and a crash in
+    * the window between the two renames is healed by the automatic
+    * bak-restore at the start of the next compact (or [[recover]]).
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    // the merged segment keeps the store's watermark identity: the
-    // numeric ns watermark when present, else the max batch id
+    recover(spark, path)
+    val hasNumeric = storedWatermarkNs(spark, path).isDefined
+    val batchSegs = committedSegs(spark, path).filter(_.startsWith("seg=b"))
+    require(!(hasNumeric && batchSegs.nonEmpty),
+      s"store at $path mixes time-watermark and batch-id segments; " +
+        "compact cannot assign the merged segment a safe identity")
     val segName = storedWatermarkNs(spark, path).map(wm => s"seg=$wm")
       .orElse {
-        committedSegs(spark, path)
-          .filter(_.startsWith("seg=b")).map(_.stripPrefix("seg=b"))
+        batchSegs.map(_.stripPrefix("seg=b"))
           .filter(n => n.nonEmpty && n.forall(_.isDigit))
           .map(_.toLong).maxOption.map(b => s"seg=b$b")
       }
@@ -179,12 +218,26 @@ object IndexStore {
       val tmp = path + ".compacting"
       val bak = path + ".bak"
       val f = fs(spark, path)
-      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      f.delete(p(tmp), true)
       write(load(spark, path), s"$tmp/$sn")
-      f.delete(new org.apache.hadoop.fs.Path(bak), true)
-      f.rename(new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.fs.Path(bak))
-      f.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
-      f.delete(new org.apache.hadoop.fs.Path(bak), true)
+      f.delete(p(bak), true)
+      require(f.rename(p(path), p(bak)), s"rename $path -> $bak failed")
+      require(f.rename(p(tmp), p(path)), s"rename $tmp -> $path failed")
+      f.delete(p(bak), true)
+    }
+  }
+
+  /** Heal the compact crash window: if the store path is gone but a
+    * complete backup exists, restore it. Invoked automatically by
+    * [[compact]]; callable directly after a crash.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val bak = path + ".bak"
+    if (!exists(spark, path) && exists(spark, bak)) {
+      val f = fs(spark, path)
+      require(f.rename(new org.apache.hadoop.fs.Path(bak),
+        new org.apache.hadoop.fs.Path(path)), s"restore $bak -> $path failed")
     }
   }
 

@@ -218,6 +218,15 @@ object Ann {
     * k×dim doubles total, broadcast back; (2) one scoring scan. No
     * shuffle of the corpus beyond the k-row centroid aggregate —
     * the shape that holds at 10⁹ vectors.
+    *
+    * Determinism: unit-vector elements are quantized to the 2⁻²⁰ grid
+    * BEFORE summation, so every per-dimension sum is a dyadic rational
+    * that double represents exactly up to ~2³³ vectors per label —
+    * i.e. the centroid is bit-identical regardless of partitioning,
+    * executor count, or engine (floating-point sums are otherwise
+    * order-dependent in the last ulp, and an ulp at a rounding
+    * boundary breaks the hash gate). The 2⁻²⁰ quantization error is
+    * ~1e-6 per element — three orders below the 1e-4 output rounding.
     */
   def centroidScore(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.register(spark)
@@ -227,7 +236,8 @@ object Ann {
       .filter(col("label").isNotNull)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
-      .withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
+      .withColumn("u", expr(
+        "transform(v, x -> floor(cast(x as double) / norm * 1048576.0D + 0.5D) / 1048576.0D)"))
     val cents = u.groupBy(col("label"))
       .agg(call_function("vec_sum64", col("u")).as("c"))
       .withColumn("cn", sqrt(call_function("vec_dot", col("c"), col("c"))))

@@ -54,6 +54,10 @@ object Io {
     val src = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    // heal a previous run's crash window (src renamed away, swap-in
+    // never happened): restore the complete backup first
+    if (!fs.exists(src) && fs.exists(bak))
+      require(fs.rename(bak, src), s"restore $bak -> $src failed")
     require(!fs.exists(new org.apache.hadoop.fs.Path(src, "_spark_metadata")),
       s"$path is a streaming file-sink dataset (_spark_metadata): its " +
         "metadata log is the read source of truth and lists the original " +
@@ -78,8 +82,8 @@ object Io {
           false, spark.sparkContext.hadoopConfiguration)
       }
     fs.delete(bak, true)
-    fs.rename(src, bak)
-    fs.rename(tmp, src)
+    require(fs.rename(src, bak), s"rename $src -> $bak failed")
+    require(fs.rename(tmp, src), s"rename $tmp -> $src failed")
     fs.delete(bak, true)
   }
 

@@ -148,15 +148,20 @@ object StreamOps extends Serializable {
 
   /** H3b: checkpointed ingest WITH index maintenance — the reference's
     * full WAL → MemIndex → try_compact loop (index_server.h:48-66) run
-    * end-to-end on the stream: every micro-batch (1) appends
-    * day-partitioned parquet to the lakehouse (the commit) and
+    * end-to-end on the stream: every micro-batch (1) writes its samples
+    * into the lakehouse under a batch-keyed directory (the commit) and
     * (2) flushes its inverted-index rows into the LSM IndexStore as a
     * batch-id-keyed segment, so the materialized index trails the
     * stream by at most one micro-batch and `resolvePostings` answers
-    * from the store while ingest keeps running. Batch-id segment names
-    * make the flush idempotent under foreachBatch replay (exactly-once
-    * index maintenance); periodic [[graft.index.IndexStore.compact]]
-    * bounds read amplification, exactly manual_compact.
+    * from the store while ingest keeps running. BOTH halves are
+    * idempotent under foreachBatch replay: the lakehouse write is
+    * mode-overwrite into `batch=<id>/day=...` (a replay rewrites the
+    * same directory instead of appending duplicates — the flaw of a
+    * plain append sink), and the index flush skips its committed
+    * segment. Readers see `batch` as one more partition column; day
+    * pruning is unaffected. Periodic
+    * [[graft.index.IndexStore.compact]] bounds read amplification,
+    * exactly manual_compact.
     */
   def streamToStoreIndexed(samples: DataFrame, outPath: String,
       checkpoint: String, indexPath: String,
@@ -168,7 +173,8 @@ object StreamOps extends Serializable {
         val ti = new graft.index.TagIndex(batch.toDF(), labelNames)
         try {
           batch.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-            .write.mode("append").partitionBy("day").parquet(outPath)
+            .write.mode("overwrite").partitionBy("day")
+            .parquet(s"$outPath/batch=$batchId")
           graft.index.IndexStore.flushBatch(ti, indexPath, batchId)
         } finally {
           // TagIndex persists its derived tables for reuse; a per-batch

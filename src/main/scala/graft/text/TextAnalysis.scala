@@ -167,14 +167,18 @@ object TextAnalysis {
       .filter(pmod(col("doc_id"), lit(13)) =!= 0 || pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id"), col("text"))
       .unionByName(injected)
+    // per-document dedup happens INSIDE the row (array_distinct before
+    // explode) — a global .distinct() here would shuffle the entire
+    // corpus gram stream, which is exactly what this operator must not
+    // do at scale; the final countDistinct handles cross-gram dedup on
+    // the (tiny) matched set only
     def grams(df: DataFrame): DataFrame = df
       .filter(size(split(col("text"), " ")) >= 8)
       .withColumn("__w", split(col("text"), " "))
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), size(col("__w")) - 7),
-        i => concat_ws(" ", (0 until 8).map(k => element_at(col("__w"), i + k)): _*)))
+        i => concat_ws(" ", (0 until 8).map(k => element_at(col("__w"), i + k)): _*))))
         .as("ng"))
-      .distinct()
     val benchGrams = grams(docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id"), col("text")))
       .select(col("doc_id").as("bid"), col("ng"))
