@@ -81,13 +81,10 @@ object ScaleProbe {
       .cache()
     println(s"decorrelated vectors: ${edecor.count()}")
     t("lsh_pair_scan") {
-      val cand = similarity.Ann.lshPairCandidates(edecor, bits = 8, tables = 16)
-      val va = edecor.select(col("vec_id").as("ia"), col("v").as("av"), col("norm").as("an"))
-      val vb = edecor.select(col("vec_id").as("ib"), col("v").as("bv"), col("norm").as("bn"))
-      cand.join(va, Seq("ia")).join(vb, Seq("ib"))
-        .withColumn("cs",
-          round(call_function("vec_dot", col("av"), col("bv")) / (col("an") * col("bn")), 4))
-        .filter(col("cs") >= 0.9)
+      // same candidate + verify pipeline as the gated dedup_embedding_lsh
+      dedup.Dedup.cosineVerify(
+        similarity.Ann.lshPairCandidates(edecor, bits = 8, tables = 24),
+        edecor, 0.9)
     }
 
     // prefix-filtered jaccard over a factor× corpus. Replica words are

@@ -405,12 +405,15 @@ object Dedup {
     * equals the oracle's exact all-pairs scan.
     *
     * Candidates come from [[graft.similarity.Ann.lshPairCandidates]]
-    * (16 tables × 8-bit random-hyperplane signatures): per-pair recall
-    * at cs 0.975 is 1 - (1-p⁸)¹⁶ ≈ 1 - 2.5e-6 with p = 1 - arccos(cs)/π
-    * — deterministic under the fixed seed, verified at both SFs — while
-    * a random pair is admitted with prob ≈ 16/2⁸ ≈ 6%: the candidate
-    * join is bucket-local (Σ bucket² per table, never corpus²), which
-    * is what survives 10⁹ vectors.
+    * (24 tables × 8-bit random-hyperplane signatures), sized for the
+    * WORST planted pair, not the typical one: with p = 1 - arccos(cs)/π,
+    * per-pair miss is (1-p⁸)²⁴ ≈ 4.6e-6 at the r=1/3 minimum cs 0.9428
+    * and ≈ 4e-9 at the typical cs 0.975 — so the gate stays exact even
+    * if a regenerated corpus lands thousands of planted pairs near the
+    * worst case. Deterministic under the fixed seed, verified at both
+    * SFs. A random pair is admitted with prob ≈ 24/2⁸ ≈ 9%: the
+    * candidate join is bucket-local (Σ bucket² per table, never
+    * corpus²), which is what survives 10⁹ vectors.
     */
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.register(spark)
@@ -422,13 +425,23 @@ object Dedup {
           .as("v"))
     val all = graft.similarity.Ann.withNorm(spark, base.unionByName(twins)).cache()
     val cand = graft.similarity.Ann
-      .lshPairCandidates(all, bits = 8, tables = 16, dim = 64, seed = 424242L)
-    val va = all.select(col("vec_id").as("ia"), col("v").as("av"), col("norm").as("an"))
-    val vb = all.select(col("vec_id").as("ib"), col("v").as("bv"), col("norm").as("bn"))
+      .lshPairCandidates(all, bits = 8, tables = 24, dim = 64, seed = 424242L)
+    cosineVerify(cand, all, 0.9)
+  }
+
+  /** Exact-cosine verification of candidate (ia, ib) pairs against a
+    * (vec_id, v, norm) corpus: join vectors back, one codegen dot per
+    * pair, keep pairs at/above `threshold` after oracle-parity
+    * rounding. Shared by the gated D5b query and the scale probe so
+    * both measure the same pipeline.
+    */
+  def cosineVerify(cand: DataFrame, vecs: DataFrame, threshold: Double): DataFrame = {
+    val va = vecs.select(col("vec_id").as("ia"), col("v").as("av"), col("norm").as("an"))
+    val vb = vecs.select(col("vec_id").as("ib"), col("v").as("bv"), col("norm").as("bn"))
     cand.join(va, Seq("ia")).join(vb, Seq("ib"))
       .withColumn("cs",
         round(call_function("vec_dot", col("av"), col("bv")) / (col("an") * col("bn")), 4))
-      .filter(col("cs") >= 0.9)
+      .filter(col("cs") >= threshold)
       .select(col("ia"), col("ib"), col("cs"))
   }
 }

@@ -105,14 +105,17 @@ object IndexStore {
     }
 
   /** Full flush (first compaction): rewrite the whole store as one
-    * segment. No-op on an empty batch.
+    * segment. An empty batch rebuilds an EMPTY store (the path is
+    * always cleared — a rebuild must never leave stale rows serving
+    * reads; [[load]] renders a segment-less store as an empty index).
     */
-  def materialize(idx: TagIndex, path: String): Unit =
+  def materialize(idx: TagIndex, path: String): Unit = {
+    val f = fs(idx.samples.sparkSession, path)
+    f.delete(new org.apache.hadoop.fs.Path(path), true)
     batchWmNs(idx.samples).foreach { wm =>
-      val f = fs(idx.samples.sparkSession, path)
-      f.delete(new org.apache.hadoop.fs.Path(path), true)
       write(idx.invertedIndex, s"$path/seg=$wm")
     }
+  }
 
   /** Incremental flush (try_compact analog): index only the samples
     * at-or-past the stored exclusive watermark and commit them as a new
@@ -158,6 +161,10 @@ object IndexStore {
     */
   def flushBatch(idx: TagIndex, path: String, batchId: Long): Unit = {
     val spark = idx.samples.sparkSession
+    require(storedWatermarkNs(spark, path).isEmpty,
+      s"store at $path holds time-watermark segments; streaming flushBatch " +
+        "into it would double-count samples past the watermark in the " +
+        "merge-on-read fold — use a dedicated store path per ingest mode")
     if (!committedSegs(spark, path).contains(s"seg=b$batchId") &&
         !idx.samples.isEmpty)
       write(idx.invertedIndex, s"$path/seg=b$batchId")
@@ -200,6 +207,13 @@ object IndexStore {
     * complete store exists at `path` or at `path.bak`, and a crash in
     * the window between the two renames is healed by the automatic
     * bak-restore at the start of the next compact (or [[recover]]).
+    *
+    * Like the reference's manual_compact (which serializes on
+    * compaction_mutex, index_server.h:61-66), compact assumes no
+    * concurrent flush into this store — run it during an ingest pause.
+    * As a backstop it re-lists the committed segments after building
+    * the merged copy and ABORTS (leaving the store untouched) if new
+    * segments committed meanwhile, so a racing flush loses nothing.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     recover(spark, path)
@@ -214,6 +228,7 @@ object IndexStore {
           .filter(n => n.nonEmpty && n.forall(_.isDigit))
           .map(_.toLong).maxOption.map(b => s"seg=b$b")
       }
+    val snapshot = committedSegs(spark, path).toSet
     segName.foreach { sn =>
       val tmp = path + ".compacting"
       val bak = path + ".bak"
@@ -221,6 +236,13 @@ object IndexStore {
       def p(s: String) = new org.apache.hadoop.fs.Path(s)
       f.delete(p(tmp), true)
       write(load(spark, path), s"$tmp/$sn")
+      val now = committedSegs(spark, path).toSet
+      if (now != snapshot) {
+        f.delete(p(tmp), true)
+        throw new IllegalStateException(
+          s"store at $path changed during compact (${(now -- snapshot).mkString(",")} " +
+            "committed); aborted without touching the store — retry during an ingest pause")
+      }
       f.delete(p(bak), true)
       require(f.rename(p(path), p(bak)), s"rename $path -> $bak failed")
       require(f.rename(p(tmp), p(path)), s"rename $tmp -> $path failed")

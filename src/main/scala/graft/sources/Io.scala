@@ -65,14 +65,25 @@ object Io {
     fs.delete(tmp, true)
     val entries = fs.listStatus(src)
     val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    partDirs.foreach { part =>
-      val bytes = fs.getContentSummary(part.getPath).getLength
+    // recurse to LEAF partition directories so nested layouts
+    // (batch=N/day=...) keep every partition level: rewriting a
+    // non-leaf dir with a plain parquet write would collapse the inner
+    // k=v dirs into data columns and kill their pruning
+    def leaves(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(d)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq(d) else kids.toSeq.flatMap(k => leaves(k.getPath))
+    }
+    val srcUri = src.toUri.getPath
+    partDirs.flatMap(p => leaves(p.getPath)).foreach { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+      val bytes = fs.getContentSummary(leaf).getLength
       val nFiles = math.max(1, (bytes / targetBytes).toInt +
         (if (bytes % targetBytes > 0) 1 else 0))
-      spark.read.parquet(part.getPath.toString)
+      spark.read.parquet(leaf.toString)
         .repartition(nFiles)
         .write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(tmp, part.getPath.getName).toString)
+        .parquet(new org.apache.hadoop.fs.Path(tmp, rel).toString)
     }
     // preserve non-partition entries (_SUCCESS markers, sidecar files)
     entries.filterNot(s => s.isDirectory && s.getPath.getName.contains("="))

@@ -160,8 +160,10 @@ object StreamOps extends Serializable {
     * plain append sink), and the index flush skips its committed
     * segment. Readers see `batch` as one more partition column; day
     * pruning is unaffected. Periodic
-    * [[graft.index.IndexStore.compact]] bounds read amplification,
-    * exactly manual_compact.
+    * [[graft.index.IndexStore.compact]] during ingest pauses bounds
+    * read amplification, exactly manual_compact (which serializes on
+    * the reference's compaction_mutex; compact itself aborts safely if
+    * a racing flush commits mid-merge).
     */
   def streamToStoreIndexed(samples: DataFrame, outPath: String,
       checkpoint: String, indexPath: String,

@@ -79,4 +79,36 @@ class IoSpec extends AnyFunSuite {
     assert(files("0") == 1, s"expected 1 compacted file, got ${files("0")}")
     assert(counts() == before)
   }
+
+  /** Nested partition layouts (H3b's batch=N/day=...) must keep every
+    * partition LEVEL through compaction — a plain rewrite of the top
+    * dirs would collapse the inner day= dirs into data columns and
+    * kill their pruning.
+    */
+  test("I6b: compaction preserves nested partition levels") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 3).cast("string").as("day"))
+    (0 until 2).foreach { b =>
+      (0 until 5).foreach { _ =>
+        df.repartition(1).write.mode("append").partitionBy("day")
+          .parquet(s"$tmp/batch=$b")
+      }
+    }
+    def counts() = spark.read.parquet(tmp)
+      .groupBy(col("batch").cast("string"), col("day").cast("string")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val before = counts()
+    sources.Io.compactPartitioned(spark, tmp)
+    val leaf = new java.io.File(s"$tmp/batch=0/day=1")
+    assert(leaf.isDirectory, "inner day= level was flattened away")
+    assert(leaf.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(counts() == before)
+    // pruning still works at both levels on the compacted layout
+    val plan = spark.read.parquet(tmp)
+      .filter(col("day").cast("string") === "1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"), plan)
+  }
 }
