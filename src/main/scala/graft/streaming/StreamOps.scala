@@ -222,6 +222,47 @@ object StreamOps extends Serializable {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming heavy-hitters state: per-key bucket counts (bounded by
+    * the Misra–Gries capacity, like the batch aggregate).
+    */
+  case class FreqState(counts: Map[Long, Long])
+
+  /** Per-batch emission: the key's current top-k buckets, best first. */
+  case class FreqTop(typ: String, buckets: Seq[Long], counts: Seq[Long])
+
+  /** H10: streaming heavy hitters — the streaming twin of the batch
+    * Misra–Gries aggregate (C13): per label, value-bucket counts
+    * maintained in mapGroupsWithState with the same bounded-capacity
+    * decrement, emitting the running top-k each micro-batch. State is
+    * O(capacity) per key forever — the hot-values dashboard shape —
+    * and with capacity above the live bucket cardinality the counts
+    * (and the spec's batch-equivalence) are exact.
+    */
+  def streamingFreqItems(samples: Dataset[Sample], capacity: Int = 1024,
+      k: Int = 5): Dataset[FreqTop] = {
+    import samples.sparkSession.implicits._
+    def update(typ: String, rows: Iterator[Sample],
+        state: GroupState[FreqState]): FreqTop = {
+      val m = scala.collection.mutable.HashMap[Long, Long]()
+      state.getOption.foreach(_.counts.foreach { case (b, n) => m(b) = n })
+      rows.foreach { r =>
+        val b = math.floor(r.value).toLong
+        m(b) = m.getOrElse(b, 0L) + 1L
+        // Misra–Gries batched decrement, same scheme as FreqItemsAgg
+        while (m.size > capacity) {
+          val min = m.valuesIterator.min
+          m.filterInPlace((_, n) => n > min)
+          m.keysIterator.toList.foreach(key => m(key) = m(key) - min)
+        }
+      }
+      state.update(FreqState(m.toMap))
+      val top = m.toSeq.sortBy { case (b, n) => (-n, b) }.take(k)
+      FreqTop(typ, top.map(_._1), top.map(_._2))
+    }
+    samples.groupByKey(_.typ)
+      .mapGroupsWithState[FreqState, FreqTop](update _)
+  }
+
   /** H2: streaming add_series — mapGroupsWithState keyed by label set;
     * first sample creates the series (isNew=true, stable hash tsid),
     * later samples bump counters. State size ∝ #series, not #samples.

@@ -54,4 +54,30 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS purchases_b")
     }
   }
+
+  /** The Tsdb scaladoc's 100 TB claim made checkable: per-series window
+    * operators over a tsid-bucketed sample table run WITHOUT an
+    * exchange — the bucketed scan already satisfies the window's
+    * clustered-distribution requirement, so seek/rate/resets and
+    * friends are sort-only within buckets.
+    */
+  test("per-series window over a tsid-bucketed table needs no exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bktw").toString
+    try {
+      graft.index.TagIndex.forEvents(spark, dir).labeled
+        .select("tsid", "event_id", "ts", "value")
+        .write.mode("overwrite").bucketBy(8, "tsid").sortBy("tsid", "ts")
+        .option("path", s"$tmp/samples_b").saveAsTable("samples_b")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("tsid")).orderBy(col("ts"), col("event_id"))
+      val seek = spark.table("samples_b")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      seek.collect()
+      val plan = seek.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"per-series window still shuffles on a bucketed layout:\n$plan")
+      assert(seek.count() ==
+        graft.index.TagIndex.forEvents(spark, dir).seriesCatalog.count())
+    } finally spark.sql("DROP TABLE IF EXISTS samples_b")
+  }
 }

@@ -290,6 +290,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("H10: streaming heavy hitters equal the batch top-k after the last batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5150L)
+    val all = (0 until 400).map(i => Sample(i.toLong, ts(i % 50), "click",
+      "click", (rnd.nextInt(12) * 7).toDouble + 0.5))
+      .map(s => s.copy(usr = "1"))
+    val in = MemoryStream[Sample]
+    val q = StreamOps.streamingFreqItems(in.toDS())
+      .writeStream.format("memory").queryName("h10_out").outputMode("update").start()
+    try {
+      in.addData(all.take(150)); q.processAllAvailable()
+      in.addData(all.drop(150)); q.processAllAvailable()
+      // Update mode emits one row per batch; counts only grow at this
+      // capacity, so the final state is the row with the largest total
+      val last = spark.table("h10_out").as[streaming.StreamOps.FreqTop]
+        .collect().maxBy(_.counts.sum)
+      val want = all.groupBy(s => math.floor(s.value).toLong)
+        .map { case (b, ss) => (b, ss.size.toLong) }.toSeq
+        .sortBy { case (b, n) => (-n, b) }.take(5)
+      assert(last.buckets.zip(last.counts) == want,
+        s"streamed ${last.buckets.zip(last.counts)} batch $want")
+    } finally q.stop()
+  }
+
   test("H8: streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
