@@ -88,6 +88,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"corpus² nested-loop join:\n$p")
     // the self-join keys on (t, bucket): comparisons stay Σ bucket², never corpus²
     assert(p.contains("bucket"), s"no bucket-keyed join in plan:\n$p")
+    // the signature expression runs inside whole-stage codegen (one
+    // reference-object plane matrix), not as an interpreted fallback
+    assert(p.linesIterator.exists(l =>
+      l.toLowerCase.contains("lshbuckets") && l.contains("*(")),
+      s"lshbuckets not inside a codegen stage:\n$p")
   }
 
   test("topk/bottomk: bounded-heap aggregate, no per-group window sort") {
