@@ -89,9 +89,8 @@ object IndexStore {
     */
   def storedWatermarkNs(spark: SparkSession, path: String): Option[Long] =
     committedSegs(spark, path)
-      .map(_.stripPrefix("seg="))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)) // skip seg=b<id> batch segments
-      .map(_.toLong).maxOption
+      .filter(isNumericSeg) // skip seg=b<id> batch segments
+      .map(_.stripPrefix("seg=").toLong).maxOption
 
   /** Ingest-time high watermark as a timestamp (µs-truncated view of
     * [[storedWatermarkNs]] - 1; None for an empty/absent store).
@@ -110,11 +109,12 @@ object IndexStore {
     * reads; [[load]] renders a segment-less store as an empty index).
     */
   def materialize(idx: TagIndex, path: String): Unit = {
+    // run the watermark job BEFORE clearing the store: a transient
+    // failure there must leave the existing index serving reads
+    val wm = batchWmNs(idx.samples)
     val f = fs(idx.samples.sparkSession, path)
     f.delete(new org.apache.hadoop.fs.Path(path), true)
-    batchWmNs(idx.samples).foreach { wm =>
-      write(idx.invertedIndex, s"$path/seg=$wm")
-    }
+    wm.foreach { w => write(idx.invertedIndex, s"$path/seg=$w") }
   }
 
   /** Incremental flush (try_compact analog): index only the samples
@@ -161,13 +161,20 @@ object IndexStore {
     */
   def flushBatch(idx: TagIndex, path: String, batchId: Long): Unit = {
     val spark = idx.samples.sparkSession
-    require(storedWatermarkNs(spark, path).isEmpty,
+    // one listing serves both the family guard and the idempotence
+    // check — per-micro-batch metadata RPCs stay O(#segments), not 2×
+    val segs = committedSegs(spark, path)
+    require(!segs.exists(s => isNumericSeg(s)),
       s"store at $path holds time-watermark segments; streaming flushBatch " +
         "into it would double-count samples past the watermark in the " +
         "merge-on-read fold — use a dedicated store path per ingest mode")
-    if (!committedSegs(spark, path).contains(s"seg=b$batchId") &&
-        !idx.samples.isEmpty)
+    if (!segs.contains(s"seg=b$batchId") && !idx.samples.isEmpty)
       write(idx.invertedIndex, s"$path/seg=b$batchId")
+  }
+
+  private def isNumericSeg(name: String): Boolean = {
+    val n = name.stripPrefix("seg=")
+    n.nonEmpty && n.forall(_.isDigit)
   }
 
   /** Merge-on-read view of the store: COMMITTED segments folded per
@@ -186,13 +193,19 @@ object IndexStore {
           StructField("label_name", StringType), StructField("label_value", StringType),
           StructField("tsid", LongType), StructField("min_ts", TimestampType),
           StructField("max_ts", TimestampType), StructField("n_samples", LongType))))
-    } else
-      spark.read.option("basePath", path)
-        .parquet(segs.map(s => s"$path/$s"): _*)
-        .groupBy(col("label_name"), col("label_value"), col("tsid"))
-        .agg(min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
-          sum(col("n_samples")).as("n_samples"))
+    } else loadSegs(spark, path, segs)
   }
+
+  /** The merge-on-read fold over an EXPLICIT segment list — lets
+    * compact build its merged copy from exactly the snapshot it is
+    * about to replace, never a later listing.
+    */
+  private def loadSegs(spark: SparkSession, path: String, segs: Seq[String]): DataFrame =
+    spark.read.option("basePath", path)
+      .parquet(segs.map(s => s"$path/$s"): _*)
+      .groupBy(col("label_name"), col("label_value"), col("tsid"))
+      .agg(min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
+        sum(col("n_samples")).as("n_samples"))
 
   /** manual_compact: fold all segments into one merged segment carrying
     * the same watermark identity — the numeric ns watermark when
@@ -211,41 +224,58 @@ object IndexStore {
     * Like the reference's manual_compact (which serializes on
     * compaction_mutex, index_server.h:61-66), compact assumes no
     * concurrent flush into this store — run it during an ingest pause.
-    * As a backstop it re-lists the committed segments after building
-    * the merged copy and ABORTS (leaving the store untouched) if new
-    * segments committed meanwhile, so a racing flush loses nothing.
+    * As a backstop: everything derives from ONE segment listing; after
+    * the store is frozen (renamed to the backup) the frozen contents
+    * are re-verified against that snapshot and the swap ABORTS by
+    * restoring the backup if anything committed in between; and if a
+    * racing flush recreates the store dir after the freeze, the merged
+    * segment is grafted in beside the new segments (its coverage is
+    * exactly the frozen snapshot, so nothing is lost or double-counted).
     */
   def compact(spark: SparkSession, path: String): Unit = {
     recover(spark, path)
-    val hasNumeric = storedWatermarkNs(spark, path).isDefined
-    val batchSegs = committedSegs(spark, path).filter(_.startsWith("seg=b"))
-    require(!(hasNumeric && batchSegs.nonEmpty),
+    // ONE listing drives the family guard, the merged name AND the
+    // snapshot — a second listing could disagree under a racing flush
+    // and hand the merged segment a stale identity
+    val snapshot = committedSegs(spark, path)
+    val numeric = snapshot.filter(isNumericSeg)
+    val batchSegs = snapshot.filter(s => !isNumericSeg(s))
+    require(numeric.isEmpty || batchSegs.isEmpty,
       s"store at $path mixes time-watermark and batch-id segments; " +
         "compact cannot assign the merged segment a safe identity")
-    val segName = storedWatermarkNs(spark, path).map(wm => s"seg=$wm")
+    val segName = numeric.map(_.stripPrefix("seg=").toLong).maxOption
+      .map(wm => s"seg=$wm")
       .orElse {
         batchSegs.map(_.stripPrefix("seg=b"))
           .filter(n => n.nonEmpty && n.forall(_.isDigit))
           .map(_.toLong).maxOption.map(b => s"seg=b$b")
       }
-    val snapshot = committedSegs(spark, path).toSet
     segName.foreach { sn =>
       val tmp = path + ".compacting"
       val bak = path + ".bak"
       val f = fs(spark, path)
       def p(s: String) = new org.apache.hadoop.fs.Path(s)
       f.delete(p(tmp), true)
-      write(load(spark, path), s"$tmp/$sn")
-      val now = committedSegs(spark, path).toSet
-      if (now != snapshot) {
+      write(loadSegs(spark, path, snapshot), s"$tmp/$sn")
+      f.delete(p(bak), true)
+      // freeze the store; from here no flush can commit into it
+      require(f.rename(p(path), p(bak)), s"rename $path -> $bak failed")
+      if (committedSegs(spark, bak).toSet != snapshot.toSet) {
+        // something committed between the snapshot and the freeze and
+        // is NOT in the merged copy — put the store back untouched
+        require(f.rename(p(bak), p(path)), s"restore $bak -> $path failed")
         f.delete(p(tmp), true)
         throw new IllegalStateException(
-          s"store at $path changed during compact (${(now -- snapshot).mkString(",")} " +
-            "committed); aborted without touching the store — retry during an ingest pause")
+          s"store at $path changed during compact; aborted without touching " +
+            "the store — retry during an ingest pause")
       }
-      f.delete(p(bak), true)
-      require(f.rename(p(path), p(bak)), s"rename $path -> $bak failed")
-      require(f.rename(p(tmp), p(path)), s"rename $tmp -> $path failed")
+      if (!f.rename(p(tmp), p(path))) {
+        // a racing flush recreated the store dir after the freeze:
+        // graft the merged segment in beside the new ones
+        require(f.rename(p(s"$tmp/$sn"), p(s"$path/$sn")),
+          s"graft $sn into recreated $path failed")
+        f.delete(p(tmp), true)
+      }
       f.delete(p(bak), true)
     }
   }

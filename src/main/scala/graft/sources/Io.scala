@@ -63,35 +63,40 @@ object Io {
         "metadata log is the read source of truth and lists the original " +
         "files; compact the sink by rewriting through the sink itself")
     fs.delete(tmp, true)
-    val entries = fs.listStatus(src)
-    val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    // recurse to LEAF partition directories so nested layouts
+    val srcUri = src.toUri.getPath
+    def rel(d: org.apache.hadoop.fs.Path): String =
+      d.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+    // walk to LEAF partition directories so nested layouts
     // (batch=N/day=...) keep every partition level: rewriting a
     // non-leaf dir with a plain parquet write would collapse the inner
-    // k=v dirs into data columns and kill their pruning
-    def leaves(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val kids = fs.listStatus(d)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      if (kids.isEmpty) Seq(d) else kids.toSeq.flatMap(k => leaves(k.getPath))
+    // k=v dirs into data columns and kill their pruning. Non-partition
+    // entries (_SUCCESS markers, sidecar files) are preserved at EVERY
+    // level — a per-batch commit marker at batch=N/ is as load-bearing
+    // as a top-level one; leaf rewrites mint their own _SUCCESS.
+    def walk(d: org.apache.hadoop.fs.Path,
+        isRoot: Boolean): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(d)
+      val kids = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (!isRoot && kids.isEmpty) Seq(d) // leaf: the rewrite handles it
+      else {
+        entries.filterNot(s => s.isDirectory && s.getPath.getName.contains("="))
+          .foreach { e =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
+              new org.apache.hadoop.fs.Path(tmp, rel(e.getPath)),
+              false, spark.sparkContext.hadoopConfiguration)
+          }
+        kids.toSeq.flatMap(k => walk(k.getPath, isRoot = false))
+      }
     }
-    val srcUri = src.toUri.getPath
-    partDirs.flatMap(p => leaves(p.getPath)).foreach { leaf =>
-      val rel = leaf.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+    walk(src, isRoot = true).foreach { leaf =>
       val bytes = fs.getContentSummary(leaf).getLength
       val nFiles = math.max(1, (bytes / targetBytes).toInt +
         (if (bytes % targetBytes > 0) 1 else 0))
       spark.read.parquet(leaf.toString)
         .repartition(nFiles)
         .write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(tmp, rel).toString)
+        .parquet(new org.apache.hadoop.fs.Path(tmp, rel(leaf)).toString)
     }
-    // preserve non-partition entries (_SUCCESS markers, sidecar files)
-    entries.filterNot(s => s.isDirectory && s.getPath.getName.contains("="))
-      .foreach { e =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
-          new org.apache.hadoop.fs.Path(tmp, e.getPath.getName),
-          false, spark.sparkContext.hadoopConfiguration)
-      }
     fs.delete(bak, true)
     require(fs.rename(src, bak), s"rename $src -> $bak failed")
     require(fs.rename(tmp, src), s"rename $tmp -> $src failed")

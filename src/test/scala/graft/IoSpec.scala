@@ -104,6 +104,9 @@ class IoSpec extends AnyFunSuite {
     val leaf = new java.io.File(s"$tmp/batch=0/day=1")
     assert(leaf.isDirectory, "inner day= level was flattened away")
     assert(leaf.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // per-batch commit markers are load-bearing sidecars — preserved
+    assert(new java.io.File(s"$tmp/batch=0/_SUCCESS").exists(),
+      "batch-level _SUCCESS marker lost in compaction")
     assert(counts() == before)
     // pruning still works at both levels on the compacted layout
     val plan = spark.read.parquet(tmp)
