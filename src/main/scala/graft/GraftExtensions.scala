@@ -22,5 +22,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_fp"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHashAgg(exprs(0), exprs(1))))
+    // literal-int second arguments are folded at registration so SQL
+    // callers write e.g. `freq_items(bucket, 1024)`
+    def litInt(ex: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      ex.eval().asInstanceOf[Number].intValue()
+    e.injectFunction((
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[graft.functions.FreqItemsAgg].getName, "freq_items"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.FreqItemsAgg(exprs(0), litInt(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[graft.functions.VecSumAgg].getName, "vec_sum"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VecSumAgg(exprs(0), litInt(exprs(1)))))
   }
 }

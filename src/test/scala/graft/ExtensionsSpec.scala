@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions` production path: a session built with
+  * GraftExtensions can call every injected function from plain SQL —
+  * no library imports, no temp-function registration.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions makes graft functions SQL-callable") {
+    // ensure a context exists, then build a FRESH session with the
+    // extensions over the same context (getOrCreate would return the
+    // suite-shared session and silently skip injection)
+    val base = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      Seq((1L, Array(1.0f, 2.0f), 7L), (2L, Array(3.0f, 4.0f), 7L),
+        (3L, Array(0.0f, 1.0f), 9L))
+        .toDF("id", "v", "k").createOrReplaceTempView("ext_t")
+
+      val dot = s.sql("SELECT vec_dot(v, v) AS d FROM ext_t WHERE id = 1")
+        .head().getDouble(0)
+      assert(dot == 5.0)
+
+      val vs = s.sql("SELECT vec_sum(v, 2) AS s FROM ext_t")
+        .head().getSeq[Double](0)
+      assert(vs == Seq(4.0, 7.0))
+
+      val fi = s.sql(
+        "SELECT freq_items(k, 16) AS f FROM ext_t")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(fi.map(r => (r.getLong(0), r.getLong(1))) == Seq((7L, 2L), (9L, 1L)))
+
+      val sh = s.sql("SELECT simhash_fp(k, id) AS fp FROM ext_t").head().getLong(0)
+      assert(sh != 0L) // fingerprint computed through the SQL path
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
