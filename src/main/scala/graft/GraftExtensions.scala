@@ -23,18 +23,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHashAgg(exprs(0), exprs(1))))
     // literal-int second arguments are folded at registration so SQL
-    // callers write e.g. `freq_items(bucket, 1024)`
-    def litInt(ex: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-      ex.eval().asInstanceOf[Number].intValue()
+    // callers write e.g. `freq_items(bucket, 1024)`; validated so a
+    // wrong call fails with the function named, not a raw internal error
+    def litInt(name: String,
+        exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int = {
+      require(exprs.length == 2, s"$name expects 2 arguments (column, literal int)")
+      val e = exprs(1)
+      require(e.foldable, s"$name argument 2 must be a literal integer, got $e")
+      e.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$name argument 2 must be a literal integer, got $other")
+      }
+    }
     e.injectFunction((
       FunctionIdentifier("freq_items"),
       new ExpressionInfo(classOf[graft.functions.FreqItemsAgg].getName, "freq_items"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.FreqItemsAgg(exprs(0), litInt(exprs(1)))))
+        graft.functions.FreqItemsAgg(exprs(0), litInt("freq_items", exprs))))
     e.injectFunction((
       FunctionIdentifier("vec_sum"),
       new ExpressionInfo(classOf[graft.functions.VecSumAgg].getName, "vec_sum"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.VecSumAgg(exprs(0), litInt(exprs(1)))))
+        graft.functions.VecSumAgg(exprs(0), litInt("vec_sum", exprs))))
   }
 }

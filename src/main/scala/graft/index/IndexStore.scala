@@ -226,11 +226,11 @@ object IndexStore {
     * concurrent flush into this store — run it during an ingest pause.
     * As a backstop: everything derives from ONE segment listing; after
     * the store is frozen (renamed to the backup) the frozen contents
-    * are re-verified against that snapshot and the swap ABORTS by
-    * restoring the backup if anything committed in between; and if a
-    * racing flush recreates the store dir after the freeze, the merged
-    * segment is grafted in beside the new segments (its coverage is
-    * exactly the frozen snapshot, so nothing is lost or double-counted).
+    * are re-verified against that snapshot, and any unexpected state —
+    * a commit in the snapshot-to-freeze gap, or a racing flush
+    * recreating the store dir — ABORTS LOUDLY with both copies
+    * preserved rather than guessing. Out-of-contract concurrency can
+    * cost a retry, never data.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     recover(spark, path)
@@ -255,27 +255,38 @@ object IndexStore {
       val bak = path + ".bak"
       val f = fs(spark, path)
       def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      // IMPORTANT rename semantics: Hadoop FileSystem.rename onto an
+      // EXISTING directory does not fail — it nests the source inside
+      // the destination. Every rename below therefore checks the
+      // destination's absence explicitly first; on any unexpected
+      // state the swap ABORTS LOUDLY with both copies preserved
+      // (pre-compact store at bak, merged copy at tmp) — the store is
+      // never silently lost, nested, or double-counted.
       f.delete(p(tmp), true)
       write(loadSegs(spark, path, snapshot), s"$tmp/$sn")
       f.delete(p(bak), true)
       // freeze the store; from here no flush can commit into it
-      require(f.rename(p(path), p(bak)), s"rename $path -> $bak failed")
+      require(f.rename(p(path), p(bak)) && !f.exists(p(path)),
+        s"rename $path -> $bak failed")
+      def abortPreserving(reason: String): Nothing =
+        throw new IllegalStateException(
+          s"$reason; pre-compact store preserved at $bak, merged copy at $tmp " +
+            "— quiesce ingest, reconcile, then re-run compact")
       if (committedSegs(spark, bak).toSet != snapshot.toSet) {
         // something committed between the snapshot and the freeze and
         // is NOT in the merged copy — put the store back untouched
+        if (f.exists(p(path)))
+          abortPreserving(s"store at $path changed during compact AND was " +
+            "recreated by a racing flush")
         require(f.rename(p(bak), p(path)), s"restore $bak -> $path failed")
         f.delete(p(tmp), true)
         throw new IllegalStateException(
           s"store at $path changed during compact; aborted without touching " +
             "the store — retry during an ingest pause")
       }
-      if (!f.rename(p(tmp), p(path))) {
-        // a racing flush recreated the store dir after the freeze:
-        // graft the merged segment in beside the new ones
-        require(f.rename(p(s"$tmp/$sn"), p(s"$path/$sn")),
-          s"graft $sn into recreated $path failed")
-        f.delete(p(tmp), true)
-      }
+      if (f.exists(p(path)))
+        abortPreserving(s"a racing flush recreated $path during compact")
+      require(f.rename(p(tmp), p(path)), s"rename $tmp -> $path failed")
       f.delete(p(bak), true)
     }
   }

@@ -96,9 +96,21 @@ object Io {
         .repartition(nFiles)
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(tmp, rel(leaf)).toString)
+      // the rewrite mints its own _SUCCESS; carry over any OTHER leaf
+      // sidecar (_metadata, manifests) the rewrite doesn't regenerate
+      fs.listStatus(leaf)
+        .filter(e => e.isFile && e.getPath.getName != "_SUCCESS" &&
+          !e.getPath.getName.endsWith(".parquet"))
+        .foreach { e =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
+            new org.apache.hadoop.fs.Path(tmp, rel(e.getPath)),
+            false, spark.sparkContext.hadoopConfiguration)
+        }
     }
     fs.delete(bak, true)
-    require(fs.rename(src, bak), s"rename $src -> $bak failed")
+    // Hadoop rename onto an existing dir NESTS instead of failing —
+    // verify the destination is actually clear at each step
+    require(fs.rename(src, bak) && !fs.exists(src), s"rename $src -> $bak failed")
     require(fs.rename(tmp, src), s"rename $tmp -> $src failed")
     fs.delete(bak, true)
   }
