@@ -914,7 +914,7 @@ object SparkEntry {
     "freq_items" ->
       """WITH c AS (SELECT event_type AS typ,
         |    CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY typ
         |    ORDER BY n DESC, bucket) AS rk FROM c)
         |SELECT typ, rk, bucket, n FROM r WHERE rk <= 5""".stripMargin,

@@ -104,17 +104,37 @@ object IndexStore {
     }
 
   /** Full flush (first compaction): rewrite the whole store as one
-    * segment. An empty batch rebuilds an EMPTY store (the path is
-    * always cleared — a rebuild must never leave stale rows serving
+    * segment. An empty batch rebuilds an EMPTY store (the path always
+    * ends up replaced — a rebuild must never leave stale rows serving
     * reads; [[load]] renders a segment-less store as an empty index).
+    *
+    * Built write-aside and swapped via the same checked backup-rename
+    * protocol as [[compact]]: the old store serves reads until the new
+    * segment's write COMMITS, and a crash at any instant leaves a
+    * complete store at `path` or `path.bak` (healed by [[recover]]) —
+    * never the silently-empty index a delete-then-write would render
+    * after a crash between the delete and the write.
     */
   def materialize(idx: TagIndex, path: String): Unit = {
-    // run the watermark job BEFORE clearing the store: a transient
-    // failure there must leave the existing index serving reads
+    val spark = idx.samples.sparkSession
+    recover(spark, path)
     val wm = batchWmNs(idx.samples)
-    val f = fs(idx.samples.sparkSession, path)
-    f.delete(new org.apache.hadoop.fs.Path(path), true)
-    wm.foreach { w => write(idx.invertedIndex, s"$path/seg=$w") }
+    val f = fs(spark, path)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = path + ".compacting"
+    val bak = path + ".bak"
+    f.delete(p(tmp), true)
+    wm match {
+      case Some(w) => write(idx.invertedIndex, s"$tmp/seg=$w")
+      case None    => f.mkdirs(p(tmp)) // empty batch → empty store
+    }
+    f.delete(p(bak), true)
+    // rename onto an existing dir NESTS (see compact) — clear first
+    if (exists(spark, path))
+      require(f.rename(p(path), p(bak)) && !f.exists(p(path)),
+        s"rename $path -> $bak failed")
+    require(f.rename(p(tmp), p(path)), s"rename $tmp -> $path failed")
+    f.delete(p(bak), true)
   }
 
   /** Incremental flush (try_compact analog): index only the samples
@@ -168,6 +188,18 @@ object IndexStore {
       s"store at $path holds time-watermark segments; streaming flushBatch " +
         "into it would double-count samples past the watermark in the " +
         "merge-on-read fold — use a dedicated store path per ingest mode")
+    // batch ids must be monotone over the store's life: a RESET streaming
+    // checkpoint restarts ids at 0, whose segments no longer match the
+    // committed history (especially after compact renamed it to the max
+    // id), so already-merged rows would be re-flushed and double-counted
+    // by the merge-on-read fold. Replay of the max id itself is the
+    // legitimate foreachBatch retry and falls through to the skip below.
+    val maxCommitted = segs.map(_.stripPrefix("seg=b"))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).maxOption
+    require(maxCommitted.forall(batchId >= _),
+      s"flushBatch(batchId=$batchId) into $path, which already committed " +
+        s"batch ${maxCommitted.getOrElse(-1L)}: checkpoint reset into an " +
+        "existing store is unsupported — use a fresh store path")
     if (!segs.contains(s"seg=b$batchId") && !idx.samples.isEmpty)
       write(idx.invertedIndex, s"$path/seg=b$batchId")
   }

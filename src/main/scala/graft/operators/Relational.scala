@@ -201,7 +201,11 @@ object Relational {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_items_1024",
       exprs => graft.functions.FreqItemsAgg(exprs.head, 1024), "built-in")
+    // explicit non-null key filter: the Misra–Gries update skips nulls
+    // while a plain GROUP BY oracle would emit a NULL bucket — align the
+    // semantics by construction rather than by corpus luck
     Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type").as("typ"))
       .agg(call_function("freq_items_1024",
         floor(col("value")).cast("long")).as("fi"))

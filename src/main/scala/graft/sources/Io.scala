@@ -63,6 +63,13 @@ object Io {
         "metadata log is the read source of truth and lists the original " +
         "files; compact the sink by rewriting through the sink itself")
     fs.delete(tmp, true)
+    // stale-after-rewrite sidecars that must NOT carry over: parquet
+    // summary files enumerate the PRE-compaction part files, and .crc
+    // checksums are named for them — a reader honoring either would
+    // resolve dead data. Everything else (commit markers, manifests the
+    // rewrite doesn't regenerate) is preserved.
+    def staleSidecar(name: String): Boolean =
+      name == "_metadata" || name == "_common_metadata" || name.endsWith(".crc")
     val srcUri = src.toUri.getPath
     def rel(d: org.apache.hadoop.fs.Path): String =
       d.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
@@ -80,6 +87,7 @@ object Io {
       if (!isRoot && kids.isEmpty) Seq(d) // leaf: the rewrite handles it
       else {
         entries.filterNot(s => s.isDirectory && s.getPath.getName.contains("="))
+          .filterNot(e => e.isFile && staleSidecar(e.getPath.getName))
           .foreach { e =>
             org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
               new org.apache.hadoop.fs.Path(tmp, rel(e.getPath)),
@@ -92,7 +100,10 @@ object Io {
       val bytes = fs.getContentSummary(leaf).getLength
       val nFiles = math.max(1, (bytes / targetBytes).toInt +
         (if (bytes % targetBytes > 0) 1 else 0))
-      spark.read.parquet(leaf.toString)
+      // read the part files explicitly: a stale _metadata summary in the
+      // leaf (the very thing this job refuses to carry over) would
+      // otherwise be trusted for schema and break the rewrite
+      spark.read.parquet(new org.apache.hadoop.fs.Path(leaf, "*.parquet").toString)
         .repartition(nFiles)
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(tmp, rel(leaf)).toString)
@@ -100,7 +111,8 @@ object Io {
       // sidecar (_metadata, manifests) the rewrite doesn't regenerate
       fs.listStatus(leaf)
         .filter(e => e.isFile && e.getPath.getName != "_SUCCESS" &&
-          !e.getPath.getName.endsWith(".parquet"))
+          !e.getPath.getName.endsWith(".parquet") &&
+          !staleSidecar(e.getPath.getName))
         .foreach { e =>
           org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
             new org.apache.hadoop.fs.Path(tmp, rel(e.getPath)),

@@ -141,4 +141,61 @@ class IndexStoreSpec extends AnyFunSuite {
       .select("n_samples").head().getLong(0)
     assert(n == 3L, s"boundary-µs sample lost or double-counted: n_samples=$n")
   }
+
+  private def mkIdx(rows: Seq[(Long, Long, String, String, Double)]): TagIndex = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    new TagIndex(
+      rows.toDF("event_id", "ts_ns", "usr", "typ", "value")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+      Seq("usr", "typ"))
+  }
+  private val t0 = 1700000000000000000L
+
+  /** ADVICE (round 3, medium): materialize used to delete the live
+    * store BEFORE writing the rebuild — a crash in between rendered a
+    * silently-empty index. Now it is write-aside + swap: re-materialize
+    * over an existing store must leave exactly the new content, no
+    * residue, and a store frozen at the backup (the crash window
+    * between the two swap renames) must heal.
+    */
+  test("materialize over an existing store swaps atomically and heals the backup window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_swap").toString + "/idx"
+    IndexStore.materialize(mkIdx(Seq((1L, t0, "1", "click", 1.0))), tmp)
+    IndexStore.materialize(mkIdx(Seq(
+      (2L, t0 + 1000L, "2", "view", 1.0), (3L, t0 + 2000L, "2", "view", 1.0))), tmp)
+    val vals = IndexStore.load(spark, tmp)
+      .filter(org.apache.spark.sql.functions.col("label_name") === "usr")
+      .collect().map(r => (r.getString(1), r.getLong(5))).toSet
+    assert(vals == Set(("2", 2L)), s"swap left stale or mixed content: $vals")
+    assert(!new java.io.File(tmp + ".compacting").exists(), "tmp residue")
+    assert(!new java.io.File(tmp + ".bak").exists(), "bak residue")
+
+    // crash window: store renamed away, swap-in never happened
+    val f = new java.io.File(tmp)
+    assert(f.renameTo(new java.io.File(tmp + ".bak")))
+    IndexStore.recover(spark, tmp)
+    assert(IndexStore.load(spark, tmp)
+      .filter(org.apache.spark.sql.functions.col("label_name") === "usr")
+      .collect().map(r => (r.getString(1), r.getLong(5))).toSet == Set(("2", 2L)))
+  }
+
+  /** ADVICE (round 3): a RESET streaming checkpoint restarts batch ids
+    * at 0; flushing those into a store that already committed higher
+    * ids would re-flush merged rows and double-count them in the
+    * merge-on-read fold. Replay of the max id stays a legal no-op.
+    */
+  test("flushBatch refuses batch ids below the committed maximum") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mono").toString + "/bidx"
+    val idx = mkIdx(Seq((1L, t0, "1", "click", 1.0)))
+    IndexStore.flushBatch(idx, tmp, 5L)
+    val before = IndexStore.load(spark, tmp).collect().map(_.toSeq).toSet
+    IndexStore.flushBatch(idx, tmp, 5L) // foreachBatch replay: no-op
+    assert(IndexStore.load(spark, tmp).collect().map(_.toSeq).toSet == before)
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.flushBatch(idx, tmp, 3L)
+    }
+    assert(ex.getMessage.contains("checkpoint reset"), ex.getMessage)
+    IndexStore.flushBatch(idx, tmp, 6L) // monotone progress still fine
+  }
 }

@@ -114,4 +114,39 @@ class IoSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("day"), plan)
   }
+
+  /** ADVICE (round 3): parquet summary files and .crc checksums
+    * enumerate/checksum the PRE-compaction part files — carrying them
+    * over would point readers at dead data. Genuine sidecars (e.g. a
+    * manifest the rewrite doesn't regenerate) must still survive.
+    */
+  test("I6c: compaction drops stale summary/.crc sidecars, keeps real ones") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact3").toString + "/t"
+    val df = spark.range(0, 100)
+      .select(col("id"), (col("id") % 2).cast("string").as("day"))
+    (0 until 3).foreach { _ =>
+      df.repartition(1).write.mode("append").partitionBy("day").parquet(tmp)
+    }
+    val before = spark.read.parquet(s"$tmp/day=0").count()
+    def plant(p: String): Unit = {
+      val f = new java.io.File(p); f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, "stale".getBytes)
+    }
+    // parquet READERS honor a _metadata summary when present — a stale
+    // one (here: garbage, post-compaction: enumerating dead files) breaks
+    // or corrupts the read, which is exactly why it must not carry over
+    plant(s"$tmp/_metadata"); plant(s"$tmp/_common_metadata")
+    plant(s"$tmp/day=0/_metadata"); plant(s"$tmp/day=0/.part-old.parquet.crc")
+    // a real, regeneration-exempt sidecar (underscore-prefixed so parquet
+    // readers skip it as hidden, like _SUCCESS)
+    plant(s"$tmp/day=0/_manifest.json")
+    sources.Io.compactPartitioned(spark, tmp)
+    assert(!new java.io.File(s"$tmp/_metadata").exists(), "root _metadata carried over")
+    assert(!new java.io.File(s"$tmp/_common_metadata").exists())
+    assert(!new java.io.File(s"$tmp/day=0/_metadata").exists(), "leaf _metadata carried over")
+    assert(!new java.io.File(s"$tmp/day=0/.part-old.parquet.crc").exists(), ".crc carried over")
+    assert(new java.io.File(s"$tmp/day=0/_manifest.json").exists(), "real sidecar lost")
+    assert(spark.read.parquet(s"$tmp/day=0").count() == before)
+  }
 }
