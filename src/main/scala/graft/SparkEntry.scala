@@ -89,8 +89,10 @@ object SparkEntry {
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
     "ann_ivf" -> (similarity.Ann.ivfTopk _),
+    "ann_ivf_full" -> (similarity.Ann.ivfFull _),
     "ann_classify" -> (similarity.Ann.knnClassify _),
     "ann_lsh" -> (similarity.Ann.lshTopk _),
+    "ann_lsh_planted" -> (similarity.Ann.lshPlanted _),
     "ann_centroid" -> (similarity.Ann.centroidScore _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
@@ -764,6 +766,71 @@ object SparkEntry {
         |      i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 4) AS cs
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT ia, ib, cs FROM p WHERE cs >= 0.9""".stripMargin,
+    // D3: same dual-polynomial token hash, 64 bit-counters, sign-packed
+    // fingerprint, all-pairs hamming — the chunk blocking on the Spark
+    // side is exact for hd <= 7 (pigeonhole), so exhaustive SQL == it
+    "dedup_simhash" ->
+      """WITH wc AS (SELECT doc_id, word, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2),
+        |h AS (SELECT doc_id, cnt,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(word, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(word, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+        |  FROM wc),
+        |g AS (SELECT doc_id, cnt, h1 * 2147483648 + h2 AS g FROM h),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (g >> b) & 1 = 1
+        |      THEN cnt ELSE -cnt END) AS s
+        |  FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bits GROUP BY 1),
+        |hd AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hd
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT ia, ib, hd FROM hd WHERE hd <= 7""".stripMargin,
+    // E2b: planted-twin queries -> the >= 0.9 matches are exactly the
+    // (twin, source) pairs; exact-cosine scan over twin x corpus
+    "ann_lsh_planted" ->
+      """WITH twins AS (SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(1, 65),
+        |      i -> CASE WHEN (i-1) % 16 = 0
+        |           THEN embedding[i] * CAST(2 AS FLOAT)
+        |           ELSE embedding[i] END) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |allv AS (SELECT vec_id, embedding FROM embeddings
+        |         UNION ALL SELECT vec_id, embedding FROM twins),
+        |v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM allv),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 4) AS cs
+        |  FROM n q JOIN n c ON q.vec_id >= 1000000 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cs FROM p WHERE cs >= 0.9""".stripMargin,
+    // E3b: IVF at nprobe = k probes every cell -> provably the exact
+    // top-5; same oracle as brute force
+    "ann_ivf_full" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
+        |  FROM q JOIN n ON n.vec_id <> q.query_id)
+        |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
     // E. similarity search
     "ann_classify" ->
       """WITH v AS (SELECT vec_id, label,

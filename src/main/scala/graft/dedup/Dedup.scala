@@ -163,16 +163,33 @@ object Dedup {
   }
 
   /** D3: SimHash over word frequencies; candidates via 8-bit chunk
-    * blocking (hamming ≤ 7 ⇒ ≥1 of 8 chunks equal by pigeonhole),
-    * verified with bit_count(xor). The loose radius matters: word-freq
-    * simhash of ~0.97-jaccard docs can still differ in 4-6 bits.
-    * Output is hash-function-dependent → rows-only gate.
+    * blocking, verified with bit_count(xor). The radius ≤ 7 is not
+    * loose, it is the EXACTNESS bound: hamming ≤ 7 across 8 chunks
+    * forces ≥1 equal chunk by pigeonhole, so blocking admits every
+    * qualifying pair and the output is exactly {pairs : hd ≤ 7} —
+    * which is also the radius word-freq simhash needs (~0.97-jaccard
+    * docs can still differ in 4-6 bits).
+    *
+    * The per-token hash is a pair of character polynomials
+    * (base 131 mod 1e9+7 ∥ base 137 mod 998244353, packed into one
+    * 61-bit value) rather than xxhash64: engine-agnostic arithmetic
+    * the DuckDB oracle reproduces bit-for-bit, which upgrades this
+    * from a rows-only gate to a full hash-match gate. Hash quality is
+    * ample for simhash (unrelated docs land ~31 bits apart; the
+    * hd ≤ 7 false-positive rate at 62 effective bits is ~1e-10/pair).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("codes", transform(split(col("word"), ""), c => ascii(c).cast("long")))
+      .withColumn("h1", aggregate(col("codes"), lit(0L),
+        (a, x) => (a * 131L + x) % 1000000007L))
+      .withColumn("h2", aggregate(col("codes"), lit(0L),
+        (a, x) => (a * 137L + x) % 998244353L))
+      // h1 < 2^30, so h1·2^31 + h2 < 2^61: ANSI-overflow-safe, top
+      // bits 61-63 constant zero (harmless: same on both join sides)
+      .withColumn("h", col("h1") * lit(2147483648L) + col("h2"))
 
     // one 64-counter buffer aggregate (graft.functions.SimHashAgg)
     // instead of 64 conditional sum() columns — identical fingerprints
@@ -416,17 +433,35 @@ object Dedup {
     * corpus²), which is what survives 10⁹ vectors.
     */
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val all = plantedEmbeddings(spark, dir).cache()
+    val cand = graft.similarity.Ann
+      .lshPairCandidates(all, bits = 8, tables = 24, dim = 64, seed = 424242L)
+    cosineVerify(cand, all, 0.9)
+  }
+
+  /** The planted-twin corpus shared by [[embeddingLsh]] and the
+    * planted ANN gate ([[graft.similarity.Ann.lshPlanted]]): base
+    * embeddings plus, for every vec_id ≡ 0 (mod 20), an
+    * exponent-exact twin at vec_id + 1,000,000 (see [[embeddingLsh]]
+    * for the margin analysis). Returns (vec_id, v, norm).
+    */
+  private[graft] def plantedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.register(spark)
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
+    // the synthetic twin ids live at +1,000,000 — a corpus whose own ids
+    // reach that range would collide with them and corrupt pair
+    // identities, so the assumption is CHECKED, not hoped (the oracle
+    // pins the same literal offset, so it cannot be derived dynamically)
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    require(maxId < 1000000L,
+      s"plantedEmbeddings puts twins at vec_id+1000000 but the corpus already " +
+        s"holds vec_id=$maxId — raise the twin offset in query AND oracle")
     val twins = base.filter(pmod(col("vec_id"), lit(20)) === 0)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         expr("transform(v, (x, i) -> IF(i % 16 = 0, cast(x * cast(2.0 as float) as float), x))")
           .as("v"))
-    val all = graft.similarity.Ann.withNorm(spark, base.unionByName(twins)).cache()
-    val cand = graft.similarity.Ann
-      .lshPairCandidates(all, bits = 8, tables = 24, dim = 64, seed = 424242L)
-    cosineVerify(cand, all, 0.9)
+    graft.similarity.Ann.withNorm(spark, base.unionByName(twins))
   }
 
   /** Exact-cosine verification of candidate (ia, ib) pairs against a

@@ -254,14 +254,15 @@ object Ann {
   def lshTopk(spark: SparkSession, dir: String): DataFrame =
     lshTopkOn(vecs(spark, dir), col("vec_id") < 10)
 
-  def lshTopkOn(all: DataFrame, isQuery: Column): DataFrame = {
+  def lshTopkOn(all: DataFrame, isQuery: Column,
+      bits: Int = Bits, tables: Int = Tables_): DataFrame = {
     val bucketed = lshBucketed(all.select(col("vec_id"), col("v")),
-      Bits, Tables_, 64, 424242L)
+      bits, tables, 64, 424242L)
 
     // candidate ids first (cheap distinct on a pair of longs); vectors
     // joined back only for the exact-cosine re-rank
     val qBuckets = all.filter(isQuery).select(col("vec_id"), col("v"))
-      .transform(q => lshBucketed(q, Bits, Tables_, 64, 424242L))
+      .transform(q => lshBucketed(q, bits, tables, 64, 424242L))
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val candIds = bucketed.select(col("vec_id"), col("t"), col("bucket"))
       .join(broadcast(qBuckets), Seq("t", "bucket"))
@@ -280,4 +281,36 @@ object Ann {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
   }
+
+  /** E2b: the exact-oracle gate for the LSH ANN path. Queries are the
+    * planted twins of [[graft.dedup.Dedup.plantedEmbeddings]] (cosine
+    * to their source ≥ 0.9428, every other pair ≤ 0.89 — the D5b
+    * margin analysis), banding sized for the worst planted pair
+    * (24 tables × 8 bits → per-pair miss ≤ 4.6e-6, deterministic under
+    * the fixed seed): the ≥ 0.9 filter then keeps exactly the
+    * (twin → source) matches, which a DuckDB exact-cosine scan
+    * reproduces — so the whole query-side pipeline (query bucketing,
+    * candidate join, exact re-rank) is hash-gated, not just
+    * recall-pinned. The production top-k config stays [[lshTopk]]
+    * (rows-only by necessity: its output is hyperplane-dependent).
+    */
+  def lshPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val all = graft.dedup.Dedup.plantedEmbeddings(spark, dir).cache()
+    lshTopkOn(all, col("vec_id") >= 1000000L, bits = 8, tables = 24)
+      .filter(col("cs") >= 0.9)
+      .select(col("query_id"), col("neighbor_id"), col("cs"))
+  }
+
+  /** E3b: the exact-oracle gate for the IVF path — nprobe = k, i.e.
+    * every cell probed. Every vector lands in exactly one cell and
+    * every cell is probed, so the candidate set is provably the full
+    * corpus and the output MUST equal the brute-force top-k no matter
+    * what the quantizer learned: a real invariant (dropped cells,
+    * assignment nondeterminism, candidate-join or re-rank bugs all
+    * break it) that gates the train/assign/probe/re-rank machinery
+    * end-to-end. Approximation quality at nprobe < k stays pinned by
+    * the recall spec on [[ivfTopk]] (rows-only by necessity).
+    */
+  def ivfFull(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkOn(vecs(spark, dir), col("vec_id") < 10, nprobe = 16)
 }
