@@ -39,6 +39,9 @@ object SparkEntry {
     "agg_by_label" -> (tsdb.Tsdb.aggByLabel _),
     "rate" -> (tsdb.Tsdb.rate _),
     "over_time" -> (tsdb.Tsdb.overTime _),
+    "over_time_quantile" -> (tsdb.Tsdb.overTimeQuantile _),
+    "deriv" -> (tsdb.Tsdb.deriv _),
+    "math_funcs" -> (tsdb.Tsdb.mathFuncs _),
     "topk" -> (tsdb.Tsdb.topk _),
     "bottomk" -> (tsdb.Tsdb.bottomk _),
     "quantile" -> (tsdb.Tsdb.quantile _),
@@ -101,6 +104,8 @@ object SparkEntry {
     "text_fingerprint" -> (text.TextAnalysis.fingerprint _),
     "text_repetition" -> (text.TextAnalysis.repetition _),
     "text_decontaminate" -> (text.TextAnalysis.decontaminate _),
+    "text_lm_score" -> (text.TextAnalysis.lmScore _),
+    "source_cap" -> (operators.Curation.sourceCap _),
     "freq_items" -> (operators.Relational.freqItems _),
     // G. multimodal
     "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
@@ -245,6 +250,37 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id, event_type
         |             ORDER BY epoch_us(ts)//1000000
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "over_time_quantile" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  epoch_us(ts)//1000000 AS ts_sec,
+        |  floor(quantile_cont(value, 0.5) OVER w * 10000 + 0.5) / 10000 AS p50_1h,
+        |  floor(quantile_cont(value, 0.9) OVER w * 10000 + 0.5) / 10000 AS p90_1h,
+        |  arg_max(value, epoch_us(ts)//1000000 * 10000000 + event_id) OVER w AS last_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |             ORDER BY epoch_us(ts)//1000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "deriv" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, value,
+        |    epoch_us(ts) / 1000000.0 AS sec
+        |  FROM events),
+        |f AS (SELECT usr, typ, count(*) AS n,
+        |    regr_slope(value, sec) AS slope
+        |  FROM s GROUP BY 1, 2)
+        |SELECT usr, typ, floor(slope * 3600 * 10000 + 0.5) / 10000 AS deriv_1h
+        |FROM f WHERE n >= 2 AND slope IS NOT NULL""".stripMargin,
+    "math_funcs" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  abs(value - 250.0) AS abs_v,
+        |  CAST(ceil(value - 250.0) AS BIGINT) AS ceil_v,
+        |  CAST(floor(value - 250.0) AS BIGINT) AS floor_v,
+        |  sqrt(abs(value - 250.0)) AS sqrt_v,
+        |  CAST(sign(value - 250.0) AS DOUBLE) AS sgn_v,
+        |  least(greatest(value - 250.0, -100.0), 100.0) AS clamp_v,
+        |  greatest(value - 250.0, 0.0) AS clamp_min_v,
+        |  least(value - 250.0, 0.0) AS clamp_max_v
+        |FROM events""".stripMargin,
     "topk" ->
       """WITH hourly AS (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
@@ -978,6 +1014,33 @@ object SparkEntry {
         |  count(DISTINCT bg.bid) AS n_bench
         |FROM cg JOIN bg ON cg.ng = bg.ng AND cg.doc_id <> bg.bid
         |GROUP BY 1""".stripMargin,
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS p
+        |  FROM t),
+        |b2 AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY 1, 2),
+        |uc AS (SELECT w1, count(*) AS cu FROM b2 GROUP BY 1),
+        |q AS (SELECT doc_id, floor(cb * 1.0 / cu * 1048576 + 0.5) / 1048576 AS q
+        |  FROM b2 JOIN bc USING (w1, w2) JOIN uc USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(sum(q) / count(*) * 10000 + 0.5) / 10000 AS lm_score
+        |FROM q GROUP BY 1""".stripMargin,
+    "source_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |k AS (SELECT source, count(*) AS n_kept,
+        |    CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |  FROM r WHERE rk <= 5 GROUP BY 1),
+        |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(kept_chars) AS BIGINT) AS tot FROM k)
+        |SELECT d.source, d.n_docs, k.n_kept, k.kept_chars,
+        |  floor(CAST(k.kept_chars AS DOUBLE) / t.tot * 10000 + 0.5) / 10000 AS share
+        |FROM d JOIN k USING (source) CROSS JOIN t""".stripMargin,
     "freq_items" ->
       """WITH c AS (SELECT event_type AS typ,
         |    CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n

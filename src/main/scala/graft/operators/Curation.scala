@@ -50,4 +50,34 @@ object Curation {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
   }
+
+  /** F10: per-source cap + corpus-mix report — the domain-diversity
+    * control every web-scale curation run applies (a handful of hosts
+    * must not dominate the training mix): keep the top `cap` documents
+    * per source by (n_chars, doc_id), then report each source's share
+    * of the capped corpus.
+    *
+    * Shape at 100 TB: the cap is a per-source top-k — a bounded-heap
+    * aggregate or window over a hash partition by source (never a
+    * global sort); the mix report is a two-level aggregate whose
+    * second level is #sources rows. Share is a ratio of exact longs,
+    * rounded once at the end — engine-deterministic.
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    val total = kept.agg(sum(col("kept_chars")).as("tot"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_chars"),
+        (floor(col("kept_chars").cast("double") / col("tot") * 10000 + 0.5) / 10000)
+          .as("share"))
+  }
 }

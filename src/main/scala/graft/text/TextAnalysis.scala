@@ -219,4 +219,42 @@ object TextAnalysis {
       .withColumn("fp", array_min(winHash))
       .select(col("doc_id"), col("fp"))
   }
+
+  /** F9: corpus-trained bigram language-model score — the in-engine
+    * stand-in for the perplexity filter every serious pretraining
+    * pipeline runs (CCNet/Gopher/FineWeb): documents whose word
+    * transitions are atypical for the corpus score low. Per document:
+    * mean P(w_i | w_{i-1}) under the corpus's own bigram counts.
+    *
+    * Determinism across engines AND partitionings: each conditional
+    * probability cb/cu is quantized to the dyadic 2⁻²⁰ grid before
+    * summation — quantized values sum EXACTLY in a double (≤ 2³³ terms
+    * before the 53-bit mantissa saturates), so the per-doc mean never
+    * depends on aggregation order (the ann_centroid fixed-point trick,
+    * applied to probabilities instead of coordinates).
+    *
+    * Shape at 100 TB: the count tables are vocabulary-bounded (≪
+    * corpus), built with partial aggregation; the probability lookup
+    * is a pair of equi-joins on the bigram stream — broadcast when the
+    * vocabulary fits, shuffle otherwise; final per-doc mean is one
+    * hash aggregate. No window functions, no corpus² anywhere.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("w1"),
+          element_at(col("__w"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val prefixCnt = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    bg.join(bigramCnt, Seq("w1", "w2")).join(prefixCnt, Seq("w1"))
+      .withColumn("q", floor(col("cb") / col("cu") * 1048576 + 0.5) / 1048576)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("sq") / col("n_bigrams") * 10000 + 0.5) / 10000).as("lm_score"))
+  }
 }

@@ -97,6 +97,68 @@ object Tsdb {
         col("n_1h"), col("sd_1h"))
   }
 
+  /** B29: quantile_over_time / last_over_time — the order-statistic
+    * half of the PromQL trailing-range set (B5 covers the moments).
+    * Exact per-window percentiles (linear interpolation, matching
+    * DuckDB's quantile_cont — the same parity as B7); last_over_time
+    * picks the window's newest sample with an explicit (ts, event_id)
+    * key, so same-second ties resolve identically in any engine
+    * (PromQL timestamps are unique per series; the key makes the gate
+    * deterministic anyway). At 100 TB: same shuffle as B5 — one
+    * hash-partition by series, windows evaluated within partitions.
+    */
+  def overTimeQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    idx(spark, dir).labeled
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      // events carry < 10^7 ids, so ts·10^7 + id is a collision-free
+      // "newest sample, ties by id" ordering key that fits a long
+      .withColumn("ordk", col("ts_sec") * lit(10000000L) + col("event_id"))
+      .withColumn("p50_1h",
+        floor(expr("percentile(value, 0.5D)").over(w) * 10000 + 0.5) / 10000)
+      .withColumn("p90_1h",
+        floor(expr("percentile(value, 0.9D)").over(w) * 10000 + 0.5) / 10000)
+      .withColumn("last_1h", expr("max_by(value, ordk)").over(w))
+      .select(col("event_id"), col("usr"), col("typ"), col("ts_sec"),
+        col("p50_1h"), col("p90_1h"), col("last_1h"))
+  }
+
+  /** B30: deriv — per-series least-squares slope of value over time
+    * (PromQL deriv), reported per hour so the 4-decimal gate keeps
+    * real precision. Same single-pass regr_slope partial aggregate as
+    * B17 (predict_linear), minus the extrapolation.
+    */
+  def deriv(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .withColumn("sec", unix_micros(col("ts")) / lit(1e6))
+      .groupBy(col("usr"), col("typ"))
+      .agg(count(lit(1)).as("n"), expr("regr_slope(value, sec)").as("slope"))
+      .filter(col("n") >= 2 && col("slope").isNotNull)
+      .select(col("usr"), col("typ"),
+        (floor(col("slope") * 3600 * 10000 + 0.5) / 10000).as("deriv_1h"))
+
+  /** B31: the PromQL scalar math surface (abs/ceil/floor/sqrt/sgn and
+    * clamp/clamp_min/clamp_max) as one vectorized projection — every
+    * op IEEE-exact (sqrt is correctly rounded), so the gate needs no
+    * rounding at all. Stays inside whole-stage codegen: one scan, no
+    * shuffle, the shape that matters when this projection runs over
+    * 100 TB of samples.
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value") - lit(250.0) // center so abs/sgn/clamp all bite
+    idx(spark, dir).labeled
+      .select(col("event_id"), col("usr"), col("typ"),
+        abs(v).as("abs_v"),
+        ceil(v).as("ceil_v"),
+        floor(v).as("floor_v"),
+        sqrt(abs(v)).as("sqrt_v"),
+        signum(v).as("sgn_v"),
+        least(greatest(v, lit(-100.0)), lit(100.0)).as("clamp_v"),
+        greatest(v, lit(0.0)).as("clamp_min_v"),
+        least(v, lit(0.0)).as("clamp_max_v"))
+  }
+
   /** B6: topk(3) series by hourly sum(value). Ordering key is the
     * *rounded* sum plus full label tiebreak, so ranking is
     * deterministic and engine-independent.
