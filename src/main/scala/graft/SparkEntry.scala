@@ -65,6 +65,10 @@ object SparkEntry {
     "binary_op" -> (tsdb.Tsdb.binaryOp _),
     "quantile_sketch" -> (tsdb.Tsdb.quantileSketch _),
     "at_modifier" -> (tsdb.Tsdb.atModifier _),
+    "absent_over_time" -> (tsdb.Tsdb.absentOverTime _),
+    "idelta" -> (tsdb.Tsdb.idelta _),
+    "agg_stats" -> (tsdb.Tsdb.aggStats _),
+    "time_funcs" -> (tsdb.Tsdb.timeFuncs _),
     "text_pii" -> (text.TextAnalysis.piiScrub _),
     "stratified_sample" -> (text.TextAnalysis.stratifiedSample _),
     // C. relational core
@@ -80,6 +84,7 @@ object SparkEntry {
     "rollup_agg" -> (operators.Relational.rollupAgg _),
     "pivot_agg" -> (operators.Relational.pivotAgg _),
     "curation_pipeline" -> (operators.Curation.pipeline _),
+    "corr_subquery" -> (operators.Relational.corrSubquery _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     // D. dedup
     "dedup_exact" -> (dedup.Dedup.exact _),
@@ -105,6 +110,8 @@ object SparkEntry {
     "text_repetition" -> (text.TextAnalysis.repetition _),
     "text_decontaminate" -> (text.TextAnalysis.decontaminate _),
     "text_lm_score" -> (text.TextAnalysis.lmScore _),
+    "seq_pack" -> (text.TextAnalysis.seqPack _),
+    "text_urls" -> (text.TextAnalysis.urlExtract _),
     "source_cap" -> (operators.Curation.sourceCap _),
     "freq_items" -> (operators.Relational.freqItems _),
     // G. multimodal
@@ -434,6 +441,41 @@ object SparkEntry {
         |SELECT usr, typ, epoch_us(ts)//1000000 AS sample_ts_sec,
         |  round(value, 2) AS value_at
         |FROM r WHERE rk = 1""".stripMargin,
+    "absent_over_time" ->
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS h FROM events),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM l),
+        |p AS (SELECT usr, typ, count(DISTINCT h) AS n_present FROM l GROUP BY 1, 2)
+        |SELECT usr, typ, n_present,
+        |  (span.h1 - span.h0)//3600 + 1 - n_present AS n_absent
+        |FROM p CROSS JOIN span""".stripMargin,
+    "idelta" ->
+      """WITH r AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    value, epoch_us(ts) AS us, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |l AS (SELECT usr, typ, count(*) AS n,
+        |    arg_max(value, ts) AS v1, arg_min(value, ts) AS v0,
+        |    max(us) AS u1, min(us) AS u0
+        |  FROM r WHERE rn <= 2 GROUP BY 1, 2)
+        |SELECT usr, typ, round(v1 - v0, 2) AS idelta
+        |FROM l WHERE n = 2 AND u1 > u0""".stripMargin,
+    "agg_stats" ->
+      """SELECT event_type AS typ,
+        |  count(DISTINCT user_id) AS n_series,
+        |  count(*) AS n_samples,
+        |  floor(stddev_pop(value) * 10000 + 0.5) / 10000 AS sd_pop,
+        |  floor(var_pop(value) * 100 + 0.5) / 100 AS var_pop,
+        |  CAST(1 AS BIGINT) AS grp
+        |FROM events GROUP BY 1""".stripMargin,
+    "time_funcs" ->
+      """SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+        |  CAST(dayofmonth(ts) AS INT) AS dom, CAST(month(ts) AS INT) AS mon,
+        |  CAST(dayofmonth(last_day(ts)) AS INT) AS dim,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "quantile_sketch" ->
       """SELECT event_type AS typ,
         |  round(quantile_disc(value, 0.5), 4) AS p50,
@@ -1041,6 +1083,56 @@ object SparkEntry {
         |SELECT d.source, d.n_docs, k.n_kept, k.kept_chars,
         |  floor(CAST(k.kept_chars AS DOUBLE) / t.tot * 10000 + 0.5) / 10000 AS share
         |FROM d JOIN k USING (source) CROSS JOIN t""".stripMargin,
+    // C14: the oracle keeps the subquery in CORRELATED form while the
+    // Spark side runs the decorrelated one-aggregate plan — the gate
+    // proves cross-form equivalence, not just self-consistency
+    "corr_subquery" ->
+      """SELECT p.p_brand,
+        |  count(DISTINCT p.p_partkey) AS n_parts,
+        |  count(*) AS n_small,
+        |  round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                            WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY 1""".stripMargin,
+    // F11: the recursive CTE replays the identical greedy recurrence,
+    // one recursion step per document within each source
+    "seq_pack" ->
+      """WITH RECURSIVE
+        |d AS (SELECT source,
+        |    list_sort(list(struct_pack(doc_id := doc_id,
+        |      nt := len(string_split(text, ' '))))) AS l
+        |  FROM documents GROUP BY source),
+        |pk(source, k, bin, fill, doc_id, n_tok) AS (
+        |  SELECT source, 1 AS k, CAST(0 AS BIGINT) AS bin,
+        |    CAST(l[1].nt AS BIGINT) AS fill, l[1].doc_id AS doc_id,
+        |    CAST(l[1].nt AS BIGINT) AS n_tok
+        |  FROM d
+        |  UNION ALL
+        |  SELECT p.source, p.k + 1,
+        |    CASE WHEN p.fill + d.l[p.k+1].nt > 512
+        |         THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + d.l[p.k+1].nt > 512
+        |         THEN CAST(d.l[p.k+1].nt AS BIGINT)
+        |         ELSE p.fill + d.l[p.k+1].nt END,
+        |    d.l[p.k+1].doc_id, CAST(d.l[p.k+1].nt AS BIGINT)
+        |  FROM pk p JOIN d ON d.source = p.source AND p.k < len(d.l))
+        |SELECT doc_id, source, n_tok, bin FROM pk""".stripMargin,
+    "text_urls" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 37) || '.example/p/'
+        |      || doc_id || ' and http://cdn' || (doc_id % 11)
+        |      || '.example/img.png' AS t
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(t,
+        |      'https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*')) AS u
+        |  FROM t)
+        |SELECT regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        |  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(CASE WHEN u LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_https
+        |FROM u GROUP BY 1""".stripMargin,
     "freq_items" ->
       """WITH c AS (SELECT event_type AS typ,
         |    CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n

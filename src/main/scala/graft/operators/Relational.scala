@@ -186,6 +186,31 @@ object Relational {
         max(col("k")).as("max_k"))
   }
 
+  /** C14: correlated scalar subquery (TPC-H Q17 shape) — per-brand
+    * revenue from "small" line items, where small is defined against
+    * each PART's own average quantity (the correlated aggregate).
+    * Spark-first decorrelation: the per-part averages are ONE groupBy
+    * over lineitem reused across all outer rows — the same rewrite
+    * Catalyst applies to a correlated scalar subquery, stated
+    * explicitly so the plan is one aggregate + one shuffle join + one
+    * broadcast dim join, never a per-row re-scan. The DuckDB oracle
+    * keeps the subquery in correlated form, gating cross-form
+    * equivalence. Quantities are integer-valued doubles, so per-part
+    * avg = exact_sum/n is order-independent and the `< 0.5*avg`
+    * threshold compares identical doubles on both engines.
+    */
+  def corrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("__aq"))
+    li.join(avgQty, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("__aq") * 0.5)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("p_partkey")).as("n_parts"),
+        count(lit(1)).as("n_small"),
+        round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
   /** C13: frequent items (heavy hitters) — top-5 floor(value) buckets
     * per label via the mergeable Misra–Gries summary
     * (graft.functions.FreqItemsAgg): O(capacity) state per group

@@ -210,6 +210,23 @@ object StreamOps extends Serializable {
         col("p.value").as("pur_v"))
   }
 
+  /** H11: streaming session windows — the streaming twin of the batch
+    * session_window operator (B18): per-series activity sessions with
+    * a 30-minute inactivity gap. The SAME session_window groupBy runs
+    * in both modes (withWatermark is a no-op on a static frame), so
+    * batch and streaming session semantics cannot drift. In Append
+    * mode a session row is emitted exactly once — when the watermark
+    * passes its close — and its state is dropped; open-session state
+    * is ∝ (active series), never sample history.
+    */
+  def sessionAgg(samples: DataFrame): DataFrame =
+    samples
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("usr"), col("typ"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(unix_timestamp(col("session_window.start")).as("sess_start_sec"),
+        col("usr"), col("typ"), col("n"), col("sum_v"))
+
   /** H8: streaming exact dedup — the streaming twin of the batch exact
     * dedup (D1): drop re-deliveries of the same event within the
     * watermark horizon. dropDuplicatesWithinWatermark keeps one state

@@ -220,6 +220,78 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Input / output rows of the F11 packing fold (top-level so Dataset
+    * encoders codegen against them).
+    */
+  case class PackRow(source: String, docId: Long, nTok: Int)
+  case class PackOut(doc_id: Long, source: String, n_tok: Long, bin: Long)
+
+  /** F11: sequence packing — the pre-training batching step that
+    * follows tokenization: greedily pack documents (in stable doc_id
+    * order, per source) into fixed-capacity context windows (512
+    * whitespace tokens here), opening a new bin whenever the next
+    * document would overflow; an oversized document gets a bin of its
+    * own. The greedy recurrence is order-dependent state, not an
+    * associative aggregate — so, like holt_winters (B20), it runs as a
+    * bounded-state per-partition fold after one hash-repartition by
+    * source with a secondary sort: O(1) state per open source,
+    * regardless of how many documents a source holds. The DuckDB
+    * oracle replays the identical recurrence through a recursive CTE.
+    * Output is pure integers — no float parity surface at all.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 512L
+    val rows = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id").as("docId"),
+        size(split(col("text"), " ")).as("nTok"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("docId"))
+      .as[PackRow]
+    rows.mapPartitions { it =>
+      var curSrc: String = null
+      var bin = 0L; var fill = 0L
+      it.map { r =>
+        if (curSrc == null || r.source != curSrc) {
+          curSrc = r.source; bin = 0L; fill = 0L
+        }
+        // fill > 0 guard: a source's FIRST document never overflows an
+        // empty bin, even when it alone exceeds the capacity
+        if (fill > 0 && fill + r.nTok > cap) { bin += 1; fill = r.nTok.toLong }
+        else fill += r.nTok
+        PackOut(r.docId, r.source, r.nTok.toLong, bin)
+      }
+    }.toDF()
+  }
+
+  /** F12: URL / domain extraction — the web-corpus provenance pass
+    * (domain frequency tables drive the per-domain quality and cap
+    * decisions that F10 then enforces). The synthetic corpus carries no
+    * natural URLs, so both engines append the same two deterministic
+    * links per document first — the PII-oracle injection trick — then
+    * extract every URL, parse out its host, and build the per-domain
+    * frequency table. Pure regex column ops (RE2 ∩ Java dialect), one
+    * scan + one low-cardinality aggregate.
+    */
+  def urlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val url = "https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
+    val host = "https?://([A-Za-z0-9.-]+)"
+    Tables.documents(spark, dir)
+      .withColumn("t", concat(col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(37)),
+        lit(".example/p/"), col("doc_id"),
+        lit(" and http://cdn"), pmod(col("doc_id"), lit(11)),
+        lit(".example/img.png")))
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(t, '$url', 0)")).as("u"))
+      .select(col("doc_id"), regexp_extract(col("u"), host, 1).as("domain"),
+        startswith(col("u"), lit("https://")).cast("long").as("is_https"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("is_https")).as("n_https"))
+  }
+
   /** F9: corpus-trained bigram language-model score — the in-engine
     * stand-in for the perplexity filter every serious pretraining
     * pipeline runs (CCNet/Gopher/FineWeb): documents whose word

@@ -633,6 +633,74 @@ object Tsdb {
         round(col("sum_v") - col("prev_v"), 2).as("dod"))
   }
 
+  /** B32: absent_over_time — step-evaluated presence per series: of
+    * the hourly steps spanning the table's global range, how many have
+    * at least one sample and how many are silent (the alerting dual of
+    * absent(): per-series gap accounting instead of whole-selector
+    * emptiness). One hourly aggregate + a broadcast 1-row span join —
+    * no step grid is ever materialized, so the plan is independent of
+    * range length (a year of hourly steps costs the same join).
+    */
+  def absentOverTime(spark: SparkSession, dir: String): DataFrame = {
+    val l = idx(spark, dir).labeled
+    val span = l.agg(
+      unix_timestamp(date_trunc("hour", min(col("ts")))).as("h0"),
+      unix_timestamp(date_trunc("hour", max(col("ts")))).as("h1"))
+    l.groupBy(col("usr"), col("typ"))
+      .agg(countDistinct(unix_timestamp(date_trunc("hour", col("ts")))).as("n_present"))
+      .crossJoin(broadcast(span))
+      .select(col("usr"), col("typ"), col("n_present"),
+        (((col("h1") - col("h0")) / 3600).cast("long") + 1 - col("n_present"))
+          .as("n_absent"))
+  }
+
+  /** B33: idelta() — signed difference of the last two samples of each
+    * series (the gauge companion of B13's irate: same two-sample
+    * window, no time division, sign preserved).
+    */
+  def idelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts").desc, col("event_id").desc)
+    idx(spark, dir).labeled
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("usr"), col("typ"))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("value"), col("ts")).as("v1"), min_by(col("value"), col("ts")).as("v0"),
+        max(unix_micros(col("ts"))).as("u1"), min(unix_micros(col("ts"))).as("u0"))
+      .filter(col("n") === 2 && col("u1") > col("u0"))
+      .select(col("usr"), col("typ"), round(col("v1") - col("v0"), 2).as("idelta"))
+  }
+
+  /** B34: the PromQL spread aggregators — stddev / stdvar (population
+    * moments, as PromQL defines them) plus the `group`/`count`
+    * membership pair, per label. One partial-agg groupBy; the moment
+    * outputs use the floor-quantize gate (B3's avg rule) because
+    * population variance is a ratio of order-summed doubles.
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .groupBy(col("typ"))
+      .agg(countDistinct(col("usr")).as("n_series"),
+        count(lit(1)).as("n_samples"),
+        (floor(stddev_pop(col("value")) * 10000 + 0.5) / 10000).as("sd_pop"),
+        (floor(var_pop(col("value")) * 100 + 0.5) / 100).as("var_pop"))
+      .withColumn("grp", lit(1L))
+
+  /** B35: the PromQL time-function surface — day_of_week (0=Sunday,
+    * PromQL convention), hour, day_of_month, month, days_in_month of
+    * the sample timestamp (UTC), aggregated to a calendar heat-map.
+    * Pure codegen'd projections on the scan; the groupBy keys are
+    * low-cardinality, so partial aggregation collapses everything
+    * map-side.
+    */
+  def timeFuncs(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir).labeled
+      .select((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"),
+        dayofmonth(col("ts")).as("dom"), month(col("ts")).as("mon"),
+        dayofmonth(last_day(col("ts"))).as("dim"), col("value"))
+      .groupBy(col("dow"), col("hr"), col("dom"), col("mon"), col("dim"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+
   /** B10: appender commit batch — day-partitioned ingest summary
     * (the parquet-layout analog of appender.h + WAL commit).
     */

@@ -315,6 +315,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H11: streaming session windows are batch-equivalent once closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      Sample(0, ts(0), "1", "click", 1.0),
+      Sample(1, ts(10), "1", "click", 2.0), // same session (10m gap)
+      Sample(2, ts(55), "1", "click", 4.0), // new session (45m gap)
+      Sample(3, ts(5), "2", "view", 8.0))
+    val in = MemoryStream[Sample]
+    val q = StreamOps.sessionAgg(in.toDF())
+      .writeStream.format("memory").queryName("h11_out").outputMode("append").start()
+    try {
+      // sessions span micro-batch boundaries
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      // watermark pusher on a bystander key: closes every real session
+      in.addData(Sample(9, at(20, 0), "9", "other", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("h11_out").filter(col("usr") =!= "9")
+        .collect().map(_.toSeq).toSet
+      // batch equivalence through the SAME code path (watermark is a
+      // no-op on a static frame)
+      val batch = StreamOps.sessionAgg(rows.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.size == 3,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("H8: streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
