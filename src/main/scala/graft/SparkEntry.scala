@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_clusters" -> (dedup.Dedup.clusters _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
+    "ann_mips" -> (similarity.Ann.mipsTopk _),
     "ann_ivf" -> (similarity.Ann.ivfTopk _),
     "ann_ivf_full" -> (similarity.Ann.ivfFull _),
     "ann_classify" -> (similarity.Ann.knnClassify _),
@@ -931,6 +932,22 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY votes DESC, label) AS m FROM votes)
         |WHERE m = 1""".stripMargin,
+    // E6: raw inner product — both engines run the dot in sequential
+    // ascending dim order, so the doubles are bit-identical (same
+    // parity argument as ann_bruteforce, minus the normalization)
+    "ann_mips" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i]*v.e[i])), 4) AS dot
+        |  FROM q JOIN v ON v.vec_id <> q.query_id)
+        |SELECT query_id, rk, neighbor_id, dot FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
     "ann_bruteforce" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -246,6 +246,30 @@ object Ann {
       .select(col("vec_id"), col("label"), col("cs"), (col("cs") < 0).as("outlier"))
   }
 
+  /** E6: maximum-inner-product search (MIPS) — exact top-5 by RAW
+    * inner product, the retrieval scoring dual-encoder models train
+    * for (unnormalized dot: magnitude carries relevance, so cosine
+    * top-k gives different answers). Same one-corpus-pass broadcast
+    * shape as E1, same codegen vec_dot, no normalization anywhere.
+    *
+    * Scale path: MIPS reduces to cosine ANN by norm augmentation
+    * (x → [x, √(M²−‖x‖²)] with M = max corpus norm, q → [q, 0]):
+    * the augmented cosine order equals the raw dot order, so the
+    * E2/E3 bucketed machinery applies unchanged — AnnMipsSpec proves
+    * the reduction's rank equivalence on the real corpus.
+    */
+  def mipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", round(call_function("vec_dot", col("qv"), col("v")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("dot"))
+  }
+
   /** E2: LSH ANN — L=4 tables × 6-bit signatures; candidates = union of
     * same-bucket vectors across tables, re-ranked by exact cosine.
     * Output is hyperplane-dependent → rows-only gate; the spec checks

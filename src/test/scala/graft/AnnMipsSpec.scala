@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E6 (MIPS): the norm-augmentation reduction that makes max-inner-
+  * product search servable by the cosine ANN machinery (E2/E3).
+  * Augment corpus x → [x, √(M²−‖x‖²)] (M = max corpus norm) and query
+  * q → [q, 0]: every augmented corpus vector has norm exactly M, so
+  * cos(qa, xa) = (q·x) / (‖q‖·M) — a positive monotone transform of
+  * the raw dot per query — and the cosine ranking EQUALS the MIPS
+  * ranking. Checked on the real corpus, not synthetic toys.
+  */
+class AnnMipsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("norm augmentation preserves the MIPS ranking exactly") {
+    val rows = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    assert(rows.length > 50)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val m = rows.map { case (_, v) => math.sqrt(dot(v, v)) }.max
+    // augmented corpus vector; augmented query just appends 0, which
+    // leaves q·x unchanged — so only the corpus side needs building
+    def aug(v: Array[Double]): Array[Double] =
+      v :+ math.sqrt(math.max(0.0, m * m - dot(v, v)))
+    val queries = rows.filter(_._1 < 5)
+    for ((qid, qv) <- queries) {
+      val mips = rows.filter(_._1 != qid)
+        .map { case (id, v) => (id, dot(qv, v)) }
+        .sortBy { case (id, d) => (-d, id) }.map(_._1).take(10).toSeq
+      val qn = math.sqrt(dot(qv, qv))
+      val cosAug = rows.filter(_._1 != qid)
+        .map { case (id, v) =>
+          val va = aug(v)
+          (id, dot(qv :+ 0.0, va) / (qn * math.sqrt(dot(va, va))))
+        }
+        .sortBy { case (id, c) => (-c, id) }.map(_._1).take(10).toSeq
+      assert(mips == cosAug, s"query $qid: mips=$mips cosAug=$cosAug")
+    }
+  }
+}

@@ -157,6 +157,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), s"no dynamic partition pruning:\n$p")
   }
 
+  test("corr_subquery: decorrelated — one lineitem aggregate, part broadcasts") {
+    val p = plan("corr_subquery")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the correlated average comes from ONE reusable aggregate: lineitem
+    // is scanned exactly twice (base + avg build), never once per row
+    val liScans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(liScans == 2, s"lineitem scanned $liScans times:\n$p")
+  }
+
+  test("seq_pack: one repartition by source feeds the bounded-state fold") {
+    val p = plan("seq_pack")
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions"),
+      s"packing fold not a mapPartitions:\n$p")
+    assert(!p.contains("collect_list"), s"packing buffers whole sources:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$p")
+  }
+
+  test("absent_over_time: span is a broadcast join, no step grid materialized") {
+    val p = plan("absent_over_time")
+    assert(p.contains("BroadcastExchange"), s"span not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // no explode/sequence of per-step rows anywhere — cost is range-free
+    assert(!p.contains("Generate "), s"step grid materialized:\n$p")
+  }
+
+  test("new aggregates keep map-side partial aggregation") {
+    for (name <- Seq("time_funcs", "agg_stats")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name lost partial aggregation:\n$p")
+    }
+  }
+
   test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
     // the prefix filter must appear below the self-join: rank <= n - ceil(n*t) + 1
     val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
