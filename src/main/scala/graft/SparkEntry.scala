@@ -113,6 +113,7 @@ object SparkEntry {
     "text_lm_score" -> (text.TextAnalysis.lmScore _),
     "seq_pack" -> (text.TextAnalysis.seqPack _),
     "text_urls" -> (text.TextAnalysis.urlExtract _),
+    "text_vocab" -> (text.TextAnalysis.vocab _),
     "source_cap" -> (operators.Curation.sourceCap _),
     "freq_items" -> (operators.Relational.freqItems _),
     // G. multimodal
@@ -1150,6 +1151,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN u LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_https
         |FROM u GROUP BY 1""".stripMargin,
+    // F13: shares quantized from exact integer counts — order-free
+    "text_vocab" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS n FROM w GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rk
+        |  FROM c WHERE n >= 5)
+        |SELECT rk, w, n,
+        |  floor(n * 1.0 / t.tot * 1000000 + 0.5) / 1000000 AS share,
+        |  floor(sum(n) OVER (ORDER BY rk) * 1.0 / t.tot * 1000000 + 0.5)
+        |    / 1000000 AS cum_share
+        |FROM r CROSS JOIN t WHERE rk <= 50""".stripMargin,
     "freq_items" ->
       """WITH c AS (SELECT event_type AS typ,
         |    CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n

@@ -143,6 +143,18 @@ object Io {
   def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
 
+  /** I9: schema-evolution read — a long-lived lakehouse table gains
+    * columns over time (new quality signals, new metadata), so part
+    * files written in different eras carry different schemas.
+    * mergeSchema unions the footers at planning time (one metadata
+    * pass, no data rewrite) and back-fills missing columns with null —
+    * the read-side half of schema evolution. Additive evolution only:
+    * same-name/different-type columns fail the merge loudly, which is
+    * the correct behavior (silent coercion corrupts downstream).
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** ORC round-trip (second columnar format). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

@@ -280,6 +280,27 @@ object StreamOps extends Serializable {
       .mapGroupsWithState[FreqState, FreqTop](update _)
   }
 
+  /** H12: streaming top-k — the bounded-heap TopKAgg (B6's aggregate)
+    * running AS the streaming aggregation: the TypedImperativeAggregate
+    * buffer (≤ k entries) is exactly what the state store checkpoints
+    * per key, so streaming top-k state is O(k) per label forever — the
+    * hot-series dashboard shape — and batch/streaming share one
+    * ranking implementation. Update mode re-emits a key's current
+    * top-k whenever a micro-batch improves it.
+    */
+  def streamingTopK(samples: DataFrame, k: Int = 3): DataFrame = {
+    val spark = samples.sparkSession
+    val fn = s"stream_topk_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, exprs => graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2), k),
+      "built-in")
+    samples.groupBy(col("typ"))
+      .agg(call_function(fn, col("value"), col("usr"), col("typ")).as("top"))
+      .select(col("typ"), posexplode(col("top")))
+      .select(col("typ"), (col("pos") + 1).as("rk"),
+        col("col.a").as("usr"), col("col.v").as("v"))
+  }
+
   /** H2: streaming add_series — mapGroupsWithState keyed by label set;
     * first sample creates the series (isNew=true, stable hash tsid),
     * later samples bump counters. State size ∝ #series, not #samples.

@@ -220,6 +220,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** F13: vocabulary building — the tokenizer-training precursor: the
+    * corpus word-frequency table with a min-count floor, ranked, with
+    * each word's share of ALL tokens and the cumulative coverage of
+    * the vocabulary prefix (the curve that decides vocab size). The
+    * count table is vocabulary-bounded (≪ corpus) after one partial
+    * aggregate; top-50 selection is TakeOrdered (no global sort), and
+    * the rank/cumulative window runs over 50 rows. Shares are
+    * floor-quantized from exact integer counts, so the gate is exact.
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(spark, dir)
+      .select(explode(words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("tot"))
+    val top = c.filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("w")).limit(50)
+    val wRk = Window.orderBy(col("n").desc, col("w"))
+    val wCum = Window.orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("share",
+        floor(col("n") / col("tot") * 1000000 + 0.5) / 1000000)
+      .withColumn("cum_share",
+        floor(sum(col("n")).over(wCum) / col("tot") * 1000000 + 0.5) / 1000000)
+      .select(col("rk"), col("w"), col("n"), col("share"), col("cum_share"))
+  }
+
   /** Input / output rows of the F11 packing fold (top-level so Dataset
     * encoders codegen against them).
     */

@@ -57,6 +57,24 @@ class IoSpec extends AnyFunSuite {
     assert(Io.readOrc(spark, s"$tmp/docs_orc").count() == docs.count())
   }
 
+  test("I9: mergeSchema unifies part files from different schema eras") {
+    import spark.implicits._
+    val out = s"$tmp/evolved"
+    // era 1: (doc_id, lang); era 2 adds a quality column
+    Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(out)
+    Seq((3L, "en", 0.9)).toDF("doc_id", "lang", "quality")
+      .write.mode("append").parquet(out)
+    val merged = Io.readMerged(spark, out)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "quality"))
+    // era-1 rows back-fill the new column with null; era-2 keeps data
+    assert(merged.filter(col("quality").isNull).count() == 2)
+    assert(merged.filter(col("doc_id") === 3 && col("quality") === 0.9).count() == 1)
+    // a plain read (no merge) plans from ONE footer and may miss the
+    // new column — the helper is what makes evolved tables readable
+    assert(merged.count() == 3)
+  }
+
   test("I6: small-file compaction folds micro-batch files, preserves data") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"

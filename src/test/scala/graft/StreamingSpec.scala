@@ -315,6 +315,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H12: streaming top-k carries the bounded heap across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(Sample(0, ts(0), "1", "click", 10.0),
+      Sample(1, ts(1), "2", "click", 30.0), Sample(2, ts(2), "3", "click", 20.0))
+    val b2 = Seq(Sample(3, ts(3), "4", "click", 50.0),
+      Sample(4, ts(4), "5", "click", 5.0))
+    val in = MemoryStream[Sample]
+    val q = StreamOps.streamingTopK(in.toDF())
+      .writeStream.format("memory").queryName("h12_out").outputMode("update").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val rows = spark.table("h12_out")
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+      // final state merges batch-1 survivors with batch-2's new leader:
+      // 30 (batch 1) must still rank 2 after 50 arrives — proof the
+      // heap, not just the batch, is the state
+      val want = Set((1, "4", 50.0), (2, "2", 30.0), (3, "3", 20.0))
+      assert(want.subsetOf(rows), s"final top-3 not emitted: $rows")
+      // batch equivalence through the same aggregate
+      val batch = StreamOps.streamingTopK((b1 ++ b2).toDF())
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+      assert(batch == want, s"batch=$batch")
+    } finally q.stop()
+  }
+
   test("H11: streaming session windows are batch-equivalent once closed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
