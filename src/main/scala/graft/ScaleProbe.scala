@@ -99,6 +99,11 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
     t("ngram_jaccard")(dedup.Dedup.jaccardPairs(
       dedup.Dedup.shingles(dbig).cache(), 0.8))
+    // round-4 pipeline additions: the packing fold (bounded state per
+    // source, one exchange) and the vocabulary aggregate (vocab-bounded
+    // count table + TakeOrdered top-k) over the factor× corpus
+    t("seq_pack_fold")(text.TextAnalysis.seqPackOn(spark, dbig))
+    t("vocab_top50")(text.TextAnalysis.vocabOn(dbig))
     spark.stop()
   }
 }

@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_embedding" -> (dedup.Dedup.embeddingCosine _),
     "dedup_embedding_lsh" -> (dedup.Dedup.embeddingLsh _),
     "dedup_clusters" -> (dedup.Dedup.clusters _),
+    "dedup_incremental" -> (dedup.Dedup.incremental _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
     "ann_mips" -> (similarity.Ann.mipsTopk _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
     "mm_framesample" -> (multimodal.Multimodal.frameSample _),
     "mm_audio_windows" -> (multimodal.Multimodal.audioFeatures _),
+    "mm_integrity" -> (multimodal.Multimodal.integrity _),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -787,6 +789,28 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY text""".stripMargin,
+    // D8: both engines derive the same planted batch (i%4==1 takes a
+    // corpus doc's text, i%4==3 an earlier batch doc's); the oracle
+    // joins by text where Spark joins by xxhash64(text) — equivalence
+    // holds because verdicts depend only on content equality
+    "dedup_incremental" ->
+      """WITH orig AS (SELECT doc_id, text FROM documents),
+        |b0 AS (SELECT doc_id, (doc_id // 5) % 4 AS i4 FROM documents
+        |       WHERE doc_id % 5 = 0),
+        |batch AS (SELECT b0.doc_id, o.text
+        |  FROM b0 JOIN orig o ON o.doc_id =
+        |    CASE WHEN b0.i4 = 1 THEN b0.doc_id + 1
+        |         WHEN b0.i4 = 3 THEN b0.doc_id - 5
+        |         ELSE b0.doc_id END),
+        |corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
+        |r AS (SELECT b.doc_id, b.text,
+        |    b.text IN (SELECT text FROM corpus) AS in_corpus,
+        |    row_number() OVER (PARTITION BY b.text ORDER BY b.doc_id) AS rn
+        |  FROM batch b)
+        |SELECT doc_id,
+        |  CASE WHEN in_corpus THEN 'dup_corpus'
+        |       WHEN rn > 1 THEN 'dup_batch' ELSE 'kept' END AS verdict
+        |FROM r""".stripMargin,
     "dedup_minhash" -> exactJaccardSql,
     "dedup_ngram_jaccard" -> exactJaccardSql,
     "dedup_clusters" ->
@@ -1187,6 +1211,28 @@ object SparkEntry {
         |  floor(list_sum(list_transform(codes,
         |      x -> CASE WHEN x % 4 = 1 THEN 1 ELSE 0 END)) * 1.0 / len * 10000 + 0.5) / 10000 AS f1
         |FROM c""".stripMargin,
+    // G4: every 50th payload truncated by one byte on BOTH sides (the
+    // injection trick) — the corrupted docs must flag meta_ok = false
+    // and shift their checksum; width metadata = (n_chars % 64) + 1
+    "mm_integrity" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 50 = 0 THEN substr(text, 1, length(text) - 1)
+        |         ELSE text END AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, n_chars, t, length(t) AS n_bytes,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(t, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS checksum
+        |  FROM c)
+        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CASE WHEN n_bytes = 0 THEN 'empty'
+        |       WHEN regexp_matches(substr(t, 1, 1), '[A-Za-z]') THEN 'text'
+        |       WHEN regexp_matches(substr(t, 1, 1), '[0-9]') THEN 'digit'
+        |       ELSE 'other' END AS kind,
+        |  checksum,
+        |  (n_bytes % 64) + 1 = (n_chars % 64) + 1 AS meta_ok
+        |FROM h""".stripMargin,
     "mm_audio_windows" ->
       """WITH c AS (SELECT doc_id, length(text) AS len,
         |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes

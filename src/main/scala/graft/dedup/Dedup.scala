@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for training-data pipelines (SURVEY.md §2.D).
@@ -478,5 +479,47 @@ object Dedup {
         round(call_function("vec_dot", col("av"), col("bv")) / (col("an") * col("bn")), 4))
       .filter(col("cs") >= threshold)
       .select(col("ia"), col("ib"), col("cs"))
+  }
+
+  /** D8: incremental dedup — the steady-state form of exact dedup (D1)
+    * in a continuously-ingesting pipeline: a NEW batch (doc_id ≡ 0
+    * mod 5 here) deduplicated against the already-curated corpus AND
+    * within itself, each document verdicted `dup_corpus` (content
+    * already curated), `dup_batch` (an earlier batch doc has the same
+    * content), or `kept`.
+    *
+    * The synthetic corpus has no exact duplicates, so both engines
+    * derive the same planted batch first (the injection trick): every
+    * i≡1 (mod 4) batch doc takes a corpus document's text, every i≡3
+    * takes an EARLIER batch doc's text — the gate proves both dup
+    * classes are caught, not that nothing exists.
+    *
+    * Shape at 100 TB: the corpus side reduces to its distinct content
+    * hashes — a derived, incrementally-maintained table (append the
+    * kept hashes after each batch), exactly like the tag index; the
+    * batch joins it by 64-bit hash (shuffle-hash on h, or bloom-filter
+    * the corpus side by the batch's hashes first — the batch is always
+    * the small side). The curated corpus text is never rescanned.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val i4 = pmod((col("doc_id") / 5).cast("long"), lit(4))
+    val src = when(i4 === 1, col("doc_id") + 1)
+      .when(i4 === 3, col("doc_id") - 5)
+      .otherwise(col("doc_id"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), src.as("src"))
+      .join(docs.select(col("doc_id").as("src"), col("text")), Seq("src"))
+    val corpusHashes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(xxhash64(col("text")).as("h")).distinct()
+      .withColumn("__c", lit(1))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    batch.withColumn("h", xxhash64(col("text")))
+      .join(corpusHashes, Seq("h"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"),
+        when(col("__c").isNotNull, "dup_corpus")
+          .when(col("rn") > 1, "dup_batch")
+          .otherwise("kept").as("verdict"))
   }
 }

@@ -241,6 +241,46 @@ object Multimodal {
     }.toDF()
   }
 
+  case class IntegrityRow(doc_id: Long, n_bytes: Long, kind: String,
+      checksum: Long, meta_ok: Boolean)
+
+  /** G4: payload integrity — the ingest-validation pass a multimodal
+    * lakehouse runs before paying decode cost: per payload, a
+    * magic-byte format sniff (here the stub classes text/digit/other —
+    * a real table checks JPEG/PNG/RIFF magics in the same first-bytes
+    * slot), a polynomial checksum of the full byte stream, and a
+    * metadata-consistency check (payload length vs the width metadata
+    * derived from it at ingest). The corpus is intact by construction,
+    * so both engines TRUNCATE every 50th payload by one byte first —
+    * the PII-injection trick — and the gate proves known corruption is
+    * flagged (checksum shifts, meta_ok false), not that nothing is
+    * wrong. One mapPartitions pass, exact integer arithmetic
+    * throughout.
+    */
+  def integrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val M = 1000000007L
+    mediaTable(spark, dir)
+      .map(m => if (m.doc_id % 50 == 0) m.copy(payload = m.payload.dropRight(1)) else m)
+      .mapPartitions { items =>
+        items.map { m =>
+          val b = m.payload
+          var h = 0L
+          var i = 0
+          while (i < b.length) { h = (h * 131 + (b(i) & 0xff)) % M; i += 1 }
+          val kind =
+            if (b.isEmpty) "empty"
+            else {
+              val c = b(0) & 0xff
+              if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) "text"
+              else if (c >= '0' && c <= '9') "digit" else "other"
+            }
+          IntegrityRow(m.doc_id, b.length.toLong, kind, h,
+            (b.length % 64) + 1 == m.width)
+        }
+      }.toDF()
+  }
+
   /** G1: the full pipeline — pointer table → uri fetch → per-partition
     * batch decode → feature columns. Payloads are NOT inline: the
     * pipeline reads them through the object-store pointer path

@@ -229,9 +229,12 @@ object TextAnalysis {
     * the rank/cumulative window runs over 50 rows. Shares are
     * floor-quantized from exact integer counts, so the gate is exact.
     */
-  def vocab(spark: SparkSession, dir: String): DataFrame = {
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    vocabOn(Tables.documents(spark, dir))
+
+  def vocabOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = Tables.documents(spark, dir)
+    val c = docs
       .select(explode(words).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val tot = c.agg(sum(col("n")).as("tot"))
@@ -268,10 +271,17 @@ object TextAnalysis {
     * oracle replays the identical recurrence through a recursive CTE.
     * Output is pure integers — no float parity surface at all.
     */
-  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPackOn(spark, Tables.documents(spark, dir))
+
+  /** DataFrame-generic packing; input needs (source, doc_id, text).
+    * Exposed so the scale probe can drive the same fold over
+    * replicated corpora.
+    */
+  def seqPackOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val cap = 512L
-    val rows = Tables.documents(spark, dir)
+    val rows = docs
       .select(col("source"), col("doc_id").as("docId"),
         size(split(col("text"), " ")).as("nTok"))
       .repartition(col("source"))
