@@ -17,6 +17,7 @@ object SparkEntry {
     // A. tag-index core
     "series_ingest" -> (index.IndexQueries.seriesIngest _),
     "inverted_index" -> (index.IndexQueries.invertedIndex _),
+    "index_stats" -> (index.IndexQueries.indexStats _),
     "match_eq" -> (index.IndexQueries.matchEq _),
     "match_neq" -> (index.IndexQueries.matchNeq _),
     "match_range" -> (index.IndexQueries.matchRange _),
@@ -150,6 +151,21 @@ object SparkEntry {
         |  epoch_us(min(min_ts))//1000000 AS min_ts,
         |  epoch_us(max(max_ts))//1000000 AS max_ts
         |FROM series GROUP BY 1, 2""".stripMargin,
+    "index_stats" ->
+      """WITH series AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ FROM events),
+        |e AS (SELECT 'usr' AS label_name, usr AS label_value, count(*) AS cnt
+        |      FROM series GROUP BY 1, 2
+        |      UNION ALL
+        |      SELECT 'typ' AS label_name, typ AS label_value, count(*) AS cnt
+        |      FROM series GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label_name
+        |        ORDER BY cnt DESC, label_value) AS rk FROM e)
+        |SELECT label_name, count(*) AS n_values,
+        |  CAST(sum(cnt) AS BIGINT) AS n_postings,
+        |  max(cnt) AS max_postings,
+        |  max(CASE WHEN rk = 1 THEN label_value END) AS top_value
+        |FROM r GROUP BY 1""".stripMargin,
     "match_eq" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
         |FROM events WHERE event_type = 'click'""".stripMargin,

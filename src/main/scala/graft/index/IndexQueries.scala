@@ -24,6 +24,29 @@ object IndexQueries {
       unix_timestamp(col("max_ts")).as("last_ts"),
       col("n_samples"))
 
+  /** A18: cardinality stats — the index-introspection surface
+    * (Prometheus's /api/v1/status/tsdb head stats over the reference's
+    * index): per label name, the distinct-value count, total posting
+    * entries, and the hottest value with its postings size — the
+    * numbers that catch a label-cardinality explosion before it melts
+    * the index. Two aggregates over the inverted index (∝ #series,
+    * never #samples), both partial-agg friendly.
+    */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = idx(spark, dir).invertedIndex
+      .groupBy(col("label_name"), col("label_value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("label_name"))
+      .orderBy(col("cnt").desc, col("label_value"))
+    perValue.withColumn("rk", row_number().over(w))
+      .groupBy(col("label_name"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("cnt")).as("n_postings"),
+        max(col("cnt")).as("max_postings"),
+        max(when(col("rk") === 1, col("label_value"))).as("top_value"))
+  }
+
   /** A12: the materialized inverted index, aggregated per label entry. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).invertedIndex
