@@ -261,9 +261,12 @@ object Multimodal {
     import spark.implicits._
     val M = 1000000007L
     mediaTable(spark, dir)
-      .map(m => if (m.doc_id % 50 == 0) m.copy(payload = m.payload.dropRight(1)) else m)
       .mapPartitions { items =>
-        items.map { m =>
+        items.map { m0 =>
+          // truncation injection folded into the same pass — no second
+          // encoder round-trip over the payload arrays
+          val m = if (m0.doc_id % 50 == 0) m0.copy(payload = m0.payload.dropRight(1))
+                  else m0
           val b = m.payload
           var h = 0L
           var i = 0
