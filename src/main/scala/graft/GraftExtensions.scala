@@ -46,5 +46,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.VecSumAgg].getName, "vec_sum"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.VecSumAgg(exprs(0), litInt("vec_sum", exprs))))
+    // bounded-heap top/bottom-k: `topk(v, a, b, 3)` — k is a folded
+    // literal, like the capacity arguments above
+    def litK(name: String,
+        exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int = {
+      require(exprs.length == 4, s"$name expects 4 arguments (v, a, b, literal k)")
+      val e = exprs(3)
+      require(e.foldable, s"$name argument 4 must be a literal integer, got $e")
+      e.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$name argument 4 must be a literal integer, got $other")
+      }
+    }
+    e.injectFunction((
+      FunctionIdentifier("topk"),
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2), litK("topk", exprs))))
+    e.injectFunction((
+      FunctionIdentifier("bottomk"),
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "bottomk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2),
+          litK("bottomk", exprs), asc = true)))
   }
 }

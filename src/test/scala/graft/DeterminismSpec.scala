@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-independence for the round-4 operators whose
+  * implementations are order-sensitive internally: the greedy packing
+  * fold (per-partition state machine), the incremental-dedup window,
+  * and the vocabulary coverage curve (TakeOrdered + tiny window). The
+  * driver hash gate already proves one partitioning matches DuckDB;
+  * this proves the OUTPUT doesn't depend on which partitioning ran —
+  * the property that makes the answer stable from local[4] to a
+  * 1000-executor cluster.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def runAt(partitions: Int, q: String): Set[Seq[Any]] = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try SparkEntry.queries(q)(spark, dir).collect().map(_.toSeq).toSet
+    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  for (q <- Seq("seq_pack", "dedup_incremental", "text_vocab", "mm_integrity")) {
+    test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
+      val runs = Seq(1, 3, 16).map(p => runAt(p, q))
+      assert(runs(0).nonEmpty)
+      assert(runs(0) == runs(1) && runs(1) == runs(2),
+        s"$q output depends on partitioning")
+    }
+  }
+}

@@ -45,6 +45,16 @@ class ExtensionsSpec extends AnyFunSuite {
 
       val sh = s.sql("SELECT simhash_fp(k, id) AS fp FROM ext_t").head().getLong(0)
       assert(sh != 0L) // fingerprint computed through the SQL path
+
+      // bounded-heap top/bottom-k through SQL: struct array best-first
+      val tk = s.sql(
+        "SELECT topk(cast(id as double), cast(id as string), 'x', 2) AS t FROM ext_t")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(tk.map(_.getDouble(0)) == Seq(3.0, 2.0))
+      val bk = s.sql(
+        "SELECT bottomk(cast(id as double), cast(id as string), 'x', 2) AS t FROM ext_t")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(bk.map(_.getDouble(0)) == Seq(1.0, 2.0))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
