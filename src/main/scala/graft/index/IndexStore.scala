@@ -209,6 +209,58 @@ object IndexStore {
     n.nonEmpty && n.forall(_.isDigit)
   }
 
+  /** Segment ordinal for tombstone scoping: the ns watermark of a
+    * time segment, or the batch id of a `seg=b<id>` segment — both
+    * monotone over the store's life (enforced by flushBatch /
+    * materializeIncremental), which is what lets a tombstone pin
+    * "everything flushed so far" as a single number.
+    */
+  private def segOrd(name: String): Long =
+    name.stripPrefix("seg=").stripPrefix("b").toLong
+
+  /** Committed tombstone directories (`del=<k>` + _SUCCESS). */
+  private def committedDels(spark: SparkSession, path: String): Seq[String] =
+    if (!exists(spark, path)) Seq.empty
+    else {
+      val f = fs(spark, path)
+      f.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("del=") &&
+          f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.getName).toSeq
+    }
+
+  /** delete_series — the admin surface every TSDB needs (Prometheus's
+    * delete_series; tombstones over the reference's COW index): resolve
+    * the matchers against the CURRENT merged view, record the matched
+    * tsids in a tombstone `del=<k>` stamped with the store's max
+    * segment ordinal. Merge-on-read hides tombstoned series in every
+    * segment up to that ordinal; data flushed AFTER the delete
+    * resurrects the series (delete covers existing blocks, never
+    * future ingest — Prometheus semantics); [[compact]] physically
+    * purges the rows and retires the tombstones with the swap. A full
+    * [[materialize]] rebuild from samples also discards tombstones —
+    * the source of truth wins. Like compact, deletes serialize with
+    * other store mutations (run during an ingest pause). Returns the
+    * number of series tombstoned.
+    */
+  def deleteSeries(spark: SparkSession, path: String,
+      matchers: Seq[LabelMatcher]): Long = {
+    val segs = committedSegs(spark, path)
+    if (segs.isEmpty) return 0L
+    val tsids = TagIndex.resolvePostings(load(spark, path), matchers)
+      .select(col("tsid")).distinct()
+    val n = tsids.count()
+    if (n > 0) {
+      val upto = segs.map(segOrd).max
+      val k = committedDels(spark, path)
+        .map(_.stripPrefix("del=").toLong).maxOption.getOrElse(-1L) + 1L
+      tsids.withColumn("upto", lit(upto))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/del=$k")
+    }
+    n
+  }
+
   /** Merge-on-read view of the store: COMMITTED segments folded per
     * entry (an uncommitted crash leftover contributes nothing). With
     * one segment (post-[[compact]]) the fold is the identity.
@@ -225,19 +277,38 @@ object IndexStore {
           StructField("label_name", StringType), StructField("label_value", StringType),
           StructField("tsid", LongType), StructField("min_ts", TimestampType),
           StructField("max_ts", TimestampType), StructField("n_samples", LongType))))
-    } else loadSegs(spark, path, segs)
+    } else loadSegs(spark, path, segs, committedDels(spark, path))
   }
 
-  /** The merge-on-read fold over an EXPLICIT segment list — lets
-    * compact build its merged copy from exactly the snapshot it is
-    * about to replace, never a later listing.
+  /** The merge-on-read fold over an EXPLICIT segment + tombstone list —
+    * lets compact build its merged copy from exactly the snapshot it is
+    * about to replace, never a later listing. A tombstoned tsid's rows
+    * are dropped from every segment at-or-below the tombstone's `upto`
+    * ordinal BEFORE the fold (so a resurrected series' counts restart
+    * from its post-delete segments only). The tombstone set is
+    * ∝ deleted series — Catalyst broadcasts it into the row filter.
     */
-  private def loadSegs(spark: SparkSession, path: String, segs: Seq[String]): DataFrame =
-    spark.read.option("basePath", path)
+  private def loadSegs(spark: SparkSession, path: String, segs: Seq[String],
+      dels: Seq[String]): DataFrame = {
+    val raw = spark.read.option("basePath", path)
       .parquet(segs.map(s => s"$path/$s"): _*)
-      .groupBy(col("label_name"), col("label_value"), col("tsid"))
+    val live =
+      if (dels.isEmpty) raw
+      else {
+        val tomb = spark.read.parquet(dels.map(d => s"$path/$d"): _*)
+          .groupBy(col("tsid")).agg(max(col("upto")).as("__upto"))
+        // `seg` is the partition column of the segment layout; its
+        // ordinal comparison works for both families (b-prefix stripped)
+        val ord = regexp_replace(col("seg").cast("string"), "^b", "").cast("long")
+        raw.withColumn("__ord", ord)
+          .join(tomb, Seq("tsid"), "left")
+          .filter(col("__upto").isNull || col("__ord") > col("__upto"))
+          .drop("__ord", "__upto")
+      }
+    live.groupBy(col("label_name"), col("label_value"), col("tsid"))
       .agg(min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
         sum(col("n_samples")).as("n_samples"))
+  }
 
   /** manual_compact: fold all segments into one merged segment carrying
     * the same watermark identity — the numeric ns watermark when
@@ -295,7 +366,10 @@ object IndexStore {
       // (pre-compact store at bak, merged copy at tmp) — the store is
       // never silently lost, nested, or double-counted.
       f.delete(p(tmp), true)
-      write(loadSegs(spark, path, snapshot), s"$tmp/$sn")
+      // tombstones from the same snapshot instant: the merged segment
+      // is physically purged, and the del= dirs retire with the swap
+      // (they move to the backup with the old store and are deleted)
+      write(loadSegs(spark, path, snapshot, committedDels(spark, path)), s"$tmp/$sn")
       f.delete(p(bak), true)
       // freeze the store; from here no flush can commit into it
       require(f.rename(p(path), p(bak)) && !f.exists(p(path)),

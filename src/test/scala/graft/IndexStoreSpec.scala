@@ -97,6 +97,67 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(files == 1, s"compact left $files files in one partition")
   }
 
+  /** delete_series lifecycle: tombstones hide matched series from the
+    * merged view, data flushed after the delete resurrects them with
+    * counts restarted (delete covers existing segments, never future
+    * ingest), and compact physically purges rows and retires the
+    * tombstones.
+    */
+  test("delete_series tombstones hide, resurrect on re-ingest, purge on compact") {
+    import org.apache.spark.sql.functions._
+    val samples = graft.Tables.eventsRaw(spark, dir).select(
+      col("event_id"), col("ts_ns"),
+      timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("value"),
+      col("user_id").cast("string").as("usr"),
+      col("event_type").as("typ"))
+    val cut = samples.select(
+      timestamp_micros(((unix_micros(min(col("ts"))) + unix_micros(max(col("ts")))) / 2).cast("long"))
+    ).head().getTimestamp(0)
+    val batch1 = samples.filter(col("ts") <= lit(cut))
+    val batch2 = samples.filter(col("ts") > lit(cut))
+    val p = java.nio.file.Files.createTempDirectory("graft_del").toString + "/idx"
+    IndexStore.materialize(new TagIndex(batch1, Seq("usr", "typ")), p)
+
+    val click = Seq(LabelMatcher("typ", Eql, "click"))
+    def clickSet(path: String) = IndexStore.resolvePostings(spark, path, click)
+      .collect().map(_.getLong(0)).toSet
+    val before = clickSet(p)
+    assert(before.nonEmpty)
+
+    // delete hides every matched series (ALL its label rows, not just typ)
+    val n = IndexStore.deleteSeries(spark, p, click)
+    assert(n == before.size, s"deleted $n of ${before.size}")
+    assert(clickSet(p).isEmpty, "tombstoned series still resolvable")
+    val viewAfter = IndexStore.load(spark, p)
+    assert(viewAfter.filter(col("tsid").isin(before.toSeq: _*)).count() == 0,
+      "tombstoned series left label rows behind")
+    // unmatched series are untouched
+    val viewTsids = viewAfter.select("tsid").collect().map(_.getLong(0)).toSet
+    val memTsids = new TagIndex(batch1, Seq("usr", "typ")).invertedIndex
+      .select("tsid").collect().map(_.getLong(0)).toSet
+    assert(viewTsids == memTsids -- before)
+
+    // re-ingest past the watermark: the series come back with counts
+    // restarted from the post-delete segment only
+    IndexStore.materializeIncremental(new TagIndex(samples, Seq("usr", "typ")), p)
+    val mem2 = new TagIndex(batch2, Seq("usr", "typ"))
+    val want = mem2.resolveMatchers(click).select("tsid")
+      .collect().map(_.getLong(0)).toSet
+    assert(clickSet(p) == want && want.nonEmpty, "resurrection mismatch")
+    def clickSamples(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("label_name") === "typ" && col("label_value") === "click")
+        .agg(sum(col("n_samples"))).head().getLong(0)
+    assert(clickSamples(IndexStore.load(spark, p)) == clickSamples(mem2.invertedIndex),
+      "resurrected counts must restart from post-delete data")
+
+    // compact purges rows and retires tombstones without changing the view
+    val preCompact = IndexStore.load(spark, p).collect().map(_.toSeq).toSet
+    IndexStore.compact(spark, p)
+    assert(IndexStore.load(spark, p).collect().map(_.toSeq).toSet == preCompact)
+    assert(!new java.io.File(p).listFiles().exists(_.getName.startsWith("del=")),
+      "compact left tombstone directories behind")
+  }
+
   /** A crash mid-flush leaves a segment directory without Spark's
     * _SUCCESS marker. Such a segment must count for nothing — above
     * all not for the watermark, where its NAME alone would make the
