@@ -116,6 +116,7 @@ object SparkEntry {
     "seq_pack" -> (text.TextAnalysis.seqPack _),
     "text_urls" -> (text.TextAnalysis.urlExtract _),
     "text_vocab" -> (text.TextAnalysis.vocab _),
+    "bm25_topk" -> (text.Bm25.topk _),
     "source_cap" -> (operators.Curation.sourceCap _),
     "freq_items" -> (operators.Relational.freqItems _),
     // G. multimodal
@@ -807,8 +808,9 @@ object SparkEntry {
         |FROM documents GROUP BY text""".stripMargin,
     // D8: both engines derive the same planted batch (i%4==1 takes a
     // corpus doc's text, i%4==3 an earlier batch doc's); the oracle
-    // joins by text where Spark joins by xxhash64(text) — equivalence
-    // holds because verdicts depend only on content equality
+    // joins by text and Spark by xxhash64(text) WITH a text-equality
+    // confirmation on the hash hits, so the verdicts are identical
+    // even under a 64-bit hash collision
     "dedup_incremental" ->
       """WITH orig AS (SELECT doc_id, text FROM documents),
         |b0 AS (SELECT doc_id, (doc_id // 5) % 4 AS i4 FROM documents
@@ -1128,6 +1130,38 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(sum(q) / count(*) * 10000 + 0.5) / 10000 AS lm_score
         |FROM q GROUP BY 1""".stripMargin,
+    // F14: per-term BM25 contributions are quantized to the 2^-20
+    // dyadic grid before the per-(query, doc) sum (order-independent,
+    // the lm_score trick); ranking ties break on the zero-padded
+    // doc-id string = TopKAgg's native (v desc, a asc) comparator
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM dl),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT qid, w FROM (
+        |  SELECT doc_id AS qid, unnest((string_split(text, ' '))[1:4]) AS w
+        |  FROM documents WHERE doc_id % 101 = 0)),
+        |sc AS (SELECT q.qid, tf.doc_id,
+        |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75
+        |          * (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS contrib
+        |  FROM qt q JOIN tf ON tf.w = q.w
+        |  JOIN dfreq d ON d.w = q.w
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s),
+        |agg AS (SELECT qid, doc_id,
+        |    sum(floor(contrib * 1048576 + 0.5) / 1048576) AS sq
+        |  FROM sc GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, sq, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sq DESC, lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS rk
+        |  FROM agg)
+        |SELECT qid, rk, doc_id, floor(sq * 10000 + 0.5) / 10000 AS score
+        |FROM r WHERE rk <= 10""".stripMargin,
     "source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source

@@ -180,17 +180,14 @@ object Dedup {
     * hd ≤ 7 false-positive rate at 62 effective bits is ~1e-10/pair).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // one codegen byte loop per distinct (doc, word) computes both
+    // polynomial hashes (graft.functions.DualPolyHash) — the former
+    // split('')+transform+2×aggregate formulation materialized two
+    // arrays per word and ran interpreted
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("codes", transform(split(col("word"), ""), c => ascii(c).cast("long")))
-      .withColumn("h1", aggregate(col("codes"), lit(0L),
-        (a, x) => (a * 131L + x) % 1000000007L))
-      .withColumn("h2", aggregate(col("codes"), lit(0L),
-        (a, x) => (a * 137L + x) % 998244353L))
-      // h1 < 2^30, so h1·2^31 + h2 < 2^61: ANSI-overflow-safe, top
-      // bits 61-63 constant zero (harmless: same on both join sides)
-      .withColumn("h", col("h1") * lit(2147483648L) + col("h2"))
+      .withColumn("h", graft.functions.DualPolyHash.column(spark, col("word")))
 
     // one 64-counter buffer aggregate (graft.functions.SimHashAgg)
     // instead of 64 conditional sum() columns — identical fingerprints
@@ -494,12 +491,17 @@ object Dedup {
     * takes an EARLIER batch doc's text — the gate proves both dup
     * classes are caught, not that nothing exists.
     *
-    * Shape at 100 TB: the corpus side reduces to its distinct content
-    * hashes — a derived, incrementally-maintained table (append the
-    * kept hashes after each batch), exactly like the tag index; the
-    * batch joins it by 64-bit hash (shuffle-hash on h, or bloom-filter
-    * the corpus side by the batch's hashes first — the batch is always
-    * the small side). The curated corpus text is never rescanned.
+    * Shape at 100 TB: the corpus side reduces to its distinct
+    * (hash, text) pairs — a derived, incrementally-maintained table
+    * (append the kept rows after each batch), exactly like the tag
+    * index; the batch joins it by 64-bit hash (shuffle-hash on h, or
+    * bloom-filter the corpus side by the batch's hashes first — the
+    * batch is always the small side), then CONFIRMS each hash hit
+    * with a text-equality predicate, so a 64-bit collision can never
+    * misclassify a kept doc as dup_corpus. The verify is free at scale:
+    * it only touches the (rare) hash-matched pairs, and the verdict is
+    * exactly the oracle's content-equality join, not merely equal
+    * modulo collisions.
     */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -510,12 +512,19 @@ object Dedup {
     val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
       .select(col("doc_id"), src.as("src"))
       .join(docs.select(col("doc_id").as("src"), col("text")), Seq("src"))
-    val corpusHashes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      .select(xxhash64(col("text")).as("h")).distinct()
-      .withColumn("__c", lit(1))
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    batch.withColumn("h", xxhash64(col("text")))
-      .join(corpusHashes, Seq("h"), "left")
+      .withColumn("h", xxhash64(col("text")))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(xxhash64(col("text")).as("h"), col("text").as("ctext")).distinct()
+    // hash-prefiltered semi join with the exact-text confirmation on top
+    val inCorpus = batch
+      .join(corpus, batch("h") === corpus("h") && batch("text") === corpus("ctext"),
+        "left_semi")
+      .select(col("doc_id")).withColumn("__c", lit(1))
+    // within-batch ordering keyed by (h, text): the hash keeps the
+    // shuffle key 8 bytes wide, the text disambiguates collisions
+    val w = Window.partitionBy(col("h"), col("text")).orderBy(col("doc_id"))
+    batch
+      .join(inCorpus, Seq("doc_id"), "left")
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"),
         when(col("__c").isNotNull, "dup_corpus")

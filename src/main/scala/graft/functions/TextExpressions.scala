@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The dual polynomial token hash of the simhash pipeline
+  * (h1 = fold 131/1e9+7, h2 = fold 137/998244353, packed as
+  * h1·2^31 + h2) in ONE codegen byte loop.
+  *
+  * Why not `aggregate(transform(split(word, ''), ascii), ...)` twice:
+  * higher-order functions are interpreted, and that formulation first
+  * materializes a per-character array of single-char strings, then an
+  * array of longs, then folds it — per word, twice. This expression
+  * walks the UTF8String's bytes in place, no allocation, inside
+  * whole-stage codegen.
+  *
+  * Parity contract: the DuckDB oracle folds `ascii(ch)` per CHARACTER;
+  * the byte walk equals that exactly when every char is single-byte —
+  * the same documented ASCII corpus contract as
+  * [[graft.multimodal.Multimodal.mediaTable]] (spec-pinned in
+  * PipelineSpec). Both moduli are < 2^30, so h1·2^31 + h2 < 2^61:
+  * ANSI-overflow-safe, top bits constant zero.
+  */
+case class DualPolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"str_poly2 expects string, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    DualPolyHash.hash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.DualPolyHash.hash($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DualPolyHash {
+  /** Shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < b.length) {
+      val c = (b(i) & 0xff).toLong
+      h1 = (h1 * 131L + c) % 1000000007L
+      h2 = (h2 * 137L + c) % 998244353L
+      i += 1
+    }
+    h1 * 2147483648L + h2
+  }
+
+  /** Idempotent fixed-name registration + Column access, the
+    * [[VecFunctions.register]] pattern.
+    */
+  def column(spark: SparkSession, s: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "str_poly2", exprs => DualPolyHash(exprs.head), "built-in")
+    call_function("str_poly2", s)
+  }
+}

@@ -114,3 +114,31 @@ case class TopKAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(vExpr = c(0), aExpr = c(1), bExpr = c(2))
 }
+
+object TopKAgg {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  /** Column-API access to the bounded-heap aggregate for every caller
+    * (batch B6, streaming H12). ONE fixed-name idempotent registration
+    * per direction — k travels as a literal ARGUMENT, mirroring the
+    * SQL surface in GraftExtensions — so a query builder calling this
+    * repeatedly (or with many k values) re-binds the identical
+    * definition instead of leaking per-k registrations, which is the
+    * same deliberate pattern as [[VecFunctions.register]] (the public
+    * alternative to Column's private[sql] constructor).
+    */
+  def column(spark: SparkSession, v: Column, a: Column, b: Column,
+      k: Int, asc: Boolean = false): Column = {
+    val fn = if (asc) "graft_bottomk" else "graft_topk"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn,
+      exprs => {
+        require(exprs(3).foldable, s"$fn k must be a literal")
+        TopKAgg(exprs(0), exprs(1), exprs(2),
+          exprs(3).eval().asInstanceOf[Number].intValue(), asc)
+      },
+      "built-in")
+    call_function(fn, v, a, b, lit(k))
+  }
+}

@@ -246,19 +246,24 @@ object IndexStore {
     */
   def deleteSeries(spark: SparkSession, path: String,
       matchers: Seq[LabelMatcher]): Long = {
+    import spark.implicits._
     val segs = committedSegs(spark, path)
     if (segs.isEmpty) return 0L
+    // materialize the postings resolution ONCE: the collected set is
+    // what gets both counted and written, so the returned count can
+    // never diverge from the tombstone contents even if store state
+    // changes between the two actions (the set is ∝ deleted series,
+    // same driver-size class as the broadcast it later feeds)
     val tsids = TagIndex.resolvePostings(load(spark, path), matchers)
-      .select(col("tsid")).distinct()
-    val n = tsids.count()
-    if (n > 0) {
+      .select(col("tsid")).distinct().as[Long].collect().sorted
+    if (tsids.nonEmpty) {
       val upto = segs.map(segOrd).max
       val k = committedDels(spark, path)
         .map(_.stripPrefix("del=").toLong).maxOption.getOrElse(-1L) + 1L
-      tsids.withColumn("upto", lit(upto))
+      tsids.toSeq.toDF("tsid").withColumn("upto", lit(upto))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/del=$k")
     }
-    n
+    tsids.length.toLong
   }
 
   /** Merge-on-read view of the store: COMMITTED segments folded per

@@ -37,6 +37,14 @@ object Multimodal {
 
   /** Synthesize the media table from documents: utf-8 payload stands in
     * for an encoded image; metadata is derived deterministically.
+    *
+    * ASCII contract: the `mm_integrity` and `mm_audio_windows` oracles
+    * walk the payload CHARACTER-wise in DuckDB while Spark checksums
+    * UTF-8 BYTES, so their parity (checksum, n_bytes, width-vs-length
+    * metadata) holds only when every char is single-byte. The synthetic
+    * corpus satisfies this and `MultimodalSpec` pins it (payload byte
+    * length == n_chars for every document); a real multi-byte corpus
+    * would need byte-wise oracles instead.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._

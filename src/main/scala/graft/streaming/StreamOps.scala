@@ -290,12 +290,9 @@ object StreamOps extends Serializable {
     */
   def streamingTopK(samples: DataFrame, k: Int = 3): DataFrame = {
     val spark = samples.sparkSession
-    val fn = s"stream_topk_$k"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fn, exprs => graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2), k),
-      "built-in")
     samples.groupBy(col("typ"))
-      .agg(call_function(fn, col("value"), col("usr"), col("typ")).as("top"))
+      .agg(graft.functions.TopKAgg.column(spark,
+        col("value"), col("usr"), col("typ"), k).as("top"))
       .select(col("typ"), posexplode(col("top")))
       .select(col("typ"), (col("pos") + 1).as("rk"),
         col("col.a").as("usr"), col("col.v").as("v"))

@@ -1,0 +1,81 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** F14: BM25 top-k retrieval — the lexical search half of a
+  * training-data stack (quality-ranked example selection, hard-negative
+  * mining for retrievers, RAG source ranking). The whole scorer is the
+  * classic Okapi/Lucene formulation computed as pure column
+  * arithmetic over the same inverted shape as the tag index: a
+  * (doc, term, tf) postings table, a term→df table, and a tiny
+  * query-term table joined against the postings.
+  *
+  * Determinism across engines AND partitionings: each per-term
+  * contribution is quantized to the dyadic 2⁻²⁰ grid before the
+  * per-(query, doc) sum (the text_lm_score trick), so the score never
+  * depends on aggregation order; ranking orders by that exact
+  * quantized double with a zero-padded doc-id string as the tie key
+  * (what the bounded-heap TopKAgg's (v desc, a asc) comparator
+  * implements natively).
+  *
+  * Shape at 100 TB: df and the query-term set are vocabulary- and
+  * query-bounded (≪ corpus) — both broadcast; the postings stream is
+  * touched once with no self-join; per-(query, doc) scoring is one
+  * partial-aggregated hash aggregate; top-k rides the bounded heap
+  * (≤ k entries per query through the shuffle), so a query with 10⁸
+  * matching docs still moves only k rows. No window functions.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 10
+
+  /** Queries = first 4 words of every doc_id ≡ 0 (mod 101) document
+    * (qid = doc_id): deterministic, derivable by the oracle, and
+    * guaranteed non-vacuous (each query's source doc matches itself).
+    */
+  def topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qterms = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("w"))
+
+    // idf/df ride the broadcast query-term table; the big postings
+    // stream joins it once (inner join = only candidate docs survive)
+    val qidf = qterms
+      .join(dfreq, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .select(col("qid"), col("w"), col("idf"), col("n_docs"), col("sum_dl"))
+
+    val scored = tf
+      .join(broadcast(qidf), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      .withColumn("q", floor(col("contrib") * 1048576 + 0.5) / 1048576)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n_terms"))
+
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.column(spark, col("sq"),
+        lpad(col("doc_id").cast("string"), 8, "0"), col("qid").cast("string"),
+        TopK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.a").cast("long").as("doc_id"),
+        (floor(col("col.v") * 10000 + 0.5) / 10000).as("score"))
+  }
+}

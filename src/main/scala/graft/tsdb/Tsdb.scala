@@ -179,15 +179,12 @@ object Tsdb {
     topBottomK(spark, dir, asc = true)
 
   private def topBottomK(spark: SparkSession, dir: String, asc: Boolean): DataFrame = {
-    val fn = if (asc) "bottomk3" else "topk3"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fn, exprs => graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2), 3, asc),
-      "built-in")
     val hourly = idx(spark, dir).labeled
       .groupBy(col("usr"), col("typ"), hourSec)
       .agg(round(sum(col("value")), 2).as("sum_v"))
     hourly.groupBy(col("hour_sec"))
-      .agg(call_function(fn, col("sum_v"), col("usr"), col("typ")).as("top"))
+      .agg(graft.functions.TopKAgg.column(spark,
+        col("sum_v"), col("usr"), col("typ"), 3, asc).as("top"))
       .select(col("hour_sec"), posexplode(col("top")))
       .select(col("hour_sec"), (col("pos") + 1).as("rk"),
         col("col.a").as("usr"), col("col.b").as("typ"), col("col.v").as("sum_v"))

@@ -108,6 +108,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mm corpus is single-byte text (byte-wise vs char-wise oracle parity)") {
+    // mediaTable's documented ASCII contract: the integrity/audio oracles
+    // iterate characters in DuckDB while Spark checksums UTF-8 bytes, so
+    // every payload must encode 1 byte per char on this corpus
+    val offenders = multimodal.Multimodal.mediaTable(spark, dir)
+      .join(Tables.documents(spark, dir), Seq("doc_id"))
+      .filter(length(col("payload")) =!= col("n_chars"))
+      .count()
+    assert(offenders == 0, s"$offenders documents have multi-byte characters")
+  }
+
   test("mm pointer path: payloads dereferenced from the object store, not inline") {
     import spark.implicits._
     val ptrs = multimodal.Multimodal.pointerTable(spark, dir)

@@ -191,6 +191,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: query terms broadcast, top-k on the bounded heap, no window") {
+    val p = plan("bm25_topk")
+    // the postings stream joins the (tiny) query-term/idf table by
+    // broadcast — no shuffle of the corpus keyed on term
+    assert(p.contains("BroadcastHashJoin"), s"bm25 shuffles the postings stream:\n$p")
+    // ranking carries <= k entries per query through partial agg
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"bm25 ranks through a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bm25 lost the TypedImperative heap:\n$p")
+  }
+
+  test("dedup_simhash: token hash is the codegen byte loop, not interpreted HOFs") {
+    val p = plan("dedup_simhash")
+    // the dual polynomial collapses into the (doc, word) aggregate's
+    // output projection; what must NOT be present is the old
+    // formulation's interpreted machinery — per-char split + two
+    // lambda folds materializing arrays per word
+    assert(!p.contains("lambdafunction") && !p.toLowerCase.contains("aggregate(split"),
+      s"simhash token hash regressed to interpreted higher-order functions:\n$p")
+  }
+
   test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
     // the prefix filter must appear below the self-join: rank <= n - ceil(n*t) + 1
     val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
