@@ -41,6 +41,7 @@ object SparkEntry {
     "rate" -> (tsdb.Tsdb.rate _),
     "over_time" -> (tsdb.Tsdb.overTime _),
     "over_time_quantile" -> (tsdb.Tsdb.overTimeQuantile _),
+    "mad_over_time" -> (tsdb.Tsdb.madOverTime _),
     "deriv" -> (tsdb.Tsdb.deriv _),
     "math_funcs" -> (tsdb.Tsdb.mathFuncs _),
     "topk" -> (tsdb.Tsdb.topk _),
@@ -96,6 +97,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (dedup.Dedup.embeddingLsh _),
     "dedup_clusters" -> (dedup.Dedup.clusters _),
     "dedup_incremental" -> (dedup.Dedup.incremental _),
+    "dedup_containment" -> (dedup.Dedup.containment _),
+    "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
     "ann_mips" -> (similarity.Ann.mipsTopk _),
@@ -118,6 +121,7 @@ object SparkEntry {
     "text_vocab" -> (text.TextAnalysis.vocab _),
     "bm25_topk" -> (text.Bm25.topk _),
     "source_cap" -> (operators.Curation.sourceCap _),
+    "shard_assign" -> (operators.Curation.shardAssign _),
     "freq_items" -> (operators.Relational.freqItems _),
     // G. multimodal
     "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
@@ -288,6 +292,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id, event_type
         |             ORDER BY epoch_us(ts)//1000000
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // B36: both medians interpolate identically (Spark percentile ==
+    // quantile_cont); the unrounded first median feeds the deviation,
+    // the floor-trick rounds only the emitted columns
+    "mad_over_time" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec, value
+        |  FROM events),
+        |m AS (SELECT usr, typ, hour_sec, quantile_cont(value, 0.5) AS med
+        |  FROM s GROUP BY 1, 2, 3)
+        |SELECT usr, typ, hour_sec, count(*) AS n,
+        |  floor(quantile_cont(abs(value - med), 0.5) * 10000 + 0.5) / 10000
+        |    AS mad_1h,
+        |  floor(max(med) * 10000 + 0.5) / 10000 AS p50_1h
+        |FROM s JOIN m USING (usr, typ, hour_sec)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "deriv" ->
       """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS usr,
         |    event_type AS typ, value,
@@ -831,6 +851,29 @@ object SparkEntry {
         |FROM r""".stripMargin,
     "dedup_minhash" -> exactJaccardSql,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    // D9: the oracle takes the exhaustive ordered-pair route over the
+    // same documents+snippets union; the Spark side's contained-side
+    // prefix filter is exact, so the outputs coincide
+    "dedup_containment" ->
+      """WITH wn AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |snip AS (SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(w[1:CAST(floor(len(w) * 0.6) AS INT)], ' ') AS text
+        |  FROM wn WHERE len(w) >= 5),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id, text FROM snip),
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, round(c * 1.0 / ca.n, 4) AS cr
+        |FROM pairs JOIN cnt ca ON ca.doc_id = ia
+        |WHERE round(c * 1.0 / ca.n, 4) >= 0.9""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1116,6 +1159,45 @@ object SparkEntry {
         |  count(DISTINCT bg.bid) AS n_bench
         |FROM cg JOIN bg ON cg.ng = bg.ng AND cg.doc_id <> bg.bid
         |GROUP BY 1""".stripMargin,
+    // F16: identical regex canonicalization chain; DuckDB regexp_replace
+    // needs the explicit 'g' flag where Spark replaces all matches
+    "dedup_url" ->
+      """WITH v AS (SELECT doc_id, unnest([
+        |    'https://WWW.Site' || (doc_id % 37) || '.Example:443/p/'
+        |      || (doc_id % 13) || '?utm_source=feed&id=' || (doc_id % 7)
+        |      || '#top',
+        |    'https://site' || (doc_id % 37) || '.example/p/'
+        |      || (doc_id % 13) || '?id=' || (doc_id % 7),
+        |    'http://cdn' || (doc_id % 11) || '.example:80/img/'
+        |      || (doc_id % 13) || '/',
+        |    'http://cdn' || (doc_id % 11) || '.example/img/'
+        |      || (doc_id % 13)]) AS u
+        |  FROM documents),
+        |parsed AS (SELECT doc_id, u,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+        |    regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^#]*)', 1) AS rest
+        |  FROM v),
+        |c1 AS (SELECT doc_id, scheme,
+        |    regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
+        |      '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    regexp_extract(rest, '^([^?]*)', 1) AS path,
+        |    regexp_extract(rest, '\?(.*)$', 1) AS q
+        |  FROM parsed),
+        |c2 AS (SELECT doc_id, scheme, host,
+        |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+        |              OR (scheme = 'http' AND port = '80')
+        |         THEN '' ELSE ':' || port END AS portc,
+        |    CASE WHEN rtrim(path, '/') = '' THEN '/'
+        |         ELSE rtrim(path, '/') END AS pathc,
+        |    regexp_replace(regexp_replace(q, '(^|&)utm_[^&]*', '', 'g'),
+        |      '^&', '') AS qc
+        |  FROM c1)
+        |SELECT scheme || '://' || host || portc || pathc
+        |    || CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canon,
+        |  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        |FROM c2 GROUP BY 1""".stripMargin,
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
@@ -1175,6 +1257,24 @@ object SparkEntry {
         |SELECT d.source, d.n_docs, k.n_kept, k.kept_chars,
         |  floor(CAST(k.kept_chars AS DOUBLE) / t.tot * 10000 + 0.5) / 10000 AS share
         |FROM d JOIN k USING (source) CROSS JOIN t""".stripMargin,
+    // F15: the oracle replays the dual polynomial char-by-char (same
+    // fold as dedup_simhash); prime modulus 31 mixes both packed
+    // halves (2^31 ≡ 2 mod 31)
+    "shard_assign" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+        |  FROM documents)
+        |SELECT CAST((h1 * 2147483648 + h2) % 31 AS INT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM h GROUP BY 1""".stripMargin,
     // C14: the oracle keeps the subquery in CORRELATED form while the
     // Spark side runs the decorrelated one-aggregate plan — the gate
     // proves cross-form equivalence, not just self-consistency

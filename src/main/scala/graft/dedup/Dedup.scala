@@ -121,6 +121,63 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(shingles(Tables.documents(spark, dir)).cache(), 0.8)
 
+  /** D9: containment dedup — the asymmetric near-dup Jaccard misses:
+    * a snippet wholly quoted inside a larger document has
+    * C(a→b) = |A∩B| / |A| ≈ 1 while J(a,b) ≈ |A|/|B| can be tiny. The
+    * pass that catches quote-farms and subset-scrapes in a training
+    * corpus. Candidates use the Bayardo prefix on the CONTAINED side
+    * only (the positional argument still holds: C(a→b) ≥ t forces a
+    * shared shingle within a's first n_a − ⌈t·n_a⌉ + 1 rarest
+    * shingles) joined against the FULL shingle index on the container
+    * side; a hot boilerplate shingle still never enters a prefix, so
+    * the join stays df(prefix-shingle)-bounded — the same skew proof
+    * as D4.
+    *
+    * The synthetic corpus has no natural containment, so both engines
+    * derive a snippet table first (doc_id ≡ 0 mod 17 → first 60% of
+    * words, id + 2,000,000 — offset collision-CHECKED like the
+    * planted embeddings) and scan the union: the gate proves planted
+    * containments are found at cr = 1.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.9
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 2000000L,
+      s"containment puts snippets at doc_id+2000000 but the corpus already " +
+        s"holds doc_id=$maxId — raise the offset in query AND oracle")
+    val snippets = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .withColumn("__w", split(col("text"), " "))
+      .filter(size(col("__w")) >= 5)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat_ws(" ", slice(col("__w"), lit(1),
+          floor(size(col("__w")) * lit(0.6)).cast("int"))).as("text"))
+    val sh = shingles(docs.unionByName(snippets)).cache()
+    val df = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, Seq("sid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
+      .select(col("doc_id").as("ia"), col("sid"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("ib"), col("sid")), Seq("sid"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("ia"), col("sid")), Seq("ia"))
+      .join(sh.select(col("doc_id").as("ib"), col("sid")), Seq("ib", "sid"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(cnt.select(col("doc_id").as("ia"), col("n").as("na"))), Seq("ia"))
+      .withColumn("cr", round(col("c") / col("na"), 4))
+      .filter(col("cr") >= t)
+      .select(col("ia"), col("ib"), col("cr"))
+  }
+
   private val NumPerms = 64
   private val Bands = 16
   private val Rows = 4 // NumPerms / Bands
@@ -195,8 +252,14 @@ object Dedup {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_fp",
       exprs => graft.functions.SimHashAgg(exprs(0), exprs(1)), "built-in")
+    // cache the (doc_id, fp) fingerprints: BOTH sides of the chunk
+    // self-join read them, and without the cache each side replays the
+    // whole tokenize+hash+aggregate pipeline (CacheManager dedups by
+    // canonical plan, so repeated calls reuse one entry — the
+    // shingles-cache pattern)
     val fps = words.groupBy(col("doc_id"))
       .agg(call_function("simhash_fp", col("h"), col("cnt")).as("fp"))
+      .cache()
 
     val chunks = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 8).map(c =>

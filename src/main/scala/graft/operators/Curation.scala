@@ -80,4 +80,29 @@ object Curation {
         (floor(col("kept_chars").cast("double") / col("tot") * 10000 + 0.5) / 10000)
           .as("share"))
   }
+
+  /** F15: deterministic content-keyed shard assignment + balance
+    * report — how a pipeline splits a curated corpus into training
+    * shards so that (a) the same document always lands in the same
+    * shard regardless of run, partitioning, or arrival order (content
+    * hash, not row position), and (b) shard sizes stay balanced. The
+    * shard key is the dual polynomial content hash
+    * ([[graft.functions.DualPolyHash]], replayable char-by-char by the
+    * DuckDB oracle) modulo a PRIME shard count — 31 decorrelates the
+    * assignment from the hash's dyadic packing (h mod 2^k would read
+    * only the low polynomial's bits).
+    *
+    * Shape at 100 TB: one codegen hash per document + one partial-agg
+    * groupBy on a 31-value key; the report is 31 rows. Assignment
+    * itself is a pure column — `write.partitionBy(shard)` on it is the
+    * production write path.
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", graft.functions.DualPolyHash.column(spark, col("text")))
+      .withColumn("shard", pmod(col("h"), lit(31)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
 }

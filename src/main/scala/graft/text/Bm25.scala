@@ -40,8 +40,11 @@ object Bm25 {
   def topk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // the postings table is the ONE expensive intermediate — every
+    // derived table (dl, df, corpus stats, the scored stream) reads it,
+    // so cache it instead of replaying tokenize+aggregate per branch
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")).cache()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qterms = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
@@ -66,7 +69,7 @@ object Bm25 {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
       .withColumn("q", floor(col("contrib") * 1048576 + 0.5) / 1048576)
       .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n_terms"))
+      .agg(sum(col("q")).as("sq"))
 
     scored
       .groupBy(col("qid"))

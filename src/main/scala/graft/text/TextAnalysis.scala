@@ -331,6 +331,59 @@ object TextAnalysis {
         sum(col("is_https")).as("n_https"))
   }
 
+  /** F16: URL canonicalization + dedup — the crawl-frontier/provenance
+    * pass that recognizes `https://WWW.Site.Example:443/p/1?utm_x=y#f`
+    * and `https://site.example/p/1` as the SAME resource: lowercase
+    * scheme+host, strip leading `www.`, drop default ports (443/https,
+    * 80/http), drop fragments, strip `utm_*` tracking params, trim
+    * trailing path slashes — then group by the canonical form. The
+    * corpus carries no natural URLs, so both engines inject four
+    * deterministic variants per document (two logical resources each
+    * dressed two ways, paths keyed mod 13 so variants ALSO merge
+    * across documents) — the gate proves the canonicalizer actually
+    * merges, not that nothing exists.
+    *
+    * Shape at 100 TB: pure regex/string column ops (one scan, no
+    * joins) + one partial-agg groupBy on the canonical string; the
+    * canonical key is what a crawl dedup would hash-shuffle on.
+    */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val d13 = pmod(col("doc_id"), lit(13))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array(
+        concat(lit("https://WWW.Site"), pmod(col("doc_id"), lit(37)),
+          lit(".Example:443/p/"), d13,
+          lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(7)), lit("#top")),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(37)),
+          lit(".example/p/"), d13,
+          lit("?id="), pmod(col("doc_id"), lit(7))),
+        concat(lit("http://cdn"), pmod(col("doc_id"), lit(11)),
+          lit(".example:80/img/"), d13, lit("/")),
+        concat(lit("http://cdn"), pmod(col("doc_id"), lit(11)),
+          lit(".example/img/"), d13))).as("u"))
+      .withColumn("scheme", lower(regexp_extract(col("u"), "^([A-Za-z]+)://", 1)))
+      .withColumn("hostport", regexp_extract(col("u"), "^[A-Za-z]+://([^/?#]+)", 1))
+      .withColumn("host", regexp_replace(
+        lower(regexp_extract(col("hostport"), "^([^:]+)", 1)), "^www\\.", ""))
+      .withColumn("port", regexp_extract(col("hostport"), ":([0-9]+)$", 1))
+      .withColumn("portc", when(col("port") === "" ||
+          (col("scheme") === "https" && col("port") === "443") ||
+          (col("scheme") === "http" && col("port") === "80"), lit(""))
+        .otherwise(concat(lit(":"), col("port"))))
+      .withColumn("rest", regexp_extract(col("u"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1))
+      .withColumn("path", regexp_extract(col("rest"), "^([^?]*)", 1))
+      .withColumn("pathc", when(rtrim(col("path"), "/") === "", lit("/"))
+        .otherwise(rtrim(col("path"), "/")))
+      .withColumn("q", regexp_extract(col("rest"), "\\?(.*)$", 1))
+      .withColumn("qc", regexp_replace(regexp_replace(col("q"),
+        "(^|&)utm_[^&]*", ""), "^&", ""))
+      .withColumn("canon", concat(col("scheme"), lit("://"), col("host"),
+        col("portc"), col("pathc"),
+        when(col("qc") === "", lit("")).otherwise(concat(lit("?"), col("qc")))))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   /** F9: corpus-trained bigram language-model score — the in-engine
     * stand-in for the perplexity filter every serious pretraining
     * pipeline runs (CCNet/Gopher/FineWeb): documents whose word
@@ -359,6 +412,10 @@ object TextAnalysis {
         i => struct(element_at(col("__w"), i).as("w1"),
           element_at(col("__w"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // three consumers (both count tables + the probe side of the
+      // lookup joins) read the bigram stream; cache it once instead of
+      // replaying the transform+explode per branch
+      .cache()
     val bigramCnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val prefixCnt = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     bg.join(bigramCnt, Seq("w1", "w2")).join(prefixCnt, Seq("w1"))

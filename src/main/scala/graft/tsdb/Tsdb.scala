@@ -124,6 +124,28 @@ object Tsdb {
         col("p50_1h"), col("p90_1h"), col("last_1h"))
   }
 
+  /** B36: mad_over_time — median absolute deviation of sample values
+    * per series per hour (PromQL mad_over_time, the robust-dispersion
+    * counterpart of B5's stddev): mad = median(|v − median(v)|).
+    * Two percentile aggregates bridged by an equi-join on the group
+    * key — the join probe is the sample stream, the build side is
+    * group-bounded (one median row per series-hour); no windows, so
+    * both aggregations keep map-side partials for everything but the
+    * percentile buffers themselves.
+    */
+  def madOverTime(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = idx(spark, dir).labeled
+      .select(col("usr"), col("typ"), hourSec, col("value"))
+    val med = hourly.groupBy(col("usr"), col("typ"), col("hour_sec"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    hourly.join(med, Seq("usr", "typ", "hour_sec"))
+      .groupBy(col("usr"), col("typ"), col("hour_sec"))
+      .agg(count(lit(1)).as("n"),
+        (floor(expr("percentile(abs(value - med), 0.5D)") * 10000 + 0.5) / 10000)
+          .as("mad_1h"),
+        (floor(max(col("med")) * 10000 + 0.5) / 10000).as("p50_1h"))
+  }
+
   /** B30: deriv — per-series least-squares slope of value over time
     * (PromQL deriv), reported per hour so the 4-decimal gate keeps
     * real precision. Same single-pass regr_slope partial aggregate as

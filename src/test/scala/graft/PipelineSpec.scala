@@ -25,6 +25,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("containment finds every planted snippet at cr = 1 (recall 1)") {
+    import spark.implicits._
+    val planted = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(17)) === 0 &&
+        size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val found = dedup.Dedup.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every snippet (id + 2e6) must be reported contained in its source
+    // doc with a full-containment ratio — the prefix filter lost nothing
+    val hits = found.collect {
+      case (ia, ib, cr) if ia >= 2000000L && ia - 2000000L == ib => (ib, cr)
+    }.toMap
+    assert(planted.forall(d => hits.get(d).contains(1.0)),
+      s"missing/partial snippets: ${planted.filterNot(d => hits.get(d).contains(1.0))}")
+  }
+
   test("simhash near-dup pairs cover the highest-jaccard pairs") {
     val exact = dedup.Dedup.ngramJaccard(spark, dir)
       .filter(col("j") >= 0.97).collect()
