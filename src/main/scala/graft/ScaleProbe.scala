@@ -104,6 +104,13 @@ object ScaleProbe {
     // count table + TakeOrdered top-k) over the factor× corpus
     t("seq_pack_fold")(text.TextAnalysis.seqPackOn(spark, dbig))
     t("vocab_top50")(text.TextAnalysis.vocabOn(dbig))
+    // round-5 additions: the BM25 retrieval pipeline (postings +
+    // broadcast query terms + bounded-heap ranking) and the
+    // contained-side prefix-filtered containment join
+    t("bm25_topk")(text.Bm25.topkOn(spark,
+      dbig.select(col("doc_id"), col("text"))))
+    t("containment")(dedup.Dedup.containmentOn(spark,
+      dbig.select(col("doc_id"), col("text")), 1000000000L))
     spark.stop()
   }
 }

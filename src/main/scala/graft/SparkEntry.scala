@@ -64,6 +64,7 @@ object SparkEntry {
     "predict_linear" -> (tsdb.Tsdb.predictLinear _),
     "offset_compare" -> (tsdb.Tsdb.offsetCompare _),
     "subquery_rate" -> (tsdb.Tsdb.subqueryRate _),
+    "range_eval" -> (tsdb.Tsdb.rangeEval _),
     "binary_op" -> (tsdb.Tsdb.binaryOp _),
     "quantile_sketch" -> (tsdb.Tsdb.quantileSketch _),
     "at_modifier" -> (tsdb.Tsdb.atModifier _),
@@ -292,6 +293,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id, event_type
         |             ORDER BY epoch_us(ts)//1000000
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // B37: the oracle uses DuckDB's native ASOF JOIN where Spark
+    // composes union + ordered window — cross-form equivalence, with
+    // the same 2h staleness horizon dropping dead grid points
+    "range_eval" ->
+      """WITH series AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ FROM events),
+        |grid AS (SELECT usr, typ, unnest(generate_series(
+        |    TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-15 00:00:00',
+        |    INTERVAL 1 HOUR)) AS pts FROM series),
+        |s AS (SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    ts, arg_max(value, event_id) AS value FROM events GROUP BY 1, 2, 3),
+        |j AS MATERIALIZED (
+        |  SELECT g.usr, g.typ, g.pts, a.ts AS ats, a.value AS value
+        |  FROM grid g ASOF JOIN s a
+        |    ON a.usr = g.usr AND a.typ = g.typ AND a.ts <= g.pts)
+        |SELECT usr, typ, epoch_us(pts)//1000000 AS pts_sec, round(value, 2) AS v
+        |FROM j WHERE ats > pts - INTERVAL 2 HOUR""".stripMargin,
     // B36: both medians interpolate identically (Spark percentile ==
     // quantile_cont); the unrounded first median feeds the deviation,
     // the floor-trick rounds only the emitted columns

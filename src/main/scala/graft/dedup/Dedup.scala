@@ -140,17 +140,25 @@ object Dedup {
     * containments are found at cr = 1.
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = 0.9
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     require(maxId < 2000000L,
       s"containment puts snippets at doc_id+2000000 but the corpus already " +
         s"holds doc_id=$maxId — raise the offset in query AND oracle")
+    containmentOn(spark, docs, 2000000L)
+  }
+
+  /** Corpus-generic form with an explicit snippet-id offset (the scale
+    * probe drives the same prefix-filtered pipeline over replicated
+    * corpora whose ids exceed the gated query's offset).
+    */
+  def containmentOn(spark: SparkSession, docs: DataFrame, offset: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.9
     val snippets = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .withColumn("__w", split(col("text"), " "))
       .filter(size(col("__w")) >= 5)
-      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
         concat_ws(" ", slice(col("__w"), lit(1),
           floor(size(col("__w")) * lit(0.6)).cast("int"))).as("text"))
     val sh = shingles(docs.unionByName(snippets)).cache()

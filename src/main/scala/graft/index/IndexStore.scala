@@ -272,17 +272,42 @@ object IndexStore {
     */
   def load(spark: SparkSession, path: String): DataFrame = {
     val segs = committedSegs(spark, path)
-    if (segs.isEmpty) {
-      // a store that exists but holds no committed segments yet (e.g. a
-      // just-started streaming pipeline whose first batches were empty)
-      // is an EMPTY index, not an error
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("label_name", StringType), StructField("label_value", StringType),
-          StructField("tsid", LongType), StructField("min_ts", TimestampType),
-          StructField("max_ts", TimestampType), StructField("n_samples", LongType))))
-    } else loadSegs(spark, path, segs, committedDels(spark, path))
+    if (segs.isEmpty) emptyView(spark)
+    else loadSegs(spark, path, segs, committedDels(spark, path))
+  }
+
+  /** A store that exists but holds no committed segments yet (e.g. a
+    * just-started streaming pipeline whose first batches were empty)
+    * is an EMPTY index, not an error.
+    */
+  private def emptyView(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("label_name", StringType), StructField("label_value", StringType),
+        StructField("tsid", LongType), StructField("min_ts", TimestampType),
+        StructField("max_ts", TimestampType), StructField("n_samples", LongType))))
+  }
+
+  /** Snapshot (time-travel) read: the merge-on-read view as of segment
+    * ordinal `maxOrd` — only segments with ordinal ≤ maxOrd and only
+    * tombstones whose `upto` ≤ maxOrd contribute, so the result equals
+    * what [[load]] returned when that segment was the store's newest.
+    * Because committed segments and tombstones are immutable (flush
+    * overwrites only UNcommitted leftovers, compact retires via
+    * backup-rename), every historical view stays readable until a
+    * compact folds it away — the debugging/replay surface a pipeline
+    * needs when a bad ingest must be diffed against the pre-ingest
+    * index.
+    */
+  def loadAt(spark: SparkSession, path: String, maxOrd: Long): DataFrame = {
+    val segs = committedSegs(spark, path).filter(segOrd(_) <= maxOrd)
+    if (segs.isEmpty) return emptyView(spark)
+    val dels = committedDels(spark, path).filter { d =>
+      spark.read.parquet(s"$path/$d")
+        .agg(max(col("upto"))).head().getLong(0) <= maxOrd
+    }
+    loadSegs(spark, path, segs, dels)
   }
 
   /** The merge-on-read fold over an EXPLICIT segment + tombstone list —

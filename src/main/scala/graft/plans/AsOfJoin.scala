@@ -21,7 +21,9 @@ object AsOfJoin {
   /** @param samples (key columns ++ tsCol ++ valueCol)
     * @param probes  (key columns ++ ptsCol)
     * @return probes with `asof_value` = value of latest sample at-or-
-    *         before pts (null when none)
+    *         before pts and `asof_ts` = that sample's timestamp (both
+    *         null when none) — the timestamp is what a staleness
+    *         horizon (PromQL's 5-minute lookback) filters on
     */
   def asofJoin(samples: DataFrame, probes: DataFrame, keys: Seq[String],
       tsCol: String, valueCol: String, ptsCol: String): DataFrame = {
@@ -37,7 +39,10 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s.unionByName(p)
       .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        last(when(col("__probe") === 0, col("__t")), ignoreNulls = true).over(w))
       .filter(col("__probe") === 1)
-      .select(keys.map(col) :+ col("__t").as(ptsCol) :+ col("asof_value"): _*)
+      .select(keys.map(col) ++ Seq(col("__t").as(ptsCol),
+        col("asof_value"), col("asof_ts")): _*)
   }
 }

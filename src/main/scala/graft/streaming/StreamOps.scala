@@ -17,6 +17,12 @@ case class SeriesState(tsid: Long, firstSeenSec: Long, nSamples: Long)
 /** Emitted on every state update (Update output mode). */
 case class SeriesUpdate(usr: String, typ: String, tsid: Long, firstSeenSec: Long, nSamples: Long, isNew: Boolean)
 
+/** A document on the H13 ingest stream. */
+case class DocIn(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+/** H13 per-document verdict (same classes as batch D8). */
+case class DocVerdict(doc_id: Long, verdict: String)
+
 /** Structured Streaming ingest path (SURVEY.md §2.H) — the Spark
   * analog of the reference's WAL → MemIndex maintenance
   * (/root/reference/src/index/index_server.cpp add_series + commit):
@@ -238,6 +244,58 @@ object StreamOps extends Serializable {
     samples
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** H13: streaming incremental dedup — the streaming twin of the batch
+    * D8: a continuously-arriving document stream verdicted against a
+    * STATIC curated-corpus hash table (stream-static left join, no
+    * streaming state for the corpus side) and against itself
+    * (content-hash-keyed flatMapGroupsWithState). Verdicts mirror D8
+    * exactly: `dup_corpus` (content already curated — hash hit
+    * CONFIRMED by text equality, collision-proof like the batch twin),
+    * `dup_batch` (an earlier stream doc had the same content),
+    * `kept`. Per-hash state is one boolean with an event-time timeout
+    * at watermark + horizon, so state is ∝ (rate × horizon) like H8 —
+    * never the full stream history; the corpus table is the
+    * incrementally-maintained derived table D8 describes, broadcast
+    * or hash-joined per micro-batch.
+    */
+  def streamingCorpusDedup(docs: Dataset[DocIn], corpus: DataFrame): Dataset[DocVerdict] = {
+    import docs.sparkSession.implicits._
+    val cor = corpus.select(xxhash64(col("text")).as("h"), col("text").as("ctext"))
+      .distinct()
+    val joined = docs.toDF()
+      .withColumn("h", xxhash64(col("text")))
+      .join(cor, Seq("h"), "left_outer")
+      .withColumn("in_corpus", col("ctext").isNotNull && col("ctext") === col("text"))
+      .select(col("doc_id"), col("ts"), col("h"), col("in_corpus"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long, Boolean)]
+    joined.groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, DocVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(false)
+            // deterministic within-batch order, like D8's rn window
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            val out = sorted.map { r =>
+              val v = if (r._4) "dup_corpus"
+                      else if (seen) "dup_batch"
+                      else "kept"
+              seen = true
+              DocVerdict(r._1, v)
+            }
+            state.update(seen)
+            // horizon past the LAST OCCURRENCE's event time — anchoring
+            // on the watermark instead would stamp the first batch
+            // (watermark still 0) with an epoch-1970 timeout that
+            // expires the moment the real watermark is established
+            state.setTimeoutTimestamp(sorted.last._2.getTime + 3600000L)
+            out.iterator
+          }
+      }
+  }
 
   /** Streaming heavy-hitters state: per-key bucket counts (bounded by
     * the Misra–Gries capacity, like the batch aggregate).

@@ -37,8 +37,13 @@ object Bm25 {
     * (qid = doc_id): deterministic, derivable by the oracle, and
     * guaranteed non-vacuous (each query's source doc matches itself).
     */
-  def topk(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  def topk(spark: SparkSession, dir: String): DataFrame =
+    topkOn(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** Corpus-generic form (the scale probe drives the same pipeline
+    * over replicated corpora).
+    */
+  def topkOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     // the postings table is the ONE expensive intermediate — every
     // derived table (dl, df, corpus stats, the scored stream) reads it,

@@ -343,6 +343,34 @@ object Tsdb {
         round(col("asof_value"), 2).as("v"))
   }
 
+  /** B37: range-query grid evaluation — the Prom HTTP API's
+    * `query_range` semantics (the adapter surface's other half beside
+    * the instant `@` of B25): evaluate every series on a regular step
+    * grid, each point carrying the latest sample at-or-before it,
+    * DROPPED when that sample is older than the staleness horizon
+    * (Prom marks the series stale and removes it from the vector).
+    * One as-of join of the grid against the sample stream — grid
+    * points are (#series × #steps) rows, never a per-step query loop.
+    */
+  def rangeEval(spark: SparkSession, dir: String): DataFrame = {
+    val i = idx(spark, dir)
+    val probes = i.seriesCatalog.select(col("usr"), col("typ"))
+      .withColumn("pts", explode(expr(
+        "sequence(timestamp'2024-01-10 00:00:00'," +
+          " timestamp'2024-01-15 00:00:00', interval 1 hour)")))
+    // same-µs ties resolve to the LAST WRITER (max event_id) before the
+    // as-of join, so the winner is deterministic in both engines
+    val samples = i.labeled
+      .groupBy(col("usr"), col("typ"), col("ts"))
+      .agg(expr("max_by(value, event_id)").as("value"))
+    graft.plans.AsOfJoin.asofJoin(samples,
+      probes, Seq("usr", "typ"), "ts", "value", "pts")
+      .filter(col("asof_ts").isNotNull &&
+        col("asof_ts") > col("pts") - expr("interval 2 hours"))
+      .select(col("usr"), col("typ"), unix_timestamp(col("pts")).as("pts_sec"),
+        round(col("asof_value"), 2).as("v"))
+  }
+
   /** B16: hopping-window aggregation — 10-minute windows sliding by 5
     * (each sample lands in two windows). Same `window()` construct the
     * streaming path uses, here over the batch table.

@@ -203,6 +203,35 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(n == 3L, s"boundary-µs sample lost or double-counted: n_samples=$n")
   }
 
+  test("loadAt reads the historical view a past segment ordinal saw") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/idx"
+    val b1 = Seq((1L, t0, "1", "click", 1.0), (2L, t0 + 1000000L, "2", "view", 1.0))
+    val b2 = Seq((3L, t0 + 2000000L, "3", "click", 1.0))
+    IndexStore.materialize(mkIdx(b1), tmp)
+    val ord1 = IndexStore.load(spark, tmp).count() // snapshot point exists
+    IndexStore.materializeIncremental(mkIdx(b1 ++ b2), tmp)
+    // the current view sees all three series, the ord-1 snapshot only b1
+    val segs = new java.io.File(tmp).listFiles().map(_.getName)
+      .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toLong).sorted
+    assert(segs.length == 2)
+    val now = IndexStore.load(spark, tmp)
+      .filter(col("label_name") === "usr").count()
+    val then_ = IndexStore.loadAt(spark, tmp, segs.head)
+      .filter(col("label_name") === "usr").count()
+    assert(now == 3 && then_ == 2 && ord1 > 0,
+      s"time travel broken: now=$now then=$then_")
+    // tombstones written AFTER the snapshot point don't rewrite history
+    val n = IndexStore.deleteSeries(spark, tmp,
+      Seq(LabelMatcher("usr", MatchOp.Eql, "1")))
+    assert(n == 1)
+    assert(IndexStore.load(spark, tmp)
+      .filter(col("label_name") === "usr").count() == 2)
+    assert(IndexStore.loadAt(spark, tmp, segs.head)
+      .filter(col("label_name") === "usr").count() == 2,
+      "snapshot at ord1 must still see the later-deleted series")
+  }
+
   private def mkIdx(rows: Seq[(Long, Long, String, String, Double)]): TagIndex = {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -372,6 +372,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H13: streaming corpus dedup verdicts match the batch D8 classes") {
+    import spark.implicits._
+    import graft.streaming.DocIn
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[DocIn]
+    val q = StreamOps.streamingCorpusDedup(in.toDS(), corpus)
+      .writeStream.format("memory").queryName("h13_out").outputMode("append").start()
+    try {
+      in.addData(
+        DocIn(1, ts(0), "alpha beta gamma"),   // in corpus -> dup_corpus
+        DocIn(2, ts(1), "eta theta iota"))     // new -> kept
+      q.processAllAvailable()
+      in.addData(
+        DocIn(3, ts(2), "eta theta iota"),     // earlier stream doc -> dup_batch
+        DocIn(4, ts(3), "kappa lambda mu"))    // new -> kept
+      q.processAllAvailable()
+      val got = spark.table("h13_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "dup_corpus", 2L -> "kept",
+        3L -> "dup_batch", 4L -> "kept"), s"got $got")
+    } finally q.stop()
+  }
+
   test("H8: streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
