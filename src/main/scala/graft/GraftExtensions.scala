@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("str_poly2"),
+      new ExpressionInfo(classOf[graft.functions.DualPolyHash].getName, "str_poly2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DualPolyHash(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_fp"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

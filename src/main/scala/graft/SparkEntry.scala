@@ -85,6 +85,7 @@ object SparkEntry {
     "salted_agg" -> (operators.Skew.saltedAgg _),
     "interval_join" -> (operators.Relational.intervalJoin _),
     "rollup_agg" -> (operators.Relational.rollupAgg _),
+    "cube_agg" -> (operators.Relational.cubeAgg _),
     "pivot_agg" -> (operators.Relational.pivotAgg _),
     "curation_pipeline" -> (operators.Curation.pipeline _),
     "corr_subquery" -> (operators.Relational.corrSubquery _),
@@ -735,6 +736,13 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_agg" ->
+      """SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY CUBE (source, lang)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -173,6 +173,20 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("n"), col("sum_qty"), col("sum_price"))
 
+  /** C15: full CUBE over (source, lang) — all four grouping-set
+    * marginals of the corpus-mix matrix in one pass (C11's rollup emits
+    * only the prefix hierarchy). One Expand + one partial-agg
+    * aggregate; the 2^k set expansion happens map-side, never as k
+    * separate scans.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("sum_chars"))
+
   /** JSON extraction over events.props — the tagtree "extended labels"
     * path (arbitrary tag maps). get_json_object is codegen'd; at scale
     * prefer from_json with an explicit schema once known.

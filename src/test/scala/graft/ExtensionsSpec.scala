@@ -46,6 +46,11 @@ class ExtensionsSpec extends AnyFunSuite {
       val sh = s.sql("SELECT simhash_fp(k, id) AS fp FROM ext_t").head().getLong(0)
       assert(sh != 0L) // fingerprint computed through the SQL path
 
+      // dual polynomial token hash: h('ab') = (131a+b)*2^31 + (137a+b)
+      val hp = s.sql("SELECT str_poly2('ab') AS h").head().getLong(0)
+      val a = 'a'.toLong; val b = 'b'.toLong
+      assert(hp == (a * 131 + b) * 2147483648L + (a * 137 + b))
+
       // bounded-heap top/bottom-k through SQL: struct array best-first
       val tk = s.sql(
         "SELECT topk(cast(id as double), cast(id as string), 'x', 2) AS t FROM ext_t")
