@@ -148,20 +148,15 @@ object Dedup {
     containmentOn(spark, docs, 2000000L)
   }
 
-  /** Corpus-generic form with an explicit snippet-id offset (the scale
-    * probe drives the same prefix-filtered pipeline over replicated
-    * corpora whose ids exceed the gated query's offset).
+  /** Ordered candidate pairs (ia = potentially-contained, ib =
+    * container) for C(ia→ib) ≥ t: Bayardo prefix on the contained side
+    * joined against the FULL shingle index. A hot boilerplate shingle
+    * sorts to the end of every prefix order and never enters one, so
+    * the join stays df(prefix-shingle)-bounded — the skew property
+    * DedupSkewSpec pins for this path too.
     */
-  def containmentOn(spark: SparkSession, docs: DataFrame, offset: Long): DataFrame = {
+  private[graft] def containmentCandidates(sh: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = 0.9
-    val snippets = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
-      .withColumn("__w", split(col("text"), " "))
-      .filter(size(col("__w")) >= 5)
-      .select((col("doc_id") + lit(offset)).as("doc_id"),
-        concat_ws(" ", slice(col("__w"), lit(1),
-          floor(size(col("__w")) * lit(0.6)).cast("int"))).as("text"))
-    val sh = shingles(docs.unionByName(snippets)).cache()
     val df = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(df, Seq("sid"))
       .withColumn("rk", row_number().over(
@@ -170,10 +165,26 @@ object Dedup {
     val prefix = ranked
       .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
       .select(col("doc_id").as("ia"), col("sid"))
-    val cand = prefix
+    prefix
       .join(sh.select(col("doc_id").as("ib"), col("sid")), Seq("sid"))
       .filter(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib")).distinct()
+  }
+
+  /** Corpus-generic form with an explicit snippet-id offset (the scale
+    * probe drives the same prefix-filtered pipeline over replicated
+    * corpora whose ids exceed the gated query's offset).
+    */
+  def containmentOn(spark: SparkSession, docs: DataFrame, offset: Long): DataFrame = {
+    val t = 0.9
+    val snippets = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .withColumn("__w", split(col("text"), " "))
+      .filter(size(col("__w")) >= 5)
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        concat_ws(" ", slice(col("__w"), lit(1),
+          floor(size(col("__w")) * lit(0.6)).cast("int"))).as("text"))
+    val sh = shingles(docs.unionByName(snippets)).cache()
+    val cand = containmentCandidates(sh, t)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.select(col("doc_id").as("ia"), col("sid")), Seq("ia"))

@@ -30,6 +30,19 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(nCand == 0, s"hot shingle leaked $nCand candidate pairs")
   }
 
+  test("containment: hot shingle in 10k docs yields zero candidates too") {
+    import spark.implicits._
+    // same skew-bomb corpus as above; containment's contained-side
+    // prefix (t=0.9, n=5 -> prefix length 1 = the rarest shingle only)
+    // must keep the shared shingle out of every prefix
+    val sh = (0L until 10000L).flatMap { d =>
+      0L +: (1L to 4L).map(k => d * 10 + k)
+    }.zip((0L until 10000L).flatMap(d => Seq.fill(5)(d)))
+      .map { case (sid, d) => (d, sid) }.toDF("doc_id", "sid")
+    val nCand = dedup.Dedup.containmentCandidates(sh, 0.9).count()
+    assert(nCand == 0, s"hot shingle leaked $nCand containment candidates")
+  }
+
   test("prefix candidates are a superset of all true j>=0.8 pairs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // naive exact pairs via the unfiltered shared-shingle join

@@ -29,7 +29,12 @@ class DeterminismSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
-  for (q <- Seq("seq_pack", "dedup_incremental", "text_vocab", "mm_integrity")) {
+  // round-5 additions: bm25's heap ranking (quantized scores + padded
+  // tie key), range_eval's as-of window with last-writer tie-break,
+  // and containment's prefix-filtered candidate set must all be
+  // partitioning-invariant
+  for (q <- Seq("seq_pack", "dedup_incremental", "text_vocab", "mm_integrity",
+      "bm25_topk", "range_eval", "dedup_containment", "shard_assign")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)
