@@ -90,6 +90,7 @@ object SparkEntry {
     "curation_pipeline" -> (operators.Curation.pipeline _),
     "corr_subquery" -> (operators.Relational.corrSubquery _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
+    "histogram_fraction" -> (tsdb.Tsdb.histogramFraction _),
     // D. dedup
     "dedup_exact" -> (dedup.Dedup.exact _),
     "dedup_minhash" -> (dedup.Dedup.minhashLsh _),
@@ -106,6 +107,8 @@ object SparkEntry {
     "ann_mips" -> (similarity.Ann.mipsTopk _),
     "ann_ivf" -> (similarity.Ann.ivfTopk _),
     "ann_ivf_full" -> (similarity.Ann.ivfFull _),
+    "ann_pq" -> (similarity.Ann.pqTopk _),
+    "ann_pq_full" -> (similarity.Ann.pqFull _),
     "ann_classify" -> (similarity.Ann.knnClassify _),
     "ann_lsh" -> (similarity.Ann.lshTopk _),
     "ann_lsh_planted" -> (similarity.Ann.lshPlanted _),
@@ -675,6 +678,22 @@ object SparkEntry {
         |    WHEN c200 >= total*0.9 THEN 100 + (total*0.9 - c100)/(c200 - c100)*100
         |    ELSE 200 END, 4) AS hq90
         |FROM h""".stripMargin,
+    // B38: same cumulative counts, interpolated count at each range
+    // endpoint inside its static bucket; identical IEEE op order
+    "histogram_fraction" ->
+      """WITH h AS (SELECT event_type AS typ, count(*) AS total,
+        |    sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS c25,
+        |    sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS c50,
+        |    sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c100,
+        |    sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS c200
+        |  FROM events GROUP BY 1)
+        |SELECT typ, total,
+        |  floor((c25 + (30.0 - 25.0) / (50.0 - 25.0) * (c50 - c25))
+        |    / total * 10000 + 0.5) / 10000 AS frac_le_30,
+        |  floor(((c100 + (150.0 - 100.0) / (200.0 - 100.0) * (c200 - c100))
+        |      - (c25 + (30.0 - 25.0) / (50.0 - 25.0) * (c50 - c25)))
+        |    / total * 10000 + 0.5) / 10000 AS frac_30_150
+        |FROM h""".stripMargin,
     "session_window" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS usr,
         |    event_type AS typ, value, event_id,
@@ -1007,6 +1026,24 @@ object SparkEntry {
     // E3b: IVF at nprobe = k probes every cell -> provably the exact
     // top-5; same oracle as brute force
     "ann_ivf_full" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
+        |  FROM q JOIN n ON n.vec_id <> q.query_id)
+        |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+    // E7b: candN<=0 probes the whole corpus -> PQ output must equal
+    // brute force regardless of the learned codebooks (the E3b trick)
+    "ann_pq_full" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings),

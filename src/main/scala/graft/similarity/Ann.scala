@@ -337,4 +337,105 @@ object Ann {
     */
   def ivfFull(spark: SparkSession, dir: String): DataFrame =
     ivfTopkOn(vecs(spark, dir), col("vec_id") < 10, nprobe = 16)
+
+  /** E7: product-quantization ANN — the memory-compression scale path:
+    * each unit vector is split into `m` subspaces, each subspace
+    * L2-k-means-quantized to one of `ks` codes, so a 64-dim float
+    * vector stores as m=8 code bytes (32× smaller). The ADC
+    * (asymmetric distance) scan scores dot(query, reconstruction(u)) =
+    * Σ_s dot(q_s, codebook_s[code_s]) — here materialized as a
+    * reconstruction column fed to the same codegen `vec_dot`, which is
+    * arithmetically identical to the per-subspace table lookups and
+    * keeps the scan in whole-stage codegen. Top-`candN` approximate
+    * candidates per query ride the bounded heap, then exact cosine
+    * re-ranks the survivors — candidates ∝ candN, never corpus².
+    *
+    * At 100 TB: codebooks are driver/broadcast state (m × ks × sub
+    * doubles, ~4 KB), training runs on a sample, the corpus pass
+    * reads codes (not floats), and the re-rank touches only candN
+    * vectors per query.
+    *
+    * `candN <= 0` disables pruning: every corpus vector is exact
+    * re-ranked, so the output provably equals brute force no matter
+    * what the codebooks learned — [[pqFull]]'s invariant gate, the
+    * E3b trick. Approximation quality at small candN is pinned by the
+    * planted-recall spec (rows-only by necessity, like E2/E3).
+    */
+  def pqTopk(spark: SparkSession, dir: String): DataFrame =
+    pqTopkOn(vecs(spark, dir), col("vec_id") < 10, candN = 64)
+
+  def pqFull(spark: SparkSession, dir: String): DataFrame =
+    pqTopkOn(vecs(spark, dir), col("vec_id") < 10, candN = 0)
+
+  def pqTopkOn(all: DataFrame, isQuery: Column, candN: Int, m: Int = 8,
+      ks: Int = 16, iters: Int = 3, dim: Int = 64): DataFrame = {
+    val spark = all.sparkSession
+    graft.functions.VecFunctions.register(spark)
+    val sub = dim / m
+    val unit = all.withColumn("u",
+      expr("transform(v, x -> cast(x as double) / norm)"))
+    def subCol(s: Int): Column = slice(col("u"), s * sub + 1, sub)
+    // argmin ||x−c||² == argmax (x·c − ||c||²/2); ties → higher cid
+    def scoredSub(s: Int, cents: Array[Array[Double]]): Column =
+      array(cents.zipWithIndex.map { case (c, i) =>
+        struct((call_function("vec_dot", subCol(s), typedlit(c.toSeq))
+          - lit(0.5 * c.map(x => x * x).sum)).as("d"), lit(i).as("cid"))
+      }: _*)
+    def withCodes(cb: Array[Array[Array[Double]]]): DataFrame =
+      unit.withColumn("codes", array((0 until m).map(s =>
+        array_max(scoredSub(s, cb(s))).getField("cid")): _*))
+
+    // train: per-subspace L2 k-means, all m subspaces re-estimated in
+    // ONE exploded aggregation pass per iteration (m·ks result rows)
+    val rnd = new scala.util.Random(424242L)
+    var cb = Array.fill(m, ks)(Array.fill(sub)(rnd.nextGaussian() * 0.2))
+    for (_ <- 0 until iters) {
+      val exploded = withCodes(cb).select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), element_at(col("codes"), s + 1).as("c"),
+          subCol(s).as("x"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.c").as("c"), col("e.x").as("x"))
+      val aggs = count(lit(1)).as("n") +: (0 until sub).map(i =>
+        sum(element_at(col("x"), i + 1)).as(s"s$i"))
+      val next = cb.map(_.map(_.clone())) // empty codes keep centroids
+      exploded.groupBy(col("s"), col("c")).agg(aggs.head, aggs.tail: _*)
+        .collect().foreach { r =>
+          val n = r.getLong(2).toDouble
+          next(r.getInt(0))(r.getInt(1)) =
+            Array.tabulate(sub)(i => r.getDouble(i + 3) / n)
+        }
+      cb = next
+    }
+
+    // encode + reconstruct (the Σ_s codebook_s[code_s] concatenation)
+    val coded = withCodes(cb).withColumn("recon",
+      concat((0 until m).map(s =>
+        element_at(typedlit(cb(s).map(_.toSeq).toSeq),
+          element_at(col("codes"), s + 1) + 1)): _*))
+
+    val qUnit = coded.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val corpus = coded.select(col("vec_id"), col("recon"))
+    val adc = corpus.join(broadcast(qUnit), col("vec_id") =!= col("query_id"))
+      .withColumn("approx", call_function("vec_dot", col("qu"), col("recon")))
+    val candIds =
+      if (candN <= 0) adc.select(col("query_id"), col("vec_id"))
+      else adc
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.column(spark, col("approx"),
+          lpad(col("vec_id").cast("string"), 12, "0"),
+          col("query_id").cast("string"), candN).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.a").cast("long").as("vec_id"))
+
+    val qVecs = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    candIds
+      .join(broadcast(qVecs), Seq("query_id"))
+      .join(all, Seq("vec_id"))
+      .withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
+  }
 }

@@ -436,6 +436,31 @@ object Tsdb {
         round(interp(0.5), 4).as("hq50"), round(interp(0.9), 4).as("hq90"))
   }
 
+  /** B38: histogram_fraction — B19's sibling: the fraction of
+    * observations inside an arbitrary (lower, upper] value range,
+    * linearly interpolated inside the buckets the range endpoints land
+    * in (PromQL histogram_fraction over classic buckets). Same one-pass
+    * conditional aggregation as B19 — the interpolation is pure
+    * arithmetic over the cumulative counts, so fractions for any
+    * number of ranges cost one scan total.
+    */
+  def histogramFraction(spark: SparkSession, dir: String): DataFrame = {
+    // interpolated count ≤ x, for x inside static bucket (lo, b]
+    def ic(x: Double, lo: Double, b: Double): Column = {
+      val cPrev = if (lo == 0.0) lit(0) else col(s"c${lo.toInt}")
+      cPrev + (lit(x) - lit(lo)) / (lit(b) - lit(lo)) * (col(s"c${b.toInt}") - cPrev)
+    }
+    def cum(b: Double) = sum(when(col("value") <= b, 1).otherwise(0)).as(s"c${b.toInt}")
+    idx(spark, dir).labeled
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("total"), cum(25), cum(50), cum(100), cum(200))
+      .select(col("typ"), col("total"),
+        (floor(ic(30.0, 25.0, 50.0) / col("total") * 10000 + 0.5) / 10000)
+          .as("frac_le_30"),
+        (floor((ic(150.0, 100.0, 200.0) - ic(30.0, 25.0, 50.0))
+          / col("total") * 10000 + 0.5) / 10000).as("frac_30_150"))
+  }
+
   /** B20: holt_winters — PromQL double exponential smoothing
     * (sf=0.3, tf=0.1) per series over the time-ordered sample stream,
     * emitting the final smoothed level.
