@@ -46,9 +46,37 @@ final case class LabelMatcher(name: String, op: MatchOp, value: String) {
       case Gtr => v > value
       case Lte => v <= value
       case Gte => v >= value
-      case EqlRegex | NeqRegex => v.rlike("^(?:" + value + ")$")
+      case EqlRegex | NeqRegex =>
+        // rlike cannot reach a parquet scan, but a derived literal
+        // prefix can (StringStartsWith pushes into row-group stats on
+        // the IndexStore path — the Spark analog of the reference's
+        // tree descent by value prefix). Conjoining it is semantics-
+        // preserving: every match of ^(?:prefix...)$ starts with the
+        // prefix, and LabelMatcher.literalPrefix is conservative
+        // (empty on alternation, quantified tails dropped).
+        val base = v.rlike("^(?:" + value + ")$")
+        val p = LabelMatcher.literalPrefix(value)
+        if (p.nonEmpty) v.startsWith(p) && base else base
     }
     col("label_name") === name && positive
+  }
+}
+
+object LabelMatcher {
+  /** The maximal leading literal of an anchored regex that every match
+    * must start with — "" when none can be derived safely: any `|`
+    * disqualifies the whole pattern (top-level alternation can't be
+    * detected without parsing), and a quantifier directly after the
+    * literal run makes the run's last char optional, so it is dropped.
+    */
+  private[graft] def literalPrefix(re: String): String = {
+    if (re.contains("|")) return ""
+    val meta = ".[]{}()*+?^$\\"
+    val run = re.takeWhile(c => !meta.contains(c))
+    if (run.isEmpty) ""
+    else if (re.drop(run.length).headOption.exists(c => "*+?{".contains(c)))
+      run.dropRight(1)
+    else run
   }
 }
 

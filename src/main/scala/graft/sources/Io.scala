@@ -127,6 +127,56 @@ object Io {
     fs.delete(bak, true)
   }
 
+  /** I10: partition-scoped copy-on-write upsert — MERGE semantics on
+    * the plain-parquet lakehouse layout, no table-format log needed:
+    * for every partition the updates touch, rewrite that partition as
+    * (existing rows whose key is NOT updated) ∪ (updates), write-aside
+    * and swap with the same backup-rename protocol as compaction; a
+    * crash at any instant leaves the complete old or complete new
+    * partition. Partitions the updates do NOT touch are never read,
+    * rewritten, or renamed — their files stay byte-identical, which is
+    * what bounds the job at 100 TB: cost ∝ touched partitions, not
+    * table size (the CoW half of Delta/Iceberg MERGE, driven purely by
+    * directory layout).
+    *
+    * `updates` must carry the partition column; the anti-join runs
+    * per-partition (partition-local, broadcast when the update set is
+    * small). Streaming file-sink datasets are refused like compaction.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, partitionCol: String = "day",
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata")),
+      s"$path is a streaming file-sink dataset (_spark_metadata); " +
+        "merge through the sink itself")
+    val parts = updates.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    parts.foreach { d =>
+      val leaf = new org.apache.hadoop.fs.Path(path, s"$partitionCol=$d")
+      val up = updates.filter(col(partitionCol).cast("string") === d)
+        .drop(partitionCol)
+      val merged =
+        if (!fs.exists(leaf)) up
+        else spark.read.parquet(leaf.toString)
+          .join(up.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(up)
+      val bytes = if (fs.exists(leaf)) fs.getContentSummary(leaf).getLength else 0L
+      val nFiles = math.max(1, (bytes / targetBytes).toInt + 1)
+      val tmp = new org.apache.hadoop.fs.Path(path, s".upsert-$partitionCol=$d")
+      val bak = new org.apache.hadoop.fs.Path(path, s".bak-$partitionCol=$d")
+      fs.delete(tmp, true)
+      merged.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(bak, true)
+      if (fs.exists(leaf))
+        require(fs.rename(leaf, bak) && !fs.exists(leaf),
+          s"rename $leaf -> $bak failed")
+      require(fs.rename(tmp, leaf), s"rename $tmp -> $leaf failed")
+      fs.delete(bak, true)
+    }
+  }
+
   /** CSV export/ingest round-trip support (header + explicit schema on
     * read; schema inference is a full extra pass at scale).
     */

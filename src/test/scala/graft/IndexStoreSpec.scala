@@ -203,6 +203,35 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(n == 3L, s"boundary-µs sample lost or double-counted: n_samples=$n")
   }
 
+  test("anchored-regex matchers push a literal-prefix filter into the store scan") {
+    import org.apache.spark.sql.functions._
+    // literalPrefix must be conservative where it can't be exact
+    assert(LabelMatcher.literalPrefix("click.*") == "click")
+    assert(LabelMatcher.literalPrefix("clicks?") == "click")
+    assert(LabelMatcher.literalPrefix("click|view") == "")
+    assert(LabelMatcher.literalPrefix("(cl)ick") == "")
+    assert(LabelMatcher.literalPrefix("cl{2}ick") == "c")
+    assert(LabelMatcher.literalPrefix("\\d+") == "")
+
+    val samples = graft.Tables.eventsRaw(spark, dir).select(
+      col("event_id"), col("ts_ns"),
+      timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("value"),
+      col("user_id").cast("string").as("usr"),
+      col("event_type").as("typ"))
+    val p = java.nio.file.Files.createTempDirectory("graft_rx").toString + "/idx"
+    IndexStore.materialize(new TagIndex(samples, Seq("usr", "typ")), p)
+    val re = Seq(LabelMatcher("typ", EqlRegex, "cli.*"))
+    val resolved = IndexStore.resolvePostings(spark, p, re)
+    // the derived StartsWith reaches the parquet scan of the store
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(label_value,cli)"),
+      s"no pushed prefix filter in store scan:\n$plan")
+    // and semantics are unchanged vs the equality matcher
+    val eq = IndexStore.resolvePostings(spark, p, Seq(LabelMatcher("typ", Eql, "click")))
+      .collect().map(_.getLong(0)).toSet
+    assert(resolved.collect().map(_.getLong(0)).toSet == eq)
+  }
+
   test("loadAt reads the historical view a past segment ordinal saw") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/idx"

@@ -32,6 +32,49 @@ class IoSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$plan")
   }
 
+  test("I10: copy-on-write upsert rewrites only touched partitions") {
+    import spark.implicits._
+    val out = s"$tmp/upsert"
+    Io.writePartitionedSamples(spark, dir, out)
+    val before = spark.read.parquet(out)
+    val nBefore = before.count()
+    // pick an existing event from 2024-01-05 to UPDATE, plus one brand
+    // new event in the same day and one in a brand-new day
+    val victim = before.filter(col("day") === "2024-01-05")
+      .orderBy("event_id").limit(1).collect()(0)
+    val vid = victim.getAs[Long]("event_id")
+    val schemaCols = before.columns
+    val updates = Seq(
+      (vid, victim.getAs[java.sql.Timestamp]("ts"), victim.getAs[Long]("user_id"),
+        victim.getAs[String]("event_type"), 424242.0, victim.getAs[String]("props"),
+        "2024-01-05"),
+      (90000001L, victim.getAs[java.sql.Timestamp]("ts"), 7L, "click", 1.0,
+        victim.getAs[String]("props"), "2024-01-05"),
+      (90000002L, victim.getAs[java.sql.Timestamp]("ts"), 7L, "view", 2.0,
+        victim.getAs[String]("props"), "2099-12-31"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "day")
+      .select(schemaCols.map(col): _*)
+
+    // fingerprint an UNtouched partition before the merge
+    def files(day: String) = {
+      val d = new java.io.File(s"$out/day=$day")
+      if (!d.exists()) Array.empty[(String, Long)]
+      else d.listFiles().map(f => (f.getName, f.lastModified())).sortBy(_._1)
+    }
+    val untouched = files("2024-01-10")
+    assert(untouched.nonEmpty)
+
+    Io.upsertPartitioned(spark, out, updates, "event_id")
+
+    val after = spark.read.parquet(out)
+    assert(after.count() == nBefore + 2, "one update + two inserts")
+    assert(after.filter(col("event_id") === vid).head().getAs[Double]("value") == 424242.0)
+    assert(after.filter(col("day") === "2099-12-31").count() == 1)
+    // untouched partitions were neither rewritten nor renamed
+    assert(files("2024-01-10").sameElements(untouched),
+      "untouched partition files changed")
+  }
+
   test("csv round-trip preserves rows and schema") {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars")
     Io.writeCsv(docs, s"$tmp/docs_csv")
