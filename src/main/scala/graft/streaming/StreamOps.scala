@@ -356,6 +356,59 @@ object StreamOps extends Serializable {
         col("col.a").as("usr"), col("col.v").as("v"))
   }
 
+  /** H14 state: cumulative bucket counts c≤25, c≤50, c≤100, c≤200 and
+    * the total — O(#buckets) per key forever.
+    */
+  case class HistState(counts: Array[Long])
+
+  /** H14 per-update emission: the key's current histogram quantiles. */
+  case class HistQuantiles(typ: String, total: Long, hq50: Double, hq90: Double)
+
+  /** H14: streaming histogram_quantile — the streaming twin of B19:
+    * per label, cumulative bucket counts maintained in
+    * mapGroupsWithState (state is O(#buckets) per key, never a sample
+    * buffer), emitting the interpolated quantiles after every
+    * micro-batch — the live latency-dashboard shape. Counts are exact,
+    * and the interpolation replays B19's arithmetic exactly, so after
+    * any prefix of the stream the emission equals the batch operator
+    * over the same prefix (the StreamingSpec equivalence gate).
+    */
+  def streamingHistogramQuantile(samples: Dataset[Sample]): Dataset[HistQuantiles] = {
+    import samples.sparkSession.implicits._
+    val bounds = Array(25.0, 50.0, 100.0, 200.0)
+    def interp(c: Array[Long], total: Long, q: Double): Double = {
+      val rank = total * q
+      var i = 0
+      while (i < bounds.length) {
+        val lo = if (i == 0) 0.0 else bounds(i - 1)
+        val cPrev = if (i == 0) 0L else c(i - 1)
+        if (c(i) >= rank)
+          return lo + (rank - cPrev) / (c(i) - cPrev) * (bounds(i) - lo)
+        i += 1
+      }
+      bounds.last
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def update(typ: String, rows: Iterator[Sample],
+        state: GroupState[HistState]): HistQuantiles = {
+      val c = state.getOption.map(_.counts.clone()).getOrElse(Array.fill(5)(0L))
+      rows.foreach { s =>
+        var i = 0
+        while (i < bounds.length) {
+          if (s.value <= bounds(i)) c(i) += 1
+          i += 1
+        }
+        c(4) += 1
+      }
+      state.update(HistState(c))
+      HistQuantiles(typ, c(4),
+        round4(interp(c, c(4), 0.5)), round4(interp(c, c(4), 0.9)))
+    }
+    samples.groupByKey(_.typ)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update _)
+  }
+
   /** H2: streaming add_series — mapGroupsWithState keyed by label set;
     * first sample creates the series (isNew=true, stable hash tsid),
     * later samples bump counters. State size ∝ #series, not #samples.

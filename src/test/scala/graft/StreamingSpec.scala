@@ -372,6 +372,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H14: streaming histogram quantiles equal batch B19 after the stream drains") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"), col("value"))
+      .as[Sample].collect()
+    val in = MemoryStream[Sample]
+    val q = StreamOps.streamingHistogramQuantile(in.toDS())
+      .writeStream.format("memory").queryName("h14_out").outputMode("update").start()
+    try {
+      val (a, b) = events.splitAt(events.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      // latest emission per typ = the full-stream state
+      val streamed = spark.table("h14_out")
+        .groupBy(col("typ"))
+        .agg(max(struct(col("total"), col("hq50"), col("hq90"))).as("s"))
+        .select(col("typ"), col("s.total"), col("s.hq50"), col("s.hq90"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val batch = tsdb.Tsdb.histogramQuantile(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(streamed.keySet == batch.keySet && batch.nonEmpty)
+      batch.foreach { case (typ, (n, h50, h90)) =>
+        val (sn, s50, s90) = streamed(typ)
+        assert(sn == n, s"$typ total $sn != $n")
+        assert(math.abs(s50 - h50) < 1e-9 && math.abs(s90 - h90) < 1e-9,
+          s"$typ quantiles ($s50,$s90) != ($h50,$h90)")
+      }
+    } finally q.stop()
+  }
+
   test("H13: streaming corpus dedup verdicts match the batch D8 classes") {
     import spark.implicits._
     import graft.streaming.DocIn
