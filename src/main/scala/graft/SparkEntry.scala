@@ -125,6 +125,7 @@ object SparkEntry {
     "text_urls" -> (text.TextAnalysis.urlExtract _),
     "text_vocab" -> (text.TextAnalysis.vocab _),
     "bm25_topk" -> (text.Bm25.topk _),
+    "bm25_stored" -> (text.Bm25.storedTopk _),
     "source_cap" -> (operators.Curation.sourceCap _),
     "shard_assign" -> (operators.Curation.shardAssign _),
     "freq_items" -> (operators.Relational.freqItems _),
@@ -1279,34 +1280,9 @@ object SparkEntry {
     // dyadic grid before the per-(query, doc) sum (order-independent,
     // the lm_score trick); ranking ties break on the zero-padded
     // doc-id string = TopKAgg's native (v desc, a asc) comparator
-    "bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |  FROM documents),
-        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-        |  FROM dl),
-        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-        |qt AS (SELECT DISTINCT qid, w FROM (
-        |  SELECT doc_id AS qid, unnest((string_split(text, ' '))[1:4]) AS w
-        |  FROM documents WHERE doc_id % 101 = 0)),
-        |sc AS (SELECT q.qid, tf.doc_id,
-        |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75
-        |          * (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS contrib
-        |  FROM qt q JOIN tf ON tf.w = q.w
-        |  JOIN dfreq d ON d.w = q.w
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN stats s),
-        |agg AS (SELECT qid, doc_id,
-        |    sum(floor(contrib * 1048576 + 0.5) / 1048576) AS sq
-        |  FROM sc GROUP BY 1, 2),
-        |r AS (SELECT qid, doc_id, sq, row_number() OVER (PARTITION BY qid
-        |    ORDER BY sq DESC, lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS rk
-        |  FROM agg)
-        |SELECT qid, rk, doc_id, floor(sq * 10000 + 0.5) / 10000 AS score
-        |FROM r WHERE rk <= 10""".stripMargin,
+    "bm25_topk" -> bm25Sql,
+    // F14b: the stored path must answer exactly like in-query postings
+    "bm25_stored" -> bm25Sql,
     "source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source
@@ -1499,6 +1475,35 @@ object SparkEntry {
     * (D2), whose verified output equals the exact pairs at this
     * banding configuration.
     */
+  private val bm25Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM dl),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT qid, w FROM (
+        |  SELECT doc_id AS qid, unnest((string_split(text, ' '))[1:4]) AS w
+        |  FROM documents WHERE doc_id % 101 = 0)),
+        |sc AS (SELECT q.qid, tf.doc_id,
+        |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75
+        |          * (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS contrib
+        |  FROM qt q JOIN tf ON tf.w = q.w
+        |  JOIN dfreq d ON d.w = q.w
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s),
+        |agg AS (SELECT qid, doc_id,
+        |    sum(floor(contrib * 1048576 + 0.5) / 1048576) AS sq
+        |  FROM sc GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, sq, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sq DESC, lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS rk
+        |  FROM agg)
+        |SELECT qid, rk, doc_id, floor(sq * 10000 + 0.5) / 10000 AS score
+        |FROM r WHERE rk <= 10""".stripMargin
+
   private val exactJaccardSql: String =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
