@@ -39,6 +39,7 @@ object SparkEntry {
     "series_seek" -> (tsdb.Tsdb.seriesSeek _),
     "agg_by_label" -> (tsdb.Tsdb.aggByLabel _),
     "rate" -> (tsdb.Tsdb.rate _),
+    "rate_extrapolated" -> (tsdb.Tsdb.rateExtrapolated _),
     "over_time" -> (tsdb.Tsdb.overTime _),
     "over_time_quantile" -> (tsdb.Tsdb.overTimeQuantile _),
     "mad_over_time" -> (tsdb.Tsdb.madOverTime _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "pivot_agg" -> (operators.Relational.pivotAgg _),
     "curation_pipeline" -> (operators.Curation.pipeline _),
     "corr_subquery" -> (operators.Relational.corrSubquery _),
+    "corpus_diff" -> (operators.Relational.snapshotDiff _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     "histogram_fraction" -> (tsdb.Tsdb.histogramFraction _),
     // D. dedup
@@ -101,9 +103,11 @@ object SparkEntry {
     "dedup_clusters" -> (dedup.Dedup.clusters _),
     "dedup_incremental" -> (dedup.Dedup.incremental _),
     "dedup_containment" -> (dedup.Dedup.containment _),
+    "dedup_lines" -> (dedup.Dedup.lineDedup _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
+    "ann_filtered" -> (similarity.Ann.filteredTopk _),
     "ann_mips" -> (similarity.Ann.mipsTopk _),
     "ann_ivf" -> (similarity.Ann.ivfTopk _),
     "ann_ivf_full" -> (similarity.Ann.ivfFull _),
@@ -275,6 +279,43 @@ object SparkEntry {
         |SELECT usr, typ, hour_sec, count(*) AS n,
         |  round((max(cum) - min(cum)) / ((max(us) - min(us)) / 1000000.0), 4) AS rate
         |FROM c GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+    // B39: identical arithmetic order as the Spark expressions — both
+    // engines produce bit-identical doubles before the 2^-? dyadic
+    // floor(x*1e6+0.5) quantization
+    "rate_extrapolated" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(date_trunc('hour', ts))//1000000 AS hour_sec,
+        |    sum(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS cum,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT usr, typ, hour_sec, count(*) AS n, max(cum) AS cmax,
+        |    min(cum) AS cmin, max(us) AS umax, min(us) AS umin
+        |  FROM c GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2 AND max(us) > min(us)),
+        |e AS (
+        |  SELECT usr, typ, hour_sec, n, cmax - cmin AS delta,
+        |    (umax - umin) / 1000000.0 AS sampled,
+        |    (umax - umin) / 1000000.0 / (n - 1) AS avgiv,
+        |    umin / 1000000.0 - hour_sec AS dstart0,
+        |    (hour_sec + 3600) - umax / 1000000.0 AS dend, cmin
+        |  FROM g),
+        |x AS (
+        |  SELECT usr, typ, hour_sec, n, delta, sampled, avgiv, dend,
+        |    avgiv * 1.1 AS thresh,
+        |    CASE WHEN delta > 0 AND cmin >= 0
+        |         THEN least(dstart0, sampled * (cmin / delta))
+        |         ELSE dstart0 END AS dstart
+        |  FROM e)
+        |SELECT usr, typ, hour_sec, n,
+        |  floor(delta * ((sampled
+        |      + CASE WHEN dstart < thresh THEN dstart ELSE avgiv / 2 END
+        |      + CASE WHEN dend < thresh THEN dend ELSE avgiv / 2 END)
+        |      / sampled)
+        |    / 3600 * 1000000 + 0.5) / 1000000 AS rate_x
+        |FROM x""".stripMargin,
     "over_time" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
         |  epoch_us(ts)//1000000 AS ts_sec,
@@ -920,6 +961,29 @@ object SparkEntry {
         |SELECT ia, ib, round(c * 1.0 / ca.n, 4) AS cr
         |FROM pairs JOIN cnt ca ON ca.doc_id = ia
         |WHERE round(c * 1.0 / ca.n, 4) >= 0.9""".stripMargin,
+    // D10: "lines" = consecutive 8-word chunks + the two injected
+    // rotating footer lines; boilerplate = line text in >= 10 distinct
+    // docs. DuckDB list slice l[a:b] is 1-based inclusive = Spark
+    // slice(l, a, 8); range(0, n) exclusive = sequence(0, n-1).
+    "dedup_lines" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, source,
+        |    unnest(list_concat(
+        |      list_transform(range(0, ((len(w)-1)//8) + 1),
+        |        i -> array_to_string(w[i*8+1 : i*8+8], ' ')),
+        |      ['subscribe to the newsletter variant ' || (doc_id % 3),
+        |       'all rights reserved site ' || (doc_id % 5)])) AS line
+        |  FROM d),
+        |hot AS (SELECT line FROM l0 GROUP BY line
+        |        HAVING count(DISTINCT doc_id) >= 10)
+        |SELECT doc_id, source, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN line IN (SELECT line FROM hot)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  floor((count(*) - sum(CASE WHEN line IN (SELECT line FROM hot)
+        |                            THEN 1 ELSE 0 END)) / count(*) * 10000
+        |    + 0.5) / 10000 AS keep_ratio
+        |FROM l0 GROUP BY 1, 2""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1111,6 +1175,24 @@ object SparkEntry {
         |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
         |  FROM q JOIN n ON n.vec_id <> q.query_id)
         |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+    // E8: E1's oracle with the label equality folded into the join
+    // predicate (pre-filter, not post-filter)
+    "ann_filtered" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, q.label, n.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
+        |  FROM q JOIN n ON n.vec_id <> q.query_id AND n.label = q.label)
+        |SELECT query_id, label, rk, neighbor_id, cs FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
         |WHERE rk <= 5""".stripMargin,
@@ -1326,6 +1408,30 @@ object SparkEntry {
         |WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
         |                            WHERE l2.l_partkey = p.p_partkey)
         |GROUP BY 1""".stripMargin,
+    // C16: the oracle rebuilds snapshot B with the same deterministic
+    // revision rules, then classifies via the same full-outer join
+    "corpus_diff" ->
+      """WITH a AS (SELECT doc_id, source, text FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM a WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, text || ' fresh' AS text
+        |  FROM a WHERE doc_id % 17 = 0),
+        |j AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |    CASE WHEN a.text IS NULL THEN 'added'
+        |         WHEN b.text IS NULL THEN 'removed'
+        |         WHEN a.text = b.text THEN 'same'
+        |         ELSE 'changed' END AS cls
+        |  FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT source,
+        |  CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN cls = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |FROM j GROUP BY 1""".stripMargin,
     // F11: the recursive CTE replays the identical greedy recurrence,
     // one recursion step per document within each source
     "seq_pack" ->

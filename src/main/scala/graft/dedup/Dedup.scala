@@ -585,6 +585,52 @@ object Dedup {
     * exactly the oracle's content-equality join, not merely equal
     * modulo collisions.
     */
+  /** D10: line-level boilerplate removal — the CCNet/RefinedWeb pass
+    * that exact-document dedup (D1) misses: navigation chrome, cookie
+    * banners and footers repeat across *different* documents, so lines
+    * whose exact text occurs in ≥ minDocs distinct documents are
+    * dropped and the per-document keep ratio reported.
+    *
+    * The corpus text is whitespace-only (no newlines), so "lines" are
+    * synthesized as consecutive 8-word chunks, and two footer lines
+    * (3 and 5 rotating variants — each shared by ~n/3 and ~n/5 docs)
+    * are injected per document so the boilerplate detector has real
+    * cross-document repeats to find; short tail chunks repeat
+    * organically. The oracle rebuilds the identical line set.
+    *
+    * Scale shape: one partial-agg groupBy on the line text for the
+    * document-frequency table (map-side combine collapses repeats
+    * before the shuffle), one join back. At 100 TB you'd hash lines to
+    * 64-bit ids for the shuffle and confirm flagged lines by text
+    * (the D8 hash-prefilter + verify pattern); boilerplate DF tables
+    * are small enough to broadcast after the ≥ minDocs filter.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val minDocs = 10
+    val lines = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("line", explode(concat(
+        expr("transform(sequence(0, (size(w)-1) div 8)," +
+          " i -> array_join(slice(w, i*8+1, 8), ' '))"),
+        array(
+          concat(lit("subscribe to the newsletter variant "),
+            pmod(col("doc_id"), lit(3))),
+          concat(lit("all rights reserved site "),
+            pmod(col("doc_id"), lit(5)))))))
+      .select(col("doc_id"), col("source"), col("line"))
+    val hot = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(true).as("boiler"))
+    lines.join(broadcast(hot), Seq("line"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("boiler"), lit(1L)).otherwise(lit(0L))).as("n_boiler"))
+      .withColumn("keep_ratio",
+        floor((col("n_lines") - col("n_boiler")) / col("n_lines") * lit(1e4)
+          + lit(0.5)) / lit(1e4))
+  }
+
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val i4 = pmod((col("doc_id") / 5).cast("long"), lit(4))

@@ -236,6 +236,47 @@ object Relational {
     * 100 TB the identical plan degrades gracefully to ε-approximate
     * heavy hitters (error ≤ n/1025).
     */
+  /** C16: corpus snapshot diff — classify every document across two
+    * corpus revisions as added / removed / changed / unchanged and
+    * report counts per source. Snapshot B is derived from the corpus
+    * deterministically (doc_id%13 dropped, doc_id%10 text-revised,
+    * doc_id%17 cloned as fresh docs) so all four classes are
+    * populated and the oracle rebuilds the identical revision.
+    *
+    * One full-outer sort-merge join on doc_id + a partial-agg rollup —
+    * the canonical "what changed between two 100 TB snapshot dumps"
+    * plan. At scale both snapshots are bucketed by doc_id so the
+    * full-outer join is co-located (I5); comparing xxhash64(text)
+    * instead of text keeps the shuffle narrow (hash-prefilter + the
+    * D8 exact-confirm pattern if hashes must not be trusted).
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val b = a.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .unionByName(a.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("source"),
+          concat(col("text"), lit(" fresh")).as("text")))
+    val av = a.select(col("doc_id"), col("source").as("src_a"),
+      col("text").as("text_a"))
+    val bv = b.select(col("doc_id"), col("source").as("src_b"),
+      col("text").as("text_b"))
+    av.join(bv, Seq("doc_id"), "full_outer")
+      .withColumn("cls",
+        when(col("text_a").isNull, lit("added"))
+          .when(col("text_b").isNull, lit("removed"))
+          .when(col("text_a") === col("text_b"), lit("same"))
+          .otherwise(lit("changed")))
+      .groupBy(coalesce(col("src_a"), col("src_b")).as("source"))
+      .agg(
+        sum(when(col("cls") === "added", lit(1L)).otherwise(lit(0L))).as("n_added"),
+        sum(when(col("cls") === "removed", lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        sum(when(col("cls") === "changed", lit(1L)).otherwise(lit(0L))).as("n_changed"),
+        sum(when(col("cls") === "same", lit(1L)).otherwise(lit(0L))).as("n_same"))
+  }
+
   def freqItems(spark: SparkSession, dir: String): DataFrame = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_items_1024",

@@ -38,6 +38,33 @@ object Ann {
   def bruteforceTopk(spark: SparkSession, dir: String): DataFrame =
     bruteforceTopkOn(vecs(spark, dir), col("vec_id") < 10)
 
+  /** E8: attribute-filtered exact vector search — top-5 cosine
+    * neighbors constrained to candidates sharing the query's label.
+    * Pre-filter semantics: the predicate prunes BEFORE ranking (the
+    * filter is part of the join condition), so a query can never be
+    * starved the way post-filter top-k is when the wanted attribute is
+    * rare. Same broadcast + bounded-rank shape as E1; at scale the
+    * same predicate composes with the E2/E3/E7 candidate streams
+    * before exact re-rank (filter the bucket/cell scan, not the
+    * result list).
+    */
+  def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(spark, Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"), col("label")))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("label").as("qlabel"))
+    val joined = all.join(broadcast(q),
+      col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .withColumn("cs",
+        round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("qlabel").as("label"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("cs"))
+  }
+
   def bruteforceTopkOn(all: DataFrame, isQuery: Column): DataFrame = {
     val q = all.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))

@@ -75,6 +75,50 @@ object Tsdb {
           .as("rate"))
   }
 
+  /** B39: extrapolated rate — the boundary-extrapolation algorithm
+    * behind Prometheus's real rate()/increase() (public semantics:
+    * promql/functions.go extrapolatedRate). B4's first-to-last slope
+    * systematically underestimates the per-range increase when samples
+    * don't land exactly on the bucket edges, so the sampled delta is
+    * scaled out toward the edges — but by at most half an average
+    * sample interval per side (edge gaps beyond 1.1x the average
+    * interval are treated as series start/end), and never past the
+    * counter's zero point.
+    *
+    * Every term is an algebraic function of five per-bucket aggregates
+    * (n, first/last cum, first/last ts), so the plan is B4's plan: one
+    * per-series cumsum window + one partial-agg groupBy. The arithmetic
+    * is written in the same operation order as the DuckDB oracle so
+    * both engines produce bit-identical doubles before the dyadic
+    * floor(x*1e6+0.5) quantization.
+    */
+  def rateExtrapolated(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tsid")).orderBy(col("ts"), col("event_id"))
+    val sampled = (col("umax") - col("umin")) / lit(1e6)
+    val delta = col("cmax") - col("cmin")
+    val avgIv = sampled / (col("n") - lit(1))
+    val thresh = avgIv * lit(1.1)
+    val dStart0 = col("umin") / lit(1e6) - col("hour_sec")
+    val dEnd = (col("hour_sec") + lit(3600)) - col("umax") / lit(1e6)
+    // counter zero-point cap: extrapolating the window start further
+    // back than where the (synthetic) counter hits zero is nonsense
+    val dStart = when(delta > 0 && col("cmin") >= 0,
+      least(dStart0, sampled * (col("cmin") / delta))).otherwise(dStart0)
+    val extrap = sampled +
+      when(dStart < thresh, dStart).otherwise(avgIv / lit(2)) +
+      when(dEnd < thresh, dEnd).otherwise(avgIv / lit(2))
+    idx(spark, dir).labeled
+      .withColumn("cum", sum(col("value")).over(w))
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("usr"), col("typ"), hourSec)
+      .agg(count(lit(1)).as("n"), max(col("cum")).as("cmax"),
+        min(col("cum")).as("cmin"), max(col("us")).as("umax"), min(col("us")).as("umin"))
+      .filter(col("n") >= 2 && col("umax") > col("umin"))
+      .select(col("usr"), col("typ"), col("hour_sec"), col("n"),
+        (floor(delta * (extrap / sampled) / lit(3600) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("rate_x"))
+  }
+
   /** B5: *_over_time — the full PromQL trailing-range stat set
     * (avg/sum/min/max/count/stddev) over a 1h range window per series.
     * stddev is sample stddev (NULL on 1-row windows in both engines);
