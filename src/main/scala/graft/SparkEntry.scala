@@ -128,6 +128,7 @@ object SparkEntry {
     "seq_pack" -> (text.TextAnalysis.seqPack _),
     "text_urls" -> (text.TextAnalysis.urlExtract _),
     "text_vocab" -> (text.TextAnalysis.vocab _),
+    "domain_rank" -> (text.TextAnalysis.domainRank _),
     "bm25_topk" -> (text.Bm25.topk _),
     "bm25_stored" -> (text.Bm25.storedTopk _),
     "source_cap" -> (operators.Curation.sourceCap _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "mm_framesample" -> (multimodal.Multimodal.frameSample _),
     "mm_audio_windows" -> (multimodal.Multimodal.audioFeatures _),
     "mm_integrity" -> (multimodal.Multimodal.integrity _),
+    "mm_phash_dedup" -> (multimodal.Multimodal.phashDedup _),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -1470,6 +1472,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN u LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_https
         |FROM u GROUP BY 1""".stripMargin,
+    "domain_rank" -> domainRankSql,
     // F13: shares quantized from exact integer counts — order-free
     "text_vocab" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
@@ -1528,6 +1531,38 @@ object SparkEntry {
         |  checksum,
         |  (n_bytes % 64) + 1 = (n_chars % 64) + 1 AS meta_ok
         |FROM h""".stripMargin,
+    // G5: blockhash sign test is the exact integer cross-product
+    // blocksum*n > tot*blocklen — no FP surface; ascii(ch) = payload
+    // byte under the mediaTable ASCII contract; the oracle's
+    // exhaustive hd<=5 self-join equals the Spark side's 6x10-bit
+    // chunk-blocked join by the pigeonhole bound
+    "mm_phash_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |tw AS (SELECT doc_id + 3000000 AS doc_id,
+        |    substring(text, 1, greatest(length(text) - 2, 0)) || 'zz' AS text
+        |  FROM base WHERE doc_id % 20 = 0),
+        |allv AS (SELECT doc_id, text FROM base
+        |         UNION ALL SELECT doc_id, text FROM tw),
+        |f AS (SELECT doc_id,
+        |    list_transform(string_split_regex(text, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT)) AS ca,
+        |    CAST(length(text) AS BIGINT) AS n
+        |  FROM allv),
+        |f2 AS (SELECT doc_id, ca, n,
+        |    coalesce(list_sum(ca), 0) AS tot FROM f),
+        |fp AS (SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN coalesce(list_sum(list_slice(ca,
+        |            CAST((j * n) // 60 + 1 AS INT),
+        |            CAST(((j + 1) * n) // 60 AS INT))), 0) * n
+        |          > tot * (((j + 1) * n) // 60 - (j * n) // 60)
+        |        THEN CAST(1 AS BIGINT) << CAST(59 - j AS INT)
+        |        ELSE 0 END)), 0) AS BIGINT) AS fp
+        |  FROM f2)
+        |SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hd
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 5""".stripMargin,
     "mm_audio_windows" ->
       """WITH c AS (SELECT doc_id, length(text) AS len,
         |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes
@@ -1581,6 +1616,45 @@ object SparkEntry {
     * (D2), whose verified output equals the exact pairs at this
     * banding configuration.
     */
+  /** F17 oracle: 10 unrolled power-iteration blocks (recursive CTEs
+    * can't aggregate over the recursive relation portably). The e0
+    * suffix forces DOUBLE literals (DuckDB parses bare decimals as
+    * DECIMAL); every contribution and rank is quantized to the dyadic
+    * 2^-20 grid in the same operation order as the Spark side, so the
+    * iteration is bit-exact on both engines.
+    */
+  private val domainRankSql: String = {
+    val base =
+      """WITH doc0 AS (SELECT doc_id, 'site' || (doc_id % 37) AS src,
+        |    ['site' || ((doc_id * 7 + 3) % 37),
+        |     'site' || ((doc_id * 11 + 5) % 37)] AS dsts
+        |  FROM documents),
+        |rawl AS (SELECT src, unnest(dsts) AS dst FROM doc0),
+        |rawf AS (SELECT src, dst FROM rawl WHERE src <> dst),
+        |edges AS (SELECT src, dst, count(*) AS w FROM rawf GROUP BY 1, 2),
+        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+        |  FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT domain FROM (
+        |  SELECT src AS domain FROM edges
+        |  UNION ALL SELECT dst AS domain FROM edges)),
+        |pr0 AS (SELECT domain, 1.0e0 / 37.0e0 AS rank FROM nodes)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s"""pr$i AS (SELECT n.domain,
+         |    floor((0.15e0 / 37.0e0 + 0.85e0 * coalesce(c.s, 0.0e0))
+         |      * 1048576.0e0 + 0.5e0) / 1048576.0e0 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS domain,
+         |      sum(floor(p.rank * e.w / o.ow * 1048576.0e0 + 0.5e0)
+         |        / 1048576.0e0) AS s
+         |    FROM pr${i - 1} p JOIN edges e ON e.src = p.domain
+         |    JOIN outw o ON o.src = p.domain
+         |    GROUP BY 1) c ON c.domain = n.domain)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    base + iters +
+      """SELECT p.domain, p.rank, o.ow AS n_out
+        |FROM pr10 p LEFT JOIN outw o ON o.src = p.domain""".stripMargin
+  }
+
   private val bm25Sql: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

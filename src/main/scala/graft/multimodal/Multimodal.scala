@@ -302,6 +302,62 @@ object Multimodal {
   def pipeline(spark: SparkSession, dir: String): DataFrame =
     pipelineWith(spark, dir, StubDecoder)
 
+  /** G5: perceptual-hash payload near-dup — the multimodal twin of
+    * SimHash (D3): re-encoded/trailing-edit copies of the same media
+    * asset have different checksums (G4 can't catch them) but nearly
+    * identical CONTENT, so each payload gets a 60-bit blockhash
+    * fingerprint (bit j = is block j's byte mean above the whole
+    * payload's mean — the classic aHash/Blockhash shape on pixel
+    * data) and pairs within hamming distance 5 are flagged.
+    *
+    * The sign test is the exact integer cross-product
+    * `blocksum*n > tot*blocklen` (no FP anywhere), computed on the
+    * payload BYTES — equal to the text characters under the
+    * mediaTable ASCII contract, which is how the DuckDB oracle
+    * replays it via ascii(). Twin payloads (trailing 2 bytes edited,
+    * doc_id+3000000) are injected so near-but-not-equal pairs exist.
+    * Candidates come from 6×10-bit chunk blocking: hd ≤ 5 means some
+    * chunk is untouched (pigeonhole), so the blocked join is EXACT —
+    * the D3 argument, Σ bucket² work instead of corpus².
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val twins = base.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+        expr("concat(substring(text, 1, greatest(length(text) - 2, 0)), 'zz')")
+          .as("text"))
+    val fps = base.unionByName(twins)
+      .withColumn("ca", expr(
+        "transform(sequence(1, length(text))," +
+          " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+      .withColumn("n", size(col("ca")).cast("long"))
+      .withColumn("tot", expr("aggregate(ca, CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("fp", expr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> acc +
+          | CASE WHEN
+          |   aggregate(slice(ca, (j * n) div 60 + 1,
+          |       ((j + 1) * n) div 60 - (j * n) div 60),
+          |     CAST(0 AS BIGINT), (s, x) -> s + x) * n
+          |   > tot * (((j + 1) * n) div 60 - (j * n) div 60)
+          | THEN shiftleft(CAST(1 AS BIGINT), 59 - j)
+          | ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select(col("doc_id"), col("fp")).cache()
+    val chunks = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 6).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("fp"), c * 10).bitwiseAND(lit(1023L)).as("ch"))): _*))
+        .as("cc"))
+      .select(col("doc_id"), col("fp"), col("cc.c").as("c"), col("cc.ch").as("ch"))
+    chunks.select(col("doc_id").as("ia"), col("fp").as("fa"), col("c"), col("ch"))
+      .join(chunks.select(col("doc_id").as("ib"), col("fp").as("fb"),
+        col("c"), col("ch")), Seq("c", "ch"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        expr("bit_count(fa ^ fb)").cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= 5)
+  }
+
   /** The pipeline with a caller-supplied codec behind [[MediaDecoder]]. */
   def pipelineWith(spark: SparkSession, dir: String,
       decoder: MediaDecoder): DataFrame = {

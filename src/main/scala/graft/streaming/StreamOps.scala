@@ -23,6 +23,13 @@ case class DocIn(doc_id: Long, ts: java.sql.Timestamp, text: String)
 /** H13 per-document verdict (same classes as batch D8). */
 case class DocVerdict(doc_id: Long, verdict: String)
 
+/** A tokenized document on the H15 packing stream. */
+case class PackIn(doc_id: Long, ts: java.sql.Timestamp, source: String,
+    n_tok: Long)
+
+/** H15 per-source open-bin cursor (bin ordinal + fill). */
+case class PackState(bin: Long, fill: Long)
+
 /** Structured Streaming ingest path (SURVEY.md §2.H) — the Spark
   * analog of the reference's WAL → MemIndex maintenance
   * (/root/reference/src/index/index_server.cpp add_series + commit):
@@ -294,6 +301,40 @@ object StreamOps extends Serializable {
             state.setTimeoutTimestamp(sorted.last._2.getTime + 3600000L)
             out.iterator
           }
+      }
+  }
+
+  /** H15: streaming sequence packing — the streaming twin of the batch
+    * F11 greedy fold. The per-source open-bin cursor (bin ordinal,
+    * fill) lives in flatMapGroupsWithState: O(1) checkpointed state
+    * per source, the same invariant the batch fold keeps per
+    * partition cursor. Within a micro-batch a source's rows fold in
+    * (event-time, doc_id) order; across batches, arrival order — so
+    * when the stream delivers documents in doc order the emitted bin
+    * assignments are IDENTICAL to `TextAnalysis.seqPackOn` (the spec
+    * feeds ordered batches and asserts equality). No timeout: an idle
+    * source's cursor is one tiny struct that must stay valid — a
+    * source that resumes after a quiet day continues its open bin,
+    * exactly like the batch fold re-run over the grown corpus.
+    */
+  def streamingSeqPack(docs: Dataset[PackIn])
+      : Dataset[graft.text.TextAnalysis.PackOut] = {
+    import docs.sparkSession.implicits._
+    val cap = 512L
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, graft.text.TextAnalysis.PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src, rows, state) =>
+          var st = state.getOption.getOrElse(PackState(0L, 0L))
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+          val out = sorted.map { r =>
+            st = if (st.fill > 0 && st.fill + r.n_tok > cap)
+              PackState(st.bin + 1, r.n_tok)
+            else PackState(st.bin, st.fill + r.n_tok)
+            graft.text.TextAnalysis.PackOut(r.doc_id, src, r.n_tok, st.bin)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

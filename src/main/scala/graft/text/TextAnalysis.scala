@@ -12,6 +12,66 @@ object TextAnalysis {
 
   private def words: Column = split(col("text"), " ")
 
+  /** F17: domain authority (PageRank) over the corpus link graph —
+    * the provenance-weighting signal crawl-based curation uses to
+    * prefer documents from well-linked domains (OpenWebText's karma
+    * filter, CommonCrawl domain ranking). The corpus carries no
+    * natural links, so each document deterministically contributes
+    * two outlinks between the 37 `site<k>` domains (affine maps mod
+    * 37, self-loops dropped) and the oracle rebuilds the identical
+    * multigraph.
+    *
+    * 10 damped (d=0.85) power iterations. Each per-edge contribution
+    * rank·w/outw and each updated rank is quantized to the dyadic
+    * 2^-20 grid before summation, so every iteration's ranks are
+    * EXACTLY representable and partition-order independent — the same
+    * determinism contract as F9/F14 — and the DuckDB oracle (10
+    * unrolled join+agg blocks) reproduces them bit-for-bit.
+    *
+    * Scale shape: the rank vector and edge list stay fully
+    * distributed — per iteration one join rank⋈edges (co-partitioned
+    * on src at scale), one partial-agg groupBy on dst, one left join
+    * back to nodes. Driver sees nothing; 10 fixed iterations ≈ the
+    * D6 propagation loop with a static iteration count.
+    */
+  def domainRank(spark: SparkSession, dir: String): DataFrame = {
+    val q = (c: Column) => floor(c * lit(1048576.0) + lit(0.5)) / lit(1048576.0)
+    val raw = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("site"), pmod(col("doc_id"), lit(37))).as("src"),
+        array(
+          concat(lit("site"), pmod(col("doc_id") * 7 + 3, lit(37))),
+          concat(lit("site"), pmod(col("doc_id") * 11 + 5, lit(37)))).as("dsts"))
+      .select(col("src"), explode(col("dsts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = raw.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w")).cache()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow")).cache()
+    val ew = edges.join(outw, Seq("src"))
+    val nodes = edges.select(col("src").as("domain"))
+      .unionAll(edges.select(col("dst").as("domain"))).distinct().cache()
+    var pr = nodes.withColumn("rank", lit(1.0) / lit(37.0)).cache()
+    for (_ <- 1 to 10) {
+      val contrib = pr.join(ew, pr("domain") === ew("src"))
+        .select(col("dst").as("domain"),
+          q(col("rank") * col("w") / col("ow")).as("c"))
+        .groupBy(col("domain")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, Seq("domain"), "left")
+        .select(col("domain"),
+          q(lit(0.15) / lit(37.0) + lit(0.85) * coalesce(col("s"), lit(0.0)))
+            .as("rank"))
+        .cache()
+      next.count() // materialize before dropping the parent
+      pr.unpersist()
+      pr = next
+    }
+    val out = pr
+      .join(outw.withColumnRenamed("src", "domain"), Seq("domain"), "left")
+      .select(col("domain"), col("rank"), col("ow").as("n_out"))
+    edges.unpersist(); nodes.unpersist()
+    out
+  }
+
   private def countWord(w: String): Column =
     size(filter(words, x => x === lit(w)))
 

@@ -432,6 +432,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H15: streaming sequence packing matches the batch greedy fold") {
+    import spark.implicits._
+    import graft.streaming.PackIn
+    implicit val sqlCtx = spark.sqlContext
+    // two sources; token counts sized so bins roll over mid-stream
+    // (cap=512): srcA 300+300 -> bins 0,1 then 200+400 -> 1,2;
+    // srcB 512 -> 0, 600 (oversized alone) -> 1, 10 -> 2
+    val docs = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("b", 3L, 512L),
+      ("a", 4L, 200L), ("a", 5L, 400L), ("b", 6L, 600L), ("b", 7L, 10L))
+    val in = MemoryStream[PackIn]
+    val q = StreamOps.streamingSeqPack(in.toDS())
+      .writeStream.format("memory").queryName("h15_out")
+      .outputMode("append").start()
+    try {
+      // docs arrive in doc_id order, split across two micro-batches
+      in.addData(docs.take(3).map { case (s, id, n) =>
+        PackIn(id, ts(id.toInt), s, n) })
+      q.processAllAvailable()
+      in.addData(docs.drop(3).map { case (s, id, n) =>
+        PackIn(id, ts(id.toInt), s, n) })
+      q.processAllAvailable()
+      val got = spark.table("h15_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch twin over the same corpus (text = n 1-char words)
+      val batchDocs = docs.map { case (s, id, n) =>
+        (s, id, Seq.fill(n.toInt)("w").mkString(" ")) }
+        .toDF("source", "doc_id", "text")
+      val want = graft.text.TextAnalysis.seqPackOn(spark, batchDocs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want, s"streaming $got vs batch $want")
+      assert(got.size == docs.size)
+    } finally q.stop()
+  }
+
   test("H8: streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
