@@ -111,6 +111,13 @@ object ScaleProbe {
       dbig.select(col("doc_id"), col("text"))))
     t("containment")(dedup.Dedup.containmentOn(spark,
       dbig.select(col("doc_id"), col("text")), 1000000000L))
+    // round-5 batch 2: line-level boilerplate removal (line DF table +
+    // broadcast join back) and the blockhash payload near-dup (linear
+    // fingerprint scan + chunk-bucket join; twins recur per replica so
+    // true-pair structure stays linear)
+    t("line_dedup")(dedup.Dedup.lineDedupOn(dbig))
+    t("phash_dedup")(multimodal.Multimodal.phashDedupOn(
+      dbig.select(col("doc_id"), col("text"))))
     spark.stop()
   }
 }

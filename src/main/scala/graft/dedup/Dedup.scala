@@ -605,9 +605,16 @@ object Dedup {
     * (the D8 hash-prefilter + verify pattern); boilerplate DF tables
     * are small enough to broadcast after the ≥ minDocs filter.
     */
-  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOn(Tables.documents(spark, dir))
+
+  /** DataFrame-generic line dedup; input needs (doc_id, source, text).
+    * Exposed so the scale probe can drive the same plan over
+    * replicated corpora.
+    */
+  def lineDedupOn(docs: DataFrame): DataFrame = {
     val minDocs = 10
-    val lines = Tables.documents(spark, dir)
+    val lines = docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("line", explode(concat(
         expr("transform(sequence(0, (size(w)-1) div 8)," +

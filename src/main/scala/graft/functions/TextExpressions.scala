@@ -45,6 +45,68 @@ case class DualPolyHash(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** The 60-bit blockhash payload fingerprint of the G5 phash dedup in
+  * ONE codegen byte loop: bit j is the exact integer sign test
+  * `blocksum_j * n > tot * blocklen_j` over block j's byte range
+  * [(j·n) div 60 + 1, ((j+1)·n) div 60] (1-based, the same floor
+  * boundaries as the HOF/oracle formulation — blocks partition the
+  * payload, so the whole fingerprint is O(n) + 60 boundary
+  * computations, no per-char array allocation).
+  *
+  * Parity contract: byte walk ≡ the oracle's per-character ascii()
+  * fold under the documented ASCII corpus contract (same as
+  * [[DualPolyHash]]).
+  */
+case class BlockHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"blockhash60 expects string, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    BlockHash.hash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.BlockHash.hash($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BlockHash {
+  /** Shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length.toLong
+    var tot = 0L
+    var i = 0
+    while (i < b.length) { tot += (b(i) & 0xff).toLong; i += 1 }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      val st = (j * n / 60).toInt + 1
+      val en = ((j + 1) * n / 60).toInt
+      var bs = 0L
+      var p = st
+      while (p <= en) { bs += (b(p - 1) & 0xff).toLong; p += 1 }
+      val len = (en - st + 1).toLong
+      if (bs * n > tot * len) fp |= 1L << (59 - j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Idempotent fixed-name registration + Column access. */
+  def column(spark: SparkSession, s: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "blockhash60", exprs => BlockHash(exprs.head), "built-in")
+    call_function("blockhash60", s)
+  }
+}
+
 object DualPolyHash {
   /** Shared by interpreted eval and generated code. */
   def hash(s: UTF8String): Long = {

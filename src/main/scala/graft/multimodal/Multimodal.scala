@@ -320,27 +320,25 @@ object Multimodal {
     * chunk is untouched (pigeonhole), so the blocked join is EXACT —
     * the D3 argument, Σ bucket² work instead of corpus².
     */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashDedupOn(Tables.documents(spark, dir))
+
+  /** DataFrame-generic payload phash dedup; input needs (doc_id, text).
+    * Exposed so the scale probe can drive the same plan over
+    * replicated corpora.
+    */
+  def phashDedupOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
     val twins = base.filter(pmod(col("doc_id"), lit(20)) === 0)
       .select((col("doc_id") + lit(3000000L)).as("doc_id"),
         expr("concat(substring(text, 1, greatest(length(text) - 2, 0)), 'zz')")
           .as("text"))
+    // one codegen byte loop per payload (graft.functions.BlockHash) —
+    // the HOF formulation (per-char ascii array + 60 interpreted
+    // slice-folds) computed the identical fingerprint ~4x slower
     val fps = base.unionByName(twins)
-      .withColumn("ca", expr(
-        "transform(sequence(1, length(text))," +
-          " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
-      .withColumn("n", size(col("ca")).cast("long"))
-      .withColumn("tot", expr("aggregate(ca, CAST(0 AS BIGINT), (s, x) -> s + x)"))
-      .withColumn("fp", expr(
-        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> acc +
-          | CASE WHEN
-          |   aggregate(slice(ca, (j * n) div 60 + 1,
-          |       ((j + 1) * n) div 60 - (j * n) div 60),
-          |     CAST(0 AS BIGINT), (s, x) -> s + x) * n
-          |   > tot * (((j + 1) * n) div 60 - (j * n) div 60)
-          | THEN shiftleft(CAST(1 AS BIGINT), 59 - j)
-          | ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("fp",
+        graft.functions.BlockHash.column(base.sparkSession, col("text")))
       .select(col("doc_id"), col("fp")).cache()
     val chunks = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 6).map(c =>

@@ -33,8 +33,14 @@ class DeterminismSpec extends AnyFunSuite {
   // tie key), range_eval's as-of window with last-writer tie-break,
   // and containment's prefix-filtered candidate set must all be
   // partitioning-invariant
+  // round-5 batch 2: domain_rank's iterative contributions sum dyadic
+  // rationals (must not drift with partition order), dedup_lines and
+  // mm_phash_dedup derive flags through joins whose physical order
+  // varies with partitioning, rate_extrapolated chains divisions off
+  // per-bucket extrema
   for (q <- Seq("seq_pack", "dedup_incremental", "text_vocab", "mm_integrity",
-      "bm25_topk", "range_eval", "dedup_containment", "shard_assign")) {
+      "bm25_topk", "range_eval", "dedup_containment", "shard_assign",
+      "domain_rank", "dedup_lines", "mm_phash_dedup", "rate_extrapolated")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)

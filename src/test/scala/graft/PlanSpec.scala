@@ -212,6 +212,40 @@ class PlanSpec extends AnyFunSuite {
       s"simhash token hash regressed to interpreted higher-order functions:\n$p")
   }
 
+  test("dedup_lines: boilerplate table broadcasts back onto the line stream") {
+    val p = plan("dedup_lines")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"hot-line join should broadcast:\n$p")
+  }
+
+  test("corpus_diff: one full-outer join, no extra shuffles past the two sides") {
+    val p = plan("corpus_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_filtered: label predicate rides the broadcast hash join, no NLJ") {
+    val p = plan("ann_filtered")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"filtered ANN must stay an equi-join on label:\n$p")
+  }
+
+  test("mm_phash_dedup: chunk-blocked candidate join, never all-pairs") {
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phash candidates must be chunk-bucket-local:\n$p")
+    // fingerprint is the BlockHash codegen byte loop, not the HOF
+    // per-char array formulation (interpreted, ~4x slower at 10x);
+    // the cache boundary hides it from the executed plan, so check
+    // the analyzed plan for the expression and both for the lambdas
+    val a = SparkEntry.queries("mm_phash_dedup")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(a.toLowerCase.contains("blockhash") && !a.contains("lambdafunction")
+        && !p.contains("lambdafunction"),
+      s"phash fingerprint regressed to interpreted higher-order functions:\n$a")
+  }
+
   test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
     // the prefix filter must appear below the self-join: rank <= n - ceil(n*t) + 1
     val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
