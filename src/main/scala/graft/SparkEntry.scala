@@ -91,6 +91,8 @@ object SparkEntry {
     "curation_pipeline" -> (operators.Curation.pipeline _),
     "corr_subquery" -> (operators.Relational.corrSubquery _),
     "corpus_diff" -> (operators.Relational.snapshotDiff _),
+    "funnel" -> (operators.Relational.funnel _),
+    "retention" -> (operators.Relational.retention _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     "histogram_fraction" -> (tsdb.Tsdb.histogramFraction _),
     // D. dedup
@@ -129,6 +131,7 @@ object SparkEntry {
     "text_urls" -> (text.TextAnalysis.urlExtract _),
     "text_vocab" -> (text.TextAnalysis.vocab _),
     "domain_rank" -> (text.TextAnalysis.domainRank _),
+    "text_pmi" -> (text.TextAnalysis.pmi _),
     "bm25_topk" -> (text.Bm25.topk _),
     "bm25_stored" -> (text.Bm25.storedTopk _),
     "source_cap" -> (operators.Curation.sourceCap _),
@@ -1434,6 +1437,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(sum(CASE WHEN cls = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
         |FROM j GROUP BY 1""".stripMargin,
+    // C17: min() anchor chains per step; HAVING carries the 7-day
+    // completion bound; counts divide as doubles on both engines
+    "funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.us) AS t2
+        |  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.us) AS t3
+        |  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1, 2, 3
+        |  HAVING min(e.us) - s2.t1 <= 604800000000)
+        |SELECT (SELECT count(*) FROM s1) AS n_view,
+        |  (SELECT count(*) FROM s2) AS n_click,
+        |  (SELECT count(*) FROM s3) AS n_purchase,
+        |  floor((SELECT count(*) FROM s2) / (SELECT count(*) FROM s1)
+        |    * 10000 + 0.5) / 10000 AS cr_click,
+        |  floor((SELECT count(*) FROM s3) / (SELECT count(*) FROM s1)
+        |    * 10000 + 0.5) / 10000 AS cr_full""".stripMargin,
+    // C18: cohort day rendered as a yyyy-MM-dd string on both sides
+    // (date dtype canonicalization differs between engines)
+    "retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |fst AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1),
+        |sizes AS (SELECT cohort, count(*) AS n0 FROM fst GROUP BY 1),
+        |r AS (SELECT f.cohort, date_diff('day', f.cohort, a.day) AS k,
+        |    count(DISTINCT a.user_id) AS n
+        |  FROM act a JOIN fst f ON f.user_id = a.user_id
+        |  WHERE date_diff('day', f.cohort, a.day) <= 7 GROUP BY 1, 2)
+        |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(r.k AS BIGINT) AS day_offset, n, n0,
+        |  floor(n / n0 * 10000 + 0.5) / 10000 AS retained
+        |FROM r JOIN sizes s ON s.cohort = r.cohort""".stripMargin,
     // F11: the recursive CTE replays the identical greedy recurrence,
     // one recursion step per document within each source
     "seq_pack" ->
@@ -1473,6 +1511,32 @@ object SparkEntry {
         |    AS n_https
         |FROM u GROUP BY 1""".stripMargin,
     "domain_rank" -> domainRankSql,
+    // F18: count ratios divide as doubles in the same op order; ln()
+    // is bit-identical over them (the bm25 precedent); top-50 by
+    // (cb desc, w1, w2) total order
+    "text_pmi" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |totu AS (SELECT CAST(sum(c) AS BIGINT) AS u_tot FROM uni),
+        |ws AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+        |  FROM ws),
+        |bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cb
+        |  FROM bg GROUP BY 1, 2),
+        |totb AS (SELECT CAST(sum(cb) AS BIGINT) AS t_tot FROM bi),
+        |top AS (SELECT w1, w2, cb,
+        |    row_number() OVER (ORDER BY cb DESC, w1, w2) AS rk
+        |  FROM bi)
+        |SELECT rk, w1, w2, cb,
+        |  floor(ln((cb / t.t_tot) / ((c1.c / u.u_tot) * (c2.c / u.u_tot)))
+        |    * 10000 + 0.5) / 10000 AS pmi
+        |FROM top JOIN uni c1 ON c1.w = top.w1
+        |JOIN uni c2 ON c2.w = top.w2
+        |CROSS JOIN totb t CROSS JOIN totu u
+        |WHERE rk <= 50""".stripMargin,
     // F13: shares quantized from exact integer counts — order-free
     "text_vocab" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -141,6 +141,65 @@ object Relational {
       .select(col("event_id"), col("u").cast("string").as("usr"), col("n_nearby"))
   }
 
+  /** C17: funnel analysis — ordered-step conversion (view → click →
+    * purchase, strictly increasing event time, completion within 7
+    * days of the first step). The per-user step anchors are min()
+    * chains — each step is one groupBy over the pre-filtered step
+    * events joined to the previous anchor, so the plan is three
+    * partial-agg aggregations co-partitioned on user_id (at scale one
+    * shuffle each, or zero extra with a user-bucketed layout, I5) —
+    * never a self-join of the full event table per step.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy(col("user_id"), col("t1"), col("t2")).agg(min(col("us")).as("t3"))
+      .filter(col("t3") - col("t1") <= lit(7L * 24 * 3600 * 1000000L))
+    val n1 = s1.agg(count(lit(1)).as("n")).select(col("n"))
+    val n2 = s2.agg(count(lit(1)).as("n")).select(col("n"))
+    val n3 = s3.agg(count(lit(1)).as("n")).select(col("n"))
+    n1.select(col("n").as("n_view"))
+      .crossJoin(n2.select(col("n").as("n_click")))
+      .crossJoin(n3.select(col("n").as("n_purchase")))
+      .withColumn("cr_click",
+        floor(col("n_click") / col("n_view") * lit(1e4) + lit(0.5)) / lit(1e4))
+      .withColumn("cr_full",
+        floor(col("n_purchase") / col("n_view") * lit(1e4) + lit(0.5)) / lit(1e4))
+  }
+
+  /** C18: retention cohorts — users grouped by first-activity day,
+    * per-day-offset distinct-active counts and retention ratios
+    * (offsets 0..7). Two aggregations over (user, day) distinct
+    * activity plus one small join — the standard cohort-matrix plan;
+    * both aggregations shuffle on user_id/cohort only, and the
+    * cohort-size table is broadcast back.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n0"))
+    act.join(first, Seq("user_id"))
+      .withColumn("k", datediff(col("day"), col("cohort")))
+      .filter(col("k") <= 7)
+      .groupBy(col("cohort"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("k").cast("long").as("day_offset"), col("n"), col("n0"),
+        (floor(col("n") / col("n0") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("retained"))
+  }
+
   /** C12: pivot — long-to-wide aggregation (per-user event-type count
     * matrix). The pivot value set is declared explicitly: Spark then
     * plans ONE pass with a conditional aggregate per value instead of

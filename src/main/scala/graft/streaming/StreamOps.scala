@@ -27,6 +27,16 @@ case class DocVerdict(doc_id: Long, verdict: String)
 case class PackIn(doc_id: Long, ts: java.sql.Timestamp, source: String,
     n_tok: Long)
 
+/** A unit-quantized embedding on the H16 vector-ingest stream. */
+case class VecIn(vec_id: Long, ts: java.sql.Timestamp, label: Int,
+    u: Array[Double])
+
+/** H16 per-label centroid state: component sums + count. */
+case class CentState(c: Array[Double], n: Long)
+
+/** H16 emission: the label's running centroid after each batch. */
+case class CentOut(label: Int, n: Long, c: Seq[Double])
+
 /** H15 per-source open-bin cursor (bin ordinal + fill). */
 case class PackState(bin: Long, fill: Long)
 
@@ -335,6 +345,38 @@ object StreamOps extends Serializable {
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** H16: streaming centroid maintenance — the streaming twin of the
+    * E5 coherence scorer's per-label centroid: embeddings arrive
+    * continuously (new curated documents) and each label's centroid
+    * state (component sums of the dyadic-quantized unit vectors +
+    * count) updates in mapGroupsWithState, O(dim) checkpointed state
+    * per label. Because the summands live on the 2^-20 dyadic grid,
+    * the running sums are EXACT and order-independent — the final
+    * streaming state is bit-identical to the batch VecSumAgg centroid
+    * over the same vectors, any arrival order, any batching (the spec
+    * asserts it). Downstream, each micro-batch's emission is the
+    * fresh centroid E5 scores against — the incremental SemDeDup
+    * maintenance loop.
+    */
+  def streamingCentroid(vecs: Dataset[VecIn]): Dataset[CentOut] = {
+    import vecs.sparkSession.implicits._
+    vecs.groupByKey(_.label)
+      .mapGroupsWithState[CentState, CentOut](GroupStateTimeout.NoTimeout) {
+        (label, rows, state) =>
+          var st = state.getOption.orNull
+          rows.foreach { r =>
+            if (st == null) st = CentState(r.u.clone(), 1L)
+            else {
+              var i = 0
+              while (i < st.c.length) { st.c(i) += r.u(i); i += 1 }
+              st = CentState(st.c, st.n + 1)
+            }
+          }
+          state.update(st)
+          CentOut(label, st.n, st.c.toSeq)
       }
   }
 

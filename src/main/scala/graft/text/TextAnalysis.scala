@@ -363,6 +363,44 @@ object TextAnalysis {
     }.toDF()
   }
 
+  /** F18: bigram collocation mining (pointwise mutual information) —
+    * the phrase-detection pass (word2vec's phrase pre-join, Gensim
+    * Phrases): bigrams whose joint probability beats the independence
+    * assumption get merged into single tokens downstream. PMI =
+    * ln((cb/T) / ((c1/U)·(c2/U))) with cb the bigram count (T total
+    * bigrams), c1/c2 the unigram counts (U total words). Two
+    * partial-agg count tables + one small join; ln() evaluates
+    * bit-identically on both engines over these count ratios (the
+    * F14 BM25 precedent). Top 50 by count, (w1, w2) tie-break.
+    */
+  def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(explode(words).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c")).cache()
+    val totU = uni.agg(sum(col("c")).as("u_tot"))
+    val bi = docs
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2) // sequence(1,0) would run DESCENDING
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> named_struct('w1', ws[i - 1], 'w2', ws[i]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val totB = bi.agg(sum(col("cb")).as("t_tot"))
+    val wRk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cb").desc, col("w1"), col("w2"))
+    bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(50)
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("pmi", floor(
+        log((col("cb") / col("t_tot")) /
+          ((col("c1") / col("u_tot")) * (col("c2") / col("u_tot"))))
+          * lit(1e4) + lit(0.5)) / lit(1e4))
+      .select(col("rk"), col("w1"), col("w2"), col("cb"), col("pmi"))
+  }
+
   /** F12: URL / domain extraction — the web-corpus provenance pass
     * (domain frequency tables drive the per-domain quality and cap
     * decisions that F10 then enforces). The synthetic corpus carries no

@@ -469,6 +469,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H16: streaming centroid state equals the exact dyadic batch sum") {
+    import spark.implicits._
+    import graft.streaming.VecIn
+    implicit val sqlCtx = spark.sqlContext
+    def q(x: Double): Double = math.floor(x * 1048576.0 + 0.5) / 1048576.0
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 12).map { i =>
+      VecIn(i.toLong, ts(i), i % 2, Array.fill(8)(q(rnd.nextGaussian()))) }
+    val in = MemoryStream[VecIn]
+    val qs = StreamOps.streamingCentroid(in.toDS())
+      .writeStream.format("memory").queryName("h16_out")
+      .outputMode("update").start()
+    try {
+      in.addData(vecs.take(5)); qs.processAllAvailable()
+      in.addData(vecs.drop(5)); qs.processAllAvailable()
+      val rows = spark.table("h16_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      for (label <- 0 to 1) {
+        val mine = vecs.filter(_.label == label)
+        val want = mine.map(_.u).reduce((a, b) =>
+          a.zip(b).map { case (x, y) => x + y })
+        val got = rows.filter(_._1 == label).maxBy(_._2)
+        assert(got._2 == mine.size.toLong)
+        // dyadic summands -> the streaming state is EXACTLY the batch
+        // sum, not approximately (bit-for-bit, any arrival order)
+        assert(got._3 == want.toSeq, s"label $label centroid drifted")
+      }
+    } finally qs.stop()
+  }
+
   test("H8: streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
