@@ -45,6 +45,7 @@ object SparkEntry {
     "mad_over_time" -> (tsdb.Tsdb.madOverTime _),
     "deriv" -> (tsdb.Tsdb.deriv _),
     "math_funcs" -> (tsdb.Tsdb.mathFuncs _),
+    "clamp_funcs" -> (tsdb.Tsdb.clampFuncs _),
     "topk" -> (tsdb.Tsdb.topk _),
     "bottomk" -> (tsdb.Tsdb.bottomk _),
     "quantile" -> (tsdb.Tsdb.quantile _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "json_extract" -> (operators.Relational.jsonExtract _),
     "salted_agg" -> (operators.Skew.saltedAgg _),
     "interval_join" -> (operators.Relational.intervalJoin _),
+    "band_join" -> (operators.Relational.bandJoin _),
     "rollup_agg" -> (operators.Relational.rollupAgg _),
     "cube_agg" -> (operators.Relational.cubeAgg _),
     "pivot_agg" -> (operators.Relational.pivotAgg _),
@@ -95,6 +97,7 @@ object SparkEntry {
     "retention" -> (operators.Relational.retention _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     "histogram_fraction" -> (tsdb.Tsdb.histogramFraction _),
+    "histogram_stats" -> (tsdb.Tsdb.histogramStats _),
     // D. dedup
     "dedup_exact" -> (dedup.Dedup.exact _),
     "dedup_minhash" -> (dedup.Dedup.minhashLsh _),
@@ -104,6 +107,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (dedup.Dedup.embeddingLsh _),
     "dedup_clusters" -> (dedup.Dedup.clusters _),
     "dedup_incremental" -> (dedup.Dedup.incremental _),
+    "dedup_bloom" -> (dedup.Dedup.bloomDedup _),
     "dedup_containment" -> (dedup.Dedup.containment _),
     "dedup_lines" -> (dedup.Dedup.lineDedup _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
@@ -119,6 +123,7 @@ object SparkEntry {
     "ann_lsh" -> (similarity.Ann.lshTopk _),
     "ann_lsh_planted" -> (similarity.Ann.lshPlanted _),
     "ann_centroid" -> (similarity.Ann.centroidScore _),
+    "embed_quantize" -> (similarity.Ann.quantize _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
     "text_quality" -> (text.TextAnalysis.quality _),
@@ -132,10 +137,15 @@ object SparkEntry {
     "text_vocab" -> (text.TextAnalysis.vocab _),
     "domain_rank" -> (text.TextAnalysis.domainRank _),
     "text_pmi" -> (text.TextAnalysis.pmi _),
+    "ngram_count" -> (text.TextAnalysis.ngramCount _),
+    "quality_classify" -> (text.TextAnalysis.qualityClassify _),
+    "gopher_filter" -> (text.TextAnalysis.gopherFilter _),
+    "bpe_pairs" -> (text.TextAnalysis.bpePairs _),
     "bm25_topk" -> (text.Bm25.topk _),
     "bm25_stored" -> (text.Bm25.storedTopk _),
     "source_cap" -> (operators.Curation.sourceCap _),
     "shard_assign" -> (operators.Curation.shardAssign _),
+    "temperature_mix" -> (operators.Curation.temperatureMix _),
     "freq_items" -> (operators.Relational.freqItems _),
     // G. multimodal
     "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
@@ -741,6 +751,32 @@ object SparkEntry {
         |      - (c25 + (30.0 - 25.0) / (50.0 - 25.0) * (c50 - c25)))
         |    / total * 10000 + 0.5) / 10000 AS frac_30_150
         |FROM h""".stripMargin,
+    // B40: every midpoint/squared-midpoint product is exact in double
+    // (dyadic coefficients, integer counts), so h_sum is exact and
+    // avg/stddev are single correctly-rounded IEEE ops on both sides;
+    // CAST to DOUBLE defeats DuckDB's DECIMAL literal arithmetic
+    "histogram_stats" ->
+      """WITH h AS (SELECT event_type AS typ, count(*) AS total,
+        |    sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS c25,
+        |    sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS c50,
+        |    sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c100,
+        |    sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS c200
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT typ, total,
+        |    c25 * CAST(12.5 AS DOUBLE) + (c50 - c25) * CAST(37.5 AS DOUBLE)
+        |      + (c100 - c50) * CAST(75.0 AS DOUBLE)
+        |      + (c200 - c100) * CAST(150.0 AS DOUBLE)
+        |      + (total - c200) * CAST(350.0 AS DOUBLE) AS hsum,
+        |    c25 * CAST(156.25 AS DOUBLE) + (c50 - c25) * CAST(1406.25 AS DOUBLE)
+        |      + (c100 - c50) * CAST(5625.0 AS DOUBLE)
+        |      + (c200 - c100) * CAST(22500.0 AS DOUBLE)
+        |      + (total - c200) * CAST(122500.0 AS DOUBLE) AS hsq
+        |  FROM h)
+        |SELECT typ, total AS h_count, hsum AS h_sum,
+        |  floor(hsum / total * 1e6 + 0.5) / 1e6 AS h_avg,
+        |  floor(sqrt(hsq / total - (hsum / total) * (hsum / total)) * 1e6 + 0.5)
+        |    / 1e6 AS h_stddev
+        |FROM m""".stripMargin,
     "session_window" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS usr,
         |    event_type AS typ, value, event_id,
@@ -924,6 +960,29 @@ object SparkEntry {
     // confirmation on the hash hits, so the verdicts are identical
     // even under a 64-bit hash collision
     "dedup_incremental" ->
+      """WITH orig AS (SELECT doc_id, text FROM documents),
+        |b0 AS (SELECT doc_id, (doc_id // 5) % 4 AS i4 FROM documents
+        |       WHERE doc_id % 5 = 0),
+        |batch AS (SELECT b0.doc_id, o.text
+        |  FROM b0 JOIN orig o ON o.doc_id =
+        |    CASE WHEN b0.i4 = 1 THEN b0.doc_id + 1
+        |         WHEN b0.i4 = 3 THEN b0.doc_id - 5
+        |         ELSE b0.doc_id END),
+        |corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
+        |r AS (SELECT b.doc_id, b.text,
+        |    b.text IN (SELECT text FROM corpus) AS in_corpus,
+        |    row_number() OVER (PARTITION BY b.text ORDER BY b.doc_id) AS rn
+        |  FROM batch b)
+        |SELECT doc_id,
+        |  CASE WHEN in_corpus THEN 'dup_corpus'
+        |       WHEN rn > 1 THEN 'dup_batch' ELSE 'kept' END AS verdict
+        |FROM r""".stripMargin,
+    // D10: the oracle is the same exact-membership SQL as
+    // dedup_incremental — the Spark side's bloom prefilter must not
+    // change the answer (false positives die in the confirm join,
+    // false negatives are impossible), so the gate proves the
+    // cross-form equivalence of the sketch-accelerated plan
+    "dedup_bloom" ->
       """WITH orig AS (SELECT doc_id, text FROM documents),
         |b0 AS (SELECT doc_id, (doc_id // 5) % 4 AS i4 FROM documents
         |       WHERE doc_id % 5 = 0),
@@ -1167,6 +1226,27 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY dot DESC, neighbor_id) AS rk FROM scored)
         |WHERE rk <= 5""".stripMargin,
+    // E8: per-vector report is all order-free (one divide, a max over
+    // exact IEEE expressions, integer counts) — replayed dimension by
+    // dimension in list lambdas
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+        |s AS (SELECT vec_id, e, amax / CAST(127.0 AS DOUBLE) AS scale
+        |  FROM a WHERE amax > 0),
+        |q AS (SELECT vec_id, e, scale,
+        |    list_transform(e, x -> least(greatest(floor(x / scale + 0.5),
+        |      CAST(-127.0 AS DOUBLE)), CAST(127.0 AS DOUBLE))) AS qs
+        |  FROM s)
+        |SELECT vec_id,
+        |  floor(scale * 1e6 + 0.5) / 1e6 AS scale_q,
+        |  floor(list_max(list_transform(range(1, 65),
+        |    i -> abs(e[i] - qs[i] * scale))) * 1e6 + 0.5) / 1e6 AS max_err_q,
+        |  len(list_filter(qs, x -> abs(x) = 127.0)) AS n_sat
+        |FROM q""".stripMargin,
     "ann_bruteforce" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1363,6 +1443,113 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(sum(q) / count(*) * 10000 + 0.5) / 10000 AS lm_score
         |FROM q GROUP BY 1""".stripMargin,
+    // B41: pure IEEE comparisons/copies, no arithmetic — parity is by
+    // construction (CASE replays sgn in doubles)
+    "clamp_funcs" ->
+      """SELECT event_id, value,
+        |  least(greatest(value, CAST(50.0 AS DOUBLE)), CAST(200.0 AS DOUBLE))
+        |    AS v_clamp,
+        |  greatest(value, CAST(50.0 AS DOUBLE)) AS v_clamp_min,
+        |  least(value, CAST(200.0 AS DOUBLE)) AS v_clamp_max,
+        |  CAST(CASE WHEN value > 100.0 THEN 1.0 WHEN value < 100.0 THEN -1.0
+        |       ELSE 0.0 END AS DOUBLE) AS sgn
+        |FROM events""".stripMargin,
+    // C19: the oracle runs the NAIVE range-predicate join while the
+    // Spark side runs the bucketed equi-join + residual — the gate
+    // proves cross-form equivalence of the range-join rewrite
+    "band_join" ->
+      """WITH b(band, lo, hi) AS (VALUES
+        |  ('fast', 0.0, 5.0), ('ok', 5.0, 20.0), ('slow', 20.0, 80.0),
+        |  ('degraded', 80.0, 150.0), ('critical', 150.0, 400.0))
+        |SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events e JOIN b ON e.value > lo AND e.value <= hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // F22: thresholds replayed as integer cross-multiplications — no
+    // float compare sits on a rule boundary on either side
+    "gopher_filter" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(w) AS nw, n_chars - (len(w) - 1) AS sum_len,
+        |    len(list_distinct(w)) AS nd,
+        |    len(list_filter(w, x -> list_contains(
+        |      ['the','a','of','to','and','in','is'], x))) AS ns
+        |  FROM t)
+        |SELECT doc_id, nw AS n_words,
+        |  floor(CAST(sum_len AS DOUBLE) / nw * 10000 + 0.5) / 10000
+        |    AS mean_word_len,
+        |  floor(CAST(nd AS DOUBLE) / nw * 10000 + 0.5) / 10000 AS ttr,
+        |  ns AS n_stop,
+        |  (nw BETWEEN 20 AND 80 AND sum_len * 10 >= nw * 38
+        |   AND nd * 100 >= nw * 45 AND ns >= 2) AS keep
+        |FROM m""".stripMargin,
+    // F23: adjacent char pairs via 1-based string subscripts; rk <= 50
+    // ≡ limit(50) because (n DESC, p) is a total order
+    "bpe_pairs" ->
+      """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |pp AS (SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> w[i] || w[i+1])) AS p
+        |  FROM wds WHERE length(w) >= 2),
+        |c AS (SELECT p, count(*) AS n FROM pp GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |r AS (SELECT row_number() OVER (ORDER BY n DESC, p) AS rk, p, n
+        |  FROM c)
+        |SELECT rk, p, n FROM r WHERE rk <= 50""".stripMargin,
+    // F19: trigram stream replayed via list positions; the two-level
+    // aggregate collapses to plain GROUP BYs; rk <= 100 ≡ Spark's
+    // limit(100) because the (n DESC, g) order is total
+    "ngram_count" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM t),
+        |pd AS (SELECT g, doc_id, count(*) AS c FROM tri GROUP BY 1, 2),
+        |c AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_docs
+        |  FROM pd GROUP BY 1 HAVING sum(c) >= 5),
+        |r AS (SELECT row_number() OVER (ORDER BY n DESC, g) AS rk, g, n, n_docs
+        |  FROM c)
+        |SELECT rk, g, n, n_docs FROM r WHERE rk <= 100""".stripMargin,
+    // F20: the oracle replays the dual polynomial char-by-char per
+    // token (same fold as shard_assign); integer numerators sum
+    // order-free, one double divide at the end
+    "quality_classify" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(w, ''),
+        |          ch -> CAST(ascii(ch) AS BIGINT))),
+        |        (a, x) -> (a * 131 + x) % 1000000007) * 2147483648
+        |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(w, ''),
+        |          ch -> CAST(ascii(ch) AS BIGINT))),
+        |        (a, x) -> (a * 137 + x) % 998244353)) % 2001) - 1000 AS wt
+        |  FROM t)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(wt) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE) AS margin,
+        |  CAST(sum(wt) AS BIGINT) > 0 AS keep
+        |FROM h GROUP BY 1""".stripMargin,
+    // F21: per-source sqrt scores quantized to integers BEFORE the
+    // normalization sum, so denom is an exact long and each weight is
+    // one double multiply+divide of exact integers on both sides
+    "temperature_mix" ->
+      """WITH p AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_cnt
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT *, CAST(floor(sqrt(CAST(tok_cnt AS DOUBLE)) * 1e6 + 0.5)
+        |    AS BIGINT) AS ci FROM p),
+        |d AS (SELECT CAST(sum(ci) AS BIGINT) AS denom FROM c)
+        |SELECT source, n_docs, tok_cnt,
+        |  floor(CAST(ci AS DOUBLE) * 1e9 / CAST(denom AS DOUBLE) + 0.5) / 1e9
+        |    AS weight,
+        |  CAST(floor(CAST(ci AS DOUBLE) * 1e8 / CAST(denom AS DOUBLE))
+        |    AS BIGINT) AS alloc_tok
+        |FROM c CROSS JOIN d""".stripMargin,
     // F14: per-term BM25 contributions are quantized to the 2^-20
     // dyadic grid before the per-(query, doc) sum (order-independent,
     // the lm_score trick); ranking ties break on the zero-padded

@@ -666,4 +666,57 @@ object Dedup {
           .when(col("rn") > 1, "dup_batch")
           .otherwise("kept").as("verdict"))
   }
+
+  /** D10: bloom-prefiltered incremental dedup — the same batch/corpus
+    * revision split and verdict classes as [[incremental]], but the
+    * corpus membership test runs through a broadcast bloom sketch
+    * ([[graft.functions.BloomFuncs]]): one corpus pass builds a
+    * KB-scale sketch (partial sketches OR-merge, so the build is one
+    * partial-agg job), every batch row probes it in codegen, and only
+    * the surviving handful joins the corpus for the exact (hash, text)
+    * confirmation — with the TINY survivor side broadcast, so the
+    * corpus is scanned once and never shuffled.
+    *
+    * This is the shape that makes daily incremental dedup viable at
+    * 100 TB: the naive plan shuffles the full corpus hash table per
+    * batch; this plan moves a few hundred KB of sketch + survivors.
+    * False positives cost one extra exact probe each (and are removed
+    * by the confirm join — the output is exactly [[incremental]]'s,
+    * which is what the cross-form oracle proves); false negatives are
+    * impossible, the bloom invariant.
+    */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFuncs
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val i4 = pmod((col("doc_id") / 5).cast("long"), lit(4))
+    val src = when(i4 === 1, col("doc_id") + 1)
+      .when(i4 === 3, col("doc_id") - 5)
+      .otherwise(col("doc_id"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), src.as("src"))
+      .join(docs.select(col("doc_id").as("src"), col("text")), Seq("src"))
+      .withColumn("h", xxhash64(col("text")))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(xxhash64(col("text")).as("ch"), col("text").as("ctext")).distinct()
+    // one corpus pass -> ~100 KB sketch on the driver (the broadcast
+    // pattern: like IVF's k x dim centroids, the reduction is tiny)
+    val sketch = corpus
+      .agg(BloomFuncs.bloomAgg(spark, col("ch"), 100000L, 800000L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val survivors = batch
+      .filter(BloomFuncs.mightContain(spark, lit(sketch), col("h")))
+      .select(col("doc_id"), col("h"), col("text"))
+    val confirmed = corpus
+      .join(broadcast(survivors),
+        col("ch") === col("h") && col("ctext") === col("text"))
+      .select(col("doc_id")).withColumn("__c", lit(1))
+    val w = Window.partitionBy(col("h"), col("text")).orderBy(col("doc_id"))
+    batch
+      .join(confirmed, Seq("doc_id"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"),
+        when(col("__c").isNotNull, "dup_corpus")
+          .when(col("rn") > 1, "dup_batch")
+          .otherwise("kept").as("verdict"))
+  }
 }

@@ -105,4 +105,40 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         countDistinct(col("source")).as("n_sources"))
+
+  /** F21: temperature-based mixture weighting — how a multi-source
+    * pretraining run rebalances its corpus mix (the α-temperature
+    * sampling of multilingual/multi-domain training: weight ∝ tokens^α
+    * flattens the head so small sources aren't drowned). α = 0.5 here,
+    * so the un-normalized score is sqrt(token count) — an IEEE
+    * correctly-rounded primitive both engines evaluate identically,
+    * unlike pow(x, 0.7), whose libm rounding is not pinned.
+    *
+    * Determinism: each source's score is quantized to an integer
+    * (floor(sqrt·10⁶ + ½)) BEFORE the normalization sum, so the
+    * denominator is an exact long (order-free); each weight and token
+    * allocation is then a single double multiply+divide of exact
+    * integers — bit-identical across engines and partitionings.
+    *
+    * Shape at 100 TB: one map-side size() per document, one partial-agg
+    * groupBy(source) (#sources rows out), one broadcast of the 1-row
+    * denominator. The allocation column is what the sampling stage
+    * downstream consumes as its per-source token budget (here 10⁸).
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_cnt"))
+      .withColumn("ci",
+        floor(sqrt(col("tok_cnt").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    val denom = per.agg(sum(col("ci")).as("denom"))
+    per.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("tok_cnt"),
+        (floor(col("ci").cast("double") * lit(1.0e9) / col("denom").cast("double")
+          + lit(0.5)) / lit(1.0e9)).as("weight"),
+        floor(col("ci").cast("double") * lit(1.0e8) / col("denom").cast("double"))
+          .cast("long").as("alloc_tok"))
+  }
 }

@@ -141,6 +141,41 @@ object Relational {
       .select(col("event_id"), col("u").cast("string").as("usr"), col("n_nearby"))
   }
 
+  /** C19: banded range join — classify every event value into an
+    * irregular band table (SLO/latency bands) where the ONLY join key
+    * is a range predicate. The naive plan is a broadcast nested loop
+    * (O(N·M) compares — fatal once the band table is 10⁵ rules);
+    * the scale shape used here is the bucketed range join: each band
+    * explodes into the fixed-width buckets it overlaps, events derive
+    * their bucket in the projection, and the join is a plain hash
+    * equi-join on bucket with the band predicate as a residual filter
+    * — O(N) probes regardless of band-table size, the same trick
+    * Databricks' range-join optimization applies under the hood.
+    *
+    * Bands are right-closed (lo, hi] and non-overlapping, so each
+    * event lands in exactly one band; per-band value sums go through
+    * exact integer cents (the corpus carries 2-decimal doubles).
+    */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 25.0
+    val bands = Seq(
+      ("fast", 0.0, 5.0), ("ok", 5.0, 20.0), ("slow", 20.0, 80.0),
+      ("degraded", 80.0, 150.0), ("critical", 150.0, 400.0))
+      .toDF("band", "lo", "hi")
+      .select(col("band"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / width).cast("long"),
+          floor(col("hi") / width).cast("long"))).as("bucket"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        floor(col("value") / width).cast("long").as("bucket"))
+    ev.join(broadcast(bands), Seq("bucket"))
+      .filter(col("value") > col("lo") && col("value") <= col("hi"))
+      .groupBy(col("band"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+  }
+
   /** C17: funnel analysis — ordered-step conversion (view → click →
     * purchase, strictly increasing event time, completion within 7
     * days of the first step). The per-user step anchors are min()

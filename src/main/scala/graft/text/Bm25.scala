@@ -37,8 +37,16 @@ object Bm25 {
     * (qid = doc_id): deterministic, derivable by the oracle, and
     * guaranteed non-vacuous (each query's source doc matches itself).
     */
-  def topk(spark: SparkSession, dir: String): DataFrame =
-    topkOn(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+  def topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    rankPostings(spark, cachedPostings(spark, s"docs:$dir", postings(docs)), docs)
+  }
+
+  // Postings memoized per (session, source): every invocation would
+  // otherwise cache a fresh copy of the same table (see graft.Memo).
+  private def cachedPostings(spark: SparkSession, key: String,
+      build: => DataFrame): DataFrame =
+    graft.Memo.cached(spark, s"bm25:$key")(build)
 
   /** Corpus-generic form (the scale probe drives the same pipeline
     * over replicated corpora).
@@ -63,6 +71,7 @@ object Bm25 {
     // the postings table is the ONE expensive intermediate — every
     // derived table (dl, df, corpus stats, the scored stream) reads it,
     // so cache it instead of replaying tokenize+aggregate per branch
+    // (a no-op when the caller passed a memoized already-cached table)
     val tf = tf0.cache()
     val docs = queryDocs
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -124,7 +133,8 @@ object Bm25 {
       TermStore.flush(docs.filter(pmod(col("doc_id"), lit(2)) === 1), p, 1L)
       p
     })
-    rankPostings(spark, TermStore.load(spark, path), docs)
+    rankPostings(spark,
+      cachedPostings(spark, s"store:$path", TermStore.load(spark, path)), docs)
   }
 }
 

@@ -35,7 +35,6 @@ object TextAnalysis {
     * D6 propagation loop with a static iteration count.
     */
   def domainRank(spark: SparkSession, dir: String): DataFrame = {
-    val q = (c: Column) => floor(c * lit(1048576.0) + lit(0.5)) / lit(1048576.0)
     val raw = Tables.documents(spark, dir)
       .select(col("doc_id"),
         concat(lit("site"), pmod(col("doc_id"), lit(37))).as("src"),
@@ -45,7 +44,63 @@ object TextAnalysis {
       .select(col("src"), explode(col("dsts")).as("dst"))
       .filter(col("src") =!= col("dst"))
     val edges = raw.groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w")).cache()
+      .agg(count(lit(1)).as("w"))
+    // The corpus scan + link aggregation above is the 100 TB stage
+    // (map-side combined, output bounded by #domain-pairs, not #docs).
+    // The ITERATION state is only the aggregated domain graph — like
+    // Dedup.clusters' union-find short-circuit and IVF's driver-held
+    // centroids, run the 10 power iterations locally when that graph
+    // fits (a real web-domain graph is ~10^7 weighted edges ≈ driver
+    // RAM), falling back to the distributed per-iteration loop above
+    // it otherwise; the threshold is session-configurable so the spec
+    // can force the distributed path and prove equivalence. The
+    // DataFrame loop costs ~10 scheduled shuffle rounds + caches per
+    // call — correct, but pure overhead for a bounded-size graph.
+    val limit = spark.conf.getOption("graft.text.domainRankDriverLimit")
+      .map(_.toLong).getOrElse(1000000L)
+    if (edges.count() <= limit) domainRankLocal(spark, edges)
+    else domainRankDistributed(spark, edges)
+  }
+
+  /** Driver power iteration — bit-identical to the distributed loop:
+    * contributions are quantized to the 2⁻²⁰ dyadic grid before
+    * summing (sums exact, order-free) and every IEEE op replays the
+    * column expressions' exact sequence.
+    */
+  private def domainRankLocal(spark: SparkSession, edges: DataFrame): DataFrame = {
+    def qd(x: Double) = math.floor(x * 1048576.0 + 0.5) / 1048576.0
+    val es = edges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ow = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    var rank = nodes.map(_ -> 1.0 / 37.0).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(0.0)
+      for ((s, d, w) <- es)
+        contrib(d) += qd(rank(s) * w / ow(s))
+      rank = nodes.map(n => n -> qd(0.15 / 37.0 + 0.85 * contrib(n))).toMap
+    }
+    val rows = nodes.map { n =>
+      org.apache.spark.sql.Row(n, rank(n),
+        ow.get(n).map(Long.box).orNull)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n_out",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  /** The cache-per-iteration DataFrame loop — the shape for a domain
+    * graph too large to collect.
+    */
+  private def domainRankDistributed(spark: SparkSession, edges0: DataFrame): DataFrame = {
+    val q = (c: Column) => floor(c * lit(1048576.0) + lit(0.5)) / lit(1048576.0)
+    val edges = edges0.cache()
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow")).cache()
     val ew = edges.join(outw, Seq("src"))
     val nodes = edges.select(col("src").as("domain"))
@@ -502,18 +557,20 @@ object TextAnalysis {
     * hash aggregate. No window functions, no corpus² anywhere.
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 2)
-      .withColumn("__w", split(col("text"), " "))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("__w")) - 1),
-        i => struct(element_at(col("__w"), i).as("w1"),
-          element_at(col("__w"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      // three consumers (both count tables + the probe side of the
-      // lookup joins) read the bigram stream; cache it once instead of
-      // replaying the transform+explode per branch
-      .cache()
+    // three consumers (both count tables + the probe side of the
+    // lookup joins) read the bigram stream; cache it once instead of
+    // replaying the transform+explode per branch — memoized so
+    // repeated invocations share the one copy (graft.Memo)
+    val bg = graft.Memo.cached(spark, s"lm_bigrams:$dir") {
+      Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 2)
+        .withColumn("__w", split(col("text"), " "))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__w")) - 1),
+          i => struct(element_at(col("__w"), i).as("w1"),
+            element_at(col("__w"), i + 1).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
     val bigramCnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val prefixCnt = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     bg.join(bigramCnt, Seq("w1", "w2")).join(prefixCnt, Seq("w1"))
@@ -523,4 +580,133 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         (floor(col("sq") / col("n_bigrams") * 10000 + 0.5) / 10000).as("lm_score"))
   }
+
+  /** F19: corpus n-gram frequency table — the raw material for
+    * contamination checks, boilerplate mining, and tokenizer-merge
+    * statistics: every word-trigram's total occurrence count and
+    * document frequency, floored at min-count 5, ranked top-100
+    * (count desc, gram as the total tiebreak).
+    *
+    * Shape at 100 TB: the trigram stream is a pure map-side
+    * transform+explode (no joins); counting is a two-level partial
+    * aggregate — (gram, doc) first, so the expensive shuffle carries
+    * pre-combined rows and document frequency falls out of the second
+    * level as a plain count (no count-distinct Expand). The top-100 is
+    * a TakeOrdered, not a global sort.
+    */
+  def ngramCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = Tables.documents(spark, dir)
+      .filter(size(words) >= 3)
+      .withColumn("__w", words)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__w")) - 2),
+        i => concat_ws(" ", element_at(col("__w"), i),
+          element_at(col("__w"), i + 1), element_at(col("__w"), i + 2)))).as("g"))
+    val perDoc = tri.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val counts = perDoc.groupBy(col("g"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_docs"))
+      .filter(col("n") >= 5)
+    val wRk = Window.orderBy(col("n").desc, col("g"))
+    counts.orderBy(col("n").desc, col("g")).limit(100)
+      .withColumn("rk", row_number().over(wRk))
+      .select(col("rk"), col("g"), col("n"), col("n_docs"))
+  }
+
+  /** F22: Gopher-style rule-based quality filter — the heuristic gate
+    * every pretraining pipeline runs before any model-based scoring
+    * (word-count bounds, mean word length, type-token ratio, minimum
+    * stop-word evidence; the Rae et al. Gopher rules re-parameterized
+    * to this corpus so every rule is individually non-vacuous).
+    *
+    * Determinism: every threshold is evaluated by integer
+    * cross-multiplication (sum_len*10 >= 38*n_words, nd*100 >= 45*nw)
+    * — no float compare sits on a rule boundary; the reported ratios
+    * are display-only, quantized to the 1e-4 grid AFTER one shared
+    * IEEE divide. Shape at 100 TB: one pure map stage, no shuffle at
+    * all (the groupBy-free plan is the point — quality filtering is
+    * embarrassingly parallel and must stay that way).
+    */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .withColumn("nw", size(words))
+      // text is single-space separated: total word chars = n_chars - (nw-1)
+      .withColumn("sum_len", col("n_chars") - (col("nw") - 1))
+      .withColumn("nd", size(array_distinct(words)))
+      .withColumn("ns", size(filter(words, x => x.isInCollection(stop))))
+      .select(col("doc_id"), col("nw").as("n_words"),
+        (floor(col("sum_len").cast("double") / col("nw") * 10000 + 0.5) / 10000)
+          .as("mean_word_len"),
+        (floor(col("nd").cast("double") / col("nw") * 10000 + 0.5) / 10000)
+          .as("ttr"),
+        col("ns").as("n_stop"),
+        (col("nw").between(20, 80) &&
+          col("sum_len") * 10 >= col("nw") * 38 &&
+          col("nd") * 100 >= col("nw") * 45 &&
+          col("ns") >= 2).as("keep"))
+  }
+
+  /** F23: BPE pair statistics — the first iteration of byte-pair-
+    * encoding tokenizer training: adjacent character-pair frequencies
+    * within words across the corpus, min-count 5, top-50 by (count
+    * DESC, pair) — the merge-candidate table a distributed BPE trainer
+    * recomputes every merge round.
+    *
+    * Shape at 100 TB: pair generation is a pure map-side double
+    * explode (no joins); one partial-agg groupBy(pair) whose keyspace
+    * is tiny (≤ alphabet², i.e. bounded regardless of corpus size) so
+    * the shuffle after map-side combine carries O(alphabet²) rows per
+    * partition; top-50 is a TakeOrdered. Iterating merges multiplies
+    * rounds, not shuffle width.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(words).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => concat(col("w").substr(i, lit(1)),
+          col("w").substr(i + 1, lit(1))))).as("p"))
+    val wRk = Window.orderBy(col("n").desc, col("p"))
+    pairs.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("p")).limit(50)
+      .withColumn("rk", row_number().over(wRk))
+      .select(col("rk"), col("p"), col("n"))
+  }
+
+  /** F20: hashing-trick linear quality classifier — the scoring path
+    * of a fastText-style model-based filter (the architecture behind
+    * DCLM/FineWeb-Edu quality classifiers): each token indexes a
+    * weight via a feature hash and the document's score is the mean
+    * token weight; keep = margin above threshold. A trained model
+    * ships a learned weight table; here the weight is a deterministic
+    * function of the SAME dual polynomial feature hash the DuckDB
+    * oracle replays char-by-char ([[graft.functions.DualPolyHash]]),
+    * w(t) = (h(t) mod 2001 − 1000) / 1000 ∈ [−1, 1] — so the gate
+    * exercises the real scoring plan (hash → weight lookup → per-doc
+    * reduction) end-to-end.
+    *
+    * Determinism: the per-doc reduction sums INTEGER numerators
+    * (order-free) and divides once at the end — no float accumulation
+    * anywhere, so the margin is bit-identical across engines and
+    * partitionings. Shape at 100 TB: one codegen hash per token + one
+    * partial-agg groupBy(doc_id); the weight "table" is O(1) compute,
+    * where a learned table would be a broadcast join on the hash.
+    */
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .withColumn("wt",
+        pmod(graft.functions.DualPolyHash.column(spark, col("w")), lit(2001L))
+          - lit(1000L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("score_num"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("score_num").cast("double") /
+          (col("n_tok") * lit(1000L)).cast("double")).as("margin"),
+        (col("score_num") > 0).as("keep"))
 }

@@ -505,6 +505,55 @@ object Tsdb {
           / col("total") * 10000 + 0.5) / 10000).as("frac_30_150"))
   }
 
+  /** B40: histogram_stats — histogram_count/sum/avg/stddev estimated
+    * from classic bucket counters (the PromQL histogram_avg/
+    * histogram_stddev family over the B19 bucket scheme): each bucket
+    * contributes its count at its midpoint, the +Inf bucket at the
+    * midpoint of (200, 500] (500 = the value domain's cap, the same
+    * convention PromQL applies using the largest finite bound).
+    *
+    * Determinism: bucket counts are exact longs (conditional sums);
+    * every midpoint and squared midpoint is exactly representable
+    * (dyadic: 12.5, 37.5, 75, 150, 350), so the moment sums are exact
+    * doubles evaluated in fixed textual order, and avg/stddev are one
+    * divide + one IEEE sqrt — bit-identical across engines. Same
+    * one-pass partial-agg shape as B19/B38.
+    */
+  def histogramStats(spark: SparkSession, dir: String): DataFrame = {
+    def cum(b: Double) = sum(when(col("value") <= b, 1).otherwise(0)).as(s"c${b.toInt}")
+    // per-bucket counts from the cumulative columns
+    val b1 = col("c25"); val b2 = col("c50") - col("c25")
+    val b3 = col("c100") - col("c50"); val b4 = col("c200") - col("c100")
+    val b5 = col("total") - col("c200")
+    val hSum = b1 * lit(12.5) + b2 * lit(37.5) + b3 * lit(75.0) +
+      b4 * lit(150.0) + b5 * lit(350.0)
+    val hSq = b1 * lit(156.25) + b2 * lit(1406.25) + b3 * lit(5625.0) +
+      b4 * lit(22500.0) + b5 * lit(122500.0)
+    val avg = hSum / col("total")
+    idx(spark, dir).labeled
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("total"), cum(25), cum(50), cum(100), cum(200))
+      .select(col("typ"), col("total").as("h_count"), hSum.as("h_sum"),
+        (floor(avg * 1000000 + 0.5) / 1000000).as("h_avg"),
+        (floor(sqrt(hSq / col("total") - avg * avg) * 1000000 + 0.5) / 1000000)
+          .as("h_stddev"))
+  }
+
+  /** B41: clamp / clamp_min / clamp_max / sgn — the PromQL value-
+    * shaping functions (prometheus functions.md: clamp family + sgn),
+    * evaluated per sample. All four are pure IEEE comparisons/copies
+    * on the raw double (no arithmetic at all), so parity is trivial
+    * and the map stage stays inside whole-stage codegen with zero
+    * shuffle — the same no-exchange contract as F22's filter.
+    */
+  def clampFuncs(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        least(greatest(col("value"), lit(50.0)), lit(200.0)).as("v_clamp"),
+        greatest(col("value"), lit(50.0)).as("v_clamp_min"),
+        least(col("value"), lit(200.0)).as("v_clamp_max"),
+        signum(col("value") - lit(100.0)).as("sgn"))
+
   /** B20: holt_winters — PromQL double exponential smoothing
     * (sf=0.3, tf=0.1) per series over the time-ordered sample stream,
     * emitting the final smoothed level.

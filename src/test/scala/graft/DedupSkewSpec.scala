@@ -68,6 +68,22 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(truth.count() > 0, "vacuous test: no true pairs at sf0.001")
   }
 
+  test("distributed PageRank loop equals the driver power iteration") {
+    // same short-circuit contract as clusters: the driver path must be
+    // bit-identical (dyadic-quantized contributions sum exactly), so
+    // forcing the DataFrame loop by zeroing the threshold must
+    // reproduce every rank and n_out
+    val key = "graft.text.domainRankDriverLimit"
+    val local = text.TextAnalysis.domainRank(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.get(2)))).toMap
+    try {
+      spark.conf.set(key, "0")
+      val dist = text.TextAnalysis.domainRank(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getString(0), (r.getDouble(1), r.get(2)))).toMap
+      assert(dist == local && local.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("distributed CC propagation equals driver union-find on the same graph") {
     // force the distributed min-label-propagation path by zeroing the
     // small-graph threshold (now session-configurable), then compare

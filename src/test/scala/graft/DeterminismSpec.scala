@@ -40,7 +40,14 @@ class DeterminismSpec extends AnyFunSuite {
   // per-bucket extrema
   for (q <- Seq("seq_pack", "dedup_incremental", "text_vocab", "mm_integrity",
       "bm25_topk", "range_eval", "dedup_containment", "shard_assign",
-      "domain_rank", "dedup_lines", "mm_phash_dedup", "rate_extrapolated")) {
+      "domain_rank", "dedup_lines", "mm_phash_dedup", "rate_extrapolated",
+      // round-5 batch 3: ngram_count's top-100 rides a total order
+      // (n DESC, g); temperature_mix quantizes per-source scores to
+      // integers BEFORE the normalization sum (order-free denominator)
+      "ngram_count", "temperature_mix", "bpe_pairs",
+      // round-5 batch 4: the bloom-prefiltered verdicts must not vary
+      // with how the sketch build or confirm join partitions
+      "dedup_bloom", "embed_quantize")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)

@@ -246,6 +246,70 @@ class PlanSpec extends AnyFunSuite {
       s"phash fingerprint regressed to interpreted higher-order functions:\n$a")
   }
 
+  test("ngram_count: two-level aggregate, top-100 via TakeOrdered, no Expand") {
+    val p = plan("ngram_count")
+    // document frequency falls out of the (g, doc) pre-aggregate as a
+    // plain count — a count-distinct Expand would double the shuffle
+    assert(!p.contains("Expand"), s"ngram_count pays a count-distinct Expand:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 is a global sort:\n$p")
+    assert(p.contains("partial_"), s"ngram_count lost partial aggregation:\n$p")
+  }
+
+  test("quality_classify: codegen token hash feeds one partial aggregate") {
+    val p = plan("quality_classify")
+    assert(!p.contains("lambdafunction"),
+      s"classifier hash regressed to interpreted higher-order functions:\n$p")
+    assert(p.contains("partial_"), s"quality_classify lost partial aggregation:\n$p")
+  }
+
+  test("temperature_mix: 1-row denominator broadcasts, sources never shuffle twice") {
+    val p = plan("temperature_mix")
+    assert(!p.contains("SortMergeJoin"), s"denominator join shuffles:\n$p")
+    assert(p.contains("partial_"), s"temperature_mix lost partial aggregation:\n$p")
+  }
+
+  test("histogram_stats: one-pass conditional-sum aggregate (no per-bucket scans)") {
+    val p = plan("histogram_stats")
+    assert(p.contains("partial_"), s"histogram_stats lost partial aggregation:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"histogram_stats scans the events table more than once:\n$p")
+  }
+
+  test("band_join: bucketed range join is a hash equi-join, never a nested loop") {
+    val p = plan("band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to O(N*M) compares:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket equi-join missing:\n$p")
+  }
+
+  test("gopher_filter and clamp_funcs: pure map stages, zero exchanges") {
+    for (name <- Seq("gopher_filter", "clamp_funcs")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name is embarrassingly parallel but its plan shuffles:\n$p")
+    }
+  }
+
+  test("bpe_pairs: bounded-keyspace aggregate, top-50 via TakeOrdered") {
+    val p = plan("bpe_pairs")
+    assert(p.contains("partial_"), s"bpe_pairs lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 is a global sort:\n$p")
+  }
+
+  test("dedup_bloom: codegen bloom probe + broadcast confirm, corpus never shuffles") {
+    val p = plan("dedup_bloom")
+    assert(p.contains("might_contain"),
+      s"bloom prefilter missing from the probe plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"confirm join must broadcast survivors:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embed_quantize: zero-shuffle map stage") {
+    val p = plan("embed_quantize")
+    assert(!p.contains("Exchange"),
+      s"quantization is embarrassingly parallel but its plan shuffles:\n$p")
+  }
+
   test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
     // the prefix filter must appear below the self-join: rank <= n - ceil(n*t) + 1
     val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
