@@ -87,6 +87,7 @@ object SparkEntry {
     "salted_agg" -> (operators.Skew.saltedAgg _),
     "interval_join" -> (operators.Relational.intervalJoin _),
     "band_join" -> (operators.Relational.bandJoin _),
+    "data_audit" -> (operators.Relational.dataAudit _),
     "rollup_agg" -> (operators.Relational.rollupAgg _),
     "cube_agg" -> (operators.Relational.cubeAgg _),
     "pivot_agg" -> (operators.Relational.pivotAgg _),
@@ -1467,6 +1468,36 @@ object SparkEntry {
         |    AS sum_cents
         |FROM events e JOIN b ON e.value > lo AND e.value <= hi
         |GROUP BY 1, 2, 3""".stripMargin,
+    // C20: per-table conditional aggregates + the FK anti-join,
+    // replayed as scalar CTEs; the value-cap check fails by design so
+    // the violation-reporting path is non-vacuous
+    "data_audit" ->
+      """WITH li AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_price
+        |  FROM lineitem),
+        |o AS (SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_pk FROM orders),
+        |f AS (SELECT count(*) AS v_fk FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |e AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_null,
+        |    CAST(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_cap
+        |  FROM events)
+        |SELECT 'lineitem_qty_in_1_50' AS check_name, n AS n_checked,
+        |  v_qty AS n_viol, v_qty = 0 AS pass FROM li
+        |UNION ALL SELECT 'lineitem_price_positive', n, v_price,
+        |  v_price = 0 FROM li
+        |UNION ALL SELECT 'orders_pk_unique', n, v_pk, v_pk = 0 FROM o
+        |UNION ALL SELECT 'orders_fk_customer', o.n, v_fk, v_fk = 0 FROM o, f
+        |UNION ALL SELECT 'events_value_not_null', n, v_null,
+        |  v_null = 0 FROM e
+        |UNION ALL SELECT 'events_value_le_300', n, v_cap, v_cap = 0
+        |  FROM e""".stripMargin,
     // F22: thresholds replayed as integer cross-multiplications — no
     // float compare sits on a rule boundary on either side
     "gopher_filter" ->

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -139,6 +139,55 @@ object Relational {
       .groupBy(col("event_id"), col("u"))
       .agg(count(col("pid")).as("n_nearby"))
       .select(col("event_id"), col("u").cast("string").as("usr"), col("n_nearby"))
+  }
+
+  /** C20: data-quality audit — the expectation suite every ingest runs
+    * before data reaches training (the Deequ/dbt-test shape): primary-
+    * key uniqueness, referential integrity, domain-range checks, and
+    * null-rate bounds, reported as one row per check with violation
+    * counts. The mix is deliberately non-vacuous: the events value cap
+    * check FAILS on this corpus (values run past 300), so the report
+    * path for failures is exercised, not just the all-green path.
+    *
+    * Shape at 100 TB: all checks against one table fold into ONE
+    * conditional-aggregate pass over it (a naive suite scans the table
+    * once per check); the FK orphan check is the only join and it
+    * broadcasts the dimension's key set. Results are O(#checks) rows
+    * unioned from scalar aggregates.
+    */
+  def dataAudit(spark: SparkSession, dir: String): DataFrame = {
+    def chk(name: String, n: Column, viol: Column): Column =
+      struct(lit(name).as("check_name"), n.cast("long").as("n_checked"),
+        viol.cast("long").as("n_viol"), (viol === 0).as("pass"))
+    // one 1-row aggregate per table -> explode into its check rows
+    def checksOf(df: DataFrame, rows: Column*): DataFrame =
+      df.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+    val li = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+          .otherwise(0)).as("v_qty"),
+        sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).as("v_price"))
+    val ev = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("v_null"),
+        sum(when(col("value") > 300, 1).otherwise(0)).as("v_cap"))
+    val ord = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"))
+    val orphans = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"))), Seq("o_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    checksOf(li,
+      chk("lineitem_qty_in_1_50", col("n"), col("v_qty")),
+      chk("lineitem_price_positive", col("n"), col("v_price")))
+      .unionAll(checksOf(ord.crossJoin(orphans),
+        chk("orders_pk_unique", col("n"), col("v_pk")),
+        chk("orders_fk_customer", col("n"), col("v_fk"))))
+      .unionAll(checksOf(ev,
+        chk("events_value_not_null", col("n"), col("v_null")),
+        chk("events_value_le_300", col("n"), col("v_cap"))))
   }
 
   /** C19: banded range join — classify every event value into an

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sources and sinks (SURVEY.md §3). The reference owns its storage
@@ -211,4 +211,34 @@ object Io {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** I11: Z-order clustered write — multi-dimensional data clustering
+    * for row-group/file pruning (what Delta's OPTIMIZE ZORDER BY and
+    * Iceberg's sort-order rewrite do). A linear sort makes file
+    * min/max stats tight on ONE column and useless on the others; the
+    * Morton z-value interleaves the bits of both key columns so files
+    * stay range-bounded in BOTH dimensions, and a scan filtered on
+    * either (or both) skips most files on footer stats alone. At
+    * 100 TB this is the difference between reading one file and
+    * reading the table for a two-dimensional point query.
+    *
+    * The z-value is pure integer bit arithmetic (16 bits per
+    * dimension, constant-unrolled shifts/masks — whole-stage codegen,
+    * no UDF); layout = range-repartition + in-partition sort on it.
+    */
+  def zorderValue(x: Column, y: Column): Column = {
+    val xi = x.cast("long"); val yi = y.cast("long")
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xi, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  def writeZordered(df: DataFrame, xCol: String, yCol: String,
+      path: String, files: Int): Unit =
+    df.withColumn("__z", zorderValue(col(xCol), col(yCol)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

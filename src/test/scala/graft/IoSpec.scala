@@ -75,6 +75,32 @@ class IoSpec extends AnyFunSuite {
       "untouched partition files changed")
   }
 
+  test("I11: z-order layout bounds file stats in both dimensions") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), floor(col("value")).cast("long").as("v"),
+        col("event_id"))
+    val linear = s"$tmp/lin_layout"; val zord = s"$tmp/z_layout"
+    // baseline: the classic single-column linear sort
+    ev.repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(linear)
+    Io.writeZordered(ev, "user_id", "v", zord, 8)
+    // emulate footer-stats pruning: a file is read iff its [min, max]
+    // on the filtered column intersects the predicate range
+    def filesIntersecting(path: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .filter(col("mx") >= lo && col("mn") <= hi)
+        .count()
+    val linN = filesIntersecting(linear, 50, 60)
+    val zN = filesIntersecting(zord, 50, 60)
+    assert(spark.read.parquet(zord).count() == ev.count())
+    assert(linN == 8, s"linear layout should leave v unbounded per file: $linN")
+    assert(zN < linN,
+      s"z-order did not bound the second dimension: $zN vs $linN files")
+  }
+
   test("csv round-trip preserves rows and schema") {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars")
     Io.writeCsv(docs, s"$tmp/docs_csv")

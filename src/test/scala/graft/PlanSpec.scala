@@ -296,6 +296,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-50 is a global sort:\n$p")
   }
 
+  test("data_audit: FK orphan check is a broadcast anti-join, checks ride scalar aggregates") {
+    val p = plan("data_audit")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"FK check must broadcast the dimension keys:\n$p")
+    assert(p.contains("partial_"), s"audit aggregates lost map-side combine:\n$p")
+  }
+
   test("dedup_bloom: codegen bloom probe + broadcast confirm, corpus never shuffles") {
     val p = plan("dedup_bloom")
     assert(p.contains("might_contain"),
