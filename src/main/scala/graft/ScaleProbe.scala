@@ -118,6 +118,19 @@ object ScaleProbe {
     t("line_dedup")(dedup.Dedup.lineDedupOn(dbig))
     t("phash_dedup")(multimodal.Multimodal.phashDedupOn(
       dbig.select(col("doc_id"), col("text"))))
+    // round-5 batch 3/4: the trigram two-level aggregate (document
+    // frequency without an Expand), the hashed linear scorer (codegen
+    // hash + one partial agg), and the bloom sketch build + probe —
+    // two corpus passes total, the incremental-dedup scale pattern
+    t("ngram_trigrams")(text.TextAnalysis.ngramCountOn(dbig))
+    t("quality_classify")(text.TextAnalysis.qualityClassifyOn(spark, dbig))
+    t("bloom_build_probe") {
+      val h = dbig.select(xxhash64(col("text")).as("h"))
+      val sk = h.agg(functions.BloomFuncs
+          .bloomAgg(spark, col("h"), 1000000L, 8000000L).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      h.filter(functions.BloomFuncs.mightContain(spark, lit(sk), col("h")))
+    }
     spark.stop()
   }
 }

@@ -88,6 +88,7 @@ object SparkEntry {
     "interval_join" -> (operators.Relational.intervalJoin _),
     "band_join" -> (operators.Relational.bandJoin _),
     "data_audit" -> (operators.Relational.dataAudit _),
+    "mv_merge" -> (operators.Relational.mvMerge _),
     "rollup_agg" -> (operators.Relational.rollupAgg _),
     "cube_agg" -> (operators.Relational.cubeAgg _),
     "pivot_agg" -> (operators.Relational.pivotAgg _),
@@ -1498,6 +1499,22 @@ object SparkEntry {
         |  v_null = 0 FROM e
         |UNION ALL SELECT 'events_value_le_300', n, v_cap, v_cap = 0
         |  FROM e""".stripMargin,
+    // C21: the oracle takes the FULL-RECOMPUTE route over all events
+    // while the Spark side merges stored view state with the batch's
+    // partial state — cross-form equivalence is the MV-maintenance
+    // correctness contract
+    "mv_merge" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT usr, typ, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  floor(sqrt(CAST(sum(cents * cents) AS DOUBLE) / count(*)
+        |    - (CAST(sum(cents) AS DOUBLE) / count(*))
+        |    * (CAST(sum(cents) AS DOUBLE) / count(*))) * 1e6 + 0.5) / 1e6
+        |    AS stddev_cents
+        |FROM c GROUP BY 1, 2""".stripMargin,
     // F22: thresholds replayed as integer cross-multiplications — no
     // float compare sits on a rule boundary on either side
     "gopher_filter" ->

@@ -141,6 +141,46 @@ object Relational {
       .select(col("event_id"), col("u").cast("string").as("usr"), col("n_nearby"))
   }
 
+  /** C21: incremental materialized-view maintenance — the algebraic
+    * partial-state merge that keeps a 100 TB rollup fresh without
+    * rescanning the fact table: the maintained view stores mergeable
+    * state (count, sum, sum-of-squares per group), a new batch
+    * aggregates to the same state shape, and refresh = union the two
+    * state tables and sum-merge per group — cost ∝ |batch| + |view|,
+    * never ∝ |history|. Count/sum/moments merge exactly; the derived
+    * stddev is computed once at read time from the merged moments.
+    *
+    * The oracle recomputes the view from ALL events in one pass — the
+    * gate proves the incremental path is indistinguishable from full
+    * recompute, which is the MV-maintenance correctness contract.
+    * Determinism: sums are exact integer cents (and cents², bounded
+    * well inside long range), so merge order can't matter; stddev is
+    * a fixed sequence of IEEE ops on exact integers, floored to the
+    * 1e-6 grid.
+    */
+  def mvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("usr"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("sq"))
+    // the stored view state (history) and the incoming batch
+    val view = state(ev.filter(pmod(col("event_id"), lit(7)) =!= 0))
+    val batch = state(ev.filter(pmod(col("event_id"), lit(7)) === 0))
+    view.unionAll(batch)
+      .groupBy(col("usr"), col("typ"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("sq")).as("sq"))
+      .select(col("usr"), col("typ"), col("n"),
+        col("s").as("sum_cents"),
+        (floor(sqrt(col("sq").cast("double") / col("n")
+          - (col("s").cast("double") / col("n"))
+          * (col("s").cast("double") / col("n"))) * 1e6 + 0.5) / 1e6)
+          .as("stddev_cents"))
+  }
+
   /** C20: data-quality audit — the expectation suite every ingest runs
     * before data reaches training (the Deequ/dbt-test shape): primary-
     * key uniqueness, referential integrity, domain-range checks, and

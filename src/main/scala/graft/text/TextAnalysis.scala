@@ -594,9 +594,12 @@ object TextAnalysis {
     * level as a plain count (no count-distinct Expand). The top-100 is
     * a TakeOrdered, not a global sort.
     */
-  def ngramCount(spark: SparkSession, dir: String): DataFrame = {
+  def ngramCount(spark: SparkSession, dir: String): DataFrame =
+    ngramCountOn(Tables.documents(spark, dir))
+
+  private[graft] def ngramCountOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tri = Tables.documents(spark, dir)
+    val tri = docs
       .filter(size(words) >= 3)
       .withColumn("__w", words)
       .select(col("doc_id"), explode(transform(
@@ -698,7 +701,10 @@ object TextAnalysis {
     * where a learned table would be a broadcast join on the hash.
     */
   def qualityClassify(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    qualityClassifyOn(spark, Tables.documents(spark, dir))
+
+  private[graft] def qualityClassifyOn(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(words).as("w"))
       .withColumn("wt",
         pmod(graft.functions.DualPolyHash.column(spark, col("w")), lit(2001L))

@@ -47,7 +47,10 @@ class DeterminismSpec extends AnyFunSuite {
       "ngram_count", "temperature_mix", "bpe_pairs",
       // round-5 batch 4: the bloom-prefiltered verdicts must not vary
       // with how the sketch build or confirm join partitions
-      "dedup_bloom", "embed_quantize")) {
+      "dedup_bloom", "embed_quantize",
+      // round-5 batch 5: the MV merge must not depend on which side
+      // (view/batch partial states) arrives first in the union
+      "mv_merge")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)
