@@ -75,5 +75,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2),
           litK("bottomk", exprs), asc = true)))
+    // zorder2(x, y): the I11 Morton interleave as a SQL scalar — the
+    // same constant-unrolled shift/mask tree Io.zorderValue builds, so
+    // `CLUSTER BY zorder2(a, b)` works from plain SQL
+    e.injectFunction((
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "zorder2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{
+          BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft, ShiftRight}
+        import org.apache.spark.sql.types.LongType
+        require(exprs.length == 2, "zorder2 expects 2 arguments")
+        val xi = Cast(exprs(0), LongType); val yi = Cast(exprs(1), LongType)
+        (0 until 16).map { i =>
+          BitwiseOr(
+            ShiftLeft(BitwiseAnd(ShiftRight(xi, Literal(i)), Literal(1L)),
+              Literal(2 * i)),
+            ShiftLeft(BitwiseAnd(ShiftRight(yi, Literal(i)), Literal(1L)),
+              Literal(2 * i + 1)))
+        }.reduce(BitwiseOr(_, _))
+      }))
+    // bloom_agg(v, items, bits) / bloom_probe(bloom, v): the D10
+    // sketch pair from SQL (build the binary in one aggregate, probe
+    // it per row)
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3, "bloom_agg expects (value, items, bits)")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        // the aggregate requires BIGINT size args; SQL int literals
+        // arrive as INT, so fold a cast in
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0),
+            Cast(exprs(1), LongType), Cast(exprs(2), LongType), 0, 0)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_probe"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "bloom_probe expects (bloom, value)")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))
+      }))
   }
 }

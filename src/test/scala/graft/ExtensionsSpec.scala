@@ -60,6 +60,22 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT bottomk(cast(id as double), cast(id as string), 'x', 2) AS t FROM ext_t")
         .head().getSeq[org.apache.spark.sql.Row](0)
       assert(bk.map(_.getDouble(0)) == Seq(1.0, 2.0))
+
+      // Morton interleave: x=3 (bits 0,1 -> even positions 0,2),
+      // y=1 (bit 0 -> odd position 1) => 0b0111 = 7
+      val z = s.sql("SELECT zorder2(3, 1) AS z").head().getLong(0)
+      assert(z == 7L)
+
+      // bloom pair: build over k, probe members and a non-member (the
+      // bloom side must be a scalar subquery or constant, per the
+      // expression's contract)
+      val bl = s.sql(
+        """SELECT
+          |  bloom_probe((SELECT bloom_agg(k, 100, 800) FROM ext_t), 7L) AS p7,
+          |  bloom_probe((SELECT bloom_agg(k, 100, 800) FROM ext_t), 12345L) AS px
+          |""".stripMargin).head()
+      assert(bl.getBoolean(0), "bloom must contain an inserted key")
+      assert(!bl.getBoolean(1), "bloom FP on a distant key at 8 bits/item")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
