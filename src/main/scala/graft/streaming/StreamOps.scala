@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -491,6 +491,39 @@ object StreamOps extends Serializable {
     samples.groupByKey(_.typ)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update _)
   }
+
+  /** H15: streaming materialized-view maintenance — the C21 merge run
+    * as the ingest loop: every micro-batch aggregates to the mergeable
+    * (n, sum, sum-of-squares) state and commits it as its OWN
+    * `seg=b<batchId>` parquet directory (mode-overwrite, so a
+    * foreachBatch replay rewrites the same segment instead of
+    * double-counting — the H3b idempotence rule). The view is
+    * merge-on-read: union the committed segments, one sum-merge
+    * groupBy. Refresh cost ∝ |batch|; periodic segment compaction
+    * (rewrite the union as one segment) bounds read amplification,
+    * same as IndexStore/TermStore. [[mvRead]] must equal the batch
+    * recompute — StreamingSpec asserts it against C21's contract.
+    */
+  def streamMvMaintain(samples: Dataset[Sample], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    samples.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+          .groupBy(col("usr"), col("typ"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+            sum(col("cents") * col("cents")).as("sq"))
+          .write.mode("overwrite").parquet(s"$path/seg=b$batchId")
+      }
+      .start()
+
+  /** Merge-on-read over the committed MV segments. */
+  def mvRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("usr"), col("typ"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        sum(col("sq")).as("sq"))
 
   /** H2: streaming add_series — mapGroupsWithState keyed by label set;
     * first sample creates the series (isNew=true, stable hash tsid),
