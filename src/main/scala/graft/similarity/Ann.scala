@@ -346,7 +346,9 @@ object Ann {
     * (rows-only by necessity: its output is hyperplane-dependent).
     */
   def lshPlanted(spark: SparkSession, dir: String): DataFrame = {
-    val all = graft.dedup.Dedup.plantedEmbeddings(spark, dir).cache()
+    val all = graft.Memo.cached(spark, s"planted:$dir") {
+      graft.dedup.Dedup.plantedEmbeddings(spark, dir)
+    }
     lshTopkOn(all, col("vec_id") >= 1000000L, bits = 8, tables = 24)
       .filter(col("cs") >= 0.9)
       .select(col("query_id"), col("neighbor_id"), col("cs"))

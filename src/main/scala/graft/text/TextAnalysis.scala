@@ -431,7 +431,9 @@ object TextAnalysis {
   def pmi(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(explode(words).as("w"))
-    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c")).cache()
+    val uni = graft.Memo.cached(spark, s"pmi_uni:$dir") {
+      toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    }
     val totU = uni.agg(sum(col("c")).as("u_tot"))
     val bi = docs
       .select(col("doc_id"), words.as("ws"))
