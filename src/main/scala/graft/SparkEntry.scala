@@ -142,6 +142,7 @@ object SparkEntry {
     "ngram_count" -> (text.TextAnalysis.ngramCount _),
     "quality_classify" -> (text.TextAnalysis.qualityClassify _),
     "gopher_filter" -> (text.TextAnalysis.gopherFilter _),
+    "ngram_novelty" -> (text.TextAnalysis.ngramNovelty _),
     "bpe_pairs" -> (text.TextAnalysis.bpePairs _),
     "bm25_topk" -> (text.Bm25.topk _),
     "bm25_stored" -> (text.Bm25.storedTopk _),
@@ -1546,6 +1547,23 @@ object SparkEntry {
         |r AS (SELECT row_number() OVER (ORDER BY n DESC, p) AS rk, p, n
         |  FROM c)
         |SELECT rk, p, n FROM r WHERE rk <= 50""".stripMargin,
+    // F24: same trigram derivation as F19; df counts distinct docs per
+    // trigram, instances join back on the trigram string
+    "ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM t),
+        |df AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM tri GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tri,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  floor(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5) / 10000 AS dup_frac
+        |FROM tri JOIN df USING (g)
+        |GROUP BY 1""".stripMargin,
     // F19: trigram stream replayed via list positions; the two-level
     // aggregate collapses to plain GROUP BYs; rk <= 100 ≡ Spark's
     // limit(100) because the (n DESC, g) order is total

@@ -683,6 +683,42 @@ object TextAnalysis {
       .select(col("rk"), col("p"), col("n"))
   }
 
+  /** F24: n-gram novelty — per-document duplication density: the
+    * fraction of a document's word-trigram INSTANCES whose trigram
+    * also occurs in at least one OTHER document. This is the signal
+    * curation pipelines threshold on between exact dedup and near-dup
+    * clustering: boilerplate-heavy documents score high while D1/D2
+    * miss them (no single pair is near-identical).
+    *
+    * Shape at 100 TB: per-doc trigram distincts feed a two-level
+    * partial aggregate for document frequency (the F19 shape, no
+    * count-distinct Expand), then ONE shuffle join of the doc-trigram
+    * stream against the df table keyed on the trigram (at scale the
+    * join key becomes a 64-bit trigram hash so the shuffle carries
+    * 8-byte keys; the string key here keeps the DuckDB oracle able to
+    * replay the join). The per-doc reduction is integer counts, one
+    * divide at the end — order-free.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(spark, dir)
+      .filter(size(words) >= 3)
+      .withColumn("__w", words)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__w")) - 2),
+        i => concat_ws(" ", element_at(col("__w"), i),
+          element_at(col("__w"), i + 1), element_at(col("__w"), i + 2)))).as("g"))
+    val df = tri.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    tri.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("n_docs") >= 2, 1).otherwise(0)).as("n_shared"))
+      .select(col("doc_id"), col("n_tri"),
+        col("n_shared").cast("long").as("n_shared"),
+        (floor(col("n_shared").cast("double") / col("n_tri") * 10000 + 0.5)
+          / 10000).as("dup_frac"))
+  }
+
   /** F20: hashing-trick linear quality classifier — the scoring path
     * of a fastText-style model-based filter (the architecture behind
     * DCLM/FineWeb-Edu quality classifiers): each token indexes a

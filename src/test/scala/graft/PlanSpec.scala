@@ -255,6 +255,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"ngram_count lost partial aggregation:\n$p")
   }
 
+  test("ngram_novelty: df via two-level aggregate, no count-distinct Expand") {
+    val p = plan("ngram_novelty")
+    assert(!p.contains("Expand"), s"novelty df pays a count-distinct Expand:\n$p")
+    assert(p.contains("partial_"), s"ngram_novelty lost partial aggregation:\n$p")
+  }
+
   test("quality_classify: codegen token hash feeds one partial aggregate") {
     val p = plan("quality_classify")
     assert(!p.contains("lambdafunction"),
