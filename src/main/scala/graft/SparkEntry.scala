@@ -143,6 +143,7 @@ object SparkEntry {
     "quality_classify" -> (text.TextAnalysis.qualityClassify _),
     "gopher_filter" -> (text.TextAnalysis.gopherFilter _),
     "ngram_novelty" -> (text.TextAnalysis.ngramNovelty _),
+    "text_entropy" -> (text.TextAnalysis.textEntropy _),
     "bpe_pairs" -> (text.TextAnalysis.bpePairs _),
     "bm25_topk" -> (text.Bm25.topk _),
     "bm25_stored" -> (text.Bm25.storedTopk _),
@@ -1547,6 +1548,22 @@ object SparkEntry {
         |r AS (SELECT row_number() OVER (ORDER BY n DESC, p) AS rk, p, n
         |  FROM c)
         |SELECT rk, p, n FROM r WHERE rk <= 50""".stripMargin,
+    // F25: entropy terms quantized to the 2^-20 grid before the sum
+    // (order-free); ln(2) is a shared literal so both engines divide
+    // by the identical double
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, n_chars,
+        |    unnest(string_split_regex(text, '')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, n_chars, ch, count(*) AS c
+        |  FROM ch GROUP BY 1, 2, 3),
+        |t AS (SELECT doc_id,
+        |    floor((0 - (CAST(c AS DOUBLE) / n_chars)
+        |      * ln(CAST(c AS DOUBLE) / n_chars) / 0.6931471805599453)
+        |      * 1048576 + 0.5) / 1048576 AS term
+        |  FROM cnt)
+        |SELECT doc_id, count(*) AS n_syms,
+        |  floor(sum(term) * 10000 + 0.5) / 10000 AS entropy
+        |FROM t GROUP BY 1""".stripMargin,
     // F24: same trigram derivation as F19; df counts distinct docs per
     // trigram, instances join back on the trigram string
     "ngram_novelty" ->

@@ -683,6 +683,33 @@ object TextAnalysis {
       .select(col("rk"), col("p"), col("n"))
   }
 
+  /** F25: character entropy — per-document Shannon entropy over the
+    * character distribution, the cheap random-garbage/base64-blob
+    * detector quality pipelines run before any tokenization (natural
+    * text sits in a narrow entropy band; encoded blobs above it,
+    * repeated-char spam below).
+    *
+    * Determinism: each -p·ln(p)/ln2 term is quantized to the 2⁻²⁰
+    * dyadic grid BEFORE the per-doc sum (order-free, the PMI/BM25
+    * precedent for ln parity), ln(2) is a shared literal so both
+    * engines divide by the identical double, and the final value
+    * rounds once to 1e-4. Shape at 100 TB: explode → two-level
+    * partial aggregate, per-doc keyspace bounded by the alphabet.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ln2 = lit(0.6931471805599453)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("n_chars"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("p", col("c").cast("double") / col("n_chars"))
+      .withColumn("term",
+        floor((lit(0) - col("p") * log(col("p")) / ln2) * 1048576 + 0.5) / 1048576)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_syms"),
+        (floor(sum(col("term")) * 10000 + 0.5) / 10000).as("entropy"))
+  }
+
   /** F24: n-gram novelty — per-document duplication density: the
     * fraction of a document's word-trigram INSTANCES whose trigram
     * also occurs in at least one OTHER document. This is the signal
