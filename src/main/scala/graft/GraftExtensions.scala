@@ -77,7 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litK("bottomk", exprs), asc = true)))
     // zorder2(x, y): the I11 Morton interleave as a SQL scalar — the
     // same constant-unrolled shift/mask tree Io.zorderValue builds, so
-    // `CLUSTER BY zorder2(a, b)` works from plain SQL
+    // `CLUSTER BY zorder2(a, b)` works from plain SQL. 32 bits per
+    // dimension fill the 64-bit z-value: keys up to 2^32-1 interleave
+    // without aliasing (bits above 32 are ignored by construction).
     e.injectFunction((
       FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "zorder2"),
@@ -87,7 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.types.LongType
         require(exprs.length == 2, "zorder2 expects 2 arguments")
         val xi = Cast(exprs(0), LongType); val yi = Cast(exprs(1), LongType)
-        (0 until 16).map { i =>
+        (0 until 32).map { i =>
           BitwiseOr(
             ShiftLeft(BitwiseAnd(ShiftRight(xi, Literal(i)), Literal(1L)),
               Literal(2 * i)),

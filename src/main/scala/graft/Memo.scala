@@ -14,8 +14,25 @@ object Memo {
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    m.computeIfAbsent((spark, key), _ => build.cache())
+  /** Build happens OUTSIDE the map lock: computeIfAbsent would hold the
+    * bin lock during plan construction, so a builder that itself calls
+    * Memo.cached (nested memoized intermediates) could deadlock or throw
+    * per the CHM recursive-update contract. check → build → putIfAbsent
+    * is safe; the losing duplicate of a race is unpersisted.
+    */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (spark, key)
+    val existing = m.get(k)
+    if (existing != null) existing
+    else {
+      val fresh = build.cache()
+      val prev = m.putIfAbsent(k, fresh)
+      if (prev != null) {
+        try fresh.unpersist() catch { case _: Throwable => () }
+        prev
+      } else fresh
+    }
+  }
 
   /** Unpersist + drop every memo held for a session (test hygiene). */
   def clear(spark: SparkSession): Unit = {

@@ -26,12 +26,17 @@ case class MediaFeatures(
 
 /** Multimodal column pipeline (SURVEY.md §2.G).
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * codecs): `decodeStub` derives deterministic pseudo-features from the
-  * payload bytes. Everything around it — the typed schema, the
-  * per-partition batch iteration (the Scala analog of a Pandas-UDF
-  * `mapInPandas` batch), the partition sizing, and the downstream
-  * aggregation — is the real Spark plumbing a codec would drop into.
+  * The decode step is REAL: G1/G3 payloads are RIFF/WAVE PCM16
+  * containers and G2 payloads binary PGM images, parsed by the
+  * pure-JVM [[Codecs]] (header walk, chunk scan, sign-extension — no
+  * native libs). The synthetic corpus encodes each document's bytes as
+  * the samples/pixels, so decoded values equal `ascii(char)` and the
+  * documents-table DuckDB oracles replay the decode bit-for-bit — a
+  * mis-parsed header breaks the hash gate. The per-partition batch
+  * iteration (the Scala analog of a Pandas-UDF `mapInPandas` batch),
+  * the pointer-fetch stage, and the downstream aggregation are the
+  * same plumbing a heavier codec (JPEG, Opus) would drop into behind
+  * [[Multimodal.MediaDecoder]].
   */
 object Multimodal {
 
@@ -58,21 +63,39 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  // one payload object store per source dataset, written once per JVM
+  /** The WAV media table: each document's bytes become PCM16 samples
+    * inside a real RIFF/WAVE container (44-byte header + chunk
+    * structure). Sample k == ascii(char k) on this single-byte corpus,
+    * so the decode loop is oracle-replayable from `documents` alone.
+    */
+  def wavTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    mediaTable(spark, dir).map { m =>
+      val samples = new Array[Int](m.payload.length)
+      var i = 0
+      while (i < samples.length) { samples(i) = m.payload(i) & 0xff; i += 1 }
+      m.copy(payload = Codecs.WavCodec.encode(samples, 8000), fmt = "audio/wav")
+    }
+  }
+
+  // one payload object store per (source dataset, payload format),
+  // written once per JVM
   private val objStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Materialize each payload as one object in a local object store
     * (file:// scheme standing in for s3://; same Hadoop FileSystem API
-    * either way) and remember the store root. Idempotent per dataset —
-    * a _SUCCESS marker skips the rewrite.
+    * either way) and remember the store root. Idempotent per
+    * (dataset, tag) — a _SUCCESS marker skips the rewrite.
     */
-  private def objectStoreFor(spark: SparkSession, dir: String): String =
-    objStores.computeIfAbsent(dir, _ => {
+  private def objectStoreFor(spark: SparkSession, dir: String, tag: String,
+      table: => Dataset[MediaItem]): String =
+    objStores.computeIfAbsent(s"$dir#$tag", _ => {
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_objstore_" + graft.Tables.fingerprint(s"$dir/documents.parquet")).toString
+        "graft_objstore_" + tag + "_" +
+          graft.Tables.fingerprint(s"$dir/documents.parquet")).toString
       val marker = new java.io.File(base, "_SUCCESS")
       if (!marker.exists()) {
-        mediaTable(spark, dir).foreachPartition { (it: Iterator[MediaItem]) =>
+        table.foreachPartition { (it: Iterator[MediaItem]) =>
           val conf = new org.apache.hadoop.conf.Configuration()
           val fs = org.apache.hadoop.fs.FileSystem.get(
             new java.net.URI(s"file://$base/"), conf)
@@ -93,8 +116,17 @@ object Multimodal {
     */
   def pointerTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
-    val store = objectStoreFor(spark, dir)
+    val store = objectStoreFor(spark, dir, "raw", mediaTable(spark, dir))
     mediaTable(spark, dir).map(m => m.copy(
+      payload = Array.emptyByteArray,
+      uri = s"file://$store/doc_${m.doc_id}.bin"))
+  }
+
+  /** Pointer table over the WAV object store (G1's input). */
+  def wavPointerTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    val store = objectStoreFor(spark, dir, "wav", wavTable(spark, dir))
+    wavTable(spark, dir).map(m => m.copy(
       payload = Array.emptyByteArray,
       uri = s"file://$store/doc_${m.doc_id}.bin"))
   }
@@ -146,36 +178,50 @@ object Multimodal {
     def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures]
   }
 
-  /** STUB decoder: byte statistics standing in for codec output (this
-    * container has no image/audio codecs). A real implementation swaps
-    * in behind [[MediaDecoder]] without touching the pipeline plumbing.
+  /** Raw-byte decoder: statistics straight over the payload bytes —
+    * the baseline for format-opaque payloads and the custom-decoder
+    * spec hook.
     */
   object StubDecoder extends MediaDecoder {
     override def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
-      decodeStub(items)
+      items.map(m => featuresOf(m.doc_id, m.payload.map(b => (b & 0xff))))
   }
 
-  private def decodeStub(items: Iterator[MediaItem]): Iterator[MediaFeatures] = {
-    // per-partition setup would happen here (codec init, model load)
-    items.map { m =>
-      val bytes = m.payload
-      val n = bytes.length.toLong
-      var sum = 0L
-      var nz = 0L
-      val hist = new Array[Double](4)
-      var i = 0
-      while (i < bytes.length) {
-        val b = bytes(i) & 0xff
-        sum += b
-        if (b != 0) nz += 1
-        hist(b % 4) += 1.0
-        i += 1
+  /** REAL WAV decoder: parses the RIFF/WAVE container per item
+    * ([[Codecs.WavCodec.decode]] — chunk walk, PCM16 sign-extension)
+    * and computes features over the DECODED SAMPLES. Codec handles are
+    * stateless here; a stateful codec would init once per partition
+    * before the iterator is consumed, amortized across the batch.
+    */
+  object WavDecoder extends MediaDecoder {
+    override def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
+      items.map { m =>
+        featuresOf(m.doc_id, Codecs.WavCodec.decode(m.payload).samples)
       }
-      MediaFeatures(m.doc_id, n,
-        if (n == 0) 0.0 else sum.toDouble / n,
-        if (n == 0) 0.0 else nz.toDouble / n,
-        hist.map(h => if (n == 0) 0.0 else h / n))
+  }
+
+  /** Shared feature math (exact integer sums → one division at the
+    * end, so the documents-table oracle reproduces the doubles
+    * bit-for-bit). `n_bytes` is the decoded element count — equal to
+    * the raw byte count for 1-byte-per-sample synthesis.
+    */
+  private def featuresOf(docId: Long, values: Array[Int]): MediaFeatures = {
+    val n = values.length.toLong
+    var sum = 0L
+    var nz = 0L
+    val hist = new Array[Double](4)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      sum += v
+      if (v != 0) nz += 1
+      hist(math.floorMod(v, 4)) += 1.0
+      i += 1
     }
+    MediaFeatures(docId, n,
+      if (n == 0) 0.0 else sum.toDouble / n,
+      if (n == 0) 0.0 else nz.toDouble / n,
+      hist.map(h => if (n == 0) 0.0 else h / n))
   }
 
   /** A "video": the payload chunked into fixed-size frames. */
@@ -183,28 +229,34 @@ object Multimodal {
 
   case class FrameStats(doc_id: Long, n_frames: Int, n_sampled: Int, mean_sampled_byte: Double)
 
-  /** G2: frame sampling — every k-th frame of each chunked payload goes
-    * through the (stubbed) per-frame decode; the per-partition iterator
-    * shape is where a real codec/model batch call plugs in. Sampling
-    * happens BEFORE decode, which is the entire point at 100 TB: IO and
-    * decode cost scale with sampled frames, not stored frames.
+  /** G2: frame sampling — each document's bytes are encoded as a REAL
+    * binary PGM image (P5 header + raster, [[Codecs.PgmCodec]]); the
+    * decode stage parses the header (whitespace/comment-tolerant) and
+    * chunks the decoded raster into fixed 64-pixel frames, of which
+    * every k-th goes through feature extraction. Sampling happens at
+    * the frame index BEFORE touching frame content, which is the
+    * entire point at 100 TB: decode/feature cost scales with sampled
+    * frames, not stored frames. Decoded pixel == ascii(char), so the
+    * documents oracle replays the whole encode→decode loop.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val every = 4
-    val frameBytes = 64
-    val videos = Tables.documents(spark, dir)
+    val framePx = 64
+    val images = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        VideoItem(id, payload.grouped(frameBytes).toArray, 30)
+      .map { case (id, bytes) =>
+        // 1×n grayscale: every byte is one pixel, no padding
+        (id, Codecs.PgmCodec.encode(bytes, bytes.length, 1))
       }
-    videos.mapPartitions { items =>
-      // per-partition codec init would go here (STUB)
-      items.map { v =>
-        val sampled = v.frames.indices.by(every).map(v.frames)
+    images.mapPartitions { items =>
+      items.map { case (id, pgm) =>
+        val px = Codecs.PgmCodec.decode(pgm).pixels
+        val frames = px.grouped(framePx).toArray
+        val sampled = frames.indices.by(every).map(frames)
         val bytes = sampled.flatten
-        FrameStats(v.doc_id, v.frames.length, sampled.length,
+        FrameStats(id, frames.length, sampled.length,
           if (bytes.isEmpty) 0.0
           else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length)
       }
@@ -215,37 +267,38 @@ object Multimodal {
   case class AudioFeatures(doc_id: Long, n_win: Int, total_energy: Long,
       peak_win: Int, peak_energy: Long)
 
-  /** G3: audio-style windowed features — the payload treated as a PCM
-    * sample stream, chopped into fixed 32-byte windows with per-window
-    * energy (Σ sample²), peak-window detection, total energy. The
-    * per-partition iterator is where a real audio codec/VAD model
-    * batches; arithmetic is exact integers, so the ASCII-byte oracle
-    * matches bit-for-bit. Peak ties resolve to the FIRST max window on
-    * both engines.
+  /** G3: audio-style windowed features — each payload is a REAL
+    * RIFF/WAVE PCM16 container ([[wavTable]]); the decode stage parses
+    * it ([[Codecs.WavCodec.decode]]) and the decoded sample stream is
+    * chopped into fixed 32-sample windows with per-window energy
+    * (Σ sample²), peak-window detection, total energy. The
+    * per-partition iterator is where a real VAD/codec model batches;
+    * arithmetic is exact integers and decoded sample == ascii(char),
+    * so the documents oracle matches bit-for-bit. Peak ties resolve to
+    * the FIRST max window on both engines.
     */
   def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val win = 32
-    mediaTable(spark, dir).mapPartitions { items =>
-      // per-partition codec/model init would go here (STUB)
-      // zero-length payloads yield no windows and no row — matching the
+    wavTable(spark, dir).mapPartitions { items =>
+      // zero-sample payloads yield no windows and no row — matching the
       // oracle, whose UNNEST(range(0)) drops empty docs entirely
-      items.filter(_.payload.nonEmpty).map { m =>
-        val b = m.payload
-        val n = (b.length + win - 1) / win
-        var total = 0L; var peak = 0L; var peakI = 0
-        var w = 0
-        while (w < n) {
-          var e = 0L
-          var i = w * win
-          val end = math.min((w + 1) * win, b.length)
-          while (i < end) { val v = (b(i) & 0xff).toLong; e += v * v; i += 1 }
-          total += e
-          if (e > peak) { peak = e; peakI = w }
-          w += 1
+      items.map(m => m.doc_id -> Codecs.WavCodec.decode(m.payload).samples)
+        .filter(_._2.nonEmpty).map { case (docId, s) =>
+          val n = (s.length + win - 1) / win
+          var total = 0L; var peak = 0L; var peakI = 0
+          var w = 0
+          while (w < n) {
+            var e = 0L
+            var i = w * win
+            val end = math.min((w + 1) * win, s.length)
+            while (i < end) { val v = s(i).toLong; e += v * v; i += 1 }
+            total += e
+            if (e > peak) { peak = e; peakI = w }
+            w += 1
+          }
+          AudioFeatures(docId, n, total, peakI, peak)
         }
-        AudioFeatures(m.doc_id, n, total, peakI, peak)
-      }
     }.toDF()
   }
 
@@ -296,11 +349,14 @@ object Multimodal {
     * batch decode → feature columns. Payloads are NOT inline: the
     * pipeline reads them through the object-store pointer path
     * (fetchPayloads), which is how a >1 MB-payload table works at
-    * 100 TB. Output is identical to the inline path, so the same
-    * DuckDB oracle gates it.
+    * 100 TB. The stored objects are REAL WAV containers and the decode
+    * stage is the real RIFF parser ([[WavDecoder]]); features are
+    * computed over decoded samples, which equal the document's ascii
+    * codes on this corpus — so the documents-table oracle gates the
+    * whole store→fetch→decode loop.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame =
-    pipelineWith(spark, dir, StubDecoder)
+    pipelineFrom(wavPointerTable(spark, dir), WavDecoder)
 
   /** G5: perceptual-hash payload near-dup — the multimodal twin of
     * SimHash (D3): re-encoded/trailing-edit copies of the same media
@@ -356,13 +412,19 @@ object Multimodal {
       .filter(col("hd") <= 5)
   }
 
-  /** The pipeline with a caller-supplied codec behind [[MediaDecoder]]. */
+  /** The pipeline with a caller-supplied codec behind [[MediaDecoder]]
+    * over the raw-byte object store.
+    */
   def pipelineWith(spark: SparkSession, dir: String,
+      decoder: MediaDecoder): DataFrame =
+    pipelineFrom(pointerTable(spark, dir), decoder)
+
+  private def pipelineFrom(ptrs: Dataset[MediaItem],
       decoder: MediaDecoder): DataFrame = {
+    val spark = ptrs.sparkSession
     import spark.implicits._
     val feats = fetchPayloads(
-      pointerTable(spark, dir)
-        .repartition(col("doc_id"))) // spread fetch IO evenly pre-decode
+      ptrs.repartition(col("doc_id"))) // spread fetch IO evenly pre-decode
       .mapPartitions(decoder.decode _)
     // floor-based rounding: the underlying doubles are bit-identical to
     // the oracle's (exact integer sums / lengths), so floor(x*1e4+0.5)

@@ -17,10 +17,21 @@ object Ann {
 
   /** Embeddings kept as array<float> end-to-end — vec_dot widens to
     * double inside its codegen loop, so no per-row array<double> copy.
+    *
+    * Memoized per (session, dir) via [[graft.Memo]]: the normalized +
+    * unit-vector corpus prep is shared across the six ANN queries
+    * (bruteforce / mips / filtered / ivf / ivf_full / pq / pq_full) and
+    * across every Lloyd/probe/re-rank pass inside one query — without
+    * it, ann_ivf alone re-reads parquet and re-normalizes 6–7 times per
+    * invocation (the round-5 regression). At 100 TB the same line is a
+    * materialized unit-vector table written once and scanned per pass.
     */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    withNorm(spark, Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v")))
+    graft.Memo.cached(spark, s"annvecs:$dir") {
+      withNorm(spark, Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v"), col("label")))
+        .withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
+    }
 
   /** Adds the precomputed L2 norm; input needs (vec_id, v). */
   def withNorm(spark: SparkSession, df: DataFrame): DataFrame = {
@@ -49,8 +60,7 @@ object Ann {
     * result list).
     */
   def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = withNorm(spark, Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"), col("label")))
+    val all = vecs(spark, dir)
     val q = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("label").as("qlabel"))
@@ -139,9 +149,7 @@ object Ann {
     */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.register(spark)
-    val all = withNorm(spark, Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"), col("label")))
-      .filter(col("label").isNotNull)
+    val all = vecs(spark, dir).filter(col("label").isNotNull)
     val q = all.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -179,8 +187,11 @@ object Ann {
     val spark = all.sparkSession
     graft.functions.VecFunctions.register(spark)
     // spherical k-means works on unit vectors: assignment = max dot
-    val unit = all.withColumn("u",
-      expr("transform(v, x -> cast(x as double) / norm)"))
+    // (reuse a prep-supplied unit column — e.g. the memoized vecs() —
+    // so Lloyd rounds read the cached frame instead of re-deriving it)
+    val unit =
+      if (all.columns.contains("u")) all
+      else all.withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
 
     def cdot(cent: Array[Double]): Column =
       call_function("vec_dot", col("u"), typedlit(cent.toSeq))
@@ -401,8 +412,9 @@ object Ann {
     val spark = all.sparkSession
     graft.functions.VecFunctions.register(spark)
     val sub = dim / m
-    val unit = all.withColumn("u",
-      expr("transform(v, x -> cast(x as double) / norm)"))
+    val unit =
+      if (all.columns.contains("u")) all
+      else all.withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
     def subCol(s: Int): Column = slice(col("u"), s * sub + 1, sub)
     // argmin ||x−c||² == argmax (x·c − ||c||²/2); ties → higher cid
     def scoredSub(s: Int, cents: Array[Array[Double]]): Column =

@@ -222,13 +222,15 @@ object Io {
     * 100 TB this is the difference between reading one file and
     * reading the table for a two-dimensional point query.
     *
-    * The z-value is pure integer bit arithmetic (16 bits per
-    * dimension, constant-unrolled shifts/masks — whole-stage codegen,
-    * no UDF); layout = range-repartition + in-partition sort on it.
+    * The z-value is pure integer bit arithmetic (32 bits per
+    * dimension filling the 64-bit z — keys up to 2³²−1 interleave
+    * without aliasing; constant-unrolled shifts/masks — whole-stage
+    * codegen, no UDF); layout = range-repartition + in-partition sort
+    * on it.
     */
   def zorderValue(x: Column, y: Column): Column = {
     val xi = x.cast("long"); val yi = y.cast("long")
-    (0 until 16).map { i =>
+    (0 until 32).map { i =>
       shiftleft(shiftright(xi, i).bitwiseAND(1), 2 * i)
         .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(1), 2 * i + 1))
     }.reduce(_ bitwiseOR _)

@@ -57,8 +57,14 @@ object TextAnalysis {
     // DataFrame loop costs ~10 scheduled shuffle rounds + caches per
     // call — correct, but pure overhead for a bounded-size graph.
     val limit = spark.conf.getOption("graft.text.domainRankDriverLimit")
-      .map(_.toLong).getOrElse(1000000L)
-    if (edges.count() <= limit) domainRankLocal(spark, edges)
+      .map(_.toInt).getOrElse(1000000)
+    // One aggregation pass decides the path AND supplies the local
+    // rows: collect at most limit+1 aggregated edges — if they all fit,
+    // that IS the edge set (no second count-then-collect scan of the
+    // corpus); if one more came back, the graph exceeds the driver
+    // bound and the distributed loop takes over.
+    val head = edges.limit(limit + 1).collect()
+    if (head.length <= limit) domainRankLocal(spark, head)
     else domainRankDistributed(spark, edges)
   }
 
@@ -67,9 +73,10 @@ object TextAnalysis {
     * summing (sums exact, order-free) and every IEEE op replays the
     * column expressions' exact sequence.
     */
-  private def domainRankLocal(spark: SparkSession, edges: DataFrame): DataFrame = {
+  private def domainRankLocal(spark: SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     def qd(x: Double) = math.floor(x * 1048576.0 + 0.5) / 1048576.0
-    val es = edges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val es = edgeRows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val ow = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
     val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
     var rank = nodes.map(_ -> 1.0 / 37.0).toMap

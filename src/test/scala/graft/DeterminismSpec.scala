@@ -25,8 +25,16 @@ class DeterminismSpec extends AnyFunSuite {
   private def runAt(partitions: Int, q: String): Set[Seq[Any]] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // Drop memoized intermediates and force domain_rank's distributed
+    // path: otherwise the 3/16-partition runs reuse the 1-partition
+    // run's cached build and the invariance is vacuous.
+    Memo.clear(spark)
+    spark.conf.set("graft.text.domainRankDriverLimit", "0")
     try SparkEntry.queries(q)(spark, dir).collect().map(_.toSeq).toSet
-    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", old)
+      Memo.clear(spark)
+    }
   }
 
   // round-5 additions: bm25's heap ranking (quantized scores + padded
