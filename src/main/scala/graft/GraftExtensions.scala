@@ -115,6 +115,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .BloomFilterAggregate(exprs(0),
             Cast(exprs(1), LongType), Cast(exprs(2), LongType), 0, 0)
       }))
+    // index surface as table-valued functions — `SELECT * FROM
+    // graft_match('/data', 'typ="click"')` etc. work from pure SQL
+    // (the reference's adapter/SWIG reachability, swig/wrapper.h:1)
+    graft.index.IndexSql.tvfs.foreach { case (name, builder) =>
+      e.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.index.IndexSql.getClass.getName, name),
+        builder))
+    }
     e.injectFunction((
       FunctionIdentifier("bloom_probe"),
       new ExpressionInfo(

@@ -9,6 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * compound into session-wide memory pressure. Memoizing the cached
   * DataFrame per (session, key) pins exactly one copy, the same
   * discipline TagIndex and Dedup.clusters already follow.
+  *
+  * Keys are namespaced `<owning module>.<intermediate>:<dataset>` —
+  * two builders may share a key ONLY by calling the same build (e.g.
+  * `dedup.planted:` is the planted-twin corpus shared by the dedup and
+  * ANN gates); an accidental key collision between different frames
+  * would silently cross-wire them.
   */
 object Memo {
   private val m =

@@ -25,6 +25,7 @@ object SparkEntry {
     "match_nregex" -> (index.IndexQueries.matchNregex _),
     "match_conj" -> (index.IndexQueries.matchConj _),
     "match_conj_stored" -> (index.IndexQueries.matchConjStored _),
+    "match_conj_streamed" -> (index.IndexQueries.matchConjStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -157,6 +158,26 @@ object SparkEntry {
     "mm_audio_windows" -> (multimodal.Multimodal.audioFeatures _),
     "mm_integrity" -> (multimodal.Multimodal.integrity _),
     "mm_phash_dedup" -> (multimodal.Multimodal.phashDedup _),
+    // A (SQL surface). The index TVFs driven from PURE SQL — the whole
+    // query below is a spark.sql string; the TVF resolves to the same
+    // logical plan the Scala builders produce (IndexSql.scala).
+    "sql_match_conj" -> ((s: SparkSession, dir: String) => {
+      index.IndexSql.register(s)
+      s.sql(s"""SELECT usr, typ FROM graft_match('$dir',
+               |  'typ="purchase", usr>="10", usr!="12"')""".stripMargin)
+    }),
+    "sql_select_range" -> ((s: SparkSession, dir: String) => {
+      index.IndexSql.register(s)
+      s.sql(s"""SELECT event_id, usr, typ, unix_timestamp(ts) AS ts_sec,
+               |  round(value, 2) AS value
+               |FROM graft_select('$dir', 'typ="purchase"',
+               |  '2024-01-10 00:00:00', '2024-01-12 00:00:00')""".stripMargin)
+    }),
+    "sql_label_values" -> ((s: SparkSession, dir: String) => {
+      index.IndexSql.register(s)
+      s.sql(s"""SELECT value FROM graft_label_values('$dir', 'usr',
+               |  'typ="purchase", usr>="10"')""".stripMargin)
+    }),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -225,6 +246,11 @@ object SparkEntry {
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
         |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
     "match_conj_stored" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
+        |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    "match_conj_streamed" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
         |FROM events
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
@@ -1943,6 +1969,23 @@ object SparkEntry {
         |      ) % 1000000007)) AS fp
         |  FROM t)
         |SELECT doc_id, fp FROM h WHERE fp IS NOT NULL""".stripMargin,
+    // A (SQL surface) — same semantics as the builder-API siblings
+    "sql_match_conj" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
+        |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    "sql_select_range" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  epoch_us(ts)//1000000 AS ts_sec, round(value, 2) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-12 00:00:00'""".stripMargin,
+    "sql_label_values" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS value FROM events
+        |WHERE event_type = 'purchase'
+        |  AND CAST(user_id AS VARCHAR) >= '10'""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

@@ -119,7 +119,7 @@ object Dedup {
     * shingle join is salted on hot shingles; here the semantics.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(graft.Memo.cached(spark, s"shingles:$dir") {
+    jaccardPairs(graft.Memo.cached(spark, s"dedup.shingles:$dir") {
       shingles(Tables.documents(spark, dir))
     }, 0.8)
 
@@ -147,7 +147,7 @@ object Dedup {
     require(maxId < 2000000L,
       s"containment puts snippets at doc_id+2000000 but the corpus already " +
         s"holds doc_id=$maxId — raise the offset in query AND oracle")
-    containmentOn(spark, docs, 2000000L, Some(s"containment_sh:$dir"))
+    containmentOn(spark, docs, 2000000L, Some(s"dedup.containment_sh:$dir"))
   }
 
   /** Ordered candidate pairs (ia = potentially-contained, ib =
@@ -220,7 +220,7 @@ object Dedup {
     val perms = Array.fill(NumPerms)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
 
-    val sh = graft.Memo.cached(spark, s"shingles:$dir") {
+    val sh = graft.Memo.cached(spark, s"dedup.shingles:$dir") {
       shingles(Tables.documents(spark, dir))
     }
     // one custom TypedImperativeAggregate computes all 64 minima in a
@@ -522,7 +522,7 @@ object Dedup {
     * corpus²), which is what survives 10⁹ vectors.
     */
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    val all = graft.Memo.cached(spark, s"planted:$dir") {
+    val all = graft.Memo.cached(spark, s"dedup.planted:$dir") {
       plantedEmbeddings(spark, dir)
     }
     val cand = graft.similarity.Ann

@@ -121,9 +121,10 @@ object IndexQueries {
     */
   def matchJsonLabel(spark: SparkSession, dir: String): DataFrame = {
     val i = TagIndex.memo(spark, dir, "usr,typ,kb") {
-      val ev = graft.Tables.eventsRaw(spark, dir).select(
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val ev = raw.select(
         col("event_id"), col("ts_ns"),
-        timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("value"),
+        graft.Tables.tsCol(raw).as("ts"), col("value"),
         col("user_id").cast("string").as("usr"),
         col("event_type").as("typ"),
         pmod(get_json_object(col("props"), "$.k").cast("long"), lit(10))
@@ -157,6 +158,66 @@ object IndexQueries {
     */
   def matchConjStored(spark: SparkSession, dir: String): DataFrame = {
     val store = storeFor(spark, dir)
+    val tsids = IndexStore.resolvePostings(spark, store, Seq(
+      LabelMatcher("typ", Eql, "purchase"),
+      LabelMatcher("usr", Gte, "10"),
+      LabelMatcher("usr", Neq, "12")))
+    idx(spark, dir).seriesCatalog
+      .join(tsids, Seq("tsid"), "left_semi")
+      .select("usr", "typ")
+  }
+
+  // a store populated ONLY through the H9 streaming foreachBatch loop
+  // (one per dataset; `_done` marks a completed build — a partial
+  // leftover from a crashed run is wiped and rebuilt, never resumed
+  // into, so replayed landings can't double-flush under fresh batch ids)
+  private val streamedStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamedStoreFor(spark: SparkSession, dir: String): String =
+    streamedStores.computeIfAbsent(dir, _ => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_streamstore_" + graft.Tables.fingerprint(s"$dir/events.parquet"))
+      val idxPath = new java.io.File(base, "index").toString
+      val done = new java.io.File(base, "_done")
+      if (!done.exists()) {
+        if (base.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(base)
+        }
+        val raw = graft.Tables.eventsRaw(spark, dir)
+        val ev = raw.select(
+          col("event_id"), col("ts_ns"), graft.Tables.tsCol(raw).as("ts"),
+          col("value"), col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"))
+        // land the events as 4 files; maxFilesPerTrigger=1 turns them
+        // into 4 micro-batches through the checkpointed ingest loop
+        val landing = new java.io.File(base, "landing").toString
+        ev.repartition(4).write.mode("overwrite").parquet(landing)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = graft.streaming.StreamOps.streamToStoreIndexed(
+          stream, new java.io.File(base, "lake").toString,
+          new java.io.File(base, "ckpt").toString, idxPath)
+        q.processAllAvailable(); q.stop()
+        done.createNewFile()
+      }
+      idxPath
+    })
+
+  /** H9 (oracle-gated): the A7 conjunction resolved from a store that
+    * was populated ONLY via the streaming WAL→flush loop
+    * (StreamOps.streamToStoreIndexed — the reference's
+    * index_server.h:48-66 ingest cycle): concurrent ingest + query
+    * under the same oracle as the in-memory and batch-materialized
+    * paths. Resolution cost is ∝ index entries, independent of how
+    * many micro-batches fed the store.
+    */
+  def matchConjStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val store = streamedStoreFor(spark, dir)
     val tsids = IndexStore.resolvePostings(spark, store, Seq(
       LabelMatcher("typ", Eql, "purchase"),
       LabelMatcher("usr", Gte, "10"),

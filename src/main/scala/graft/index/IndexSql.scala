@@ -1,0 +1,142 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+
+/** Pure-SQL drivability of the index surface — the Spark analog of the
+  * reference exposing its index to any client through the prom adapter
+  * and SWIG wrapper (/root/reference/include/tagtree/swig/wrapper.h:1,
+  * /root/reference/src/swig/tagtree.i): a SQL analyst with no Scala can
+  * resolve matchers, list label values, and run the full select() path
+  * from `spark.sql(...)` alone, via table-valued functions:
+  *
+  *  - `graft_match(dir, selector)`            → matching series rows
+  *  - `graft_select(dir, selector, t0, t1)`   → samples in [t0, t1]
+  *  - `graft_label_values(dir, name [, selector])` → distinct values
+  *  - `graft_label_names(dir)`                → label-name universe
+  *
+  * `selector` is a Prometheus-style matcher list, e.g.
+  * `typ="purchase", usr>="10", usr!="12", typ=~"(click|view)"`,
+  * with the reference's full MatchOp set (=, !=, =~, !~, <, >, <=, >=;
+  * index_tree.cpp:113-140). The TVF resolves to the SAME logical plan
+  * the Scala builder API produces — one optimizer, one execution path,
+  * so everything Catalyst does for the builders (broadcasts, pushdown,
+  * partial aggs) holds from SQL too.
+  */
+object IndexSql {
+
+  /** Parse a Prometheus-style selector list. Ops are matched longest-
+    * first so `!=`/`=~`/`>=` never misparse as `=`/`>`. Values are
+    * double-quoted; commas inside quotes belong to the value.
+    */
+  def parseSelector(s: String): Seq[LabelMatcher] = {
+    val trimmed = s.trim
+    if (trimmed.isEmpty) sys.error("empty selector")
+    // split on commas outside double quotes
+    val terms = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    trimmed.foreach {
+      case '"' => inQ = !inQ; cur.append('"')
+      case ',' if !inQ => terms += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    terms += cur.result()
+    if (inQ) sys.error(s"unterminated quote in selector: $s")
+
+    val TermRe = """\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=~|!~|!=|>=|<=|=|<|>)\s*"((?:[^"\\]|\\.)*)"\s*""".r
+    terms.toSeq.map {
+      case TermRe(name, op, raw) =>
+        val value = raw.replace("\\\"", "\"").replace("\\\\", "\\")
+        val mop = op match {
+          case "="  => MatchOp.Eql
+          case "!=" => MatchOp.Neq
+          case "=~" => MatchOp.EqlRegex
+          case "!~" => MatchOp.NeqRegex
+          case "<"  => MatchOp.Lss
+          case ">"  => MatchOp.Gtr
+          case "<=" => MatchOp.Lte
+          case ">=" => MatchOp.Gte
+        }
+        LabelMatcher(name, mop, value)
+      case bad => sys.error(
+        s"""bad matcher term '$bad' — expected name<op>"value" with op in = != =~ !~ < > <= >=""")
+    }
+  }
+
+  private def argString(name: String, exprs: Seq[Expression], i: Int): String = {
+    require(exprs.length > i, s"$name: missing argument ${i + 1}")
+    val e = exprs(i)
+    require(e.foldable, s"$name argument ${i + 1} must be a string literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$name argument ${i + 1} must not be NULL")
+    v.toString
+  }
+
+  // ---- DataFrame builders backing the TVFs (shared with the tests) ----
+
+  def matchSeries(spark: SparkSession, dir: String, selector: String): DataFrame =
+    TagIndex.forEvents(spark, dir)
+      .resolveMatchers(parseSelector(selector))
+      .select(col("usr"), col("typ"))
+
+  def selectRange(spark: SparkSession, dir: String, selector: String,
+      t0: String, t1: String): DataFrame =
+    TagIndex.forEvents(spark, dir)
+      .select(parseSelector(selector),
+        lit(t0).cast("timestamp"), lit(t1).cast("timestamp"))
+
+  def labelValues(spark: SparkSession, dir: String, name: String,
+      selector: Option[String]): DataFrame = {
+    val i = TagIndex.forEvents(spark, dir)
+    selector match {
+      case Some(s) => i.labelValues(name, parseSelector(s))
+      case None    => i.labelValues(name)
+    }
+  }
+
+  def labelNames(spark: SparkSession, dir: String): DataFrame =
+    TagIndex.forEvents(spark, dir)
+      .invertedIndex.select(col("label_name")).distinct()
+
+  // ---- TVF plan builders (argument literals → the builder's plan) ----
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private[graft] val tvfs: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_match" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "graft_match expects (dir, selector)")
+      plan(matchSeries(SparkSession.active,
+        argString("graft_match", exprs, 0), argString("graft_match", exprs, 1)))
+    },
+    "graft_select" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 4, "graft_select expects (dir, selector, start, end)")
+      plan(selectRange(SparkSession.active,
+        argString("graft_select", exprs, 0), argString("graft_select", exprs, 1),
+        argString("graft_select", exprs, 2), argString("graft_select", exprs, 3)))
+    },
+    "graft_label_values" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2 || exprs.length == 3,
+        "graft_label_values expects (dir, name [, selector])")
+      plan(labelValues(SparkSession.active,
+        argString("graft_label_values", exprs, 0),
+        argString("graft_label_values", exprs, 1),
+        if (exprs.length == 3) Some(argString("graft_label_values", exprs, 2)) else None))
+    },
+    "graft_label_names" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "graft_label_names expects (dir)")
+      plan(labelNames(SparkSession.active, argString("graft_label_names", exprs, 0)))
+    })
+
+  /** Imperative per-session registration (the path Verify/Bench sessions
+    * use; GraftExtensions injects the same builders for
+    * `spark.sql.extensions` sessions).
+    */
+  def register(spark: SparkSession): Unit =
+    tvfs.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

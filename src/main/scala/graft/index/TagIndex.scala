@@ -173,17 +173,11 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String]) {
     */
   def select(matchers: Seq[LabelMatcher], startTs: Column, endTs: Column): DataFrame = {
     val tsids = resolveMatchers(matchers, Some(startTs), Some(endTs)).select("tsid")
-    // when the raw nanos column is present, range-filter on IT: the
-    // predicate reaches the parquet scan as an INT64 stats filter and
-    // prunes row groups — a filter on the *converted* timestamp cannot
-    // push down. Bounds are chosen so semantics equal `ts ∈ [start,end]`
-    // on the µs-truncated timestamp.
-    val timeFiltered =
-      if (labeled.columns.contains("ts_ns"))
-        labeled.filter(col("ts_ns") >= unix_micros(startTs) * 1000L &&
-          col("ts_ns") < (unix_micros(endTs) + 1L) * 1000L)
-      else
-        labeled.filter(col("ts") >= startTs && col("ts") <= endTs)
+    // Tables.tsBetween lands the range on whichever time column is
+    // file-native (raw ns long or µs timestamp), so the predicate
+    // reaches the parquet scan as a row-group stats filter in either
+    // encoding; semantics equal `ts ∈ [start,end]` µs-truncated.
+    val timeFiltered = Tables.tsBetween(labeled, startTs, endTs)
     timeFiltered.join(broadcast(tsids), Seq("tsid"), "left_semi")
   }
 }
@@ -261,9 +255,10 @@ object TagIndex {
 
   def forEvents(spark: SparkSession, dir: String): TagIndex =
     memo(spark, dir, "usr,typ") {
-      val ev = Tables.eventsRaw(spark, dir).select(
+      val raw = Tables.eventsRaw(spark, dir)
+      val ev = raw.select(
         col("event_id"), col("ts_ns"),
-        timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("value"),
+        Tables.tsCol(raw).as("ts"), col("value"),
         col("user_id").cast("string").as("usr"),
         col("event_type").as("typ"))
       new TagIndex(ev, Seq("usr", "typ"))

@@ -27,7 +27,7 @@ object Ann {
     * materialized unit-vector table written once and scanned per pass.
     */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(spark, s"annvecs:$dir") {
+    graft.Memo.cached(spark, s"ann.vecs:$dir") {
       withNorm(spark, Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").as("v"), col("label")))
         .withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
@@ -357,7 +357,7 @@ object Ann {
     * (rows-only by necessity: its output is hyperplane-dependent).
     */
   def lshPlanted(spark: SparkSession, dir: String): DataFrame = {
-    val all = graft.Memo.cached(spark, s"planted:$dir") {
+    val all = graft.Memo.cached(spark, s"dedup.planted:$dir") {
       graft.dedup.Dedup.plantedEmbeddings(spark, dir)
     }
     lshTopkOn(all, col("vec_id") >= 1000000L, bits = 8, tables = 24)

@@ -46,7 +46,7 @@ object Bm25 {
   // otherwise cache a fresh copy of the same table (see graft.Memo).
   private def cachedPostings(spark: SparkSession, key: String,
       build: => DataFrame): DataFrame =
-    graft.Memo.cached(spark, s"bm25:$key")(build)
+    graft.Memo.cached(spark, s"text.bm25:$key")(build)
 
   /** Corpus-generic form (the scale probe drives the same pipeline
     * over replicated corpora).

@@ -438,7 +438,7 @@ object TextAnalysis {
   def pmi(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(explode(words).as("w"))
-    val uni = graft.Memo.cached(spark, s"pmi_uni:$dir") {
+    val uni = graft.Memo.cached(spark, s"text.pmi_uni:$dir") {
       toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
     }
     val totU = uni.agg(sum(col("c")).as("u_tot"))
@@ -570,7 +570,7 @@ object TextAnalysis {
     // lookup joins) read the bigram stream; cache it once instead of
     // replaying the transform+explode per branch — memoized so
     // repeated invocations share the one copy (graft.Memo)
-    val bg = graft.Memo.cached(spark, s"lm_bigrams:$dir") {
+    val bg = graft.Memo.cached(spark, s"text.lm_bigrams:$dir") {
       Tables.documents(spark, dir)
         .filter(size(split(col("text"), " ")) >= 2)
         .withColumn("__w", split(col("text"), " "))

@@ -1,5 +1,6 @@
 package graft.tsdb
 
+import graft.Tables
 import graft.index.TagIndex
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -712,12 +713,7 @@ object Tsdb {
     val t = lit("2024-01-20 12:00:00").cast("timestamp")
     val stale = lit("2024-01-20 00:00:00").cast("timestamp") // wide horizon: sparse series
     val i = idx(spark, dir)
-    val window =
-      if (i.labeled.columns.contains("ts_ns"))
-        i.labeled.filter(col("ts_ns") >= unix_micros(stale) * 1000L &&
-          col("ts_ns") < (unix_micros(t) + 1L) * 1000L)
-      else
-        i.labeled.filter(col("ts") >= stale && col("ts") <= t)
+    val window = Tables.tsBetween(i.labeled, stale, t)
     window.groupBy(col("usr"), col("typ"))
       .agg(unix_timestamp(max(col("ts"))).as("sample_ts_sec"),
         round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2).as("value_at"))

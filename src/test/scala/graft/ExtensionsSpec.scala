@@ -81,4 +81,86 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  /** The index surface from PURE SQL (the reference's adapter/SWIG
+    * reachability, swig/wrapper.h:1): every matcher shape A2–A11 plus
+    * the B1 select path runs through the injected TVFs and returns
+    * exactly what the Scala builder API returns.
+    */
+  test("index TVFs: pure SQL ≡ builder API for every matcher shape") {
+    val base = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val dir = "/root/testdata/sf0.001"
+      import graft.index.{IndexQueries, IndexSql, LabelMatcher, MatchOp, TagIndex}
+
+      def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+      // selectors covering every MatchOp (A2 =, A3 !=, A4 </>/<=/>=,
+      // A5 =~, A6 !~, A7 conjunction)
+      val shapes: Seq[(String, Seq[LabelMatcher])] = Seq(
+        ("""typ="click"""" -> Seq(LabelMatcher("typ", MatchOp.Eql, "click"))),
+        ("""typ="click", usr!="7"""" ->
+          Seq(LabelMatcher("typ", MatchOp.Eql, "click"),
+            LabelMatcher("usr", MatchOp.Neq, "7"))),
+        ("""usr>="2", usr<="5"""" ->
+          Seq(LabelMatcher("usr", MatchOp.Gte, "2"),
+            LabelMatcher("usr", MatchOp.Lte, "5"))),
+        ("""usr>"2", usr<"5"""" ->
+          Seq(LabelMatcher("usr", MatchOp.Gtr, "2"),
+            LabelMatcher("usr", MatchOp.Lss, "5"))),
+        ("""typ=~"(click|view)"""" ->
+          Seq(LabelMatcher("typ", MatchOp.EqlRegex, "(click|view)"))),
+        ("""usr="3", typ!~"(error|signup)"""" ->
+          Seq(LabelMatcher("usr", MatchOp.Eql, "3"),
+            LabelMatcher("typ", MatchOp.NeqRegex, "(error|signup)"))),
+        ("""typ="purchase", usr>="10", usr!="12"""" ->
+          Seq(LabelMatcher("typ", MatchOp.Eql, "purchase"),
+            LabelMatcher("usr", MatchOp.Gte, "10"),
+            LabelMatcher("usr", MatchOp.Neq, "12"))))
+      for ((sel, ms) <- shapes) {
+        val viaSql = s.sql(s"SELECT usr, typ FROM graft_match('$dir', '$sel')")
+        val viaApi = TagIndex.forEvents(s, dir).resolveMatchers(ms)
+          .select("usr", "typ")
+        assert(sorted(viaSql) == sorted(viaApi), s"selector: $sel")
+      }
+
+      // A8 label_values + A8c constrained + A8b label_names
+      assert(sorted(s.sql(s"SELECT value FROM graft_label_values('$dir', 'typ')"))
+        == sorted(TagIndex.forEvents(s, dir).labelValues("typ")))
+      assert(sorted(s.sql(
+        s"""SELECT value FROM graft_label_values('$dir', 'usr', 'typ="purchase", usr>="10"')"""))
+        == sorted(IndexQueries.labelValuesMatched(s, dir)))
+      assert(sorted(s.sql(s"SELECT label_name FROM graft_label_names('$dir')"))
+        == Seq("typ", "usr"))
+
+      // B1 select(): matchers + time range → samples, fully from SQL
+      val sqlSel = s.sql(
+        s"""SELECT event_id, usr, typ, unix_timestamp(ts) AS ts_sec,
+           |  round(value, 2) AS value
+           |FROM graft_select('$dir', 'typ="purchase"',
+           |  '2024-01-10 00:00:00', '2024-01-12 00:00:00')""".stripMargin)
+      assert(sorted(sqlSel) == sorted(IndexQueries.selectRange(s, dir)))
+
+      // parser rejects garbage loudly
+      val err = intercept[Exception](IndexSql.parseSelector("""typ~="click""""))
+      assert(err.getMessage.contains("bad matcher term"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
