@@ -80,6 +80,17 @@ object ScaleProbe {
       .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
       .cache()
     println(s"decorrelated vectors: ${edecor.count()}")
+    // IVF train+probe over the factor× corpus, FIXED 10-query set:
+    // training is `iters` scan+partial-agg rounds (the driver holds
+    // only k×dim centroid sums — a broadcast-sized state at any N);
+    // probing reads nprobe/k of the corpus per query. Growth drivers:
+    // train ∝ N·k·iters dots, probe ∝ N·nprobe/k dots.
+    t("ivf_train_probe")(similarity.Ann.ivfTopkOn(edecor, col("vec_id") < 10))
+    // PQ codebook train (per-subspace k-means on a bounded sample) +
+    // ADC scan: the scan reads every code but only m byte-lookups per
+    // vector (compressed domain); candN re-rank is heap-bounded.
+    // Growth drivers: encode ∝ N·m·256 dots once, scan ∝ N·m adds.
+    t("pq_train_adc")(similarity.Ann.pqTopkOn(edecor, col("vec_id") < 10, candN = 64))
     t("lsh_pair_scan") {
       // same candidate + verify pipeline as the gated dedup_embedding_lsh
       dedup.Dedup.cosineVerify(

@@ -178,6 +178,45 @@ object SparkEntry {
       s.sql(s"""SELECT value FROM graft_label_values('$dir', 'usr',
                |  'typ="purchase", usr>="10"')""".stripMargin)
     }),
+    // B (PromQL surface). The reference's actual client language
+    // (adapters/prom) parsed + evaluated as one Catalyst plan
+    // (promql/PromQl.scala). promql_instant runs through the SQL TVF to
+    // pin the full SQL→PromQL→plan path; the rest use the Scala entry.
+    "promql_instant" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      index.IndexSql.register(s)
+      s.sql(s"""SELECT usr, typ, round(value, 2) AS value
+               |FROM graft_promql('$dir', '{typ=~".*"}',
+               |  '2024-01-31 00:00:00')""".stripMargin)
+    }),
+    "promql_rate_sum" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """sum by (typ) (rate({typ=~"(click|view|purchase)"}[7d])) * 3600""",
+        "2024-01-31 00:00:00")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_over_time" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """max_over_time({usr<="3"}[30d])""", "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), round(col("value"), 2).as("value"))
+    }),
+    "promql_topk" -> ((s: SparkSession, dir: String) => {
+      promql.PromQl.eval(s, dir,
+        """topk(5, sum by (usr) (count_over_time({typ=~".*"}[30d])))""",
+        "2024-01-31 00:00:00")
+    }),
+    "promql_binop" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """sum by (usr) (increase({typ="purchase"}[30d]))
+          | / sum by (usr) (count_over_time({typ="purchase"}[30d]))""".stripMargin,
+        "2024-01-31 00:00:00")
+        .select(col("usr"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -1986,6 +2025,76 @@ object SparkEntry {
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS value FROM events
         |WHERE event_type = 'purchase'
         |  AND CAST(user_id AS VARCHAR) >= '10'""".stripMargin,
+    // B (PromQL surface) — evaluator semantics restated in SQL:
+    // closed [T-range, T] windows, ordered (ts, event_id) folds,
+    // counter increase = Σ max(Δ,0) + post-reset value, rate over ≥2
+    // samples, ties in topk broken by label
+    "promql_instant" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  round(value, 2) AS value
+        |FROM (SELECT user_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |        AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1""".stripMargin,
+    "promql_rate_sum" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  WHERE regexp_full_match(event_type, '(click|view|purchase)')
+        |    AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'),
+        |inc AS (
+        |  SELECT user_id, event_type,
+        |    sum(CASE WHEN prev IS NULL THEN 0
+        |             WHEN value - prev >= 0 THEN value - prev
+        |             ELSE value END) AS iv,
+        |    count(*) AS n
+        |  FROM w GROUP BY 1, 2)
+        |SELECT event_type AS typ,
+        |  floor(sum(iv / 604800.0) * 3600 * 10000 + 0.5) / 10000 AS value
+        |FROM inc WHERE n >= 2 GROUP BY 1""".stripMargin,
+    "promql_over_time" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  round(max(value), 2) AS value
+        |FROM events
+        |WHERE CAST(user_id AS VARCHAR) <= '3'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "promql_topk" ->
+      """SELECT usr, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1)
+        |ORDER BY value DESC, usr ASC LIMIT 5""".stripMargin,
+    "promql_binop" ->
+      """WITH w AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'),
+        |inc AS (
+        |  SELECT usr,
+        |    sum(CASE WHEN prev IS NULL THEN 0
+        |             WHEN value - prev >= 0 THEN value - prev
+        |             ELSE value END) AS iv,
+        |    count(*) AS n
+        |  FROM w GROUP BY 1),
+        |cnt AS (SELECT usr, CAST(count(*) AS DOUBLE) AS cv FROM w GROUP BY 1)
+        |SELECT i.usr AS usr,
+        |  floor(i.iv / c.cv * 10000 + 0.5) / 10000 AS value
+        |FROM inc i JOIN cnt c ON i.usr = c.usr WHERE i.n >= 2""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

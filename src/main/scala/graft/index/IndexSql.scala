@@ -128,6 +128,18 @@ object IndexSql {
     "graft_label_names" -> { exprs: Seq[Expression] =>
       require(exprs.length == 1, "graft_label_names expects (dir)")
       plan(labelNames(SparkSession.active, argString("graft_label_names", exprs, 0)))
+    },
+    // the full client surface: a PromQL expression evaluated at an
+    // instant, from SQL — `SELECT * FROM graft_promql('/data',
+    // 'sum by (typ) (rate({typ="click"}[1h]))', '2024-01-31 00:00:00')`
+    "graft_promql" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 3 || exprs.length == 4,
+        "graft_promql expects (dir, expr, t [, lookbackSec])")
+      val lookback =
+        if (exprs.length == 4) argString("graft_promql", exprs, 3).toLong else 86400L
+      plan(graft.promql.PromQl.eval(SparkSession.active,
+        argString("graft_promql", exprs, 0), argString("graft_promql", exprs, 1),
+        argString("graft_promql", exprs, 2), lookback))
     })
 
   /** Imperative per-session registration (the path Verify/Bench sessions

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PromQL-subset surface (promql/PromQl.scala): parser shape,
+  * instant-query semantics, and the SQL TVF path. The gated
+  * `promql_*` queries hash-compare the evaluator against DuckDB; this
+  * spec pins the algebraic identities the oracle can't see (offset
+  * shifting, scalar precedence, operator equivalences).
+  */
+class PromQlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  val T = "2024-01-31 00:00:00"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
+    df.collect().map(_.toSeq.map(String.valueOf)).toSet
+
+  test("parser: precedence and scalar arithmetic") {
+    assert(promql.PromQl.eval(spark, dir, "1 + 2 * 3", T).head().getDouble(0) == 7.0)
+    assert(promql.PromQl.eval(spark, dir, "(1 + 2) * 3", T).head().getDouble(0) == 9.0)
+    assert(promql.PromQl.eval(spark, dir, "clamp_max(abs(0 - 5), 3)", T)
+      .head().getDouble(0) == 3.0)
+  }
+
+  test("parser: malformed input fails with a pointed message") {
+    val bad = Seq(
+      "rate({typ=\"x\"}[5q])",      // bad duration unit
+      "frobnicate({typ=\"x\"})",    // unknown function
+      "sum by (usr ({typ=\"x\"})",  // broken by-clause
+      "{typ=\"x\"} extra")          // trailing garbage
+    for (b <- bad) {
+      val e = intercept[Exception](promql.PromQl.eval(spark, dir, b, T))
+      assert(e.getMessage != null, b)
+    }
+    // range function without a range selector is a semantic error
+    val e2 = intercept[Exception](
+      promql.PromQl.eval(spark, dir, "rate({typ=\"click\"})", T))
+    assert(e2.getMessage.contains("range"))
+  }
+
+  test("instant selector ≡ last_over_time over the lookback window") {
+    val a = promql.PromQl.eval(spark, dir, "{typ=\"click\"}", T, lookbackSec = 86400L)
+    val b = promql.PromQl.eval(spark, dir, "last_over_time({typ=\"click\"}[1d])", T)
+    assert(rows(a) == rows(b) && rows(a).nonEmpty)
+  }
+
+  test("offset shifts the evaluation window") {
+    val off = promql.PromQl.eval(spark, dir, "{typ=\"view\"} offset 1d", T)
+    val at = promql.PromQl.eval(spark, dir, "{typ=\"view\"}", "2024-01-30 00:00:00")
+    assert(rows(off) == rows(at) && rows(off).nonEmpty)
+  }
+
+  test("vector-scalar op broadcasts; agg without by() is global") {
+    val base = promql.PromQl.eval(spark, dir,
+      "sum(count_over_time({typ=~\".*\"}[30d]))", T)
+    val twice = promql.PromQl.eval(spark, dir,
+      "sum(count_over_time({typ=~\".*\"}[30d])) * 2", T)
+    assert(twice.head().getDouble(0) == 2 * base.head().getDouble(0))
+    assert(base.head().getDouble(0) > 0)
+  }
+
+  test("vector-vector default matching joins on the shared label set") {
+    val ratio = promql.PromQl.eval(spark, dir,
+      "sum by (typ) (count_over_time({typ=~\".*\"}[30d]))" +
+        " / sum by (typ) (count_over_time({typ=~\".*\"}[30d]))", T)
+    val vals = ratio.select("value").collect().map(_.getDouble(0)).toSet
+    assert(vals == Set(1.0))
+    val e = intercept[Exception](promql.PromQl.eval(spark, dir,
+      "sum by (typ) (count_over_time({typ=~\".*\"}[30d]))" +
+        " / sum by (usr) (count_over_time({typ=~\".*\"}[30d]))", T))
+    assert(e.getMessage.contains("label sets"))
+  }
+
+  test("topk is deterministic under re-evaluation and bounded") {
+    val q = "topk(3, sum by (usr) (count_over_time({typ=~\".*\"}[30d])))"
+    val a = promql.PromQl.eval(spark, dir, q, T)
+    val b = promql.PromQl.eval(spark, dir, q, T)
+    assert(rows(a) == rows(b) && a.count() == 3)
+  }
+
+  test("graft_promql TVF: SQL path ≡ Scala eval") {
+    index.IndexSql.register(spark)
+    val viaSql = spark.sql(
+      s"""SELECT usr, typ, value FROM graft_promql('$dir',
+         |  'max_over_time({usr<="3"}[30d])', '$T')""".stripMargin)
+    val viaApi = promql.PromQl.eval(spark, dir,
+      """max_over_time({usr<="3"}[30d])""", T)
+      .select("usr", "typ", "value")
+    assert(rows(viaSql) == rows(viaApi) && rows(viaSql).nonEmpty)
+  }
+}
