@@ -217,6 +217,35 @@ object SparkEntry {
         .select(col("usr"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
     }),
+    "promql_range_rate" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.evalRange(s, dir, """rate({typ="click"}[1d]) * 3600""",
+        "2024-01-08 00:00:00", "2024-01-14 00:00:00", 86400L)
+        .select(col("usr"), col("typ"), col("t_sec"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_range_agg" -> ((s: SparkSession, dir: String) => {
+      index.IndexSql.register(s)
+      s.sql(s"""SELECT typ, t_sec, value FROM graft_promql_range('$dir',
+               |  'sum by (typ) (count_over_time({typ=~".*"}[2d]))',
+               |  '2024-01-08 00:00:00', '2024-01-14 00:00:00', '86400')""".stripMargin)
+    }),
+    "promql_quantile" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """quantile_over_time(0.9, {typ="view"}[30d])""", "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_filter" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """max_over_time({usr<="3"}[30d]) > 50""", "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), round(col("value"), 2).as("value"))
+    }),
+    "promql_absent" -> ((s: SparkSession, dir: String) =>
+      promql.PromQl.eval(s, dir,
+        """absent({typ="nonexistent"})""", "2024-01-31 00:00:00")),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2095,6 +2124,65 @@ object SparkEntry {
         |SELECT i.usr AS usr,
         |  floor(i.iv / c.cv * 10000 + 0.5) / 10000 AS value
         |FROM inc i JOIN cnt c ON i.usr = c.usr WHERE i.n >= 2""".stripMargin,
+    // range-query oracles: the 7-point daily grid restated with epoch
+    // arithmetic (1704672000 = 2024-01-08 00:00:00 UTC); closed
+    // [T_i-range, T_i] windows, per-window ordered deltas
+    "promql_range_rate" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 6)) AS i),
+        |w AS (
+        |  SELECT e.user_id, e.value, e.ts, e.event_id, g.i
+        |  FROM events e, g
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(e.ts) >= 1704672000000000 + g.i*86400000000 - 86400000000
+        |    AND epoch_us(e.ts) <= 1704672000000000 + g.i*86400000000),
+        |d AS (
+        |  SELECT user_id, i, value,
+        |    lag(value) OVER (PARTITION BY user_id, i ORDER BY ts, event_id) AS prev
+        |  FROM w),
+        |inc AS (
+        |  SELECT user_id, i,
+        |    sum(CASE WHEN prev IS NULL THEN 0
+        |             WHEN value - prev >= 0 THEN value - prev
+        |             ELSE value END) AS iv,
+        |    count(*) AS n
+        |  FROM d GROUP BY 1, 2)
+        |SELECT CAST(user_id AS VARCHAR) AS usr, 'click' AS typ,
+        |  1704672000 + i * 86400 AS t_sec,
+        |  floor(iv / 86400.0 * 3600 * 10000 + 0.5) / 10000 AS value
+        |FROM inc WHERE n >= 2""".stripMargin,
+    "promql_range_agg" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 6)) AS i),
+        |w AS (
+        |  SELECT e.event_type, g.i
+        |  FROM events e, g
+        |  WHERE epoch_us(e.ts) >= 1704672000000000 + g.i*86400000000 - 172800000000
+        |    AND epoch_us(e.ts) <= 1704672000000000 + g.i*86400000000)
+        |SELECT event_type AS typ, 1704672000 + i * 86400 AS t_sec,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "promql_quantile" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS value
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "promql_filter" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  round(max(value), 2) AS value
+        |FROM events
+        |WHERE CAST(user_id AS VARCHAR) <= '3'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1, 2
+        |HAVING max(value) > 50""".stripMargin,
+    "promql_absent" ->
+      """SELECT CAST(1 AS DOUBLE) AS value
+        |WHERE NOT EXISTS (SELECT 1 FROM events
+        |  WHERE event_type = 'nonexistent'
+        |    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

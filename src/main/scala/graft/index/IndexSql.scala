@@ -140,6 +140,22 @@ object IndexSql {
       plan(graft.promql.PromQl.eval(SparkSession.active,
         argString("graft_promql", exprs, 0), argString("graft_promql", exprs, 1),
         argString("graft_promql", exprs, 2), lookback))
+    },
+    // the adapter's /query_range form: one row per series per grid
+    // timestamp (`t_sec`), e.g. graft_promql_range('/data',
+    // 'rate({typ="click"}[1d])', '2024-01-08 00:00:00',
+    // '2024-01-14 00:00:00', '86400')
+    "graft_promql_range" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 5 || exprs.length == 6,
+        "graft_promql_range expects (dir, expr, start, end, stepSec [, lookbackSec])")
+      val lookback =
+        if (exprs.length == 6) argString("graft_promql_range", exprs, 5).toLong else 86400L
+      plan(graft.promql.PromQl.evalRange(SparkSession.active,
+        argString("graft_promql_range", exprs, 0),
+        argString("graft_promql_range", exprs, 1),
+        argString("graft_promql_range", exprs, 2),
+        argString("graft_promql_range", exprs, 3),
+        argString("graft_promql_range", exprs, 4).toLong, lookback))
     })
 
   /** Imperative per-session registration (the path Verify/Bench sessions

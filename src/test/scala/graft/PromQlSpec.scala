@@ -87,6 +87,80 @@ class PromQlSpec extends AnyFunSuite {
     assert(rows(a) == rows(b) && a.count() == 3)
   }
 
+  test("without(...) is the complement of by(...)") {
+    val a = promql.PromQl.eval(spark, dir,
+      """sum without (usr) (count_over_time({typ=~".*"}[30d]))""", T)
+    val b = promql.PromQl.eval(spark, dir,
+      """sum by (typ) (count_over_time({typ=~".*"}[30d]))""", T)
+    assert(rows(a) == rows(b) && rows(a).nonEmpty)
+  }
+
+  test("comparison filters keep entries, values unchanged") {
+    val all = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="view"}[30d])""", T)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val kept = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="view"}[30d]) > 50""", T)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(kept.toSet == all.filter(_._3 > 50).toSet)
+    assert(kept.nonEmpty && kept.length < all.length)
+    // vector-vector comparison: x == x keeps everything
+    val self = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="view"}[30d]) == max_over_time({typ="view"}[30d])""", T)
+    assert(self.count() == all.length)
+  }
+
+  test("quantile_over_time: q=0 is min, q=1 is max") {
+    val lo = promql.PromQl.eval(spark, dir,
+      """quantile_over_time(0, {typ="click"}[30d])""", T)
+    val mn = promql.PromQl.eval(spark, dir,
+      """min_over_time({typ="click"}[30d])""", T)
+    assert(rows(lo) == rows(mn) && rows(lo).nonEmpty)
+    val hi = promql.PromQl.eval(spark, dir,
+      """quantile_over_time(1, {typ="click"}[30d])""", T)
+    val mx = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="click"}[30d])""", T)
+    assert(rows(hi) == rows(mx))
+  }
+
+  test("absent() fires only when the vector is empty") {
+    val yes = promql.PromQl.eval(spark, dir, """absent({typ="nonexistent"})""", T)
+    assert(yes.collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    val no = promql.PromQl.eval(spark, dir, """absent({typ="click"})""", T)
+    assert(no.count() == 0)
+  }
+
+  test("range query ≡ instant query at every grid point") {
+    val q = """sum by (typ) (count_over_time({typ=~".*"}[2d]))"""
+    val grid = promql.PromQl.evalRange(spark, dir, q,
+      "2024-01-10 00:00:00", "2024-01-12 00:00:00", 86400L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val pts = Seq("2024-01-10 00:00:00", "2024-01-11 00:00:00", "2024-01-12 00:00:00")
+    val single = pts.flatMap { t =>
+      val tSec = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      promql.PromQl.eval(spark, dir, q, t)
+        .collect().map(r => (r.getString(0), tSec, r.getDouble(1)))
+    }.toSet
+    assert(grid == single && grid.nonEmpty)
+  }
+
+  test("overlapping windows: a sample lands in range/step + 1 grid points") {
+    // one series' samples, window 2d, step 1d: total per-grid-point
+    // counts must equal the sum over samples of their window multiplicity
+    val grid = promql.PromQl.evalRange(spark, dir,
+      """count_over_time({typ="signup"}[2d])""",
+      "2024-01-05 00:00:00", "2024-01-29 00:00:00", 86400L)
+    val total = grid.agg(sum("value")).head().getDouble(0)
+    val singles = promql.PromQl.evalRange(spark, dir,
+      """count_over_time({typ="signup"}[1d])""",
+      "2024-01-05 00:00:00", "2024-01-29 00:00:00", 86400L)
+      .agg(sum("value")).head().getDouble(0)
+    // every [1d] window is contained in two consecutive [2d] windows
+    // away from the grid edges, so the 2d total must exceed the 1d one
+    assert(total > singles && singles > 0)
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
