@@ -246,6 +246,18 @@ object SparkEntry {
     "promql_absent" -> ((s: SparkSession, dir: String) =>
       promql.PromQl.eval(s, dir,
         """absent({typ="nonexistent"})""", "2024-01-31 00:00:00")),
+    "sql_series" -> ((s: SparkSession, dir: String) => {
+      index.IndexSql.register(s)
+      s.sql(s"SELECT * FROM graft_series('$dir')")
+    }),
+    "promql_metric_name" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // metric-name sugar: `purchase{usr>="10", usr!="12"}` desugars to
+      // the A7 conjunction
+      promql.PromQl.eval(s, dir,
+        """purchase{usr>="10", usr!="12"}""", "2024-01-31 00:00:00", 86400L * 31)
+        .select(col("usr"), col("typ"), round(col("value"), 2).as("value"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2183,6 +2195,25 @@ object SparkEntry {
         |  WHERE event_type = 'nonexistent'
         |    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
         |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')""".stripMargin,
+    "sql_series" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  epoch_us(min(ts))//1000000 AS first_ts,
+        |  epoch_us(max(ts))//1000000 AS last_ts,
+        |  count(*) AS n_samples
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "promql_metric_name" ->
+      """SELECT usr, typ, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    round(value, 2) AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND CAST(user_id AS VARCHAR) >= '10'
+        |    AND CAST(user_id AS VARCHAR) <> '12'
+        |    AND ts >= TIMESTAMP '2023-12-31 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

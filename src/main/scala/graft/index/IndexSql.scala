@@ -129,6 +129,13 @@ object IndexSql {
       require(exprs.length == 1, "graft_label_names expects (dir)")
       plan(labelNames(SparkSession.active, argString("graft_label_names", exprs, 0)))
     },
+    // the prom API's /series endpoint: the series catalog with time
+    // bounds and sample counts
+    "graft_series" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "graft_series expects (dir)")
+      plan(IndexQueries.seriesIngest(SparkSession.active,
+        argString("graft_series", exprs, 0)))
+    },
     // the full client surface: a PromQL expression evaluated at an
     // instant, from SQL — `SELECT * FROM graft_promql('/data',
     // 'sum by (typ) (rate({typ="click"}[1h]))', '2024-01-31 00:00:00')`

@@ -123,6 +123,20 @@ class PromQlSpec extends AnyFunSuite {
     assert(rows(hi) == rows(mx))
   }
 
+  test("metric-name sugar desugars to a typ matcher") {
+    val sugar = promql.PromQl.eval(spark, dir, """click{usr="3"}""", T, 86400L * 31)
+    val full = promql.PromQl.eval(spark, dir, """{typ="click", usr="3"}""", T, 86400L * 31)
+    assert(rows(sugar) == rows(full) && rows(sugar).nonEmpty)
+    val bare = promql.PromQl.eval(spark, dir,
+      """count_over_time(click[30d])""", T)
+    val braced = promql.PromQl.eval(spark, dir,
+      """count_over_time({typ="click"}[30d])""", T)
+    assert(rows(bare) == rows(braced) && rows(bare).nonEmpty)
+    val e = intercept[Exception](
+      promql.PromQl.eval(spark, dir, """click{typ="view"}""", T))
+    assert(e.getMessage.contains("conflicts"))
+  }
+
   test("absent() fires only when the vector is empty") {
     val yes = promql.PromQl.eval(spark, dir, """absent({typ="nonexistent"})""", T)
     assert(yes.collect().map(_.getDouble(0)).toSeq == Seq(1.0))
