@@ -258,6 +258,14 @@ object SparkEntry {
         """purchase{usr>="10", usr!="12"}""", "2024-01-31 00:00:00", 86400L * 31)
         .select(col("usr"), col("typ"), round(col("value"), 2).as("value"))
     }),
+    "promql_subquery" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // B22 pairing: peak daily event count per type over the last week
+      promql.PromQl.eval(s, dir,
+        """max_over_time(sum by (typ) (count_over_time({typ=~".*"}[1d]))[7d:1d])""",
+        "2024-01-31 00:00:00")
+        .select(col("typ"), col("value"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2214,6 +2222,17 @@ object SparkEntry {
         |    AND ts >= TIMESTAMP '2023-12-31 00:00:00'
         |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
         |WHERE rn = 1""".stripMargin,
+    // subquery: inner daily-count grid (8 points, window-start aligned,
+    // 1706054400 = 2024-01-24 00:00:00 UTC), outer max per typ
+    "promql_subquery" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 7)) AS i),
+        |c AS (
+        |  SELECT e.event_type AS typ, g.i, count(*) AS n
+        |  FROM events e, g
+        |  WHERE epoch_us(e.ts) >= 1706054400000000 + g.i*86400000000 - 86400000000
+        |    AND epoch_us(e.ts) <= 1706054400000000 + g.i*86400000000
+        |  GROUP BY 1, 2)
+        |SELECT typ, CAST(max(n) AS DOUBLE) AS value FROM c GROUP BY 1""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

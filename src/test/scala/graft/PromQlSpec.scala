@@ -137,6 +137,25 @@ class PromQlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conflicts"))
   }
 
+  test("subquery: outer fold over the inner grid points") {
+    // sum_over_time over a [2d:1d] subquery of daily counts = the sum
+    // of the 3 grid points' counts (windows overlap is intentional)
+    val sub = promql.PromQl.eval(spark, dir,
+      """sum_over_time(sum by (typ) (count_over_time({typ="click"}[1d]))[2d:1d])""", T)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val pts = Seq("2024-01-29 00:00:00", "2024-01-30 00:00:00", "2024-01-31 00:00:00")
+    val manual = pts.flatMap { t =>
+      promql.PromQl.eval(spark, dir,
+        """sum by (typ) (count_over_time({typ="click"}[1d]))""", t)
+        .collect().map(r => r.getDouble(1))
+    }.sum
+    assert(sub("click") == manual && manual > 0)
+    // a bare subquery (no outer range function) errors loudly
+    val e = intercept[Exception](promql.PromQl.eval(spark, dir,
+      """sum by (typ) (count_over_time({typ="click"}[1d]))[2d:1d]""", T))
+    assert(e.getMessage.contains("subquery"))
+  }
+
   test("absent() fires only when the vector is empty") {
     val yes = promql.PromQl.eval(spark, dir, """absent({typ="nonexistent"})""", T)
     assert(yes.collect().map(_.getDouble(0)).toSeq == Seq(1.0))
