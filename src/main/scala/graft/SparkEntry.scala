@@ -266,6 +266,33 @@ object SparkEntry {
         "2024-01-31 00:00:00")
         .select(col("typ"), col("value"))
     }),
+    "promql_label_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """label_join(last_over_time({typ=~".*"}[1d]), "series", "-", "usr", "typ")""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), col("series"),
+          round(col("value"), 2).as("value"))
+    }),
+    "promql_label_replace" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """label_replace(last_over_time({typ="click"}[1d]), "ub", "$1", "usr", "(.)[0-9]*")""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), col("ub"),
+          round(col("value"), 2).as("value"))
+    }),
+    "promql_setop" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // B26 pairing: click series restricted to usr<=3, minus usr=2 —
+      // and/unless as label-identity semi/anti joins
+      promql.PromQl.eval(s, dir,
+        """last_over_time({typ="click"}[30d])
+          | and last_over_time({usr<="3"}[30d])
+          | unless last_over_time({usr="2"}[30d])""".stripMargin,
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), round(col("value"), 2).as("value"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2233,6 +2260,40 @@ object SparkEntry {
         |    AND epoch_us(e.ts) <= 1706054400000000 + g.i*86400000000
         |  GROUP BY 1, 2)
         |SELECT typ, CAST(max(n) AS DOUBLE) AS value FROM c GROUP BY 1""".stripMargin,
+    "promql_label_join" ->
+      """SELECT usr, typ, usr || '-' || typ AS series, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    round(value, 2) AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1""".stripMargin,
+    "promql_label_replace" ->
+      """SELECT usr, typ, substring(usr, 1, 1) AS ub, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    round(value, 2) AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1""".stripMargin,
+    // set algebra: the and/unless operands share the series (usr, typ)
+    // and the 30d window, so membership reduces to the usr predicates
+    "promql_setop" ->
+      """SELECT usr, typ, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    round(value, 2) AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1 AND usr <= '3' AND usr <> '2'""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

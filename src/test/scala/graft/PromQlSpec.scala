@@ -137,6 +137,42 @@ class PromQlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conflicts"))
   }
 
+  test("set operators: and/or/unless on the label identity") {
+    val A = """last_over_time({typ="click"}[30d])"""
+    val B = """last_over_time({usr<="3"}[30d])"""
+    val a = promql.PromQl.eval(spark, dir, A, T)
+    assert(rows(promql.PromQl.eval(spark, dir, s"$A or $A", T)) == rows(a))
+    assert(promql.PromQl.eval(spark, dir, s"$A unless $A", T).count() == 0)
+    val and = promql.PromQl.eval(spark, dir, s"$A and $B", T)
+    val unless = promql.PromQl.eval(spark, dir, s"$A unless $B", T)
+    assert(and.count() + unless.count() == a.count() && and.count() > 0)
+    // or = union without duplicating matched series
+    val b = promql.PromQl.eval(spark, dir, B, T)
+    val or = promql.PromQl.eval(spark, dir, s"$A or $B", T)
+    assert(or.count() == a.count() + b.count() -
+      promql.PromQl.eval(spark, dir, s"$B and $A", T).count())
+  }
+
+  test("label_replace / label_join manipulate the label set") {
+    val lj = promql.PromQl.eval(spark, dir,
+      """label_join({typ="click"}, "series", "-", "usr", "typ")""", T, 86400L * 31)
+    assert(lj.columns.toSeq == Seq("usr", "typ", "series", "value"))
+    assert(lj.filter(col("series") =!= concat_ws("-", col("usr"), col("typ"))).count() == 0)
+    assert(lj.count() > 0)
+    val lr = promql.PromQl.eval(spark, dir,
+      """label_replace({typ="click"}, "ub", "$1", "usr", "(.)[0-9]*")""", T, 86400L * 31)
+    assert(lr.filter(col("ub") =!= substring(col("usr"), 1, 1)).count() == 0)
+    // non-matching regex leaves dst empty (empty ≡ absent)
+    val miss = promql.PromQl.eval(spark, dir,
+      """label_replace({typ="click"}, "ub", "$1", "usr", "x(.)")""", T, 86400L * 31)
+    assert(miss.filter(col("ub") =!= "").count() == 0 && miss.count() > 0)
+    // aggregation can group by a REPLACED label
+    val byUb = promql.PromQl.eval(spark, dir,
+      """sum by (ub) (label_replace(count_over_time({typ=~".*"}[30d]), "ub", "$1", "usr", "(.)[0-9]*"))""",
+      T)
+    assert(byUb.count() > 0 && byUb.columns.toSeq == Seq("ub", "value"))
+  }
+
   test("subquery: outer fold over the inner grid points") {
     // sum_over_time over a [2d:1d] subquery of daily counts = the sum
     // of the 3 grid points' counts (windows overlap is intentional)
