@@ -293,6 +293,17 @@ object SparkEntry {
         "2024-01-31 00:00:00")
         .select(col("usr"), col("typ"), round(col("value"), 2).as("value"))
     }),
+    "promql_groupleft" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // B23 pairing: each (usr, typ)'s share of its user's events —
+      // many side keeps typ through on(usr) group_left
+      promql.PromQl.eval(s, dir,
+        """sum by (usr, typ) (count_over_time({typ=~".*"}[30d]))
+          | / on(usr) group_left sum by (usr) (count_over_time({typ=~".*"}[30d]))""".stripMargin,
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"),
+          (floor(col("value") * 1e6 + 0.5) / 1e6).as("value"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2294,6 +2305,19 @@ object SparkEntry {
         |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
         |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
         |WHERE rn = 1 AND usr <= '3' AND usr <> '2'""".stripMargin,
+    "promql_groupleft" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    count(*) AS n
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1, 2),
+        |u AS (SELECT usr, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.usr AS usr, c.typ AS typ,
+        |  floor(CAST(c.n AS DOUBLE) / CAST(u.tot AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS value
+        |FROM c JOIN u ON c.usr = u.usr""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

@@ -137,6 +137,21 @@ class PromQlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conflicts"))
   }
 
+  test("on(...) group_left vector matching") {
+    // shares per user sum to 1 across typs
+    val shares = promql.PromQl.eval(spark, dir,
+      """sum by (usr, typ) (count_over_time({typ=~".*"}[30d]))
+        | / on(usr) group_left sum by (usr) (count_over_time({typ=~".*"}[30d]))""".stripMargin, T)
+    val perUsr = shares.groupBy("usr").sum("value")
+      .collect().map(_.getDouble(1))
+    assert(perUsr.nonEmpty && perUsr.forall(s => math.abs(s - 1.0) < 1e-9))
+    // without group_left the many side must reduce to the on-labels
+    val e = intercept[Exception](promql.PromQl.eval(spark, dir,
+      """sum by (usr, typ) (count_over_time({typ=~".*"}[30d]))
+        | / on(usr) sum by (usr) (count_over_time({typ=~".*"}[30d]))""".stripMargin, T))
+    assert(e.getMessage.contains("group_left"))
+  }
+
   test("set operators: and/or/unless on the label identity") {
     val A = """last_over_time({typ="click"}[30d])"""
     val B = """last_over_time({usr<="3"}[30d])"""
