@@ -98,6 +98,7 @@ object SparkEntry {
     "corpus_diff" -> (operators.Relational.snapshotDiff _),
     "funnel" -> (operators.Relational.funnel _),
     "retention" -> (operators.Relational.retention _),
+    "sessionize" -> (operators.Relational.sessionize _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     "histogram_fraction" -> (tsdb.Tsdb.histogramFraction _),
     "histogram_stats" -> (tsdb.Tsdb.histogramStats _),
@@ -303,6 +304,109 @@ object SparkEntry {
         "2024-01-31 00:00:00")
         .select(col("usr"), col("typ"),
           (floor(col("value") * 1e6 + 0.5) / 1e6).as("value"))
+    }),
+    "promql_groupright" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // group_right: the many side on the RIGHT keeps typ — the inverse
+      // share (user total per type count)
+      promql.PromQl.eval(s, dir,
+        """sum by (usr) (count_over_time({typ=~".*"}[30d]))
+          | / on(usr) group_right sum by (usr, typ) (count_over_time({typ=~".*"}[30d]))""".stripMargin,
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_ignoring" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // ignoring(typ): click-vs-view last-value gap per user, matched on
+      // the complement label set
+      promql.PromQl.eval(s, dir,
+        """last_over_time({typ="click"}[30d])
+          | - ignoring(typ) last_over_time({typ="view"}[30d])""".stripMargin,
+        "2024-01-31 00:00:00")
+        .select(col("usr"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_agg_quantile" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """quantile by (typ) (0.5, last_over_time({typ=~".*"}[30d]))""",
+        "2024-01-31 00:00:00")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_agg_stddev" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """stddev by (typ) (last_over_time({typ=~".*"}[30d]))""",
+        "2024-01-31 00:00:00")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_agg_stdvar" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """stdvar by (usr) (last_over_time({usr<="3"}[30d]))""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_agg_group" -> ((s: SparkSession, dir: String) => {
+      promql.PromQl.eval(s, dir,
+        """group by (usr) (last_over_time({typ=~".*"}[30d]))""",
+        "2024-01-31 00:00:00")
+    }),
+    "promql_count_values" -> ((s: SparkSession, dir: String) => {
+      // count_values: decade buckets of the last values as a dynamic label
+      promql.PromQl.eval(s, dir,
+        """count_values("bucket", floor(last_over_time({typ=~".*"}[30d]) / 10))""",
+        "2024-01-31 00:00:00")
+    }),
+    "promql_deriv" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // per-day least-squares trend of the click series
+      promql.PromQl.eval(s, dir,
+        """deriv({typ="click"}[30d]) * 86400""", "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_predict" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """predict_linear({typ="view"}[30d], 86400)""", "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_irate" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """irate({typ="purchase"}[30d]) * 3600""", "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_at" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // @ modifier (B25): the selector window is anchored at 2024-01-30
+      // regardless of the evaluation time
+      promql.PromQl.eval(s, dir,
+        """last_over_time({typ="click"}[1d] @ 1706572800)""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), round(col("value"), 2).as("value"))
+    }),
+    "promql_vector_time" -> ((s: SparkSession, dir: String) => {
+      // time()/vector(): scalar arithmetic on the eval timestamp, then a
+      // no-label vector broadcast onto the per-user counts
+      promql.PromQl.eval(s, dir,
+        """sum by (usr) (count_over_time({typ=~".*"}[30d]))
+          | / vector(time() - 1706659100)""".stripMargin,
+        "2024-01-31 00:00:00")
+    }),
+    "promql_round" -> ((s: SparkSession, dir: String) => {
+      // round-to-multiple on exact per-type counts (identical FP on both
+      // engines: counts are exact, the division and round are one form)
+      promql.PromQl.eval(s, dir,
+        """round(sum by (typ) (count_over_time({typ=~".*"}[30d])) / 7, 0.5)""",
+        "2024-01-31 00:00:00")
     }),
   )
 
@@ -1894,6 +1998,32 @@ object SparkEntry {
         |  CAST(r.k AS BIGINT) AS day_offset, n, n0,
         |  floor(n / n0 * 10000 + 0.5) / 10000 AS retained
         |FROM r JOIN sizes s ON s.cohort = r.cohort""".stripMargin,
+    // C22: gap-30min sessionization — identical window/flag/running-sum
+    // recurrence; (us, event_id) is a unique ordering so the running
+    // sum's default RANGE frame equals ROWS on both engines
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS newf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_ord
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, session_ord, count(*) AS n_events,
+        |    count(DISTINCT event_type) AS n_types,
+        |    (max(us) - min(us)) / 1000000.0 AS dur_sec
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+        |  max(n_types) AS max_types,
+        |  floor(avg(dur_sec) * 10000 + 0.5) / 10000 AS avg_dur_sec
+        |FROM g GROUP BY 1""".stripMargin,
     // F11: the recursive CTE replays the identical greedy recurrence,
     // one recursion step per document within each source
     "seq_pack" ->
@@ -2318,6 +2448,178 @@ object SparkEntry {
         |  floor(CAST(c.n AS DOUBLE) / CAST(u.tot AS DOUBLE) * 1000000 + 0.5)
         |    / 1000000 AS value
         |FROM c JOIN u ON c.usr = u.usr""".stripMargin,
+    "promql_groupright" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    count(*) AS n
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1, 2),
+        |u AS (SELECT usr, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.usr AS usr, c.typ AS typ,
+        |  floor(CAST(u.tot AS DOUBLE) / CAST(c.n AS DOUBLE) * 10000 + 0.5)
+        |    / 10000 AS value
+        |FROM c JOIN u ON c.usr = u.usr""".stripMargin,
+    "promql_ignoring" ->
+      """WITH lastv AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ, value
+        |  FROM (SELECT user_id, event_type, value,
+        |          row_number() OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events
+        |        WHERE event_type IN ('click', 'view')
+        |          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |          AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT c.usr AS usr,
+        |  floor((c.value - v.value) * 10000 + 0.5) / 10000 AS value
+        |FROM (SELECT * FROM lastv WHERE typ = 'click') c
+        |JOIN (SELECT * FROM lastv WHERE typ = 'view') v ON c.usr = v.usr""".stripMargin,
+    "promql_agg_quantile" ->
+      """WITH lastv AS (
+        |  SELECT event_type AS typ, value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |      AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT typ, floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS value
+        |FROM lastv GROUP BY 1""".stripMargin,
+    "promql_agg_stddev" ->
+      """WITH lastv AS (
+        |  SELECT event_type AS typ, value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |      AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT typ, floor(stddev_pop(value) * 10000 + 0.5) / 10000 AS value
+        |FROM lastv GROUP BY 1""".stripMargin,
+    "promql_agg_stdvar" ->
+      """WITH lastv AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, value FROM (
+        |    SELECT user_id, value,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE CAST(user_id AS VARCHAR) <= '3'
+        |      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |      AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT usr, floor(var_pop(value) * 10000 + 0.5) / 10000 AS value
+        |FROM lastv GROUP BY 1""".stripMargin,
+    "promql_agg_group" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr,
+        |  CAST(1 AS DOUBLE) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'""".stripMargin,
+    "promql_count_values" ->
+      """WITH lastv AS (
+        |  SELECT value FROM (
+        |    SELECT value,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |      AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS bucket,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM lastv GROUP BY 1""".stripMargin,
+    // deriv/predict_linear: the same least-squares moment sums as the
+    // Spark plan (x = seconds before the eval timestamp 1706659200 =
+    // 2024-01-31, divided before subtraction on both sides so x is
+    // bit-identical; only the summation order differs → quantized)
+    "promql_deriv" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |    epoch_us(ts) / 1000000.0 - 1706659200 AS x
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(value) AS sy,
+        |    sum(x * x) AS sxx, sum(x * value) AS sxy
+        |  FROM w GROUP BY 1)
+        |SELECT CAST(user_id AS VARCHAR) AS usr, 'click' AS typ,
+        |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400
+        |    * 10000 + 0.5) / 10000 AS value
+        |FROM m WHERE n >= 2 AND n * sxx - sx * sx <> 0""".stripMargin,
+    "promql_predict" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |    epoch_us(ts) / 1000000.0 - 1706659200 AS x
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(value) AS sy,
+        |    sum(x * x) AS sxx, sum(x * value) AS sxy
+        |  FROM w GROUP BY 1),
+        |s AS (
+        |  SELECT user_id, n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM m WHERE n >= 2 AND n * sxx - sx * sx <> 0)
+        |SELECT CAST(user_id AS VARCHAR) AS usr, 'view' AS typ,
+        |  floor(((sy - slope * sx) / n + slope * 86400)
+        |    * 10000 + 0.5) / 10000 AS value
+        |FROM s""".stripMargin,
+    "promql_irate" ->
+      """WITH w AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us, event_id,
+        |    lag(value) OVER (PARTITION BY user_id
+        |                     ORDER BY ts, event_id) AS prev,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS pus
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'),
+        |p AS (
+        |  SELECT user_id,
+        |    (CASE WHEN value - prev >= 0 THEN value - prev ELSE value END)
+        |      / ((us - pus) / 1000000.0) AS r,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM w WHERE prev IS NOT NULL AND us > pus)
+        |SELECT CAST(user_id AS VARCHAR) AS usr, 'purchase' AS typ,
+        |  floor(r * 3600 * 10000 + 0.5) / 10000 AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    "promql_at" ->
+      """SELECT usr, typ, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    round(value, 2) AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-29 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-30 00:00:00')
+        |WHERE rn = 1""".stripMargin,
+    "promql_vector_time" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr,
+        |  count(*) / 100.0 AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "promql_round" ->
+      """SELECT event_type AS typ,
+        |  floor((count(*) / 7.0) / 0.5 + 0.5) * 0.5 AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

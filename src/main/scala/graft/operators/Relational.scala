@@ -324,6 +324,46 @@ object Relational {
           .as("retained"))
   }
 
+  /** C22: gap-based sessionization — per-user event streams split into
+    * sessions at inactivity gaps > 30 min, then per-user session stats
+    * (count, busiest session, distinct-type width, mean duration).
+    *
+    * The whole operator is ONE shuffle on user_id: the gap flag and the
+    * running session ordinal are window functions over (user_id; ts,
+    * event_id), and both aggregation levels (per-session, then
+    * per-user) reuse that partitioning — Catalyst plans them as
+    * partial aggs over the same exchange, no self-join, no per-session
+    * data movement. At 100 TB the skew bound is the busiest single
+    * user's history, the same bound the window sort already pays.
+    * Reference framing: tagtree's per-series time-ordered sample
+    * streams (include/tagtree/tsdb/series.h) are this layout; a
+    * session is the analytics-side analog of its time-bounded
+    * segments.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val flagged = ev
+      .withColumn("__prev", lag(col("us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("us") - col("__prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ord", sum(col("__new")).over(w))
+    val sessions = flagged.groupBy(col("user_id"), col("session_ord"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000.0)).as("dur_sec"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_events"),
+        max(col("n_types")).as("max_types"),
+        (floor(avg(col("dur_sec")) * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("avg_dur_sec"))
+  }
+
   /** C12: pivot — long-to-wide aggregation (per-user event-type count
     * matrix). The pivot value set is declared explicitly: Spark then
     * plans ONE pass with a conditional aggregate per value instead of

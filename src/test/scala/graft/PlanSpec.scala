@@ -323,6 +323,17 @@ class PlanSpec extends AnyFunSuite {
       s"quantization is embarrassingly parallel but its plan shuffles:\n$p")
   }
 
+  test("sessionize: one exchange on user_id feeds window + both agg levels") {
+    val p = plan("sessionize")
+    // the window sort's hashpartitioning(user_id) satisfies the
+    // clustering of BOTH downstream aggregations — a second exchange
+    // would mean the session/user aggs re-shuffle what is already
+    // co-located
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"sessionize should shuffle exactly once:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
     // the prefix filter must appear below the self-join: rank <= n - ceil(n*t) + 1
     val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)

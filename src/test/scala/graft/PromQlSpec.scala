@@ -245,6 +245,119 @@ class PromQlSpec extends AnyFunSuite {
     assert(total > singles && singles > 0)
   }
 
+  test("@ modifier ≡ evaluating at the anchor time") {
+    // 1706486400 = 2024-01-29 00:00:00 UTC
+    val at = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="view"}[2d] @ 1706486400)""", T)
+    val direct = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="view"}[2d])""", "2024-01-29 00:00:00")
+    assert(rows(at) == rows(direct) && rows(at).nonEmpty)
+  }
+
+  test("ignoring(...) ≡ on(complement) for one-to-one matching") {
+    val ign = promql.PromQl.eval(spark, dir,
+      """last_over_time({typ="click"}[30d])
+        | - ignoring(typ) last_over_time({typ="view"}[30d])""".stripMargin, T)
+    // same match keys spelled as on(usr) — needs both sides reduced
+    val on = promql.PromQl.eval(spark, dir,
+      """sum by (usr) (last_over_time({typ="click"}[30d]))
+        | - on(usr) sum by (usr) (last_over_time({typ="view"}[30d]))""".stripMargin, T)
+    assert(rows(ign.select("usr", "value")) == rows(on.select("usr", "value"))
+      && rows(ign).nonEmpty)
+  }
+
+  test("group_right mirrors group_left with swapped operands") {
+    val gl = promql.PromQl.eval(spark, dir,
+      """sum by (usr, typ) (count_over_time({typ=~".*"}[30d]))
+        | / on(usr) group_left sum by (usr) (count_over_time({typ=~".*"}[30d]))""".stripMargin, T)
+    val gr = promql.PromQl.eval(spark, dir,
+      """sum by (usr) (count_over_time({typ=~".*"}[30d]))
+        | / on(usr) group_right sum by (usr, typ) (count_over_time({typ=~".*"}[30d]))""".stripMargin, T)
+    val a = gl.select(col("usr"), col("typ"), col("value")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val b = gr.select(col("usr"), col("typ"), (lit(1.0) / col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    for ((k, v) <- a) assert(math.abs(v - b(k)) < 1e-12, k)
+  }
+
+  test("aggregation operators: quantile bounds, group, count_values") {
+    val mn = promql.PromQl.eval(spark, dir,
+      """min by (typ) (last_over_time({typ="click"}[30d]))""", T)
+      .head().getDouble(1)
+    val mx = promql.PromQl.eval(spark, dir,
+      """max by (typ) (last_over_time({typ="click"}[30d]))""", T)
+      .head().getDouble(1)
+    val q = promql.PromQl.eval(spark, dir,
+      """quantile by (typ) (0.5, last_over_time({typ="click"}[30d]))""", T)
+      .head().getDouble(1)
+    assert(mn <= q && q <= mx)
+    val g = promql.PromQl.eval(spark, dir,
+      """group by (typ) (last_over_time({typ=~".*"}[30d]))""", T)
+    assert(g.collect().forall(_.getDouble(1) == 1.0) && g.count() > 0)
+    // count_values partitions the series set: counts sum to series count
+    val cv = promql.PromQl.eval(spark, dir,
+      """count_values("b", floor(last_over_time({typ=~".*"}[30d]) / 10))""", T)
+      .agg(sum("value")).head().getDouble(0)
+    val n = promql.PromQl.eval(spark, dir,
+      """last_over_time({typ=~".*"}[30d])""", T).count()
+    assert(cv == n.toDouble && n > 0)
+  }
+
+  test("scalar functions: round, sgn via vector()") {
+    def one(e: String): Double =
+      promql.PromQl.eval(spark, dir, e, T).head().getDouble(0)
+    assert(one("round(vector(2.34))") == 2.0)
+    assert(one("round(vector(2.6))") == 3.0)
+    assert(one("round(vector(2.26), 0.5)") == 2.5)
+    assert(one("sgn(vector(0 - 3))") == -1.0)
+    assert(one("sgn(vector(4))") == 1.0)
+  }
+
+  test("time() is the evaluation timestamp; vector() broadcasts per t_sec") {
+    val t = promql.PromQl.eval(spark, dir, "vector(time())", T).head().getDouble(0)
+    assert(t == 1706659200.0) // 2024-01-31 00:00:00 UTC
+    // no-label vector arithmetic keeps the labeled side's identity
+    val doubled = promql.PromQl.eval(spark, dir,
+      """sum by (usr) (count_over_time({typ="click"}[30d])) * vector(2)""", T)
+    val base = promql.PromQl.eval(spark, dir,
+      """sum by (usr) (count_over_time({typ="click"}[30d]))""", T)
+    val d = doubled.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = base.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d.keySet == b.keySet && d.nonEmpty)
+    for ((k, v) <- b) assert(d(k) == v * 2, k)
+  }
+
+  test("deriv/predict_linear/irate: regression identities") {
+    // predict_linear at horizon 0 is the regression value AT the eval
+    // time; the deriv slope links two prediction horizons exactly:
+    // predict(t) - predict(0) = slope * t
+    val p0 = promql.PromQl.eval(spark, dir,
+      """predict_linear({typ="view"}[30d], 0)""", T)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    val p1 = promql.PromQl.eval(spark, dir,
+      """predict_linear({typ="view"}[30d], 86400)""", T)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    val sl = promql.PromQl.eval(spark, dir,
+      """deriv({typ="view"}[30d])""", T)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(p0.keySet == sl.keySet && p0.nonEmpty)
+    for ((k, s) <- sl)
+      assert(math.abs((p1(k) - p0(k)) - s * 86400) < 1e-6, k)
+    // irate uses only the last sample pair: invariant under window growth
+    // as long as both windows contain ≥ the last two samples
+    val i1 = promql.PromQl.eval(spark, dir, """irate({typ="view"}[20d])""", T)
+    val i2 = promql.PromQl.eval(spark, dir, """irate({typ="view"}[30d])""", T)
+    val m1 = i1.collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    val m2 = i2.collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    for (k <- m1.keySet.intersect(m2.keySet)) assert(m1(k) == m2(k), k)
+    assert(m1.nonEmpty)
+    // predict_linear without its scalar argument is a parse error
+    val e = intercept[Exception](promql.PromQl.eval(spark, dir,
+      """predict_linear({typ="view"}[30d])""", T))
+    assert(e.getMessage.contains("predict_linear"))
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
