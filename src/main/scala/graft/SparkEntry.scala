@@ -26,6 +26,7 @@ object SparkEntry {
     "match_conj" -> (index.IndexQueries.matchConj _),
     "match_conj_stored" -> (index.IndexQueries.matchConjStored _),
     "match_conj_streamed" -> (index.IndexQueries.matchConjStreamed _),
+    "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -485,6 +486,16 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
         |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    // H17: the full PromQL algebra over stream-maintained postings —
+    // batch SQL oracle proves streamed index ≡ batch index end-to-end
+    "promql_streamed" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "label_values" ->
       "SELECT DISTINCT event_type AS value FROM events",
     "label_values_matched" ->

@@ -227,6 +227,31 @@ object IndexQueries {
       .select("usr", "typ")
   }
 
+  /** H17: a full PromQL query answered from the STREAM-MAINTAINED
+    * index: matcher resolution reads the store that only the
+    * checkpointed foreachBatch ingest loop populated (the reference's
+    * serving loop — queries resolve against the index the WAL→compact
+    * cycle maintains, index_server.h:48-66), while the evaluator's
+    * sample fetch, window folds and aggregation run unchanged. The
+    * oracle is plain batch SQL over the same events, so the gate proves
+    * stream-ingested postings ≡ batch-derived postings through the
+    * whole query algebra, not just a matcher conjunction.
+    */
+  def promqlStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val store = streamedStoreFor(spark, dir)
+    val si = TagIndex.memo(spark, dir, "usr,typ:storeq") {
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val ev = raw.select(
+        col("event_id"), col("ts_ns"), graft.Tables.tsCol(raw).as("ts"),
+        col("value"), col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"))
+      new StoreTagIndex(ev, Seq("usr", "typ"), store)
+    }
+    graft.promql.PromQl.evalIndexed(si,
+      """sum by (usr) (count_over_time({typ="purchase", usr>="10"}[30d]))""",
+      "2024-01-31 00:00:00")
+  }
+
   /** A9: tsid → labels (get_labels): recover series labels for sample ids. */
   def seriesLookup(spark: SparkSession, dir: String): DataFrame = {
     val i = idx(spark, dir)

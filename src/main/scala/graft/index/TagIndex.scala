@@ -182,6 +182,24 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String]) {
   }
 }
 
+/** A [[TagIndex]] whose matcher resolution consults a MATERIALIZED
+  * inverted index at `storePath` (an [[IndexStore]] — batch-flushed or
+  * maintained by the streaming ingest loop, H9) instead of the
+  * in-memory derived one. Samples and the series catalog still come
+  * from the live table; only posting resolution reads the store — the
+  * reference's split between its on-disk index tree and the storage it
+  * points into (include/tagtree/index/index_server.h:26-66).
+  */
+class StoreTagIndex(samples: DataFrame, labelNames: Seq[String],
+    storePath: String) extends TagIndex(samples, labelNames) {
+  override def resolveMatchers(matchers: Seq[LabelMatcher],
+      startTs: Option[Column] = None, endTs: Option[Column] = None): DataFrame = {
+    val resolved = TagIndex.resolvePostings(
+      IndexStore.load(samples.sparkSession, storePath), matchers, startTs, endTs)
+    seriesCatalog.join(resolved, Seq("tsid"), "left_semi")
+  }
+}
+
 object TagIndex {
 
   /** Matcher resolution against any inverted-index DataFrame
