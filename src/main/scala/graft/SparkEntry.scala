@@ -138,6 +138,7 @@ object SparkEntry {
     "text_decontaminate" -> (text.TextAnalysis.decontaminate _),
     "text_lm_score" -> (text.TextAnalysis.lmScore _),
     "seq_pack" -> (text.TextAnalysis.seqPack _),
+    "text_chunk" -> (text.TextAnalysis.chunk _),
     "text_urls" -> (text.TextAnalysis.urlExtract _),
     "text_vocab" -> (text.TextAnalysis.vocab _),
     "domain_rank" -> (text.TextAnalysis.domainRank _),
@@ -2058,6 +2059,18 @@ object SparkEntry {
         |    d.l[p.k+1].doc_id, CAST(d.l[p.k+1].nt AS BIGINT)
         |  FROM pk p JOIN d ON d.source = p.source AND p.k < len(d.l))
         |SELECT doc_id, source, n_tok, bin FROM pk""".stripMargin,
+    // F26: identical split/stride/slice arithmetic — generate_series and
+    // sequence are both inclusive-stop, list_slice and slice both clamp
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 40)) AS st
+        |  FROM t)
+        |SELECT doc_id, CAST(st / 40 AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, st + 1, st + 50)) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(toks, st + 1, st + 50), ' ') AS chunk_text
+        |FROM s""".stripMargin,
     "text_urls" ->
       """WITH t AS (SELECT doc_id,
         |    text || ' see https://site' || (doc_id % 37) || '.example/p/'

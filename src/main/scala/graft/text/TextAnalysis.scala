@@ -377,6 +377,34 @@ object TextAnalysis {
   /** Input / output rows of the F11 packing fold (top-level so Dataset
     * encoders codegen against them).
     */
+  /** F26: context-window chunking — each document split into
+    * overlapping token windows (width 50, stride 40), the
+    * retrieval/RAG and training-example preparation step that pairs
+    * with F11's packing. Zero-shuffle map stage: the token split, the
+    * start-offset explode and the window slice are all codegen'd
+    * column expressions, so at 100 TB cost is one scan with output
+    * ∝ tokens × (1 + overlap/stride); chunk identity (doc_id,
+    * chunk_id) is derivable without any global coordination.
+    * Reference framing: fixed-stride windows over an ordered stream
+    * are the chunked-layout analog of tagtree's time-partitioned
+    * posting segments (include/tagtree/index/index_server.h:48-66);
+    * here the axis is token position instead of time.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val width = 50
+    val stride = 40
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("start", explode(sequence(lit(0),
+        greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("start") + 1, lit(width)))
+          .cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(width)))
+          .as("chunk_text"))
+  }
+
   case class PackRow(source: String, docId: Long, nTok: Int)
   case class PackOut(doc_id: Long, source: String, n_tok: Long, bin: Long)
 

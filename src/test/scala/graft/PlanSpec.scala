@@ -288,8 +288,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bucket equi-join missing:\n$p")
   }
 
-  test("gopher_filter and clamp_funcs: pure map stages, zero exchanges") {
-    for (name <- Seq("gopher_filter", "clamp_funcs")) {
+  test("gopher_filter, clamp_funcs, text_chunk: pure map stages, zero exchanges") {
+    for (name <- Seq("gopher_filter", "clamp_funcs", "text_chunk")) {
       val p = plan(name)
       assert(!p.contains("Exchange"),
         s"$name is embarrassingly parallel but its plan shuffles:\n$p")
