@@ -52,6 +52,15 @@ object ScaleProbe {
         big.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       })
     t("distinct_series")(big.select("user_id", "event_type").distinct())
+    // round-7 additions: single-exchange sessionization (window flag +
+    // running ordinal + two stacked aggs, all in one user_id exchange —
+    // growth driver: the window sort ∝ rows/partition) and the PromQL
+    // range-grid evaluation (samples explode to ≤ range/step+1 grid
+    // copies, per-window partial-agg folds — growth ∝ rows × copies)
+    t("sessionize")(operators.Relational.sessionizeOn(big))
+    t("promql_range_grid")(promql.PromQl.evalRangeIndexed(idx,
+      """sum by (typ) (rate({typ=~".*"}[2d]))""",
+      "2024-01-08 00:00:00", "2024-01-28 00:00:00", 86400L))
     // bounded-state folds: memory stays O(1)/series at any factor
     t("holt_winters")(tsdb.Tsdb.holtWintersOn(spark, idx.labeled))
     t("hw_seasonal")(tsdb.Tsdb.holtWintersSeasonalOn(spark, idx.labeled))

@@ -340,10 +340,17 @@ object Relational {
     * session is the analytics-side analog of its time-bounded
     * segments.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOn(Tables.events(spark, dir))
+
+  /** DataFrame-generic sessionization; input needs (user_id, event_id,
+    * event_type, ts). Exposed so the scale probe can drive the same
+    * plan over replicated corpora.
+    */
+  def sessionizeOn(events: DataFrame): DataFrame = {
     val gapUs = 30L * 60 * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val ev = Tables.events(spark, dir)
+    val ev = events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
     val flagged = ev
