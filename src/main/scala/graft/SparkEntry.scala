@@ -410,6 +410,12 @@ object SparkEntry {
         """round(sum by (typ) (count_over_time({typ=~".*"}[30d])) / 7, 0.5)""",
         "2024-01-31 00:00:00")
     }),
+    "promql_bool" -> ((s: SparkSession, dir: String) => {
+      // `> bool`: 0/1 map instead of filtering — every matched series
+      // keeps a row
+      promql.PromQl.eval(s, dir,
+        """max_over_time({usr<="3"}[30d]) > bool 50""", "2024-01-31 00:00:00")
+    }),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2644,6 +2650,14 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "promql_bool" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  CASE WHEN max(value) > 50 THEN 1.0 ELSE 0.0 END AS value
+        |FROM events
+        |WHERE CAST(user_id AS VARCHAR) <= '3'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

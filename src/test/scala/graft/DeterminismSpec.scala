@@ -58,7 +58,11 @@ class DeterminismSpec extends AnyFunSuite {
       "dedup_bloom", "embed_quantize",
       // round-5 batch 5: the MV merge must not depend on which side
       // (view/batch partial states) arrives first in the union
-      "mv_merge")) {
+      "mv_merge",
+      // round-7: the session ordinal is a running sum over a
+      // total-ordered window; the quantized mean duration must not
+      // drift with partial-agg order
+      "sessionize")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)

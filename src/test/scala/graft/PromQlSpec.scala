@@ -358,6 +358,23 @@ class PromQlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("predict_linear"))
   }
 
+  test("bool modifier: 0/1 map over all entries; scalar-scalar legal") {
+    val filt = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="click"}[30d]) > 50""", T)
+    val bool = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="click"}[30d]) > bool 50""", T)
+    val all = promql.PromQl.eval(spark, dir,
+      """max_over_time({typ="click"}[30d])""", T)
+    // bool keeps every entry; its 1-count equals the filter's row count
+    assert(bool.count() == all.count())
+    assert(bool.filter(col("value") === 1.0).count() == filt.count())
+    assert(bool.collect().forall(r => r.getDouble(2) == 0.0 || r.getDouble(2) == 1.0))
+    // scalar-scalar needs bool (Prometheus rule); with it, it evaluates
+    assert(promql.PromQl.eval(spark, dir, "2 > bool 1", T).head().getDouble(0) == 1.0)
+    val e = intercept[Exception](promql.PromQl.eval(spark, dir, "2 > 1", T))
+    assert(e.getMessage.contains("bool"))
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
