@@ -416,6 +416,19 @@ object SparkEntry {
       promql.PromQl.eval(s, dir,
         """max_over_time({usr<="3"}[30d]) > bool 50""", "2024-01-31 00:00:00")
     }),
+    "promql_present" -> ((s: SparkSession, dir: String) =>
+      promql.PromQl.eval(s, dir,
+        """present_over_time({typ="click"}[1d])""", "2024-01-31 00:00:00")),
+    "promql_mad" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """mad_over_time({typ="view"}[30d])""", "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_timestamp" -> ((s: SparkSession, dir: String) =>
+      promql.PromQl.eval(s, dir,
+        """timestamp({typ="click"})""", "2024-01-31 00:00:00")),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2658,6 +2671,39 @@ object SparkEntry {
         |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    "promql_present" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr,
+        |  event_type AS typ, 1.0 AS value
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'""".stripMargin,
+    "promql_mad" ->
+      """WITH w AS (
+        |  SELECT user_id, value FROM events
+        |  WHERE event_type = 'view'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'),
+        |m AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+        |      FROM w GROUP BY 1)
+        |SELECT CAST(w.user_id AS VARCHAR) AS usr, 'view' AS typ,
+        |  floor(quantile_cont(abs(w.value - m.med), 0.5) * 10000 + 0.5)
+        |    / 10000 AS value
+        |FROM w JOIN m ON m.user_id = w.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    // timestamp(): epoch_us/1e6 is the identical division on both sides
+    // of the same sample, so the double is bit-equal — no quantization
+    "promql_timestamp" ->
+      """SELECT usr, typ, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    epoch_us(ts) / 1000000.0 AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1""".stripMargin,
   )
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — the oracle for both the

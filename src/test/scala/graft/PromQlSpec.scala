@@ -375,6 +375,23 @@ class PromQlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bool"))
   }
 
+  test("present_over_time / mad_over_time / timestamp / log2 / log10") {
+    val p = promql.PromQl.eval(spark, dir,
+      """present_over_time({typ="click"}[30d])""", T)
+    assert(p.collect().forall(_.getDouble(2) == 1.0) && p.count() > 0)
+    val m = promql.PromQl.eval(spark, dir,
+      """mad_over_time({typ="view"}[30d])""", T)
+    assert(m.collect().forall(_.getDouble(2) >= 0.0) && m.count() > 0)
+    // timestamp(v) lies within the lookback window [T-1d, T]
+    val ts = promql.PromQl.eval(spark, dir, """timestamp({typ="click"})""", T)
+    assert(ts.count() > 0 && ts.collect().forall(r =>
+      r.getDouble(2) >= 1706572800.0 && r.getDouble(2) <= 1706659200.0))
+    def one(e: String): Double =
+      promql.PromQl.eval(spark, dir, e, T).head().getDouble(0)
+    assert(one("log2(vector(8))") == 3.0)
+    assert(one("log10(vector(1000))") == 3.0)
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
