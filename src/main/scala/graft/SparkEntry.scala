@@ -100,6 +100,7 @@ object SparkEntry {
     "funnel" -> (operators.Relational.funnel _),
     "retention" -> (operators.Relational.retention _),
     "sessionize" -> (operators.Relational.sessionize _),
+    "sketch_cms" -> (operators.Relational.cmsEstimate _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     "histogram_fraction" -> (tsdb.Tsdb.histogramFraction _),
     "histogram_stats" -> (tsdb.Tsdb.histogramStats _),
@@ -2029,6 +2030,45 @@ object SparkEntry {
         |  CAST(r.k AS BIGINT) AS day_offset, n, n0,
         |  floor(n / n0 * 10000 + 0.5) / 10000 AS retained
         |FROM r JOIN sizes s ON s.cohort = r.cohort""".stripMargin,
+    // C23: Count–Min sketch — the oracle replays the identical dual
+    // polynomial hashes (ascii-per-char fold ≡ byte walk under the
+    // ASCII corpus contract), pairwise row hashes, and counter table,
+    // so est_n hash-matches exactly (and est ≥ true by construction)
+    "sketch_cms" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok FROM toks WHERE tok <> ''),
+        |h AS (SELECT tok,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(tok, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(tok, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+        |  FROM tf),
+        |g AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |counters AS (
+        |  SELECT g.i, (h.h1 + g.i * h.h2) % 2048 AS bucket, count(*) AS c
+        |  FROM h CROSS JOIN g GROUP BY 1, 2),
+        |top AS (SELECT tok, count(*) AS true_n FROM tf GROUP BY 1
+        |  ORDER BY true_n DESC, tok ASC LIMIT 20),
+        |th AS (SELECT tok, true_n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(tok, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(tok, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+        |  FROM top)
+        |SELECT th.tok, th.true_n, min(c.c) AS est_n
+        |FROM th CROSS JOIN g
+        |JOIN counters c
+        |  ON c.i = g.i AND c.bucket = (th.h1 + g.i * th.h2) % 2048
+        |GROUP BY 1, 2""".stripMargin,
     // C22: gap-30min sessionization — identical window/flag/running-sum
     // recurrence; (us, event_id) is a unique ordering so the running
     // sum's default RANGE frame equals ROWS on both engines

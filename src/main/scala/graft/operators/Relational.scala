@@ -371,6 +371,51 @@ object Relational {
           .as("avg_dur_sec"))
   }
 
+  /** C23: Count–Min sketch — the mergeable bounded-memory frequency
+    * estimator that pairs with C13's Misra–Gries (which keeps top
+    * candidates; CMS answers point queries for ANY key). d=4 rows ×
+    * w=2048 counters; row hashes are the standard pairwise scheme
+    * h_i = (h1 + i·h2) mod w over the [[graft.functions.DualPolyHash]]
+    * codegen token hash; point estimate = min_i counter[i][h_i(x)].
+    *
+    * Plan shape: ONE token-stream pass builds the counter table with
+    * partial aggregation over a BOUNDED keyspace (≤ d·w rows — the
+    * sketch stays broadcast-sized at any corpus volume; this is the
+    * whole point: at 100 TB the counters are the only state that
+    * moves). The top-20 true tokens then probe the broadcast counter
+    * table. The CMS guarantee est ≥ true is implicit in the gate: the
+    * DuckDB oracle replays the identical counters, so both columns
+    * hash-match exactly.
+    * Reference framing: the same mergeable-summary role as tagtree's
+    * per-segment postings stats (include/tagtree/index/mem_index.h) —
+    * a fixed-size synopsis standing in for the full distribution.
+    */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 2048
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    def withHashes(df: DataFrame): DataFrame = df
+      .withColumn("__p", graft.functions.DualPolyHash.column(spark, col("tok")))
+      .withColumn("__h1", expr("__p div 2147483648"))
+      .withColumn("__h2", col("__p") % lit(2147483648L))
+    val counters = withHashes(toks)
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket", (col("__h1") + col("i") * col("__h2")) % lit(w.toLong))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("tok").asc).limit(20)
+    withHashes(top)
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket", (col("__h1") + col("i") * col("__h2")) % lit(w.toLong))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("tok"), col("true_n"))
+      .agg(min(col("c")).as("est_n"))
+      .select(col("tok"), col("true_n"), col("est_n"))
+  }
+
   /** C12: pivot — long-to-wide aggregation (per-user event-type count
     * matrix). The pivot value set is declared explicitly: Spark then
     * plans ONE pass with a conditional aggregate per value instead of

@@ -323,6 +323,17 @@ class PlanSpec extends AnyFunSuite {
       s"quantization is embarrassingly parallel but its plan shuffles:\n$p")
   }
 
+  test("sketch_cms: bounded-keyspace counters partial-agg, broadcast probe") {
+    val p = plan("sketch_cms")
+    assert(p.contains("partial_"), s"counter build lost map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe must broadcast the d×w counter table:\n$p")
+    // the limit applies to the POST-aggregation token table (bounded):
+    // either TakeOrdered or a single-partition limit is fine, as long
+    // as the raw token stream itself is never globally sorted
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
+  }
+
   test("sessionize: one exchange on user_id feeds window + both agg levels") {
     val p = plan("sessionize")
     // the window sort's hashpartitioning(user_id) satisfies the

@@ -36,6 +36,18 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.02, s"exact=$exact approx=$approx")
   }
 
+  test("count-min sketch: est >= true for every probed token, tight on heads") {
+    val r = operators.Relational.cmsEstimate(spark, dir).collect()
+    assert(r.length == 20)
+    // the one-sided CMS guarantee, and heads should be near-exact at
+    // this corpus/width ratio (heavy tokens dominate their buckets)
+    assert(r.forall(row => row.getLong(2) >= row.getLong(1)),
+      "CMS must never under-count")
+    val relErr = r.map(row =>
+      (row.getLong(2) - row.getLong(1)).toDouble / row.getLong(1))
+    assert(relErr.max < 0.5, s"head estimates too loose: ${relErr.max}")
+  }
+
   test("minhash jaccard estimate tracks exact jaccard") {
     // signature agreement fraction estimates jaccard; verified pairs
     // (j >= 0.8) must show high signature agreement
