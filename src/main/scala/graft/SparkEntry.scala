@@ -430,6 +430,21 @@ object SparkEntry {
     "promql_timestamp" -> ((s: SparkSession, dir: String) =>
       promql.PromQl.eval(s, dir,
         """timestamp({typ="click"})""", "2024-01-31 00:00:00")),
+    "promql_topk_by" -> ((s: SparkSession, dir: String) =>
+      // grouped ranking: top-2 users PER TYPE (k winners per by-group)
+      promql.PromQl.eval(s, dir,
+        """topk by (typ) (2, sum by (usr, typ) (count_over_time({typ=~".*"}[30d])))""",
+        "2024-01-31 00:00:00")),
+    "promql_absent_ot" -> ((s: SparkSession, dir: String) =>
+      promql.PromQl.eval(s, dir,
+        """absent_over_time({typ="nonexistent"}[7d])""", "2024-01-31 00:00:00")),
+    "promql_hour" -> ((s: SparkSession, dir: String) =>
+      // calendar component of the sample's own timestamp (UTC)
+      promql.PromQl.eval(s, dir,
+        """hour(timestamp({typ="click"}))""", "2024-01-31 00:00:00")),
+    "promql_dow" -> ((s: SparkSession, dir: String) =>
+      promql.PromQl.eval(s, dir,
+        """day_of_week(timestamp({typ="view"}))""", "2024-01-31 00:00:00")),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2731,6 +2746,48 @@ object SparkEntry {
         |    / 10000 AS value
         |FROM w JOIN m ON m.user_id = w.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "promql_topk_by" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT usr, typ, value FROM (
+        |  SELECT usr, typ, value,
+        |    row_number() OVER (PARTITION BY typ
+        |                       ORDER BY value DESC, usr ASC) AS rn
+        |  FROM c)
+        |WHERE rn <= 2""".stripMargin,
+    "promql_absent_ot" ->
+      """SELECT CAST(1 AS DOUBLE) AS value
+        |WHERE NOT EXISTS (SELECT 1 FROM events
+        |  WHERE event_type = 'nonexistent'
+        |    AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')""".stripMargin,
+    "promql_hour" ->
+      """SELECT usr, typ, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    CAST(hour(ts) AS DOUBLE) AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1""".stripMargin,
+    "promql_dow" ->
+      """SELECT usr, typ, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    CAST(dayofweek(ts) AS DOUBLE) AS value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1""".stripMargin,
     // timestamp(): epoch_us/1e6 is the identical division on both sides
     // of the same sample, so the double is bit-equal — no quantization
     "promql_timestamp" ->

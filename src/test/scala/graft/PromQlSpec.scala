@@ -392,6 +392,35 @@ class PromQlSpec extends AnyFunSuite {
     assert(one("log10(vector(1000))") == 3.0)
   }
 
+  test("topk by(...): k winners per group; absent_over_time; calendar funcs") {
+    val t2 = promql.PromQl.eval(spark, dir,
+      """topk by (typ) (2, sum by (usr, typ) (count_over_time({typ=~".*"}[30d])))""", T)
+    val perType = t2.groupBy("typ").count().collect()
+    assert(perType.nonEmpty && perType.forall(_.getLong(1) <= 2))
+    // the global form is the 1-group special case
+    val tg = promql.PromQl.eval(spark, dir,
+      """topk(3, sum by (usr) (count_over_time({typ=~".*"}[30d])))""", T)
+    assert(tg.count() == 3)
+    // absent_over_time: 1 when the whole window is empty, nothing otherwise
+    val yes = promql.PromQl.eval(spark, dir,
+      """absent_over_time({typ="nonexistent"}[7d])""", T)
+    assert(yes.collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    val no = promql.PromQl.eval(spark, dir,
+      """absent_over_time({typ="click"}[7d])""", T)
+    assert(no.count() == 0)
+    // calendar functions over a known epoch: 2024-01-31 00:00:00 UTC is
+    // a Wednesday (dow 3), January, 31-day month
+    def one(e: String): Double =
+      promql.PromQl.eval(spark, dir, e, T).head().getDouble(0)
+    assert(one("hour(vector(1706659200))") == 0.0)
+    assert(one("minute(vector(1706659260))") == 1.0)
+    assert(one("day_of_week(vector(1706659200))") == 3.0)
+    assert(one("day_of_month(vector(1706659200))") == 31.0)
+    assert(one("month(vector(1706659200))") == 1.0)
+    assert(one("year(vector(1706659200))") == 2024.0)
+    assert(one("days_in_month(vector(1706659200))") == 31.0)
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
