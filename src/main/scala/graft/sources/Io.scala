@@ -243,4 +243,43 @@ object Io {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** I12: file-statistics manifest — the Iceberg/Delta file-skipping
+    * shape on plain parquet. One manifest row per data file with the
+    * tracked column's [min, max] (metadata ∝ #files, not rows), stored
+    * under `_manifest/` (the underscore keeps parquet readers from
+    * treating it as data, the `_spark_metadata` convention).
+    *
+    * Why it matters at 100 TB: footer-stats pruning still OPENS every
+    * file's footer — a million-file table pays a million metadata
+    * round-trips to skip files. A manifest read is one tiny parquet,
+    * so planning cost is O(matching files), independent of table size.
+    * At production scale the stats are captured in the write commit
+    * itself; this maintenance-pass derivation shares the read path.
+    * Reference framing: tagtree's per-segment [min_ts, max_ts] pruning
+    * (src/index/index_tree.cpp:92-110) lifted to file granularity.
+    */
+  def writeManifest(spark: SparkSession, path: String, statCol: String): Unit =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+
+  /** Manifest-pruned read: only files whose [min, max] overlaps
+    * [lo, hi] reach Spark's file index; the residual predicate makes
+    * the result exact (manifest pruning is file-conservative, like the
+    * reference's segment-level time pruning).
+    */
+  def readPruned(spark: SparkSession, path: String, statCol: String,
+      lo: Column, hi: Column): DataFrame = {
+    val files = spark.read.parquet(s"$path/_manifest")
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(statCol) >= lo && col(statCol) <= hi)
+  }
 }

@@ -236,4 +236,28 @@ class IoSpec extends AnyFunSuite {
     assert(new java.io.File(s"$tmp/day=0/_manifest.json").exists(), "real sidecar lost")
     assert(spark.read.parquet(s"$tmp/day=0").count() == before)
   }
+
+  test("I12: manifest-pruned read opens only overlapping files, result exact") {
+    val out = s"$tmp/manifest_demo"
+    // value-clustered layout → per-file [min, max] ranges are disjoint
+    Tables.events(spark, dir)
+      .repartitionByRange(8, col("value"))
+      .sortWithinPartitions(col("value"))
+      .write.mode("overwrite").parquet(out)
+    Io.writeManifest(spark, out, "value")
+    val Array(lo, hi) = spark.read.parquet(out)
+      .stat.approxQuantile("value", Array(0.4, 0.5), 0.0)
+    val pruned = Io.readPruned(spark, out, "value", lit(lo), lit(hi))
+    val full = spark.read.parquet(out)
+      .filter(col("value") >= lo && col("value") <= hi)
+    assert(pruned.count() == full.count() && full.count() > 0)
+    // the point: the pruned read's file index holds a strict subset
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(pruned.inputFiles.length < allFiles,
+      s"pruned ${pruned.inputFiles.length} vs $allFiles files")
+    // empty-overlap band → zero files, empty result, same schema
+    val none = Io.readPruned(spark, out, "value",
+      lit(Double.MaxValue / 2), lit(Double.MaxValue))
+    assert(none.count() == 0 && none.schema == full.schema)
+  }
 }
