@@ -162,6 +162,7 @@ object SparkEntry {
     "mm_audio_windows" -> (multimodal.Multimodal.audioFeatures _),
     "mm_integrity" -> (multimodal.Multimodal.integrity _),
     "mm_phash_dedup" -> (multimodal.Multimodal.phashDedup _),
+    "mm_resize" -> (multimodal.Multimodal.resize _),
     // A (SQL surface). The index TVFs driven from PURE SQL — the whole
     // query below is a spark.sql string; the TVF resolves to the same
     // logical plan the Scala builders produce (IndexSql.scala).
@@ -2311,6 +2312,25 @@ object SparkEntry {
         |  CAST((n_frames + 3)//4 AS INT) AS n_sampled,
         |  floor(samp_sum * 1.0 / samp_n * 10000 + 0.5) / 10000 AS mean_sampled_byte
         |FROM s""".stripMargin,
+    // G6: nearest-neighbor 4x4 thumbnail of the w×h PGM raster —
+    // pixel == ascii(char) (ASCII contract); integer index arithmetic
+    // identical on both sides, output sums exact integers
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    CAST((doc_id % 29) + 2 AS INT) AS w
+        |  FROM documents),
+        |dd AS (SELECT doc_id, text, w, CAST(len // w AS INT) AS h
+        |  FROM d WHERE len // w >= 1),
+        |g AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |px AS (SELECT dd.doc_id, dd.w, dd.h, gi.i AS i, gj.i AS j,
+        |    ascii(substr(dd.text,
+        |      CAST(((gi.i * dd.h) // 4) * dd.w + (gj.i * dd.w) // 4 + 1 AS BIGINT),
+        |      1)) AS p
+        |  FROM dd CROSS JOIN g gi CROSS JOIN g gj)
+        |SELECT doc_id, w, h,
+        |  CAST(sum(p) AS BIGINT) AS out_sum,
+        |  CAST(sum(p * (i * 4 + j + 1)) AS BIGINT) AS out_wsum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |h AS (SELECT doc_id,

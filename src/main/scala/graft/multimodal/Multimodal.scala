@@ -358,6 +358,58 @@ object Multimodal {
   def pipeline(spark: SparkSession, dir: String): DataFrame =
     pipelineFrom(wavPointerTable(spark, dir), WavDecoder)
 
+  case class ResizeOut(doc_id: Long, w: Int, h: Int, out_sum: Long, out_wsum: Long)
+
+  /** G6: image resize — nearest-neighbor downsample of REAL binary PGM
+    * payloads to a 4×4 thumbnail. Each document's bytes become a w×h
+    * raster (w = doc_id-dependent, h = len/w — truncation to w·h is
+    * part of the contract), round-tripped through [[Codecs.PgmCodec]]:
+    * the decode stage re-parses the P5 header and the resize reads its
+    * width/height FROM the decoded struct, so a header off-by-one or
+    * raster offset bug shifts every sampled pixel and breaks the gate.
+    * out(i,j) = raster[⌊i·h/4⌋·w + ⌊j·w/4⌋] — integer arithmetic only;
+    * the output is the thumbnail's exact pixel sum and position-
+    * weighted sum, which the documents oracle replays via ascii()
+    * under the ASCII corpus contract.
+    *
+    * Scale shape: pure mapPartitions (the batch-decode contract G1
+    * established) — zero shuffles; at 100 TB decode+resize cost is one
+    * pass and the thumbnail (not the raster) is what downstream
+    * keeps — the standard thumbnail-extraction pipeline stage.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = 4
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { items =>
+        items.flatMap { case (id, bytes) =>
+          val w = (id % 29).toInt + 2
+          val h = bytes.length / w
+          if (h < 1) None
+          else {
+            val pgm = Codecs.PgmCodec.encode(bytes.take(w * h), w, h)
+            val img = Codecs.PgmCodec.decode(pgm)
+            var s = 0L; var ws = 0L
+            var i = 0
+            while (i < target) {
+              var j = 0
+              while (j < target) {
+                val px = img.pixels(
+                  (i * img.height / target) * img.width + (j * img.width / target)) & 0xff
+                s += px
+                ws += px.toLong * (i * target + j + 1)
+                j += 1
+              }
+              i += 1
+            }
+            Some(ResizeOut(id, img.width, img.height, s, ws))
+          }
+        }
+      }.toDF()
+  }
+
   /** G5: perceptual-hash payload near-dup — the multimodal twin of
     * SimHash (D3): re-encoded/trailing-edit copies of the same media
     * asset have different checksums (G4 can't catch them) but nearly
