@@ -101,6 +101,7 @@ object SparkEntry {
     "retention" -> (operators.Relational.retention _),
     "sessionize" -> (operators.Relational.sessionize _),
     "sketch_cms" -> (operators.Relational.cmsEstimate _),
+    "ancestor_closure" -> (operators.Relational.ancestorClosure _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
     "histogram_fraction" -> (tsdb.Tsdb.histogramFraction _),
     "histogram_stats" -> (tsdb.Tsdb.histogramStats _),
@@ -2085,6 +2086,24 @@ object SparkEntry {
         |JOIN counters c
         |  ON c.i = g.i AND c.bucket = (th.h1 + g.i * th.h2) % 2048
         |GROUP BY 1, 2""".stripMargin,
+    // C24: the oracle walks the parent chain one level per recursion
+    // (the naive form); the Spark side pointer-doubles — equal output
+    // proves the log-round resolution exact (cross-form equivalence)
+    "ancestor_closure" ->
+      """WITH RECURSIVE r(node, anc, depth) AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id = 0 THEN 0
+        |         ELSE ((doc_id * 2654435761) % 1000000007) % doc_id END,
+        |    CASE WHEN doc_id = 0 THEN 0 ELSE 1 END
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT node,
+        |    CASE WHEN anc = 0 THEN 0
+        |         ELSE ((anc * 2654435761) % 1000000007) % anc END,
+        |    depth + 1
+        |  FROM r WHERE anc > 0)
+        |SELECT node AS doc_id, CAST(max(depth) AS BIGINT) AS depth
+        |FROM r GROUP BY 1""".stripMargin,
     // C22: gap-30min sessionization — identical window/flag/running-sum
     // recurrence; (us, event_id) is a unique ordering so the running
     // sum's default RANGE frame equals ROWS on both engines

@@ -416,6 +416,49 @@ object Relational {
       .select(col("tok"), col("true_n"), col("est_n"))
   }
 
+  /** C24: recursive ancestor closure — per-node root-path depth in a
+    * synthetic hash-parent forest (parent(d) = ((d·2654435761) mod
+    * 1000000007) mod d for d > 0 — pseudo-random, strictly decreasing,
+    * so the graph is a tree rooted at 0), the recursive-query class
+    * (org charts, BOM explosions, thread ancestry) Spark has no native
+    * operator for.
+    *
+    * Resolution runs by POINTER DOUBLING: each round joins every
+    * node's known ancestor pointer with that ancestor's own pointer
+    * and adds the two path lengths, so a depth-D chain resolves in
+    * ⌈log₂ D⌉ self-joins instead of D. At 100 TB that is the whole
+    * story: 30 co-partitioned equi-joins cover depth 2³⁰, where the
+    * per-level walk (which the DuckDB oracle replays as a recursive
+    * CTE — cross-form equivalence, the corr_subquery precedent) needs
+    * D full passes. Root rows map to themselves with length 0, so
+    * converged nodes are fixpoints of the doubling step; convergence
+    * is one scalar count per round (the Dedup.clusters discipline),
+    * and each round's cache replaces the previous one.
+    */
+  def ancestorClosure(spark: SparkSession, dir: String): DataFrame = {
+    val parent = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % col("doc_id")
+    var cur = Tables.documents(spark, dir).select(
+      col("doc_id").as("node"),
+      when(col("doc_id") === 0, lit(0L)).otherwise(parent).as("anc"),
+      when(col("doc_id") === 0, lit(0L)).otherwise(lit(1L)).as("depth"))
+      .cache()
+    var unresolved = cur.filter(col("anc") =!= 0).count()
+    while (unresolved > 0) {
+      val m = cur.select(col("node").as("anc"),
+        col("anc").as("anc2"), col("depth").as("d2"))
+      val next = cur.join(m, Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"),
+          (col("depth") + col("d2")).as("depth"))
+        .cache()
+      unresolved = next.filter(col("anc") =!= 0).count()
+      cur.unpersist()
+      cur = next
+    }
+    val out = cur.select(col("node").as("doc_id"), col("depth"))
+    cur.unpersist()
+    out
+  }
+
   /** C12: pivot — long-to-wide aggregation (per-user event-type count
     * matrix). The pivot value set is declared explicitly: Spark then
     * plans ONE pass with a conditional aggregate per value instead of
