@@ -31,6 +31,7 @@ object SparkEntry {
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
     "match_json_label" -> (index.IndexQueries.matchJsonLabel _),
+    "promql_json_labels" -> (index.IndexQueries.promqlJsonLabels _),
     "postings_list" -> (index.IndexQueries.postingsList _),
     "absent" -> (index.IndexQueries.absent _),
     "series_lookup" -> (index.IndexQueries.seriesLookup _),
@@ -558,6 +559,19 @@ object SparkEntry {
         |WHERE event_type = 'view'
         |  AND CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS VARCHAR) = '3'
         |  AND CAST(user_id AS VARCHAR) <= '5'""".stripMargin,
+    // A13 × B42: the full PromQL algebra with the JSON-derived label in
+    // the selector AND the aggregation key
+    "promql_json_labels" ->
+      """SELECT
+        |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        |    AS VARCHAR) AS kb,
+        |  event_type AS typ, CAST(count(*) AS DOUBLE) AS value
+        |FROM events
+        |WHERE regexp_full_match(event_type, '(view|click)')
+        |  AND CAST(user_id AS VARCHAR) <= '5'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
     "series_lookup" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS usr, event_type AS typ
         |FROM events WHERE event_id < 10""".stripMargin,

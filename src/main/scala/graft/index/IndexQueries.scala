@@ -119,8 +119,8 @@ object IndexQueries {
     * Shows the index is label-set-generic, not hardcoded to two labels
     * (the reference's labels are arbitrary vectors, promql/labels.h).
     */
-  def matchJsonLabel(spark: SparkSession, dir: String): DataFrame = {
-    val i = TagIndex.memo(spark, dir, "usr,typ,kb") {
+  private def jsonIdx(spark: SparkSession, dir: String): TagIndex =
+    TagIndex.memo(spark, dir, "usr,typ,kb") {
       val raw = graft.Tables.eventsRaw(spark, dir)
       val ev = raw.select(
         col("event_id"), col("ts_ns"),
@@ -131,12 +131,25 @@ object IndexQueries {
           .cast("string").as("kb"))
       new TagIndex(ev, Seq("usr", "typ", "kb"))
     }
-    i.resolveMatchers(Seq(
+
+  def matchJsonLabel(spark: SparkSession, dir: String): DataFrame =
+    jsonIdx(spark, dir).resolveMatchers(Seq(
       LabelMatcher("typ", Eql, "view"),
       LabelMatcher("kb", Eql, "3"),
       LabelMatcher("usr", Lte, "5")))
       .select("usr", "typ", "kb")
-  }
+
+  /** PromQL over the GENERIC n-label model (A13 × B42): the evaluator
+    * takes its label universe from the TagIndex (labelNames), so the
+    * JSON-derived `kb` label participates in selectors, grouping and
+    * vector identity exactly like the native two — the reference's
+    * arbitrary-label-vector claim (promql/labels.h) through the whole
+    * query language, not just matcher resolution.
+    */
+  def promqlJsonLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQl.evalIndexed(jsonIdx(spark, dir),
+      """sum by (kb, typ) (count_over_time({typ=~"(view|click)", usr<="5"}[30d]))""",
+      "2024-01-31 00:00:00")
 
   // one materialized store per source dataset (written once per JVM)
   private val stores = new java.util.concurrent.ConcurrentHashMap[String, String]()

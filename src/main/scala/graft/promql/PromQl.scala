@@ -550,8 +550,6 @@ object PromQl {
     }
   }
 
-  private val seriesLabels = Seq("usr", "typ")
-
   /** The grid as a tiny frame of its `t_sec` timestamps (∝ grid points). */
   private def gridFrame(idx: TagIndex, grid: Grid): DataFrame =
     idx.labeled.sparkSession.range(grid.n).select(
@@ -589,10 +587,10 @@ object PromQl {
       // timestamp(v): each sample's own timestamp (epoch seconds,
       // µs-fractional) instead of its value — last sample in lookback
       val df = window(idx, sel, grid, lookbackSec)
-        .groupBy(col("tsid") +: col("t_sec") +: seriesLabels.map(col): _*)
+        .groupBy(col("tsid") +: col("t_sec") +: idx.labelNames.map(col): _*)
         .agg((max_by(unix_micros(col("ts")), struct(col("ts"), col("event_id")))
           .cast("double") / lit(1e6)).as("value"))
-      Left(Vec(df, seriesLabels))
+      Left(Vec(df, idx.labelNames))
 
     case Func("timestamp", _, _) =>
       sys.error("timestamp() needs an instant selector argument")
@@ -600,9 +598,9 @@ object PromQl {
     case sel @ Sel(_, None, _, _) =>
       // instant vector: last sample per series within the lookback
       val df = window(idx, sel, grid, lookbackSec)
-        .groupBy(col("tsid") +: col("t_sec") +: seriesLabels.map(col): _*)
+        .groupBy(col("tsid") +: col("t_sec") +: idx.labelNames.map(col): _*)
         .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
-      Left(Vec(df, seriesLabels))
+      Left(Vec(df, idx.labelNames))
 
     case Sel(_, Some(_), _, _) =>
       sys.error("range selector must be the argument of a range function (e.g. rate({...}[5m]))")
@@ -612,7 +610,7 @@ object PromQl {
 
     case Func(name, sel @ Sel(_, Some(range), _, _), sArg) if rangeFuncs(name) =>
       val w = window(idx, sel, grid, range)
-      val keys = col("tsid") +: col("t_sec") +: seriesLabels.map(col)
+      val keys = col("tsid") +: col("t_sec") +: idx.labelNames.map(col)
       val df = name match {
         case "quantile_over_time" => w.groupBy(keys: _*)
           // exact interpolated percentile ≡ DuckDB quantile_cont (the
@@ -637,7 +635,7 @@ object PromQl {
           // join back (the B36 shape on the grid keys)
           val med = w.groupBy(keys: _*)
             .agg(expr("percentile(value, 0.5D)").as("__med"))
-          w.join(broadcast(med), Seq("tsid", "t_sec", "usr", "typ"))
+          w.join(broadcast(med), "tsid" +: "t_sec" +: idx.labelNames)
             .groupBy(keys: _*)
             .agg(expr("percentile(abs(value - __med), 0.5D)").as("value"))
         case "delta" => w.groupBy(keys: _*)
@@ -670,7 +668,7 @@ object PromQl {
             else (col("__sy") - slope * col("__sx")) / col("__n") +
               slope * lit(sArg.get)
           m.filter(col("__n") >= 2 && denom =!= 0.0)
-            .select(col("tsid") +: col("t_sec") +: seriesLabels.map(col) :+ v.as("value"): _*)
+            .select(col("tsid") +: col("t_sec") +: idx.labelNames.map(col) :+ v.as("value"): _*)
         case "irate" =>
           // instantaneous rate: counter delta of the LAST sample pair
           // over its own time gap
@@ -696,9 +694,9 @@ object PromQl {
             .agg(sum(col("__c")).as("__inc"), count(lit(1)).as("__n"))
             .filter(col("__n") >= 2)
           val v = if (name == "rate") (col("__inc") / lit(range.toDouble)) else col("__inc")
-          inc.select(col("tsid") +: col("t_sec") +: seriesLabels.map(col) :+ v.as("value"): _*)
+          inc.select(col("tsid") +: col("t_sec") +: idx.labelNames.map(col) :+ v.as("value"): _*)
       }
-      Left(Vec(df, seriesLabels))
+      Left(Vec(df, idx.labelNames))
 
     case Func(name, sq: SubQ, sArg) if rangeFuncs(name) =>
       // subquery: the inner expression's grid points are the "samples"
