@@ -32,6 +32,19 @@ object SparkEntry {
     "label_names" -> (index.IndexQueries.labelNames _),
     "match_json_label" -> (index.IndexQueries.matchJsonLabel _),
     "promql_json_labels" -> (index.IndexQueries.promqlJsonLabels _),
+    "promql_groupleft_carry" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // group_left(utag): the one side's synthesized label is copied
+      // onto every many-side result row
+      promql.PromQl.eval(s, dir,
+        """sum by (usr, typ) (count_over_time({typ=~".*"}[30d]))
+          | / on(usr) group_left(utag)
+          | label_replace(sum by (usr) (count_over_time({typ=~".*"}[30d])),
+          |   "utag", "u$1", "usr", "(.*)")""".stripMargin,
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), col("utag"),
+          (floor(col("value") * 1e6 + 0.5) / 1e6).as("value"))
+    }),
     "postings_list" -> (index.IndexQueries.postingsList _),
     "absent" -> (index.IndexQueries.absent _),
     "series_lookup" -> (index.IndexQueries.seriesLookup _),
@@ -559,6 +572,19 @@ object SparkEntry {
         |WHERE event_type = 'view'
         |  AND CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS VARCHAR) = '3'
         |  AND CAST(user_id AS VARCHAR) <= '5'""".stripMargin,
+    "promql_groupleft_carry" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    count(*) AS n
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1, 2),
+        |u AS (SELECT usr, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.usr AS usr, c.typ AS typ, 'u' || c.usr AS utag,
+        |  floor(CAST(c.n AS DOUBLE) / CAST(u.tot AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS value
+        |FROM c JOIN u ON c.usr = u.usr""".stripMargin,
     // A13 × B42: the full PromQL algebra with the JSON-derived label in
     // the selector AND the aggregation key
     "promql_json_labels" ->

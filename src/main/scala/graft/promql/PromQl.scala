@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * cmp      := expr [('>'|'<'|'>='|'<='|'=='|'!=') ['bool'] expr]
   *                                  // filter semantics; `bool` → 0/1 map
   * expr     := term (('+'|'-'|'*'|'/') [matching] term)*
-  * matching := ('on'|'ignoring') '(' names ')' ['group_left'|'group_right']
+  * matching := ('on'|'ignoring') '(' names ')'
+  *             ['group_left'|'group_right' ['(' names ')']]  // carried labels
   * term     := term '[' duration ':' duration ']'    // subquery (feeds a range func)
   *           | number
   *           | 'time' '(' ')'                        // eval timestamp (scalar)
@@ -114,7 +115,8 @@ object PromQl {
     * group modifier both sides must reduce to the match labels.
     */
   final case class VecMatch(op: String, labels: Seq[String], ignoring: Boolean,
-      group: Option[String], lhs: Expr, rhs: Expr) extends Expr
+      group: Option[String], lhs: Expr, rhs: Expr,
+      carry: Seq[String] = Seq.empty) extends Expr
 
   val rangeFuncs: Set[String] = Set(
     "rate", "increase", "delta", "idelta", "changes", "resets", "irate",
@@ -255,9 +257,10 @@ object PromQl {
         (pos + k.length >= s.length ||
           !(s(pos + k.length).isLetterOrDigit || s(pos + k.length) == '_'))
 
-    // `op on(lbls)|ignoring(lbls) [group_left|group_right]` modifier
-    // after an arithmetic operator
-    private def matching(): Option[(Seq[String], Boolean, Option[String])] = {
+    // `op on(lbls)|ignoring(lbls) [group_left|group_right ['(' carried ')']]`
+    // modifier after an arithmetic operator; the carried labels are
+    // copied from the ONE side onto the result (Prometheus's full form)
+    private def matching(): Option[(Seq[String], Boolean, Option[String], Seq[String])] = {
       ws()
       val ign = if (kwAt("on")) { pos += 2; false }
         else if (kwAt("ignoring")) { pos += 8; true }
@@ -269,7 +272,13 @@ object PromQl {
       val grp = if (kwAt("group_left")) { pos += 10; Some("left") }
         else if (kwAt("group_right")) { pos += 11; Some("right") }
         else None
-      Some((ks.toSeq, ign, grp))
+      val carry =
+        if (grp.isDefined && tryEat('(')) {
+          val cs = scala.collection.mutable.ArrayBuffer(ident())
+          while (tryEat(',')) cs += ident()
+          eat(')'); cs.toSeq
+        } else Seq.empty[String]
+      Some((ks.toSeq, ign, grp, carry))
     }
 
     // precedence: (* /) over (+ -), left-associative
@@ -279,7 +288,7 @@ object PromQl {
       while (peek == '+' || peek == '-') {
         val op = peek.toString; pos += 1
         l = matching() match {
-          case Some((ks, ign, grp)) => VecMatch(op, ks, ign, grp, l, parseMul())
+          case Some((ks, ign, grp, cr)) => VecMatch(op, ks, ign, grp, l, parseMul(), cr)
           case None => Bin(op, l, parseMul())
         }
         ws()
@@ -292,7 +301,7 @@ object PromQl {
       while (peek == '*' || peek == '/') {
         val op = peek.toString; pos += 1
         l = matching() match {
-          case Some((ks, ign, grp)) => VecMatch(op, ks, ign, grp, l, parseTerm())
+          case Some((ks, ign, grp, cr)) => VecMatch(op, ks, ign, grp, l, parseTerm(), cr)
           case None => Bin(op, l, parseTerm())
         }
         ws()
@@ -913,13 +922,14 @@ object PromQl {
       Left(v.copy(df = v.df.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= k).drop("__rk")))
 
-    case VecMatch(op, mLabels, ignoring, group, lhs, rhs) =>
+    case VecMatch(op, mLabels, ignoring, group, lhs, rhs, carry) =>
       // B23's vector matching: join on the match labels (+ grid
       // timestamp). `on(l...)` matches on exactly those labels;
       // `ignoring(l...)` matches on the complement. The group side
       // (group_left → lhs, group_right → rhs) is the MANY side and keeps
-      // its extra labels; without a modifier both sides must reduce to
-      // the match labels (one-to-one).
+      // its extra labels; `group_left(c...)` additionally COPIES the
+      // listed one-side labels onto the result. Without a modifier both
+      // sides must reduce to the match labels (one-to-one).
       val a = evalNode(idx, lhs, grid, lookbackSec) match {
         case Left(x) => x
         case Right(_) => sys.error("explicit vector matching needs vector operands")
@@ -933,22 +943,30 @@ object PromQl {
         case _ => (a, b)
       }
       val keys =
-        if (ignoring) one.labels.filterNot(mLabels.contains)
+        if (ignoring) one.labels.filterNot(l => mLabels.contains(l) || carry.contains(l))
         else mLabels
       val badM = keys.filterNot(many.labels.contains)
       require(badM.isEmpty,
         s"match labels (${badM.mkString(",")}) not in many-side labels ${many.labels}")
-      require(one.labels.filterNot(l => ignoring && mLabels.contains(l))
+      val badC = carry.filterNot(one.labels.contains)
+      require(badC.isEmpty,
+        s"carried labels (${badC.mkString(",")}) not in one-side labels ${one.labels}")
+      require(carry.forall(!many.labels.contains(_)),
+        s"carried labels $carry collide with many-side labels ${many.labels}")
+      require(one.labels.filterNot(l =>
+          (ignoring && mLabels.contains(l)) || carry.contains(l))
           .sorted == keys.sorted,
-        s"the one side must reduce to the match labels $keys, got ${one.labels}")
+        s"the one side must reduce to the match labels $keys (+ carried " +
+          s"$carry), got ${one.labels}")
       if (group.isEmpty)
         require(many.labels.filterNot(l => ignoring && mLabels.contains(l))
             .sorted == keys.sorted,
           s"without group_left/group_right both sides must reduce to match " +
             s"labels $keys, got ${many.labels}")
-      // result labels: the many side's full set under a group modifier,
-      // the match labels alone for one-to-one (ignored labels drop)
-      val outLabels = if (group.isDefined) many.labels else keys
+      // result labels: the many side's full set (+ carried one-side
+      // labels) under a group modifier, the match labels alone for
+      // one-to-one (ignored labels drop)
+      val outLabels = if (group.isDefined) many.labels ++ carry else keys
       val jkeys = keys :+ "t_sec"
       val l = a.df.select(
         (outLabels.filter(a.labels.contains) ++ jkeys).distinct.map(col) :+
