@@ -145,6 +145,7 @@ object SparkEntry {
     "ann_lsh_planted" -> (similarity.Ann.lshPlanted _),
     "ann_centroid" -> (similarity.Ann.centroidScore _),
     "embed_quantize" -> (similarity.Ann.quantize _),
+    "ann_sq8" -> (similarity.Ann.sq8Topk _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
     "text_quality" -> (text.TextAnalysis.quality _),
@@ -1608,6 +1609,39 @@ object SparkEntry {
         |    round(list_sum(list_transform(range(1, 65),
         |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
         |  FROM q JOIN n ON n.vec_id <> q.query_id)
+        |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+    // E9: int8 scan + exact re-rank — candidate scores are integer dot
+    // products times bit-identical scales, so selection and re-rank
+    // replay exactly on both engines
+    "ann_sq8" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm,
+        |    list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+        |c AS (SELECT vec_id, e, nrm, amax / 127.0 AS scale,
+        |    list_transform(e, x -> least(greatest(
+        |      floor(x / (amax / 127.0) + 0.5), -127.0), 127.0)) AS qs
+        |  FROM n WHERE amax > 0),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+        |    scale AS qscale, qs AS qqs
+        |  FROM c WHERE vec_id < 10),
+        |a AS (SELECT q.query_id, c.vec_id, c.e, c.nrm, q.qe, q.qn,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> q.qqs[i] * c.qs[i])) * q.qscale * c.scale AS ascore
+        |  FROM q JOIN c ON c.vec_id <> q.query_id),
+        |cand AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ascore DESC, vec_id) AS crk FROM a)
+        |  WHERE crk <= 50),
+        |scored AS (SELECT query_id, vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> qe[i] * e[i])) / (qn * nrm), 4) AS cs
+        |  FROM cand)
         |SELECT query_id, rk, neighbor_id, cs FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)

@@ -480,6 +480,49 @@ object Ann {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
   }
 
+  /** E9: int8 (SQ8) quantized ANN — E8's storage codes as the SEARCH
+    * path: candidate selection is a compressed-domain integer
+    * dot-product scan over the int8 codes (the 4×-smaller
+    * representation a 100 TB serving tier actually keeps hot), and the
+    * float vectors exactly re-rank only candN survivors per query
+    * (round-4 cosine, the E1 key). Every candidate score is an INTEGER
+    * dot product (≤ dim·127², exact in double in ANY summation order)
+    * times two bit-identical per-vector scales, so the DuckDB oracle
+    * replays selection AND re-rank bit-for-bit — the gate proves the
+    * quantized scan is observationally exact at this corpus, the same
+    * invariant-gate discipline as ann_ivf_full/ann_pq_full.
+    */
+  def sq8Topk(spark: SparkSession, dir: String): DataFrame = {
+    val candN = 50
+    val all = vecs(spark, dir)
+    val coded = all
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x.cast("double")))))
+      .filter(col("amax") > 0)
+      .withColumn("scale", col("amax") / lit(127.0))
+      .withColumn("qs", transform(col("v"), x =>
+        least(greatest(floor(x.cast("double") / col("scale") + lit(0.5)),
+          lit(-127.0)), lit(127.0))))
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qs").as("qqs"),
+        col("scale").as("qscale"), col("v").as("qv"), col("norm").as("qn"))
+    val approx = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ip", aggregate(zip_with(col("qqs"), col("qs"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("ascore", col("ip") * col("qscale") * col("scale"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val cands = approx.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= candN).select("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    cands.join(all, Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
+  }
+
   /** E8: symmetric int8 embedding quantization — the storage path that
     * makes a 100 TB vector corpus servable (4x memory cut vs float32;
     * what FAISS calls SQ8). Per vector: scale = max|x|/127, q_i =
