@@ -462,6 +462,12 @@ object SparkEntry {
     "promql_dow" -> ((s: SparkSession, dir: String) =>
       promql.PromQl.eval(s, dir,
         """day_of_week(timestamp({typ="view"}))""", "2024-01-31 00:00:00")),
+    "promql_range_subquery" -> ((s: SparkSession, dir: String) =>
+      // subqueries through /query_range: peak daily count per type,
+      // re-evaluated at every outer grid timestamp over its own window
+      promql.PromQl.evalRange(s, dir,
+        """max_over_time(sum by (typ) (count_over_time({typ=~".*"}[1d]))[2d:1d])""",
+        "2024-01-08 00:00:00", "2024-01-14 00:00:00", 86400L)),
   )
 
   /** DuckDB-equivalent SQL per queries key (same column names, same
@@ -2890,6 +2896,27 @@ object SparkEntry {
         |    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
         |    AND ts <= TIMESTAMP '2024-01-31 00:00:00')
         |WHERE rn = 1""".stripMargin,
+    // range-query subquery: one inner daily grid (anchored 2024-01-06 =
+    // first outer window start, 9 points), inner points assigned to the
+    // outer windows [T_i-2d, T_i] they fall in, outer max per typ
+    "promql_range_subquery" ->
+      """WITH og AS (SELECT unnest(generate_series(0, 6)) AS oi),
+        |ig AS (SELECT unnest(generate_series(0, 8)) AS ii),
+        |iv AS (SELECT e.event_type AS typ, ig.ii, count(*) AS n
+        |  FROM events e, ig
+        |  WHERE epoch_us(e.ts) >= 1704499200000000 + ig.ii*86400000000
+        |        - 86400000000
+        |    AND epoch_us(e.ts) <= 1704499200000000 + ig.ii*86400000000
+        |  GROUP BY 1, 2),
+        |asg AS (SELECT iv.typ, og.oi, iv.n
+        |  FROM iv, og
+        |  WHERE 1704499200000000 + iv.ii*86400000000
+        |        >= 1704672000000000 + og.oi*86400000000 - 172800000000
+        |    AND 1704499200000000 + iv.ii*86400000000
+        |        <= 1704672000000000 + og.oi*86400000000)
+        |SELECT typ, 1704672000 + oi * 86400 AS t_sec,
+        |  CAST(max(n) AS DOUBLE) AS value
+        |FROM asg GROUP BY 1, 2""".stripMargin,
     "promql_dow" ->
       """SELECT usr, typ, value FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,

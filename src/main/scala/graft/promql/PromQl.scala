@@ -708,61 +708,75 @@ object PromQl {
       Left(Vec(df, idx.labelNames))
 
     case Func(name, sq: SubQ, sArg) if rangeFuncs(name) =>
-      // subquery: the inner expression's grid points are the "samples"
-      // the outer range function folds — per label set, ordered by
-      // t_sec (grid order replaces sample order)
-      require(grid.n == 1,
-        s"$name over a subquery is supported for instant queries")
-      val tUs = grid.startUs
+      // subquery: ONE inner grid (anchored at the first outer window's
+      // start, step = the subquery step) spans every outer window; its
+      // points are the "samples" the outer range function folds, each
+      // assigned to the outer grid indices whose window [T_i − range,
+      // T_i] contains it — the same arithmetic explode as window(), so
+      // range queries over subqueries are one plan too. Inner point
+      // order (`__it`) replaces sample order; for an instant query
+      // (n = 1) this degenerates to the single-window fold.
+      val rangeUs = sq.rangeSec * 1000000L
       val stepUs = sq.stepSec * 1000000L
-      val nPts = (sq.rangeSec * 1000000L / stepUs).toInt + 1
-      val inner = Grid(tUs - sq.rangeSec * 1000000L, stepUs, nPts)
+      val innerStart = grid.startUs - rangeUs
+      val innerEnd = grid.startUs + (grid.n - 1).toLong * grid.stepUs
+      val inner = Grid(innerStart, stepUs, ((innerEnd - innerStart) / stepUs).toInt + 1)
       val v = evalNode(idx, sq.arg, inner, lookbackSec) match {
         case Left(x) => x
         case Right(_) => sys.error("subquery needs a vector inner expression")
       }
-      val keys = v.labels.map(col)
-      require(keys.nonEmpty, "subquery inner expression must keep at least one label")
-      val w = Window.partitionBy(keys: _*).orderBy(col("t_sec"))
-      def withD = v.df.withColumn("__prev", lag(col("value"), 1).over(w))
+      require(v.labels.nonEmpty, "subquery inner expression must keep at least one label")
+      val ptUs = col("t_sec") * lit(1000000L)
+      val iMin = greatest(lit(0L),
+        ceil((ptUs - lit(grid.startUs)).cast("double") / lit(grid.stepUs.toDouble)))
+      val iMax = least(lit((grid.n - 1).toLong),
+        floor((ptUs - lit(grid.startUs) + lit(rangeUs)).cast("double") / lit(grid.stepUs.toDouble)))
+      val pts = v.df.withColumn("__it", col("t_sec"))
+        .filter(iMax >= iMin)
+        .withColumn("__i", explode(sequence(iMin, iMax)))
+        .withColumn("t_sec",
+          ((lit(grid.startUs) + col("__i") * lit(grid.stepUs)) / lit(1000000L)).cast("long"))
+      val keys = (v.labels :+ "t_sec").map(col)
+      val w = Window.partitionBy(keys: _*).orderBy(col("__it"))
+      def withD = pts.withColumn("__prev", lag(col("value"), 1).over(w))
         .withColumn("__d", col("value") - col("__prev"))
       val df0 = name match {
-        case "sum_over_time" => v.df.groupBy(keys: _*).agg(sum(col("value")).as("value"))
-        case "avg_over_time" => v.df.groupBy(keys: _*).agg(avg(col("value")).as("value"))
-        case "min_over_time" => v.df.groupBy(keys: _*).agg(min(col("value")).as("value"))
-        case "max_over_time" => v.df.groupBy(keys: _*).agg(max(col("value")).as("value"))
-        case "count_over_time" => v.df.groupBy(keys: _*)
+        case "sum_over_time" => pts.groupBy(keys: _*).agg(sum(col("value")).as("value"))
+        case "avg_over_time" => pts.groupBy(keys: _*).agg(avg(col("value")).as("value"))
+        case "min_over_time" => pts.groupBy(keys: _*).agg(min(col("value")).as("value"))
+        case "max_over_time" => pts.groupBy(keys: _*).agg(max(col("value")).as("value"))
+        case "count_over_time" => pts.groupBy(keys: _*)
           .agg(count(lit(1)).cast("double").as("value"))
-        case "last_over_time" => v.df.groupBy(keys: _*)
-          .agg(max_by(col("value"), col("t_sec")).as("value"))
-        case "present_over_time" => v.df.groupBy(keys: _*)
+        case "last_over_time" => pts.groupBy(keys: _*)
+          .agg(max_by(col("value"), col("__it")).as("value"))
+        case "present_over_time" => pts.groupBy(keys: _*)
           .agg(max(lit(1.0)).as("value"))
         case "mad_over_time" =>
-          val med = v.df.groupBy(keys: _*)
+          val med = pts.groupBy(keys: _*)
             .agg(expr("percentile(value, 0.5D)").as("__med"))
-          v.df.join(broadcast(med), v.labels)
+          pts.join(broadcast(med), v.labels :+ "t_sec")
             .groupBy(keys: _*)
             .agg(expr("percentile(abs(value - __med), 0.5D)").as("value"))
-        case "quantile_over_time" => v.df.groupBy(keys: _*)
+        case "quantile_over_time" => pts.groupBy(keys: _*)
           .agg(expr(s"percentile(value, ${sArg.get}D)").as("value"))
-        case "stddev_over_time" => v.df.groupBy(keys: _*)
+        case "stddev_over_time" => pts.groupBy(keys: _*)
           .agg(stddev_pop(col("value")).as("value"))
-        case "stdvar_over_time" => v.df.groupBy(keys: _*)
+        case "stdvar_over_time" => pts.groupBy(keys: _*)
           .agg(var_pop(col("value")).as("value"))
-        case "delta" => v.df.groupBy(keys: _*)
-          .agg((max_by(col("value"), col("t_sec"))
-            - min_by(col("value"), col("t_sec"))).as("value"))
+        case "delta" => pts.groupBy(keys: _*)
+          .agg((max_by(col("value"), col("__it"))
+            - min_by(col("value"), col("__it"))).as("value"))
         case "idelta" => withD.filter(col("__prev").isNotNull)
-          .groupBy(keys: _*).agg(max_by(col("__d"), col("t_sec")).as("value"))
+          .groupBy(keys: _*).agg(max_by(col("__d"), col("__it")).as("value"))
         case "changes" => withD.groupBy(keys: _*)
           .agg(sum(when(col("__prev").isNotNull && col("__d") =!= 0, 1)
             .otherwise(0)).cast("double").as("value"))
         case "resets" => withD.groupBy(keys: _*)
           .agg(sum(when(col("__d") < 0, 1).otherwise(0)).cast("double").as("value"))
         case "deriv" | "predict_linear" =>
-          // grid points as samples: x = seconds before the outer T
-          val x = col("t_sec").cast("double") - lit(tUs / 1e6)
-          val m = v.df.groupBy(keys: _*).agg(
+          // grid points as samples: x = seconds before the outer T_i
+          val x = col("__it").cast("double") - col("t_sec").cast("double")
+          val m = pts.groupBy(keys: _*).agg(
             count(lit(1)).cast("double").as("__n"),
             sum(x).as("__sx"), sum(col("value")).as("__sy"),
             sum(x * x).as("__sxx"), sum(x * col("value")).as("__sxy"))
@@ -775,15 +789,15 @@ object PromQl {
           m.filter(col("__n") >= 2 && denom =!= 0.0)
             .select(keys :+ value.as("value"): _*)
         case "irate" =>
-          val last = v.df
+          val last = pts
             .withColumn("__prev", lag(col("value"), 1).over(w))
-            .withColumn("__pt", lag(col("t_sec"), 1).over(w))
-            .filter(col("__prev").isNotNull && col("t_sec") > col("__pt"))
+            .withColumn("__pt", lag(col("__it"), 1).over(w))
+            .filter(col("__prev").isNotNull && col("__it") > col("__pt"))
             .withColumn("__d", col("value") - col("__prev"))
             .withColumn("__r",
               when(col("__d") >= 0, col("__d")).otherwise(col("value")) /
-                (col("t_sec") - col("__pt")).cast("double"))
-          last.groupBy(keys: _*).agg(max_by(col("__r"), col("t_sec")).as("value"))
+                (col("__it") - col("__pt")).cast("double"))
+          last.groupBy(keys: _*).agg(max_by(col("__r"), col("__it")).as("value"))
         case "increase" | "rate" =>
           val inc = withD
             .withColumn("__c", when(col("__prev").isNull, lit(0.0))
@@ -795,7 +809,7 @@ object PromQl {
             else col("__inc")
           inc.select(keys :+ value.as("value"): _*)
       }
-      Left(Vec(df0.withColumn("t_sec", lit(tUs / 1000000L)), v.labels))
+      Left(Vec(df0, v.labels))
 
     case Func(name, _, _) if rangeFuncs(name) =>
       sys.error(s"$name needs a range selector argument, e.g. $name({...}[5m])")
