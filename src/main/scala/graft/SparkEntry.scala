@@ -27,6 +27,7 @@ object SparkEntry {
     "match_conj_stored" -> (index.IndexQueries.matchConjStored _),
     "match_conj_streamed" -> (index.IndexQueries.matchConjStreamed _),
     "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
+    "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -545,6 +546,12 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
         |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    // H1: the final Complete-mode state of a real multi-micro-batch
+    // streaming windowed aggregation must equal the batch GROUP BY
+    "stream_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS win_start_sec,
+        |  event_type AS typ, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // H17: the full PromQL algebra over stream-maintained postings —
     // batch SQL oracle proves streamed index ≡ batch index end-to-end
     "promql_streamed" ->

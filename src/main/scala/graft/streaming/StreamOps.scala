@@ -100,6 +100,52 @@ object StreamOps extends Serializable {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("window.start").as("win_start"), col("typ"), col("n"), col("sum_v"))
 
+  // one completed streaming run per (session, dataset): the memory-sink
+  // table name the H1 gate query reads
+  private val windowAggRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H1, oracle-gated: [[windowedAgg]]'s shape driven by an ACTUAL
+    * Structured Streaming run — the events land as 4 parquet files,
+    * stream back one file per micro-batch, and the hourly windowed
+    * count aggregates across batches into a memory sink (Complete
+    * mode: the finite stream's final state is the whole history, so
+    * the result must equal the batch GROUP BY — which is exactly what
+    * the DuckDB oracle computes; counts are integers, so there is no
+    * FP surface). One streaming run per JVM per dataset (memoized);
+    * the gate proves incremental multi-batch aggregation state ≡ a
+    * one-shot batch aggregation, the H9/H17 discipline applied to the
+    * windowed-agg path.
+    */
+  def windowedAggStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = windowAggRuns.computeIfAbsent((spark, dir), _ => {
+      val name = "graft_h1_" + graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h1_" + graft.Tables.fingerprint(s"$dir/events.parquet"))
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      raw.select(graft.Tables.tsCol(raw).as("ts"), col("event_type").as("typ"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("typ"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("typ"), col("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table).select(
+      (unix_micros(col("win_start")) / lit(1000000L)).cast("long")
+        .as("win_start_sec"),
+      col("typ"), col("n"))
+  }
+
   /** Open per-series hourly bucket. */
   case class RateState(bucketStart: Long, sumV: Double, n: Long)
 
