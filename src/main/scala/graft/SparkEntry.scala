@@ -28,6 +28,7 @@ object SparkEntry {
     "match_conj_streamed" -> (index.IndexQueries.matchConjStreamed _),
     "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
+    "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -552,6 +553,12 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS win_start_sec,
         |  event_type AS typ, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // H8: the streamed input carries every event TWICE; matching the
+    // batch GROUP BY over the original events proves the streaming
+    // dedup dropped every duplicate and nothing else
+    "stream_dedup" ->
+      """SELECT event_type AS typ, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     // H17: the full PromQL algebra over stream-maintained postings —
     // batch SQL oracle proves streamed index ≡ batch index end-to-end
     "promql_streamed" ->

@@ -146,6 +146,42 @@ object StreamOps extends Serializable {
       col("typ"), col("n"))
   }
 
+  private val dedupRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H8, oracle-gated: streaming exact dedup proven against batch. The
+    * events land TWICE (every record is a cross-micro-batch duplicate
+    * by construction — the at-least-once transport scenario), stream
+    * back in 4-file micro-batches, and `dropDuplicates(event_id)`
+    * emits first occurrences into an Append-mode memory sink. The gate
+    * aggregates the sink per type: equality with the batch GROUP BY
+    * over the ORIGINAL events proves every duplicate was dropped and
+    * nothing else was (counts are integers — no FP surface).
+    */
+  def dedupStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = dedupRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h8_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h8_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val ev = raw.select(col("event_id"), col("event_type").as("typ"))
+        .repartition(4)
+      ev.write.mode("overwrite").parquet(landing)
+      ev.write.mode("append").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 2).parquet(landing)
+      val q = stream.dropDuplicates("event_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table).groupBy(col("typ")).agg(count(lit(1)).as("n"))
+  }
+
   /** Open per-series hourly bucket. */
   case class RateState(bucketStart: Long, sumV: Double, n: Long)
 
