@@ -29,6 +29,7 @@ object SparkEntry {
     "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
+    "stream_topk" -> (streaming.StreamOps.topkStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -553,6 +554,16 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS win_start_sec,
         |  event_type AS typ, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // H12: the streaming heap's final state ≡ the batch ranking (same
+    // raw doubles, same (v desc, usr, typ) tie order)
+    "stream_topk" ->
+      """SELECT typ, rk, usr, v FROM (
+        |  SELECT event_type AS typ, CAST(user_id AS VARCHAR) AS usr,
+        |    value AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, CAST(user_id AS VARCHAR)) AS rk
+        |  FROM events)
+        |WHERE rk <= 3""".stripMargin,
     // H8: the streamed input carries every event TWICE; matching the
     // batch GROUP BY over the original events proves the streaming
     // dedup dropped every duplicate and nothing else

@@ -182,6 +182,40 @@ object StreamOps extends Serializable {
     spark.table(table).groupBy(col("typ")).agg(count(lit(1)).as("n"))
   }
 
+  private val topkRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H12, oracle-gated: the shared bounded-heap TopKAgg as a STREAMING
+    * aggregate — per-type top-3 samples accumulated across 4
+    * micro-batches in Complete mode; the finite stream's final heap
+    * must equal the batch ranking the DuckDB oracle computes (raw
+    * sample values are bit-identical on both sides — they come from
+    * the same parquet — and the heap's (v desc, usr, typ) tie order is
+    * the oracle's ORDER BY, the batch B6 parity argument).
+    */
+  def topkStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = topkRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h12_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h12_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      raw.select(col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingTopK(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table)
+  }
+
   /** Open per-series hourly bucket. */
   case class RateState(bucketStart: Long, sumV: Double, n: Long)
 
