@@ -30,6 +30,7 @@ object SparkEntry {
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
     "stream_topk" -> (streaming.StreamOps.topkStreamed _),
+    "stream_series_state" -> (streaming.StreamOps.trackSeriesStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -553,6 +554,12 @@ object SparkEntry {
     "stream_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS win_start_sec,
         |  event_type AS typ, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // H2: the custom-state series tracker's monotone nSamples — max
+    // per key over all Update-mode emissions = final state = batch count
+    "stream_series_state" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  count(*) AS n_samples
         |FROM events GROUP BY 1, 2""".stripMargin,
     // H12: the streaming heap's final state ≡ the batch ranking (same
     // raw doubles, same (v desc, usr, typ) tie order)

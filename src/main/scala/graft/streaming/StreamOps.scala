@@ -216,6 +216,43 @@ object StreamOps extends Serializable {
     spark.table(table)
   }
 
+  private val seriesRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H2, oracle-gated: the mapGroupsWithState series tracker run over
+    * 4 real micro-batches — every update lands in an Update-mode
+    * memory sink, and because nSamples is MONOTONE per key, the max
+    * per key is the final state, which must equal the batch per-series
+    * count (the custom-state path's ≡-batch proof; firstSeenSec is
+    * arrival-order-defined, so the gate pins the count alone — the
+    * StreamingSpec covers the rest of the state shape).
+    */
+  def trackSeriesStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = seriesRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h2_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h2_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+          col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = trackSeries(stream.as[Sample])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table).groupBy(col("usr"), col("typ"))
+      .agg(max(col("nSamples")).as("n_samples"))
+  }
+
   /** Open per-series hourly bucket. */
   case class RateState(bucketStart: Long, sumV: Double, n: Long)
 
