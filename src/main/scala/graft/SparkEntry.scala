@@ -31,6 +31,7 @@ object SparkEntry {
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
     "stream_topk" -> (streaming.StreamOps.topkStreamed _),
     "stream_series_state" -> (streaming.StreamOps.trackSeriesStreamed _),
+    "stream_histq" -> (streaming.StreamOps.histogramQuantileStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -555,6 +556,30 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS win_start_sec,
         |  event_type AS typ, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // H14: the streamed histogram's final state (selected by the
+    // monotone total) interpolates with the same IEEE expression as
+    // B19's oracle — which therefore gates the streaming path verbatim
+    "stream_histq" ->
+      """WITH h AS (SELECT event_type AS typ, count(*) AS total,
+        |    sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS c25,
+        |    sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS c50,
+        |    sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c100,
+        |    sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS c200
+        |  FROM events GROUP BY 1)
+        |SELECT typ, total,
+        |  round(CASE
+        |    WHEN c25 >= total*0.5 THEN 0 + (total*0.5 - 0)/(c25 - 0)*25
+        |    WHEN c50 >= total*0.5 THEN 25 + (total*0.5 - c25)/(c50 - c25)*25
+        |    WHEN c100 >= total*0.5 THEN 50 + (total*0.5 - c50)/(c100 - c50)*50
+        |    WHEN c200 >= total*0.5 THEN 100 + (total*0.5 - c100)/(c200 - c100)*100
+        |    ELSE 200 END, 4) AS hq50,
+        |  round(CASE
+        |    WHEN c25 >= total*0.9 THEN 0 + (total*0.9 - 0)/(c25 - 0)*25
+        |    WHEN c50 >= total*0.9 THEN 25 + (total*0.9 - c25)/(c50 - c25)*25
+        |    WHEN c100 >= total*0.9 THEN 50 + (total*0.9 - c50)/(c100 - c50)*50
+        |    WHEN c200 >= total*0.9 THEN 100 + (total*0.9 - c100)/(c200 - c100)*100
+        |    ELSE 200 END, 4) AS hq90
+        |FROM h""".stripMargin,
     // H2: the custom-state series tracker's monotone nSamples — max
     // per key over all Update-mode emissions = final state = batch count
     "stream_series_state" ->

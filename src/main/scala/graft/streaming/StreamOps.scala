@@ -253,6 +253,45 @@ object StreamOps extends Serializable {
       .agg(max(col("nSamples")).as("n_samples"))
   }
 
+  private val histRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H14, oracle-gated: the exact O(#buckets)-state streaming
+    * histogram quantiles over 4 real micro-batches. Each batch's
+    * emission carries the cumulative total (strictly monotone per key
+    * — a key only emits when it received rows), so max_by(total)
+    * selects the final state; its interpolation is the identical IEEE
+    * expression as B19's batch oracle, which therefore gates the
+    * streamed path directly.
+    */
+  def histogramQuantileStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = histRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h14_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h14_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+          col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingHistogramQuantile(stream.as[Sample])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table).groupBy(col("typ")).agg(
+      max(col("total")).as("total"),
+      max_by(col("hq50"), col("total")).as("hq50"),
+      max_by(col("hq90"), col("total")).as("hq90"))
+  }
+
   /** Open per-series hourly bucket. */
   case class RateState(bucketStart: Long, sumV: Double, n: Long)
 
