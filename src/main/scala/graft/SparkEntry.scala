@@ -32,6 +32,7 @@ object SparkEntry {
     "stream_topk" -> (streaming.StreamOps.topkStreamed _),
     "stream_series_state" -> (streaming.StreamOps.trackSeriesStreamed _),
     "stream_histq" -> (streaming.StreamOps.histogramQuantileStreamed _),
+    "stream_freq_items" -> (streaming.StreamOps.freqItemsStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -556,6 +557,17 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS win_start_sec,
         |  event_type AS typ, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // H10: below-capacity Misra–Gries is exact counting (≈400 buckets
+    // < 1024): final streamed summary top-5 ≡ batch ranking
+    "stream_freq_items" ->
+      """WITH b AS (SELECT event_type AS typ,
+        |    CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT typ, rk, bucket, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY typ
+        |    ORDER BY n DESC, bucket) AS rk
+        |  FROM b)
+        |WHERE rk <= 5""".stripMargin,
     // H14: the streamed histogram's final state (selected by the
     // monotone total) interpolates with the same IEEE expression as
     // B19's oracle — which therefore gates the streaming path verbatim
