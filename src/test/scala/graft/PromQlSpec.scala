@@ -421,6 +421,23 @@ class PromQlSpec extends AnyFunSuite {
     assert(one("days_in_month(vector(1706659200))") == 31.0)
   }
 
+  test("range-query subquery ≡ instant subquery at each grid point") {
+    // valid whenever the outer step is a multiple of the inner step
+    // (the shared inner grid then aligns with every per-point grid)
+    val q = """max_over_time(sum by (typ) (count_over_time({typ=~".*"}[1d]))[2d:1d])"""
+    val grid = promql.PromQl.evalRange(spark, dir, q,
+      "2024-01-10 00:00:00", "2024-01-12 00:00:00", 86400L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val pts = Seq("2024-01-10 00:00:00", "2024-01-11 00:00:00", "2024-01-12 00:00:00")
+    val single = pts.flatMap { t =>
+      val tSec = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      promql.PromQl.eval(spark, dir, q, t)
+        .collect().map(r => (r.getString(0), tSec, r.getDouble(1)))
+    }.toSet
+    assert(grid == single && grid.nonEmpty)
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
