@@ -33,6 +33,7 @@ object SparkEntry {
     "stream_series_state" -> (streaming.StreamOps.trackSeriesStreamed _),
     "stream_histq" -> (streaming.StreamOps.histogramQuantileStreamed _),
     "stream_freq_items" -> (streaming.StreamOps.freqItemsStreamed _),
+    "stream_mv" -> (streaming.StreamOps.mvStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -556,6 +557,15 @@ object SparkEntry {
     "stream_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS win_start_sec,
         |  event_type AS typ, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // H15: merge-on-read over the per-micro-batch MV segments ≡ the
+    // one-shot batch aggregation; all-integer state, exact oracle
+    "stream_mv" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sq
         |FROM events GROUP BY 1, 2""".stripMargin,
     // H10: below-capacity Misra–Gries is exact counting (≈400 buckets
     // < 1024): final streamed summary top-5 ≡ batch ranking

@@ -336,6 +336,42 @@ object StreamOps extends Serializable {
         col("col.buckets").as("bucket"), col("col.counts").as("n"))
   }
 
+  private val mvRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H15, oracle-gated: the streaming MV maintenance loop end-to-end —
+    * 4 micro-batches each overwrite their idempotent `seg=b<id>`
+    * partial-state segment via [[streamMvMaintain]]'s foreachBatch,
+    * and [[mvRead]]'s merge-on-read view must equal the one-shot batch
+    * aggregation over all events. Every number in the state is an
+    * integer (count, cent sums, cent sums-of-squares), so the DuckDB
+    * oracle is exact with no FP surface — the same mergeable-state
+    * claim C21 proves for the batch path, now under real checkpointed
+    * streaming commits.
+    */
+  def mvStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mvPath = mvRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h15_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val mv = new java.io.File(base, "mv").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+          col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamMvMaintain(stream.as[Sample], mv,
+        new java.io.File(base, "ckpt").toString)
+      q.processAllAvailable(); q.stop()
+      mv
+    })
+    mvRead(spark, mvPath)
+  }
+
   /** Open per-series hourly bucket. */
   case class RateState(bucketStart: Long, sumV: Double, n: Long)
 
