@@ -354,19 +354,35 @@ object StreamOps extends Serializable {
     val mvPath = mvRuns.computeIfAbsent((spark, dir), _ => {
       val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
       val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h15_" + fp)
-      val landing = new java.io.File(base, "landing").toString
       val mv = new java.io.File(base, "mv").toString
-      val raw = graft.Tables.eventsRaw(spark, dir)
-      raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
-          col("user_id").cast("string").as("usr"),
-          col("event_type").as("typ"), col("value"))
-        .repartition(4).write.mode("overwrite").parquet(landing)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(landing).schema)
-        .option("maxFilesPerTrigger", 1).parquet(landing)
-      val q = streamMvMaintain(stream.as[Sample], mv,
-        new java.io.File(base, "ckpt").toString)
-      q.processAllAvailable(); q.stop()
+      // the MV segments persist across JVMs while a fresh landing write
+      // would produce NEW part filenames the old checkpoint has not
+      // seen — the file source would ingest them as extra batches and
+      // double every count. `_done` marks a completed build (reuse it
+      // whole); anything half-built is wiped first — the
+      // streamedStoreFor discipline.
+      val done = new java.io.File(base, "_done")
+      if (!done.exists()) {
+        if (base.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(base)
+        }
+        val landing = new java.io.File(base, "landing").toString
+        val raw = graft.Tables.eventsRaw(spark, dir)
+        raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+            col("user_id").cast("string").as("usr"),
+            col("event_type").as("typ"), col("value"))
+          .repartition(4).write.mode("overwrite").parquet(landing)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = streamMvMaintain(stream.as[Sample], mv,
+          new java.io.File(base, "ckpt").toString)
+        q.processAllAvailable(); q.stop()
+        done.createNewFile()
+      }
       mv
     })
     mvRead(spark, mvPath)
