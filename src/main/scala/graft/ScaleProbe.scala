@@ -143,6 +143,19 @@ object ScaleProbe {
     // hash + one partial agg), and the bloom sketch build + probe —
     // two corpus passes total, the incremental-dedup scale pattern
     t("ngram_trigrams")(text.TextAnalysis.ngramCountOn(dbig))
+    // round-8: the pointer-doubling closure. Replicated doc_ids keep
+    // the same depth distribution at factor× rows, so rounds stay
+    // ~log(maxDepth) and build wall must grow ∝ rows (each round is
+    // one co-partitioned self-join over N rows), while CONSUMPTION is
+    // a single cache scan — the round-7 verdict's replay scale-killer.
+    t("ancestor_closure") {
+      val conv = operators.Relational.ancestorClosureConverged(
+        dbig.select(col("doc_id")))
+      val out = conv.select(col("node"), col("depth"))
+      out.count() // consume through the cache
+      conv.unpersist()
+      out.limit(0)
+    }
     t("quality_classify")(text.TextAnalysis.qualityClassifyOn(spark, dbig))
     t("bloom_build_probe") {
       val h = dbig.select(xxhash64(col("text")).as("h"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Memo, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -433,11 +433,28 @@ object Relational {
     * D full passes. Root rows map to themselves with length 0, so
     * converged nodes are fixpoints of the doubling step; convergence
     * is one scalar count per round (the Dedup.clusters discipline),
-    * and each round's cache replaces the previous one.
+    * and each round's cache replaces the previous one. The CONVERGED
+    * frame is memoized (one pinned copy per session+dataset, released
+    * by Memo.clear): each round's lineage references the previous
+    * round twice (cur ⋈ m), so an uncached replay of the final frame
+    * fans out ~2^rounds base-table scans — the cache is not an
+    * optimization here but the thing that keeps consumption O(rows).
     */
   def ancestorClosure(spark: SparkSession, dir: String): DataFrame = {
+    val converged = Memo.cached(spark, s"relational.ancestorClosure:$dir") {
+      ancestorClosureConverged(Tables.documents(spark, dir))
+    }
+    converged.select(col("node").as("doc_id"), col("depth"))
+  }
+
+  /** The doubling loop on an arbitrary `doc_id` frame. Returns the
+    * CONVERGED frame (node, anc, depth), cached and fully materialized
+    * (the convergence count of the last round scans it) — the caller
+    * owns its release (Memo above; explicit unpersist in ScaleProbe).
+    */
+  private[graft] def ancestorClosureConverged(docs: DataFrame): DataFrame = {
     val parent = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % col("doc_id")
-    var cur = Tables.documents(spark, dir).select(
+    var cur = docs.select(
       col("doc_id").as("node"),
       when(col("doc_id") === 0, lit(0L)).otherwise(parent).as("anc"),
       when(col("doc_id") === 0, lit(0L)).otherwise(lit(1L)).as("depth"))
@@ -454,9 +471,7 @@ object Relational {
       cur.unpersist()
       cur = next
     }
-    val out = cur.select(col("node").as("doc_id"), col("depth"))
-    cur.unpersist()
-    out
+    cur
   }
 
   /** C12: pivot — long-to-wide aggregation (per-user event-type count

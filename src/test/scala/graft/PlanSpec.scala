@@ -351,4 +351,24 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(p.contains("CEIL") || p.contains("ceil"), p)
   }
+
+  test("ancestor_closure: consumed plan reads the memoized converged cache") {
+    // Each doubling round's lineage references the previous round twice,
+    // so an uncached consumption replays ~2^rounds base scans. The
+    // builder must hand back a select over ONE in-memory relation —
+    // no Join and no parquet scan may survive in the consumed plan.
+    val df = SparkEntry.queries("ancestor_closure")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // toString inlines the cached relation's stored BUILD lineage below
+    // the InMemoryRelation marker; only the prefix above it executes.
+    val consumed = p.linesIterator
+      .takeWhile(l => !l.contains("InMemoryRelation")).mkString("\n")
+    assert(consumed.contains("InMemoryTableScan"),
+      s"converged frame not served from cache:\n$p")
+    assert(!consumed.contains("Join"),
+      s"doubling join tree leaked into consumption:\n$consumed")
+    assert(!consumed.contains("FileScan"),
+      s"base-table scan leaked into consumption:\n$consumed")
+    Memo.clear(spark)
+  }
 }
