@@ -119,9 +119,16 @@ object Dedup {
     * shingle join is salted on hot shingles; here the semantics.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(graft.Memo.cached(spark, s"dedup.shingles:$dir") {
-      shingles(Tables.documents(spark, dir))
-    }, 0.8)
+    // the verified pair table itself is memoized: three gated paths
+    // consume it (dedup_ngram_jaccard, dedup_clusters' edge list,
+    // curation_pipeline's cluster stage), and it is the most expensive
+    // derivation in the flagship composite — one pinned copy per
+    // session+dataset instead of one candidate-join replay per consumer
+    graft.Memo.cached(spark, s"dedup.jaccardPairs:$dir") {
+      jaccardPairs(graft.Memo.cached(spark, s"dedup.shingles:$dir") {
+        shingles(Tables.documents(spark, dir))
+      }, 0.8)
+    }
 
   /** D9: containment dedup — the asymmetric near-dup Jaccard misses:
     * a snippet wholly quoted inside a larger document has
@@ -327,7 +334,9 @@ object Dedup {
   }
 
   private[graft] def computeClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("ia", "ib").cache()
+    // ngramJaccard is Memo-backed: the select rides its pinned cache,
+    // so no extra per-invocation copy here
+    val pairs = ngramJaccard(spark, dir).select("ia", "ib")
     // The near-dup pair graph is tiny by construction (it is the
     // verified dedup output, ∝ actual duplicates, not corpus size).
     // Below a size threshold, driver-side union-find beats dozens of

@@ -429,13 +429,17 @@ object Multimodal {
     * the D3 argument, Σ bucket² work instead of corpus².
     */
   def phashDedup(spark: SparkSession, dir: String): DataFrame =
-    phashDedupOn(Tables.documents(spark, dir))
+    phashDedupOn(Tables.documents(spark, dir),
+      Some(s"multimodal.phashFps:$dir"))
 
   /** DataFrame-generic payload phash dedup; input needs (doc_id, text).
     * Exposed so the scale probe can drive the same plan over
-    * replicated corpora.
+    * replicated corpora. The fingerprint table is consumed twice (both
+    * sides of the chunk join): the gated path pins it via Memo (one
+    * copy per session+dataset, released by Memo.clear); a keyless call
+    * (ScaleProbe's one-shot replicated corpus) caches ad hoc.
     */
-  def phashDedupOn(docs: DataFrame): DataFrame = {
+  def phashDedupOn(docs: DataFrame, memoKey: Option[String] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val twins = base.filter(pmod(col("doc_id"), lit(20)) === 0)
       .select((col("doc_id") + lit(3000000L)).as("doc_id"),
@@ -444,10 +448,14 @@ object Multimodal {
     // one codegen byte loop per payload (graft.functions.BlockHash) —
     // the HOF formulation (per-char ascii array + 60 interpreted
     // slice-folds) computed the identical fingerprint ~4x slower
-    val fps = base.unionByName(twins)
+    val fpsPlan = base.unionByName(twins)
       .withColumn("fp",
         graft.functions.BlockHash.column(base.sparkSession, col("text")))
-      .select(col("doc_id"), col("fp")).cache()
+      .select(col("doc_id"), col("fp"))
+    val fps = memoKey match {
+      case Some(k) => graft.Memo.cached(base.sparkSession, k)(fpsPlan)
+      case None => fpsPlan.cache()
+    }
     val chunks = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 6).map(c =>
         struct(lit(c).as("c"),

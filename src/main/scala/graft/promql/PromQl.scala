@@ -148,7 +148,7 @@ object PromQl {
     private def err(msg: String): Nothing =
       throw new IllegalArgumentException(s"PromQL parse error at $pos: $msg in `$s`")
     private def ws(): Unit = while (pos < s.length && s(pos).isWhitespace) pos += 1
-    private def peek: Char = if (pos < s.length) s(pos) else ' '
+    private def peek: Char = if (pos < s.length) s(pos) else '\u0000'
     private def eat(c: Char): Unit = { ws(); if (peek == c) pos += 1 else err(s"expected '$c'") }
     private def tryEat(c: Char): Boolean = { ws(); if (peek == c) { pos += 1; true } else false }
     private def ident(): String = {
@@ -708,17 +708,22 @@ object PromQl {
       Left(Vec(df, idx.labelNames))
 
     case Func(name, sq: SubQ, sArg) if rangeFuncs(name) =>
-      // subquery: ONE inner grid (anchored at the first outer window's
-      // start, step = the subquery step) spans every outer window; its
-      // points are the "samples" the outer range function folds, each
-      // assigned to the outer grid indices whose window [T_i − range,
-      // T_i] contains it — the same arithmetic explode as window(), so
-      // range queries over subqueries are one plan too. Inner point
-      // order (`__it`) replaces sample order; for an instant query
-      // (n = 1) this degenerates to the single-window fold.
+      // subquery: ONE inner grid (step = the subquery step) spans every
+      // outer window; its points are the "samples" the outer range
+      // function folds, each assigned to the outer grid indices whose
+      // window [T_i − range, T_i] contains it — the same arithmetic
+      // explode as window(), so range queries over subqueries are one
+      // plan too. Inner point order (`__it`) replaces sample order; for
+      // an instant query (n = 1) this degenerates to the single-window
+      // fold. Like Prometheus (promql/engine.go subquery evaluation),
+      // inner points sit at ABSOLUTE multiples of the step since epoch
+      // — the first point is (outerStart − range) rounded UP to a step
+      // multiple, so results are invariant to sub-step shifts of the
+      // eval time (for step-aligned eval times the rounding is a no-op,
+      // which keeps the DuckDB oracle's replay identical).
       val rangeUs = sq.rangeSec * 1000000L
       val stepUs = sq.stepSec * 1000000L
-      val innerStart = grid.startUs - rangeUs
+      val innerStart = math.floorDiv(grid.startUs - rangeUs + stepUs - 1, stepUs) * stepUs
       val innerEnd = grid.startUs + (grid.n - 1).toLong * grid.stepUs
       val inner = Grid(innerStart, stepUs, ((innerEnd - innerStart) / stepUs).toInt + 1)
       val v = evalNode(idx, sq.arg, inner, lookbackSec) match {
@@ -988,7 +993,16 @@ object PromQl {
       val r = b.df.select(
         (outLabels.filterNot(a.labels.contains).filter(b.labels.contains) ++ jkeys)
           .distinct.map(col) :+ col("value").as("__r"): _*)
-      val j = l.join(r, jkeys).withColumn("value", binC(op, col("__l"), col("__r")))
+      // the ONE side is by definition reduced to the match labels —
+      // ∝ #series × grid points, always the broadcast-sized operand —
+      // so the final match never shuffles the many side (post-agg
+      // stats are unknown to Catalyst, which would otherwise pick a
+      // sort-merge join here)
+      val j =
+        if (one eq b) l.join(broadcast(r), jkeys)
+          .withColumn("value", binC(op, col("__l"), col("__r")))
+        else broadcast(l).join(r, jkeys)
+          .withColumn("value", binC(op, col("__l"), col("__r")))
       Left(Vec(j, outLabels))
 
     case Bin(op, lhs, rhs) if op == "and" || op == "or" || op == "unless" =>
@@ -1103,7 +1117,11 @@ object PromQl {
             val keys = a.labels :+ "t_sec"
             val l = a.df.select(keys.map(col) :+ col("value").as("__l"): _*)
             val r = b.df.select(keys.map(col) :+ col("value").as("__r"): _*)
-            val j = l.join(r, keys).withColumn("value", binC(op, col("__l"), col("__r")))
+            // both sides are per-series aggregates (∝ #series × grid),
+            // so hash-join with the rhs broadcast — post-agg stats are
+            // unknown and Catalyst would default to a sort-merge join
+            val j = l.join(broadcast(r), keys)
+              .withColumn("value", binC(op, col("__l"), col("__r")))
             Left(Vec(j, a.labels))
           }
       }

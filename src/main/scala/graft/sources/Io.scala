@@ -259,24 +259,44 @@ object Io {
     * Reference framing: tagtree's per-segment [min_ts, max_ts] pruning
     * (src/index/index_tree.cpp:92-110) lifted to file granularity.
     */
-  def writeManifest(spark: SparkSession, path: String, statCol: String): Unit =
+  def writeManifest(spark: SparkSession, path: String, statCol: String): Unit = {
+    // Manifest entries are RELATIVE to the table root: a manifest
+    // holding absolute input_file_name() URIs breaks when the table
+    // directory moves and silently points at stale files after a
+    // rewrite. Relative names keep the manifest portable; readPruned
+    // verifies existence so a post-manifest rewrite (Spark part files
+    // get fresh UUID names) fails fast instead of reading deleted data.
+    val rootAbs = new java.io.File(path).getAbsolutePath
+    val rel = regexp_replace(
+      regexp_replace(input_file_name(), "^file:/+", "/"),
+      "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
     spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+      .groupBy(rel.as("file"))
       .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
 
   /** Manifest-pruned read: only files whose [min, max] overlaps
     * [lo, hi] reach Spark's file index; the residual predicate makes
     * the result exact (manifest pruning is file-conservative, like the
-    * reference's segment-level time pruning).
+    * reference's segment-level time pruning). Selected entries are
+    * resolved against the CURRENT table root and existence-checked —
+    * a manifest left stale by a later rewrite is an error, not a
+    * silent wrong answer.
     */
   def readPruned(spark: SparkSession, path: String, statCol: String,
       lo: Column, hi: Column): DataFrame = {
+    val rootAbs = new java.io.File(path).getAbsolutePath
     val files = spark.read.parquet(s"$path/_manifest")
       .filter(col("max_v") >= lo && col("min_v") <= hi)
-      .select("file").collect().map(_.getString(0))
+      .select("file").collect().map(r => s"$rootAbs/${r.getString(0)}")
+    val missing = files.filterNot(f => new java.io.File(f).exists())
+    require(missing.isEmpty,
+      s"manifest at $path/_manifest is stale: ${missing.length} of " +
+        s"${files.length} selected files no longer exist (e.g. " +
+        s"${missing.take(1).mkString}); rewrite the manifest with writeManifest")
     val base =
       if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(files.toIndexedSeq: _*)

@@ -259,5 +259,25 @@ class IoSpec extends AnyFunSuite {
     val none = Io.readPruned(spark, out, "value",
       lit(Double.MaxValue / 2), lit(Double.MaxValue))
     assert(none.count() == 0 && none.schema == full.schema)
+
+    // the manifest stores paths RELATIVE to the table root, so a moved
+    // table keeps answering (no absolute URIs baked in) ...
+    val fullN = full.count() // materialize before the rename invalidates `out`
+    val moved = s"$tmp/manifest_demo_moved"
+    assert(new java.io.File(out).renameTo(new java.io.File(moved)))
+    val prunedMoved = Io.readPruned(spark, moved, "value", lit(lo), lit(hi))
+    assert(prunedMoved.count() == fullN)
+    // ... and a rewrite AFTER the manifest (part files replaced under
+    // it, e.g. by compaction) must fail fast as stale, never silently
+    // read deleted data
+    val victim = new java.io.File(moved).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    assert(victim.delete())
+    val ex = intercept[IllegalArgumentException] {
+      Io.readPruned(spark, moved, "value",
+        lit(Double.MinValue / 2), lit(Double.MaxValue / 2)).count()
+    }
+    assert(ex.getMessage.contains("stale"), ex.getMessage)
   }
 }

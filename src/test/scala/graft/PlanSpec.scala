@@ -352,6 +352,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("CEIL") || p.contains("ceil"), p)
   }
 
+  test("promql vector matching: the one side broadcasts, no sort-merge join") {
+    // both VecMatch operands are per-series aggregates (∝ #series ×
+    // grid points); post-agg stats are unknown to Catalyst, which
+    // would pick a sort-merge join — the evaluator must broadcast the
+    // reduced (one) side explicitly
+    for (q <- Seq("promql_ignoring", "promql_groupleft", "promql_binop")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q final match shuffles both sides:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the broadcast:\n$p")
+    }
+  }
+
   test("ancestor_closure: consumed plan reads the memoized converged cache") {
     // Each doubling round's lineage references the previous round twice,
     // so an uncached consumption replays ~2^rounds base scans. The
