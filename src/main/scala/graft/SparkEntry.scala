@@ -34,6 +34,11 @@ object SparkEntry {
     "stream_histq" -> (streaming.StreamOps.histogramQuantileStreamed _),
     "stream_freq_items" -> (streaming.StreamOps.freqItemsStreamed _),
     "stream_mv" -> (streaming.StreamOps.mvStreamed _),
+    "stream_interval_join" -> (streaming.StreamOps.intervalJoinStreamed _),
+    "stream_sessions" -> (streaming.StreamOps.sessionAggStreamed _),
+    "stream_incr_dedup" -> (streaming.StreamOps.corpusDedupStreamed _),
+    "stream_seq_pack" -> (streaming.StreamOps.seqPackStreamed _),
+    "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -624,6 +629,96 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type AS typ, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    // H5: the watermarked stream-stream interval join's appended pair
+    // table, re-aggregated per error (static error set re-enters the
+    // zero-match rows), must equal the batch left-outer interval join —
+    // C10's oracle verbatim
+    "stream_interval_join" ->
+      """SELECT e.event_id, CAST(e.user_id AS VARCHAR) AS usr,
+        |  count(p.event_id) AS n_nearby
+        |FROM events e LEFT JOIN events p
+        |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+        |  AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 3600000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1, 2""".stripMargin,
+    // H11: append-mode session windows (sentinel-flushed) ≡ the batch
+    // gap sessionization — B18's oracle with the value summed in exact
+    // integer cents (the streaming state merge has no FP surface)
+    "stream_sessions" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, value, event_id,
+        |    epoch_us(ts)//1000000 AS sec, epoch_us(ts) AS us
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY usr, typ ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY usr, typ
+        |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m)
+        |SELECT min(sec) AS sess_start_sec, usr, typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM s GROUP BY usr, typ, sess""".stripMargin,
+    // H13: the streamed verdicts (stream-static corpus join +
+    // cross-micro-batch hash state) ≡ D8's batch classes — the
+    // dedup_incremental oracle verbatim
+    "stream_incr_dedup" ->
+      """WITH orig AS (SELECT doc_id, text FROM documents),
+        |b0 AS (SELECT doc_id, (doc_id // 5) % 4 AS i4 FROM documents
+        |       WHERE doc_id % 5 = 0),
+        |batch AS (SELECT b0.doc_id, o.text
+        |  FROM b0 JOIN orig o ON o.doc_id =
+        |    CASE WHEN b0.i4 = 1 THEN b0.doc_id + 1
+        |         WHEN b0.i4 = 3 THEN b0.doc_id - 5
+        |         ELSE b0.doc_id END),
+        |corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
+        |r AS (SELECT b.doc_id, b.text,
+        |    b.text IN (SELECT text FROM corpus) AS in_corpus,
+        |    row_number() OVER (PARTITION BY b.text ORDER BY b.doc_id) AS rn
+        |  FROM batch b)
+        |SELECT doc_id,
+        |  CASE WHEN in_corpus THEN 'dup_corpus'
+        |       WHEN rn > 1 THEN 'dup_batch' ELSE 'kept' END AS verdict
+        |FROM r""".stripMargin,
+    // H18: the streamed per-source open-bin cursor ≡ F11's greedy fold
+    // — the seq_pack recursive-CTE oracle verbatim (pure integers)
+    "stream_seq_pack" ->
+      """WITH RECURSIVE
+        |d AS (SELECT source,
+        |    list_sort(list(struct_pack(doc_id := doc_id,
+        |      nt := len(string_split(text, ' '))))) AS l
+        |  FROM documents GROUP BY source),
+        |pk(source, k, bin, fill, doc_id, n_tok) AS (
+        |  SELECT source, 1 AS k, CAST(0 AS BIGINT) AS bin,
+        |    CAST(l[1].nt AS BIGINT) AS fill, l[1].doc_id AS doc_id,
+        |    CAST(l[1].nt AS BIGINT) AS n_tok
+        |  FROM d
+        |  UNION ALL
+        |  SELECT p.source, p.k + 1,
+        |    CASE WHEN p.fill + d.l[p.k+1].nt > 512
+        |         THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + d.l[p.k+1].nt > 512
+        |         THEN CAST(d.l[p.k+1].nt AS BIGINT)
+        |         ELSE p.fill + d.l[p.k+1].nt END,
+        |    d.l[p.k+1].doc_id, CAST(d.l[p.k+1].nt AS BIGINT)
+        |  FROM pk p JOIN d ON d.source = p.source AND p.k < len(d.l))
+        |SELECT doc_id, source, n_tok, bin FROM pk""".stripMargin,
+    // H16: the final streamed centroid state per label (selected by the
+    // monotone count, exploded per dimension) ≡ the batch per-label
+    // dyadic component sums — exact doubles, the ann_centroid
+    // quantization chain replayed from the raw embeddings
+    "stream_centroid" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |n0 AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, label,
+        |    list_transform(e, x -> floor(x / nrm * 1048576.0 + 0.5) / 1048576.0)
+        |      AS u FROM n0),
+        |d AS (SELECT label, t.i AS i, sum(u[t.i]) AS s, count(*) AS n
+        |  FROM u, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2)
+        |SELECT label, n, i, s FROM d""".stripMargin,
     // H17: the full PromQL algebra over stream-maintained postings —
     // batch SQL oracle proves streamed index ≡ batch index end-to-end
     "promql_streamed" ->

@@ -388,6 +388,278 @@ object StreamOps extends Serializable {
     mvRead(spark, mvPath)
   }
 
+  /** Lands `df` as `parts` sequential single-file writes in ascending
+    * `order` ranges, so the file source replays it as `parts`
+    * micro-batches in EVENT-TIME order (FileStreamSource processes
+    * files by modification time; the writes are sequential Spark jobs,
+    * so mtimes are strictly increasing). Ordered replay is what makes
+    * watermark semantics (late-drop, state eviction, append-mode
+    * session close) exact on a finite stream — the production
+    * assumption "sources deliver roughly in event-time order" made
+    * literal for the gate.
+    */
+  private def landOrdered(df: DataFrame, order: Seq[String],
+      landing: String, parts: Int): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(order.map(col): _*)
+    val ranked = df.withColumn("__part", ntile(parts).over(w))
+    for (k <- 1 to parts) {
+      ranked.filter(col("__part") === k).drop("__part")
+        .coalesce(1).write
+        .mode(if (k == 1) "overwrite" else "append").parquet(landing)
+    }
+  }
+
+  private val ijRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H5, oracle-gated: the stream-stream interval join end-to-end.
+    * Errors and purchases land as 4 time-quartile micro-batches EACH
+    * (both sides advance together, so the global watermark trails the
+    * data by exactly the 1-hour delay), replay through the REAL
+    * watermarked [[intervalJoin]], and the appended pair table must
+    * reproduce the batch left-outer interval-join aggregate (C10's
+    * oracle verbatim): with in-order replay, state eviction at
+    * watermark − 1h can never drop a pair still needed — rows in batch
+    * k+1 are ≥ the watermark, so their partners are ≥ watermark − 1h,
+    * exactly the eviction bound. Errors with no in-range purchase
+    * re-enter via the static error set (a stream-stream OUTER join
+    * cannot emit its last null-matches on a finite stream — the
+    * watermark never passes them).
+    */
+  def intervalJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = ijRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h5_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h5_" + fp)
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val ev = raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+        col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"), col("value"))
+      val landE = new java.io.File(base, "errors").toString
+      val landP = new java.io.File(base, "purchases").toString
+      landOrdered(ev.filter(col("typ") === "error"),
+        Seq("ts", "event_id"), landE, 4)
+      landOrdered(ev.filter(col("typ") === "purchase"),
+        Seq("ts", "event_id"), landP, 4)
+      val schema = spark.read.parquet(landE).schema
+      val es = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landE)
+      val ps = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landP)
+      val q = intervalJoin(es, ps)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    val raw = graft.Tables.eventsRaw(spark, dir)
+    val errs = raw.filter(col("event_type") === "error")
+      .select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+        col("user_id").cast("string").as("usr"))
+    val counts = spark.table(table)
+      .groupBy(col("err_id")).agg(count(lit(1)).as("__n"))
+    errs.join(counts, errs("event_id") === counts("err_id"), "left_outer")
+      .select(col("event_id"), col("usr"),
+        coalesce(col("__n"), lit(0L)).as("n_nearby"))
+  }
+
+  private val sessRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H11, oracle-gated: streaming session windows end-to-end. Events
+    * replay in 4 time-quartile micro-batches through the REAL
+    * watermarked `session_window` aggregation (the same groupBy as
+    * [[sessionAgg]], with the value summed in exact integer cents so
+    * the incremental state merge has no FP surface), plus a 5th
+    * sentinel micro-batch 2 days past the data that pushes the global
+    * watermark beyond every real session's close — in Append mode each
+    * session then emits EXACTLY once, fully merged. The result must
+    * equal the batch gap-sessionization (B18's oracle shape): session
+    * identity, start, count and cent-sum all gate.
+    */
+  def sessionAggStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = sessRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h11_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h11_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val ev = raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+        col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"), col("value"))
+      landOrdered(ev, Seq("ts", "event_id"), landing, 4)
+      // sentinel: one far-future row whose only job is to advance the
+      // watermark past every real session (filtered out of the gate)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      import spark.implicits._
+      Seq(Sample(-1L, new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L),
+        "__flush", "__flush", 0.0)).toDF()
+        .coalesce(1).write.mode("append").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("usr"), col("typ"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+        .select(unix_timestamp(col("session_window.start")).as("sess_start_sec"),
+          col("usr"), col("typ"), col("n"), col("sum_cents"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table).filter(col("usr") =!= "__flush")
+  }
+
+  private val corpusDedupRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H13, oracle-gated: streaming incremental dedup end-to-end. The
+    * SAME derived revision batch as D8 (doc_id ≡ 0 mod 5, i4-mapped
+    * texts) lands in 4 doc_id-quartile micro-batches (synthetic event
+    * time = epoch + doc_id seconds, so arrival order ≡ doc_id order ≡
+    * the batch window's `rn` order) and replays through
+    * [[streamingCorpusDedup]] against the same static curated corpus.
+    * The appended verdicts must equal D8's oracle verbatim —
+    * `dup_corpus` via the stream-static hash+text join, `dup_batch` vs
+    * `kept` via real cross-micro-batch flatMapGroupsWithState state
+    * (same-text revisions are ≤ 20 doc_ids apart, far inside the
+    * 1-hour state horizon).
+    */
+  def corpusDedupStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = corpusDedupRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/documents.parquet")
+      val name = "graft_h13_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h13_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val i4 = pmod((col("doc_id") / 5).cast("long"), lit(4))
+      val src = when(i4 === 1, col("doc_id") + 1)
+        .when(i4 === 3, col("doc_id") - 5)
+        .otherwise(col("doc_id"))
+      val epochUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), src.as("src"))
+        .join(docs.select(col("doc_id").as("src"), col("text")), Seq("src"))
+        .select(col("doc_id"),
+          timestamp_micros(lit(epochUs) + col("doc_id") * 1000000L).as("ts"),
+          col("text"))
+      landOrdered(batch, Seq("doc_id"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0).select(col("text"))
+      val q = streamingCorpusDedup(stream.as[DocIn], corpus)
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table)
+  }
+
+  private val packRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H18, oracle-gated: streaming sequence packing end-to-end. The
+    * tokenized corpus lands in 4 doc_id-quartile micro-batches
+    * (synthetic event time = epoch + doc_id seconds, so each source's
+    * arrival order ≡ doc_id order ≡ the batch fold's sort) and replays
+    * through [[streamingSeqPack]]'s per-source open-bin cursor. The
+    * appended bin assignments must equal F11's greedy fold (the
+    * recursive-CTE oracle verbatim) — pure integers, and the ONLY
+    * state carried across micro-batches is one (bin, fill) cursor per
+    * source, which is exactly what the gate exercises.
+    */
+  def seqPackStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = packRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/documents.parquet")
+      val name = "graft_h18_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h18_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val epochUs = 1704067200000000L
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          timestamp_micros(lit(epochUs) + col("doc_id") * 1000000L).as("ts"),
+          col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      landOrdered(docs, Seq("doc_id"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingSeqPack(stream.as[PackIn])
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table)
+  }
+
+  private val centRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H16, oracle-gated: streaming centroid maintenance end-to-end.
+    * Labeled embeddings are unit-normalized and dyadic-quantized with
+    * E5's exact expression, land in 4 micro-batches in ARBITRARY order
+    * (the state is a sum of 2⁻²⁰-grid rationals — exact in double, so
+    * arrival order provably cannot matter), and replay through
+    * [[streamingCentroid]]'s per-label mapGroupsWithState. The final
+    * emission per label (selected by the strictly-monotone count) is
+    * exploded per dimension and must equal the batch per-label
+    * component sums bit-for-bit — the DuckDB oracle recomputes them
+    * from the raw embeddings through the same quantization chain, the
+    * ann_centroid parity precedent applied to streamed state.
+    */
+  def centroidStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = centRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/embeddings.parquet")
+      val name = "graft_h16_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h16_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      graft.functions.VecFunctions.register(spark)
+      val epochUs = 1704067200000000L
+      graft.Tables.embeddings(spark, dir)
+        .filter(col("label").isNotNull)
+        .select(col("vec_id"),
+          timestamp_micros(lit(epochUs) + col("vec_id") * 1000000L).as("ts"),
+          col("label"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+        .withColumn("u", expr(
+          "transform(v, x -> floor(cast(x as double) / norm * 1048576.0D + 0.5D) / 1048576.0D)"))
+        .select(col("vec_id"), col("ts"), col("label"), col("u"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingCentroid(stream.as[VecIn])
+        .toDF()
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table)
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n"), max_by(col("c"), col("n")).as("__c"))
+      .select(col("label"), col("n"), posexplode(col("__c")))
+      .select(col("label"), col("n"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("s"))
+  }
+
   /** Open per-series hourly bucket. */
   case class RateState(bucketStart: Long, sumV: Double, n: Long)
 
