@@ -359,6 +359,52 @@ object SparkEntry {
         .select(col("usr"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
     }),
+    "promql_histq" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // histogram_quantile over REAL `le`-labeled bucket series (the
+      // derived cumulative-bucket index): the dashboard-paste shape
+      // `histogram_quantile(0.9, <bucket counters over window>)`
+      promql.PromQl.evalIndexed(index.TagIndex.forBucketedEvents(s, dir),
+        """histogram_quantile(0.9, count_over_time({typ=~".*", le=~".*"}[30d]))""",
+        "2024-01-31 00:00:00")
+        .select(col("typ"), round(col("value"), 4).as("hq90"))
+    }),
+    "promql_hw" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.PromQl.eval(s, dir,
+        """holt_winters({typ=~".*"}[30d], 0.5, 0.25)""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), round(col("value"), 4).as("value"))
+    }),
+    "promql_clamp" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // 3-arg clamp (B41's shaping surface through the language): pure
+      // IEEE min/max, no rounding needed on either side
+      promql.PromQl.eval(s, dir,
+        """clamp(last_over_time({typ=~".*"}[30d]), 10, 100)""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), col("value"))
+    }),
+    "promql_scalar" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // scalar(): 1-series vector → scalar, broadcast into arithmetic
+      // (each user's share of total clicks); exact-count denominator so
+      // the division is bit-deterministic on both engines
+      promql.PromQl.eval(s, dir,
+        """count_over_time({typ="click"}[30d])
+          | / scalar(sum(count_over_time({typ="click"}[30d])))""".stripMargin,
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("value"))
+    }),
+    "promql_sort" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // sort_desc: presentation order (PromQlSpec pins the ordering;
+      // the oracle gates the content, which ordering cannot change)
+      promql.PromQl.eval(s, dir,
+        """sort_desc(sum by (typ) (count_over_time({typ=~".*"}[30d])))""",
+        "2024-01-31 00:00:00")
+        .select(col("typ"), col("value"))
+    }),
     "promql_agg_quantile" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       promql.PromQl.eval(s, dir,
@@ -2852,6 +2898,86 @@ object SparkEntry {
         |  floor(CAST(u.tot AS DOUBLE) / CAST(c.n AS DOUBLE) * 10000 + 0.5)
         |    / 10000 AS value
         |FROM c JOIN u ON c.usr = u.usr""".stripMargin,
+    // histogram_quantile over the derived cumulative-bucket series ≡
+    // B19's interpolation arithmetic on the window-filtered events
+    "promql_histq" ->
+      """WITH h AS (SELECT event_type AS typ, count(*) AS total,
+        |    sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS c25,
+        |    sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS c50,
+        |    sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c100,
+        |    sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS c200
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1)
+        |SELECT typ,
+        |  round(CASE
+        |    WHEN c25 >= total*0.9 THEN 0 + (total*0.9 - 0)/(c25 - 0)*(25 - 0)
+        |    WHEN c50 >= total*0.9 THEN 25 + (total*0.9 - c25)/(c50 - c25)*(50 - 25)
+        |    WHEN c100 >= total*0.9 THEN 50 + (total*0.9 - c50)/(c100 - c50)*(100 - 50)
+        |    WHEN c200 >= total*0.9 THEN 100 + (total*0.9 - c100)/(c200 - c100)*(200 - 100)
+        |    ELSE 200 END, 4) AS hq90
+        |FROM h""".stripMargin,
+    // parameterized double smoothing: the recursive CTE replays the
+    // identical recurrence (s₂ recomputed textually in the b update)
+    // with dyadic factors 0.5/0.25 so no literal-representation drift
+    "promql_hw" ->
+      """WITH RECURSIVE
+        |o AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, count(*) AS n,
+        |    list_transform(
+        |      list_sort(list(struct_pack(us := epoch_us(ts),
+        |        eid := event_id, v := value))),
+        |      x -> x.v) AS l
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1, 2),
+        |seq AS (SELECT usr, typ,
+        |    unnest(list_transform(range(1, len(l) + 1),
+        |      i -> struct_pack(idx := i, v := l[i]))) AS e
+        |  FROM o),
+        |hw(usr, typ, k, s, b) AS (
+        |  SELECT usr, typ, 2 AS k, l[2] AS s, l[2] - l[1] AS b
+        |  FROM o WHERE n >= 2
+        |  UNION ALL
+        |  SELECT h.usr, h.typ, h.k + 1,
+        |    0.5*(q.e).v + 0.5*(h.s + h.b) AS s,
+        |    0.25*(0.5*(q.e).v + 0.5*(h.s + h.b) - h.s) + 0.75*h.b AS b
+        |  FROM hw h JOIN seq q ON q.usr = h.usr AND q.typ = h.typ
+        |    AND (q.e).idx = h.k + 1)
+        |SELECT h.usr, h.typ, round(h.s, 4) AS value
+        |FROM hw h JOIN o ON o.usr = h.usr AND o.typ = h.typ AND h.k = o.n
+        |WHERE o.n >= 2""".stripMargin,
+    // clamp(v, 10, 100) ≡ min(max(v, 10), 100) over the last values
+    "promql_clamp" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  least(greatest(value, 10), 100) AS value
+        |FROM (SELECT user_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |        AND ts <= TIMESTAMP '2024-01-31 00:00:00')
+        |WHERE rn = 1""".stripMargin,
+    // scalar(sum(...)): exact-count division — each user's click share
+    "promql_scalar" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1)
+        |SELECT usr, n / (SELECT sum(n) FROM c) AS value FROM c""".stripMargin,
+    // sort_desc gates CONTENT only (check.py hashes sorted rows); the
+    // emitted ordering is pinned by PromQlSpec
+    "promql_sort" ->
+      """SELECT event_type AS typ, CAST(count(*) AS DOUBLE) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "promql_ignoring" ->
       """WITH lastv AS (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ, value

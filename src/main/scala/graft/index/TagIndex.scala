@@ -281,4 +281,33 @@ object TagIndex {
         col("event_type").as("typ"))
       new TagIndex(ev, Seq("usr", "typ"))
     }
+
+  /** Derived classic-histogram bucket series over the events stream —
+    * the data model Prometheus's histogram_quantile consumes: each
+    * sample contributes one membership row to EVERY bucket whose bound
+    * ≥ its value (cumulative buckets, le ∈ {25, 50, 100, 200, +Inf} —
+    * B19's bounds), labels (typ, le), value 1 per observation so
+    * `count_over_time` over a window IS the cumulative bucket counter.
+    * One explode over the pruned scan — ∝ #buckets rows per sample,
+    * the same blow-up a real `_bucket` metric family carries.
+    */
+  def forBucketedEvents(spark: SparkSession, dir: String): TagIndex =
+    memo(spark, dir, "typ,le") {
+      val raw = Tables.eventsRaw(spark, dir)
+      val bounds = Seq(25.0, 50.0, 100.0, 200.0)
+      val buckets = array(
+        bounds.map(b => struct(
+          lit(if (b == b.floor) b.toLong.toString else b.toString).as("le"),
+          lit(b).as("bound"))) :+
+          struct(lit("+Inf").as("le"),
+            lit(Double.PositiveInfinity).as("bound")): _*)
+      val ev = raw.select(
+        col("event_id"), Tables.tsCol(raw).as("ts"), col("value"),
+        col("event_type").as("typ"))
+        .withColumn("__b", explode(buckets))
+        .filter(col("value") <= col("__b.bound"))
+        .select(col("event_id"), col("ts"), lit(1.0).as("value"),
+          col("typ"), col("__b.le").as("le"))
+      new TagIndex(ev, Seq("typ", "le"))
+    }
 }

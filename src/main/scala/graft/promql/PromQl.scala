@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   *           | 'absent' '(' setop ')' | 'absent_over_time' '(' rangeSel ')'
   *           | 'label_replace' '(' setop ',' str ',' str ',' str ',' str ')'
   *           | 'label_join' '(' setop ',' str ',' str [',' str]* ')'
+  *           | 'histogram_quantile' '(' number ',' setop ')'  // needs an `le` label
+  *           | 'holt_winters'|'double_exponential_smoothing'
+  *               '(' rangeSel ',' number ',' number ')'
+  *           | 'clamp' '(' expr ',' number ',' number ')'
+  *           | 'scalar' '(' setop ')'                 // 1-series vector → scalar
+  *           | 'sort'|'sort_desc' '(' setop ')'       // presentation order
   *           | func '(' setop [',' number] ')'
   *           | selector
   * selector := [metric] '{' matchers '}' ['[' duration ']'] modifiers
@@ -99,9 +105,9 @@ object PromQl {
       by: Seq[String] = Seq.empty, without: Seq[String] = Seq.empty) extends Expr
   final case class Bin(op: String, lhs: Expr, rhs: Expr) extends Expr
   /** Subquery `expr[range:step]`: the inner expression evaluated on its
-    * own grid of points `T−range + k·step ≤ T`, consumed by an outer
-    * range function. Points are aligned to the window start (Prometheus
-    * aligns to absolute step multiples — documented divergence).
+    * own grid of points, consumed by an outer range function. Points
+    * sit at ABSOLUTE multiples of the step since epoch (Prometheus
+    * semantics — round 8; step-aligned eval times are unaffected).
     */
   final case class SubQ(arg: Expr, rangeSec: Long, stepSec: Long) extends Expr
   /** label_replace / label_join: label-manipulation functions whose
@@ -117,6 +123,12 @@ object PromQl {
   final case class VecMatch(op: String, labels: Seq[String], ignoring: Boolean,
       group: Option[String], lhs: Expr, rhs: Expr,
       carry: Seq[String] = Seq.empty) extends Expr
+  /** holt_winters(v[range], sf, tf) — double exponential smoothing
+    * over each range window (Prometheus 3.x spells it
+    * double_exponential_smoothing); two scalar parameters, so it gets
+    * its own node instead of widening Func's single-scalar shape.
+    */
+  final case class HW(arg: Expr, sf: Double, tf: Double) extends Expr
 
   val rangeFuncs: Set[String] = Set(
     "rate", "increase", "delta", "idelta", "changes", "resets", "irate",
@@ -377,6 +389,31 @@ object PromQl {
         eat('('); val q = number(); eat(','); val e = parseSetOp(); eat(')')
         if (q < 0 || q > 1) err("quantile_over_time q must be in [0,1]")
         Func(name, e, Some(q))
+      } else if (name == "histogram_quantile") {
+        // φ first, then a vector whose label set carries `le`
+        eat('('); val q = number(); eat(','); val e = parseSetOp(); eat(')')
+        if (q < 0 || q > 1) err("histogram_quantile φ must be in [0,1]")
+        Func(name, e, Some(q))
+      } else if (name == "holt_winters" || name == "double_exponential_smoothing") {
+        eat('('); val e = parseExpr(); eat(',')
+        val sf = number(); eat(','); val tf = number(); eat(')')
+        if (sf <= 0 || sf >= 1 || tf <= 0 || tf >= 1)
+          err("holt_winters smoothing factors must be in (0,1)")
+        HW(e, sf, tf)
+      } else if (name == "clamp") {
+        // clamp(v, lo, hi) ≡ clamp_max(clamp_min(v, lo), hi); Prometheus
+        // yields NaN per element when lo > hi — rejected at parse here
+        // (fail loud rather than silently diverge)
+        eat('('); val e = parseExpr(); eat(',')
+        val lo = number(); eat(','); val hi = number(); eat(')')
+        if (lo > hi) err("clamp needs min <= max")
+        Func("clamp_max", Func("clamp_min", e, Some(lo)), Some(hi))
+      } else if (name == "scalar") {
+        eat('('); val e = parseSetOp(); eat(')')
+        Func(name, e, None)
+      } else if (name == "sort" || name == "sort_desc") {
+        eat('('); val e = parseSetOp(); eat(')')
+        Func(name, e, None)
       } else if (rangeFuncs(name) || scalarFuncs(name)) {
         eat('('); val e = parseExpr()
         val sArg = if (tryEat(',')) Some(number()) else None
@@ -815,6 +852,145 @@ object PromQl {
           inc.select(keys :+ value.as("value"): _*)
       }
       Left(Vec(df0, v.labels))
+
+    case Func("histogram_quantile", arg, Some(q)) =>
+      // classic-bucket quantile over ANY vector carrying an `le` label
+      // (numeric bounds + "+Inf"), grouped by the remaining labels per
+      // grid timestamp. The bucket array per group is ∝ #buckets (a
+      // schema-scale constant), so the collect_list is bounded; the
+      // interpolation is the B19 arithmetic generalized to runtime
+      // bounds — rank into the first bucket with cum ≥ rank, linear
+      // within (lo, le], +Inf resolving to the largest finite bound
+      // (Prometheus's convention).
+      val v = evalNode(idx, arg, grid, lookbackSec) match {
+        case Left(x) => x
+        case Right(_) => sys.error("histogram_quantile needs a vector argument")
+      }
+      require(v.labels.contains("le"),
+        s"histogram_quantile needs an `le` label, got ${v.labels}")
+      val outLabels = v.labels.filterNot(_ == "le")
+      val gKeys = (outLabels :+ "t_sec").map(col)
+      val b = v.df.withColumn("__le",
+        when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+          .otherwise(col("le").cast("double")))
+      val g = b.groupBy(gKeys: _*)
+        .agg(sort_array(collect_list(struct(col("__le").as("le"),
+          col("value").as("c")))).as("bs"))
+        .withColumn("__total", element_at(col("bs"), -1).getField("c"))
+        .withColumn("__rank", col("__total") * lit(q))
+        .withColumn("__hit", element_at(expr("filter(bs, x -> x.c >= __rank)"), 1))
+        .withColumn("__fin", expr(s"filter(bs, x -> x.le <> cast('Infinity' as double))"))
+        .withColumn("__prev",
+          expr("element_at(filter(bs, x -> x.le < __hit.le), -1)"))
+      val lo = coalesce(col("__prev").getField("le"), lit(0.0))
+      val cPrev = coalesce(col("__prev").getField("c"), lit(0.0))
+      val leB = col("__hit").getField("le")
+      val cB = col("__hit").getField("c")
+      val value = when(col("__total") <= 0 || col("__hit").isNull, lit(Double.NaN))
+        .when(leB === lit(Double.PositiveInfinity),
+          element_at(col("__fin"), -1).getField("le"))
+        .otherwise(lo + (col("__rank") - cPrev) / (cB - cPrev) * (leB - lo))
+      Left(Vec(g.select(gKeys :+ value.as("value"): _*), outLabels))
+
+    case Func("scalar", arg, _) =>
+      // exactly-one-series vector → scalar per grid timestamp (NaN
+      // otherwise); the empty label set then broadcasts in arithmetic
+      // like time()/vector()
+      val v = evalNode(idx, arg, grid, lookbackSec) match {
+        case Left(x) => x
+        case Right(_) => sys.error("scalar() needs a vector argument")
+      }
+      val df = v.df.groupBy(col("t_sec"))
+        .agg(count(lit(1)).as("__n"), max(col("value")).as("__v"))
+        .select(col("t_sec"),
+          when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)).as("value"))
+      Left(Vec(df, Seq.empty))
+
+    case Func(name, arg, _) if name == "sort" || name == "sort_desc" =>
+      // presentation ordering by value (label tie-breaks for
+      // determinism); content is unchanged — PromQlSpec pins the order
+      val v = evalNode(idx, arg, grid, lookbackSec) match {
+        case Left(x) => x
+        case Right(_) => sys.error(s"$name() needs a vector argument")
+      }
+      val tie = v.labels.map(col(_).asc)
+      val ord = if (name == "sort") col("value").asc_nulls_last +: tie
+        else col("value").desc_nulls_last +: tie
+      Left(v.copy(df = v.df.orderBy(ord: _*)))
+
+    case HW(sel @ Sel(_, Some(range), _, _), sf, tf) =>
+      // double exponential smoothing per series per window. The window
+      // buffers in an array (∝ range — the same bound Prometheus's
+      // range-vector buffer has) sorted by (ts, event_id); the fold is
+      // the B20 recurrence with parameterized factors, s₂ recomputed
+      // textually inside the b update exactly like the recursive-CTE
+      // oracle so doubles match bit-for-bit before rounding.
+      val w = window(idx, sel, grid, range)
+      val keys = col("tsid") +: col("t_sec") +: idx.labelNames.map(col)
+      val sfS = sf.toString; val tfS = tf.toString
+      val csS = (1 - sf).toString; val ctS = (1 - tf).toString
+      val arr = w.groupBy(keys: _*)
+        .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("value").as("v")))).as("l"))
+        .filter(size(col("l")) >= 2)
+      val folded = arr.withColumn("value", expr(
+        s"""aggregate(slice(l, 3, greatest(size(l) - 2, 0)),
+           |  named_struct(
+           |    's', cast(element_at(l, 2).v as double),
+           |    'b', cast(element_at(l, 2).v - element_at(l, 1).v as double)),
+           |  (acc, x) -> named_struct(
+           |    's', ${sfS}D * x.v + ${csS}D * (acc.s + acc.b),
+           |    'b', ${tfS}D * (${sfS}D * x.v + ${csS}D * (acc.s + acc.b) - acc.s)
+           |         + ${ctS}D * acc.b),
+           |  acc -> acc.s)""".stripMargin))
+      Left(Vec(folded.select(col("t_sec") +: idx.labelNames.map(col)
+        :+ col("value"): _*), idx.labelNames))
+
+    case HW(sq: SubQ, sf, tf) =>
+      // subquery form: the inner grid's points replace samples; the
+      // same fold ordered by the inner timestamp
+      val rangeUs = sq.rangeSec * 1000000L
+      val stepUs = sq.stepSec * 1000000L
+      val innerStart = math.floorDiv(grid.startUs - rangeUs + stepUs - 1, stepUs) * stepUs
+      val innerEnd = grid.startUs + (grid.n - 1).toLong * grid.stepUs
+      val inner = Grid(innerStart, stepUs, ((innerEnd - innerStart) / stepUs).toInt + 1)
+      val v = evalNode(idx, sq.arg, inner, lookbackSec) match {
+        case Left(x) => x
+        case Right(_) => sys.error("subquery needs a vector inner expression")
+      }
+      val ptUs = col("t_sec") * lit(1000000L)
+      val iMin = greatest(lit(0L),
+        ceil((ptUs - lit(grid.startUs)).cast("double") / lit(grid.stepUs.toDouble)))
+      val iMax = least(lit((grid.n - 1).toLong),
+        floor((ptUs - lit(grid.startUs) + lit(rangeUs)).cast("double") / lit(grid.stepUs.toDouble)))
+      val pts = v.df.withColumn("__it", col("t_sec"))
+        .filter(iMax >= iMin)
+        .withColumn("__i", explode(sequence(iMin, iMax)))
+        .withColumn("t_sec",
+          ((lit(grid.startUs) + col("__i") * lit(grid.stepUs)) / lit(1000000L)).cast("long"))
+      val keys = (v.labels :+ "t_sec").map(col)
+      val sfS = sf.toString; val tfS = tf.toString
+      val csS = (1 - sf).toString; val ctS = (1 - tf).toString
+      val arr = pts.groupBy(keys: _*)
+        .agg(sort_array(collect_list(struct(col("__it").as("us"),
+          col("value").as("v")))).as("l"))
+        .filter(size(col("l")) >= 2)
+      val folded = arr.withColumn("value", expr(
+        s"""aggregate(slice(l, 3, greatest(size(l) - 2, 0)),
+           |  named_struct(
+           |    's', cast(element_at(l, 2).v as double),
+           |    'b', cast(element_at(l, 2).v - element_at(l, 1).v as double)),
+           |  (acc, x) -> named_struct(
+           |    's', ${sfS}D * x.v + ${csS}D * (acc.s + acc.b),
+           |    'b', ${tfS}D * (${sfS}D * x.v + ${csS}D * (acc.s + acc.b) - acc.s)
+           |         + ${ctS}D * acc.b),
+           |  acc -> acc.s)""".stripMargin))
+      Left(Vec(folded.select((v.labels :+ "t_sec").map(col)
+        :+ col("value"): _*), v.labels))
+
+    case HW(_, _, _) =>
+      sys.error("holt_winters needs a range selector or subquery argument")
 
     case Func(name, _, _) if rangeFuncs(name) =>
       sys.error(s"$name needs a range selector argument, e.g. $name({...}[5m])")

@@ -438,6 +438,71 @@ class PromQlSpec extends AnyFunSuite {
     assert(grid == single && grid.nonEmpty)
   }
 
+  test("histogram_quantile over the bucket index ≡ the standalone B19 operator") {
+    // the language path: real le-labeled cumulative bucket series +
+    // generic runtime-bound interpolation; B19: hardcoded 4-bucket
+    // conditional aggregate. Same events, same arithmetic → equal.
+    val viaPromql = promql.PromQl.evalIndexed(
+      index.TagIndex.forBucketedEvents(spark, dir),
+      """histogram_quantile(0.9, count_over_time({typ=~".*", le=~".*"}[30d]))""",
+      T).select(col("typ"), round(col("value"), 4).as("hq90"))
+    val viaB19 = tsdb.Tsdb.histogramQuantile(spark, dir)
+      .select(col("typ"), col("hq90"))
+    assert(rows(viaPromql) == rows(viaB19) && rows(viaB19).nonEmpty)
+  }
+
+  test("holt_winters(v[30d], 0.3, 0.1) ≡ the standalone B20 fold") {
+    // the B20 operator runs the same recurrence with factors 0.3/0.1
+    // over whole series; a 30d window at T covers every sample, so the
+    // two paths must agree wherever B20 emits (its n ≥ 3 cut)
+    val viaPromql = promql.PromQl.eval(spark, dir,
+      """holt_winters({typ=~".*"}[30d], 0.3, 0.1)""", T)
+      .select(col("usr"), col("typ"), round(col("value"), 4).as("hw"))
+    val viaB20 = tsdb.Tsdb.holtWinters(spark, dir)
+      .select(col("usr"), col("typ"), col("hw"))
+    val p = viaPromql.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val b = viaB20.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(b.nonEmpty && b.forall { case (k, v) => p.get(k).contains(v) },
+      s"B20 keys missing or drifted: ${b.filterNot { case (k, v) => p.get(k).contains(v) }.take(3)}")
+  }
+
+  test("clamp(v, lo, hi) ≡ clamp_max(clamp_min(v, lo), hi)") {
+    val a = promql.PromQl.eval(spark, dir,
+      """clamp(last_over_time({typ=~".*"}[30d]), 10, 100)""", T)
+    val b = promql.PromQl.eval(spark, dir,
+      """clamp_max(clamp_min(last_over_time({typ=~".*"}[30d]), 10), 100)""", T)
+    assert(rows(a) == rows(b) && rows(a).nonEmpty)
+    // lo > hi is rejected loudly (Prometheus yields NaN — documented)
+    intercept[IllegalArgumentException] {
+      promql.PromQl.parse("clamp({typ=\"x\"}, 5, 1)")
+    }
+  }
+
+  test("scalar(): singleton vector broadcasts; multi-series vector → NaN") {
+    val shares = promql.PromQl.eval(spark, dir,
+      """count_over_time({typ="click"}[30d])
+        | / scalar(sum(count_over_time({typ="click"}[30d])))""".stripMargin, T)
+      .select(col("value")).collect().map(_.getDouble(0))
+    assert(shares.nonEmpty && math.abs(shares.sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${shares.sum}")
+    // scalar() of a multi-series vector is NaN per the Prometheus spec
+    val nan = promql.PromQl.eval(spark, dir,
+      """scalar(count_over_time({typ=~".*"}[30d]))""", T)
+      .select(col("value")).head().getDouble(0)
+    assert(nan.isNaN)
+  }
+
+  test("sort_desc emits rows in non-increasing value order") {
+    val vals = promql.PromQl.eval(spark, dir,
+      """sort_desc(sum by (typ) (count_over_time({typ=~".*"}[30d])))""", T)
+      .select(col("value")).collect().map(_.getDouble(0))
+    assert(vals.length > 1 && vals.sliding(2).forall(p => p(0) >= p(1)), vals.toSeq)
+    val asc = promql.PromQl.eval(spark, dir,
+      """sort(sum by (typ) (count_over_time({typ=~".*"}[30d])))""", T)
+      .select(col("value")).collect().map(_.getDouble(0))
+    assert(asc.toSeq == vals.sorted.toSeq)
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
