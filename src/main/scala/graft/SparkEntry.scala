@@ -42,6 +42,7 @@ object SparkEntry {
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
+    "label_names_matched" -> (index.IndexQueries.labelNamesMatched _),
     "match_json_label" -> (index.IndexQueries.matchJsonLabel _),
     "promql_json_labels" -> (index.IndexQueries.promqlJsonLabels _),
     "promql_groupleft_carry" -> ((s: SparkSession, dir: String) => {
@@ -783,6 +784,27 @@ object SparkEntry {
         |  AND CAST(user_id AS VARCHAR) >= '10'""".stripMargin,
     "label_names" ->
       "SELECT 'usr' AS label_name UNION ALL SELECT 'typ' AS label_name",
+    // A20: names defined (non-null) on ≥1 matched series — the sparse
+    // `ab` label exists only on purchase series, so the view-side name
+    // set must omit it
+    "label_names_matched" ->
+      """WITH s AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) END AS ab
+        |  FROM events)
+        |SELECT label_name, q FROM (
+        |  SELECT 'view' AS q, t.label_name AS label_name
+        |  FROM s, UNNEST(['usr','typ','ab']) t(label_name)
+        |  WHERE s.typ = 'view' AND
+        |    CASE t.label_name WHEN 'usr' THEN s.usr
+        |         WHEN 'typ' THEN s.typ ELSE s.ab END IS NOT NULL
+        |  UNION
+        |  SELECT 'purchase' AS q, t.label_name AS label_name
+        |  FROM s, UNNEST(['usr','typ','ab']) t(label_name)
+        |  WHERE s.typ = 'purchase' AND
+        |    CASE t.label_name WHEN 'usr' THEN s.usr
+        |         WHEN 'typ' THEN s.typ ELSE s.ab END IS NOT NULL)""".stripMargin,
     "absent" ->
       """SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS absent
         |FROM events WHERE event_type = 'nonexistent'""".stripMargin,

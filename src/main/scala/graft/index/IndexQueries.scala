@@ -103,6 +103,34 @@ object IndexQueries {
   def labelNames(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).invertedIndex.select(col("label_name")).distinct()
 
+  /** A20: constrained label_names(matchers...) — the prom API's
+    * /api/v1/labels with matchers. Discriminating label model: a
+    * sparse `ab` (amount band) label defined ONLY on purchase series,
+    * so `label_names({typ="view"})` must NOT list it while
+    * `label_names({typ="purchase"})` must — the name universe really
+    * depends on the matched set, not the schema.
+    */
+  private def amtIdx(spark: SparkSession, dir: String): TagIndex =
+    TagIndex.memo(spark, dir, "usr,typ,ab") {
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val ev = raw.select(
+        col("event_id"), col("ts_ns"),
+        graft.Tables.tsCol(raw).as("ts"), col("value"),
+        col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"),
+        when(col("event_type") === "purchase",
+          floor(col("value") / 50).cast("long").cast("string")).as("ab"))
+      new TagIndex(ev, Seq("usr", "typ", "ab"))
+    }
+
+  def labelNamesMatched(spark: SparkSession, dir: String): DataFrame = {
+    val i = amtIdx(spark, dir)
+    i.labelNames(Seq(LabelMatcher("typ", Eql, "view")))
+      .withColumn("q", lit("view"))
+      .unionAll(i.labelNames(Seq(LabelMatcher("typ", Eql, "purchase")))
+        .withColumn("q", lit("purchase")))
+  }
+
   /** A15: posting-list materialization — per label entry the sorted
     * series list (the DataFrame analog of the reference's Roaring
     * posting bitmaps, mem_postings.h), emitted as a joined string so

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *  - `graft_match(dir, selector)`            → matching series rows
   *  - `graft_select(dir, selector, t0, t1)`   → samples in [t0, t1]
   *  - `graft_label_values(dir, name [, selector])` → distinct values
-  *  - `graft_label_names(dir)`                → label-name universe
+  *  - `graft_label_names(dir [, selector])`   → label-name universe,
+  *    or the names defined on ≥1 matched series (constrained form)
   *
   * `selector` is a Prometheus-style matcher list, e.g.
   * `typ="purchase", usr>="10", usr!="12", typ=~"(click|view)"`,
@@ -97,9 +98,16 @@ object IndexSql {
     }
   }
 
-  def labelNames(spark: SparkSession, dir: String): DataFrame =
-    TagIndex.forEvents(spark, dir)
-      .invertedIndex.select(col("label_name")).distinct()
+  def labelNames(spark: SparkSession, dir: String,
+      selector: Option[String] = None): DataFrame = selector match {
+    case Some(s) =>
+      // the constrained /api/v1/labels form: names defined on at least
+      // one matched series (A20)
+      TagIndex.forEvents(spark, dir).labelNames(parseSelector(s))
+    case None =>
+      TagIndex.forEvents(spark, dir)
+        .invertedIndex.select(col("label_name")).distinct()
+  }
 
   // ---- TVF plan builders (argument literals → the builder's plan) ----
 
@@ -126,8 +134,11 @@ object IndexSql {
         if (exprs.length == 3) Some(argString("graft_label_values", exprs, 2)) else None))
     },
     "graft_label_names" -> { exprs: Seq[Expression] =>
-      require(exprs.length == 1, "graft_label_names expects (dir)")
-      plan(labelNames(SparkSession.active, argString("graft_label_names", exprs, 0)))
+      require(exprs.length == 1 || exprs.length == 2,
+        "graft_label_names expects (dir [, selector])")
+      plan(labelNames(SparkSession.active,
+        argString("graft_label_names", exprs, 0),
+        if (exprs.length == 2) Some(argString("graft_label_names", exprs, 1)) else None))
     },
     // the prom API's /series endpoint: the series catalog with time
     // bounds and sample counts

@@ -161,6 +161,22 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String]) {
     resolveMatchers(matchers)
       .select(col(name).cast("string").as("value")).distinct()
 
+  /** label_names(matchers...) — the constrained /api/v1/labels form:
+    * the names carrying a non-null value on at least one MATCHED
+    * series (a label a series does not define is a null catalog
+    * column — the n-label generalization A14 introduced). One plan,
+    * cost ∝ matched series: resolve postings, then explode the
+    * per-series defined-name set and distinct.
+    */
+  def labelNames(matchers: Seq[LabelMatcher]): DataFrame = {
+    val defined = array(labelNames.map(n =>
+      when(col(n).isNotNull, lit(n))): _*)
+    resolveMatchers(matchers)
+      .select(explode(defined).as("label_name"))
+      .filter(col("label_name").isNotNull)
+      .distinct()
+  }
+
   /** exists(labels): exact label-set lookup (index_server.h:36). */
   def exists(labels: Map[String, String]): DataFrame =
     resolveMatchers(labels.toSeq.map { case (n, v) => LabelMatcher(n, MatchOp.Eql, v) })

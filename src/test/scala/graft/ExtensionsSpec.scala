@@ -147,6 +147,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(sorted(s.sql(s"SELECT label_name FROM graft_label_names('$dir')"))
         == Seq("typ", "usr"))
 
+      // A20: constrained label_names(selector) — SQL ≡ API (on the
+      // 2-label model both names survive any non-empty match; the
+      // sparse-label discrimination is gated by label_names_matched)
+      val sqlLn = s.sql(
+        s"""SELECT label_name FROM graft_label_names('$dir', 'typ="purchase"')""")
+      val apiLn = index.TagIndex.forEvents(s, dir).labelNames(
+        Seq(index.LabelMatcher("typ", index.MatchOp.Eql, "purchase")))
+      assert(sorted(sqlLn) == sorted(apiLn) && sorted(sqlLn) == Seq("typ", "usr"))
+
       // B1 select(): matchers + time range → samples, fully from SQL
       val sqlSel = s.sql(
         s"""SELECT event_id, usr, typ, unix_timestamp(ts) AS ts_sec,
