@@ -192,6 +192,7 @@ object SparkEntry {
     "mm_integrity" -> (multimodal.Multimodal.integrity _),
     "mm_phash_dedup" -> (multimodal.Multimodal.phashDedup _),
     "mm_resize" -> (multimodal.Multimodal.resize _),
+    "mm_png" -> (multimodal.Multimodal.pngRoundtrip _),
     // A (SQL surface). The index TVFs driven from PURE SQL — the whole
     // query below is a spark.sql string; the TVF resolves to the same
     // logical plan the Scala builders produce (IndexSql.scala).
@@ -2672,6 +2673,23 @@ object SparkEntry {
         |  CAST(sum(p) AS BIGINT) AS out_sum,
         |  CAST(sum(p * (i * 4 + j + 1)) AS BIGINT) AS out_wsum
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // G7: the REAL JDK PNG codec round-trip is lossless, so features
+    // over the decoded raster equal the ascii codes — the oracle gates
+    // the whole encode→deflate→decode loop without reimplementing it
+    "mm_png" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    CAST((doc_id % 29) + 2 AS INT) AS w
+        |  FROM documents),
+        |dd AS (SELECT doc_id, text, w, CAST(len // w AS INT) AS h
+        |  FROM d WHERE len // w >= 1),
+        |px AS (SELECT doc_id, w, h,
+        |    list_transform(range(1, w*h + 1),
+        |      i -> ascii(substr(text, CAST(i AS BIGINT), 1))) AS ps
+        |  FROM dd)
+        |SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS n_px,
+        |  CAST(list_sum(ps) AS BIGINT) AS px_sum,
+        |  CAST(len(list_filter(ps, p -> p <> 0)) AS BIGINT) AS n_nonzero
+        |FROM px""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |h AS (SELECT doc_id,

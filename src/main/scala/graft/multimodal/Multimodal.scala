@@ -410,6 +410,64 @@ object Multimodal {
       }.toDF()
   }
 
+  case class PngOut(doc_id: Long, w: Int, h: Int, n_px: Long,
+      px_sum: Long, n_nonzero: Long)
+
+  /** G7: REAL third-party-codec integration — each document's raster
+    * (same w×h convention as G6) round-trips through the JDK's actual
+    * PNG codec (javax.imageio: IDAT deflate compression, filtering,
+    * chunk CRCs — not a hand-rolled container): encode to a PNG byte
+    * stream, decode it back, and compute features over the DECODED
+    * raster. PNG grayscale-8 is lossless, so decode∘encode must be the
+    * identity — asserted per payload in the operator (a codec
+    * regression fails the job loudly), and the decoded-pixel features
+    * equal the ascii codes, which is how the documents oracle gates
+    * the whole real-codec loop (the G1/G6 discipline with a codec the
+    * project did NOT write).
+    *
+    * Scale shape: pure mapPartitions batch decode — the per-partition
+    * amortization [[MediaDecoder]] prescribes; zero shuffles. At
+    * 100 TB the PNG bytes are the stored object and only the features
+    * move on.
+    */
+  def pngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { items =>
+        items.flatMap { case (id, bytes) =>
+          val w = (id % 29).toInt + 2
+          val h = bytes.length / w
+          if (h < 1) None
+          else {
+            val raster = bytes.take(w * h)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            img.getRaster.setDataElements(0, 0, w, h, raster)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            require(back != null && back.getWidth == w && back.getHeight == h,
+              s"PNG decode lost dimensions for doc $id")
+            val out = new Array[Byte](w * h)
+            back.getRaster.getDataElements(0, 0, w, h, out)
+            require(java.util.Arrays.equals(out, raster),
+              s"PNG round-trip drifted pixels for doc $id")
+            var s = 0L; var nz = 0L
+            var i = 0
+            while (i < out.length) {
+              val v = out(i) & 0xff
+              s += v; if (v != 0) nz += 1
+              i += 1
+            }
+            Some(PngOut(id, w, h, (w.toLong * h), s, nz))
+          }
+        }
+      }.toDF()
+  }
+
   /** G5: perceptual-hash payload near-dup — the multimodal twin of
     * SimHash (D3): re-encoded/trailing-edit copies of the same media
     * asset have different checksums (G4 can't catch them) but nearly

@@ -129,8 +129,13 @@ object StreamOps extends Serializable {
       val stream = spark.readStream
         .schema(spark.read.parquet(landing).schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
+      // NO watermark here: in Complete mode a watermark is inert (no
+      // state eviction, no late-row dropping), and the landing files
+      // replay in arbitrary order — carrying one would silently start
+      // dropping "late" rows if the mode were ever switched to
+      // append/update. Complete mode IS the gate's semantics: the
+      // final table is the whole history ≡ the batch GROUP BY.
       val q = stream
-        .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("typ"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("win_start"), col("typ"), col("n"))
