@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_bloom" -> (dedup.Dedup.bloomDedup _),
     "dedup_containment" -> (dedup.Dedup.containment _),
     "dedup_lines" -> (dedup.Dedup.lineDedup _),
+    "dedup_editdist" -> (dedup.Dedup.editDistPairs _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
@@ -159,6 +160,8 @@ object SparkEntry {
     "ann_centroid" -> (similarity.Ann.centroidScore _),
     "embed_quantize" -> (similarity.Ann.quantize _),
     "ann_sq8" -> (similarity.Ann.sq8Topk _),
+    "ann_mrl" -> (similarity.Ann.mrlTopk _),
+    "ann_mrl_full" -> (similarity.Ann.mrlFull _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
     "text_quality" -> (text.TextAnalysis.quality _),
@@ -1628,6 +1631,32 @@ object SparkEntry {
     // rotating footer lines; boilerplate = line text in >= 10 distinct
     // docs. DuckDB list slice l[a:b] is 1-based inclusive = Spark
     // slice(l, a, 8); range(0, n) exclusive = sequence(0, n-1).
+    // D12: PassJoin blocking + levenshtein verify replayed — segments
+    // and shifted probes generated with the identical 1-based substr
+    // arithmetic, distance by both engines' classic unit-cost DP
+    "dedup_editdist" ->
+      """WITH orig AS (SELECT doc_id, text FROM documents),
+        |tw AS (SELECT doc_id + 4000000 AS doc_id,
+        |    substr(text, 1, 4) || 'Z' || substr(text, 6, 10) || 'Q'
+        |      || substr(text, 17) AS text
+        |  FROM orig WHERE doc_id % 25 = 0 AND length(text) >= 26),
+        |base AS (SELECT doc_id, substr(text, 1, 24) AS k
+        |  FROM (SELECT * FROM orig UNION ALL SELECT * FROM tw)
+        |  WHERE length(text) >= 24),
+        |segs AS (SELECT doc_id, t.i AS i, substr(k, 1 + 8*t.i, 8) AS s, k
+        |  FROM base, UNNEST([0, 1, 2]) t(i)),
+        |probes AS (SELECT doc_id, t.i AS i, substr(k, 1 + 8*t.i + u.d, 8) AS s, k
+        |  FROM base, UNNEST([0, 1, 2]) t(i), UNNEST([-2, -1, 0, 1, 2]) u(d)
+        |  WHERE 1 + 8*t.i + u.d >= 1 AND 8*t.i + u.d + 8 <= 24),
+        |cand AS (SELECT DISTINCT
+        |    least(a.doc_id, b.doc_id) AS ia,
+        |    greatest(a.doc_id, b.doc_id) AS ib,
+        |    CASE WHEN a.doc_id < b.doc_id THEN a.k ELSE b.k END AS ka,
+        |    CASE WHEN a.doc_id < b.doc_id THEN b.k ELSE a.k END AS kb
+        |  FROM segs a JOIN probes b
+        |    ON a.i = b.i AND a.s = b.s AND a.doc_id <> b.doc_id)
+        |SELECT ia, ib, CAST(levenshtein(ka, kb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(ka, kb) <= 2""".stripMargin,
     "dedup_lines" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
@@ -1891,6 +1920,57 @@ object SparkEntry {
         |    round(list_sum(list_transform(range(1, 65),
         |      i -> qe[i] * e[i])) / (qn * nrm), 4) AS cs
         |  FROM cand)
+        |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+    // E11: the truncated-prefix selection (dyadic-quantized 16-dim
+    // unit-prefix dot — exact in any summation order) AND the full
+    // re-rank replayed bit-for-bit — observational exactness
+    "ann_mrl" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, e, nrm,
+        |    list_transform(e, x -> floor(x / nrm * 1048576.0 + 0.5) / 1048576.0)
+        |      AS pu
+        |  FROM n WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, pu AS qpu
+        |  FROM u WHERE vec_id < 10),
+        |a AS (SELECT q.query_id, u.vec_id, u.e, u.nrm, q.qe, q.qn,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> q.qpu[i] * u.pu[i])) AS ascore
+        |  FROM q JOIN u ON u.vec_id <> q.query_id),
+        |cand AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ascore DESC, vec_id) AS crk FROM a)
+        |  WHERE crk <= 50),
+        |scored AS (SELECT query_id, vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> qe[i] * e[i])) / (qn * nrm), 4) AS cs
+        |  FROM cand)
+        |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+    // E11's exhaustive invariant: candN = ∞ ⇒ ≡ brute force (the
+    // E1 oracle with the norm>0 filter mirrored)
+    "ann_mrl_full" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+        |  FROM v),
+        |nn AS (SELECT * FROM n WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM nn WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, nn.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i] * nn.e[i])) / (q.qn * nn.nrm), 4) AS cs
+        |  FROM q JOIN nn ON nn.vec_id <> q.query_id)
         |SELECT query_id, rk, neighbor_id, cs FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)

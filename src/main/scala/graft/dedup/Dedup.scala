@@ -625,6 +625,70 @@ object Dedup {
     * (the D8 hash-prefilter + verify pattern); boilerplate DF tables
     * are small enough to broadcast after the ≥ minDocs filter.
     */
+  /** D12: edit-distance near-dup (PassJoin blocking) — CHARACTER-level
+    * fuzzy matching for the short-key regime (titles, queries, code
+    * identifiers) where shingle/token methods are too coarse: pairs
+    * whose 24-char key prefix is within levenshtein distance ≤ 2.
+    *
+    * Exact candidate generation is the PassJoin partition theorem: cut
+    * one side's key into k+1 = 3 fixed segments; if ed(a, b) ≤ k = 2,
+    * then b CONTAINS one of a's segments at a position shifted by at
+    * most k — so the block join on (segment index, 8-char substring),
+    * with the probe side generating the (2k+1) = 5 shifted substrings
+    * per segment, provably misses no qualifying pair. Work is
+    * Σ block² over (i, substring) blocks — the D4 hot-shingle argument
+    * at character granularity (at production scale hot segments get
+    * the same frequency capping as hot shingles); verification is one
+    * integer DP per candidate. No all-pairs path anywhere.
+    *
+    * The corpus has no natural ≤2-edit twins, so edited copies are
+    * planted (doc_id ≡ 0 mod 25 → chars 5 and 16 substituted — length
+    * preserving, so the twin's 24-char key really is ≤ 2 edits from
+    * the original's; id + 4,000,000, collision-checked) and the gate
+    * proves they are found at their true distance; the DuckDB oracle
+    * replays blocking AND the levenshtein verify (both engines
+    * implement the classic unit-cost DP).
+    */
+  def editDistPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 4000000L,
+      s"editDistPairs plants twins at doc_id+4000000 but the corpus already " +
+        s"holds doc_id=$maxId — raise the offset in query AND oracle")
+    val twins = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .filter(length(col("text")) >= 26)
+      .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("Z"),
+          substring(col("text"), 6, 10), lit("Q"),
+          expr("substring(text, 17)")).as("text"))
+    val base = docs.unionByName(twins)
+      .filter(length(col("text")) >= 24)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
+    val segs = base
+      .withColumn("i", explode(sequence(lit(0), lit(2))))
+      .select(col("doc_id"), col("i"),
+        expr("substring(k, 1 + 8*i, 8)").as("s"), col("k"))
+    val probes = base
+      .withColumn("i", explode(sequence(lit(0), lit(2))))
+      .withColumn("d", explode(sequence(lit(-2), lit(2))))
+      .filter(expr("1 + 8*i + d >= 1 AND 8*i + d + 8 <= 24"))
+      .select(col("doc_id"), col("i"),
+        expr("substring(k, 1 + 8*i + d, 8)").as("s"), col("k"))
+    val cand = segs.alias("a").join(probes.alias("b"),
+        col("a.i") === col("b.i") && col("a.s") === col("b.s") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("ia"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("ib"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.k")).otherwise(col("b.k")).as("ka"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.k")).otherwise(col("a.k")).as("kb"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("ka"), col("kb")))
+      .filter(col("dist") <= 2)
+      .select(col("ia"), col("ib"), col("dist").cast("long").as("dist"))
+  }
+
   def lineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedupOn(Tables.documents(spark, dir))
 

@@ -523,6 +523,61 @@ object Ann {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
   }
 
+  /** E11: truncated-dimension ANN (the Matryoshka/MRL serving trick):
+    * candidate selection scans only the FIRST d0 of dim dimensions —
+    * a prefix of an embedding is itself an embedding under MRL
+    * training, so the hot scan streams d0/dim of the vector bytes
+    * (here 16/64 = 4× less I/O, multiplicative with E8/E9's int8 cut)
+    * — then the full vectors exactly re-rank candN survivors per
+    * query. The candidate score is the dot of DYADIC-QUANTIZED unit
+    * prefixes (the E5 2⁻²⁰-grid trick — what a quantized MRL serving
+    * tier stores anyway): every product is a 40-fraction-bit rational
+    * double represents exactly and the ≤64-term sum stays exact, so
+    * the candidate ORDER is bit-identical in any summation order on
+    * any engine — the DuckDB oracle replays selection AND re-rank —
+    * observational exactness, the E9 gate discipline. `ann_mrl_full`
+    * pins the invariant candN = ∞ ⇒ output ≡ brute force (the E7b
+    * exhaustive-gate form).
+    */
+  def mrlTopkAt(spark: SparkSession, dir: String, d0: Int, candN: Int,
+      quantize: Boolean = true): DataFrame = {
+    val all = vecs(spark, dir).filter(col("norm") > 0)
+    val pfx = all.withColumn("pu",
+      if (quantize) expr(
+        s"transform(slice(u, 1, $d0), x -> floor(x * 1048576.0D + 0.5D) / 1048576.0D)")
+      else expr(s"slice(u, 1, $d0)"))
+    val q = pfx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pu").as("qpu"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val approx = pfx.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ascore", call_function("vec_dot", col("qpu"), col("pu")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val cands = approx.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= candN).select("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    cands.join(all, Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
+  }
+
+  def mrlTopk(spark: SparkSession, dir: String): DataFrame =
+    mrlTopkAt(spark, dir, 16, 50)
+
+  /** E11's invariant gate (the E7b candN=0 discipline): when the
+    * prefix stage is not allowed to drop ANY candidate, the two-stage
+    * pipeline must be observationally the brute force — a theorem
+    * about the plumbing, independent of prefix semantics (the
+    * quantized selection's own exactness is pinned by ann_mrl's
+    * bit-replay oracle).
+    */
+  def mrlFull(spark: SparkSession, dir: String): DataFrame =
+    mrlTopkAt(spark, dir, 16, Int.MaxValue)
+
   /** E8: symmetric int8 embedding quantization — the storage path that
     * makes a 100 TB vector corpus servable (4x memory cut vs float32;
     * what FAISS calls SQ8). Per vector: scale = max|x|/127, q_i =
