@@ -161,6 +161,7 @@ object SparkEntry {
     "embed_quantize" -> (similarity.Ann.quantize _),
     "ann_sq8" -> (similarity.Ann.sq8Topk _),
     "ann_mrl" -> (similarity.Ann.mrlTopk _),
+    "ann_bq" -> (similarity.Ann.bqTopk _),
     "ann_mrl_full" -> (similarity.Ann.mrlFull _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
@@ -1915,6 +1916,41 @@ object SparkEntry {
         |cand AS (SELECT * FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY ascore DESC, vec_id) AS crk FROM a)
+        |  WHERE crk <= 50),
+        |scored AS (SELECT query_id, vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> qe[i] * e[i])) / (qn * nrm), 4) AS cs
+        |  FROM cand)
+        |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+    // E12: sign-bit packing (two 32-bit halves), integer Hamming
+    // ranking and the float re-rank all replayed — observational
+    // exactness with zero FP in the candidate stage
+    "ann_bq" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |c AS (SELECT vec_id, e, nrm,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN e[i] > 0
+        |           THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS c1,
+        |    list_sum(list_transform(range(33, 65),
+        |      i -> CASE WHEN e[i] > 0
+        |           THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END)) AS c2
+        |  FROM n WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+        |    c1 AS qc1, c2 AS qc2
+        |  FROM c WHERE vec_id < 10),
+        |a AS (SELECT q.query_id, c.vec_id, c.e, c.nrm, q.qe, q.qn,
+        |    bit_count(xor(c.c1, q.qc1)) + bit_count(xor(c.c2, q.qc2)) AS hd
+        |  FROM q JOIN c ON c.vec_id <> q.query_id),
+        |cand AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hd ASC, vec_id) AS crk FROM a)
         |  WHERE crk <= 50),
         |scored AS (SELECT query_id, vec_id AS neighbor_id,
         |    round(list_sum(list_transform(range(1, 65),

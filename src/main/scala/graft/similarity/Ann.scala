@@ -578,6 +578,48 @@ object Ann {
   def mrlFull(spark: SparkSession, dir: String): DataFrame =
     mrlTopkAt(spark, dir, 16, Int.MaxValue)
 
+  /** E12: 1-bit (binary/sign) quantized ANN — the extreme end of the
+    * E8→E9→E11 compression ladder: each 64-dim vector packs to 64
+    * SIGN BITS (two 32-bit halves in BIGINTs, so neither engine's
+    * shift arithmetic touches the sign bit), candidates are ranked by
+    * Hamming distance (xor + popcount — pure integers, bit-identical
+    * on any engine in any order), and the float vectors exactly
+    * re-rank candN survivors. This is the 256× storage cut (64 B →
+    * 8 B + scale-free) modern binary-embedding serving uses for the
+    * first-stage scan; the DuckDB oracle replays packing, Hamming
+    * ranking AND re-rank bit-for-bit — observational exactness, the
+    * E9 discipline.
+    */
+  def bqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val candN = 50
+    val all = vecs(spark, dir).filter(col("norm") > 0)
+    def half(off: Int) = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, i) -> acc | IF(element_at(v, i + $off + 1) > 0,
+         |                       shiftleft(1L, i), 0L))""".stripMargin)
+    val coded = all
+      .withColumn("c1", half(0))
+      .withColumn("c2", half(32))
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("c1").as("qc1"),
+        col("c2").as("qc2"), col("v").as("qv"), col("norm").as("qn"))
+    val approx = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("hd",
+        expr("bit_count(c1 ^ qc1) + bit_count(c2 ^ qc2)"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("hd").asc, col("vec_id"))
+    val cands = approx.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= candN).select("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    cands.join(all, Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
+  }
+
   /** E8: symmetric int8 embedding quantization — the storage path that
     * makes a 100 TB vector corpus servable (4x memory cut vs float32;
     * what FAISS calls SQ8). Per vector: scale = max|x|/127, q_i =
