@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_containment" -> (dedup.Dedup.containment _),
     "dedup_lines" -> (dedup.Dedup.lineDedup _),
     "dedup_editdist" -> (dedup.Dedup.editDistPairs _),
+    "text_cdc" -> (text.TextAnalysis.cdcChunks _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
@@ -1632,6 +1633,39 @@ object SparkEntry {
     // rotating footer lines; boilerplate = line text in >= 10 distinct
     // docs. DuckDB list slice l[a:b] is 1-based inclusive = Spark
     // slice(l, a, 8); range(0, n) exclusive = sequence(0, n-1).
+    // F27: the rolling-hash boundary arithmetic (8-term base-131
+    // polynomial, exact longs), chunk slicing and cross-doc sharing
+    // stats replayed with identical integer expressions
+    "text_cdc" ->
+      ("""WITH d AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) >= 1),
+        |c0 AS (SELECT doc_id, text, len,
+        |    list_transform(list_filter(list_transform(
+        |      range(8, greatest(len, 8) + 1),
+        |      i -> struct_pack(i := i, h := HEXPR)),
+        |      x -> x.i <= len AND x.h % 61 = 0), x -> x.i) AS cuts
+        |  FROM d),
+        |c1 AS (SELECT doc_id, text, len,
+        |    [CAST(1 AS BIGINT)] || list_transform(cuts, c -> c + 1) AS starts,
+        |    list_transform(cuts, c -> c) || [CAST(len AS BIGINT)] AS ends
+        |  FROM c0),
+        |ch AS (SELECT doc_id, unnest(list_filter(
+        |    list_transform(range(1, len(starts) + 1),
+        |      t -> CASE WHEN ends[t] >= starts[t]
+        |           THEN substr(text, CAST(starts[t] AS BIGINT),
+        |                       CAST(ends[t] - starts[t] + 1 AS BIGINT)) END),
+        |    c -> c IS NOT NULL)) AS chunk
+        |  FROM c1),
+        |sh AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared
+        |FROM ch JOIN sh USING (chunk)
+        |GROUP BY 1""".stripMargin
+        .replace("HEXPR", (0 until 8).map(j =>
+          s"CAST(ascii(substr(text, i - $j, 1)) AS BIGINT) * ${math.pow(131.0, j).toLong}")
+          .mkString(" + "))),
     // D12: PassJoin blocking + levenshtein verify replayed — segments
     // and shifted probes generated with the identical 1-based substr
     // arithmetic, distance by both engines' classic unit-cost DP

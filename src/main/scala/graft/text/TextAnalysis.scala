@@ -374,6 +374,59 @@ object TextAnalysis {
       .select(col("rk"), col("w"), col("n"), col("share"), col("cum_share"))
   }
 
+  /** F27: content-defined chunking (CDC) — the rsync/LBFS/FastCDC
+    * boundary trick applied to sub-document dedup: chunk boundaries
+    * fall where a ROLLING CONTENT HASH (window-8 polynomial, base 131,
+    * exact in long — no mod ever taken, the 8-term sum tops out well
+    * under 2⁶³) hits 0 mod 61 (avg chunk ≈ 61 chars), so an edit only
+    * reshuffles the chunks it touches — unlike fixed-width chunking,
+    * where one insertion shifts every later boundary and kills all
+    * downstream dedup. Per document: chunk count and how many of its
+    * chunks also appear in ≥ 1 other document (the sub-document
+    * duplication signal boilerplate/quote-farm detection needs at
+    * sub-Jaccard granularity).
+    *
+    * Every stage is declarative: the per-position hash is 8
+    * independent ascii·131ʲ products (no sequential state — this is
+    * the positional CDC core without FastCDC's min/max-size
+    * constraints, which ARE sequential), boundaries a filter, chunks a
+    * zip_with of substrings, and the cross-doc stats one groupBy on
+    * the chunk text + a join back. The DuckDB oracle replays the
+    * identical integer arithmetic end-to-end. Scale: cost ∝ 8·chars
+    * codegen work + one chunk-keyed exchange (chunk texts, not
+    * documents, shuffle — ≈ corpus size, same as the shingle passes).
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val pows = (0 until 8).map(j => math.pow(131.0, j).toLong)
+    // h(i) = Σ_j ascii(text[i-j]) · 131^j  — window ends at position i
+    val hExpr = (0 until 8).map(j =>
+      s"ascii(substr(text, i - $j, 1)) * ${pows(j)}L").mkString(" + ")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= 1)
+    val chunks = docs
+      .withColumn("cuts", expr(
+        s"""transform(filter(transform(sequence(8, greatest(len, 8)),
+           |  i -> named_struct('i', i, 'h', $hExpr)),
+           |  x -> x.i <= len AND x.h % 61 = 0), x -> x.i)""".stripMargin))
+      .withColumn("starts", expr(
+        "concat(array(1L), transform(cuts, c -> cast(c + 1 as bigint)))"))
+      .withColumn("ends", expr(
+        "concat(transform(cuts, c -> cast(c as bigint)), array(cast(len as bigint)))"))
+      .withColumn("chunk", explode(expr(
+        """filter(zip_with(starts, ends,
+          |  (s, e) -> IF(e >= s, substr(text, cast(s as int), cast(e - s + 1 as int)), NULL)),
+          |  c -> c IS NOT NULL)""".stripMargin)))
+      .select(col("doc_id"), col("chunk"))
+    val shared = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(shared, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"))
+  }
+
   /** Input / output rows of the F11 packing fold (top-level so Dataset
     * encoders codegen against them).
     */
