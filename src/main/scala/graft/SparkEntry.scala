@@ -39,6 +39,7 @@ object SparkEntry {
     "stream_incr_dedup" -> (streaming.StreamOps.corpusDedupStreamed _),
     "stream_seq_pack" -> (streaming.StreamOps.seqPackStreamed _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
+    "stream_rate" -> (streaming.StreamOps.rateStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -772,6 +773,23 @@ object SparkEntry {
         |d AS (SELECT label, t.i AS i, sum(u[t.i]) AS s, count(*) AS n
         |  FROM u, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2)
         |SELECT label, n, i, s FROM d""".stripMargin,
+    // H4: every hourly bucket's lifecycle (open → accumulate →
+    // emit-on-next-bucket or timeout-flush) ≡ the batch hourly
+    // aggregation; the in-state double fold runs in (ts, event_id)
+    // order under ordered replay, replayed here via list_reduce
+    "stream_rate" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ, value, event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts)//1000000//3600*3600 AS bucket
+        |  FROM events),
+        |b AS (SELECT usr, typ, bucket, count(*) AS n,
+        |    list_transform(list_sort(list(struct_pack(us := us,
+        |      eid := event_id, v := value))), x -> x.v) AS l
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT usr, typ, bucket AS bucket_start_sec, n,
+        |  floor(list_reduce(l, (a, b) -> a + b) / 3600.0 * 10000 + 0.5)
+        |    / 10000 AS rate
+        |FROM b""".stripMargin,
     // H17: the full PromQL algebra over stream-maintained postings —
     // batch SQL oracle proves streamed index ≡ batch index end-to-end
     "promql_streamed" ->

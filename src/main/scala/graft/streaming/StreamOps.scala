@@ -719,6 +719,50 @@ object StreamOps extends Serializable {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  private val rateRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H4, oracle-gated: the custom event-time bucket lifecycle
+    * end-to-end. Events replay in 4 time-quartile micro-batches
+    * through [[streamingRate]] (emit-on-next-bucket + event-time
+    * timeout), plus a sentinel micro-batch 30 days out whose only job
+    * is to expire every open bucket through the TIMEOUT path — so the
+    * gate exercises both close paths and exactly-once emission per
+    * bucket. Ordered replay makes the in-state double accumulation a
+    * left fold in (ts, event_id) order, which the DuckDB oracle
+    * replays via list_reduce over the sorted sample list — the rate is
+    * gated bit-for-bit, not just the integer count.
+    */
+  def rateStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = rateRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h4_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h4_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val ev = raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+        col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"), col("value"))
+      landOrdered(ev, Seq("ts", "event_id"), landing, 4)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      Seq(Sample(-1L, new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L),
+        "__flush", "__flush", 0.0)).toDF()
+        .coalesce(1).write.mode("append").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingRate(stream.as[Sample])
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table).filter(col("usr") =!= "__flush")
+  }
+
   /** H3: checkpointed ingest to the lakehouse layout — the WAL analog.
     * foreachBatch appends day-partitioned parquet; the streaming
     * checkpoint gives exactly-once batches across restarts (the spec
