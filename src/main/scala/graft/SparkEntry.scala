@@ -40,6 +40,7 @@ object SparkEntry {
     "stream_seq_pack" -> (streaming.StreamOps.seqPackStreamed _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
+    "stream_store_ingest" -> (streaming.StreamOps.storeIngestStreamed _),
     "label_values" -> (index.IndexQueries.labelValues _),
     "label_values_matched" -> (index.IndexQueries.labelValuesMatched _),
     "label_names" -> (index.IndexQueries.labelNames _),
@@ -773,6 +774,15 @@ object SparkEntry {
         |d AS (SELECT label, t.i AS i, sum(u[t.i]) AS s, count(*) AS n
         |  FROM u, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2)
         |SELECT label, n, i, s FROM d""".stripMargin,
+    // H3: the landed day-partitioned lakehouse (written through the
+    // checkpointed foreachBatch commit loop) re-read and aggregated —
+    // nothing dropped, nothing doubled, day routing correct
+    "stream_store_ingest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS typ,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // H4: every hourly bucket's lifecycle (open → accumulate →
     // emit-on-next-bucket or timeout-flush) ≡ the batch hourly
     // aggregation; the in-state double fold runs in (ts, event_id)

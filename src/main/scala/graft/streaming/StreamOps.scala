@@ -778,6 +778,55 @@ object StreamOps extends Serializable {
       }
       .start()
 
+  private val ingestRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H3, oracle-gated: the checkpointed WAL-analog ingest end-to-end —
+    * 4 micro-batches append day-partitioned parquet through
+    * [[streamToStore]]'s foreachBatch commit loop, and the LANDED
+    * LAKEHOUSE (not the stream) is what the gate reads back: per-day
+    * per-type counts and exact cent sums over the written store must
+    * equal the batch aggregation over the source events — nothing
+    * dropped, nothing doubled, day routing correct. The store and
+    * checkpoint persist across JVMs under the `_done`-marker
+    * discipline (the stream_mv precedent — a fresh landing would feed
+    * the old checkpoint new filenames and double every count).
+    */
+  def storeIngestStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val storePath = ingestRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h3_" + fp)
+      val store = new java.io.File(base, "store").toString
+      val done = new java.io.File(base, "_done")
+      if (!done.exists()) {
+        if (base.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(base)
+        }
+        val landing = new java.io.File(base, "landing").toString
+        val raw = graft.Tables.eventsRaw(spark, dir)
+        raw.select(col("event_id"), graft.Tables.tsCol(raw).as("ts"),
+            col("user_id").cast("string").as("usr"),
+            col("event_type").as("typ"), col("value"))
+          .repartition(4).write.mode("overwrite").parquet(landing)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = streamToStore(stream, store,
+          new java.io.File(base, "ckpt").toString)
+        q.processAllAvailable(); q.stop()
+        done.createNewFile()
+      }
+      store
+    })
+    spark.read.parquet(storePath)
+      .groupBy(col("day"), col("typ"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+  }
+
   /** H3b: checkpointed ingest WITH index maintenance — the reference's
     * full WAL → MemIndex → try_compact loop (index_server.h:48-66) run
     * end-to-end on the stream: every micro-batch (1) writes its samples

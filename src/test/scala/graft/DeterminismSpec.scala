@@ -64,7 +64,13 @@ class DeterminismSpec extends AnyFunSuite {
       // drift with partial-agg order; the ancestor closure's
       // pointer-doubling round count is data-determined, not
       // partitioning-determined
-      "sessionize", "ancestor_closure")) {
+      "sessionize", "ancestor_closure",
+      // round-8: the MRL/BQ candidate cuts ride exact (dyadic /
+      // integer) scores with id tie-breaks; PassJoin candidates and
+      // the CDC shared-chunk join vary their physical join order with
+      // partitioning but not their sets; the PromQL histogram
+      // interpolation folds a sorted bucket array
+      "ann_mrl", "ann_bq", "dedup_editdist", "text_cdc", "promql_histq")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)
