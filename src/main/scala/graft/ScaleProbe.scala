@@ -100,6 +100,15 @@ object ScaleProbe {
     // vector (compressed domain); candN re-rank is heap-bounded.
     // Growth drivers: encode ∝ N·m·256 dots once, scan ∝ N·m adds.
     t("pq_train_adc")(similarity.Ann.pqTopkOn(edecor, col("vec_id") < 10, candN = 64))
+    // round-8 quantized-serving ladder over the factor× decorrelated
+    // corpus, fixed 10-query set: the MRL prefix scan reads d0/dim of
+    // the vector bytes per candidate dot; the BQ Hamming scan is two
+    // xor+popcounts per pair — growth ∝ N for both (one corpus pass
+    // per query batch), re-rank heap-bounded
+    t("mrl_scan")(similarity.Ann.mrlTopkOn(
+      edecor.withColumn("u", expr("transform(v, x -> cast(x as double) / norm)")),
+      col("vec_id") < 10, d0 = 16, candN = 50))
+    t("bq_scan")(similarity.Ann.bqTopkOn(edecor, col("vec_id") < 10))
     t("lsh_pair_scan") {
       // same candidate + verify pipeline as the gated dedup_embedding_lsh
       dedup.Dedup.cosineVerify(
@@ -119,6 +128,15 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
     t("ngram_jaccard")(dedup.Dedup.jaccardPairs(
       dedup.Dedup.shingles(dbig).cache(), 0.8))
+    // round-8: PassJoin edit-distance blocking (segments × shifted
+    // probes per key — growth ∝ Σ block² over (i, 8-gram) blocks; the
+    // salted replicas keep blocks from collapsing into one hot key)
+    // and the CDC chunk pass (8·chars codegen hashes + one chunk
+    // exchange — growth ∝ chars)
+    t("editdist_passjoin")(dedup.Dedup.editDistPairsOn(
+      dbig.select(col("doc_id"), col("text"))))
+    t("cdc_chunks")(text.TextAnalysis.cdcChunksOn(
+      dbig.select(col("doc_id"), col("text"))))
     // round-4 pipeline additions: the packing fold (bounded state per
     // source, one exchange) and the vocabulary aggregate (vocab-bounded
     // count table + TakeOrdered top-k) over the factor× corpus

@@ -661,7 +661,15 @@ object Dedup {
         concat(substring(col("text"), 1, 4), lit("Z"),
           substring(col("text"), 6, 10), lit("Q"),
           expr("substring(text, 17)")).as("text"))
-    val base = docs.unionByName(twins)
+    editDistPairsOn(docs.unionByName(twins))
+  }
+
+  /** DataFrame-generic PassJoin pipeline; input needs (doc_id, text).
+    * Exposed so the scale probe can drive the same plan over
+    * replicated corpora.
+    */
+  private[graft] def editDistPairsOn(docs: DataFrame): DataFrame = {
+    val base = docs
       .filter(length(col("text")) >= 24)
       .select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
     val segs = base

@@ -540,13 +540,21 @@ object Ann {
     * exhaustive-gate form).
     */
   def mrlTopkAt(spark: SparkSession, dir: String, d0: Int, candN: Int,
-      quantize: Boolean = true): DataFrame = {
-    val all = vecs(spark, dir).filter(col("norm") > 0)
+      quantize: Boolean = true): DataFrame =
+    mrlTopkOn(vecs(spark, dir).filter(col("norm") > 0),
+      col("vec_id") < 10, d0, candN, quantize)
+
+  /** DataFrame-generic MRL search; input needs (vec_id, v, u, norm).
+    * Exposed so the scale probe can drive the same plan over
+    * replicated corpora.
+    */
+  private[graft] def mrlTopkOn(all: DataFrame, queryPred: Column,
+      d0: Int, candN: Int, quantize: Boolean = true): DataFrame = {
     val pfx = all.withColumn("pu",
       if (quantize) expr(
         s"transform(slice(u, 1, $d0), x -> floor(x * 1048576.0D + 0.5D) / 1048576.0D)")
       else expr(s"slice(u, 1, $d0)"))
-    val q = pfx.filter(col("vec_id") < 10)
+    val q = pfx.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("pu").as("qpu"),
         col("v").as("qv"), col("norm").as("qn"))
     val approx = pfx.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -590,9 +598,14 @@ object Ann {
     * ranking AND re-rank bit-for-bit — observational exactness, the
     * E9 discipline.
     */
-  def bqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val candN = 50
-    val all = vecs(spark, dir).filter(col("norm") > 0)
+  def bqTopk(spark: SparkSession, dir: String): DataFrame =
+    bqTopkOn(vecs(spark, dir).filter(col("norm") > 0), col("vec_id") < 10)
+
+  /** DataFrame-generic binary-quantized search; input needs
+    * (vec_id, v, norm). Exposed for the scale probe.
+    */
+  private[graft] def bqTopkOn(all: DataFrame, queryPred: Column,
+      candN: Int = 50): DataFrame = {
     def half(off: Int) = expr(
       s"""aggregate(sequence(0, 31), 0L,
          |  (acc, i) -> acc | IF(element_at(v, i + $off + 1) > 0,
@@ -600,7 +613,7 @@ object Ann {
     val coded = all
       .withColumn("c1", half(0))
       .withColumn("c2", half(32))
-    val q = coded.filter(col("vec_id") < 10)
+    val q = coded.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("c1").as("qc1"),
         col("c2").as("qc2"), col("v").as("qv"), col("norm").as("qn"))
     val approx = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
