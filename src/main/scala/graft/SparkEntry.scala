@@ -3020,8 +3020,10 @@ object SparkEntry {
         |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
         |GROUP BY 1, 2
         |HAVING max(value) > 50""".stripMargin,
+    // absent() carries the selector's equality-matcher labels
+    // (Prometheus createLabelsForAbsentFunction)
     "promql_absent" ->
-      """SELECT CAST(1 AS DOUBLE) AS value
+      """SELECT 'nonexistent' AS typ, CAST(1 AS DOUBLE) AS value
         |WHERE NOT EXISTS (SELECT 1 FROM events
         |  WHERE event_type = 'nonexistent'
         |    AND ts >= TIMESTAMP '2024-01-30 00:00:00'
@@ -3398,7 +3400,7 @@ object SparkEntry {
         |  FROM c)
         |WHERE rn <= 2""".stripMargin,
     "promql_absent_ot" ->
-      """SELECT CAST(1 AS DOUBLE) AS value
+      """SELECT 'nonexistent' AS typ, CAST(1 AS DOUBLE) AS value
         |WHERE NOT EXISTS (SELECT 1 FROM events
         |  WHERE event_type = 'nonexistent'
         |    AND ts >= TIMESTAMP '2024-01-24 00:00:00'

@@ -596,6 +596,18 @@ object PromQl {
     }
   }
 
+  /** Prometheus's absent()/absent_over_time label inference: the
+    * equality matchers of the selector argument, each label name used
+    * by exactly one matcher (else dropped) — promql/functions.go
+    * createLabelsForAbsentFunction semantics.
+    */
+  private def absentLabels(arg: Expr): Seq[(String, String)] = arg match {
+    case Sel(ms, _, _, _) =>
+      ms.filter(m => m.op == graft.index.MatchOp.Eql &&
+        ms.count(_.name == m.name) == 1).map(m => m.name -> m.value)
+    case _ => Seq.empty
+  }
+
   /** The grid as a tiny frame of its `t_sec` timestamps (∝ grid points). */
   private def gridFrame(idx: TagIndex, grid: Grid): DataFrame =
     idx.labeled.sparkSession.range(grid.n).select(
@@ -999,26 +1011,37 @@ object PromQl {
       // 1 at every grid timestamp whose whole [T_i - range, T_i] window
       // holds no sample of the selector — the range twin of absent()
       val covered = window(idx, sel, grid, range).select("t_sec").distinct()
-      val df = gridFrame(idx, grid)
-        .join(covered, Seq("t_sec"), "left_anti")
-        .withColumn("value", lit(1.0))
-      Left(Vec(df, Seq.empty))
+      val lbls = absentLabels(sel)
+      val df = lbls.foldLeft(
+        gridFrame(idx, grid)
+          .join(covered, Seq("t_sec"), "left_anti")
+          .withColumn("value", lit(1.0))) {
+        case (d, (n, v)) => d.withColumn(n, lit(v))
+      }
+      Left(Vec(df, lbls.map(_._1)))
 
     case Func("absent_over_time", _, _) =>
       sys.error("absent_over_time needs a range selector argument")
 
     case Func("absent", arg, _) =>
-      // alerting primitive: 1 (no labels) at every grid timestamp where
-      // the argument vector is EMPTY — grid frame anti-joined with the
-      // vector's covered timestamps (both sides tiny: ∝ grid points)
+      // alerting primitive: 1 at every grid timestamp where the
+      // argument vector is EMPTY — grid frame anti-joined with the
+      // vector's covered timestamps (both sides tiny: ∝ grid points).
+      // Like Prometheus, the result carries the labels of the
+      // selector's equality matchers (each name used at most once) so
+      // an alert on absent(up{job="x"}) still names the job.
       val v = evalNode(idx, arg, grid, lookbackSec) match {
         case Left(x) => x
         case Right(_) => sys.error("absent() needs a vector argument")
       }
-      val df = gridFrame(idx, grid)
-        .join(v.df.select("t_sec").distinct(), Seq("t_sec"), "left_anti")
-        .withColumn("value", lit(1.0))
-      Left(Vec(df, Seq.empty))
+      val lbls = absentLabels(arg)
+      val df = lbls.foldLeft(
+        gridFrame(idx, grid)
+          .join(v.df.select("t_sec").distinct(), Seq("t_sec"), "left_anti")
+          .withColumn("value", lit(1.0))) {
+        case (d, (n, w)) => d.withColumn(n, lit(w))
+      }
+      Left(Vec(df, lbls.map(_._1)))
 
     case Func(name, arg, sArg) =>
       evalNode(idx, arg, grid, lookbackSec) match {

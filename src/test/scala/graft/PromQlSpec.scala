@@ -207,11 +207,17 @@ class PromQlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("subquery"))
   }
 
-  test("absent() fires only when the vector is empty") {
+  test("absent() fires only when the vector is empty, carrying Eql labels") {
     val yes = promql.PromQl.eval(spark, dir, """absent({typ="nonexistent"})""", T)
-    assert(yes.collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    val rows = yes.select("typ", "value").collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq
+      == Seq(("nonexistent", 1.0)))
     val no = promql.PromQl.eval(spark, dir, """absent({typ="click"})""", T)
     assert(no.count() == 0)
+    // only single-use Eql matchers become labels (Prometheus rule):
+    // a regex matcher contributes nothing
+    val rx = promql.PromQl.eval(spark, dir, """absent({typ=~"nonexi.*"})""", T)
+    assert(rx.columns.toSeq == Seq("value") && rx.count() == 1)
   }
 
   test("range query ≡ instant query at every grid point") {
@@ -404,7 +410,7 @@ class PromQlSpec extends AnyFunSuite {
     // absent_over_time: 1 when the whole window is empty, nothing otherwise
     val yes = promql.PromQl.eval(spark, dir,
       """absent_over_time({typ="nonexistent"}[7d])""", T)
-    assert(yes.collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    assert(yes.select("value").collect().map(_.getDouble(0)).toSeq == Seq(1.0))
     val no = promql.PromQl.eval(spark, dir,
       """absent_over_time({typ="click"}[7d])""", T)
     assert(no.count() == 0)
