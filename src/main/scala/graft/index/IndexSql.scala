@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *  - `graft_label_values(dir, name [, selector])` → distinct values
   *  - `graft_label_names(dir [, selector])`   → label-name universe,
   *    or the names defined on ≥1 matched series (constrained form)
+  *  - `graft_match_at(storePath, ord, selector)` → matched label rows
+  *    from a materialized IndexStore AS OF segment ordinal `ord`
+  *    (snapshot / time-travel read)
   *
   * `selector` is a Prometheus-style matcher list, e.g.
   * `typ="purchase", usr>="10", usr!="12", typ=~"(click|view)"`,
@@ -109,6 +112,20 @@ object IndexSql {
         .invertedIndex.select(col("label_name")).distinct()
   }
 
+  /** Snapshot (time-travel) matcher resolution against a materialized
+    * [[IndexStore]]: the matched series' label rows AS OF segment
+    * ordinal `ord` — SQL drivability for the store's `loadAt` read
+    * path (the reference's old-COW-root queries, cow_tree.h).
+    */
+  def matchStoredAt(spark: SparkSession, storePath: String, ord: Long,
+      selector: String): DataFrame = {
+    val snap = IndexStore.loadAt(spark, storePath, ord)
+    val tsids = TagIndex.resolvePostings(snap, parseSelector(selector))
+    snap.join(tsids, Seq("tsid"), "left_semi")
+      .select(col("tsid"), col("label_name"), col("label_value"))
+      .distinct()
+  }
+
   // ---- TVF plan builders (argument literals → the builder's plan) ----
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
@@ -132,6 +149,17 @@ object IndexSql {
         argString("graft_label_values", exprs, 0),
         argString("graft_label_values", exprs, 1),
         if (exprs.length == 3) Some(argString("graft_label_values", exprs, 2)) else None))
+    },
+    "graft_match_at" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 3,
+        "graft_match_at expects (storePath, ord, selector)")
+      val ord =
+        try argString("graft_match_at", exprs, 1).toLong
+        catch { case _: NumberFormatException =>
+          sys.error("graft_match_at: ord must be an integer segment ordinal") }
+      plan(matchStoredAt(SparkSession.active,
+        argString("graft_match_at", exprs, 0), ord,
+        argString("graft_match_at", exprs, 2)))
     },
     "graft_label_names" -> { exprs: Seq[Expression] =>
       require(exprs.length == 1 || exprs.length == 2,

@@ -449,4 +449,15 @@ object IndexStore {
       matchers: Seq[LabelMatcher],
       startTs: Option[Column] = None, endTs: Option[Column] = None): DataFrame =
     TagIndex.resolvePostings(load(spark, path), matchers, startTs, endTs)
+
+  /** Matcher resolution against a HISTORICAL snapshot: the index view
+    * as of segment ordinal `maxOrd` ([[loadAt]] — immutable segments
+    * make time travel a partition-pruned read, and tombstones written
+    * after the snapshot don't rewrite history). The reference's
+    * equivalent is querying an old COW-tree root (cow_tree.h).
+    */
+  def resolvePostingsAt(spark: SparkSession, path: String, maxOrd: Long,
+      matchers: Seq[LabelMatcher],
+      startTs: Option[Column] = None, endTs: Option[Column] = None): DataFrame =
+    TagIndex.resolvePostings(loadAt(spark, path, maxOrd), matchers, startTs, endTs)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.index.{IndexStore, LabelMatcher, MatchOp, TagIndex}
+import graft.index.{IndexSql, IndexStore, LabelMatcher, MatchOp, TagIndex}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -316,5 +316,35 @@ class IndexStoreSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("checkpoint reset"), ex.getMessage)
     IndexStore.flushBatch(idx, tmp, 6L) // monotone progress still fine
+  }
+
+  test("graft_match_at TVF: snapshot matcher resolution ≡ API, history immutable") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tvf_at").toString + "/idx"
+    IndexStore.materialize(
+      mkIdx(Seq((1L, t0, "1", "click", 1.0), (2L, t0 + 1000000L, "2", "view", 1.0))), tmp)
+    IndexStore.materializeIncremental(
+      mkIdx(Seq((1L, t0, "1", "click", 1.0), (2L, t0 + 1000000L, "2", "view", 1.0),
+        (3L, t0 + 2000000L, "3", "click", 1.0))), tmp)
+    val segs = new java.io.File(tmp).listFiles().map(_.getName)
+      .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toLong).sorted
+    assert(segs.length == 2)
+    IndexSql.register(spark)
+    def usrs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.filter(col("label_name") === "usr")
+        .select("label_value").collect().map(_.getString(0)).toSet
+    val sqlThen = spark.sql(
+      s"""SELECT * FROM graft_match_at('$tmp', ${segs.head}, 'typ="click"')""")
+    val sqlNow = spark.sql(
+      s"""SELECT * FROM graft_match_at('$tmp', ${segs.last}, 'typ="click"')""")
+    // the old snapshot must NOT see the series added by the second
+    // segment; the new one must — and SQL ≡ the API builder exactly
+    assert(usrs(sqlThen) == Set("1") && usrs(sqlNow) == Set("1", "3"))
+    val api = IndexSql.matchStoredAt(spark, tmp, segs.head, """typ="click"""")
+    assert(sqlThen.collect().map(_.toSeq).toSet == api.collect().map(_.toSeq).toSet)
+    // resolvePostingsAt agrees with the snapshot resolution
+    val tsids = IndexStore.resolvePostingsAt(spark, tmp, segs.head,
+      Seq(LabelMatcher("typ", MatchOp.Eql, "click")))
+    assert(tsids.select("tsid").distinct().count() == 1)
   }
 }
