@@ -164,6 +164,8 @@ object SparkEntry {
     "embed_quantize" -> (similarity.Ann.quantize _),
     "ann_sq8" -> (similarity.Ann.sq8Topk _),
     "ann_mrl" -> (similarity.Ann.mrlTopk _),
+    "ann_ivfpq" -> (similarity.Ann.ivfPqTopk _),
+    "ann_ivfpq_full" -> (similarity.Ann.ivfPqFull _),
     "ann_bq" -> (similarity.Ann.bqTopk _),
     "ann_mrl_full" -> (similarity.Ann.mrlFull _),
     // F. text analysis
@@ -1983,6 +1985,26 @@ object SparkEntry {
         |    round(list_sum(list_transform(range(1, 65),
         |      i -> qe[i] * e[i])) / (qn * nrm), 4) AS cs
         |  FROM cand)
+        |SELECT query_id, rk, neighbor_id, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+    // E13: nprobe=k + candN=0 disables both pruning stages — IVF-PQ
+    // output must equal brute force regardless of what either
+    // quantizer learned (E3b × E7b composed); the pruned path is
+    // declared rows-only with the planted-recall spec
+    "ann_ivfpq_full" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
+        |  FROM q JOIN n ON n.vec_id <> q.query_id)
         |SELECT query_id, rk, neighbor_id, cs FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)

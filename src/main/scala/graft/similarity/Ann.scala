@@ -182,28 +182,33 @@ object Ann {
   def ivfTopk(spark: SparkSession, dir: String): DataFrame =
     ivfTopkOn(vecs(spark, dir), col("vec_id") < 10)
 
-  def ivfTopkOn(all: DataFrame, isQuery: Column, k: Int = 16, nprobe: Int = 4,
-      iters: Int = 3, dim: Int = 64): DataFrame = {
-    val spark = all.sparkSession
-    graft.functions.VecFunctions.register(spark)
-    // spherical k-means works on unit vectors: assignment = max dot
-    // (reuse a prep-supplied unit column — e.g. the memoized vecs() —
-    // so Lloyd rounds read the cached frame instead of re-deriving it)
-    val unit =
-      if (all.columns.contains("u")) all
-      else all.withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
+  /** Adds the unit-vector column unless the prep (e.g. the memoized
+    * vecs()) already supplied it — Lloyd rounds then read the cached
+    * frame instead of re-deriving it.
+    */
+  private def unitize(all: DataFrame): DataFrame =
+    if (all.columns.contains("u")) all
+    else all.withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
 
-    def cdot(cent: Array[Double]): Column =
-      call_function("vec_dot", col("u"), typedlit(cent.toSeq))
-    // scored cells as (dot, cid) structs: array_max picks the best dot,
-    // ties broken by the higher cid — deterministic
-    def scored(cents: Array[Array[Double]]): Column =
-      array(cents.zipWithIndex.map { case (c, i) =>
-        struct(cdot(c).as("d"), lit(i).as("cid"))
-      }: _*)
-    def withCell(cents: Array[Array[Double]]): DataFrame =
-      unit.withColumn("cell", array_max(scored(cents)).getField("cid"))
+  /** Scored cells as (dot, cid) structs over the `u` column: array_max
+    * picks the best dot, ties broken by the higher cid — deterministic.
+    */
+  private def cellScores(cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(call_function("vec_dot", col("u"), typedlit(c.toSeq)).as("d"),
+        lit(i).as("cid"))
+    }: _*)
 
+  private def withCell(unit: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    unit.withColumn("cell", array_max(cellScores(cents)).getField("cid"))
+
+  /** Spherical k-means over the `u` column: `iters` Lloyd rounds, each
+    * ONE scan + partial agg (the driver holds only k×dim centroid sums
+    * — broadcast-sized state at any corpus size). Empty cells keep
+    * their centroid; seeding is fixed, so training is deterministic.
+    */
+  private def trainIvfCentroids(unit: DataFrame, k: Int, iters: Int,
+      dim: Int): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
@@ -213,7 +218,7 @@ object Ann {
     for (_ <- 0 until iters) {
       val aggs = count(lit(1)).as("n") +:
         (0 until dim).map(i => sum(element_at(col("u"), i + 1)).as(s"s$i"))
-      val stats = withCell(cents).groupBy(col("cell"))
+      val stats = withCell(unit, cents).groupBy(col("cell"))
         .agg(aggs.head, aggs.tail: _*).collect()
       val next = cents.clone() // empty cells keep their centroid
       stats.foreach { r =>
@@ -223,8 +228,18 @@ object Ann {
       }
       cents = next
     }
+    cents
+  }
 
-    val assigned = withCell(cents)
+  def ivfTopkOn(all: DataFrame, isQuery: Column, k: Int = 16, nprobe: Int = 4,
+      iters: Int = 3, dim: Int = 64): DataFrame = {
+    val spark = all.sparkSession
+    graft.functions.VecFunctions.register(spark)
+    // spherical k-means works on unit vectors: assignment = max dot
+    val unit = unitize(all)
+    def scored(cents: Array[Array[Double]]): Column = cellScores(cents)
+    val cents = trainIvfCentroids(unit, k, iters, dim)
+    val assigned = withCell(unit, cents)
     // each query probes its nprobe best cells
     val probes = unit.filter(isQuery)
       .withColumn("pc", slice(reverse(array_sort(scored(cents))), 1, nprobe))
@@ -407,33 +422,114 @@ object Ann {
   def pqFull(spark: SparkSession, dir: String): DataFrame =
     pqTopkOn(vecs(spark, dir), col("vec_id") < 10, candN = 0)
 
-  def pqTopkOn(all: DataFrame, isQuery: Column, candN: Int, m: Int = 8,
-      ks: Int = 16, iters: Int = 3, dim: Int = 64): DataFrame = {
+  /** E13: IVF-PQ — the composition production ANN systems (FAISS
+    * IndexIVFPQ) actually deploy at scale: the IVF coarse quantizer
+    * restricts each query's scan to its nprobe best cells, and WITHIN
+    * the probed cells the scores are PQ asymmetric distances over the
+    * byte codes — so the hot path reads nprobe/k of the corpus at
+    * m bytes per vector, and only candN survivors touch float data.
+    * This variant codes the raw vector (IVF-Flat-PQ; residual coding
+    * is the classical refinement and would slot into pqCodes
+    * unchanged). Training: the same two driver-bounded jobs (Lloyd
+    * cells + per-subspace codebooks), both broadcast-sized state.
+    *
+    * `nprobe = k` AND `candN <= 0` disables BOTH pruning stages: every
+    * corpus vector is exact re-ranked, so the output provably equals
+    * brute force regardless of what either quantizer learned —
+    * [[ivfPqFull]]'s invariant gate (E3b × E7b composed). Recall at
+    * the pruned settings is pinned by the planted-cluster spec
+    * (rows-only by necessity, like E2/E3/E7).
+    */
+  def ivfPqTopkOn(all: DataFrame, isQuery: Column, k: Int = 16,
+      nprobe: Int = 4, candN: Int = 64, m: Int = 8, ks: Int = 16,
+      iters: Int = 3, dim: Int = 64): DataFrame = {
     val spark = all.sparkSession
     graft.functions.VecFunctions.register(spark)
     val sub = dim / m
-    val unit =
-      if (all.columns.contains("u")) all
-      else all.withColumn("u", expr("transform(v, x -> cast(x as double) / norm)"))
-    def subCol(s: Int): Column = slice(col("u"), s * sub + 1, sub)
-    // argmin ||x−c||² == argmax (x·c − ||c||²/2); ties → higher cid
+    val unit = unitize(all)
+    val cents = trainIvfCentroids(unit, k, iters, dim)
+    val cb = trainPqCodebooks(unit, m, ks, iters, dim)
+    val coded = withCell(unit, cents)
+      .withColumn("codes", pqCodes(cb, m, sub))
+      .withColumn("recon", pqRecon(cb, m))
+    val probes = unit.filter(isQuery)
+      .withColumn("pc", slice(reverse(array_sort(cellScores(cents))), 1, nprobe))
+      .select(col("vec_id").as("query_id"),
+        explode(expr("transform(pc, x -> x.cid)")).as("cell"))
+    val qUnit = coded.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    // ADC scan over the PROBED cells only (cells are disjoint per
+    // vector, so no candidate appears twice)
+    val adc = coded.select(col("vec_id"), col("cell"), col("recon"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qUnit), Seq("query_id"))
+      .withColumn("approx", call_function("vec_dot", col("qu"), col("recon")))
+    val candIds =
+      if (candN <= 0) adc.select(col("query_id"), col("vec_id"))
+      else adc
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.column(spark, col("approx"),
+          lpad(col("vec_id").cast("string"), 12, "0"),
+          col("query_id").cast("string"), candN).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.a").cast("long").as("vec_id"))
+    val qVecs = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    candIds
+      .join(broadcast(qVecs), Seq("query_id"))
+      .join(all, Seq("vec_id"))
+      .withColumn("cs", round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cs"))
+  }
+
+  def ivfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopkOn(vecs(spark, dir), col("vec_id") < 10)
+
+  /** E13's exhaustive invariant: nprobe = k and candN = 0 ⇒ neither
+    * stage may drop anyone ⇒ ≡ brute force.
+    */
+  def ivfPqFull(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopkOn(vecs(spark, dir), col("vec_id") < 10, nprobe = 16, candN = 0)
+
+  private def pqSubCol(s: Int, sub: Int): Column = slice(col("u"), s * sub + 1, sub)
+
+  /** Per-vector PQ code array over the `u` column.
+    * argmin ||x−c||² == argmax (x·c − ||c||²/2); ties → higher cid.
+    */
+  private def pqCodes(cb: Array[Array[Array[Double]]], m: Int, sub: Int): Column = {
     def scoredSub(s: Int, cents: Array[Array[Double]]): Column =
       array(cents.zipWithIndex.map { case (c, i) =>
-        struct((call_function("vec_dot", subCol(s), typedlit(c.toSeq))
+        struct((call_function("vec_dot", pqSubCol(s, sub), typedlit(c.toSeq))
           - lit(0.5 * c.map(x => x * x).sum)).as("d"), lit(i).as("cid"))
       }: _*)
-    def withCodes(cb: Array[Array[Array[Double]]]): DataFrame =
-      unit.withColumn("codes", array((0 until m).map(s =>
-        array_max(scoredSub(s, cb(s))).getField("cid")): _*))
+    array((0 until m).map(s =>
+      array_max(scoredSub(s, cb(s))).getField("cid")): _*)
+  }
 
-    // train: per-subspace L2 k-means, all m subspaces re-estimated in
-    // ONE exploded aggregation pass per iteration (m·ks result rows)
+  /** The Σ_s codebook_s[code_s] reconstruction of a `codes` column. */
+  private def pqRecon(cb: Array[Array[Array[Double]]], m: Int): Column =
+    concat((0 until m).map(s =>
+      element_at(typedlit(cb(s).map(_.toSeq).toSeq),
+        element_at(col("codes"), s + 1) + 1)): _*)
+
+  /** Per-subspace L2 k-means over the `u` column: all m subspaces
+    * re-estimated in ONE exploded aggregation pass per iteration
+    * (m·ks result rows on the driver). Fixed seeding → deterministic.
+    */
+  private def trainPqCodebooks(unit: DataFrame, m: Int, ks: Int, iters: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
+    val sub = dim / m
     val rnd = new scala.util.Random(424242L)
     var cb = Array.fill(m, ks)(Array.fill(sub)(rnd.nextGaussian() * 0.2))
     for (_ <- 0 until iters) {
-      val exploded = withCodes(cb).select(explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"), element_at(col("codes"), s + 1).as("c"),
-          subCol(s).as("x"))): _*)).as("e"))
+      val exploded = unit.withColumn("codes", pqCodes(cb, m, sub))
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), element_at(col("codes"), s + 1).as("c"),
+            pqSubCol(s, sub).as("x"))): _*)).as("e"))
         .select(col("e.s").as("s"), col("e.c").as("c"), col("e.x").as("x"))
       val aggs = count(lit(1)).as("n") +: (0 until sub).map(i =>
         sum(element_at(col("x"), i + 1)).as(s"s$i"))
@@ -446,12 +542,20 @@ object Ann {
         }
       cb = next
     }
+    cb
+  }
+
+  def pqTopkOn(all: DataFrame, isQuery: Column, candN: Int, m: Int = 8,
+      ks: Int = 16, iters: Int = 3, dim: Int = 64): DataFrame = {
+    val spark = all.sparkSession
+    graft.functions.VecFunctions.register(spark)
+    val sub = dim / m
+    val unit = unitize(all)
+    val cb = trainPqCodebooks(unit, m, ks, iters, dim)
 
     // encode + reconstruct (the Σ_s codebook_s[code_s] concatenation)
-    val coded = withCodes(cb).withColumn("recon",
-      concat((0 until m).map(s =>
-        element_at(typedlit(cb(s).map(_.toSeq).toSeq),
-          element_at(col("codes"), s + 1) + 1)): _*))
+    val coded = unit.withColumn("codes", pqCodes(cb, m, sub))
+      .withColumn("recon", pqRecon(cb, m))
 
     val qUnit = coded.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))

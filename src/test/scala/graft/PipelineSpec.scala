@@ -125,6 +125,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= 45, s"planted-neighbor top-1 PQ recall $hits/50")
   }
 
+  test("IVF-PQ ANN finds planted near-duplicate neighbors (recall >= 0.9)") {
+    // the composed pipeline: the near-copy's cell must be probed AND
+    // its source's ADC score must survive the candN cut
+    import spark.implicits._
+    val rnd = new scala.util.Random(123456789L)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian()).toFloat)))
+    val planted = (0 until 50).map { i =>
+      val src = base(i)._2
+      ((1000 + i).toLong, src.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = similarity.Ann.withNorm(spark,
+      (base ++ planted).toDF("vec_id", "v"))
+    val ivfpq = similarity.Ann.ivfPqTopkOn(df, col("vec_id") >= 1000)
+      .filter(col("rk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = (0 until 50).count(i => ivfpq.get((1000 + i).toLong).contains(i.toLong))
+    assert(hits >= 45, s"planted-neighbor top-1 IVF-PQ recall $hits/50")
+  }
+
   test("frame sampling takes every 4th frame") {
     val rows = multimodal.Multimodal.frameSample(spark, dir).collect()
     assert(rows.nonEmpty)
