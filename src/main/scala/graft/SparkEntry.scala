@@ -148,6 +148,10 @@ object SparkEntry {
     "dedup_lines" -> (dedup.Dedup.lineDedup _),
     "dedup_editdist" -> (dedup.Dedup.editDistPairs _),
     "text_cdc" -> (text.TextAnalysis.cdcChunks _),
+    "io_csv" -> (sources.Io.csvRoundtrip _),
+    "io_json" -> (sources.Io.jsonRoundtrip _),
+    "io_orc" -> (sources.Io.orcRoundtrip _),
+    "io_daily" -> (sources.Io.dailyPartitionRead _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
@@ -1663,6 +1667,38 @@ object SparkEntry {
     // rotating footer lines; boilerplate = line text in >= 10 distinct
     // docs. DuckDB list slice l[a:b] is 1-based inclusive = Spark
     // slice(l, a, 8); range(0, n) exclusive = sequence(0, n-1).
+    // I1-I4 (round 8): the LANDED FILES of each format answer the gate
+    // — write→parse→read of csv/json/orc, and the day-routed parquet
+    // layout, each must reproduce the batch aggregation over events
+    "io_csv" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "io_json" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "io_orc" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "io_daily" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+        |GROUP BY 1""".stripMargin,
     // F27: the rolling-hash boundary arithmetic (8-term base-131
     // polynomial, exact longs), chunk slicing and cross-doc sharing
     // stats replayed with identical integer expressions

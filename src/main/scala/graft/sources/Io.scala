@@ -193,6 +193,70 @@ object Io {
   def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
 
+  // ---- oracle-gated round-trip queries (round 8): the LANDED FILES
+  // answer the gate, so the whole write→parse→read loop of each format
+  // is what the DuckDB oracle checks — not the in-memory frame ----
+
+  private val rtRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** One materialization per (session, dataset): the events projection
+    * in round-trip-exact column types (longs + strings — CSV/JSON have
+    * no binary timestamp or float form, so µs epochs and integer cents
+    * carry the values losslessly) written as csv, json-lines, orc AND
+    * the day-partitioned parquet layout.
+    */
+  private def roundtripRoot(spark: SparkSession, dir: String): String =
+    rtRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_rt_" + fp).toString
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        unix_micros(Tables.tsCol(raw)).as("us"),
+        col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      writeCsv(flat, s"$base/csv")
+      writeJson(flat, s"$base/json")
+      writeOrc(flat, s"$base/orc")
+      writePartitionedSamples(spark, dir, s"$base/daily")
+      base
+    })
+
+  private val rtDdl =
+    "event_id BIGINT, us BIGINT, usr STRING, typ STRING, cents BIGINT"
+
+  private def rtAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("typ")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).as("sum_cents"),
+      min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+      min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+
+  /** I2: header CSV round-trip, gated on the landed files. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    rtAgg(readCsv(spark, s"${roundtripRoot(spark, dir)}/csv", rtDdl))
+
+  /** I3: JSON-lines round-trip, gated on the landed files. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    rtAgg(readJson(spark, s"${roundtripRoot(spark, dir)}/json", rtDdl))
+
+  /** I4: ORC round-trip, gated on the landed files. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    rtAgg(readOrc(spark, s"${roundtripRoot(spark, dir)}/orc"))
+
+  /** I1: the day-partitioned lakehouse layout, gated through a PRUNED
+    * single-day read (IoSpec separately asserts the PartitionFilters
+    * actually prune; here the oracle proves the routed day's CONTENT).
+    */
+  def dailyPartitionRead(spark: SparkSession, dir: String): DataFrame =
+    readDay(spark, s"${roundtripRoot(spark, dir)}/daily", "2024-01-05")
+      .groupBy(col("event_type").as("typ"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+
   /** I9: schema-evolution read — a long-lived lakehouse table gains
     * columns over time (new quality signals, new metadata), so part
     * files written in different eras carry different schemas.
