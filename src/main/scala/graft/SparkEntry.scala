@@ -152,6 +152,10 @@ object SparkEntry {
     "io_json" -> (sources.Io.jsonRoundtrip _),
     "io_orc" -> (sources.Io.orcRoundtrip _),
     "io_daily" -> (sources.Io.dailyPartitionRead _),
+    "io_compacted" -> (sources.Io.compactedRead _),
+    "io_zorder" -> (sources.Io.zorderRead _),
+    "io_pruned" -> (sources.Io.prunedRead _),
+    "io_upsert" -> (sources.Io.upsertedRead _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
@@ -1699,6 +1703,52 @@ object SparkEntry {
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
         |GROUP BY 1""".stripMargin,
+    // I6/I10/I11/I12 (round 8): the MAINTAINED files answer the gate —
+    // compaction and z-ordering must preserve content exactly, the
+    // manifest-pruned band must be exact, and the post-MERGE table
+    // must equal the oracle's replay of the deterministic update batch
+    "io_compacted" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin,
+    "io_zorder" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin,
+    "io_pruned" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (SELECT event_id, event_type,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |      FROM events)
+        |WHERE c >= 2000 AND c <= 6000
+        |GROUP BY 1""".stripMargin,
+    "io_upsert" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |d AS (SELECT * FROM e WHERE day = '2024-01-10'),
+        |upd AS (SELECT event_id, event_type, value + 1.0 AS value
+        |  FROM d WHERE event_id % 2 = 0),
+        |newrow AS (SELECT (SELECT max(event_id) FROM events) + 1 AS event_id,
+        |    event_type, CAST(42.0 AS DOUBLE) AS value
+        |  FROM d WHERE event_id = (SELECT min(event_id) FROM d)),
+        |merged AS (
+        |  SELECT event_id, event_type, value FROM e WHERE day <> '2024-01-10'
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM d
+        |    WHERE event_id % 2 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM newrow)
+        |SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM merged GROUP BY 1""".stripMargin,
     // F27: the rolling-hash boundary arithmetic (8-term base-131
     // polynomial, exact longs), chunk slicing and cross-doc sharing
     // stats replayed with identical integer expressions

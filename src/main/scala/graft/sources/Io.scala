@@ -257,6 +257,90 @@ object Io {
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
 
+  private val maintRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** One maintenance materialization per (session, dataset): a
+    * day-partitioned copy COMPACTED in place, a z-ordered copy, a
+    * manifest over a value-clustered copy, and an UPSERTED copy (day
+    * 2024-01-10 rewritten with cents+1 for even event_ids plus one
+    * synthetic new row) — each gated query reads the maintained FILES.
+    */
+  private def maintRoot(spark: SparkSession, dir: String): String =
+    maintRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_maint_" + fp).toString
+      // compaction target: the day-partitioned layout, rewritten to
+      // ~1 MB files (small target so the rewrite genuinely re-buckets)
+      writePartitionedSamples(spark, dir, s"$base/compacted")
+      compactPartitioned(spark, s"$base/compacted", 1024L * 1024)
+      // z-order target: cluster on (user_id, cents)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        unix_micros(Tables.tsCol(raw)).as("us"),
+        col("user_id"), col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      writeZordered(flat, "user_id", "cents", s"$base/zorder", 8)
+      // manifest target: value-clustered files + the stats manifest
+      flat.repartitionByRange(8, col("cents"))
+        .sortWithinPartitions(col("cents"))
+        .write.mode("overwrite").parquet(s"$base/clustered")
+      writeManifest(spark, s"$base/clustered", "cents")
+      // upsert target: day-partitioned copy, then MERGE a derived
+      // update batch for one day (even event_ids get cents'=cents+1;
+      // one new row with event_id = maxId+1)
+      writePartitionedSamples(spark, dir, s"$base/upserted")
+      val day = "2024-01-10"
+      val maxId = Tables.events(spark, dir).agg(max(col("event_id"))).head().getLong(0)
+      val dayRows = Tables.events(spark, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(col("day") === day)
+      val firstId = dayRows.agg(min(col("event_id"))).head().getLong(0)
+      val updates = dayRows.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("value", col("value") + 1.0)
+        .unionByName(dayRows.filter(col("event_id") === firstId)
+          .withColumn("event_id", lit(maxId + 1))
+          .withColumn("value", lit(42.0)))
+      upsertPartitioned(spark, s"$base/upserted", updates, "event_id")
+      base
+    })
+
+  /** I6, oracle-gated: content preserved bit-for-bit by the rewrite. */
+  def compactedRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${maintRoot(spark, dir)}/compacted")
+      .groupBy(col("event_type").as("typ")).agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+
+  /** I11, oracle-gated: clustering reorders files, never content. */
+  def zorderRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${maintRoot(spark, dir)}/zorder")
+      .groupBy(col("typ")).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+
+  /** I12, oracle-gated: the manifest-pruned band is EXACT (conservative
+    * file skipping + residual predicate).
+    */
+  def prunedRead(spark: SparkSession, dir: String): DataFrame =
+    readPruned(spark, s"${maintRoot(spark, dir)}/clustered", "cents",
+      lit(2000L), lit(6000L))
+      .groupBy(col("typ")).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+
+  /** I10, oracle-gated: the post-MERGE table ≡ the oracle's replay of
+    * the same deterministic update batch (anti-join + union per day).
+    */
+  def upsertedRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${maintRoot(spark, dir)}/upserted")
+      .groupBy(col("event_type").as("typ")).agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+
   /** I9: schema-evolution read — a long-lived lakehouse table gains
     * columns over time (new quality signals, new metadata), so part
     * files written in different eras carry different schemas.
