@@ -156,6 +156,7 @@ object SparkEntry {
     "io_zorder" -> (sources.Io.zorderRead _),
     "io_pruned" -> (sources.Io.prunedRead _),
     "io_upsert" -> (sources.Io.upsertedRead _),
+    "io_evolved" -> (sources.Io.evolvedRead _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
@@ -1749,6 +1750,25 @@ object SparkEntry {
         |    AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM merged GROUP BY 1""".stripMargin,
+    // I9 (round 8): mergeSchema unions the two eras' footers and
+    // backfills era-1's missing quality column with null — the oracle
+    // replays both eras and the backfill arithmetic
+    "io_evolved" ->
+      """WITH f AS (SELECT event_id, event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT typ, cents, CAST(NULL AS BIGINT) AS quality FROM f
+        |    WHERE event_id % 2 = 1
+        |  UNION ALL
+        |  SELECT typ, cents, cents % 7 AS quality FROM f
+        |    WHERE event_id % 2 = 0)
+        |SELECT typ, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(coalesce(quality, -1)) AS BIGINT) AS sum_quality,
+        |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_backfilled
+        |FROM m GROUP BY 1""".stripMargin,
     // F27: the rolling-hash boundary arithmetic (8-term base-131
     // polynomial, exact longs), chunk slicing and cross-doc sharing
     // stats replayed with identical integer expressions

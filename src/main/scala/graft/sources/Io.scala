@@ -341,6 +341,39 @@ object Io {
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
 
+  private val evoRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I9, oracle-gated: two write ERAS of one table — era 1 without the
+    * `quality` column (odd event_ids), era 2 with it (even event_ids,
+    * quality = cents mod 7) — then ONE mergeSchema read; era-1 rows
+    * must surface quality as null (backfill), which the gate pins via
+    * coalesce(quality, -1) sums the oracle replays per era.
+    */
+  def evolvedRead(spark: SparkSession, dir: String): DataFrame = {
+    val base = evoRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_evo_" + fp).toString
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      flat.filter(pmod(col("event_id"), lit(2)) === 1)
+        .write.mode("overwrite").parquet(s"$root/tbl/era=1")
+      flat.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("quality", pmod(col("cents"), lit(7)))
+        .write.mode("overwrite").parquet(s"$root/tbl/era=2")
+      root
+    })
+    readMerged(spark, s"$base/tbl")
+      .groupBy(col("typ")).agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(coalesce(col("quality"), lit(-1L))).as("sum_quality"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_backfilled"))
+  }
+
   /** I9: schema-evolution read — a long-lived lakehouse table gains
     * columns over time (new quality signals, new metadata), so part
     * files written in different eras carry different schemas.
