@@ -397,13 +397,18 @@ object TextAnalysis {
     * documents, shuffle — ≈ corpus size, same as the shingle passes).
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame =
-    cdcChunksOn(Tables.documents(spark, dir))
+    cdcChunksOn(Tables.documents(spark, dir),
+      Some(s"text.cdcChunkTable:$dir"))
 
   /** DataFrame-generic CDC pipeline; input needs (doc_id, text).
     * Exposed so the scale probe can drive the same plan over
-    * replicated corpora.
+    * replicated corpora. The exploded chunk table is consumed twice
+    * (the per-doc side and the cross-doc sharing aggregate), so the
+    * gated path pins ONE copy via Memo — otherwise the 8·chars hash
+    * pass runs once per consumer per invocation.
     */
-  private[graft] def cdcChunksOn(input: DataFrame): DataFrame = {
+  private[graft] def cdcChunksOn(input: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
     val pows = (0 until 8).map(j => math.pow(131.0, j).toLong)
     // h(i) = Σ_j ascii(text[i-j]) · 131^j  — window ends at position i.
     // The char codes are materialized ONCE into an array (split +
@@ -433,9 +438,13 @@ object TextAnalysis {
           |  (s, e) -> IF(e >= s, substr(text, cast(s as int), cast(e - s + 1 as int)), NULL)),
           |  c -> c IS NOT NULL)""".stripMargin)))
       .select(col("doc_id"), col("chunk"))
-    val shared = chunks.groupBy(col("chunk"))
+    val pinned = memoKey match {
+      case Some(k) => graft.Memo.cached(input.sparkSession, k)(chunks)
+      case None => chunks
+    }
+    val shared = pinned.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-    chunks.join(shared, Seq("chunk"))
+    pinned.join(shared, Seq("chunk"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
