@@ -450,10 +450,11 @@ object Ann {
     * the probed cells the scores are PQ asymmetric distances over the
     * byte codes — so the hot path reads nprobe/k of the corpus at
     * m bytes per vector, and only candN survivors touch float data.
-    * This variant codes the raw vector (IVF-Flat-PQ; residual coding
-    * is the classical refinement and would slot into pqCodes
-    * unchanged). Training: the same two driver-bounded jobs (Lloyd
-    * cells + per-subspace codebooks), both broadcast-sized state.
+    * Codes are RESIDUAL (x − centroid(cell), the classical FAISS
+    * refinement): residuals concentrate near the origin, so the same
+    * ks codes spend their resolution on what the coarse quantizer
+    * could not explain. Training: the same two driver-bounded jobs
+    * (Lloyd cells + per-subspace codebooks), both broadcast-sized.
     *
     * `nprobe = k` AND `candN <= 0` disables BOTH pruning stages: every
     * corpus vector is exact re-ranked, so the output provably equals
@@ -471,10 +472,27 @@ object Ann {
     val sub = dim / m
     val unit = unitize(all)
     val cents = trainIvfCentroids(unit, k, iters, dim, memoKey)
-    val cb = trainPqCodebooks(unit, m, ks, iters, dim, memoKey)
-    val coded = withCell(unit, cents)
+    // RESIDUAL coding (the classical IVF-PQ refinement): the codebooks
+    // quantize x − centroid(cell(x)), which concentrates near the
+    // origin far more than raw vectors do, so the same ks codes spend
+    // their resolution on the part the coarse quantizer could not
+    // explain. The pqCodes/pqRecon machinery is reused verbatim by
+    // presenting the residual AS the `u` column; reconstruction adds
+    // the cell centroid back.
+    val centArr = typedlit(cents.map(_.toSeq).toSeq)
+    val assigned = withCell(unit, cents)
+      .withColumn("__cent", element_at(centArr, col("cell") + 1))
+    val resid = assigned
+      .withColumn("__fullu", col("u"))
+      .withColumn("u", expr("zip_with(u, __cent, (a, b) -> a - b)"))
+    val cb = trainPqCodebooks(
+      resid.select(col("vec_id"), col("u")), m, ks, iters, dim,
+      memoKey.map(_ + ":res"))
+    val coded = resid
       .withColumn("codes", pqCodes(cb, m, sub))
-      .withColumn("recon", pqRecon(cb, m))
+      .withColumn("__recon0", pqRecon(cb, m))
+      .withColumn("recon", expr("zip_with(__recon0, __cent, (a, b) -> a + b)"))
+      .withColumn("u", col("__fullu"))
     val probes = unit.filter(isQuery)
       .withColumn("pc", slice(reverse(array_sort(cellScores(cents))), 1, nprobe))
       .select(col("vec_id").as("query_id"),
