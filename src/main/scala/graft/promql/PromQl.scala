@@ -41,6 +41,7 @@ import org.apache.spark.sql.functions._
   *           | 'clamp' '(' expr ',' number ',' number ')'
   *           | 'scalar' '(' setop ')'                 // 1-series vector → scalar
   *           | 'sort'|'sort_desc' '(' setop ')'       // presentation order
+  *           | 'sort_by_label'['_desc'] '(' setop ',' str [',' str]* ')'
   *           | func '(' setop [',' number] ')'
   *           | selector
   * selector := [metric] '{' matchers '}' ['[' duration ']'] modifiers
@@ -414,6 +415,13 @@ object PromQl {
       } else if (name == "sort" || name == "sort_desc") {
         eat('('); val e = parseSetOp(); eat(')')
         Func(name, e, None)
+      } else if (name == "sort_by_label" || name == "sort_by_label_desc") {
+        eat('('); val e = parseSetOp()
+        val args = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (tryEat(',')) args += stringLit()
+        eat(')')
+        if (args.isEmpty) err(s"$name expects at least one label name")
+        LabelFunc(name, e, args.toSeq)
       } else if (rangeFuncs(name) || scalarFuncs(name)) {
         eat('('); val e = parseExpr()
         val sArg = if (tryEat(',')) Some(number()) else None
@@ -1056,6 +1064,19 @@ object PromQl {
         case Right(_) => sys.error(s"$name() needs a vector argument")
       }
       name match {
+        case "sort_by_label" | "sort_by_label_desc" =>
+          // presentation ordering by the given labels (then the
+          // remaining labels, then value — deterministic total order);
+          // content unchanged, ordering pinned by PromQlSpec
+          val bad = strArgs.filterNot(v.labels.contains)
+          require(bad.isEmpty,
+            s"$name labels (${bad.mkString(",")}) not in vector labels ${v.labels}")
+          val rest = v.labels.filterNot(strArgs.contains)
+          val keys = (strArgs ++ rest).map(col) :+ col("value")
+          val ord = if (name == "sort_by_label") keys.map(_.asc)
+            else keys.map(_.desc)
+          Left(v.copy(df = v.df.orderBy(ord: _*)))
+
         case "label_replace" =>
           val Seq(dst, replacement, src, regex) = strArgs
           require(v.labels.contains(src),

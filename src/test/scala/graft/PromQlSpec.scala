@@ -509,6 +509,22 @@ class PromQlSpec extends AnyFunSuite {
     assert(asc.toSeq == vals.sorted.toSeq)
   }
 
+  test("sort_by_label orders rows by the named label, content unchanged") {
+    val sorted = promql.PromQl.eval(spark, dir,
+      """sort_by_label(sum by (typ) (count_over_time({typ=~".*"}[30d])), "typ")""", T)
+    val typs = sorted.select("typ").collect().map(_.getString(0))
+    assert(typs.length > 1 && typs.toSeq == typs.sorted.toSeq)
+    val desc = promql.PromQl.eval(spark, dir,
+      """sort_by_label_desc(sum by (typ) (count_over_time({typ=~".*"}[30d])), "typ")""", T)
+    assert(desc.select("typ").collect().map(_.getString(0)).toSeq
+      == typs.sorted.reverse.toSeq)
+    intercept[IllegalArgumentException] {
+      promql.PromQl.eval(spark, dir,
+        """sort_by_label(sum by (typ) (count_over_time({typ=~".*"}[30d])), "zzz")""", T)
+        .collect()
+    }
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
