@@ -425,6 +425,44 @@ object SparkEntry {
         "2024-01-31 00:00:00")
         .select(col("typ"), col("value"))
     }),
+    "promql_mod" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // `%` (B45/round 9): Go math.Mod ≡ Java % ≡ DuckDB fmod on exact
+      // counts — the `node_time % 86400` dashboard-paste shape
+      promql.PromQl.eval(s, dir,
+        """sum by (usr) (count_over_time({typ=~".*"}[30d])) % 7""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("value"))
+    }),
+    "promql_pow" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // `^` on exact counts: pow(n, 2) is exact in double for n < 2^26
+      promql.PromQl.eval(s, dir,
+        """sum by (typ) (count_over_time({typ=~".*"}[30d])) ^ 2""",
+        "2024-01-31 00:00:00")
+        .select(col("typ"), col("value"))
+    }),
+    "promql_trig" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // sin(rad(n)) over exact per-user counts; both engines run libm
+      // sin/radians on identical inputs, quantized 1e-4 on both sides
+      promql.PromQl.eval(s, dir,
+        """sin(rad(sum by (usr) (count_over_time({typ="click"}[30d]))))""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_atan2" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // infix atan2 with default 1:1 vector matching on (usr); both
+      // operands exact counts, output quantized 1e-4 on both sides
+      promql.PromQl.eval(s, dir,
+        """sum by (usr) (count_over_time({typ="click"}[30d]))
+          | atan2 sum by (usr) (count_over_time({typ="view"}[30d]))""".stripMargin,
+        "2024-01-31 00:00:00")
+        .select(col("usr"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
     "promql_agg_quantile" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       promql.PromQl.eval(s, dir,
@@ -3326,6 +3364,49 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
         |GROUP BY 1""".stripMargin,
+    // `%` ≡ fmod (sign of dividend) on exact per-user counts
+    "promql_mod" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr,
+        |  fmod(CAST(count(*) AS DOUBLE), 7) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    // `^ 2` ≡ pow on exact per-type counts (exact for n < 2^26)
+    "promql_pow" ->
+      """SELECT event_type AS typ,
+        |  pow(CAST(count(*) AS DOUBLE), 2) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    // sin(radians(n)) on exact counts, quantized 1e-4 both sides
+    "promql_trig" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr,
+        |  floor(sin(radians(CAST(count(*) AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS value
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    // infix atan2 with 1:1 matching on usr; exact-count operands
+    "promql_atan2" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1),
+        |v AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c.usr, floor(atan2(c.n, v.n) * 1e4 + 0.5) / 1e4 AS value
+        |FROM c JOIN v ON c.usr = v.usr""".stripMargin,
     "promql_ignoring" ->
       """WITH lastv AS (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ, value

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * setop    := cmp (('and'|'or'|'unless') cmp)*      // loosest binding
   * cmp      := expr [('>'|'<'|'>='|'<='|'=='|'!=') ['bool'] expr]
   *                                  // filter semantics; `bool` → 0/1 map
-  * expr     := term (('+'|'-'|'*'|'/') [matching] term)*
+  * expr     := mul (('+'|'-') [matching] mul)*
+  * mul      := pw (('*'|'/'|'%'|'atan2') [matching] pw)*
+  * pw       := term ['^' [matching] pw]               // right-assoc
   * matching := ('on'|'ignoring') '(' names ')'
   *             ['group_left'|'group_right' ['(' names ')']]  // carried labels
   * term     := term '[' duration ':' duration ']'    // subquery (feeds a range func)
@@ -54,6 +56,10 @@ import org.apache.spark.sql.functions._
   *                                 present mad)
   *           | 'abs'|'ceil'|'floor'|'exp'|'ln'|'log2'|'log10'|'sqrt'|'sgn'|'round'
   *           | 'clamp_min'|'clamp_max'                // scalar 2nd arg
+  *           | 'sin'|'cos'|'tan'|'asin'|'acos'|'atan' // radians
+  *           | 'sinh'|'cosh'|'tanh'|'asinh'|'acosh'|'atanh'
+  *           | 'deg'|'rad'                            // angle conversion
+  *           | 'pi' '(' ')'                           // scalar π
   *           | 'hour'|'minute'|'day_of_week'|'day_of_month'|'month'|'year'
   *           | 'days_in_month'                        // value as epoch secs, UTC
   * }}}
@@ -141,6 +147,11 @@ object PromQl {
   val scalarFuncs: Set[String] =
     Set("abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt",
       "sgn", "round", "clamp_min", "clamp_max",
+      // trigonometry + hyperbolics + angle conversion (Prometheus's
+      // experimental-function family, enabled unconditionally here)
+      "sin", "cos", "tan", "asin", "acos", "atan",
+      "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+      "deg", "rad",
       // calendar components of a value interpreted as epoch seconds
       // (Prometheus applies them to the vector's sample values; UTC)
       "hour", "minute", "day_of_week", "day_of_month", "month", "year",
@@ -309,17 +320,36 @@ object PromQl {
       l
     }
     private def parseMul(): Expr = {
-      var l = parseTerm()
+      var l = parsePow()
       ws()
-      while (peek == '*' || peek == '/') {
-        val op = peek.toString; pos += 1
-        l = matching() match {
-          case Some((ks, ign, grp, cr)) => VecMatch(op, ks, ign, grp, l, parseTerm(), cr)
-          case None => Bin(op, l, parseTerm())
+      var continue = true
+      while (continue) {
+        val op =
+          if (peek == '*' || peek == '/' || peek == '%') { pos += 1; s(pos - 1).toString }
+          else if (kwAt("atan2")) { pos += 5; "atan2" }
+          else { continue = false; "" }
+        if (continue) {
+          l = matching() match {
+            case Some((ks, ign, grp, cr)) => VecMatch(op, ks, ign, grp, l, parsePow(), cr)
+            case None => Bin(op, l, parsePow())
+          }
+          ws()
         }
-        ws()
       }
       l
+    }
+    // `^` binds tightest of the binary operators and is RIGHT-associative
+    // (Prometheus: 2^3^2 = 2^(3^2) = 512)
+    private def parsePow(): Expr = {
+      val l = parseTerm()
+      ws()
+      if (peek == '^') {
+        pos += 1
+        matching() match {
+          case Some((ks, ign, grp, cr)) => VecMatch("^", ks, ign, grp, l, parsePow(), cr)
+          case None => Bin("^", l, parsePow())
+        }
+      } else l
     }
 
     private def parseTerm(): Expr = {
@@ -364,6 +394,9 @@ object PromQl {
       } else if (name == "time") {
         eat('('); eat(')')
         TimeE
+      } else if (name == "pi") {
+        eat('('); eat(')')
+        Num(math.Pi)
       } else if (name == "vector" || name == "timestamp") {
         eat('('); val e = parseSetOp(); eat(')')
         Func(name, e, None)
@@ -611,7 +644,9 @@ object PromQl {
     */
   private def absentLabels(arg: Expr): Seq[(String, String)] = arg match {
     case Sel(ms, _, _, _) =>
-      ms.filter(m => m.op == graft.index.MatchOp.Eql &&
+      // value.nonEmpty: Prometheus also requires a non-empty matcher
+      // value before adding the label (absent({typ=""}) carries no typ)
+      ms.filter(m => m.op == graft.index.MatchOp.Eql && m.value.nonEmpty &&
         ms.count(_.name == m.name) == 1).map(m => m.name -> m.value)
     case _ => Seq.empty
   }
@@ -920,8 +955,12 @@ object PromQl {
         case Left(x) => x
         case Right(_) => sys.error("scalar() needs a vector argument")
       }
-      val df = v.df.groupBy(col("t_sec"))
+      val agg = v.df.groupBy(col("t_sec"))
         .agg(count(lit(1)).as("__n"), max(col("value")).as("__v"))
+      // left-join onto the grid so timestamps with NO series still emit
+      // NaN (Prometheus yields NaN at every evaluation point; without
+      // this, sparse vectors silently drop grid points)
+      val df = gridFrame(idx, grid).join(broadcast(agg), Seq("t_sec"), "left")
         .select(col("t_sec"),
           when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)).as("value"))
       Left(Vec(df, Seq.empty))
@@ -1354,6 +1393,11 @@ object PromQl {
       case "ln" => log(v); case "sqrt" => sqrt(v)
       case "log2" => log2(v); case "log10" => log10(v)
       case "sgn" => signum(v)
+      case "sin" => sin(v); case "cos" => cos(v); case "tan" => tan(v)
+      case "asin" => asin(v); case "acos" => acos(v); case "atan" => atan(v)
+      case "sinh" => sinh(v); case "cosh" => cosh(v); case "tanh" => tanh(v)
+      case "asinh" => asinh(v); case "acosh" => acosh(v); case "atanh" => atanh(v)
+      case "deg" => degrees(v); case "rad" => radians(v)
       // Prometheus round(): nearest multiple of `to` (default 1), ties up
       case "round" =>
         val to = sArg.getOrElse(1.0)
@@ -1379,6 +1423,17 @@ object PromQl {
       case "ln" => math.log(v); case "sqrt" => math.sqrt(v)
       case "log2" => math.log(v) / math.log(2.0); case "log10" => math.log10(v)
       case "sgn" => math.signum(v)
+      case "sin" => math.sin(v); case "cos" => math.cos(v); case "tan" => math.tan(v)
+      case "asin" => math.asin(v); case "acos" => math.acos(v)
+      case "atan" => math.atan(v)
+      case "sinh" => math.sinh(v); case "cosh" => math.cosh(v)
+      case "tanh" => math.tanh(v)
+      // JDK Math has no inverse hyperbolics: the closed forms below are
+      // the same ones Spark's Asinh/Acosh/Atanh expressions evaluate
+      case "asinh" => math.log(v + math.sqrt(v * v + 1.0))
+      case "acosh" => math.log(v + math.sqrt(v * v - 1.0))
+      case "atanh" => 0.5 * math.log((1.0 + v) / (1.0 - v))
+      case "deg" => math.toDegrees(v); case "rad" => math.toRadians(v)
       case "round" =>
         val to = sArg.getOrElse(1.0)
         math.floor(v / to + 0.5) * to
@@ -1400,6 +1455,11 @@ object PromQl {
     }
   private def binC(op: String, a: Column, b: Column): Column = op match {
     case "+" => a + b; case "-" => a - b; case "*" => a * b; case "/" => a / b
+    // `%` is Go math.Mod semantics (sign of the dividend) = Java/Spark
+    // `%` on doubles = DuckDB fmod — one form on all three engines
+    case "%" => a % b
+    case "^" => pow(a, b)
+    case "atan2" => atan2(a, b)
   }
   private def cmpC(op: String, a: Column, b: Column): Column = op match {
     case ">" => a > b; case "<" => a < b; case ">=" => a >= b
@@ -1411,5 +1471,8 @@ object PromQl {
   }
   private def binD(op: String, a: Double, b: Double): Double = op match {
     case "+" => a + b; case "-" => a - b; case "*" => a * b; case "/" => a / b
+    case "%" => a % b
+    case "^" => math.pow(a, b)
+    case "atan2" => math.atan2(a, b)
   }
 }

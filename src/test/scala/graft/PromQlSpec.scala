@@ -525,6 +525,53 @@ class PromQlSpec extends AnyFunSuite {
     }
   }
 
+  test("%, ^, atan2, trig, deg/rad/pi: scalar identities and precedence") {
+    def scalarOf(e: String): Double =
+      promql.PromQl.eval(spark, dir, s"vector($e)", T).head()
+        .getAs[Double]("value")
+    // ^ binds tighter than * and is RIGHT-associative: 2^3^2 = 512
+    assert(scalarOf("2 ^ 3 ^ 2") == 512.0)
+    assert(scalarOf("2 * 3 ^ 2") == 18.0)
+    // % has * precedence and Go math.Mod sign (dividend's)
+    assert(scalarOf("7 % 3 + 1") == 2.0)
+    assert(scalarOf("0 - (7 % 3)") == -1.0)
+    assert(scalarOf("5 + 7 % 3") == 6.0)
+    // atan2 quadrant table (Go math.Atan2 = java.lang.Math.atan2)
+    assert(scalarOf("1 atan2 1") == math.Pi / 4)
+    assert(scalarOf("1 atan2 (0-1)") == 3 * math.Pi / 4)
+    assert(scalarOf("(0-1) atan2 (0-1)") == -3 * math.Pi / 4)
+    assert(scalarOf("(0-1) atan2 1") == -math.Pi / 4)
+    // deg/rad are inverses; pi() is the scalar constant
+    assert(scalarOf("deg(pi())") == 180.0)
+    assert(math.abs(scalarOf("rad(deg(2)) - 2")) < 1e-12)
+    assert(scalarOf("pi()") == math.Pi)
+    // trig identity sin²+cos² = 1 (within fp)
+    assert(math.abs(scalarOf("sin(1)^2 + cos(1)^2") - 1.0) < 1e-12)
+    assert(math.abs(scalarOf("tan(1) - sin(1)/cos(1)")) < 1e-12)
+    // inverse hyperbolics invert their duals
+    assert(math.abs(scalarOf("asinh(sinh(2)) - 2")) < 1e-9)
+    assert(math.abs(scalarOf("acosh(cosh(2)) - 2")) < 1e-9)
+    assert(math.abs(scalarOf("atanh(tanh(2)) - 2")) < 1e-9)
+  }
+
+  test("x % 86400 over epoch-second values ≡ seconds-since-midnight (B35 overlap)") {
+    // the classic dashboard expression: timestamp(sel) % 86400 must
+    // agree with hour/minute decomposition of the same values
+    val modv = promql.PromQl.eval(spark, dir,
+      """timestamp({typ="click"}) % 86400""", T)
+      .select("usr", "typ", "value")
+    val cal = promql.PromQl.eval(spark, dir,
+      """hour(timestamp({typ="click"})) * 3600
+        | + minute(timestamp({typ="click"})) * 60""".stripMargin, T)
+      .select("usr", "typ", "value")
+    val m = modv.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val c = cal.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.nonEmpty && m.keySet == c.keySet)
+    // mod keeps the seconds component; the calendar path truncates it
+    m.foreach { case (k, v) =>
+      val d = v - c(k); assert(d >= 0 && d < 60, s"$k: $v vs ${c(k)}") }
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
