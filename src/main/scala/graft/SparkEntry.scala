@@ -26,6 +26,7 @@ object SparkEntry {
     "match_conj" -> (index.IndexQueries.matchConj _),
     "match_conj_stored" -> (index.IndexQueries.matchConjStored _),
     "match_conj_streamed" -> (index.IndexQueries.matchConjStreamed _),
+    "match_at" -> (index.IndexQueries.matchAt _),
     "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
@@ -661,6 +662,15 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
         |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    // A21: snapshot resolution at the first segment's ordinal ≡ the
+    // same matcher algebra over the source table cut to the snapshot's
+    // ingest watermark (series first sighted later must not appear)
+    "match_at" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |  strftime(ts, '%Y-%m-%d') AS day
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+        |  AND event_type = 'click' AND CAST(user_id AS VARCHAR) <= '5'""".stripMargin,
     // H1: the final Complete-mode state of a real multi-micro-batch
     // streaming windowed aggregation must equal the batch GROUP BY
     "stream_window_agg" ->

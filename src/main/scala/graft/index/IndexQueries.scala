@@ -293,6 +293,65 @@ object IndexQueries {
       "2024-01-31 00:00:00")
   }
 
+  // A21: a time-segmented snapshot store over the (usr, typ, day) label
+  // model. The derived `day` label makes series FIRST-SIGHTINGS
+  // time-dependent (a (usr,typ,day) series exists only once its day's
+  // samples arrive), so a historical snapshot is a genuinely smaller
+  // index than the live view — the store is built as three incremental
+  // time-watermark flushes (ts < Jan-10, < Jan-20, rest) and the memo
+  // remembers the FIRST segment's ordinal as the snapshot point.
+  private val snapStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def snapStoreFor(spark: SparkSession, dir: String): (String, Long) =
+    snapStores.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapstore_" + graft.Tables.fingerprint(s"$dir/events.parquet")).toString
+      def idxUpTo(cutNs: Option[Long]): TagIndex = {
+        val raw = graft.Tables.eventsRaw(spark, dir)
+        val ev = raw.select(
+          col("event_id"), col("ts_ns"), graft.Tables.tsCol(raw).as("ts"),
+          col("value"), col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"),
+          date_format(graft.Tables.tsCol(raw), "yyyy-MM-dd").as("day"))
+        // strict < on the raw-ns column (file-native in the NANOS
+        // encoding; the derived one costs a per-row check, like tsBetween)
+        new TagIndex(cutNs.fold(ev)(c => ev.filter(col("ts_ns") < lit(c))),
+          Seq("usr", "typ", "day"))
+      }
+      def ns(iso: String): Long =
+        java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+      IndexStore.materialize(idxUpTo(Some(ns("2024-01-10T00:00:00Z"))), p)
+      val ord1 = IndexStore.storedWatermarkNs(spark, p)
+        .getOrElse(sys.error(s"snapshot store at $p committed no segment"))
+      IndexStore.materializeIncremental(idxUpTo(Some(ns("2024-01-20T00:00:00Z"))), p)
+      IndexStore.materializeIncremental(idxUpTo(None), p)
+      (p, ord1)
+    })
+
+  /** A21 (oracle-gated): snapshot (time-travel) matcher resolution via
+    * the `graft_match_at` SQL surface — matchers resolved against the
+    * index AS OF the first segment's ordinal (IndexStore.loadAt), i.e.
+    * the store as it stood before the Jan-10+ flushes. The reference's
+    * equivalent is serving queries from an old COW-tree root
+    * (include/tagtree/tree/cow_tree.h); here immutable `seg=` dirs make
+    * the historical read a partition-pruned scan. The DuckDB oracle
+    * replays the same resolution over the SOURCE table filtered to the
+    * snapshot's time cut — series first sighted after it must not
+    * appear, which the derived `day` label makes a real difference.
+    */
+  def matchAt(spark: SparkSession, dir: String): DataFrame = {
+    val (store, ord) = snapStoreFor(spark, dir)
+    IndexSql.register(spark)
+    spark.sql(
+      s"""SELECT
+         |  max(CASE WHEN label_name = 'usr' THEN label_value END) AS usr,
+         |  max(CASE WHEN label_name = 'typ' THEN label_value END) AS typ,
+         |  max(CASE WHEN label_name = 'day' THEN label_value END) AS day
+         |FROM graft_match_at('$store', $ord, 'typ="click", usr<="5"')
+         |GROUP BY tsid""".stripMargin)
+  }
+
   /** A9: tsid → labels (get_labels): recover series labels for sample ids. */
   def seriesLookup(spark: SparkSession, dir: String): DataFrame = {
     val i = idx(spark, dir)
