@@ -90,12 +90,17 @@ object Bench {
     val totalMed = results.values.collect { case (_, m, _) if m >= 0 => m }.sum
     val env =
       s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"contended":$contended,"load_wait_sec":${fmt(waitedSec)}"""
+    // CLIP-PROOFING (round 9): the driver captures only a TAIL of
+    // stdout, and in round 8 the clip cut the big line such that only
+    // the queries_max map survived — misreporting the round's perf by
+    // 10x on the worst queries. Defend three ways: (a) the big line
+    // orders the per-query maps median, max, MIN-last, so a front-clip
+    // keeps the min map; (b) a dedicated min-only line follows it, so
+    // "last per-query map in the tail" is always the min map; (c) the
+    // short self-contained summary stays the very last line for tiny
+    // tail windows. /tmp/bench.json keeps the full record.
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_max":$qsMax,"sf":"$sfDir","runs":3,"agg":"min","total_median":${fmt(totalMed)},$env,"failed":$failedJson}"""
-    // The full line is ~6 KB and the driver's stdout tail capture clips
-    // it (BENCH_r01/r02 parsed:null). Emit, in order: the full line, the
-    // file copy, and LAST a short (<300 byte) self-contained summary
-    // line so any tail window ends with one complete parseable object.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_median":$qsMed,"queries_max":$qsMax,"queries":$qs,"sf":"$sfDir","runs":3,"agg":"min","total_median":${fmt(totalMed)},$env,"failed":$failedJson}"""
     println(json)
     try {
       java.nio.file.Files.write(
@@ -103,6 +108,8 @@ object Bench {
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] write /tmp/bench.json failed: $e") }
     spark.stop()
+    println(
+      s"""{"metric":"queries_min","unit":"sec","agg":"min","queries":$qs}""")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":3,"agg":"min","total_median":${fmt(totalMed)},$env,"failed":$failedJson}""")
   }
