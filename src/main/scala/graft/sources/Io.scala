@@ -447,10 +447,20 @@ object Io {
     // rewrite. Relative names keep the manifest portable; readPruned
     // verifies existence so a post-manifest rewrite (Spark part files
     // get fresh UUID names) fails fast instead of reading deleted data.
-    val rootAbs = new java.io.File(path).getAbsolutePath
+    // Relativize through the Hadoop FileSystem API (like compact/upsert)
+    // so manifests work on any URI scheme, not just the local fs:
+    // normalize input_file_name()'s URI to its path component, then
+    // strip the qualified root's path prefix.
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val rootUriPath = rootP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(rootP).toUri.getPath
     val rel = regexp_replace(
-      regexp_replace(input_file_name(), "^file:/+", "/"),
-      "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
+      regexp_replace(
+        regexp_replace(input_file_name(),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),   // scheme://authority
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),          // scheme:/ (no authority)
+      "^" + java.util.regex.Pattern.quote(rootUriPath) + "/", "")
     spark.read.parquet(path)
       .groupBy(rel.as("file"))
       .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
@@ -469,18 +479,24 @@ object Io {
     */
   def readPruned(spark: SparkSession, path: String, statCol: String,
       lo: Column, hi: Column): DataFrame = {
-    val rootAbs = new java.io.File(path).getAbsolutePath
+    // Resolve + existence-check through the Hadoop FileSystem API so
+    // the staleness guard holds on HDFS/object-store URIs too (a
+    // java.io.File check silently fails every non-local path)
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fsys = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootQ = fsys.makeQualified(rootP)
     val files = spark.read.parquet(s"$path/_manifest")
       .filter(col("max_v") >= lo && col("min_v") <= hi)
-      .select("file").collect().map(r => s"$rootAbs/${r.getString(0)}")
-    val missing = files.filterNot(f => new java.io.File(f).exists())
+      .select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(rootQ, r.getString(0)))
+    val missing = files.filterNot(fsys.exists)
     require(missing.isEmpty,
       s"manifest at $path/_manifest is stale: ${missing.length} of " +
         s"${files.length} selected files no longer exist (e.g. " +
         s"${missing.take(1).mkString}); rewrite the manifest with writeManifest")
     val base =
       if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(files.toIndexedSeq: _*)
+      else spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 }

@@ -396,8 +396,9 @@ object StreamOps extends Serializable {
   /** Lands `df` as `parts` sequential single-file writes in ascending
     * `order` ranges, so the file source replays it as `parts`
     * micro-batches in EVENT-TIME order (FileStreamSource processes
-    * files by modification time; the writes are sequential Spark jobs,
-    * so mtimes are strictly increasing). Ordered replay is what makes
+    * files by modification time; each landed file's mtime is stamped
+    * explicitly strictly increasing, so replay order never depends on
+    * filesystem timestamp granularity). Ordered replay is what makes
     * watermark semantics (late-drop, state eviction, append-mode
     * session close) exact on a finite stream — the production
     * assumption "sources deliver roughly in event-time order" made
@@ -405,13 +406,57 @@ object StreamOps extends Serializable {
     */
   private def landOrdered(df: DataFrame, order: Seq[String],
       landing: String, parts: Int): Unit = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(order.map(col): _*)
-    val ranked = df.withColumn("__part", ntile(parts).over(w))
+    // Part assignment by approx-percentile boundaries on the event-time
+    // key, not a global-window ntile: the unpartitioned window funneled
+    // the whole frame through one task (with Spark's WindowExec warning),
+    // while the sketch aggregate is mergeable and distributed. Parts are
+    // strictly increasing half-open event-time ranges; equal-ts rows
+    // share a part, which is safe — a micro-batch is processed
+    // atomically and the stateful folds order within the batch
+    // themselves, so only the ACROSS-part ordering must be strict.
+    val tsName = order.head
+    val keyed = df.withColumn("__k",
+      if (df.schema(tsName).dataType ==
+          org.apache.spark.sql.types.TimestampType)
+        unix_micros(col(tsName))
+      else col(tsName).cast("long"))
+    val bs: Seq[Long] =
+      if (parts <= 1) Seq.empty
+      else keyed.select(percentile_approx(col("__k"),
+          typedLit((1 until parts).map(_.toDouble / parts)),
+          lit(100000)).as("b"))
+        .head().getSeq[Long](0)
+    val dirF = new java.io.File(landing)
+    // Stamps sit in the RECENT PAST (t0 + parts·1s ≤ now − 2s): callers
+    // append sentinel watermark-flush files after landing with natural
+    // mtimes, and those must sort strictly AFTER every landed part —
+    // future-dated stamps would interleave the sentinel mid-replay and
+    // drop the remaining batches as late.
+    val t0 = System.currentTimeMillis() - (parts.toLong + 2L) * 1000L
+    var stamped = Set.empty[String]
     for (k <- 1 to parts) {
-      ranked.filter(col("__part") === k).drop("__part")
-        .coalesce(1).write
+      val lo = if (k == 1) None else Some(bs(k - 2))
+      val hi = if (k == parts) None else Some(bs(k - 1))
+      val part = (lo, hi) match {
+        case (None, None) => keyed
+        case (None, Some(h)) => keyed.filter(col("__k") <= h)
+        case (Some(l), Some(h)) => keyed.filter(col("__k") > l && col("__k") <= h)
+        case (Some(l), None) => keyed.filter(col("__k") > l)
+      }
+      part.drop("__k").coalesce(1).write
         .mode(if (k == 1) "overwrite" else "append").parquet(landing)
+      // Explicitly strictly-increasing mtimes on the landed part files:
+      // FileStreamSource replays by modification time, and sequential
+      // tiny writes can SHARE an mtime on coarse-granularity filesystems
+      // (tie then broken by random part-file UUID path → nondeterministic
+      // batch order → watermarked gates drop rows as late). One full
+      // second per part is granular on any fs.
+      val files = Option(dirF.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+      files.filterNot(f => stamped(f.getName))
+        .foreach(f => require(f.setLastModified(t0 + k * 1000L),
+          s"setLastModified failed on $f — ordered replay not guaranteed"))
+      stamped ++= files.map(_.getName)
     }
   }
 
