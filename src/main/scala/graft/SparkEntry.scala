@@ -158,6 +158,7 @@ object SparkEntry {
     "io_pruned" -> (sources.Io.prunedRead _),
     "io_upsert" -> (sources.Io.upsertedRead _),
     "io_evolved" -> (sources.Io.evolvedRead _),
+    "io_bucketed" -> (sources.Io.bucketedRead _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
@@ -1777,6 +1778,24 @@ object SparkEntry {
         |      FROM events)
         |WHERE c >= 2000 AND c <= 6000
         |GROUP BY 1""".stripMargin,
+    // I5+I8: the bucketed layout's per-user agg + window + co-located
+    // join, replayed from the source table (write→bucket→read ≡ batch)
+    "io_bucketed" ->
+      """WITH e AS (SELECT event_id, CAST(user_id AS VARCHAR) AS usr,
+        |    event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (SELECT usr, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1),
+        |l AS (SELECT usr, cents AS last_cents FROM (
+        |    SELECT usr, cents, row_number() OVER (
+        |      PARTITION BY usr ORDER BY event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |p AS (SELECT usr, count(*) AS n_purch FROM e
+        |  WHERE typ = 'purchase' GROUP BY 1)
+        |SELECT a.usr, a.n, a.sum_cents, l.last_cents, p.n_purch
+        |FROM a JOIN l ON a.usr = l.usr JOIN p ON a.usr = p.usr""".stripMargin,
     "io_upsert" ->
       """WITH e AS (SELECT event_id, event_type, value,
         |    strftime(ts, '%Y-%m-%d') AS day FROM events),

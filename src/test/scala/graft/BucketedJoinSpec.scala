@@ -55,6 +55,25 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** The io_bucketed GATE's composed shape (per-user agg + per-user
+    * window + two co-located joins) runs with ZERO exchanges on the
+    * bucketed layout — the plan half of the round-9 oracle gate (the
+    * gate itself checks values; this pins that none of the three
+    * shapes ever shuffles).
+    */
+  test("io_bucketed gate shape: agg + window + joins, zero exchanges") {
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = sources.Io.bucketedRead(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"io_bucketed gate shape shuffles on the bucketed layout:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+  }
+
   /** The Tsdb scaladoc's 100 TB claim made checkable: per-series window
     * operators over a tsid-bucketed sample table run WITHOUT an
     * exchange — the bucketed scan already satisfies the window's
