@@ -96,7 +96,9 @@ object LabelMatcher {
   * (index_server.cpp:44-67), but deterministic and coordination-free
   * so a 1000-executor ingest needs no id counter.
   */
-class TagIndex(val samples: DataFrame, val labelNames: Seq[String]) {
+class TagIndex(val samples: DataFrame, val labelNames: Seq[String],
+    preCatalog: Option[DataFrame] = None,
+    preInverted: Option[DataFrame] = None) {
 
   /** Samples with a tsid column. */
   val labeled: DataFrame = {
@@ -110,9 +112,10 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String]) {
     * ∝ #series, so this holds on a cluster (executors cache partitions).
     */
   lazy val seriesCatalog: DataFrame =
-    labeled.groupBy(col("tsid") +: labelNames.map(col): _*)
-      .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
-        count(lit(1)).as("n_samples"))
+    preCatalog.getOrElse(
+      labeled.groupBy(col("tsid") +: labelNames.map(col): _*)
+        .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+          count(lit(1)).as("n_samples")))
       .persist()
 
   /** Inverted index: (label_name, label_value, tsid, min_ts, max_ts).
@@ -120,14 +123,13 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String]) {
     * matcher, and without the cache each branch would re-run the whole
     * catalog derivation.
     */
-  lazy val invertedIndex: DataFrame = {
+  lazy val invertedIndex: DataFrame = preInverted.getOrElse {
     val kvs = labelNames.flatMap(n => Seq(lit(n), col(n).cast("string")))
     seriesCatalog
       .select(col("tsid"), col("min_ts"), col("max_ts"), col("n_samples"),
         explode(map(kvs: _*)).as(Seq("label_name", "label_value")))
       .select("label_name", "label_value", "tsid", "min_ts", "max_ts", "n_samples")
-      .persist()
-  }
+  }.persist()
 
   /** resolve_label_matchers(matchers, start, end) → series.
     *
@@ -276,6 +278,49 @@ object TagIndex {
   def memo(spark: SparkSession, dir: String, tag: String)(build: => TagIndex): TagIndex =
     cache.computeIfAbsent((spark, dir, tag), _ => build)
 
+  /** Disk-warm memoized construction: the first JVM to build this
+    * index persists its catalog + inverted index as parquet under a
+    * dataset-fingerprinted directory; every later session LOADS the two
+    * small tables (∝ #series) instead of re-deriving them from the raw
+    * samples — the reference's warm full-cache serving mode
+    * (index_server.h:26) surviving process restarts, so a fresh
+    * session's first matcher query skips the 3-4 s catalog groupBy.
+    * `_done` commits the pair atomically-enough: a crash mid-write
+    * leaves no marker and the next session rebuilds; a stale dataset
+    * changes the fingerprint and falls out naturally. Failures to
+    * persist degrade to the in-memory path, never to an error.
+    */
+  def memoWarm(spark: SparkSession, dir: String, tag: String,
+      labels: Seq[String])(samplesBuild: => DataFrame): TagIndex =
+    memo(spark, dir, tag) {
+      val fp = Tables.fingerprint(s"$dir/events.parquet")
+      val safe = tag.replaceAll("[^A-Za-z0-9]", "_")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_warmidx_${fp}_$safe")
+      val done = new java.io.File(base, "_done")
+      val catP = new java.io.File(base, "catalog").toString
+      val invP = new java.io.File(base, "inverted").toString
+      if (done.exists())
+        new TagIndex(samplesBuild, labels,
+          Some(spark.read.parquet(catP)), Some(spark.read.parquet(invP)))
+      else {
+        val i = new TagIndex(samplesBuild, labels)
+        try {
+          // single-file layout: the tables are ∝ #series (MBs), and a
+          // 32-file shuffle layout costs 32 footer reads + 32 reader
+          // inits on every warm load — the exact latency this cache
+          // exists to remove (at huge #series, bump to a few files)
+          i.seriesCatalog.coalesce(1).write.mode("overwrite").parquet(catP)
+          i.invertedIndex.coalesce(1).write.mode("overwrite").parquet(invP)
+          done.createNewFile()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[graft] warm-index persist failed ($base): $e")
+        }
+        i
+      }
+    }
+
   /** Evict all memoized indexes (unpersisting their cached tables) —
     * for long-lived services; the memos otherwise live for the JVM.
     */
@@ -288,14 +333,13 @@ object TagIndex {
   }
 
   def forEvents(spark: SparkSession, dir: String): TagIndex =
-    memo(spark, dir, "usr,typ") {
+    memoWarm(spark, dir, "usr,typ", Seq("usr", "typ")) {
       val raw = Tables.eventsRaw(spark, dir)
-      val ev = raw.select(
+      raw.select(
         col("event_id"), col("ts_ns"),
         Tables.tsCol(raw).as("ts"), col("value"),
         col("user_id").cast("string").as("usr"),
         col("event_type").as("typ"))
-      new TagIndex(ev, Seq("usr", "typ"))
     }
 
   /** Derived classic-histogram bucket series over the events stream —
@@ -308,7 +352,7 @@ object TagIndex {
     * the same blow-up a real `_bucket` metric family carries.
     */
   def forBucketedEvents(spark: SparkSession, dir: String): TagIndex =
-    memo(spark, dir, "typ,le") {
+    memoWarm(spark, dir, "typ,le", Seq("typ", "le")) {
       val raw = Tables.eventsRaw(spark, dir)
       val bounds = Seq(25.0, 50.0, 100.0, 200.0)
       val buckets = array(
@@ -317,13 +361,12 @@ object TagIndex {
           lit(b).as("bound"))) :+
           struct(lit("+Inf").as("le"),
             lit(Double.PositiveInfinity).as("bound")): _*)
-      val ev = raw.select(
+      raw.select(
         col("event_id"), Tables.tsCol(raw).as("ts"), col("value"),
         col("event_type").as("typ"))
         .withColumn("__b", explode(buckets))
         .filter(col("value") <= col("__b.bound"))
         .select(col("event_id"), col("ts"), lit(1.0).as("value"),
           col("typ"), col("__b.le").as("le"))
-      new TagIndex(ev, Seq("typ", "le"))
     }
 }

@@ -104,4 +104,35 @@ class TagIndexSpec extends AnyFunSuite {
       Some(timestamp_seconds(lit(5000))), Some(timestamp_seconds(lit(6000))))
     assert(out.count() == 0)
   }
+
+  test("warm-store load ≡ fresh derivation (catalog, inverted, resolution)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    // force a cold build (wipes this dataset's warm dir and the memo)
+    val fp = Tables.fingerprint(s"$dir/events.parquet")
+    val warm = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warmidx_${fp}_usr_typ")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(warm)
+    TagIndex.clearMemos()
+    val cold = TagIndex.forEvents(spark, dir)
+    val coldCat = rows(cold.seriesCatalog)
+    val coldInv = rows(cold.invertedIndex)
+    assert(new java.io.File(warm, "_done").exists(),
+      "cold build must persist the warm store")
+    // a 'fresh session' load: clear the memo so forEvents re-enters
+    // memoWarm and takes the _done load path
+    TagIndex.clearMemos()
+    val loaded = TagIndex.forEvents(spark, dir)
+    assert(rows(loaded.seriesCatalog) == coldCat && coldCat.nonEmpty)
+    assert(rows(loaded.invertedIndex) == coldInv && coldInv.nonEmpty)
+    val ms = Seq(LabelMatcher("typ", Eql, "purchase"),
+      LabelMatcher("usr", Gte, "10"))
+    assert(rows(loaded.resolveMatchers(ms).select("usr", "typ"))
+      == rows(cold.resolveMatchers(ms).select("usr", "typ")))
+    TagIndex.clearMemos() // leave no cross-suite state
+  }
 }
