@@ -249,21 +249,34 @@ object IndexStore {
     import spark.implicits._
     val segs = committedSegs(spark, path)
     if (segs.isEmpty) return 0L
-    // materialize the postings resolution ONCE: the collected set is
-    // what gets both counted and written, so the returned count can
-    // never diverge from the tombstone contents even if store state
-    // changes between the two actions (the set is ∝ deleted series,
-    // same driver-size class as the broadcast it later feeds)
-    val tsids = TagIndex.resolvePostings(load(spark, path), matchers)
-      .select(col("tsid")).distinct().as[Long].collect().sorted
-    if (tsids.nonEmpty) {
-      val upto = segs.map(segOrd).max
-      val k = committedDels(spark, path)
-        .map(_.stripPrefix("del=").toLong).maxOption.getOrElse(-1L) + 1L
+    val resolved = TagIndex.resolvePostings(load(spark, path), matchers)
+      .select(col("tsid")).distinct()
+    val upto = segs.map(segOrd).max
+    def nextDel: Long = committedDels(spark, path)
+      .map(_.stripPrefix("del=").toLong).maxOption.getOrElse(-1L) + 1L
+    // Config-thresholded route (the Dedup.clusters discipline): below
+    // the limit, collect-sort-write keeps the count trivially ≡ the
+    // tombstone contents in one tiny file; ABOVE it (a matcher hitting
+    // tens of millions of series would strain the driver), the set is
+    // written distributed and the count is taken from reading the
+    // COMMITTED tombstone back — count ≡ contents holds on both paths.
+    val collectLimit = spark.conf
+      .getOption("graft.index.deleteCollectLimit").map(_.toLong)
+      .getOrElse(1000000L)
+    val n = resolved.count()
+    if (n == 0L) 0L
+    else if (n < collectLimit) {
+      val tsids = resolved.as[Long].collect().sorted
       tsids.toSeq.toDF("tsid").withColumn("upto", lit(upto))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/del=$k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/del=$nextDel")
+      tsids.length.toLong
+    } else {
+      val del = s"$path/del=$nextDel"
+      resolved.withColumn("upto", lit(upto))
+        .sortWithinPartitions(col("tsid"))
+        .write.mode("overwrite").parquet(del)
+      spark.read.parquet(del).count()
     }
-    tsids.length.toLong
   }
 
   /** Merge-on-read view of the store: COMMITTED segments folded per

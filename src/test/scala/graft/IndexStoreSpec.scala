@@ -158,6 +158,40 @@ class IndexStoreSpec extends AnyFunSuite {
       "compact left tombstone directories behind")
   }
 
+  test("deleteSeries: collect and distributed tombstone paths are identical") {
+    import org.apache.spark.sql.functions._
+    val samples = graft.Tables.eventsRaw(spark, dir).select(
+      col("event_id"), col("ts_ns"),
+      timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("value"),
+      col("user_id").cast("string").as("usr"),
+      col("event_type").as("typ"))
+    val base = java.nio.file.Files.createTempDirectory("graft_delpath").toString
+    val click = Seq(LabelMatcher("typ", Eql, "click"))
+    def run(path: String, limit: String): (Long, Set[(Long, Long)], Set[Seq[Any]]) = {
+      IndexStore.materialize(new TagIndex(samples, Seq("usr", "typ")), path)
+      val old = spark.conf.getOption("graft.index.deleteCollectLimit")
+      spark.conf.set("graft.index.deleteCollectLimit", limit)
+      try {
+        val n = IndexStore.deleteSeries(spark, path, click)
+        val tomb = spark.read.parquet(s"$path/del=0")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val view = IndexStore.load(spark, path)
+          .collect().map(_.toSeq).toSet
+        (n, tomb, view)
+      } finally old match {
+        case Some(v) => spark.conf.set("graft.index.deleteCollectLimit", v)
+        case None => spark.conf.unset("graft.index.deleteCollectLimit")
+      }
+    }
+    // huge limit → collect path; limit 1 → every non-empty set routes
+    // to the distributed write
+    val (nC, tombC, viewC) = run(s"$base/collect", "1000000000")
+    val (nD, tombD, viewD) = run(s"$base/distributed", "1")
+    assert(nC == nD && nC > 0)
+    assert(tombC == tombD, "tombstone contents diverge between paths")
+    assert(viewC == viewD, "post-delete views diverge between paths")
+  }
+
   /** A crash mid-flush leaves a segment directory without Spark's
     * _SUCCESS marker. Such a segment must count for nothing — above
     * all not for the watermark, where its NAME alone would make the
