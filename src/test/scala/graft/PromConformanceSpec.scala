@@ -1,0 +1,178 @@
+package graft
+
+import graft.index.TagIndex
+import graft.promql.PromQl
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Prometheus-conformance fixtures (round 9, SURVEY §7 stretch).
+  *
+  * A hand-built sample set small enough that the Prometheus evaluation
+  * rules (promql/functions.go, the documented extrapolation and
+  * staleness semantics) can be applied BY HAND, giving exact expected
+  * numbers to pin the evaluator against. This container has no network
+  * and no Prometheus binary, so the fixtures are derived from the
+  * published semantics rather than recorded from a live server — every
+  * expected value below is annotated with its derivation, and every
+  * INTENTIONAL divergence from Prometheus is asserted at graft's value
+  * with the Prometheus-true value in the comment (the full divergence
+  * table lives in SURVEY §2 B42 notes).
+  *
+  * Fixture series (base = 2024-01-01 00:00:00 UTC):
+  *  - A = cnt{usr="1"}:   t = 0..600 step 60, v = 0,10,...,100 (counter,
+  *    perfectly linear: v(t) = t/6)
+  *  - B = cnt{usr="2"}:   t = 0..300 step 60, v = 0,5,10,2,7,12 (counter
+  *    with one reset at the 10→2 step)
+  *  - G = gauge{usr="1"}: t = 0..600 step 60,
+  *    v = 5,3,8,1,6,4,9,2,7,0,11
+  * Instant queries use lookback = 300 s — Prometheus's 5-minute
+  * staleness window, exactly.
+  */
+class PromConformanceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Lookback = 300L
+  // eval points: T630 sees only series A/G (B is stale); T330 sees all
+  private val T630 = "2024-01-01 00:10:30"
+  private val T330 = "2024-01-01 00:05:30"
+  private val BaseEpoch = 1704067200L
+
+  lazy val idx: TagIndex = {
+    import spark.implicits._
+    val a = (0 to 10).map(i => (100L + i, i * 60L, i * 10.0, "1", "cnt"))
+    val b = Seq(0.0, 5.0, 10.0, 2.0, 7.0, 12.0).zipWithIndex
+      .map { case (v, i) => (200L + i, i * 60L, v, "2", "cnt") }
+    val g = Seq(5.0, 3.0, 8.0, 1.0, 6.0, 4.0, 9.0, 2.0, 7.0, 0.0, 11.0)
+      .zipWithIndex.map { case (v, i) => (300L + i, i * 60L, v, "1", "gauge") }
+    val df = (a ++ b ++ g).toDF("event_id", "off", "value", "usr", "typ")
+      .withColumn("ts", timestamp_seconds(lit(BaseEpoch) + col("off")))
+      .drop("off")
+    new TagIndex(df, Seq("usr", "typ"))
+  }
+
+  private def one(expr: String, t: String): Double = {
+    val rows = PromQl.evalIndexed(idx, expr, t, Lookback).collect()
+    assert(rows.length == 1, s"$expr at $t: expected 1 row, got ${rows.length}")
+    rows.head.getAs[Double]("value")
+  }
+  private def byUsr(expr: String, t: String): Map[String, Double] =
+    PromQl.evalIndexed(idx, expr, t, Lookback).collect()
+      .map(r => r.getAs[String]("usr") -> r.getAs[Double]("value")).toMap
+
+  test("instant selection and 5m staleness") {
+    // A's last sample in [330, 630] is (600, 100)
+    assert(one("""cnt{usr="1"}""", T630) == 100.0)
+    // B's last sample (t=300) is outside the 5m lookback at T630 —
+    // Prometheus staleness drops the series entirely
+    assert(one("""count(cnt)""", T630) == 1.0)
+    assert(byUsr("""cnt""", T330) == Map("1" -> 50.0, "2" -> 12.0))
+    // offset re-anchors: window [270, 570] → last A sample (540, 90)
+    assert(one("""cnt{usr="1"} offset 1m""", T630) == 90.0)
+    // @ pins the window to epoch base+300: last sample (300, 50)
+    assert(one(s"""cnt{usr="1"} @ ${BaseEpoch + 300}""", T630) == 50.0)
+    // timestamp() is the sample's own epoch second
+    assert(one("""timestamp(cnt{usr="1"})""", T630) == (BaseEpoch + 600).toDouble)
+  }
+
+  test("over_time folds match hand evaluation (window [330, 630])") {
+    // G samples in window: (360,9),(420,2),(480,7),(540,0),(600,11)
+    assert(one("""sum_over_time(gauge[5m])""", T630) == 29.0)
+    assert(one("""avg_over_time(gauge[5m])""", T630) == 5.8)
+    assert(one("""min_over_time(gauge[5m])""", T630) == 0.0)
+    assert(one("""max_over_time(gauge[5m])""", T630) == 11.0)
+    assert(one("""count_over_time(gauge[5m])""", T630) == 5.0)
+    assert(one("""last_over_time(gauge[5m])""", T630) == 11.0)
+  }
+
+  test("counter functions: conformant idelta/changes/resets; documented non-extrapolated increase") {
+    // idelta = last minus second-to-last: 11 - 0 (conformant)
+    assert(one("""idelta(gauge[5m])""", T630) == 11.0)
+    // changes: 9→2→7→0→11 = 4 transitions (conformant)
+    assert(one("""changes(gauge[5m])""", T630) == 4.0)
+    // resets over all of B: one counter reset at 10→2 (conformant)
+    assert(one("""resets(cnt{usr="2"}[10m])""", T330) == 1.0)
+    // DOCUMENTED DIVERGENCE — extrapolation: samples in [330, 630] are
+    // (360,60)..(600,100); raw increase = 40. Prometheus extrapolates
+    // to the window edges (30 s on each side < 1.1×avg interval 66 s):
+    // 40 × 300/240 = 50. graft's promql layer is the raw ordered-delta
+    // form; the extrapolated form is the standalone B39 operator.
+    assert(one("""increase(cnt{usr="1"}[5m])""", T630) == 40.0)
+    assert(math.abs(one("""rate(cnt{usr="1"}[5m])""", T630) - 40.0 / 300.0) < 1e-12)
+    // DOCUMENTED DIVERGENCE — delta(gauge) is last−first = 11−9 = 2
+    // here; Prometheus extrapolates gauges too (2 × 300/240 = 2.5)
+    assert(one("""delta(gauge[5m])""", T630) == 2.0)
+  }
+
+  test("regression functions on a perfectly linear counter are exact") {
+    // A is v(t) = t/6 → slope 1/6 (regression is exact on a line,
+    // extrapolation plays no role: conformant with Prometheus)
+    assert(math.abs(one("""deriv(cnt{usr="1"}[5m])""", T630) - 1.0 / 6.0) < 1e-9)
+    // predict_linear(v[5m], 60): value at eval time + 60 s = (630+60)/6
+    assert(math.abs(one("""predict_linear(cnt{usr="1"}[5m], 60)""", T630) - 115.0) < 1e-9)
+  }
+
+  test("aggregation operators at T330 (both cnt series alive)") {
+    assert(byUsr("""sum by (usr) (cnt)""", T330) == Map("1" -> 50.0, "2" -> 12.0))
+    assert(one("""sum(cnt)""", T330) == 62.0)
+    assert(one("""max(cnt)""", T330) == 50.0)
+    assert(one("""min(cnt)""", T330) == 12.0)
+    // Prometheus quantile: linear interpolation between order stats
+    assert(one("""quantile(0.5, cnt)""", T330) == 31.0)
+    val tk = byUsr("""topk(1, cnt)""", T330)
+    assert(tk == Map("1" -> 50.0))
+  }
+
+  test("comparison filters and bool (Prometheus filter semantics)") {
+    assert(one("""max_over_time(gauge[5m]) > 10""", T630) == 11.0)
+    assert(one("""max_over_time(gauge[5m]) > bool 10""", T630) == 1.0)
+    assert(PromQl.evalIndexed(idx, """max_over_time(gauge[5m]) > 11""",
+      T630, Lookback).count() == 0)
+  }
+
+  test("scalar functions over the instant vector") {
+    // gauge at T630 = 11
+    assert(one("""abs(gauge - 20)""", T630) == 9.0)
+    // round: nearest integer, ties toward +Inf: 5.5 → 6
+    assert(one("""round(gauge / 2)""", T630) == 6.0)
+    assert(one("""clamp(gauge, 2, 8)""", T630) == 8.0)
+    assert(one("""sgn(gauge - 20)""", T630) == -1.0)
+  }
+
+  test("absent carries the selector's equality labels") {
+    val rows = PromQl.evalIndexed(idx, """absent(cnt{usr="9"})""",
+      T630, Lookback).collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("value") == 1.0)
+    assert(rows.head.getAs[String]("usr") == "9")
+  }
+
+  test("histogram_quantile interpolation matches the Prometheus formula") {
+    import spark.implicits._
+    // one cumulative-bucket family at t=600: le=1→2, le=2→5, le=+Inf→6
+    val hb = Seq(("1", 2.0), ("2", 5.0), ("+Inf", 6.0)).zipWithIndex
+      .map { case ((le, v), i) => (400L + i, 600L, v, "hb", le) }
+      .toDF("event_id", "off", "value", "typ", "le")
+      .withColumn("ts", timestamp_seconds(lit(BaseEpoch) + col("off")))
+      .drop("off")
+    val hidx = new TagIndex(hb, Seq("typ", "le"))
+    // rank = 0.5×6 = 3 falls in (1, 2]: 1 + (3−2)/(5−2)×(2−1) = 4/3
+    val v = PromQl.evalIndexed(hidx,
+      """histogram_quantile(0.5, last_over_time({typ="hb"}[5m]))""",
+      T630, Lookback).collect()
+    assert(v.length == 1 && math.abs(v.head.getAs[Double]("value") - 4.0 / 3.0) < 1e-12)
+  }
+
+  test("set operators on the label identity at T330") {
+    val or = byUsr("""cnt{usr="1"} or cnt{usr="2"}""", T330)
+    assert(or == Map("1" -> 50.0, "2" -> 12.0))
+    val unless = byUsr("""cnt unless cnt{usr="2"}""", T330)
+    assert(unless == Map("1" -> 50.0))
+    val and = byUsr("""cnt and cnt{usr="2"}""", T330)
+    assert(and == Map("2" -> 12.0))
+  }
+}
