@@ -159,6 +159,8 @@ object SparkEntry {
     "io_upsert" -> (sources.Io.upsertedRead _),
     "io_evolved" -> (sources.Io.evolvedRead _),
     "io_bucketed" -> (sources.Io.bucketedRead _),
+    "io_retention" -> (sources.Io.retentionRead _),
+    "text_normalize" -> (text.TextAnalysis.textNormalize _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
@@ -453,6 +455,16 @@ object SparkEntry {
         "2024-01-31 00:00:00")
         .select(col("usr"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
+    }),
+    "promql_limitk" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // limitk by (typ): first-2-users-per-type in label order (the
+      // deterministic refinement of Prometheus's arbitrary k-subset —
+      // oracle-replayable as a plain ranked window)
+      promql.PromQl.eval(s, dir,
+        """limitk by (typ) (2, sum by (usr, typ) (count_over_time({typ=~".*"}[30d])))""",
+        "2024-01-31 00:00:00")
+        .select(col("usr"), col("typ"), col("value"))
     }),
     "promql_atan2" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -1778,6 +1790,27 @@ object SparkEntry {
         |      FROM events)
         |WHERE c >= 2000 AND c <= 6000
         |GROUP BY 1""".stripMargin,
+    // I13: day-partition retention vacuum — surviving files ≡ the
+    // source filtered to the cutoff (write→vacuum→read ≡ batch)
+    "io_retention" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+        |GROUP BY 1""".stripMargin,
+    // F28: NFC normalization — decomposed e+U+0301 injected on both
+    // sides must recompose identically; whitespace collapsed both sides
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(
+        |      nfc_normalize(replace(text, 'e', 'e' || chr(769))),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, length(norm) AS n_chars, substr(norm, 1, 80) AS head
+        |FROM n""".stripMargin,
     // I5+I8: the bucketed layout's per-user agg + window + co-located
     // join, replayed from the source table (write→bucket→read ≡ batch)
     "io_bucketed" ->
@@ -3418,6 +3451,18 @@ object SparkEntry {
         |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
         |GROUP BY 1""".stripMargin,
+    // limitk: first 2 users per type in label order, values exact counts
+    "promql_limitk" ->
+      """SELECT usr, typ, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    CAST(count(*) AS DOUBLE) AS value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY CAST(user_id AS VARCHAR)) AS rn
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1, 2)
+        |WHERE rn <= 2""".stripMargin,
     // infix atan2 with 1:1 matching on usr; exact-count operands
     "promql_atan2" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS usr,

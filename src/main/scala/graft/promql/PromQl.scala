@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   *           | aggOp ['by' '(' names ')' | 'without' '(' names ')'] '(' setop ')'
   *           | 'quantile' [by|without] '(' number ',' setop ')'
   *           | 'count_values' [by|without] '(' str ',' setop ')'
-  *           | 'topk'|'bottomk' [by|without] '(' number ',' setop ')'
+  *           | 'topk'|'bottomk'|'limitk' [by|without] '(' number ',' setop ')'
+  *           | 'limit_ratio' '(' number ',' setop ')'   // hash sampling
   *           | 'quantile_over_time' '(' number ',' setop ')'
   *           | 'absent' '(' setop ')' | 'absent_over_time' '(' rangeSel ')'
   *           | 'label_replace' '(' setop ',' str ',' str ',' str ',' str ')'
@@ -110,6 +111,11 @@ object PromQl {
       valueLabel: Option[String] = None) extends Expr
   final case class TopK(op: String, k: Int, arg: Expr,
       by: Seq[String] = Seq.empty, without: Seq[String] = Seq.empty) extends Expr
+  /** limit_ratio(r, v): deterministic series-hash sampling (Prometheus
+    * 3.x experimental aggregation); r < 0 selects the exact complement
+    * of ratio |r|, so limit_ratio(r) ∪ limit_ratio(r−1) ≡ v.
+    */
+  final case class LimitRatio(r: Double, arg: Expr) extends Expr
   final case class Bin(op: String, lhs: Expr, rhs: Expr) extends Expr
   /** Subquery `expr[range:step]`: the inner expression evaluated on its
     * own grid of points, consumed by an outer range function. Points
@@ -400,11 +406,18 @@ object PromQl {
       } else if (name == "vector" || name == "timestamp") {
         eat('('); val e = parseSetOp(); eat(')')
         Func(name, e, None)
-      } else if (name == "topk" || name == "bottomk") {
+      } else if (name == "topk" || name == "bottomk" || name == "limitk") {
         val (by, without) = byWithout()
         eat('('); val k = number(); eat(','); val e = parseSetOp(); eat(')')
-        if (k != k.toInt || k.toInt <= 0) err("topk/bottomk k must be a positive int")
+        if (k != k.toInt || k.toInt <= 0) err(s"$name k must be a positive int")
         TopK(name, k.toInt, e, by, without)
+      } else if (name == "limit_ratio") {
+        // grouping is irrelevant for hash sampling (selection is
+        // per-series); parse an optional by/without for compatibility
+        byWithout()
+        eat('('); val r = number(); eat(','); val e = parseSetOp(); eat(')')
+        if (r < -1 || r > 1) err("limit_ratio r must be in [-1,1]")
+        LimitRatio(r, e)
       } else if (name == "absent" || name == "absent_over_time") {
         eat('('); val e = parseSetOp(); eat(')')
         Func(name, e, None)
@@ -1192,13 +1205,33 @@ object PromQl {
       // plain topk is the global per-timestamp special case
       val groups = if (without.nonEmpty) v.labels.filterNot(without.contains) else by
       // per-timestamp k, value-ordered with full-label tie-break:
-      // stable under any partitioning (DeterminismSpec discipline)
+      // stable under any partitioning (DeterminismSpec discipline).
+      // limitk ranks by LABEL order alone — Prometheus returns an
+      // arbitrary k-subset; the deterministic first-k-by-labels choice
+      // is this engine's documented refinement (oracle-replayable)
       val ord =
         if (op == "topk") col("value").desc +: v.labels.map(col(_).asc)
-        else col("value").asc +: v.labels.map(col(_).asc)
+        else if (op == "bottomk") col("value").asc +: v.labels.map(col(_).asc)
+        else v.labels.map(col(_).asc)
       val w = Window.partitionBy((groups :+ "t_sec").map(col): _*).orderBy(ord: _*)
       Left(v.copy(df = v.df.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= k).drop("__rk")))
+
+    case LimitRatio(r, arg) =>
+      val v = evalNode(idx, arg, grid, lookbackSec) match {
+        case Left(x) => x
+        case Right(_) => sys.error("limit_ratio() needs a vector argument")
+      }
+      // deterministic per-series hash in [0, 1): top 53 bits of the
+      // xxhash64 over the canonical label encoding (the same identity
+      // hash the tsid uses). r ≥ 0 keeps frac < r; r < 0 keeps the
+      // exact complement (frac ≥ 1+r), so ratios r and r−1 partition
+      // the vector — Prometheus's documented complement property.
+      val frac = shiftrightunsigned(
+          xxhash64(concat_ws("\u0000", v.labels.map(col): _*)), 11)
+        .cast("double") / lit(9007199254740992.0)
+      val keep = if (r >= 0) frac < lit(r) else frac >= lit(1.0 + r)
+      Left(v.copy(df = v.df.filter(keep)))
 
     case VecMatch(op, mLabels, ignoring, group, lhs, rhs, carry) =>
       // B23's vector matching: join on the match labels (+ grid

@@ -572,6 +572,29 @@ class PromQlSpec extends AnyFunSuite {
       val d = v - c(k); assert(d >= 0 && d < 60, s"$k: $v vs ${c(k)}") }
   }
 
+  test("limitk / limit_ratio: deterministic subset semantics") {
+    val all = rows(promql.PromQl.eval(spark, dir,
+      """sum by (usr) (count_over_time({typ=~".*"}[30d]))""", T))
+    // limitk is a subset of the vector, first-k by label order
+    val lk = rows(promql.PromQl.eval(spark, dir,
+      """limitk(3, sum by (usr) (count_over_time({typ=~".*"}[30d])))""", T))
+    assert(lk.subsetOf(all) && lk.size == math.min(3, all.size))
+    val firstUsrs = all.map(_.head).toSeq.sorted.take(3).toSet
+    assert(lk.map(_.head) == firstUsrs)
+    // limit_ratio(r) and limit_ratio(r-1) PARTITION the vector
+    // (Prometheus's complement property), and ±1 are the identity
+    val pos = rows(promql.PromQl.eval(spark, dir,
+      """limit_ratio(0.4, sum by (usr) (count_over_time({typ=~".*"}[30d])))""", T))
+    val neg = rows(promql.PromQl.eval(spark, dir,
+      """limit_ratio(-0.6, sum by (usr) (count_over_time({typ=~".*"}[30d])))""", T))
+    assert((pos intersect neg).isEmpty)
+    assert((pos union neg) == all)
+    assert(rows(promql.PromQl.eval(spark, dir,
+      """limit_ratio(1, sum by (usr) (count_over_time({typ=~".*"}[30d])))""", T)) == all)
+    assert(rows(promql.PromQl.eval(spark, dir,
+      """limit_ratio(-1, sum by (usr) (count_over_time({typ=~".*"}[30d])))""", T)) == all)
+  }
+
   test("graft_promql TVF: SQL path ≡ Scala eval") {
     index.IndexSql.register(spark)
     val viaSql = spark.sql(
