@@ -131,3 +131,53 @@ object DualPolyHash {
     call_function("str_poly2", s)
   }
 }
+
+/** Unicode NFC normalization as a codegen expression — the canonical
+  * first step of a web-scale text-cleaning pipeline (ftfy/CCNet run it
+  * before everything else): combining sequences compose to one code
+  * point (e + U+0301 → é), so downstream hashing, shingling and dedup
+  * see a single byte form per grapheme. java.text.Normalizer
+  * implements the same Unicode normalization algorithm the oracle's
+  * nfc_normalize() does, so NFC output is oracle-exact; no Spark
+  * built-in exposes normalization.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nfc expects string, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.norm(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.NfcNormalize.norm($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  /** Shared by interpreted eval and generated code. The quick-check
+    * fast path skips the allocation for the (overwhelming) majority of
+    * already-normalized text — at corpus scale NFC is a no-op scan.
+    */
+  def norm(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Idempotent fixed-name registration + Column access, the
+    * [[VecFunctions.register]] pattern.
+    */
+  def column(spark: SparkSession, s: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+    call_function("graft_nfc", s)
+  }
+}

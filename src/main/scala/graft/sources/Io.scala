@@ -341,6 +341,56 @@ object Io {
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
 
+  /** I13: retention vacuum — the standing lakehouse expiry job: drop
+    * whole `day=` partition directories strictly OLDER than the cutoff
+    * day. Partition-level deletes are metadata operations (no data
+    * rewrite) and ISO day names compare lexicographically, so the
+    * sweep is one listing + k directory deletes regardless of table
+    * size — the reference's analog is dropping whole time-partitioned
+    * index trees past retention. Streaming file-sink datasets are
+    * refused like compact (their `_spark_metadata` log still lists the
+    * deleted files). Returns the number of partitions dropped.
+    */
+  def vacuumPartitioned(spark: SparkSession, path: String,
+      cutoffDay: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"$path is a streaming file-sink dataset (_spark_metadata): vacuum " +
+        "through the sink's own retention, not by deleting its files")
+    val doomed = fs.listStatus(root)
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("day=") &&
+        p.getName.stripPrefix("day=") < cutoffDay)
+    doomed.foreach(p => require(fs.delete(p, true), s"delete $p failed"))
+    doomed.length.toLong
+  }
+
+  private val retRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I13, oracle-gated: land the day-partitioned layout, vacuum days
+    * before 2024-01-15, read the surviving files back — the aggregate
+    * must equal DuckDB's replay of the same cutoff over the source
+    * table (write→vacuum→read ≡ filtered batch).
+    */
+  def retentionRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = retRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_ret_" + fp).toString
+      writePartitionedSamples(spark, dir, s"$base/t")
+      vacuumPartitioned(spark, s"$base/t", "2024-01-15")
+      base
+    })
+    spark.read.parquet(s"$root/t")
+      .groupBy(col("event_type").as("typ"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        countDistinct(col("day")).as("n_days"))
+  }
+
   private val bkRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

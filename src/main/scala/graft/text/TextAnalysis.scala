@@ -141,6 +141,25 @@ object TextAnalysis {
     * corpus the English function words 'the'/'a' are the only markers;
     * real corpora extend the marker lists per language).
     */
+  /** F28 (round 9): Unicode NFC text normalization + whitespace
+    * canonicalization — the first pass of every web-scale cleaning
+    * pipeline (ftfy/CCNet), as one codegen expression
+    * ([[graft.functions.NfcNormalize]]) + a whitespace collapse. The
+    * synthetic corpus is ASCII (already NFC), so the query INJECTS
+    * decomposed sequences deterministically — every 'e' gains a
+    * combining acute (U+0301) — and NFC must recompose them to 'é':
+    * the oracle runs its own nfc_normalize over the same injection, so
+    * composition is checked byte-for-byte, not just on a no-op path.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val injected = regexp_replace(col("text"), "e", "e\u0301")
+    val norm = trim(regexp_replace(
+      graft.functions.NfcNormalize.column(spark, injected), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(norm).as("n_chars"),
+        substring(norm, 1, 80).as("head"))
+  }
+
   def langid(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("n_words", size(words))
