@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val factor = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+    // `headline` mode (round 9): only the five headline shapes, for the
+    // 100x tier where the full probe's quadratic-candidate entries
+    // (ngram_jaccard, containment, editdist) would run for hours
+    val headlineOnly = args.contains("headline")
+    val headline = Set("match_conj", "agg_hourly", "promql_range_grid",
+      "minhash_bands", "ivfpq_train_probe")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,18 +27,26 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // The k-way union inherits k×32 tiny cache partitions; above 10×
+    // that layout is pure task-scheduling overhead (3 200 partitions of
+    // 3 k rows at 100×) that no real table would have — compact to a
+    // production-shaped 320 partitions there, and leave factors ≤ 10
+    // untouched so their SCALE.md series stays comparable.
+    def compacted(df: DataFrame): DataFrame =
+      if (factor > 10) df.repartition(320) else df
     val base = Tables.events(spark, "/root/testdata/sf0.1")
-    val big = (0 until factor).map { k =>
+    val big = compacted((0 until factor).map { k =>
       base.withColumn("user_id", col("user_id") + lit(k * 10000L))
         .withColumn("event_id", col("event_id") + lit(k * 10000000L))
-    }.reduce(_ unionAll _).cache()
+    }.reduce(_ unionAll _)).cache()
     println(s"rows: ${big.count()} (factor $factor)")
 
-    def t(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.count()
-      println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    def t(name: String)(df: => DataFrame): Unit =
+      if (!headlineOnly || headline(name)) {
+        val t0 = System.nanoTime()
+        df.count()
+        println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
 
     val idx = new index.TagIndex(big.select(
       col("event_id"), col("ts"), col("value"),
@@ -82,10 +96,10 @@ object ScaleProbe {
     // k-dependent sign flips so they are NOT near-dups of each other —
     // the probe then measures pure candidate generation + exact verify
     // over a factor× corpus, with bucket-local joins the only shuffle
-    val edecor = (0 until factor).map { k =>
+    val edecor = compacted((0 until factor).map { k =>
       ebase.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
         .withColumn("v", expr(s"transform(v, (x, i) -> IF(i % ${k + 2} = 0, -x, x))"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _))
       .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
       .cache()
     println(s"decorrelated vectors: ${edecor.count()}")
@@ -100,6 +114,10 @@ object ScaleProbe {
     // vector (compressed domain); candN re-rank is heap-bounded.
     // Growth drivers: encode ∝ N·m·256 dots once, scan ∝ N·m adds.
     t("pq_train_adc")(similarity.Ann.pqTopkOn(edecor, col("vec_id") < 10, candN = 64))
+    // round-9 headline: the composed IVF-PQ serving path (coarse
+    // quantizer + residual product codes). Growth drivers: train ∝
+    // N·(k + m·ks)·iters dots, probe ∝ N·nprobe/k ADC byte-lookups.
+    t("ivfpq_train_probe")(similarity.Ann.ivfPqTopkOn(edecor, col("vec_id") < 10))
     // round-8 quantized-serving ladder over the factor× decorrelated
     // corpus, fixed 10-query set: the MRL prefix scan reads d0/dim of
     // the vector bytes per candidate dot; the BQ Hamming scan is two
@@ -122,12 +140,17 @@ object ScaleProbe {
     // OUTPUT (not the plan) grows ∝ factor²; salted, the true-dup
     // structure scales linearly, which is what a probe should measure.
     val dbase = Tables.documents(spark, "/root/testdata/sf0.1")
-    val dbig = (0 until factor).map { k =>
+    val dbig = compacted((0 until factor).map { k =>
       dbase.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r${k}_$$1"))
-    }.reduce(_ unionAll _)
-    t("ngram_jaccard")(dedup.Dedup.jaccardPairs(
-      dedup.Dedup.shingles(dbig).cache(), 0.8))
+    }.reduce(_ unionAll _))
+    val shBig = dedup.Dedup.shingles(dbig).cache()
+    t("ngram_jaccard")(dedup.Dedup.jaccardPairs(shBig, 0.8))
+    // round-9 headline: the full D2 sig→band→bucket-join→verify
+    // pipeline. Growth drivers: signatures ∝ shingles (64 mins in one
+    // aggregate buffer), candidates ∝ Σ bucket² (bands are a log(N)
+    // parameter at production scale)
+    t("minhash_bands")(dedup.Dedup.minhashPairsOn(spark, shBig))
     // round-8: PassJoin edit-distance blocking (segments × shifted
     // probes per key — growth ∝ Σ block² over (i, 8-gram) blocks; the
     // salted replicas keep blocks from collapsing into one hot key)

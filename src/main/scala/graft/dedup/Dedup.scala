@@ -223,13 +223,20 @@ object Dedup {
     * path: comparisons are bucket-local.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val rnd = new scala.util.Random(987654321L)
-    val perms = Array.fill(NumPerms)(
-      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-
     val sh = graft.Memo.cached(spark, s"dedup.shingles:$dir") {
       shingles(Tables.documents(spark, dir))
     }
+    minhashPairsOn(spark, sh)
+  }
+
+  /** The D2 signature→band→bucket-join→verify pipeline over an
+    * explicit shingle frame (caller owns its caching) — shared by the
+    * gated query and ScaleProbe's factor× replica runs.
+    */
+  private[graft] def minhashPairsOn(spark: SparkSession, sh: DataFrame): DataFrame = {
+    val rnd = new scala.util.Random(987654321L)
+    val perms = Array.fill(NumPerms)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
     // one custom TypedImperativeAggregate computes all 64 minima in a
     // single primitive buffer (vs 64 separate min() agg columns)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
