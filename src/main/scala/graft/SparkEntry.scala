@@ -142,6 +142,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (dedup.Dedup.ngramJaccard _),
     "dedup_embedding" -> (dedup.Dedup.embeddingCosine _),
     "dedup_embedding_lsh" -> (dedup.Dedup.embeddingLsh _),
+    "dedup_semantic" -> (dedup.Dedup.semanticDedup _),
+    "dedup_semantic_full" -> (dedup.Dedup.semanticDedupFull _),
     "dedup_clusters" -> (dedup.Dedup.clusters _),
     "dedup_incremental" -> (dedup.Dedup.incremental _),
     "dedup_bloom" -> (dedup.Dedup.bloomDedup _),
@@ -1981,6 +1983,20 @@ object SparkEntry {
         |      i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 4) AS cs
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT ia, ib, cs FROM p WHERE cs >= 0.45""".stripMargin,
+    // D13 exact sibling: one cell ⇒ the cluster-scoped keep-min rule
+    // degenerates to the global one, which the oracle replays over the
+    // exact all-pairs cosine set (same dot/norm/rounding form as D5)
+    "dedup_semantic_full" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 4) AS cs
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT DISTINCT ib AS vec_id FROM p WHERE cs >= 0.45""".stripMargin,
     // twin derivation doubles floats (exact: exponent bump only), so
     // both engines build bit-identical derived corpora; the exact
     // all-pairs scan here equals the Spark LSH-candidates + exact-

@@ -508,6 +508,60 @@ object Dedup {
       .select(col("ia"), col("ib"), col("cs"))
   }
 
+  /** D13 (round 9): SemDeDup-style semantic dedup — cluster the corpus
+    * with spherical k-means (the IVF trainer, Ann.assignCells), then
+    * compare ONLY within a cluster: the candidate join is
+    * co-partitioned on the cell id, so pairs cost Σ cell² ≈ N²/k
+    * instead of N² (the published SemDeDup recipe: k-means on
+    * embeddings, pairwise cosine inside each cluster, keep one per
+    * near-dup group). Removal rule is the deterministic keep-min form:
+    * a vector is REMOVED iff some same-cell neighbor with a smaller id
+    * has cs ≥ τ. The cosine uses the same sequential-dot/(na·nb) form
+    * (VecDot) + 1e-4 rounding as the D5 exact join, so with k = 1
+    * (one cell ≡ no pruning) the result is EXACTLY the global rule —
+    * that sibling (`dedup_semantic_full`) is the DuckDB-oracle gate,
+    * while the k = 8 pruned path (`dedup_semantic`) is rows-only with
+    * the subset property pinned in spec (within-cell pairs ⊆ all
+    * pairs ⇒ removed(k) ⊆ removed(1); misses are exactly SemDeDup's
+    * documented cross-cluster-straddle blind spot).
+    */
+  def semanticRemovedOn(spark: SparkSession, e: DataFrame, k: Int,
+      tau: Double, memoKey: Option[String] = None): DataFrame = {
+    val cells = graft.similarity.Ann.assignCells(e, k, memoKey = memoKey)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    val l = cells.select(col("cell"), col("vec_id").as("ia"),
+      col("v").as("va"), col("norm").as("na"))
+    val r = cells.select(col("cell"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("norm").as("nb"))
+    l.join(r, Seq("cell")).filter(col("ia") < col("ib"))
+      .withColumn("cs",
+        round(call_function("vec_dot", col("va"), col("vb")) /
+          (col("na") * col("nb")), 4))
+      .filter(col("cs") >= lit(tau))
+      .select(col("ib").as("vec_id")).distinct()
+  }
+
+  private def normedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+
+  /** D13, k=8 pruned path (rows-only; spec pins ⊆ the k=1 gate). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    semanticRemovedOn(spark, normedEmbeddings(spark, dir), k = 8,
+      tau = 0.45, memoKey = Some(s"semdedup:$dir"))
+  }
+
+  /** D13 exact sibling: one cell ⇒ ≡ the global keep-min rule (the
+    * oracle replays it over the exact all-pairs cosine set).
+    */
+  def semanticDedupFull(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    semanticRemovedOn(spark, normedEmbeddings(spark, dir), k = 1,
+      tau = 0.45, memoKey = Some(s"semdedup1:$dir"))
+  }
+
   /** D5b: embedding-cosine near-dup at a HIGH threshold (cs ≥ 0.9) via
     * LSH candidate pruning — the 100 TB scale path the tiled exact join
     * above deliberately is not (see its scaladoc: on a gapless corpus

@@ -217,6 +217,18 @@ object Ann {
   private val pqModelMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Array[Array[Array[Double]]]]()
 
+  /** Cluster assignment for SemDeDup-style cluster-scoped dedup (D13):
+    * the corpus with its spherical-k-means `cell` id attached (same
+    * trainer + deterministic tie-break as the IVF index). Input needs
+    * (vec_id, v, norm); adds `u` and `cell`.
+    */
+  private[graft] def assignCells(all: DataFrame, k: Int, iters: Int = 3,
+      dim: Int = 64, memoKey: Option[String] = None): DataFrame = {
+    graft.functions.VecFunctions.register(all.sparkSession)
+    val unit = unitize(all)
+    withCell(unit, trainIvfCentroids(unit, k, iters, dim, memoKey))
+  }
+
   private def trainIvfCentroids(unit: DataFrame, k: Int, iters: Int,
       dim: Int, memoKey: Option[String] = None): Array[Array[Double]] =
     memoKey match {

@@ -99,4 +99,25 @@ class DedupSkewSpec extends AnyFunSuite {
       assert(dist == local && local.nonEmpty)
     } finally spark.conf.unset(key)
   }
+
+  /** D13 SemDeDup: the cluster-scoped removal set is a SUBSET of the
+    * global (k=1) one — within-cell pairs ⊆ all pairs under the same
+    * τ and rounding — and k=1 degenerates exactly to the D5 global
+    * rule (that identity is the oracle gate; this pins the pruned
+    * path's relationship to it).
+    */
+  test("semantic dedup: removed(k=8) ⊆ removed(k=1), k=1 ≡ global rule") {
+    val dir = "/root/testdata/sf0.001"
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val pruned = ids(dedup.Dedup.semanticDedup(spark, dir))
+    val full = ids(dedup.Dedup.semanticDedupFull(spark, dir))
+    assert(full.nonEmpty, "fixture corpus has no cs≥0.45 pairs")
+    assert(pruned.subsetOf(full),
+      s"cluster-scoped removals not ⊆ global: ${pruned -- full}")
+    // k=1 ≡ distinct larger-ids of the exact D5 pair set
+    val viaD5 = dedup.Dedup.embeddingCosine(spark, dir)
+      .select("ib").collect().map(_.getLong(0)).toSet
+    assert(full == viaD5)
+  }
 }

@@ -26,7 +26,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // here. ann_lsh / ann_ivf outputs are quantizer/hyperplane-dependent
     // by nature — each has an exact-oracle sibling gate (ann_lsh_planted,
     // ann_ivf_full) hash-gating the same machinery.
-    val rowsOnly = Set("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq")
+    val rowsOnly =
+      Set("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "dedup_semantic")
     assert(missing == rowsOnly, s"queries missing oracle: $missing")
   }
 
