@@ -29,6 +29,8 @@ object SparkEntry {
     "match_at" -> (index.IndexQueries.matchAt _),
     "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
+    "stream_quality_route" -> (streaming.StreamOps.qualityRouteStreamed _),
+    "stream_embed_ingest" -> (streaming.StreamOps.embedIngestStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
     "stream_topk" -> (streaming.StreamOps.topkStreamed _),
     "stream_series_state" -> (streaming.StreamOps.trackSeriesStreamed _),
@@ -2162,6 +2164,26 @@ object SparkEntry {
         |    i -> abs(e[i] - qs[i] * scale))) * 1e6 + 0.5) / 1e6 AS max_err_q,
         |  len(list_filter(qs, x -> abs(x) = 127.0)) AS n_sat
         |FROM q""".stripMargin,
+    // H20: the streamed SQ8 store decoded back ≡ E8's batch
+    // quantization (identical oracle — the landed codes are checked)
+    "stream_embed_ingest" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+        |s AS (SELECT vec_id, e, amax / CAST(127.0 AS DOUBLE) AS scale
+        |  FROM a WHERE amax > 0),
+        |q AS (SELECT vec_id, e, scale,
+        |    list_transform(e, x -> least(greatest(floor(x / scale + 0.5),
+        |      CAST(-127.0 AS DOUBLE)), CAST(127.0 AS DOUBLE))) AS qs
+        |  FROM s)
+        |SELECT vec_id,
+        |  floor(scale * 1e6 + 0.5) / 1e6 AS scale_q,
+        |  floor(list_max(list_transform(range(1, 65),
+        |    i -> abs(e[i] - qs[i] * scale))) * 1e6 + 0.5) / 1e6 AS max_err_q,
+        |  len(list_filter(qs, x -> abs(x) = 127.0)) AS n_sat
+        |FROM q""".stripMargin,
     "ann_bruteforce" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2585,6 +2607,25 @@ object SparkEntry {
         |  (nw BETWEEN 20 AND 80 AND sum_len * 10 >= nw * 38
         |   AND nd * 100 >= nw * 45 AND ns >= 2) AS keep
         |FROM m""".stripMargin,
+    // H19: the streamed accept/reject routing read back from its landed
+    // sinks ≡ the batch gopher predicate partition (integer-only agg)
+    "stream_quality_route" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(w) AS nw, n_chars - (len(w) - 1) AS sum_len,
+        |    len(list_distinct(w)) AS nd,
+        |    len(list_filter(w, x -> list_contains(
+        |      ['the','a','of','to','and','in','is'], x))) AS ns
+        |  FROM t),
+        |v AS (SELECT doc_id, nw, ns,
+        |    (nw BETWEEN 20 AND 80 AND sum_len * 10 >= nw * 38
+        |     AND nd * 100 >= nw * 45 AND ns >= 2) AS keep
+        |  FROM m)
+        |SELECT CASE WHEN keep THEN 'accept' ELSE 'reject' END AS verdict,
+        |  count(*) AS n, CAST(sum(nw) AS BIGINT) AS sum_words,
+        |  CAST(sum(ns) AS BIGINT) AS sum_stop,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM v GROUP BY 1""".stripMargin,
     // F23: adjacent char pairs via 1-based string subscripts; rk <= 50
     // ≡ limit(50) because (n DESC, p) is a total order
     "bpe_pairs" ->

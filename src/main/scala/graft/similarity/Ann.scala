@@ -817,21 +817,38 @@ object Ann {
     * whole operator is a zero-shuffle map stage (the F22 contract):
     * quantization is embarrassingly parallel and the plan must show it.
     */
-  def quantize(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    sq8Report(withSq8(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))))
+
+  /** E8's symmetric per-vector SQ8 encode over an explicit (vec_id, v)
+    * frame, keeping the double-widened source alongside the codes:
+    * (vec_id, e, scale, qs) in ONE scan (the batch gate's zero-shuffle
+    * map stage — PlanSpec pins it).
+    */
+  private[graft] def withSq8(v0: DataFrame): DataFrame =
+    v0.select(col("vec_id"),
+        transform(col("v"), x => x.cast("double")).as("e"))
       .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
       .filter(col("amax") > 0)
       .withColumn("scale", col("amax") / lit(127.0))
-    v.withColumn("qs", transform(col("e"), x =>
+      .withColumn("qs", transform(col("e"), x =>
         least(greatest(floor(x / col("scale") + lit(0.5)), lit(-127.0)),
           lit(127.0))))
-      .select(col("vec_id"),
-        (floor(col("scale") * 1e6 + 0.5) / 1e6).as("scale_q"),
-        (floor(array_max(zip_with(col("e"), col("qs"),
-          (x, q) => abs(x - q * col("scale")))) * 1e6 + 0.5) / 1e6)
-          .as("max_err_q"),
-        size(filter(col("qs"), q => abs(q) === 127.0)).as("n_sat"))
-  }
+      .select(col("vec_id"), col("e"), col("scale"), col("qs"))
+
+  /** The codes alone — what the H20 streaming vector-store lands. */
+  private[graft] def sq8CodesOn(v0: DataFrame): DataFrame =
+    withSq8(v0).select(col("vec_id"), col("scale"), col("qs"))
+
+  /** The E8 gate projection from (vec_id, scale, qs, e): quantized
+    * scale, max reconstruction error, saturation count.
+    */
+  private[graft] def sq8Report(withE: DataFrame): DataFrame =
+    withE.select(col("vec_id"),
+      (floor(col("scale") * 1e6 + 0.5) / 1e6).as("scale_q"),
+      (floor(array_max(zip_with(col("e"), col("qs"),
+        (x, q) => abs(x - q * col("scale")))) * 1e6 + 0.5) / 1e6)
+        .as("max_err_q"),
+      size(filter(col("qs"), q => abs(q) === 127.0)).as("n_sat"))
 }

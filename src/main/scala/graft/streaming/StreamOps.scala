@@ -1250,4 +1250,120 @@ object StreamOps extends Serializable {
       .groupByKey(s => (s.usr, s.typ))
       .mapGroupsWithState[SeriesState, SeriesUpdate](update _)
   }
+
+  private val embRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H20 (round 9, oracle-gated): streaming VECTOR-STORE ingest — the
+    * embeddings stream lands in 4 micro-batches through foreachBatch;
+    * each batch SQ8-encodes its vectors (E8's symmetric per-vector
+    * form, Ann.sq8CodesOn) and commits `batch=<id>` overwrite dirs
+    * (flushBatch-style idempotence under foreachBatch replay). The
+    * gate reads the LANDED codes back, joins the source on vec_id for
+    * the reconstruction-error term, and must reproduce E8's oracle
+    * row-for-row — any corruption in the landed scale/codes breaks the
+    * hash. This is the ingest half of a vector lakehouse: encode on
+    * arrival, serve compressed (E9 scans such codes).
+    */
+  def embedIngestStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = embRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/embeddings.parquet")
+      val b = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h20_" + fp)
+      val done = new java.io.File(b, "_done")
+      if (!done.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(b)
+        val vecs = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").as("v"))
+        val landing = new java.io.File(b, "landing").toString
+        landOrdered(vecs, Seq("vec_id"), landing, 4)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = stream.writeStream
+          .option("checkpointLocation", new java.io.File(b, "ckpt").toString)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.similarity.Ann.sq8CodesOn(batch)
+              .write.mode("overwrite").parquet(s"$b/store/batch=$id")
+            ()
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        done.createNewFile()
+      }
+      b.toString
+    })
+    val store = spark.read.option("basePath", s"$base/store")
+      .parquet(s"$base/store").drop("batch")
+    val src = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    graft.similarity.Ann.sq8Report(store.join(src, Seq("vec_id")))
+  }
+
+  private val routeRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H19 (round 9, oracle-gated): streaming QUALITY ROUTER — the
+    * foreachBatch split-sink shape every streaming curation pipeline
+    * needs: each documents micro-batch is scored with the F22 gopher
+    * predicate and routed to an accept/ or reject/ parquet sink. Each
+    * batch writes `batch=<id>` partition dirs in OVERWRITE mode, so a
+    * foreachBatch retry replays into the same directories instead of
+    * double-appending — the same idempotence-by-name discipline as
+    * IndexStore.flushBatch's `seg=b<id>` segments. The gate follows
+    * the LANDED-FILES rule: read BOTH sinks back, and their combined
+    * per-verdict aggregate (integer-only: counts, word/stopword sums,
+    * id bounds) must reproduce the DuckDB oracle's batch filter over
+    * the source table — write→route→read ≡ batch, through a real
+    * 4-micro-batch checkpointed run.
+    */
+  def qualityRouteStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = routeRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/documents.parquet")
+      val b = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h19_" + fp)
+      val done = new java.io.File(b, "_done")
+      if (!done.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(b)
+        val docs = graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars"), col("text"))
+        val landing = new java.io.File(b, "landing").toString
+        landOrdered(docs, Seq("doc_id"), landing, 4)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = stream.writeStream
+          .option("checkpointLocation", new java.io.File(b, "ckpt").toString)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val scored = graft.text.TextAnalysis.gopherScoreOn(batch)
+              .select(col("doc_id"), col("n_words"), col("n_stop"), col("keep"))
+              .persist()
+            try {
+              scored.filter(col("keep")).drop("keep").write
+                .mode("overwrite").parquet(s"$b/accept/batch=$id")
+              scored.filter(!col("keep")).drop("keep").write
+                .mode("overwrite").parquet(s"$b/reject/batch=$id")
+            } finally scored.unpersist()
+            ()
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        done.createNewFile()
+      }
+      b.toString
+    })
+    def side(name: String): DataFrame =
+      spark.read.option("basePath", s"$base/$name").parquet(s"$base/$name")
+        .withColumn("verdict", lit(name)).drop("batch")
+    side("accept").unionByName(side("reject"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_stop")).as("sum_stop"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
 }

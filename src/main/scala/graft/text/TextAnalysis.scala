@@ -763,9 +763,15 @@ object TextAnalysis {
     * all (the groupBy-free plan is the point — quality filtering is
     * embarrassingly parallel and must stay that way).
     */
-  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherScoreOn(Tables.documents(spark, dir))
+
+  /** The F22 scorer over an explicit document frame (doc_id, n_chars,
+    * text) — shared by the batch gate and the H19 streaming router.
+    */
+  def gopherScoreOn(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and", "in", "is")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("n_chars"), col("text"))
       .withColumn("nw", size(words))
       // text is single-space separated: total word chars = n_chars - (nw-1)
