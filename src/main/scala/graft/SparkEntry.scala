@@ -460,6 +460,24 @@ object SparkEntry {
         .select(col("usr"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
     }),
+    "promql_at_edges" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // `@ end()` (B48): the window anchors at the GRID end for every
+      // evaluation point — each grid timestamp carries the same
+      // end-anchored count (Prometheus's grid-relative @ anchors)
+      promql.PromQl.evalRange(s, dir,
+        """sum by (usr) (count_over_time({typ="click"}[30d] @ end()))""",
+        "2024-01-29 00:00:00", "2024-01-31 00:00:00", 86400L)
+        .select(col("t_sec"), col("usr"), col("value"))
+    }),
+    "promql_negoffset" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // negative offset looks FORWARD: [T, T+10d] evaluated at T
+      promql.PromQl.eval(s, dir,
+        """sum by (usr) (count_over_time({typ="view"}[10d] offset -10d))""",
+        "2024-01-11 00:00:00")
+        .select(col("usr"), col("value"))
+    }),
     "promql_limitk" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       // limitk by (typ): first-2-users-per-type in label order (the
@@ -3507,6 +3525,27 @@ object SparkEntry {
         |WHERE event_type = 'click'
         |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    // `@ end()`: every grid point carries the end-anchored exact count
+    "promql_at_edges" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 2)) AS i),
+        |c AS (SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1)
+        |SELECT 1706486400 + g.i * 86400 AS t_sec, c.usr, c.value
+        |FROM g, c""".stripMargin,
+    // negative offset: the window is [T, T+10d], closed both ends
+    "promql_negoffset" ->
+      """SELECT CAST(user_id AS VARCHAR) AS usr,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-21 00:00:00'
         |GROUP BY 1""".stripMargin,
     // limitk: first 2 users per type in label order, values exact counts
     "promql_limitk" ->

@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions._
   *           | selector
   * selector := [metric] '{' matchers '}' ['[' duration ']'] modifiers
   *           | metric ['[' duration ']'] modifiers    // __name__ ≡ typ
-  * modifiers:= ['offset' duration] ['@' epochSeconds]   // either order
+  * modifiers:= ['offset' ['-'] duration]               // neg looks forward
+  *             ['@' (epochSeconds|'start()'|'end()')]   // either order
   * aggOp    := 'sum'|'avg'|'min'|'max'|'count'|'stddev'|'stdvar'|'group'
   * func     := 'rate'|'increase'|'irate'|'delta'|'idelta'|'changes'|'resets'
   *           | 'deriv'|'predict_linear'               // least-squares fits
@@ -100,8 +101,12 @@ object PromQl {
   final case class Num(v: Double) extends Expr
   /** `time()`: the evaluation timestamp as a scalar (instant queries). */
   case object TimeE extends Expr
+  /** `atRef` carries `@ start()` / `@ end()` — the grid-relative
+    * anchors (Prometheus 2.25+); resolved against the Grid at eval.
+    */
   final case class Sel(matchers: Seq[LabelMatcher], rangeSec: Option[Long],
-      offsetSec: Long, atSec: Option[Long] = None) extends Expr
+      offsetSec: Long, atSec: Option[Long] = None,
+      atRef: Option[String] = None) extends Expr
   final case class Func(name: String, arg: Expr, scalarArg: Option[Double]) extends Expr
   /** `param` carries quantile's φ; `valueLabel` carries count_values'
     * destination label name.
@@ -484,10 +489,11 @@ object PromQl {
         ws()
         val base = if (peek == '{') {
           parseSelector() match {
-            case Sel(ms, r, o, at) =>
+            case Sel(ms, r, o, at, ar) =>
               if (ms.exists(_.name == "typ"))
                 err(s"metric name '$name' conflicts with an explicit typ matcher")
-              Sel(LabelMatcher("typ", graft.index.MatchOp.Eql, name) +: ms, r, o, at)
+              Sel(LabelMatcher("typ", graft.index.MatchOp.Eql, name) +: ms,
+                r, o, at, ar)
             case other => other
           }
         } else {
@@ -504,18 +510,31 @@ object PromQl {
       val range = { ws(); if (peek == '[') { eat('['); val d = duration(); eat(']'); Some(d) } else None }
       var off = 0L
       var at: Option[Long] = None
+      var atRef: Option[String] = None
       var more = true
       while (more) {
         ws()
-        if (kwAt("offset")) { pos += 6; off = duration() }
-        else if (peek == '@') {
-          pos += 1
-          val t = number()
-          if (t != math.floor(t) || t < 0) err("@ expects a non-negative epoch-seconds integer")
-          at = Some(t.toLong)
+        if (kwAt("offset")) {
+          pos += 6; ws()
+          // negative offsets look FORWARD (Prometheus's
+          // --enable-feature=promql-negative-offset, default-on in 3.x)
+          val neg = tryEat('-')
+          val d = duration()
+          off = if (neg) -d else d
+        } else if (peek == '@') {
+          pos += 1; ws()
+          if (kwAt("start") || kwAt("end")) {
+            val k = if (kwAt("start")) "start" else "end"
+            pos += k.length; eat('('); eat(')')
+            atRef = Some(k)
+          } else {
+            val t = number()
+            if (t != math.floor(t) || t < 0) err("@ expects a non-negative epoch-seconds integer, start() or end()")
+            at = Some(t.toLong)
+          }
         } else more = false
       }
-      Sel(ms, range, off, at)
+      Sel(ms, range, off, at, atRef)
     }
 
     private def parseSelector(): Expr = {
@@ -616,7 +635,16 @@ object PromQl {
   private def window(idx: TagIndex, sel: Sel, grid: Grid, spanSec: Long): DataFrame = {
     val offUs = sel.offsetSec * 1000000L
     val spanUs = spanSec * 1000000L
-    sel.atSec match {
+    // `@ start()` / `@ end()` resolve against THIS grid (Prometheus's
+    // grid-relative anchors); instant queries have start = end = T
+    val effAt: Option[Long] = sel.atRef match {
+      case Some("start") => Some(grid.startUs / 1000000L)
+      case Some("end") =>
+        Some((grid.startUs + (grid.n - 1).toLong * grid.stepUs) / 1000000L)
+      case Some(other) => sys.error(s"unknown @ anchor $other()")
+      case None => sel.atSec
+    }
+    effAt match {
       case Some(at) =>
         // `@` modifier (B25): the selector's window is anchored at the
         // FIXED time `at` for every grid timestamp — one pruned scan,
@@ -656,7 +684,7 @@ object PromQl {
     * createLabelsForAbsentFunction semantics.
     */
   private def absentLabels(arg: Expr): Seq[(String, String)] = arg match {
-    case Sel(ms, _, _, _) =>
+    case Sel(ms, _, _, _, _) =>
       // value.nonEmpty: Prometheus also requires a non-empty matcher
       // value before adding the label (absent({typ=""}) carries no typ)
       ms.filter(m => m.op == graft.index.MatchOp.Eql && m.value.nonEmpty &&
@@ -697,7 +725,7 @@ object PromQl {
       }
       Left(Vec(gridFrame(idx, grid).withColumn("value", lit(d)), Seq.empty))
 
-    case Func("timestamp", sel @ Sel(_, None, _, _), _) =>
+    case Func("timestamp", sel @ Sel(_, None, _, _, _), _) =>
       // timestamp(v): each sample's own timestamp (epoch seconds,
       // µs-fractional) instead of its value — last sample in lookback
       val df = window(idx, sel, grid, lookbackSec)
@@ -709,20 +737,20 @@ object PromQl {
     case Func("timestamp", _, _) =>
       sys.error("timestamp() needs an instant selector argument")
 
-    case sel @ Sel(_, None, _, _) =>
+    case sel @ Sel(_, None, _, _, _) =>
       // instant vector: last sample per series within the lookback
       val df = window(idx, sel, grid, lookbackSec)
         .groupBy(col("tsid") +: col("t_sec") +: idx.labelNames.map(col): _*)
         .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
       Left(Vec(df, idx.labelNames))
 
-    case Sel(_, Some(_), _, _) =>
+    case Sel(_, Some(_), _, _, _) =>
       sys.error("range selector must be the argument of a range function (e.g. rate({...}[5m]))")
 
     case SubQ(_, _, _) =>
       sys.error("subquery must be the argument of a range function (e.g. max_over_time(expr[1h:10m]))")
 
-    case Func(name, sel @ Sel(_, Some(range), _, _), sArg) if rangeFuncs(name) =>
+    case Func(name, sel @ Sel(_, Some(range), _, _, _), sArg) if rangeFuncs(name) =>
       val w = window(idx, sel, grid, range)
       val keys = col("tsid") +: col("t_sec") +: idx.labelNames.map(col)
       val df = name match {
@@ -990,7 +1018,7 @@ object PromQl {
         else col("value").desc_nulls_last +: tie
       Left(v.copy(df = v.df.orderBy(ord: _*)))
 
-    case HW(sel @ Sel(_, Some(range), _, _), sf, tf) =>
+    case HW(sel @ Sel(_, Some(range), _, _, _), sf, tf) =>
       // double exponential smoothing per series per window. The window
       // buffers in an array (∝ range — the same bound Prometheus's
       // range-vector buffer has) sorted by (ts, event_id); the fold is
@@ -1067,7 +1095,7 @@ object PromQl {
     case Func(name, _, _) if rangeFuncs(name) =>
       sys.error(s"$name needs a range selector argument, e.g. $name({...}[5m])")
 
-    case Func("absent_over_time", sel @ Sel(_, Some(range), _, _), _) =>
+    case Func("absent_over_time", sel @ Sel(_, Some(range), _, _, _), _) =>
       // 1 at every grid timestamp whose whole [T_i - range, T_i] window
       // holds no sample of the selector — the range twin of absent()
       val covered = window(idx, sel, grid, range).select("t_sec").distinct()

@@ -572,6 +572,28 @@ class PromQlSpec extends AnyFunSuite {
       val d = v - c(k); assert(d >= 0 && d < 60, s"$k: $v vs ${c(k)}") }
   }
 
+  test("@ start()/end() and negative offset: grid anchors and forward look") {
+    // negative offset ≡ evaluating the plain selector later by |offset|
+    val neg = rows(promql.PromQl.eval(spark, dir,
+      """{typ="view"} offset -1d""", "2024-01-30 00:00:00"))
+    val fwd = rows(promql.PromQl.eval(spark, dir,
+      """{typ="view"}""", T))
+    assert(neg == fwd && neg.nonEmpty)
+    // @ end() in a range query: every grid point equals the instant
+    // value at the grid END; @ start() likewise at the grid START
+    val start = "2024-01-29 00:00:00"
+    def gridVals(anchor: String): Set[Seq[String]] =
+      rows(promql.PromQl.evalRange(spark, dir,
+        s"""sum by (usr) (count_over_time({typ="click"}[30d] @ $anchor))""",
+        start, T, 86400L).select("usr", "value").distinct())
+    val atEnd = rows(promql.PromQl.eval(spark, dir,
+      """sum by (usr) (count_over_time({typ="click"}[30d]))""", T))
+    val atStart = rows(promql.PromQl.eval(spark, dir,
+      """sum by (usr) (count_over_time({typ="click"}[30d]))""", start))
+    assert(gridVals("end()") == atEnd && atEnd.nonEmpty)
+    assert(gridVals("start()") == atStart && atStart.nonEmpty)
+  }
+
   test("limitk / limit_ratio: deterministic subset semantics") {
     val all = rows(promql.PromQl.eval(spark, dir,
       """sum by (usr) (count_over_time({typ=~".*"}[30d]))""", T))
