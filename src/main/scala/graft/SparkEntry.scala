@@ -109,6 +109,7 @@ object SparkEntry {
     "agg_stats" -> (tsdb.Tsdb.aggStats _),
     "time_funcs" -> (tsdb.Tsdb.timeFuncs _),
     "text_pii" -> (text.TextAnalysis.piiScrub _),
+    "text_pii_structured" -> (text.TextAnalysis.piiStructured _),
     "stratified_sample" -> (text.TextAnalysis.stratifiedSample _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
@@ -1275,6 +1276,35 @@ object SparkEntry {
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
         |  (n_emails + n_phones) = 2 AS clean_after_inject
         |FROM c""".stripMargin,
+    "text_pii_structured" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 97 = 0 THEN ' card 4111111111111111 x' ELSE '' END
+        |    || CASE WHEN doc_id % 101 = 0 THEN ' bad 4111111111111112 y' ELSE '' END
+        |    || CASE WHEN doc_id % 89 = 0 THEN ' ip 10.1.2.3 z' ELSE '' END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t,
+        |    list_filter(regexp_extract_all(t, '[0-9]+'),
+        |      x -> len(x) >= 13 AND len(x) <= 16) AS runs
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id,
+        |    CAST(len(runs) AS BIGINT) AS n_runs,
+        |    CAST(len(list_filter(runs, s ->
+        |      list_sum(list_transform(range(1, len(s) + 1), j ->
+        |        CASE WHEN j % 2 = 0 THEN
+        |          (ascii(substr(s, len(s) - j + 1, 1)) - 48) * 2
+        |            - CASE WHEN (ascii(substr(s, len(s) - j + 1, 1)) - 48) * 2 > 9
+        |                   THEN 9 ELSE 0 END
+        |        ELSE ascii(substr(s, len(s) - j + 1, 1)) - 48 END))
+        |      % 10 = 0)) AS BIGINT) AS n_luhn_valid,
+        |    CAST(len(regexp_extract_all(t,
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4
+        |  FROM r)
+        |SELECT doc_id, n_runs, n_luhn_valid, n_ipv4
+        |FROM v WHERE n_runs > 0 OR n_ipv4 > 0""".stripMargin,
     "at_modifier" ->
       """WITH w AS (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,

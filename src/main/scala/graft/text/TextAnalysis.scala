@@ -252,6 +252,49 @@ object TextAnalysis {
         (col("n_emails") + col("n_phones") === 2).as("clean_after_inject"))
   }
 
+  /** F29 (round 9): structured-PII sweep with CHECKSUM validation —
+    * the pass that separates a random 16-digit number from an actual
+    * card number: 13-16-digit runs are Luhn-validated (doubled
+    * every-second-digit-from-the-right fold, mod 10), IPv4 literals
+    * counted by shape. Pure per-row HOF arithmetic (one scan, no
+    * shuffle); the Luhn fold is written in the identical form on both
+    * engines, and deterministic CANARIES are injected on both sides
+    * (a known-valid card on doc_id%97, a known-INVALID one on
+    * doc_id%101 — counted as a run but not valid, which proves the
+    * checksum actually runs — an IPv4 on doc_id%89), the F8
+    * decontamination pattern. Regexes are RE2-safe (no lookaround) so
+    * Java and DuckDB extract identical runs.
+    */
+  def piiStructured(spark: SparkSession, dir: String): DataFrame = {
+    val txt = concat(col("text"),
+      when(pmod(col("doc_id"), lit(97)) === 0,
+        lit(" card 4111111111111111 x")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(101)) === 0,
+        lit(" bad 4111111111111112 y")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(89)) === 0,
+        lit(" ip 10.1.2.3 z")).otherwise(lit("")))
+    val runs = filter(regexp_extract_all(txt, lit("[0-9]+"), lit(0)),
+      r => length(r) >= 13 && length(r) <= 16)
+    val isLuhn = (r: Column) => {
+      val L = length(r)
+      val s = aggregate(sequence(lit(1), L), lit(0), (acc, j) => {
+        val d = ascii(r.substr(L - j + 1, lit(1))) - lit(48)
+        val dd = d * lit(2)
+        acc + when(pmod(j, lit(2)) === 0,
+          dd - when(dd > 9, lit(9)).otherwise(lit(0))).otherwise(d)
+      })
+      pmod(s, lit(10)) === 0
+    }
+    Tables.documents(spark, dir)
+      .withColumn("__runs", runs)
+      .select(col("doc_id"),
+        size(col("__runs")).as("n_runs"),
+        size(filter(col("__runs"), isLuhn)).as("n_luhn_valid"),
+        size(regexp_extract_all(txt,
+          lit("([0-9]{1,3}\\.){3}[0-9]{1,3}"), lit(0))).as("n_ipv4"))
+      .filter(col("n_runs") > 0 || col("n_ipv4") > 0)
+  }
+
   /** F7: intra-document repetition — the Gopher/C4-style quality rule
     * that no inter-document dedup catches: the fraction of a document's
     * word 2-grams that are repeats of an earlier 2-gram in the SAME
