@@ -279,6 +279,23 @@ object SparkEntry {
         .select(col("usr"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
     }),
+    // B49: alerting-rule evaluation (pending/firing with `for` duration)
+    "promql_alerts" -> ((s: SparkSession, dir: String) => {
+      promql.Rules.alerts(index.TagIndex.forEvents(s, dir),
+        """sum by (usr) (count_over_time({typ="purchase"}[2d])) > 2""",
+        "2024-01-03 00:00:00", "2024-01-31 00:00:00",
+        stepSec = 86400L, forSec = 172800L, alertName = "HighPurchaseVolume")
+    }),
+    // B50: recording rule — evaluated vector re-ingested as a
+    // first-class series (store-resolved), then queried via PromQL
+    "promql_record" -> ((s: SparkSession, dir: String) => {
+      val ri = promql.Rules.recordedIndex(s, dir, "usr_purchase_count_1d",
+        """sum by (usr) (count_over_time({typ="purchase"}[1d]))""",
+        "2024-01-01 00:00:00", "2024-01-30 00:00:00", 86400L)
+      promql.PromQl.evalIndexed(ri,
+        """max_over_time({typ="usr_purchase_count_1d"}[30d])""",
+        "2024-01-30 00:00:00")
+    }),
     "promql_range_rate" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       promql.PromQl.evalRange(s, dir, """rate({typ="click"}[1d]) * 3600""",
@@ -3300,6 +3317,42 @@ object SparkEntry {
         |SELECT i.usr AS usr,
         |  floor(i.iv / c.cv * 10000 + 0.5) / 10000 AS value
         |FROM inc i JOIN cnt c ON i.usr = c.usr WHERE i.n >= 2""".stripMargin,
+    // B49: alert grid restated in SQL — presence under the condition,
+    // gaps-and-islands for the `for` duration (consecutive presence ⇔
+    // i − row_number constant); 1704240000 = 2024-01-03 00:00:00 UTC
+    "promql_alerts" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 28)) AS i),
+        |w AS (
+        |  SELECT CAST(e.user_id AS VARCHAR) AS usr, g.i
+        |  FROM events e, g
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= 1704240000000000 + g.i*86400000000 - 172800000000
+        |    AND epoch_us(e.ts) <= 1704240000000000 + g.i*86400000000),
+        |c AS (SELECT usr, i, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |f AS (SELECT usr, i FROM c WHERE cnt > 2),
+        |r AS (SELECT usr, i,
+        |    i - row_number() OVER (PARTITION BY usr ORDER BY i) AS isl FROM f),
+        |a AS (SELECT usr, i, min(i) OVER (PARTITION BY usr, isl) AS since FROM r)
+        |SELECT 'HighPurchaseVolume' AS alertname, usr,
+        |  1704240000 + i * 86400 AS t_sec,
+        |  CASE WHEN (i - since) * 86400 >= 172800
+        |       THEN 'firing' ELSE 'pending' END AS alertstate
+        |FROM a""".stripMargin,
+    // B50: the recording rule's daily grid replayed directly from the
+    // source events, then the follow-up query (max per usr) on top —
+    // what the gate proves is eval → store write → read-back ≡ direct
+    "promql_record" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 29)) AS i),
+        |w AS (
+        |  SELECT CAST(e.user_id AS VARCHAR) AS usr, g.i
+        |  FROM events e, g
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= 1704067200000000 + g.i*86400000000 - 86400000000
+        |    AND epoch_us(e.ts) <= 1704067200000000 + g.i*86400000000),
+        |c AS (SELECT usr, i, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT usr, 'usr_purchase_count_1d' AS typ,
+        |  CAST(max(cnt) AS DOUBLE) AS value
+        |FROM c GROUP BY usr""".stripMargin,
     // range-query oracles: the 7-point daily grid restated with epoch
     // arithmetic (1704672000 = 2024-01-08 00:00:00 UTC); closed
     // [T_i-range, T_i] windows, per-window ordered deltas

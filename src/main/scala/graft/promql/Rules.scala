@@ -1,0 +1,128 @@
+package graft.promql
+
+import graft.index.{IndexStore, StoreTagIndex, TagIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** B49/B50: the two Prometheus RULE evaluation modes the reference's
+  * adapter surface implies but no earlier round covered — the rule
+  * engine that runs ON TOP of the query evaluator:
+  *
+  *  - **alerting rules** (`alert:` + `expr:` + `for:`): the expression
+  *    is evaluated every interval; a result series becomes `pending`
+  *    when it first appears and `firing` once it has been continuously
+  *    present for ≥ the `for` duration, resetting whenever the
+  *    condition breaks (prometheus rules/alerting.go `Alert.ActiveAt`).
+  *  - **recording rules** (`record:` + `expr:`): the evaluated vector
+  *    is written BACK into the store as a first-class series under the
+  *    rule's metric name, and every later query (and the whole PromQL
+  *    algebra) runs over the derived series exactly as over raw ones —
+  *    the eval → ingest → index-maintenance loop of the reference
+  *    (include/tagtree/index/index_server.h:48-66) closed through the
+  *    query language itself.
+  *
+  * Both are thin, fully declarative layers over [[PromQl]]'s range
+  * evaluator: alerts are one gaps-and-islands window over the grid
+  * result (zero extra scans — state is derived, never held), and
+  * recording lands the evaluated frame as a parquet sample lake +
+  * IndexStore segment (the same flushBatch discipline as the streaming
+  * ingest loop). At 100 TB the alert pass adds one keyed window over a
+  * frame ∝ #alerting-series × grid points — negligible next to the
+  * evaluation itself — and recorded series are aggregates, orders of
+  * magnitude smaller than raw samples (which is precisely why
+  * Prometheus users record them).
+  */
+object Rules {
+
+  /** Evaluate an alerting rule over a range grid: `expr` (any B42-B48
+    * expression, typically ending in a comparison filter) is evaluated
+    * per grid step; presence of a series at a step = the condition
+    * holds. Returns one row per (series, grid step) the alert is
+    * active, with `alertstate` ∈ pending | firing — the shape of
+    * Prometheus's synthetic `ALERTS{alertname=..., alertstate=...}`
+    * series.
+    *
+    * `for` semantics: firing iff the series has been present at every
+    * step of some window reaching back ≥ `forSec` (Prometheus resets
+    * `ActiveAt` whenever an evaluation yields no sample for the
+    * series). On the grid this is exact gaps-and-islands: consecutive
+    * presence ⇔ t_sec − step·rank is constant.
+    */
+  def alerts(idx: TagIndex, expr: String, start: String, end: String,
+      stepSec: Long, forSec: Long, alertName: String,
+      lookbackSec: Long = 86400L): DataFrame = {
+    val v = PromQl.evalRangeIndexed(idx, expr, start, end, stepSec, lookbackSec)
+    val labels = v.columns.filterNot(Set("t_sec", "value")).toSeq
+    val wOrd = Window.partitionBy(labels.map(col): _*).orderBy(col("t_sec"))
+    val islanded = v
+      .withColumn("__isl",
+        col("t_sec") - lit(stepSec) * row_number().over(wOrd).cast("long"))
+    val wIsl = Window.partitionBy(labels.map(col) :+ col("__isl"): _*)
+    islanded
+      .withColumn("__since", min(col("t_sec")).over(wIsl))
+      .withColumn("alertstate",
+        when(col("t_sec") - col("__since") >= forSec, lit("firing"))
+          .otherwise(lit("pending")))
+      .select(lit(alertName).as("alertname") +: labels.map(col)
+        :+ col("t_sec") :+ col("alertstate"): _*)
+  }
+
+  // one recorded-rule store per (dataset, rule); `_done` commits a
+  // completed build — a partial leftover from a crashed run is wiped
+  // and rebuilt, never resumed into (the streamedStoreFor discipline)
+  private val recordedStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Evaluate a recording rule on a range grid and MATERIALIZE the
+    * result as series `ruleName` (one sample per grid step per series):
+    * the evaluated frame lands as a parquet sample lake and its
+    * inverted index flushes into an [[IndexStore]] segment, then a
+    * [[StoreTagIndex]] over the landed samples is returned — queries
+    * against it resolve matchers from the materialized store and read
+    * the landed (not in-memory) samples, so what the gate checks is the
+    * eval → write → read-back loop, the landed-files discipline.
+    *
+    * The recorded sample's labels are the rule result's label columns
+    * plus `typ = ruleName` (graft's `__name__` ≡ typ convention);
+    * `event_id` is the grid timestamp (one sample per step per series
+    * — no ties to break).
+    */
+  def recordedIndex(spark: SparkSession, dir: String, ruleName: String,
+      expr: String, start: String, end: String, stepSec: Long): TagIndex = {
+    val base = recordedStores.computeIfAbsent((dir, ruleName), _ => {
+      val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_recrule_" + graft.Tables.fingerprint(s"$dir/events.parquet") +
+          "_" + ruleName.replaceAll("[^A-Za-z0-9]", "_"))
+      val done = new java.io.File(d, "_done")
+      if (!done.exists()) {
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(d)
+        }
+        val v = PromQl.evalRange(spark, dir, expr, start, end, stepSec)
+        val labels = v.columns.filterNot(Set("t_sec", "value")).toSeq
+        val sampleCols = Seq(col("t_sec").as("event_id"),
+          timestamp_seconds(col("t_sec")).as("ts"), col("value")) ++
+          labels.map(col) :+ lit(ruleName).as("typ")
+        val samples = v.select(sampleCols: _*)
+        samples.write.mode("overwrite")
+          .parquet(new java.io.File(d, "samples").toString)
+        val recIdx = new TagIndex(
+          spark.read.parquet(new java.io.File(d, "samples").toString),
+          labels :+ "typ")
+        IndexStore.flushBatch(recIdx,
+          new java.io.File(d, "index").toString, 0L)
+        done.createNewFile()
+      }
+      d.toString
+    })
+    val samples = spark.read.parquet(new java.io.File(base, "samples").toString)
+    val labels = samples.columns
+      .filterNot(Set("event_id", "ts", "value", "typ")).toSeq
+    new StoreTagIndex(samples, labels :+ "typ",
+      new java.io.File(base, "index").toString)
+  }
+}

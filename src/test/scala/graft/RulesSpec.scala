@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B49/B50 rule engine (promql/Rules.scala): the gated queries
+  * hash-compare one alerting rule and one recording rule against
+  * DuckDB; this spec pins the rule-engine invariants the oracle can't
+  * see — `for`-duration semantics against the raw evaluation grid, and
+  * the recorded-store read-back being exactly the direct evaluation.
+  */
+class RulesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  val expr = """sum by (usr) (count_over_time({typ="purchase"}[2d])) > 0"""
+  val (start, end, step) = ("2024-01-03 00:00:00", "2024-01-31 00:00:00", 86400L)
+
+  private def idx = index.TagIndex.forEvents(spark, dir)
+
+  test("alerts: for=0 makes every active step firing immediately") {
+    val a = promql.Rules.alerts(idx, expr, start, end, step, 0L, "A")
+    assert(a.count() > 0)
+    assert(a.filter(col("alertstate") =!= "firing").count() == 0)
+  }
+
+  test("alerts: active set = the evaluated grid; firing ⇔ run length covers `for`") {
+    val forSec = 2 * 86400L
+    val a = promql.Rules.alerts(idx, expr, start, end, step, forSec, "A")
+      .collect().map(r => (r.getAs[String]("usr"), r.getAs[Long]("t_sec"),
+        r.getAs[String]("alertstate")))
+    val active = promql.PromQl.evalRange(spark, dir, expr, start, end, step)
+      .select("usr", "t_sec").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // presence parity: one alert row per active grid point, no extras
+    assert(a.map(x => (x._1, x._2)).toSet == active)
+    // for-semantics: firing iff every step back through forSec is active
+    for ((usr, t, st) <- a) {
+      val covered = (step to forSec by step).forall(d => active((usr, t - d)))
+      assert((st == "firing") == covered, s"$usr@$t: $st but covered=$covered")
+    }
+  }
+
+  test("recording rule: store read-back ≡ direct evaluation") {
+    val rule = """sum by (usr) (count_over_time({typ="purchase"}[1d]))"""
+    val ri = promql.Rules.recordedIndex(spark, dir, "spec_rule_purch1d",
+      rule, "2024-01-01 00:00:00", "2024-01-30 00:00:00", step)
+    // the recorded series answer max_over_time exactly like computing
+    // the max over the direct range evaluation
+    val viaStore = promql.PromQl.evalIndexed(ri,
+        """max_over_time({typ="spec_rule_purch1d"}[30d])""",
+        "2024-01-30 00:00:00")
+      .select("usr", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val direct = promql.PromQl.evalRange(spark, dir, rule,
+        "2024-01-01 00:00:00", "2024-01-30 00:00:00", step)
+      .groupBy("usr").agg(max("value").as("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(viaStore == direct)
+    // and the full matcher algebra runs over the derived series
+    val some = promql.PromQl.evalIndexed(ri,
+      """count_over_time({typ="spec_rule_purch1d", usr>="1"}[30d])""",
+      "2024-01-30 00:00:00")
+    assert(some.count() > 0)
+  }
+}
