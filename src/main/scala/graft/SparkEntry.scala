@@ -110,6 +110,7 @@ object SparkEntry {
     "time_funcs" -> (tsdb.Tsdb.timeFuncs _),
     "text_pii" -> (text.TextAnalysis.piiScrub _),
     "text_pii_structured" -> (text.TextAnalysis.piiStructured _),
+    "text_html_strip" -> (text.TextAnalysis.htmlStrip _),
     "stratified_sample" -> (text.TextAnalysis.stratifiedSample _),
     // C. relational core
     "q1_agg" -> (operators.Relational.q1Agg _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "funnel" -> (operators.Relational.funnel _),
     "retention" -> (operators.Relational.retention _),
     "sessionize" -> (operators.Relational.sessionize _),
+    "scd2" -> (operators.Relational.scd2 _),
     "sketch_cms" -> (operators.Relational.cmsEstimate _),
     "ancestor_closure" -> (operators.Relational.ancestorClosure _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
@@ -165,6 +167,7 @@ object SparkEntry {
     "io_evolved" -> (sources.Io.evolvedRead _),
     "io_bucketed" -> (sources.Io.bucketedRead _),
     "io_retention" -> (sources.Io.retentionRead _),
+    "io_timetravel" -> (sources.Io.timetravelRead _),
     "text_normalize" -> (text.TextAnalysis.textNormalize _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
@@ -1322,6 +1325,42 @@ object SparkEntry {
         |  FROM r)
         |SELECT doc_id, n_runs, n_luhn_valid, n_ipv4
         |FROM v WHERE n_runs > 0 OR n_ipv4 > 0""".stripMargin,
+    // F30: HTML strip — markup injected on both engines; block drop →
+    // tag strip → entity decode (&amp; last) → whitespace collapse
+    "text_html_strip" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      '<html><head><title>t</title><style>p { color: red; }</style>'
+        |      || '</head><body><h1>Heading</h1><p class="x">' || text
+        |      || ' A &amp; B &lt;i&gt; &quot;q&quot;</p>'
+        |      || '<script>var x = 1 < 2 && 3 > 2;</script><!-- hidden -->'
+        |      || '</body></html>'
+        |    ELSE text END AS raw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g') AS nb
+        |  FROM r),
+        |t AS (
+        |  SELECT doc_id, raw,
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(nb, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&') AS dec
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id, raw,
+        |    trim(regexp_replace(dec, '\s+', ' ', 'g')) AS clean
+        |  FROM t)
+        |SELECT doc_id, length(raw) AS raw_len, length(clean) AS clean_len,
+        |  floor(CAST(length(clean) AS DOUBLE) / length(raw) * 10000 + 0.5)
+        |    / 10000 AS text_density,
+        |  substr(clean, 1, 60) AS head
+        |FROM f""".stripMargin,
     "at_modifier" ->
       """WITH w AS (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
@@ -1870,6 +1909,25 @@ object SparkEntry {
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
         |GROUP BY 1""".stripMargin,
+    // I14: commit-log time travel — v1 (days 1-20, all types, read
+    // back AFTER the v2 delete: history immutable) and v2 (purchases
+    // copy-on-write-deleted), each ≡ the source cut
+    "io_timetravel" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE epoch_us(ts) < 1705795200000000),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src WHERE typ <> 'purchase' GROUP BY 2)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
     // F28: NFC normalization — decomposed e+U+0301 injected on both
     // sides must recompose identically; whitespace collapsed both sides
     "text_normalize" ->
@@ -2981,6 +3039,23 @@ object SparkEntry {
         |  max(n_types) AS max_types,
         |  floor(avg(dur_sec) * 10000 + 0.5) / 10000 AS avg_dur_sec
         |FROM g GROUP BY 1""".stripMargin,
+    // C25: SCD2 — identical lag-dedup + lead-close + version numbering
+    "scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS attr, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, attr, us,
+        |    lag(attr) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_id, attr, us FROM c
+        |  WHERE prev IS NULL OR prev <> attr)
+        |SELECT user_id, attr, us AS valid_from_us,
+        |  lead(us) OVER w AS valid_to_us,
+        |  row_number() OVER w AS version,
+        |  lead(us) OVER w IS NULL AS is_current
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
     // F11: the recursive CTE replays the identical greedy recurrence,
     // one recursion step per document within each source
     "seq_pack" ->

@@ -371,6 +371,38 @@ object Relational {
           .as("avg_dur_sec"))
   }
 
+  /** C25 (round 9): slowly-changing-dimension TYPE 2 build — the
+    * warehouse pattern that turns an event stream into a versioned
+    * dimension: per user, each CHANGE of the tracked attribute (here
+    * event_type as the user's "current activity") opens a new version
+    * row with [valid_from, valid_to) validity, `valid_to` closed by
+    * the next change (lead), the open row flagged current. One
+    * user_id exchange carries the lag-dedup, the lead-close and the
+    * version numbering (three window functions, same partitioning —
+    * Catalyst evaluates them in one Window run per ordering). At
+    * 100 TB: shuffle ∝ events once on the natural key, output ∝
+    * #changes — the standard MERGE-free SCD2 derivation that
+    * backfills a dimension from history in one pass.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      col("event_type").as("attr"), unix_micros(col("ts")).as("us"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val changes = ev
+      .withColumn("__prev", lag(col("attr"), 1).over(wOrd))
+      .filter(col("__prev").isNull || col("__prev") =!= col("attr"))
+    val wCh = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    changes
+      .withColumn("valid_to_us", lead(col("us"), 1).over(wCh))
+      .withColumn("version", row_number().over(wCh).cast("long"))
+      .select(col("user_id"), col("attr"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        col("version"), col("valid_to_us").isNull.as("is_current"))
+  }
+
   /** C23: Count–Min sketch — the mergeable bounded-memory frequency
     * estimator that pairs with C13's Misra–Gries (which keeps top
     * candidates; CMS answers point queries for ANY key). d=4 rows ×

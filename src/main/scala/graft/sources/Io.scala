@@ -488,6 +488,162 @@ object Io {
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  // ---- I14: commit-log versioned table (table-level time travel) ----
+  // The transaction-log core of Delta/Iceberg on plain parquet: data
+  // files are IMMUTABLE and never rewritten in place; each commit
+  // `_commits/<v>.commit` is a newline-separated list of the
+  // table-root-relative files that make up that version. Append adds
+  // files and carries the rest by reference; delete is copy-on-write —
+  // only files that actually contain matching rows are rewritten
+  // (touched-file discovery is a distributed scan), untouched files are
+  // carried by reference, so old versions stay readable forever and a
+  // version read is one metadata fetch + a pruned file-list scan.
+  // Commits are atomic via write-tmp-then-rename on the Hadoop FS API
+  // (works on HDFS/object stores, not just file://). At 100 TB the log
+  // is ∝ #files per version — metadata-scale — and time travel never
+  // copies data, which is precisely why the lakehouse formats do it
+  // this way.
+
+  private def fsFor(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeCommit(spark: SparkSession, table: String,
+      version: Long, files: Seq[String]): Unit = {
+    val fs = fsFor(spark, table)
+    val dir = new org.apache.hadoop.fs.Path(table, "_commits")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, f"$version%08d.tmp")
+    val fin = new org.apache.hadoop.fs.Path(dir, f"$version%08d.commit")
+    require(!fs.exists(fin),
+      s"version $version already committed at $table (log is append-only)")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+  }
+
+  private def readCommit(spark: SparkSession, table: String,
+      version: Long): Seq[String] = {
+    val fs = fsFor(spark, table)
+    val fin = new org.apache.hadoop.fs.Path(table,
+      f"_commits/$version%08d.commit")
+    require(fs.exists(fin), s"no version $version at $table")
+    val in = fs.open(fin)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Latest committed version, or -1 for an empty table. */
+  def tableVersion(spark: SparkSession, table: String): Long = {
+    val fs = fsFor(spark, table)
+    val dir = new org.apache.hadoop.fs.Path(table, "_commits")
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).foldLeft(-1L)(math.max)
+  }
+
+  // land a batch as immutable data files under data/<tag>/, returning
+  // their table-root-relative paths (the _SUCCESS marker is not data)
+  private def landData(df: DataFrame, table: String, tag: String): Seq[String] = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").parquet(s"$table/data/$tag")
+    val fs = fsFor(spark, table)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/data/$tag"))
+      .map(_.getPath.getName).filter(_.startsWith("part-")).sorted
+      .map(n => s"data/$tag/$n").toIndexedSeq
+  }
+
+  /** Commit `df` as the next version: an APPEND (prior files carried by
+    * reference + the new batch's files). Version 0 creates the table.
+    */
+  def tableAppend(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val v = tableVersion(spark, table) + 1
+    val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
+    writeCommit(spark, table, v, prior ++ landData(df, table, s"c$v"))
+    v
+  }
+
+  /** Copy-on-write DELETE: rows matching `pred` disappear from the NEW
+    * version only. Touched-file discovery is a distributed scan (which
+    * files actually hold matching rows); only those are rewritten
+    * without their matching rows, every other file is carried by
+    * reference — and the old versions still list the original files,
+    * so history is immutable (the reference's COW-tree property,
+    * cow_tree.h, at table granularity).
+    */
+  def tableDeleteWhere(spark: SparkSession, table: String,
+      pred: Column): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val files = readCommit(spark, table, v)
+    val cur = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    // relative path of each scanned row's source file: the trailing
+    // data/<tag>/<part> segments of input_file_name (collect is ∝
+    // #touched files — metadata-scale, same class as the commit log)
+    val relFile = regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
+    val touched = cur.filter(pred).select(relFile.as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val nv = v + 1
+    val rewritten =
+      if (touched.isEmpty) Seq.empty
+      else landData(
+        spark.read.parquet(touched.map(f => s"$table/$f").toSeq: _*)
+          .filter(!pred), table, s"c$nv")
+    writeCommit(spark, table, nv,
+      files.filterNot(touched) ++ rewritten)
+    nv
+  }
+
+  /** Read the table AS OF `version` — one commit fetch + exactly that
+    * version's file list. */
+  def readTableVersion(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    val files = readCommit(spark, table, version)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+  }
+
+  private val ttRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I14, oracle-gated: three commits — v0 creates (days 01-01..01-10),
+    * v1 appends (01-11..01-20), v2 copy-on-write-deletes the purchase
+    * rows — then BOTH v1 and v2 are read back through the commit log
+    * and aggregated. The oracle replays the two cuts from the source
+    * table, so the gate proves (a) a version read sees exactly its
+    * commit's files (days 21+ were never committed and must not
+    * appear), (b) v1 still serves the purchases AFTER v2 deleted them
+    * (history immutable under COW), (c) the delete rewrote precisely
+    * the matching rows out.
+    */
+  def timetravelRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = ttRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_tt_" + fp).toString
+      fsFor(spark, t).delete(new org.apache.hadoop.fs.Path(t), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        unix_micros(Tables.tsCol(raw)).as("us"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(flat.filter(col("us") < 1704931200000000L), t)       // ≤ 01-10
+      tableAppend(flat.filter(col("us") >= 1704931200000000L &&
+        col("us") < 1705795200000000L), t)                             // 01-11..20
+      tableDeleteWhere(spark, t, col("typ") === "purchase")
+      t
+    })
+    def agg(v: Long): DataFrame =
+      readTableVersion(spark, table, v)
+        .groupBy(lit(v).as("version"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg(1L).unionByName(agg(2L))
+  }
+
   /** ORC round-trip (second columnar format). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

@@ -295,6 +295,48 @@ object TextAnalysis {
       .filter(col("n_runs") > 0 || col("n_ipv4") > 0)
   }
 
+  /** F30 (round 9): HTML/markup stripping — the extraction pass every
+    * web-scraped corpus runs before any quality/dedup step
+    * (trafilatura/justext's core job, reduced to its declarative
+    * skeleton): script/style/comment blocks dropped whole (their
+    * content is never text), remaining tags stripped, the five
+    * standard entities decoded, whitespace collapsed. Deterministic
+    * markup is INJECTED around doc_id%5 documents on both engines —
+    * including a script body containing a bare `<` and entity-encoded
+    * text — so the gate proves block-vs-tag precedence and entity
+    * decoding, not just a no-op on clean text. All regexes are
+    * RE2∩Java (non-greedy + inline (?s), no backreferences/lookaround)
+    * so both engines strip identically. One scan, zero shuffle; at
+    * 100 TB this is a pure map stage that fuses into whatever scan
+    * follows it.
+    */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val raw = when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(
+        lit("<html><head><title>t</title><style>p { color: red; }</style>" +
+          "</head><body><h1>Heading</h1><p class=\"x\">"),
+        col("text"),
+        lit(" A &amp; B &lt;i&gt; &quot;q&quot;</p>" +
+          "<script>var x = 1 < 2 && 3 > 2;</script><!-- hidden --></body></html>")))
+      .otherwise(col("text"))
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(raw,
+      lit("(?s)<script[^>]*>.*?</script>"), lit(" ")),
+      lit("(?s)<style[^>]*>.*?</style>"), lit(" ")),
+      lit("(?s)<!--.*?-->"), lit(" "))
+    val noTags = regexp_replace(noBlocks, lit("<[^>]*>"), lit(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, lit(e), lit(r)) }
+    val clean = trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(raw).as("raw_len"),
+      length(clean).as("clean_len"),
+      (floor(length(clean).cast("double") / length(raw) * 1e4 + 0.5) / 1e4)
+        .as("text_density"),
+      substring(clean, 1, 60).as("head"))
+  }
+
   /** F7: intra-document repetition — the Gopher/C4-style quality rule
     * that no inter-document dedup catches: the fraction of a document's
     * word 2-grams that are repeats of an earlier 2-gram in the SAME

@@ -280,4 +280,42 @@ class IoSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("stale"), ex.getMessage)
   }
+
+  test("I14: commit-log time travel — COW delete shares untouched files, " +
+      "history immutable, log append-only") {
+    import spark.implicits._
+    val t = s"$tmp/tt"
+    // two appends: ids 1-100 (k=a|b), then 101-150 (k=c)
+    val d0 = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "k").repartition(4)
+    val d1 = (101 to 150).map(i => (i.toLong, "c")).toDF("id", "k").repartition(2)
+    assert(Io.tableAppend(d0, t) == 0L)
+    assert(Io.tableAppend(d1, t) == 1L)
+    // v1 = both batches
+    assert(Io.readTableVersion(spark, t, 1L).count() == 150)
+    // COW delete of k='c' must not touch batch-0 files
+    assert(Io.tableDeleteWhere(spark, t, col("k") === "c") == 2L)
+    def commitFiles(v: Long): Set[String] = {
+      val p = java.nio.file.Paths.get(t, "_commits", f"$v%08d.commit")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").toSet
+    }
+    val (f0, f1, f2) = (commitFiles(0), commitFiles(1), commitFiles(2))
+    assert(f0.subsetOf(f1) && f0.subsetOf(f2),
+      "untouched batch-0 files must be carried by reference across versions")
+    assert((f1 -- f0).nonEmpty && (f2 & (f1 -- f0)).isEmpty,
+      "every batch-1 file held a matching row and must be rewritten out")
+    // history immutable: v1 still serves the deleted rows, v2 doesn't
+    assert(Io.readTableVersion(spark, t, 1L)
+      .filter(col("k") === "c").count() == 50)
+    assert(Io.readTableVersion(spark, t, 2L)
+      .filter(col("k") === "c").count() == 0)
+    assert(Io.readTableVersion(spark, t, 2L).count() == 100)
+    // v0 unchanged from the day it was written
+    assert(Io.readTableVersion(spark, t, 0L).count() == 100)
+    assert(Io.tableVersion(spark, t) == 2L)
+    // a delete with no matching rows still commits, carrying all files
+    val vNoop = Io.tableDeleteWhere(spark, t, col("k") === "zzz")
+    assert(commitFiles(vNoop) == commitFiles(vNoop - 1))
+  }
 }
