@@ -41,6 +41,7 @@ object SparkEntry {
     "stream_sessions" -> (streaming.StreamOps.sessionAggStreamed _),
     "stream_incr_dedup" -> (streaming.StreamOps.corpusDedupStreamed _),
     "stream_seq_pack" -> (streaming.StreamOps.seqPackStreamed _),
+    "stream_alerts" -> (streaming.StreamOps.alertsStreamed _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
     "stream_store_ingest" -> (streaming.StreamOps.storeIngestStreamed _),
@@ -3396,6 +3397,26 @@ object SparkEntry {
     // gaps-and-islands for the `for` duration (consecutive presence ⇔
     // i − row_number constant); 1704240000 = 2024-01-03 00:00:00 UTC
     "promql_alerts" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 28)) AS i),
+        |w AS (
+        |  SELECT CAST(e.user_id AS VARCHAR) AS usr, g.i
+        |  FROM events e, g
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= 1704240000000000 + g.i*86400000000 - 172800000000
+        |    AND epoch_us(e.ts) <= 1704240000000000 + g.i*86400000000),
+        |c AS (SELECT usr, i, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |f AS (SELECT usr, i FROM c WHERE cnt > 2),
+        |r AS (SELECT usr, i,
+        |    i - row_number() OVER (PARTITION BY usr ORDER BY i) AS isl FROM f),
+        |a AS (SELECT usr, i, min(i) OVER (PARTITION BY usr, isl) AS since FROM r)
+        |SELECT 'HighPurchaseVolume' AS alertname, usr,
+        |  1704240000 + i * 86400 AS t_sec,
+        |  CASE WHEN (i - since) * 86400 >= 172800
+        |       THEN 'firing' ELSE 'pending' END AS alertstate
+        |FROM a""".stripMargin,
+    // H21: the streamed alert state machine must reproduce the batch
+    // gaps-and-islands derivation verbatim — same oracle as B49
+    "stream_alerts" ->
       """WITH g AS (SELECT unnest(generate_series(0, 28)) AS i),
         |w AS (
         |  SELECT CAST(e.user_id AS VARCHAR) AS usr, g.i

@@ -40,6 +40,18 @@ case class CentOut(label: Int, n: Long, c: Seq[Double])
 /** H15 per-source open-bin cursor (bin ordinal + fill). */
 case class PackState(bin: Long, fill: Long)
 
+/** H21: one active alert-series observation — the rule evaluator's
+  * per-interval output row (labels reduced to usr, grid time). */
+case class AlertIn(usr: String, t_sec: Long, ts: java.sql.Timestamp)
+
+/** H21 per-series alert tracker: run start + last active step —
+  * Prometheus's Alert.ActiveAt, O(1) checkpointed state per series. */
+case class AlertState(activeSince: Long, lastT: Long)
+
+/** H21 emission: the ALERTS{alertname, alertstate} synthetic row. */
+case class AlertOut(alertname: String, usr: String, t_sec: Long,
+    alertstate: String)
+
 /** Structured Streaming ingest path (SURVEY.md §2.H) — the Spark
   * analog of the reference's WAL → MemIndex maintenance
   * (/root/reference/src/index/index_server.cpp add_series + commit):
@@ -1049,6 +1061,80 @@ object StreamOps extends Serializable {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** H21: the streaming alert state machine — the stateful half of
+    * B49 run the way Prometheus's rule manager actually runs it: the
+    * EVALUATOR fires per interval and emits the active set; the
+    * `for`-duration tracker is the only state carried between
+    * intervals (rules/alerting.go Alert.ActiveAt). Here the active
+    * rows arrive as a stream in grid order and flatMapGroupsWithState
+    * keeps (activeSince, lastT) per series — O(1) checkpointed state,
+    * reset whenever a step gap shows the condition broke (the next
+    * arrival's t_sec ≠ lastT + step), firing once t − activeSince ≥
+    * `for`. Emissions over any prefix equal the batch gaps-and-islands
+    * derivation over that prefix — which is what the gate checks
+    * against the SAME oracle as `promql_alerts`.
+    */
+  def streamingAlerts(active: Dataset[AlertIn], stepSec: Long,
+      forSec: Long, alertName: String): Dataset[AlertOut] = {
+    import active.sparkSession.implicits._
+    active.groupByKey(_.usr)
+      .flatMapGroupsWithState[AlertState, AlertOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (usr, rows, state) =>
+          var st = state.getOption.getOrElse(AlertState(-1L, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.t_sec).map { r =>
+            st = if (st.lastT == r.t_sec - stepSec)
+              AlertState(st.activeSince, r.t_sec)
+            else AlertState(r.t_sec, r.t_sec)
+            AlertOut(alertName, usr, r.t_sec,
+              if (r.t_sec - st.activeSince >= forSec) "firing" else "pending")
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  private val alertRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H21, oracle-gated: B49's alerting rule driven as a STREAM. The
+    * rule expression (the same one `promql_alerts` gates) is evaluated
+    * over the range grid, and the resulting active set lands in 4
+    * grid-time-quartile micro-batches — the rule manager's interval
+    * firings replayed in order — through [[streamingAlerts]]'s
+    * per-series tracker. The appended ALERTS rows must equal the batch
+    * gaps-and-islands derivation verbatim (same DuckDB oracle), which
+    * proves the O(1)-per-series streamed state machine ≡ the stateless
+    * batch window over the full grid.
+    */
+  def alertsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = alertRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h21_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h21_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val active = graft.promql.PromQl.evalRange(spark, dir,
+          """sum by (usr) (count_over_time({typ="purchase"}[2d])) > 2""",
+          "2024-01-03 00:00:00", "2024-01-31 00:00:00", 86400L)
+        .select(col("usr"), col("t_sec"),
+          timestamp_seconds(col("t_sec")).as("ts"))
+      landOrdered(active, Seq("t_sec"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingAlerts(stream.as[AlertIn], 86400L, 172800L,
+          "HighPurchaseVolume")
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table)
   }
 
   /** H16: streaming centroid maintenance — the streaming twin of the

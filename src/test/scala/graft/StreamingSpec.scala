@@ -39,6 +39,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H21: alert state machine — gap resets, for-duration fires, " +
+      "state survives across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[graft.streaming.AlertIn]
+    def a(t: Long) = graft.streaming.AlertIn("u1", t, ts(0))
+    // step=10, for=20: active at 0,10,20 (fires at 20), gap, 50 (reset),
+    // 60,70 split ACROSS micro-batches (fires at 70 only if activeSince
+    // survived the batch boundary)
+    val q = StreamOps.streamingAlerts(in.toDS(), 10L, 20L, "A")
+      .toDF()
+      .writeStream.format("memory").queryName("h21_out")
+      .outputMode("append").start()
+    try {
+      in.addData(a(0), a(10), a(20))
+      q.processAllAvailable()
+      in.addData(a(50), a(60))
+      q.processAllAvailable()
+      in.addData(a(70))
+      q.processAllAvailable()
+      val st = spark.table("h21_out").collect()
+        .map(r => r.getAs[Long]("t_sec") -> r.getAs[String]("alertstate")).toMap
+      assert(st == Map(0L -> "pending", 10L -> "pending", 20L -> "firing",
+        50L -> "pending", 60L -> "pending", 70L -> "firing"))
+    } finally q.stop()
+  }
+
   test("H3: checkpointed store ingest survives restart exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
