@@ -156,6 +156,7 @@ object SparkEntry {
     "dedup_containment" -> (dedup.Dedup.containment _),
     "dedup_lines" -> (dedup.Dedup.lineDedup _),
     "dedup_editdist" -> (dedup.Dedup.editDistPairs _),
+    "dedup_substring" -> (dedup.Dedup.substringDensity _),
     "text_cdc" -> (text.TextAnalysis.cdcChunks _),
     "io_csv" -> (sources.Io.csvRoundtrip _),
     "io_json" -> (sources.Io.jsonRoundtrip _),
@@ -169,6 +170,7 @@ object SparkEntry {
     "io_bucketed" -> (sources.Io.bucketedRead _),
     "io_retention" -> (sources.Io.retentionRead _),
     "io_timetravel" -> (sources.Io.timetravelRead _),
+    "io_cdf" -> (sources.Io.cdfRead _),
     "text_normalize" -> (text.TextAnalysis.textNormalize _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
@@ -190,6 +192,7 @@ object SparkEntry {
     "ann_ivfpq_full" -> (similarity.Ann.ivfPqFull _),
     "ann_bq" -> (similarity.Ann.bqTopk _),
     "ann_mrl_full" -> (similarity.Ann.mrlFull _),
+    "ann_kcenter" -> (similarity.Ann.kcenterSample _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
     "text_quality" -> (text.TextAnalysis.quality _),
@@ -1813,6 +1816,7 @@ object SparkEntry {
         |  CASE WHEN in_corpus THEN 'dup_corpus'
         |       WHEN rn > 1 THEN 'dup_batch' ELSE 'kept' END AS verdict
         |FROM r""".stripMargin,
+    "ann_kcenter" -> kcenterSql,
     "dedup_minhash" -> exactJaccardSql,
     "dedup_ngram_jaccard" -> exactJaccardSql,
     // D9: the oracle takes the exhaustive ordered-pair route over the
@@ -1929,6 +1933,24 @@ object SparkEntry {
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM src WHERE typ <> 'purchase' GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
+    // I15: change feed — v0→v1 is a pure insert of the appended days,
+    // v1→v2 a pure delete of the purchases (COW survivors cancel)
+    "io_cdf" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |i1 AS (
+        |  SELECT CAST(0 AS BIGINT) AS from_v, 'insert' AS change_type,
+        |    typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM src
+        |  WHERE us >= 1704931200000000 AND us < 1705795200000000 GROUP BY 3),
+        |d2 AS (
+        |  SELECT CAST(1 AS BIGINT) AS from_v, 'delete' AS change_type,
+        |    typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM src
+        |  WHERE us < 1705795200000000 AND typ = 'purchase' GROUP BY 3)
+        |SELECT * FROM i1 UNION ALL SELECT * FROM d2""".stripMargin,
     // F28: NFC normalization — decomposed e+U+0301 injected on both
     // sides must recompose identically; whitespace collapsed both sides
     "text_normalize" ->
@@ -2033,6 +2055,30 @@ object SparkEntry {
     // D12: PassJoin blocking + levenshtein verify replayed — segments
     // and shifted probes generated with the identical 1-based substr
     // arithmetic, distance by both engines' classic unit-cost DP
+    // D14: strided width-40 windows, cross-doc frequency, density —
+    // injected boilerplate tail on doc_id%31 makes sharing non-vacuous
+    "dedup_substring" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 0 THEN text
+        |      || ' STANDARD FOOTER TERMS APPLY SEE SITE FOR FULL DETAILS '
+        |      || 'COPYRIGHT ALL RIGHTS RESERVED DO NOT REDISTRIBUTE END OF NOTICE'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 38, 8),
+        |      i -> substr(t, i, 40))) AS win
+        |  FROM d WHERE len(t) >= 40),
+        |dw AS (SELECT DISTINCT doc_id, win FROM w),
+        |df AS (SELECT win, count(DISTINCT doc_id) AS ndocs FROM dw GROUP BY 1),
+        |j AS (SELECT dw.doc_id, df.ndocs FROM dw JOIN df USING (win))
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  floor(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_frac
+        |FROM j GROUP BY 1""".stripMargin,
     "dedup_editdist" ->
       """WITH orig AS (SELECT doc_id, text FROM documents),
         |tw AS (SELECT doc_id + 4000000 AS doc_id,
@@ -4093,6 +4139,49 @@ object SparkEntry {
         |  FROM agg)
         |SELECT qid, rk, doc_id, floor(sq * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rk <= 10""".stripMargin
+
+  /** E14 oracle: the greedy k-center unrolled — round r's per-vector
+    * distance is least(previous, dist-to-center r), the next pick the
+    * (dist DESC, vec_id ASC) head among unchosen; distances over the
+    * 2⁻²⁰-quantized unit vectors are exact dyadic sums, so selection
+    * replays bit-for-bit (the ann_centroid quantization precedent).
+    */
+  private val kcenterSql: String = {
+    val k = 8
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.u[i] * $b.u[i]))"
+    val sb = new StringBuilder
+    // MATERIALIZED: without it DuckDB inlines each d_r into BOTH its
+    // consumers (p_r and d_{r+1}), re-evaluating the whole chain 2^k
+    // times — materialization makes the replay linear in k
+    sb ++= """WITH v AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |uu AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(e, x -> floor(x / nrm * 1048576.0 + 0.5) / 1048576.0)
+      |      AS u FROM n),
+      |c1 AS MATERIALIZED (SELECT vec_id, u FROM uu ORDER BY vec_id LIMIT 1),
+      |""".stripMargin
+    sb ++= s"d1 AS MATERIALIZED (SELECT uu.vec_id, uu.u, 1.0 - ${dot("uu", "c1")} AS dist FROM uu, c1),\n"
+    for (r <- 2 to k) {
+      val excl = (Seq("c1") ++ (2 until r).map(i => s"p$i"))
+        .map(t => s"SELECT vec_id FROM $t").mkString(" UNION ALL ")
+      sb ++= s"p$r AS MATERIALIZED (SELECT vec_id, u, dist FROM d${r - 1} " +
+        s"WHERE vec_id NOT IN ($excl) ORDER BY dist DESC, vec_id LIMIT 1)" +
+        (if (r < k) ",\n" else "\n")
+      if (r < k)
+        sb ++= s"d$r AS MATERIALIZED (SELECT d.vec_id, d.u, least(d.dist, 1.0 - " +
+          s"${dot("d", s"p$r")}) AS dist FROM d${r - 1} d, p$r),\n"
+    }
+    val picks = Seq("SELECT CAST(1 AS BIGINT) AS pick, vec_id, " +
+      "CAST(0.0 AS DOUBLE) AS dist FROM c1") ++
+      (2 to k).map(r => s"SELECT CAST($r AS BIGINT) AS pick, vec_id, " +
+        s"floor(dist * 10000 + 0.5) / 10000 AS dist FROM p$r")
+    sb ++= picks.mkString("", "\nUNION ALL ", "")
+    sb.toString
+  }
 
   private val exactJaccardSql: String =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

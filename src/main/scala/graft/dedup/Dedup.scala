@@ -838,6 +838,47 @@ object Dedup {
     * which is what the cross-form oracle proves); false negatives are
     * impossible, the bloom invariant.
     */
+  /** D14 (round 9): exact-substring duplication density — the
+    * character-level ExactSubstr signal of "Deduplicating Training
+    * Data Makes Language Models Better" (Lee et al., 2021): the
+    * fraction of a document's fixed-width character windows that occur
+    * verbatim in at least one OTHER document. The paper builds a
+    * corpus suffix array; the Spark-native equivalent is a strided
+    * window join — width-40 windows at stride 8 (≈ len/8 rows per doc,
+    * bounded blowup), cross-document frequency by one distinct +
+    * groupBy, density joined back per doc. Sits between D1 (whole-doc
+    * exact) and D4/F24 (token n-gram) in granularity: it catches long
+    * verbatim spans (licenses, boilerplate paragraphs, quoted chunks)
+    * that word-trigram novelty dilutes and whole-doc hashing misses.
+    * A deterministic boilerplate tail is INJECTED on doc_id%31 on both
+    * engines, so cross-document sharing provably exists and the gate
+    * checks real collision accounting. At 100 TB the window strings
+    * would be hashed before the shuffle (the D2 shingle discipline);
+    * here the literal strings ARE the join key so DuckDB replays
+    * byte-for-byte.
+    */
+  def substringDensity(spark: SparkSession, dir: String): DataFrame = {
+    val boiler = " STANDARD FOOTER TERMS APPLY SEE SITE FOR FULL DETAILS " +
+      "COPYRIGHT ALL RIGHTS RESERVED DO NOT REDISTRIBUTE END OF NOTICE"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(31)) === 0, concat(col("text"), lit(boiler)))
+        .otherwise(col("text")).as("t"))
+      .filter(length(col("t")) >= 40)
+    val dw = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 39, 8), i -> substring(t, i, 40))"))
+        .as("win"))
+      .distinct()
+    val df = dw.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    dw.join(df, Seq("win"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        floor(col("n_shared") / col("n_windows").cast("double") * 1e4 + 0.5) / 1e4)
+  }
+
   def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.BloomFuncs
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))

@@ -330,6 +330,57 @@ object Ann {
       .select(col("vec_id"), col("label"), col("cs"), (col("cs") < 0).as("outlier"))
   }
 
+  /** E14 (round 9): greedy k-center (farthest-point-first) DIVERSITY
+    * sampling — the coverage-selection pass a training-data pipeline
+    * runs to pick a maximally spread subset (dataset distillation /
+    * eval-set seeding / active-learning seeding; the Gonzalez greedy
+    * gives a 2-approximation to the k-center optimum). Seeded at the
+    * smallest vec_id, each of the k−1 rounds is ONE distributed pass:
+    * per-vector min-cosine-distance to the chosen set folds through a
+    * `least(...)` column (never recomputed from scratch — the running
+    * min carries across rounds), the next center is the arg-max row
+    * (TakeOrdered top-1, ties to the smaller vec_id), and only that
+    * single row is collected. Driver state is k rows; work is O(k·N)
+    * dots with NO pairwise shuffle — the shape that holds at 10⁹
+    * vectors. Distances are exact: the 2⁻²⁰-quantized unit vectors
+    * (E5's dyadic discipline) make every dot a sum of 2⁻⁴⁰-grid
+    * rationals, bit-identical under any partitioning and replayed
+    * bit-for-bit by the DuckDB oracle's unrolled greedy — selection is
+    * therefore provably deterministic, not just observed stable.
+    */
+  def kcenterSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    val k = 8
+    val u = graft.Memo.cached(spark, s"ann.kcenter_u:$dir") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+        .withColumn("u", expr(
+          "transform(v, x -> floor(cast(x as double) / norm * 1048576.0D + 0.5D) / 1048576.0D)"))
+        .select(col("vec_id"), col("u"))
+    }
+    val seed = u.orderBy(col("vec_id")).limit(1).collect()(0)
+    var chosen = Vector((seed.getLong(0), 0.0))
+    var dist = u.withColumn("dist",
+      lit(1.0) - call_function("vec_dot", col("u"),
+        typedlit(seed.getSeq[Double](1))))
+    for (_ <- 2 to k) {
+      val sel = dist
+        .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
+        .orderBy(col("dist").desc, col("vec_id").asc).limit(1)
+        .collect()(0)
+      chosen :+= ((sel.getLong(0), sel.getAs[Double]("dist")))
+      dist = dist.withColumn("dist",
+        least(col("dist"), lit(1.0) - call_function("vec_dot", col("u"),
+          typedlit(sel.getSeq[Double](1)))))
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, d), i) =>
+        (i + 1L, id, math.floor(d * 1e4 + 0.5) / 1e4) }
+      .toDF("pick", "vec_id", "dist")
+  }
+
   /** E6: maximum-inner-product search (MIPS) — exact top-5 by RAW
     * inner product, the retrieval scoring dual-encoder models train
     * for (unnormalized dot: magnitude carries relevance, so cosine

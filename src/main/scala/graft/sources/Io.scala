@@ -606,6 +606,35 @@ object Io {
     else spark.read.parquet(files.map(f => s"$table/$f"): _*)
   }
 
+  /** I15: CHANGE DATA FEED between two committed versions, computed
+    * from the commit log alone (Delta's "CDF without stored change
+    * files" path): only files that differ between the two commits are
+    * read — carried-by-reference files can't contain changes by
+    * construction — and the row-level feed is the multiset difference
+    * of the removed vs added file contents (`exceptAll`, so rewritten
+    * rows that survived a COW rewrite cancel exactly). Cost ∝ touched
+    * files, not table size — on a 100 TB table whose commit rewrote
+    * 3 files, the feed reads 6 files.
+    */
+  def changeFeed(spark: SparkSession, table: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val from = readCommit(spark, table, fromV).toSet
+    val to = readCommit(spark, table, toV).toSet
+    def readSet(fs: Set[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read.parquet(fs.toSeq.sorted.map(f => s"$table/$f"): _*))
+    (readSet(from -- to), readSet(to -- from)) match {
+      case (None, None) => spark.emptyDataFrame
+      case (None, Some(add)) =>
+        add.withColumn("change_type", lit("insert"))
+      case (Some(rem), None) =>
+        rem.withColumn("change_type", lit("delete"))
+      case (Some(rem), Some(add)) =>
+        add.exceptAll(rem).withColumn("change_type", lit("insert"))
+          .unionByName(rem.exceptAll(add).withColumn("change_type", lit("delete")))
+    }
+  }
+
   private val ttRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -620,7 +649,33 @@ object Io {
     * the matching rows out.
     */
   def timetravelRead(spark: SparkSession, dir: String): DataFrame = {
-    val table = ttRuns.computeIfAbsent((spark, dir), _ => {
+    val table = ttTable(spark, dir)
+    def agg(v: Long): DataFrame =
+      readTableVersion(spark, table, v)
+        .groupBy(lit(v).as("version"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg(1L).unionByName(agg(2L))
+  }
+
+  /** I15, oracle-gated: the change feed of BOTH commit transitions of
+    * the I14 table — v0→v1 (pure insert of the appended days) and
+    * v1→v2 (pure delete of the purchase rows via COW rewrite, where
+    * the surviving rewritten rows must cancel exactly in the multiset
+    * diff) — aggregated per (transition, change type, typ) and
+    * replayed by DuckDB from the source cuts.
+    */
+  def cdfRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = ttTable(spark, dir)
+    def agg(fromV: Long): DataFrame =
+      changeFeed(spark, table, fromV, fromV + 1)
+        .groupBy(lit(fromV).as("from_v"), col("change_type"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    agg(0L).unionByName(agg(1L))
+  }
+
+  private def ttTable(spark: SparkSession, dir: String): String =
+    ttRuns.computeIfAbsent((spark, dir), _ => {
       val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
       val t = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_io_tt_" + fp).toString
@@ -636,13 +691,6 @@ object Io {
       tableDeleteWhere(spark, t, col("typ") === "purchase")
       t
     })
-    def agg(v: Long): DataFrame =
-      readTableVersion(spark, table, v)
-        .groupBy(lit(v).as("version"), col("typ"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
-          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
-    agg(1L).unionByName(agg(2L))
-  }
 
   /** ORC round-trip (second columnar format). */
   def writeOrc(df: DataFrame, path: String): Unit =

@@ -48,4 +48,36 @@ class AnnMipsSpec extends AnyFunSuite {
       assert(mips == cosAug, s"query $qid: mips=$mips cosAug=$cosAug")
     }
   }
+
+  test("E14: greedy k-center — picks distinct, selection distance " +
+      "non-increasing, each pick is the true farthest point") {
+    val picks = similarity.Ann.kcenterSample(spark, dir)
+      .orderBy("pick").collect()
+      .map(r => (r.getAs[Long]("pick"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("dist")))
+    assert(picks.length == 8)
+    assert(picks.map(_._2).distinct.length == 8, "centers must be distinct")
+    // the greedy invariant: round r's max-min distance can only shrink
+    val ds = picks.drop(1).map(_._3)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => b <= a },
+      s"selection distances must be non-increasing: ${ds.toSeq}")
+    // replay round 2 by hand: pick 2 must be the farthest vector from
+    // the seed under the same quantized-unit cosine distance
+    val rows = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) e")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(x / n * 1048576.0 + 0.5) / 1048576.0)
+    }
+    val us = rows.map { case (id, v) => (id, unit(v)) }
+    val seedU = us.minBy(_._1)._2
+    val far = us.filter(_._1 != picks.head._2)
+      .map { case (id, u) =>
+        (id, 1.0 - u.zip(seedU).map { case (a, b) => a * b }.sum) }
+      .minBy { case (id, d) => (-d, id) }
+    assert(far._1 == picks(1)._2,
+      s"round-2 pick ${picks(1)._2} != hand-computed farthest ${far._1}")
+  }
 }

@@ -120,4 +120,21 @@ class DedupSkewSpec extends AnyFunSuite {
       .select("ib").collect().map(_.getLong(0)).toSet
     assert(full == viaD5)
   }
+
+  test("D14: substring density — injected boilerplate shares windows " +
+      "across same-phase docs; clean docs bounded by natural overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val d = dedup.Dedup.substringDensity(spark, dir)
+      .select("doc_id", "n_windows", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d.nonEmpty)
+    // every doc's share accounting is internally consistent
+    assert(d.forall { case (_, nw, ns) => ns >= 0 && ns <= nw })
+    // the injected tail guarantees SOME cross-doc sharing exists:
+    // ≥2 injected docs with the same text-length phase (mod the
+    // stride) share full in-boilerplate windows
+    val injectedShared = d.filter { case (id, _, ns) => id % 31 == 0 && ns > 0 }
+    assert(injectedShared.nonEmpty,
+      "no injected doc shares a window — boilerplate injection vacuous")
+  }
 }
