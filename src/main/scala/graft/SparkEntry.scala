@@ -42,6 +42,8 @@ object SparkEntry {
     "stream_incr_dedup" -> (streaming.StreamOps.corpusDedupStreamed _),
     "stream_seq_pack" -> (streaming.StreamOps.seqPackStreamed _),
     "stream_alerts" -> (streaming.StreamOps.alertsStreamed _),
+    "stream_scd2" -> (streaming.StreamOps.scd2Streamed _),
+    "index_churn" -> (index.IndexQueries.indexChurn _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
     "stream_store_ingest" -> (streaming.StreamOps.storeIngestStreamed _),
@@ -3086,6 +3088,43 @@ object SparkEntry {
         |  max(n_types) AS max_types,
         |  floor(avg(dur_sec) * 10000 + 0.5) / 10000 AS avg_dur_sec
         |FROM g GROUP BY 1""".stripMargin,
+    // A22: series churn — births/deaths per day from the per-series
+    // time bounds, ~30-row running net
+    "index_churn" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    min(strftime(ts, '%Y-%m-%d')) AS fd,
+        |    max(strftime(ts, '%Y-%m-%d')) AS ld
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT fd AS day, count(*) AS born FROM s GROUP BY 1),
+        |d AS (SELECT ld AS day, count(*) AS died FROM s GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(b.day, d.day) AS day,
+        |    coalesce(born, 0) AS born, coalesce(died, 0) AS died
+        |  FROM b FULL OUTER JOIN d ON b.day = d.day)
+        |SELECT day, CAST(born AS BIGINT) AS born, CAST(died AS BIGINT) AS died,
+        |  CAST(sum(born - died) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS open_after
+        |FROM j""".stripMargin,
+    // H22: streamed SCD2 cursor ≡ the batch derivation's CLOSED rows
+    "stream_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS attr, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, attr, us,
+        |    lag(attr) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_id, attr, us FROM c
+        |  WHERE prev IS NULL OR prev <> attr),
+        |v AS (
+        |  SELECT user_id, attr, us AS valid_from_us,
+        |    lead(us) OVER w AS valid_to_us,
+        |    row_number() OVER w AS version
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, attr, valid_from_us, valid_to_us, version
+        |FROM v WHERE valid_to_us IS NOT NULL""".stripMargin,
     // C25: SCD2 — identical lag-dedup + lead-close + version numbering
     "scd2" ->
       """WITH e AS (

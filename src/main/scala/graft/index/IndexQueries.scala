@@ -47,6 +47,37 @@ object IndexQueries {
         max(when(col("rk") === 1, col("label_value"))).as("top_value"))
   }
 
+  /** A22 (round 9): series CHURN — the cardinality-over-time
+    * introspection a TSDB operator watches (Prometheus's
+    * head-series churn dashboards): per day, how many series were
+    * born (first sample), how many died (last sample), and the net
+    * count still open after that day. One pass over the series
+    * catalog (∝ #series, never #samples — the per-series
+    * [min_ts, max_ts] bounds the reference's mem_index keeps per
+    * posting entry are exactly what answers this), a tiny full-outer
+    * day join, and one ~30-row running sum. `open_after(d)` =
+    * births(≤d) − deaths(≤d): series whose last sample fell on d are
+    * no longer counted after it.
+    */
+  def indexChurn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = idx(spark, dir).seriesCatalog.select(
+      date_format(col("min_ts"), "yyyy-MM-dd").as("first_day"),
+      date_format(col("max_ts"), "yyyy-MM-dd").as("last_day"))
+    val born = s.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("born"))
+    val died = s.groupBy(col("last_day").as("day"))
+      .agg(count(lit(1)).as("died"))
+    born.join(died, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("born"), lit(0L)).as("born"),
+        coalesce(col("died"), lit(0L)).as("died"))
+      .withColumn("open_after",
+        sum(col("born") - col("died")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** A12: the materialized inverted index, aggregated per label entry. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).invertedIndex

@@ -52,6 +52,19 @@ case class AlertState(activeSince: Long, lastT: Long)
 case class AlertOut(alertname: String, usr: String, t_sec: Long,
     alertstate: String)
 
+/** H22: one event on the dimension-maintenance stream. */
+case class Scd2In(user_id: Long, event_id: Long, attr: String, us: Long,
+    ts: java.sql.Timestamp)
+
+/** H22 per-user open dimension version: current attr + validity start
+  * + version ordinal — O(1) checkpointed state per user. */
+case class Scd2State(attr: String, since_us: Long, version: Long)
+
+/** H22 emission: a CLOSED dimension version (valid_to set by the
+  * change that superseded it). */
+case class Scd2Out(user_id: Long, attr: String, valid_from_us: Long,
+    valid_to_us: Long, version: Long)
+
 /** Structured Streaming ingest path (SURVEY.md §2.H) — the Spark
   * analog of the reference's WAL → MemIndex maintenance
   * (/root/reference/src/index/index_server.cpp add_series + commit):
@@ -1094,6 +1107,71 @@ object StreamOps extends Serializable {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** H22: streaming SCD2 maintenance — C25's versioned-dimension build
+    * run as a LIVE dimension: each user's open version is O(1)
+    * mapGroupsWithState state (attr, since, ordinal); an arriving
+    * event with a DIFFERENT attr closes the open version (emits it
+    * with valid_to = the new event's time) and opens the next — the
+    * warehouse "type-2 upsert" as a stream, no MERGE, no rewrite.
+    * Closed versions are append-once; the open row lives only in
+    * state (it has no valid_to yet, by definition). Emissions over an
+    * in-order replay equal the batch scd2 derivation's CLOSED rows
+    * verbatim — which is what the gate checks.
+    */
+  def streamingScd2(ev: Dataset[Scd2In]): Dataset[Scd2Out] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+            if (st == null) st = Scd2State(r.attr, r.us, 1L)
+            else if (r.attr != st.attr) {
+              out += Scd2Out(uid, st.attr, st.since_us, r.us, st.version)
+              st = Scd2State(r.attr, r.us, st.version + 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  private val scd2Runs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H22, oracle-gated: the events stream replays in 4 event-time
+    * quartile micro-batches through [[streamingScd2]]; the appended
+    * closed versions must equal the batch C25 derivation restricted to
+    * closed rows (valid_to IS NOT NULL) — same oracle, proving the
+    * O(1)-per-user streamed cursor ≡ the stateless batch window.
+    */
+  def scd2Streamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = scd2Runs.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h22_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h22_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val ev = graft.Tables.events(spark, dir).select(
+        col("user_id"), col("event_id"), col("event_type").as("attr"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      landOrdered(ev, Seq("ts", "event_id"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingScd2(stream.as[Scd2In])
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table)
   }
 
   private val alertRuns =
