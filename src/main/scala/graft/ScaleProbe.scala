@@ -198,6 +198,17 @@ object ScaleProbe {
       out.limit(0)
     }
     t("quality_classify")(text.TextAnalysis.qualityClassifyOn(spark, dbig))
+    // round-9 batch 2: the SCD2 lag-dedup+lead-close window (one
+    // user_id exchange — growth driver: window sort ∝ rows/partition),
+    // the strided substring-window join (≈ chars/8 window rows, one
+    // distinct + one df groupBy + one keyed join), and the greedy
+    // k-center loop (k passes of least()-folded dots + TakeOrdered
+    // top-1 — growth ∝ k·N dots, zero pairwise shuffle)
+    t("scd2_versions")(operators.Relational.scd2On(big))
+    t("substr_windows")(dedup.Dedup.substringDensityOn(
+      dbig.select(col("doc_id"), col("text").as("t"))))
+    t("kcenter_greedy")(similarity.Ann.kcenterProbe(spark,
+      edecor.select(col("vec_id"), col("v")), 8))
     t("bloom_build_probe") {
       val h = dbig.select(xxhash64(col("text")).as("h"))
       val sk = h.agg(functions.BloomFuncs

@@ -860,10 +860,15 @@ object Dedup {
   def substringDensity(spark: SparkSession, dir: String): DataFrame = {
     val boiler = " STANDARD FOOTER TERMS APPLY SEE SITE FOR FULL DETAILS " +
       "COPYRIGHT ALL RIGHTS RESERVED DO NOT REDISTRIBUTE END OF NOTICE"
-    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+    substringDensityOn(Tables.documents(spark, dir).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(31)) === 0, concat(col("text"), lit(boiler)))
-        .otherwise(col("text")).as("t"))
-      .filter(length(col("t")) >= 40)
+        .otherwise(col("text")).as("t")))
+  }
+
+  /** DataFrame-generic window-density pipeline; input needs
+    * (doc_id, t). Exposed for the scale probe. */
+  def substringDensityOn(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.filter(length(col("t")) >= 40)
     val dw = docs
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(t) - 39, 8), i -> substring(t, i, 40))"))

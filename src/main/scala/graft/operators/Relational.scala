@@ -384,8 +384,15 @@ object Relational {
     * #changes — the standard MERGE-free SCD2 derivation that
     * backfills a dimension from history in one pass.
     */
-  def scd2(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2On(Tables.events(spark, dir))
+
+  /** DataFrame-generic SCD2; input needs (user_id, event_id,
+    * event_type, ts). Exposed so the scale probe drives the same plan
+    * over replicated corpora.
+    */
+  def scd2On(events: DataFrame): DataFrame = {
+    val ev = events.select(
       col("user_id"), col("event_id"),
       col("event_type").as("attr"), unix_micros(col("ts")).as("us"))
     val wOrd = Window.partitionBy(col("user_id"))

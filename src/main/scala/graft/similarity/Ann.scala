@@ -349,16 +349,26 @@ object Ann {
     * therefore provably deterministic, not just observed stable.
     */
   def kcenterSample(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecFunctions.register(spark)
-    val k = 8
     val u = graft.Memo.cached(spark, s"ann.kcenter_u:$dir") {
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
-        .withColumn("u", expr(
-          "transform(v, x -> floor(cast(x as double) / norm * 1048576.0D + 0.5D) / 1048576.0D)"))
-        .select(col("vec_id"), col("u"))
+      kcenterUnit(spark, Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v")))
     }
+    kcenterOn(spark, u, 8)
+  }
+
+  private def kcenterUnit(spark: SparkSession, vecs: DataFrame): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    vecs
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .withColumn("u", expr(
+        "transform(v, x -> floor(cast(x as double) / norm * 1048576.0D + 0.5D) / 1048576.0D)"))
+      .select(col("vec_id"), col("u"))
+  }
+
+  /** Greedy loop over a prepared (vec_id, u) frame; exposed (with
+    * [[kcenterProbe]]) so the scale probe drives the same plan over
+    * replicated corpora. */
+  private def kcenterOn(spark: SparkSession, u: DataFrame, k: Int): DataFrame = {
     val seed = u.orderBy(col("vec_id")).limit(1).collect()(0)
     var chosen = Vector((seed.getLong(0), 0.0))
     var dist = u.withColumn("dist",
@@ -380,6 +390,11 @@ object Ann {
         (i + 1L, id, math.floor(d * 1e4 + 0.5) / 1e4) }
       .toDF("pick", "vec_id", "dist")
   }
+
+  /** ScaleProbe entry: the same greedy over an arbitrary (vec_id, v)
+    * corpus (prep + k rounds, nothing memoized). */
+  def kcenterProbe(spark: SparkSession, vecs: DataFrame, k: Int): DataFrame =
+    kcenterOn(spark, kcenterUnit(spark, vecs).cache(), k)
 
   /** E6: maximum-inner-product search (MIPS) — exact top-5 by RAW
     * inner product, the retrieval scoring dual-encoder models train
