@@ -295,6 +295,20 @@ object SparkEntry {
         "2024-01-03 00:00:00", "2024-01-31 00:00:00",
         stepSec = 86400L, forSec = 172800L, alertName = "HighPurchaseVolume")
     }),
+    // B51: info() — data labels joined from an info metric evaluated
+    // AT the query timestamp (as-of), Prometheus 3.x semantics
+    "promql_info" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val raw = Tables.eventsRaw(s, dir)
+      val info = raw.select(
+        col("event_id"), Tables.tsCol(raw).as("ts"),
+        col("user_id").cast("string").as("usr"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(10))
+          .cast("string").as("kb"))
+      promql.Rules.infoJoin(index.TagIndex.forEvents(s, dir),
+        """sum by (usr) (count_over_time({typ="purchase"}[30d]))""",
+        "2024-01-31 00:00:00", info, Seq("usr"), Seq("kb"))
+    }),
     // B50: recording rule — evaluated vector re-ingested as a
     // first-class series (store-resolved), then queried via PromQL
     "promql_record" -> ((s: SparkSession, dir: String) => {
@@ -3478,6 +3492,26 @@ object SparkEntry {
         |SELECT i.usr AS usr,
         |  floor(i.iv / c.cv * 10000 + 0.5) / 10000 AS value
         |FROM inc i JOIN cnt c ON i.usr = c.usr WHERE i.n >= 2""".stripMargin,
+    // B51: info() — the vector plus the as-of data label (newest
+    // info sample ≤ T per usr, event_id tie-break)
+    "promql_info" ->
+      """WITH v AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY 1),
+        |li AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr,
+        |    CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        |      AS VARCHAR) AS kb,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-31 00:00:00'),
+        |i AS (SELECT usr, kb FROM li WHERE rn = 1)
+        |SELECT v.usr, i.kb, v.value FROM v LEFT JOIN i USING (usr)""".stripMargin,
     // B49: alert grid restated in SQL — presence under the condition,
     // gaps-and-islands for the `for` duration (consecutive presence ⇔
     // i − row_number constant); 1704240000 = 2024-01-03 00:00:00 UTC

@@ -68,6 +68,38 @@ object Rules {
         :+ col("t_sec") :+ col("alertstate"): _*)
   }
 
+  /** B51: PromQL `info()` (Prometheus 3.x experimental) — enrich a
+    * result vector with DATA labels from an info metric, joined on the
+    * shared identifying labels. Prometheus evaluates the info series
+    * AT the query timestamp (the data label is whatever the info
+    * series carries then), which here is an exact as-of lookup: the
+    * newest info sample at or before T per identifying-label set
+    * (ties by event_id — B2's seek discipline), broadcast-joined onto
+    * the vector (info metrics are ∝ #entities, broadcast-sized at any
+    * sample volume — which is why Prometheus stores them as separate
+    * info series at all). Vector elements with no info series keep
+    * null data labels (Prometheus emits them unenriched).
+    *
+    * `info` must carry the identifying label columns + the data label
+    * columns + (ts, event_id) for the as-of cut.
+    */
+  def infoJoin(idx: TagIndex, expr: String, t: String,
+      info: DataFrame, idLabels: Seq[String], dataLabels: Seq[String],
+      lookbackSec: Long = 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = PromQl.evalIndexed(idx, expr, t, lookbackSec)
+    val tUs = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val w = Window.partitionBy(idLabels.map(col): _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val asOf = info
+      .filter(unix_micros(col("ts")) <= tUs)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((idLabels ++ dataLabels).map(col): _*)
+    v.join(broadcast(asOf), idLabels, "left")
+  }
+
   // one recorded-rule store per (dataset, rule); `_done` commits a
   // completed build — a partial leftover from a crashed run is wiped
   // and rebuilt, never resumed into (the streamedStoreFor discipline)

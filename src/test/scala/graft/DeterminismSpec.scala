@@ -70,7 +70,14 @@ class DeterminismSpec extends AnyFunSuite {
       // the CDC shared-chunk join vary their physical join order with
       // partitioning but not their sets; the PromQL histogram
       // interpolation folds a sorted bucket array
-      "ann_mrl", "ann_bq", "dedup_editdist", "text_cdc", "promql_histq")) {
+      "ann_mrl", "ann_bq", "dedup_editdist", "text_cdc", "promql_histq",
+      // round-9 batch 2: the greedy k-center selection rides exact
+      // dyadic distances + id tie-breaks (the argmax must not depend
+      // on which partition reports first); scd2's versions ride a
+      // total-ordered window; the substring df join varies physical
+      // order with partitioning but not its sets; the alert islands
+      // derive from a keyed window over the evaluated grid
+      "ann_kcenter", "scd2", "dedup_substring", "promql_alerts")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)
