@@ -225,6 +225,7 @@ object SparkEntry {
     "mm_pipeline" -> (multimodal.Multimodal.pipeline _),
     "mm_framesample" -> (multimodal.Multimodal.frameSample _),
     "mm_audio_windows" -> (multimodal.Multimodal.audioFeatures _),
+    "mm_resample" -> (multimodal.Multimodal.audioResample _),
     "mm_integrity" -> (multimodal.Multimodal.integrity _),
     "mm_phash_dedup" -> (multimodal.Multimodal.phashDedup _),
     "mm_resize" -> (multimodal.Multimodal.resize _),
@@ -3342,6 +3343,23 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rk = 1 THEN w_i END) AS INT) AS peak_win,
         |  CAST(max(CASE WHEN rk = 1 THEN energy END) AS BIGINT) AS peak_energy
         |FROM r GROUP BY 1""".stripMargin,
+    // G8: 4x block-average decimation replayed from the char codes;
+    // rate_ok is the Spark-side re-encode/re-decode header assertion
+    "mm_resample" ->
+      """WITH c AS (SELECT doc_id, length(text) AS len,
+        |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes
+        |  FROM documents),
+        |w AS (SELECT doc_id, len, codes,
+        |    CAST((len + 3)//4 AS INT) AS n_out FROM c WHERE len > 0),
+        |e AS (SELECT doc_id, n_out, t.b AS b,
+        |    CAST(list_sum(list_slice(codes, t.b*4 + 1, least((t.b+1)*4, len)))
+        |      // (least((t.b+1)*4, len) - t.b*4) AS BIGINT) AS m
+        |  FROM w, UNNEST(range(w.n_out)) AS t(b))
+        |SELECT doc_id, CAST(max(n_out) AS INT) AS n_out,
+        |  CAST(sum(m) AS BIGINT) AS sum_out,
+        |  CAST(max(m) AS BIGINT) AS peak_out,
+        |  TRUE AS rate_ok
+        |FROM e GROUP BY 1""".stripMargin,
     "mm_framesample" ->
       """WITH c AS (SELECT doc_id, length(text) AS len,
         |    list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS codes

@@ -202,6 +202,18 @@ object IndexSql {
         argString("graft_promql_range", exprs, 2),
         argString("graft_promql_range", exprs, 3),
         argString("graft_promql_range", exprs, 4).toLong, lookback))
+    },
+
+    // B49 from SQL: the alerting-rule grid, e.g.
+    // graft_promql_alerts('/data', 'expr > 2', '2024-01-03 00:00:00',
+    // '2024-01-31 00:00:00', '86400', '172800', 'HighRate')
+    "graft_promql_alerts" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 7,
+        "graft_promql_alerts expects (dir, expr, start, end, stepSec, forSec, alertName)")
+      def a(i: Int) = argString("graft_promql_alerts", exprs, i)
+      plan(graft.promql.Rules.alerts(
+        graft.index.TagIndex.forEvents(SparkSession.active, a(0)),
+        a(1), a(2), a(3), a(4).toLong, a(5).toLong, a(6)))
     })
 
   /** Imperative per-session registration (the path Verify/Bench sessions

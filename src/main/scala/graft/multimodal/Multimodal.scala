@@ -302,6 +302,48 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ResampleRow(doc_id: Long, n_out: Int, sum_out: Long,
+      peak_out: Long, rate_ok: Boolean)
+
+  /** G8 (round 9): audio RESAMPLING — decimate each WAV payload 4× by
+    * block-averaging (mean of each 4-sample block, integer floor —
+    * the poor-man's anti-alias a 16 kHz→4 kHz speech pipeline runs
+    * before a model whose front-end expects the lower rate), then
+    * RE-ENCODE the result as a real RIFF/WAVE container at the new
+    * rate and DECODE THAT back for the emitted stats — the gate rides
+    * the full decode → DSP → re-encode → re-decode loop, so a broken
+    * header write or a rate mis-stamp fails `rate_ok`, and any sample
+    * corruption in either codec pass breaks the integer sums against
+    * the documents oracle (the G1/G6 discipline, twice through the
+    * codec). One mapPartitions pass, exact integer arithmetic; ragged
+    * tails average their 1-3 remaining samples.
+    */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = 4
+    wavTable(spark, dir).mapPartitions { items =>
+      items.map(m => m.doc_id -> Codecs.WavCodec.decode(m.payload).samples)
+        .filter(_._2.nonEmpty).map { case (docId, s) =>
+          val n = (s.length + f - 1) / f
+          val out = new Array[Int](n)
+          var b = 0
+          while (b < n) {
+            val end = math.min((b + 1) * f, s.length)
+            var sum = 0; var i = b * f
+            while (i < end) { sum += s(i); i += 1 }
+            out(b) = sum / (end - b * f)
+            b += 1
+          }
+          val re = Codecs.WavCodec.decode(
+            Codecs.WavCodec.encode(out, 2000))
+          var total = 0L; var peak = 0L
+          re.samples.foreach { v => total += v; if (v > peak) peak = v }
+          ResampleRow(docId, re.samples.length, total, peak,
+            re.sampleRate == 2000 && re.samples.length == n)
+        }
+    }.toDF()
+  }
+
   case class IntegrityRow(doc_id: Long, n_bytes: Long, kind: String,
       checksum: Long, meta_ok: Boolean)
 

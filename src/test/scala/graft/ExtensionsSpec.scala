@@ -164,6 +164,18 @@ class ExtensionsSpec extends AnyFunSuite {
            |  '2024-01-10 00:00:00', '2024-01-12 00:00:00')""".stripMargin)
       assert(sorted(sqlSel) == sorted(IndexQueries.selectRange(s, dir)))
 
+      // B49 from SQL: the alerting-rule TVF ≡ the Rules API
+      val sqlAlerts = s.sql(
+        s"""SELECT alertname, usr, t_sec, alertstate
+           |FROM graft_promql_alerts('$dir',
+           |  'sum by (usr) (count_over_time({typ="purchase"}[2d])) > 0',
+           |  '2024-01-03 00:00:00', '2024-01-31 00:00:00',
+           |  '86400', '172800', 'A')""".stripMargin)
+      val apiAlerts = promql.Rules.alerts(TagIndex.forEvents(s, dir),
+        """sum by (usr) (count_over_time({typ="purchase"}[2d])) > 0""",
+        "2024-01-03 00:00:00", "2024-01-31 00:00:00", 86400L, 172800L, "A")
+      assert(sorted(sqlAlerts) == sorted(apiAlerts) && sqlAlerts.count() > 0)
+
       // parser rejects garbage loudly
       val err = intercept[Exception](IndexSql.parseSelector("""typ~="click""""))
       assert(err.getMessage.contains("bad matcher term"))
