@@ -175,4 +175,29 @@ class PromConformanceSpec extends AnyFunSuite {
     val and = byUsr("""cnt and cnt{usr="2"}""", T330)
     assert(and == Map("2" -> 12.0))
   }
+
+  test("round-9 operators: % is Go math.Mod, ^ right-associative, " +
+      "atan2 quadrants, trig at libm, deg/pi, negative offset") {
+    // gauge{usr="1"} at T630 = 11 (last sample (600, 11))
+    // %: Go math.Mod keeps the DIVIDEND's sign: Mod(-11, 4) = -3
+    assert(one("""(0 - gauge{usr="1"}) % 4""", T630) == -3.0)
+    assert(one("""gauge{usr="1"} % 4""", T630) == 3.0)
+    // ^ binds tighter than * and is RIGHT-associative: 2^3^2 = 2^9
+    assert(one("2 ^ 3 ^ 2", T630) == 512.0)
+    assert(one("""gauge{usr="1"} ^ 2""", T630) == 121.0)
+    // atan2 quadrants (infix, Go math.Atan2 ≡ JDK Math.atan2)
+    assert(one("""gauge{usr="1"} atan2 gauge{usr="1"}""", T630)
+      == math.Pi / 4)
+    assert(one("(0 - 1) atan2 (0 - 1)", T630) == -3 * math.Pi / 4)
+    // trig family evaluates at libm accuracy (JDK StrictMath-class
+    // results; Go's libm agrees on these arguments)
+    assert(one("""sin(gauge{usr="1"})""", T630) == math.sin(11.0))
+    assert(one("""cosh(cnt{usr="2"})""", T330) == math.cosh(12.0))
+    // deg(pi()) = 180 exactly; rad is its inverse
+    assert(one("deg(pi())", T630) == 180.0)
+    assert(one("rad(deg(pi()))", T630) == math.Pi)
+    // negative offset looks FORWARD: at T330, offset -5m selects the
+    // newest sample ≤ 630 inside the shifted lookback → (600, 100)
+    assert(one("""cnt{usr="1"} offset -5m""", T330) == 100.0)
+  }
 }
