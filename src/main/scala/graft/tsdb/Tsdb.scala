@@ -303,6 +303,57 @@ object Tsdb {
       .select(col("usr"), col("typ"), col("step_sec"), round(col("value"), 2).as("last_v"))
   }
 
+  /** B52 (round 9): gap-filled downsampling — the
+    * `time_bucket_gapfill` / InfluxDB `fill()` query class a TSDB
+    * serves for dashboards over sparse series: an hourly grid per
+    * series (Jan 1-7 × the purchase series of usr ≤ 3), the observed
+    * per-hour value (MAX — exact and order-free, no float-sum
+    * surface), then two fills computed in the SAME keyed window pass:
+    * LOCF (last observation carried forward — `last(ignoreNulls)` over
+    * the preceding frame) and LINEAR interpolation between the
+    * bracketing observations (prev/next value+hour via
+    * ignore-nulls last/first over the two one-sided frames; null
+    * outside the observed span, where interpolation is undefined).
+    * One exchange on the series key carries grid join and all four
+    * window columns; the grid is #series × 168 rows — tiny relative
+    * to samples at any scale, and the fills never re-scan samples.
+    */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") <= 3 &&
+        unix_timestamp(col("ts")) >= t0 &&
+        unix_timestamp(col("ts")) < t0 + 168L * 3600L)
+      .select(col("user_id").cast("string").as("usr"),
+        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(3600L)))
+          .as("h_sec"),
+        col("value"))
+    val obs = ev.groupBy(col("usr"), col("h_sec"))
+      .agg(max(col("value")).as("mx"))
+    val grid = ev.select(col("usr")).distinct()
+      .withColumn("h_sec", explode(sequence(lit(t0), lit(t0 + 167L * 3600L),
+        lit(3600L))))
+    val wp = Window.partitionBy(col("usr")).orderBy(col("h_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("usr")).orderBy(col("h_sec"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+    val obsH = when(col("mx").isNotNull, col("h_sec"))
+    grid.join(obs, Seq("usr", "h_sec"), "left")
+      .withColumn("pv", last(col("mx"), ignoreNulls = true).over(wp))
+      .withColumn("ph", last(obsH, ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("mx"), ignoreNulls = true).over(wf))
+      .withColumn("nh", first(obsH, ignoreNulls = true).over(wf))
+      .select(col("usr"), col("h_sec"),
+        r4(col("mx")).as("observed"),
+        r4(col("pv")).as("locf"),
+        when(col("mx").isNotNull, r4(col("mx")))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            r4(col("pv") + (col("nv") - col("pv")) *
+              ((col("h_sec") - col("ph")).cast("double") / (col("nh") - col("ph")))))
+          .as("interp"))
+  }
+
   /** B12: delta() — last minus first sample value per series per 6h
     * bucket (gauge delta). max_by/min_by keep it a single partial-agg
     * groupBy — no window, no second shuffle.
