@@ -139,6 +139,8 @@ object SparkEntry {
     "retention" -> (operators.Relational.retention _),
     "sessionize" -> (operators.Relational.sessionize _),
     "scd2" -> (operators.Relational.scd2 _),
+    "feature_assembly" -> (operators.Relational.featureAssembly _),
+    "quality_cut" -> (text.TextAnalysis.qualityCut _),
     "sketch_cms" -> (operators.Relational.cmsEstimate _),
     "ancestor_closure" -> (operators.Relational.ancestorClosure _),
     "histogram_quantile" -> (tsdb.Tsdb.histogramQuantile _),
@@ -2937,6 +2939,51 @@ object SparkEntry {
         |  CAST(sum(wt) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE) AS margin,
         |  CAST(sum(wt) AS BIGINT) > 0 AS keep
         |FROM h GROUP BY 1""".stripMargin,
+    // F31: histogram-percentile cut — same dual-poly margin as F20,
+    // bounded ikey histogram, cumulative-from-top budget, boundary
+    // bucket excluded
+    "quality_cut" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, source,
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(w, ''),
+        |          ch -> CAST(ascii(ch) AS BIGINT))),
+        |        (a, x) -> (a * 131 + x) % 1000000007) * 2147483648
+        |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(w, ''),
+        |          ch -> CAST(ascii(ch) AS BIGINT))),
+        |        (a, x) -> (a * 137 + x) % 998244353)) % 2001) - 1000 AS wt
+        |  FROM t),
+        |s AS (SELECT doc_id, source, count(*) AS n_tok,
+        |    CAST(sum(wt) AS BIGINT) AS score_num FROM h GROUP BY 1, 2),
+        |sk AS (SELECT doc_id, source,
+        |    CAST(floor(score_num * 1000.0 / n_tok) AS BIGINT) AS ikey FROM s),
+        |b AS (SELECT CAST(count(*) // 4 AS BIGINT) AS k FROM sk),
+        |hist AS (SELECT ikey, count(*) AS c FROM sk GROUP BY 1),
+        |cum AS (SELECT ikey, sum(c) OVER (ORDER BY ikey DESC
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        |thr AS (SELECT min(ikey) AS thr FROM cum, b WHERE cum <= b.k)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ikey >= coalesce(thr.thr, 9223372036854775807)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  floor(sum(CASE WHEN ikey >= coalesce(thr.thr, 9223372036854775807)
+        |    THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+        |    / 10000 AS kept_share
+        |FROM sk, thr GROUP BY 1""".stripMargin,
+    // C26: trailing-window feature assembly — DuckDB's window list()
+    // aggregates in frame order, same as Spark's ordered collect_list
+    "feature_assembly" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    list(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS hist
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  array_to_string(coalesce(hist, []), ',') AS prev5,
+        |  CAST(coalesce(len(hist), 0) AS INT) AS n_prev
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
     // F21: per-source sqrt scores quantized to integers BEFORE the
     // normalization sum, so denom is an exact long and each weight is
     // one double multiply+divide of exact integers on both sides

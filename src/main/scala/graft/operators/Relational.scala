@@ -410,6 +410,31 @@ object Relational {
         col("version"), col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** C26 (round 9): trailing-window feature assembly — the
+    * feature-engineering pattern that turns an event stream into
+    * supervised training examples: for every PURCHASE event, the
+    * user's previous five event types (most recent last) become the
+    * example's sequence feature, with the count of available history.
+    * One user_id exchange carries the whole derivation: collect_list
+    * over the ordered ROWS [-5, -1] frame is deterministic (frame
+    * order = window order), and the label filter applies AFTER the
+    * window so short histories still emit with what exists. At 100 TB
+    * this is the one-pass alternative to the 5-way self-join a naive
+    * "previous k events" query runs — shuffle ∝ events on the natural
+    * key, state ∝ k per row.
+    */
+  def featureAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(-5, -1)
+    Tables.events(spark, dir)
+      .withColumn("hist", collect_list(col("event_type")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        concat_ws(",", col("hist")).as("prev5"),
+        size(col("hist")).as("n_prev"))
+  }
+
   /** C23: Count–Min sketch — the mergeable bounded-memory frequency
     * estimator that pairs with C13's Misra–Gries (which keeps top
     * candidates; CMS answers point queries for ANY key). d=4 rows ×

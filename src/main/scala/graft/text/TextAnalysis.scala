@@ -990,6 +990,48 @@ object TextAnalysis {
   def qualityClassify(spark: SparkSession, dir: String): DataFrame =
     qualityClassifyOn(spark, Tables.documents(spark, dir))
 
+  /** F31 (round 9): classifier-percentile corpus cut — the
+    * "keep the top quartile by model score" step of the
+    * FineWeb-Edu/DCLM-style curation recipe, made EXACT and scalable
+    * by a bounded value histogram instead of a global sort: per-doc
+    * margins quantize to an integer key (floor(score·1000/n_tok) —
+    * range ≤ ±10⁶, so the key histogram is a BOUNDED table at any
+    * corpus size, the C23 argument), the cumulative-from-top sum over
+    * that small table picks the largest key block whose total fits
+    * the top-quartile budget (boundary bucket excluded — the
+    * documented convention every histogram-based selection uses), and
+    * the kept set is a broadcast scalar-threshold filter. Two corpus
+    * passes (score, filter+report), no global per-doc sort anywhere;
+    * the only windowed frame is the histogram (∝ key range, not docs).
+    */
+  def qualityCut(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(words).as("w"))
+      .withColumn("wt",
+        pmod(graft.functions.DualPolyHash.column(spark, col("w")), lit(2001L))
+          - lit(1000L))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("score_num"))
+      .withColumn("ikey",
+        floor(col("score_num") * 1000.0 / col("n_tok")).cast("long"))
+    val budget = scored.agg((count(lit(1)) / 4).cast("long").as("k"))
+    val hist = scored.groupBy(col("ikey")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("ikey").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = hist.crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("k"))
+      .agg(min(col("ikey")).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("kept",
+        col("ikey") >= coalesce(col("thr"), lit(Long.MaxValue)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_share",
+        floor(col("n_kept") / col("n_docs").cast("double") * 1e4 + 0.5) / 1e4)
+  }
+
   private[graft] def qualityClassifyOn(spark: SparkSession, docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(words).as("w"))
