@@ -43,6 +43,7 @@ object SparkEntry {
     "stream_seq_pack" -> (streaming.StreamOps.seqPackStreamed _),
     "stream_alerts" -> (streaming.StreamOps.alertsStreamed _),
     "stream_scd2" -> (streaming.StreamOps.scd2Streamed _),
+    "stream_features" -> (streaming.StreamOps.featuresStreamed _),
     "index_churn" -> (index.IndexQueries.indexChurn _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
@@ -2974,6 +2975,19 @@ object SparkEntry {
     // C26: trailing-window feature assembly — DuckDB's window list()
     // aggregates in frame order, same as Spark's ordered collect_list
     "feature_assembly" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    list(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS hist
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  array_to_string(coalesce(hist, []), ',') AS prev5,
+        |  CAST(coalesce(len(hist), 0) AS INT) AS n_prev
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // H23: the streamed per-user rolling history ≡ the batch trailing
+    // window verbatim — same oracle as C26
+    "stream_features" ->
       """WITH w AS (
         |  SELECT event_id, user_id, event_type,
         |    list(event_type) OVER (PARTITION BY user_id

@@ -65,6 +65,19 @@ case class Scd2State(attr: String, since_us: Long, version: Long)
 case class Scd2Out(user_id: Long, attr: String, valid_from_us: Long,
     valid_to_us: Long, version: Long)
 
+/** H23: one event on the online-feature stream. */
+case class FeatIn(user_id: Long, event_id: Long, typ: String, us: Long,
+    ts: java.sql.Timestamp)
+
+/** H23 per-user rolling history: the last ≤5 event types, most recent
+  * LAST — O(k) checkpointed state per user (the online feature store's
+  * per-entity row). */
+case class FeatState(hist: Seq[String])
+
+/** H23 emission: a training example assembled AT the label event. */
+case class FeatOut(event_id: Long, user_id: Long, prev5: String,
+    n_prev: Int)
+
 /** Structured Streaming ingest path (SURVEY.md §2.H) — the Spark
   * analog of the reference's WAL → MemIndex maintenance
   * (/root/reference/src/index/index_server.cpp add_series + commit):
@@ -1138,6 +1151,69 @@ object StreamOps extends Serializable {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** H23: ONLINE feature assembly — C26's trailing-window features
+    * maintained as a live per-entity state (the online feature store
+    * loop): each user's rolling last-5 event types live in
+    * flatMapGroupsWithState (O(k) checkpointed state per user); a
+    * PURCHASE arrival emits the training example with whatever history
+    * exists AT that moment, then every event (label or not) advances
+    * the history. Emissions over an in-order replay equal the batch
+    * window derivation verbatim — the batch/online feature-parity
+    * property (training-serving skew zero by construction) that
+    * feature platforms advertise, here an actual gated identity.
+    */
+  def streamingFeatures(ev: Dataset[FeatIn]): Dataset[FeatOut] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FeatState, FeatOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var h = state.getOption.map(_.hist).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FeatOut]
+          rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+            if (r.typ == "purchase")
+              out += FeatOut(r.event_id, uid, h.mkString(","), h.length)
+            h = (h :+ r.typ).takeRight(5)
+          }
+          state.update(FeatState(h))
+          out.iterator
+      }
+  }
+
+  private val featRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H23, oracle-gated: events replay in 4 event-time quartile
+    * micro-batches through [[streamingFeatures]]; the appended
+    * examples must equal C26's batch window derivation verbatim
+    * (same oracle) — histories span micro-batch boundaries, which is
+    * exactly what the checkpointed per-user state is for.
+    */
+  def featuresStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = featRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h23_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h23_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val ev = graft.Tables.events(spark, dir).select(
+        col("user_id"), col("event_id"), col("event_type").as("typ"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      landOrdered(ev, Seq("ts", "event_id"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingFeatures(stream.as[FeatIn])
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table)
   }
 
   private val scd2Runs =
