@@ -61,17 +61,16 @@ object IndexQueries {
     */
   def indexChurn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = idx(spark, dir).seriesCatalog.select(
-      date_format(col("min_ts"), "yyyy-MM-dd").as("first_day"),
-      date_format(col("max_ts"), "yyyy-MM-dd").as("last_day"))
-    val born = s.groupBy(col("first_day").as("day"))
-      .agg(count(lit(1)).as("born"))
-    val died = s.groupBy(col("last_day").as("day"))
-      .agg(count(lit(1)).as("died"))
-    born.join(died, Seq("day"), "full_outer")
-      .select(col("day"),
-        coalesce(col("born"), lit(0L)).as("born"),
-        coalesce(col("died"), lit(0L)).as("died"))
+    // each series contributes one birth row and one death row; a
+    // single day groupBy replaces the born⋈died full-outer join (which
+    // would be the plan's only SortMergeJoin, over ~30-row sides)
+    val s = idx(spark, dir).seriesCatalog.select(explode(array(
+      struct(date_format(col("min_ts"), "yyyy-MM-dd").as("day"),
+        lit(1L).as("b"), lit(0L).as("d")),
+      struct(date_format(col("max_ts"), "yyyy-MM-dd").as("day"),
+        lit(0L).as("b"), lit(1L).as("d")))).as("x"))
+    s.groupBy(col("x.day").as("day"))
+      .agg(sum(col("x.b")).as("born"), sum(col("x.d")).as("died"))
       .withColumn("open_after",
         sum(col("born") - col("died")).over(
           Window.orderBy(col("day"))
