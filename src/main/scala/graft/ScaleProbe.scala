@@ -177,6 +177,10 @@ object ScaleProbe {
     // fingerprint scan + chunk-bucket join; twins recur per replica so
     // true-pair structure stays linear)
     t("line_dedup")(dedup.Dedup.lineDedupOn(dbig))
+    // keep-first paragraph dedup: one window shuffle on the paragraph
+    // text + one doc groupBy (replicas share every paragraph, so the
+    // window groups grow ∝ factor — the worst case for the shape)
+    t("paragraph_dedup")(dedup.Dedup.paragraphDedupOn(dbig))
     t("phash_dedup")(multimodal.Multimodal.phashDedupOn(
       dbig.select(col("doc_id"), col("text"))))
     // round-5 batch 3/4: the trigram two-level aggregate (document
@@ -205,6 +209,8 @@ object ScaleProbe {
     // k-center loop (k passes of least()-folded dots + TakeOrdered
     // top-1 — growth ∝ k·N dots, zero pairwise shuffle)
     t("scd2_versions")(operators.Relational.scd2On(big))
+    // the bounded-frame collect_list window (state ∝ k per row)
+    t("feature_assembly")(operators.Relational.featureAssemblyOn(big))
     t("substr_windows")(dedup.Dedup.substringDensityOn(
       dbig.select(col("doc_id"), col("text").as("t"))))
     t("kcenter_greedy")(similarity.Ann.kcenterProbe(spark,

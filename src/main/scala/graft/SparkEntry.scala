@@ -32,6 +32,7 @@ object SparkEntry {
     "stream_quality_route" -> (streaming.StreamOps.qualityRouteStreamed _),
     "stream_embed_ingest" -> (streaming.StreamOps.embedIngestStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
+    "stream_wm_dedup" -> (streaming.StreamOps.wmDedupStreamed _),
     "stream_topk" -> (streaming.StreamOps.topkStreamed _),
     "stream_series_state" -> (streaming.StreamOps.trackSeriesStreamed _),
     "stream_histq" -> (streaming.StreamOps.histogramQuantileStreamed _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "dedup_bloom" -> (dedup.Dedup.bloomDedup _),
     "dedup_containment" -> (dedup.Dedup.containment _),
     "dedup_lines" -> (dedup.Dedup.lineDedup _),
+    "dedup_paragraph" -> (dedup.Dedup.paragraphDedup _),
     "dedup_editdist" -> (dedup.Dedup.editDistPairs _),
     "dedup_substring" -> (dedup.Dedup.substringDensity _),
     "text_cdc" -> (text.TextAnalysis.cdcChunks _),
@@ -177,6 +179,10 @@ object SparkEntry {
     "io_retention" -> (sources.Io.retentionRead _),
     "io_timetravel" -> (sources.Io.timetravelRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
+    "io_history" -> (sources.Io.historyRead _),
+    "io_clone" -> (sources.Io.cloneRead _),
+    "io_vacuum" -> (sources.Io.vacuumRead _),
+    "io_stream_sink" -> (streaming.StreamOps.tableSinkStreamed _),
     "text_normalize" -> (text.TextAnalysis.textNormalize _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
@@ -199,12 +205,14 @@ object SparkEntry {
     "ann_bq" -> (similarity.Ann.bqTopk _),
     "ann_mrl_full" -> (similarity.Ann.mrlFull _),
     "ann_kcenter" -> (similarity.Ann.kcenterSample _),
+    "ann_mmr" -> (similarity.Ann.mmrRerank _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
     "text_quality" -> (text.TextAnalysis.quality _),
     "text_tokencount" -> (text.TextAnalysis.tokenCount _),
     "text_fingerprint" -> (text.TextAnalysis.fingerprint _),
     "text_repetition" -> (text.TextAnalysis.repetition _),
+    "text_gopher_rep" -> (text.TextAnalysis.gopherRepetition _),
     "text_decontaminate" -> (text.TextAnalysis.decontaminate _),
     "text_lm_score" -> (text.TextAnalysis.lmScore _),
     "seq_pack" -> (text.TextAnalysis.seqPack _),
@@ -823,6 +831,13 @@ object SparkEntry {
     // dedup dropped every duplicate and nothing else
     "stream_dedup" ->
       """SELECT event_type AS typ, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    // H24: watermark-bounded dedup of the doubled ordered replay must
+    // reproduce the batch distinct set (= the original events) exactly
+    "stream_wm_dedup" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
         |FROM events GROUP BY 1""".stripMargin,
     // H5: the watermarked stream-stream interval join's appended pair
     // table, re-aggregated per error (static error set re-enters the
@@ -1879,6 +1894,7 @@ object SparkEntry {
         |       WHEN rn > 1 THEN 'dup_batch' ELSE 'kept' END AS verdict
         |FROM r""".stripMargin,
     "ann_kcenter" -> kcenterSql,
+    "ann_mmr" -> mmrSql,
     "dedup_minhash" -> exactJaccardSql,
     "dedup_ngram_jaccard" -> exactJaccardSql,
     // D9: the oracle takes the exhaustive ordered-pair route over the
@@ -2013,6 +2029,57 @@ object SparkEntry {
         |  FROM src
         |  WHERE us < 1705795200000000 AND typ = 'purchase' GROUP BY 3)
         |SELECT * FROM i1 UNION ALL SELECT * FROM d2""".stripMargin,
+    // I16: table history — each version's row count ≡ its source cut
+    "io_history" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, epoch_us(ts) AS us FROM events),
+        |v0 AS (SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows
+        |  FROM src WHERE us < 1704931200000000),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows
+        |  FROM src WHERE us < 1705795200000000),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows
+        |  FROM src WHERE us < 1705795200000000 AND typ <> 'purchase')
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1
+        |UNION ALL SELECT * FROM v2""".stripMargin,
+    // I17: shallow clone + COW divergence — clone_v0 ≡ the source's v2
+    // cut; the clone then deletes views (clone_v1) while the source
+    // still serves them (src_v2): clone/source isolation
+    "io_clone" ->
+      """WITH base AS (
+        |  SELECT event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE epoch_us(ts) < 1705795200000000
+        |    AND event_type <> 'purchase'),
+        |c0 AS (SELECT 'clone_v0' AS rel, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM base GROUP BY 2),
+        |c1 AS (SELECT 'clone_v1' AS rel, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM base WHERE typ <> 'view' GROUP BY 2),
+        |s2 AS (SELECT 'src_v2' AS rel, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM base GROUP BY 2)
+        |SELECT * FROM c0 UNION ALL SELECT * FROM c1
+        |UNION ALL SELECT * FROM s2""".stripMargin,
+    // I18: vacuum retained only the latest version; its read-back must
+    // still reproduce the source cut exactly (GC removed only orphans)
+    "io_vacuum" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events
+        |WHERE epoch_us(ts) < 1705795200000000
+        |  AND event_type <> 'purchase'
+        |GROUP BY 1""".stripMargin,
+    // I19: exactly-once streaming sink into the commit-log table —
+    // every micro-batch delivered TWICE, retries must no-op, latest
+    // version ≡ the batch aggregation over the source
+    "io_stream_sink" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // F28: NFC normalization — decomposed e+U+0301 injected on both
     // sides must recompose identically; whitespace collapsed both sides
     "text_normalize" ->
@@ -2183,6 +2250,24 @@ object SparkEntry {
         |                            THEN 1 ELSE 0 END)) / count(*) * 10000
         |    + 0.5) / 10000 AS keep_ratio
         |FROM l0 GROUP BY 1, 2""".stripMargin,
+    // D15: keep-first paragraph dedup — first occurrence by (doc_id,
+    // pos) survives; later exact repeats are dropped and each doc is
+    // reassembled from its surviving 8-word chunks in original order
+    "dedup_paragraph" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, w,
+        |    unnest(range(0, ((len(w)-1)//8) + 1)) AS pos FROM d),
+        |p AS (SELECT doc_id, pos,
+        |    array_to_string(w[pos*8+1 : pos*8+8], ' ') AS par FROM p0),
+        |r AS (SELECT doc_id, pos, par, row_number()
+        |    OVER (PARTITION BY par ORDER BY doc_id, pos) AS rn FROM p)
+        |SELECT doc_id, count(*) AS n_pars,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN par END, ' '
+        |    ORDER BY pos), '') AS text_kept
+        |FROM r GROUP BY 1""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2652,6 +2737,39 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-z]+|[^a-z ]')) AS n_bpeish,
         |  length(text) AS n_chars_m
         |FROM documents""".stripMargin,
+    // F32: Gopher char-fraction repetition — top word-2-gram coverage
+    // (ties to smallest gram) + duplicated word-5-gram coverage, both
+    // count·len capped at 1.0; flags computed from the ROUNDED fracs
+    "text_gopher_rep" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    length(text) AS n_chars FROM documents),
+        |g2 AS (SELECT doc_id, n_chars,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> array_to_string(w[i:i+1], ' '))) AS g
+        |  FROM d WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, n_chars, g, count(*) AS c
+        |  FROM g2 GROUP BY 1, 2, 3),
+        |t2 AS (SELECT doc_id, n_chars, g AS top2,
+        |    c * length(g) AS top2_chars
+        |  FROM c2 QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, g) = 1),
+        |g5 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 3),
+        |      i -> array_to_string(w[i:i+4], ' '))) AS g
+        |  FROM d WHERE len(w) >= 5),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d5 AS (SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT)
+        |    AS dup5_chars FROM c5 GROUP BY 1),
+        |f AS (SELECT t2.doc_id, top2,
+        |    floor(least(top2_chars * 1.0 / n_chars, 1.0) * 10000 + 0.5)
+        |      / 10000 AS top2_frac,
+        |    floor(least(COALESCE(dup5_chars, 0) * 1.0 / n_chars, 1.0)
+        |      * 10000 + 0.5) / 10000 AS dup5_frac
+        |  FROM t2 LEFT JOIN d5 ON d5.doc_id = t2.doc_id)
+        |SELECT doc_id, top2, top2_frac, dup5_frac,
+        |  (top2_frac > 0.2 OR dup5_frac > 0.6) AS flagged
+        |FROM f""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
@@ -4374,6 +4492,50 @@ object SparkEntry {
       (2 to k).map(r => s"SELECT CAST($r AS BIGINT) AS pick, vec_id, " +
         s"floor(dist * 10000 + 0.5) / 10000 AS dist FROM p$r")
     sb ++= picks.mkString("", "\nUNION ALL ", "")
+    sb.toString
+  }
+
+  // E15 MMR replay: candidate top-16 per query, then the k=4 greedy
+  // unrolled (MATERIALIZED, the kcenterSql discipline — inlining would
+  // re-evaluate the chain 2^k times). λ = 1/2 keeps scores dyadic.
+  private val mmrSql: String = {
+    val k = 4
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.u[i] * $b.u[i]))"
+    val sb = new StringBuilder
+    sb ++= """WITH v AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |uu AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(e, x -> floor(x / nrm * 1048576.0 + 0.5) / 1048576.0)
+      |      AS u FROM n),
+      |qq AS MATERIALIZED (SELECT vec_id AS qid, u FROM uu
+      |  WHERE vec_id % 97 = 0),
+      |""".stripMargin
+    sb ++= s"cand0 AS MATERIALIZED (SELECT qq.qid, d.vec_id, d.u AS u, " +
+      s"${dot("qq", "d")} AS rel FROM qq, uu d WHERE d.vec_id <> qq.qid),\n"
+    sb ++= "cand AS MATERIALIZED (SELECT qid, vec_id, u, rel FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY rel DESC, vec_id) AS rn FROM cand0) WHERE rn <= 16),\n"
+    sb ++= "m0 AS MATERIALIZED (SELECT qid, vec_id, u, rel, " +
+      "0.0 AS ms FROM cand),\n"
+    for (r <- 1 to k) {
+      sb ++= s"s$r AS MATERIALIZED (SELECT qid, vec_id, u, " +
+        s"0.5*rel - 0.5*ms AS score FROM m${r - 1} " +
+        s"QUALIFY row_number() OVER (PARTITION BY qid " +
+        s"ORDER BY 0.5*rel - 0.5*ms DESC, vec_id) = 1)" +
+        (if (r < k) ",\n" else "\n")
+      if (r < k)
+        sb ++= s"m$r AS MATERIALIZED (SELECT m.qid, m.vec_id, m.u, m.rel, " +
+          s"greatest(m.ms, ${dot("m", "s")}) AS ms " +
+          s"FROM m${r - 1} m JOIN s$r s " +
+          s"ON s.qid = m.qid AND s.vec_id <> m.vec_id),\n"
+    }
+    sb ++= (1 to k).map(r => s"SELECT qid, CAST($r AS BIGINT) AS pick, " +
+      s"vec_id, floor(score * 10000 + 0.5) / 10000 AS score FROM s$r")
+      .mkString("", "\nUNION ALL ", "")
     sb.toString
   }
 

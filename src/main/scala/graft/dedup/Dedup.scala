@@ -791,6 +791,51 @@ object Dedup {
           + lit(0.5)) / lit(1e4))
   }
 
+  /** D15 (round 9): exact paragraph dedup with keep-first-occurrence
+    * reassembly — the MassiveText/RefinedWeb pass BETWEEN document
+    * dedup (D1) and boilerplate thresholding (D11): a paragraph whose
+    * exact text already appeared anywhere earlier in the corpus (by
+    * (doc_id, position) order) is removed from the LATER document,
+    * and each document is reassembled from its surviving paragraphs
+    * in original order. Unlike D11 this is a global first-writer-wins
+    * dedup (every paragraph survives exactly once corpus-wide), not a
+    * frequency filter — and the output is the rewritten corpus, not a
+    * per-doc score. The corpus text is whitespace-only, so paragraphs
+    * are synthesized as consecutive 8-word chunks; ~5% repeat
+    * organically at sf0.01, so the keep-first rule does real work
+    * without planted duplicates.
+    *
+    * Scale shape: one shuffle on the paragraph text for the
+    * first-occurrence window, one groupBy doc_id for reassembly —
+    * both key-partitioned, no joins. At 100 TB the window key becomes
+    * a 64-bit paragraph hash (8-byte shuffle rows) with the D8
+    * hash-then-confirm discipline on flagged groups, and reassembly
+    * rides the natural doc partitioning.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupOn(Tables.documents(spark, dir))
+
+  /** DataFrame-generic paragraph dedup; input needs (doc_id, text). */
+  def paragraphDedupOn(docs: DataFrame): DataFrame = {
+    val pars = docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("pos", explode(sequence(lit(0), expr("(size(w)-1) div 8"))))
+      .select(col("doc_id"), col("pos"),
+        expr("array_join(slice(w, pos*8+1, 8), ' ')").as("par"))
+    val firstW = Window.partitionBy(col("par"))
+      .orderBy(col("doc_id"), col("pos"))
+    pars
+      .withColumn("rn", row_number().over(firstW))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pars"),
+        sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        // collect_list drops the nulls (the deduped paragraphs);
+        // struct sort restores document order before the join
+        array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("pos"), col("par"))))),
+          x => x.getField("par")), " ").as("text_kept"))
+  }
+
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val i4 = pmod((col("doc_id") / 5).cast("long"), lit(4))

@@ -423,11 +423,16 @@ object Relational {
     * "previous k events" query runs — shuffle ∝ events on the natural
     * key, state ∝ k per row.
     */
-  def featureAssembly(spark: SparkSession, dir: String): DataFrame = {
+  def featureAssembly(spark: SparkSession, dir: String): DataFrame =
+    featureAssemblyOn(Tables.events(spark, dir))
+
+  /** DataFrame-generic assembly; input needs (user_id, event_id,
+    * event_type, ts). Exposed for the scale probe. */
+  def featureAssemblyOn(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")), col("event_id"))
       .rowsBetween(-5, -1)
-    Tables.events(spark, dir)
+    events
       .withColumn("hist", collect_list(col("event_type")).over(w))
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),

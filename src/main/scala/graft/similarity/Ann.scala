@@ -396,6 +396,80 @@ object Ann {
   def kcenterProbe(spark: SparkSession, vecs: DataFrame, k: Int): DataFrame =
     kcenterOn(spark, kcenterUnit(spark, vecs).cache(), k)
 
+  /** E15 (round 9): MMR — Maximal Marginal Relevance diversity
+    * re-ranking (Carbonell & Goldstein, SIGIR'98), the standard RAG
+    * serving pass that trades pure relevance for coverage: for each
+    * query, from its top-C relevance candidates greedily pick k docs
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), λ = 1/2.
+    *
+    * Split mirrors production vector serving: candidate generation is
+    * the DISTRIBUTED stage (one corpus scan per query batch — the
+    * broadcast query set rides the E1 exact top-C shape, or any ANN
+    * path at scale), while the greedy runs on the collected candidate
+    * set, which is |Q|·C rows BY CONSTRUCTION (the bound every
+    * re-ranker relies on — re-rank state never scales with the
+    * corpus). Determinism is the kcenter discipline: 2⁻²⁰-quantized
+    * unit vectors make every dot (rel and pairwise sim) an exact
+    * dyadic rational, λ = 1/2 keeps scores dyadic, ties break to the
+    * smaller vec_id, summation is index-ordered on all three engines
+    * (VecDot, the driver fold, DuckDB list_sum) — so the DuckDB
+    * oracle replays the greedy bit-for-bit via unrolled MATERIALIZED
+    * CTEs. AnnMipsSpec pins the λ=1 degenerate identity (pure
+    * relevance ranking) and the diversity property at λ=1/2.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val u = graft.Memo.cached(spark, s"ann.kcenter_u:$dir") {
+      kcenterUnit(spark, Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v")))
+    }
+    mmrOn(spark, u, candN = 16, k = 4, lamNum = 1, lamDen = 2)
+  }
+
+  /** Candidate generation (distributed) + bounded greedy; `u` needs
+    * (vec_id, u) unit vectors. λ = lamNum/lamDen (dyadic). */
+  private[graft] def mmrOn(spark: SparkSession, u: DataFrame, candN: Int,
+      k: Int, lamNum: Int, lamDen: Int): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
+    val lam = lamNum.toDouble / lamDen
+    val q = u.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = u.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("rel", call_function("vec_dot", col("u"), col("qu")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= candN)
+      .select(col("qid"), col("vec_id"), col("u"), col("rel"))
+    // |Q|·candN rows by construction — the re-ranker's contract
+    val rows = cand.collect()
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val out = rows.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rs) =>
+      var remaining = rs.toVector.map(r =>
+        (r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))
+      val maxSim = collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      var picked = Vector.empty[(Long, Double)]
+      for (_ <- 1 to k if remaining.nonEmpty) {
+        val best = remaining.minBy { case (id, _, rel) =>
+          (-(lam * rel - (1 - lam) * maxSim(id)), id) }
+        picked :+= ((best._1, lam * best._3 - (1 - lam) * maxSim(best._1)))
+        remaining = remaining.filterNot(_._1 == best._1)
+        remaining.foreach { case (id, uu, _) =>
+          val s = dot(uu, best._2)
+          if (s > maxSim(id)) maxSim(id) = s
+        }
+      }
+      picked.zipWithIndex.map { case ((id, s), i) =>
+        (qid, (i + 1).toLong, id, math.floor(s * 1e4 + 0.5) / 1e4) }
+    }
+    import spark.implicits._
+    out.toDF("qid", "pick", "vec_id", "score")
+  }
+
   /** E6: maximum-inner-product search (MIPS) — exact top-5 by RAW
     * inner product, the retrieval scoring dual-encoder models train
     * for (unnormalized dot: magnitude carries relevance, so cosine

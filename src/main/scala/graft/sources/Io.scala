@@ -534,6 +534,18 @@ object Io {
     txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  // A commit entry is normally table-root-relative (`data/<tag>/<part>`);
+  // a SHALLOW CLONE commit references the source table's files by
+  // absolute path, so resolution passes absolute/URI entries through.
+  private def resolve(table: String, f: String): String =
+    if (f.startsWith("/") || f.contains("://")) f else s"$table/$f"
+
+  // The trailing `data/<tag>/<part>` segment of a commit entry (or an
+  // input_file_name): part files carry writer UUIDs, so this segment
+  // identifies an entry even when it is an absolute clone reference.
+  private val trailRe = "data/[^/]+/[^/]+$".r
+  private def trail(f: String): String = trailRe.findFirstIn(f).getOrElse(f)
+
   /** Latest committed version, or -1 for an empty table. */
   def tableVersion(spark: SparkSession, table: String): Long = {
     val fs = fsFor(spark, table)
@@ -566,6 +578,32 @@ object Io {
     v
   }
 
+  /** I19: idempotent append for exactly-once STREAMING sinks — commit
+    * version k carries exactly micro-batch k's files (plus priors by
+    * reference), and re-delivery of an already-committed batch is a
+    * no-op: the Delta `txnAppId`/`txnVersion` transactional-write
+    * contract that turns foreachBatch's at-least-once into
+    * exactly-once. Crash-safe: a retry after landing but before the
+    * commit re-lands (mode overwrite) and commits once; orphans from
+    * abandoned attempts are [[vacuumTable]] food. Returns whether this
+    * delivery committed.
+    */
+  def tableAppendIdempotent(df: DataFrame, table: String,
+      batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val v = tableVersion(spark, table)
+    if (v >= batchId) false
+    else {
+      require(v == batchId - 1,
+        s"batch $batchId delivered before batch ${batchId - 1} committed at $table")
+      val prior = if (batchId == 0) Seq.empty
+        else readCommit(spark, table, batchId - 1)
+      writeCommit(spark, table, batchId,
+        prior ++ landData(df, table, s"c$batchId"))
+      true
+    }
+  }
+
   /** Copy-on-write DELETE: rows matching `pred` disappear from the NEW
     * version only. Touched-file discovery is a distributed scan (which
     * files actually hold matching rows); only those are rewritten
@@ -579,21 +617,23 @@ object Io {
     val v = tableVersion(spark, table)
     require(v >= 0, s"no table at $table")
     val files = readCommit(spark, table, v)
-    val cur = spark.read.parquet(files.map(f => s"$table/$f"): _*)
-    // relative path of each scanned row's source file: the trailing
-    // data/<tag>/<part> segments of input_file_name (collect is ∝
-    // #touched files — metadata-scale, same class as the commit log)
+    val cur = spark.read.parquet(files.map(resolve(table, _)): _*)
+    // trailing data/<tag>/<part> segment of each scanned row's source
+    // file (collect is ∝ #touched files — metadata-scale, same class
+    // as the commit log); matched back to entries via trail() so
+    // clone-referenced absolute entries are rewritable too
     val relFile = regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
     val touched = cur.filter(pred).select(relFile.as("f"))
       .distinct().collect().map(_.getString(0)).toSet
     val nv = v + 1
+    val touchedFull = files.filter(f => touched(trail(f)))
     val rewritten =
-      if (touched.isEmpty) Seq.empty
+      if (touchedFull.isEmpty) Seq.empty
       else landData(
-        spark.read.parquet(touched.map(f => s"$table/$f").toSeq: _*)
+        spark.read.parquet(touchedFull.map(resolve(table, _)): _*)
           .filter(!pred), table, s"c$nv")
     writeCommit(spark, table, nv,
-      files.filterNot(touched) ++ rewritten)
+      files.filterNot(f => touched(trail(f))) ++ rewritten)
     nv
   }
 
@@ -603,7 +643,59 @@ object Io {
       version: Long): DataFrame = {
     val files = readCommit(spark, table, version)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    else spark.read.parquet(files.map(resolve(table, _)): _*)
+  }
+
+  /** I17: SHALLOW CLONE — a new table whose first commit references the
+    * source table's CURRENT files by absolute path: zero data copied,
+    * one metadata write at any table size (Delta SHALLOW CLONE /
+    * Iceberg snapshot-ref semantics). Because data files are immutable
+    * and mutations are COW, the clone and the source then diverge
+    * freely — a delete on the clone rewrites into the CLONE's own data
+    * dir and the source's files are never touched (and vice versa).
+    */
+  def tableClone(spark: SparkSession,
+      srcTable: String, dstTable: String): Long = {
+    val v = tableVersion(spark, srcTable)
+    require(v >= 0, s"no table at $srcTable")
+    require(tableVersion(spark, dstTable) == -1L,
+      s"$dstTable already exists (clone target must be fresh)")
+    writeCommit(spark, dstTable, 0L,
+      readCommit(spark, srcTable, v).map(resolve(srcTable, _)))
+    0L
+  }
+
+  /** I18: VACUUM — physical GC of the commit-log table: data files not
+    * referenced by any RETAINED commit (≥ `retainFrom`) are deleted and
+    * the expired commits removed, after which every retained version
+    * must still read exactly as before (liveness is defined by the log,
+    * never by directory listing). Cost: one listing of data/ + the
+    * retained commit fetches — metadata-scale. Returns the number of
+    * orphan data files removed.
+    */
+  def vacuumTable(spark: SparkSession, table: String,
+      retainFrom: Long): Long = {
+    val fs = fsFor(spark, table)
+    val latest = tableVersion(spark, table)
+    require(retainFrom >= 0 && retainFrom <= latest,
+      s"retainFrom $retainFrom out of range [0, $latest] at $table")
+    val live = (retainFrom to latest)
+      .flatMap(readCommit(spark, table, _)).map(trail).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(table, "data")
+    var removed = 0L
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { tag =>
+      fs.listStatus(tag.getPath).filter(_.isFile).foreach { st =>
+        val rel = s"data/${tag.getPath.getName}/${st.getPath.getName}"
+        if (st.getPath.getName.startsWith("part-") && !live(rel)) {
+          fs.delete(st.getPath, false); removed += 1
+        }
+      }
+    }
+    (0L until retainFrom).foreach { ver =>
+      fs.delete(new org.apache.hadoop.fs.Path(table,
+        f"_commits/$ver%08d.commit"), false)
+    }
+    removed
   }
 
   /** I15: CHANGE DATA FEED between two committed versions, computed
@@ -622,7 +714,8 @@ object Io {
     val to = readCommit(spark, table, toV).toSet
     def readSet(fs: Set[String]): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(spark.read.parquet(fs.toSeq.sorted.map(f => s"$table/$f"): _*))
+      else Some(spark.read.parquet(
+        fs.toSeq.sorted.map(f => resolve(table, f)): _*))
     (readSet(from -- to), readSet(to -- from)) match {
       case (None, None) => spark.emptyDataFrame
       case (None, Some(add)) =>
@@ -674,23 +767,102 @@ object Io {
     agg(0L).unionByName(agg(1L))
   }
 
+  /** I16, oracle-gated: table HISTORY — the DESCRIBE HISTORY
+    * introspection of the commit-log table: every committed version
+    * with its row count, each read through its own commit's file list
+    * (so the listing is itself a set of time-travel reads — v0/v1
+    * counts must still be servable after v2's COW delete). The oracle
+    * replays each version's cut from the source.
+    */
+  def historyRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = ttTable(spark, dir)
+    (0L to tableVersion(spark, table)).map { v =>
+      readTableVersion(spark, table, v)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v).as("version"), col("n_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   private def ttTable(spark: SparkSession, dir: String): String =
     ttRuns.computeIfAbsent((spark, dir), _ => {
       val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
       val t = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_io_tt_" + fp).toString
-      fsFor(spark, t).delete(new org.apache.hadoop.fs.Path(t), true)
-      val raw = Tables.eventsRaw(spark, dir)
-      val flat = raw.select(col("event_id"),
-        unix_micros(Tables.tsCol(raw)).as("us"),
-        col("event_type").as("typ"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      tableAppend(flat.filter(col("us") < 1704931200000000L), t)       // ≤ 01-10
-      tableAppend(flat.filter(col("us") >= 1704931200000000L &&
-        col("us") < 1705795200000000L), t)                             // 01-11..20
-      tableDeleteWhere(spark, t, col("typ") === "purchase")
+      buildEventsTable(spark, dir, t)
       t
     })
+
+  // the shared 3-commit fixture: v0 creates (days ≤ 01-10), v1 appends
+  // (01-11..20), v2 copy-on-write-deletes the purchase rows
+  private def buildEventsTable(spark: SparkSession, dir: String,
+      t: String): Unit = {
+    fsFor(spark, t).delete(new org.apache.hadoop.fs.Path(t), true)
+    val raw = Tables.eventsRaw(spark, dir)
+    val flat = raw.select(col("event_id"),
+      unix_micros(Tables.tsCol(raw)).as("us"),
+      col("event_type").as("typ"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    tableAppend(flat.filter(col("us") < 1704931200000000L), t)       // ≤ 01-10
+    tableAppend(flat.filter(col("us") >= 1704931200000000L &&
+      col("us") < 1705795200000000L), t)                             // 01-11..20
+    tableDeleteWhere(spark, t, col("typ") === "purchase")
+  }
+
+  private val cloneRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val vacRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I17, oracle-gated: shallow clone + divergence — the clone of the
+    * I14 table (at its COW-deleted v2) is read back at its own v0
+    * (must ≡ the source's v2 cut, served purely through the absolute
+    * file references — zero bytes copied at clone time), then the
+    * CLONE alone deletes the view rows and both the clone's v1 and the
+    * untouched SOURCE are read back: the oracle replaying all three
+    * cuts from the source table proves clone correctness AND
+    * clone/source isolation under COW divergence.
+    */
+  def cloneRead(spark: SparkSession, dir: String): DataFrame = {
+    val src = ttTable(spark, dir)
+    val cl = cloneRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_clone_" + fp).toString
+      fsFor(spark, t).delete(new org.apache.hadoop.fs.Path(t), true)
+      tableClone(spark, src, t)
+      tableDeleteWhere(spark, t, col("typ") === "view")
+      t
+    })
+    def agg(tag: String, df: DataFrame): DataFrame =
+      df.groupBy(lit(tag).as("rel"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    agg("clone_v0", readTableVersion(spark, cl, 0L))
+      .unionByName(agg("clone_v1", readTableVersion(spark, cl, 1L)))
+      .unionByName(agg("src_v2",
+        readTableVersion(spark, src, tableVersion(spark, src))))
+  }
+
+  /** I18, oracle-gated: vacuum then read — a private 3-commit table is
+    * vacuumed down to its latest version (the COW delete made every
+    * original c0/c1 file an orphan, so the GC does real deletion —
+    * required > 0), then the retained version is read back through the
+    * commit log and must still reproduce the source cut exactly:
+    * liveness comes from the log, and the GC removed only dead files.
+    */
+  def vacuumRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = vacRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_vac_" + fp).toString
+      buildEventsTable(spark, dir, tt)
+      val removed = vacuumTable(spark, tt, retainFrom = 2L)
+      require(removed > 0, s"vacuum removed no orphans at $tt")
+      tt
+    })
+    readTableVersion(spark, t, 2L)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+  }
 
   /** ORC round-trip (second columnar format). */
   def writeOrc(df: DataFrame, path: String): Unit =

@@ -225,6 +225,51 @@ object StreamOps extends Serializable {
     spark.table(table).groupBy(col("typ")).agg(count(lit(1)).as("n"))
   }
 
+  private val wmDedupRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H24, oracle-gated: watermark-BOUNDED streaming dedup
+    * (`dropDuplicatesWithinWatermark`) — the production fix for H8's
+    * unbounded dedup state: a key's dedup state lives only until the
+    * watermark passes its event time, so state size is ∝ the lateness
+    * bound, not the stream's lifetime (the semantics a 100 TB
+    * always-on ingest actually needs). The doubled events replay in
+    * event-time order ([[landOrdered]]); both copies of a row carry
+    * the SAME event time, so they share a part file (equal-ts rows
+    * are never split across parts) and meet well inside the 1 h
+    * bound — the Append-mode first-occurrence set must therefore
+    * equal the batch DISTINCT over the originals, which is what the
+    * DuckDB oracle computes (integer cents — no FP surface).
+    * StreamingSpec pins the eviction bound itself (final state rows
+    * ≪ distinct keys) on a controlled fixture.
+    */
+  def wmDedupStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = wmDedupRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h24_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val ev = raw.select(col("event_id"),
+        graft.Tables.tsCol(raw).as("ts"), col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      landOrdered(ev.unionAll(ev), Seq("ts"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table).groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+  }
+
   private val topkRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -844,6 +889,68 @@ object StreamOps extends Serializable {
       name
     })
     spark.table(table).filter(col("usr") =!= "__flush")
+  }
+
+  private val tsinkRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I19, oracle-gated: the STREAMING SINK into the I14 commit-log
+    * table — foreachBatch commits micro-batch k as table version k via
+    * [[graft.sources.Io.tableAppendIdempotent]], and the gate
+    * simulates at-least-once transport by delivering EVERY batch
+    * twice: the second delivery must no-op (the Delta txnVersion
+    * contract), so the latest version read back through the commit
+    * log must equal the batch aggregation over the source — nothing
+    * dropped, nothing doubled, despite 4 appends and 4 replays. The
+    * table and checkpoint persist across JVMs under the _done-marker
+    * discipline (stream_mv precedent). The final table is ALSO a
+    * valid I14 table — time travel, CDF, history, clone and vacuum
+    * all apply to a stream-built table unchanged.
+    */
+  def tableSinkStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tdir = tsinkRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_i19_" + fp)
+      val table = new java.io.File(base, "table").toString
+      val done = new java.io.File(base, "_done")
+      if (!done.exists()) {
+        if (base.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(base)
+        }
+        val landing = new java.io.File(base, "landing").toString
+        val raw = graft.Tables.eventsRaw(spark, dir)
+        raw.select(col("event_id"), col("event_type").as("typ"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .repartition(4).write.mode("overwrite").parquet(landing)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = stream.writeStream
+          .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val first = graft.sources.Io.tableAppendIdempotent(
+              batch.toDF(), table, batchId)
+            // simulated redelivery: the retry must be a no-op
+            val retry = graft.sources.Io.tableAppendIdempotent(
+              batch.toDF(), table, batchId)
+            require(first && !retry,
+              s"batch $batchId: first=$first retry=$retry — idempotence broken")
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        done.createNewFile()
+      }
+      table
+    })
+    graft.sources.Io.readTableVersion(spark, tdir,
+        graft.sources.Io.tableVersion(spark, tdir))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
   }
 
   /** H3: checkpointed ingest to the lakehouse layout — the WAL analog.

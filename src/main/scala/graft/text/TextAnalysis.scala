@@ -359,6 +359,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_2grams"), col("n_dup"), col("rep_ratio"),
         (col("rep_ratio") > 0.1).as("flagged"))
 
+  /** F32 (round 9): Gopher repetition signals — the CHARACTER-fraction
+    * rules from Rae et al. 2021 §A1.1 that F7's gram-count ratio
+    * doesn't capture: (a) the fraction of a document's characters
+    * covered by occurrences of its single most frequent word 2-gram
+    * (templated spam concentrates mass in ONE gram; ties break to the
+    * lexicographically smallest) and (b) the fraction covered by all
+    * word 5-grams occurring ≥ 2 times (decode loops / boilerplate
+    * blocks). Coverage is count·len(gram) capped at 1.0 — overlap
+    * double-counts deterministically on both engines. Shape: two
+    * per-doc partial aggregations + one window top-1 + a doc-keyed
+    * left join — every shuffle key is doc_id, embarrassingly parallel
+    * over documents at any corpus size.
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_chars", length(col("text")))
+    def grams(n: Int) = explode(expr(
+      s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
+        s"array_join(slice(w, i, $n), ' '))")).as("g")
+    val top2 = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("n_chars"), grams(2))
+      .groupBy(col("doc_id"), col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("c").desc, col("g").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_chars"), col("g").as("top2"),
+        (col("c") * length(col("g"))).as("top2_chars"))
+    val dup5 = docs.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), grams(5))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * length(col("g"))).as("dup5_chars"))
+    top2.join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top2"),
+        (floor(least(col("top2_chars") / col("n_chars"), lit(1.0)) * 1e4
+          + 0.5) / 1e4).as("top2_frac"),
+        (floor(least(coalesce(col("dup5_chars"), lit(0L)) / col("n_chars"),
+          lit(1.0)) * 1e4 + 0.5) / 1e4).as("dup5_frac"))
+      .withColumn("flagged",
+        col("top2_frac") > 0.2 || col("dup5_frac") > 0.6)
+  }
+
   /** F8: benchmark decontamination — the training-data hygiene pass
     * every serious pipeline runs before training: flag corpus documents
     * sharing any word 8-gram with a held-out benchmark/eval set (the

@@ -80,4 +80,26 @@ class AnnMipsSpec extends AnyFunSuite {
     assert(far._1 == picks(1)._2,
       s"round-2 pick ${picks(1)._2} != hand-computed farthest ${far._1}")
   }
+
+  test("E15 MMR: λ=1 is pure relevance; λ=1/2 swaps in the diverse doc") {
+    import spark.implicits._
+    val s3 = math.sqrt(3) / 2
+    val u = Seq(
+      (0L, Seq(1.0, 0.0)),  // query (0 % 97 == 0)
+      (1L, Seq(s3, 0.5)),   // rel .866, exact twin of 2
+      (2L, Seq(s3, 0.5)),
+      (3L, Seq(s3, -0.5)))  // rel .866 but sim to 1/2 only 0.5
+      .toDF("vec_id", "u")
+    def mmrPicks(lamNum: Int, lamDen: Int): Seq[Long] =
+      similarity.Ann.mmrOn(spark, u, candN = 16, k = 3, lamNum, lamDen)
+        .orderBy("pick").collect().map(_.getAs[Long]("vec_id")).toSeq
+    // all three rel are equal (.866): λ=1 breaks ties by id — pure
+    // relevance keeps the duplicate adjacent
+    assert(mmrPicks(1, 1) == Seq(1L, 2L, 3L),
+      "λ=1 must reduce to the relevance ranking")
+    // λ=1/2: after picking 1, the exact twin scores .433-.5 < the
+    // diverse doc's .433-.25 — MMR promotes coverage over redundancy
+    assert(mmrPicks(1, 2) == Seq(1L, 3L, 2L),
+      "λ=1/2 must penalize the duplicate")
+  }
 }

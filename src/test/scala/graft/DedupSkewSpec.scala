@@ -137,4 +137,24 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(injectedShared.nonEmpty,
       "no injected doc shares a window — boilerplate injection vacuous")
   }
+
+  test("D15: paragraph dedup is first-writer-wins with ordered reassembly") {
+    import spark.implicits._
+    def words(tag: String): String = (1 to 8).map(tag + _).mkString(" ")
+    val (a, b, c) = (words("a"), words("b"), words("c"))
+    val docs = Seq(
+      (1L, s"$a $b"),      // introduces A, B
+      (2L, s"$b $c"),      // B already seen → keeps C only
+      (3L, s"$a $a"))      // A seen (doc 1) AND self-repeated → keeps nothing
+      .toDF("doc_id", "text")
+    val out = dedup.Dedup.paragraphDedupOn(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, s"$a $b")), s"doc1=${out(1L)}")
+    assert(out(2L) == ((2L, 1L, c)), s"doc2=${out(2L)}")
+    assert(out(3L) == ((2L, 0L, "")), s"doc3=${out(3L)}")
+    // corpus-level invariant: every distinct paragraph survives exactly once
+    val kept = out.values.map(_._2).sum
+    assert(kept == 3L, s"3 distinct paragraphs must survive, got $kept")
+  }
 }

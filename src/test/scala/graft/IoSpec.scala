@@ -318,4 +318,80 @@ class IoSpec extends AnyFunSuite {
     val vNoop = Io.tableDeleteWhere(spark, t, col("k") === "zzz")
     assert(commitFiles(vNoop) == commitFiles(vNoop - 1))
   }
+
+  test("I17: shallow clone copies no data, diverges under COW, " +
+      "source isolated") {
+    import spark.implicits._
+    val src = s"$tmp/clone_src"
+    val dst = s"$tmp/clone_dst"
+    val d0 = (1 to 80).map(i => (i.toLong, if (i % 4 == 0) "x" else "y"))
+      .toDF("id", "k").repartition(3)
+    Io.tableAppend(d0, src)
+    def dataFiles(t: String): Set[String] = {
+      val d = java.nio.file.Paths.get(t, "data")
+      if (!java.nio.file.Files.exists(d)) Set.empty
+      else {
+        val s = java.nio.file.Files.walk(d)
+        try s.filter(p => p.getFileName.toString.startsWith("part-"))
+          .map[String](_.toString).toArray.map(_.toString).toSet
+        finally s.close()
+      }
+    }
+    assert(Io.tableClone(spark, src, dst) == 0L)
+    // zero copy: the clone holds NO data files of its own, yet serves
+    // the source's content through absolute references
+    assert(dataFiles(dst).isEmpty)
+    assert(Io.readTableVersion(spark, dst, 0L).count() == 80)
+    val srcFilesBefore = dataFiles(src)
+    // clone-side COW delete rewrites into the CLONE's data dir only
+    assert(Io.tableDeleteWhere(spark, dst, col("k") === "x") == 1L)
+    assert(dataFiles(src) == srcFilesBefore,
+      "a clone mutation must never touch the source's files")
+    assert(Io.readTableVersion(spark, dst, 1L).count() == 60)
+    assert(Io.readTableVersion(spark, src, 0L)
+      .filter(col("k") === "x").count() == 20,
+      "source still serves rows the clone deleted")
+    // clone target must be fresh
+    intercept[IllegalArgumentException] {
+      Io.tableClone(spark, src, dst)
+    }
+  }
+
+  test("I19: idempotent append no-ops on redelivery and rejects gaps") {
+    import spark.implicits._
+    val t = s"$tmp/sink"
+    val b0 = (1 to 10).map(i => (i.toLong, "a")).toDF("id", "k")
+    val b1 = (11 to 20).map(i => (i.toLong, "b")).toDF("id", "k")
+    assert(Io.tableAppendIdempotent(b0, t, 0L))
+    assert(!Io.tableAppendIdempotent(b0, t, 0L), "redelivery must no-op")
+    intercept[IllegalArgumentException] {
+      Io.tableAppendIdempotent(b1, t, 2L) // out-of-order delivery
+    }
+    assert(Io.tableAppendIdempotent(b1, t, 1L))
+    assert(Io.readTableVersion(spark, t, 1L).count() == 20)
+    assert(Io.readTableVersion(spark, t, 0L).count() == 10)
+  }
+
+  test("I18: vacuum deletes only unreferenced files, expired versions " +
+      "refuse reads, retained version intact") {
+    import spark.implicits._
+    val t = s"$tmp/vac"
+    val d0 = (1 to 90).map(i => (i.toLong, if (i % 3 == 0) "del" else "keep"))
+      .toDF("id", "k").repartition(3)
+    Io.tableAppend(d0, t)
+    Io.tableDeleteWhere(spark, t, col("k") === "del") // v1: all files rewritten
+    val before = Io.readTableVersion(spark, t, 1L).orderBy("id")
+      .collect().toSeq
+    val removed = Io.vacuumTable(spark, t, retainFrom = 1L)
+    assert(removed == 3, s"the 3 original c0 files became orphans, got $removed")
+    // retained version reads byte-identically after the GC
+    assert(Io.readTableVersion(spark, t, 1L).orderBy("id")
+      .collect().toSeq == before)
+    // expired version is gone from the log
+    intercept[IllegalArgumentException] {
+      Io.readTableVersion(spark, t, 0L)
+    }
+    // idempotent: nothing left to remove
+    assert(Io.vacuumTable(spark, t, retainFrom = 1L) == 0L)
+  }
 }

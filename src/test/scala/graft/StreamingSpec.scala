@@ -434,6 +434,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H24: dropDuplicatesWithinWatermark dedups within the bound " +
+      "and evicts expired state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    def batch(ids: Range, at: Int => Int): Seq[Sample] =
+      ids.flatMap(i => Seq.fill(2)(Sample(i, t(at(i)), "u", "x", 1.0)))
+    val in = MemoryStream[Sample]
+    val q = in.toDF()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("h24_out")
+      .outputMode("append").start()
+    try {
+      in.addData(batch(1 to 50, i => i - 1)); q.processAllAvailable()
+      // cross-batch duplicate of id 50 (still inside the 30 min bound)
+      in.addData(batch(51 to 100, i => i - 1) :+
+        Sample(50, t(49), "u", "x", 1.0))
+      q.processAllAvailable()
+      // watermark pusher: expires every earlier key's dedup state
+      in.addData(Sample(999, t(300), "u", "x", 1.0)); q.processAllAvailable()
+      val out = spark.table("h24_out").groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(out.length == 101, s"expected 101 distinct keys, got ${out.length}")
+      assert(out.forall(_.getLong(1) == 1L), "every key must emit exactly once")
+      val finalState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+      assert(finalState.exists(_ <= 5),
+        s"state must be evicted down to the watermark window, got $finalState")
+    } finally q.stop()
+  }
+
   test("H14: streaming histogram quantiles equal batch B19 after the stream drains") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
