@@ -242,6 +242,7 @@ object SparkEntry {
     "mm_phash_dedup" -> (multimodal.Multimodal.phashDedup _),
     "mm_resize" -> (multimodal.Multimodal.resize _),
     "mm_png" -> (multimodal.Multimodal.pngRoundtrip _),
+    "mm_pairs" -> (multimodal.Multimodal.pairAssembly _),
     // A (SQL surface). The index TVFs driven from PURE SQL — the whole
     // query below is a spark.sql string; the TVF resolves to the same
     // logical plan the Scala builders produce (IndexSql.scala).
@@ -3518,6 +3519,46 @@ object SparkEntry {
     // byte under the mediaTable ASCII contract; the oracle's
     // exhaustive hd<=5 self-join equals the Spark side's 6x10-bit
     // chunk-blocked join by the pigeonhole bound
+    // G9: pair assembly — phash keep-first dedup (the G5 fingerprint
+    // replayed bit-for-bit) + ≥30-word caption floor + shard-local
+    // wraparound negatives within bucket doc_id%16
+    "mm_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |tw AS (SELECT doc_id + 3000000 AS doc_id,
+        |    substring(text, 1, greatest(length(text) - 2, 0)) || 'zz' AS text
+        |  FROM base WHERE doc_id % 20 = 0),
+        |allv AS (SELECT doc_id, text FROM base
+        |         UNION ALL SELECT doc_id, text FROM tw),
+        |f AS (SELECT doc_id,
+        |    list_transform(string_split_regex(text, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT)) AS ca,
+        |    CAST(length(text) AS BIGINT) AS n
+        |  FROM allv),
+        |f2 AS (SELECT doc_id, ca, n,
+        |    coalesce(list_sum(ca), 0) AS tot FROM f),
+        |fp AS (SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN coalesce(list_sum(list_slice(ca,
+        |            CAST((j * n) // 60 + 1 AS INT),
+        |            CAST(((j + 1) * n) // 60 AS INT))), 0) * n
+        |          > tot * (((j + 1) * n) // 60 - (j * n) // 60)
+        |        THEN CAST(1 AS BIGINT) << CAST(59 - j AS INT)
+        |        ELSE 0 END)), 0) AS BIGINT) AS fp
+        |  FROM f2),
+        |removed AS (SELECT DISTINCT b.doc_id FROM fp a JOIN fp b
+        |  ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 5),
+        |kept AS (SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_words FROM allv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+        |    AND len(string_split(text, ' ')) >= 30)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(length(text) % 64 + 1 AS BIGINT) AS img_w,
+        |  CAST(length(text) % 48 + 1 AS BIGINT) AS img_h,
+        |  coalesce(lead(doc_id) OVER (PARTITION BY doc_id % 16
+        |      ORDER BY doc_id),
+        |    min(doc_id) OVER (PARTITION BY doc_id % 16)) AS neg_doc
+        |FROM kept""".stripMargin,
     "mm_phash_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |tw AS (SELECT doc_id + 3000000 AS doc_id,

@@ -526,14 +526,26 @@ object Dedup {
     * documented cross-cluster-straddle blind spot).
     */
   def semanticRemovedOn(spark: SparkSession, e: DataFrame, k: Int,
-      tau: Double, memoKey: Option[String] = None): DataFrame = {
+      tau: Double, memoKey: Option[String] = None,
+      tiles: Int = 8): DataFrame = {
     val cells = graft.similarity.Ann.assignCells(e, k, memoKey = memoKey)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    // Within-cell TILING (the round-9 §7 stretch): a web-scale cluster
+    // can hold millions of vectors, and a bare equi-join on `cell`
+    // funnels that cell's cell²/2 dots through ONE task. Salting the
+    // left side by hash(ia) mod tiles and replicating the right side
+    // across all tiles splits every cell's work over `tiles` tasks —
+    // each (ia, ib) pair still meets EXACTLY once (at ia's salt), so
+    // the result is identical for any tiles ≥ 1 (spec-pinned), and
+    // `tiles` joins k as the second parallelism lever (cost: tiles×
+    // replication of the probe side, the standard salted-join trade).
     val l = cells.select(col("cell"), col("vec_id").as("ia"),
-      col("v").as("va"), col("norm").as("na"))
+        col("v").as("va"), col("norm").as("na"))
+      .withColumn("s", pmod(xxhash64(col("ia")), lit(tiles)).cast("int"))
     val r = cells.select(col("cell"), col("vec_id").as("ib"),
-      col("v").as("vb"), col("norm").as("nb"))
-    l.join(r, Seq("cell")).filter(col("ia") < col("ib"))
+        col("v").as("vb"), col("norm").as("nb"))
+      .withColumn("s", explode(sequence(lit(0), lit(tiles - 1))))
+    l.join(r, Seq("cell", "s")).filter(col("ia") < col("ib"))
       .withColumn("cs",
         round(call_function("vec_dot", col("va"), col("vb")) /
           (col("na") * col("nb")), 4))

@@ -572,6 +572,45 @@ object Multimodal {
       .filter(col("hd") <= 5)
   }
 
+  /** G9 (round 9): contrastive PAIR ASSEMBLY — the LAION/CLIP-style
+    * curation that turns a raw (payload, caption) corpus into aligned
+    * training pairs: (1) payload near-dup removal through the G5
+    * perceptual-hash machinery (keep-first: the larger id of every
+    * hd ≤ 5 pair drops — the planted twins and any organic repeats),
+    * (2) caption quality floor (≥ 30 words), (3) per-survivor image
+    * metadata carried through, (4) a deterministic SHARD-LOCAL
+    * contrastive negative per pair: within bucket doc_id mod 16, the
+    * next kept doc (wrapping to the bucket's first) — shard-local
+    * negatives are how contrastive loaders actually batch, and the
+    * bucketed window keeps the pairing embarrassingly parallel (no
+    * global-order window anywhere). The DuckDB oracle replays the
+    * phash bit-for-bit (the G5 SQL), the filter, and the bucketed
+    * wraparound pairing.
+    */
+  def pairAssembly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val removed = phashDedup(spark, dir)
+      .select(col("ib").as("doc_id")).distinct()
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val twins = base.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+        expr("concat(substring(text, 1, greatest(length(text) - 2, 0)), 'zz')")
+          .as("text"))
+    val kept = base.unionByName(twins)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .filter(col("n_words") >= 30)
+    val bucket = pmod(col("doc_id"), lit(16))
+    val w = Window.partitionBy(bucket).orderBy(col("doc_id"))
+    kept
+      .withColumn("neg_doc", coalesce(lead(col("doc_id"), 1).over(w),
+        min(col("doc_id")).over(Window.partitionBy(bucket))))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        (pmod(length(col("text")), lit(64)) + 1).cast("long").as("img_w"),
+        (pmod(length(col("text")), lit(48)) + 1).cast("long").as("img_h"),
+        col("neg_doc"))
+  }
+
   /** The pipeline with a caller-supplied codec behind [[MediaDecoder]]
     * over the raw-byte object store.
     */

@@ -356,7 +356,7 @@ object Ann {
     kcenterOn(spark, u, 8)
   }
 
-  private def kcenterUnit(spark: SparkSession, vecs: DataFrame): DataFrame = {
+  private[graft] def kcenterUnit(spark: SparkSession, vecs: DataFrame): DataFrame = {
     graft.functions.VecFunctions.register(spark)
     vecs
       .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
@@ -425,21 +425,29 @@ object Ann {
     mmrOn(spark, u, candN = 16, k = 4, lamNum = 1, lamDen = 2)
   }
 
-  /** Candidate generation (distributed) + bounded greedy; `u` needs
-    * (vec_id, u) unit vectors. λ = lamNum/lamDen (dyadic). */
-  private[graft] def mmrOn(spark: SparkSession, u: DataFrame, candN: Int,
-      k: Int, lamNum: Int, lamDen: Int): DataFrame = {
+  /** The distributed stage of MMR: per-query top-candN relevance
+    * candidates, the query batch broadcast against one corpus scan
+    * (the E1 shape). Exposed so PlanSpec can pin the broadcast. */
+  private[graft] def mmrCandidates(spark: SparkSession, u: DataFrame,
+      candN: Int): DataFrame = {
     graft.functions.VecFunctions.register(spark)
-    val lam = lamNum.toDouble / lamDen
     val q = u.filter(pmod(col("vec_id"), lit(97)) === 0)
       .select(col("vec_id").as("qid"), col("u").as("qu"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("vec_id").asc)
-    val cand = u.join(broadcast(q), col("vec_id") =!= col("qid"))
+    u.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("rel", call_function("vec_dot", col("u"), col("qu")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= candN)
       .select(col("qid"), col("vec_id"), col("u"), col("rel"))
+  }
+
+  /** Candidate generation (distributed) + bounded greedy; `u` needs
+    * (vec_id, u) unit vectors. λ = lamNum/lamDen (dyadic). */
+  private[graft] def mmrOn(spark: SparkSession, u: DataFrame, candN: Int,
+      k: Int, lamNum: Int, lamDen: Int): DataFrame = {
+    val lam = lamNum.toDouble / lamDen
+    val cand = mmrCandidates(spark, u, candN)
     // |Q|·candN rows by construction — the re-ranker's contract
     val rows = cand.collect()
     def dot(a: Seq[Double], b: Seq[Double]): Double = {

@@ -119,6 +119,18 @@ class DedupSkewSpec extends AnyFunSuite {
     val viaD5 = dedup.Dedup.embeddingCosine(spark, dir)
       .select("ib").collect().map(_.getLong(0)).toSet
     assert(full == viaD5)
+    // within-cell tiling is pure parallelism: any tiles count yields
+    // the identical removal set (each pair meets exactly once)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm",
+        sqrt(org.apache.spark.sql.functions.call_function(
+          "vec_dot", col("v"), col("v"))))
+    val t1 = ids(dedup.Dedup.semanticRemovedOn(spark, e, k = 8, tau = 0.45,
+      tiles = 1))
+    val t4 = ids(dedup.Dedup.semanticRemovedOn(spark, e, k = 8, tau = 0.45,
+      tiles = 4))
+    assert(t1 == t4, s"tiling changed the result: ${t1 union t4 -- (t1 intersect t4)}")
   }
 
   test("D14: substring density — injected boilerplate shares windows " +

@@ -77,7 +77,14 @@ class DeterminismSpec extends AnyFunSuite {
       // total-ordered window; the substring df join varies physical
       // order with partitioning but not its sets; the alert islands
       // derive from a keyed window over the evaluated grid
-      "ann_kcenter", "scd2", "dedup_substring", "promql_alerts")) {
+      "ann_kcenter", "scd2", "dedup_substring", "promql_alerts",
+      // round-9 session 3: paragraph keep-first rides a total-ordered
+      // window on the paragraph text; the MMR greedy rides exact
+      // dyadic scores + id tie-breaks through a collected candidate
+      // set whose arrival order varies with partitioning; the Gopher
+      // top-gram pick breaks count ties lexicographically; the pair
+      // assembly chains the phash join + a bucketed wraparound window
+      "dedup_paragraph", "ann_mmr", "text_gopher_rep", "mm_pairs")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)

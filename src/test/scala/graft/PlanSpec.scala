@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions: the properties that make these operators
@@ -343,6 +344,27 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"sessionize should shuffle exactly once:\n$p")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("dedup_paragraph: two exchanges (paragraph window + doc regroup), no joins") {
+    val p = plan("dedup_paragraph")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"keep-first + reassembly should shuffle exactly twice:\n$p")
+    assert(!p.contains("Join"), s"paragraph dedup must be join-free:\n$p")
+  }
+
+  test("ann_mmr: candidate scan broadcasts the query batch, no sort-merge join") {
+    // the emitted frame is the collected greedy (LocalTableScan by
+    // design — re-rank state is |Q|·candN); the plan to pin is the
+    // DISTRIBUTED candidate stage
+    val u = similarity.Ann.kcenterUnit(spark,
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v")))
+    val p = similarity.Ann.mmrCandidates(spark, u, 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the queries:\n$p")
   }
 
   test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
