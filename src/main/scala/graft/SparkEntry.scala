@@ -183,6 +183,7 @@ object SparkEntry {
     "io_clone" -> (sources.Io.cloneRead _),
     "io_vacuum" -> (sources.Io.vacuumRead _),
     "io_stream_sink" -> (streaming.StreamOps.tableSinkStreamed _),
+    "io_restore" -> (sources.Io.restoreRead _),
     "text_normalize" -> (text.TextAnalysis.textNormalize _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
@@ -227,6 +228,8 @@ object SparkEntry {
     "ngram_novelty" -> (text.TextAnalysis.ngramNovelty _),
     "text_entropy" -> (text.TextAnalysis.textEntropy _),
     "bpe_pairs" -> (text.TextAnalysis.bpePairs _),
+    "bpe_merges" -> (text.TextAnalysis.bpeMerges _),
+    "bpe_encode" -> (text.TextAnalysis.bpeEncode _),
     "bm25_topk" -> (text.Bm25.topk _),
     "bm25_stored" -> (text.Bm25.storedTopk _),
     "source_cap" -> (operators.Curation.sourceCap _),
@@ -1896,6 +1899,10 @@ object SparkEntry {
         |FROM r""".stripMargin,
     "ann_kcenter" -> kcenterSql,
     "ann_mmr" -> mmrSql,
+    // F33: the trainer replayed as 8 unrolled MATERIALIZED rounds over
+    // the word-frequency table; encode = the learned replace chain
+    "bpe_merges" -> bpeMergesSql,
+    "bpe_encode" -> bpeEncodeSql,
     "dedup_minhash" -> exactJaccardSql,
     "dedup_ngram_jaccard" -> exactJaccardSql,
     // D9: the oracle takes the exhaustive ordered-pair route over the
@@ -2012,6 +2019,24 @@ object SparkEntry {
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM src WHERE typ <> 'purchase' GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
+    // I20: restore — latest (v3, the rollback commit) serves the v1
+    // cut with purchases back; v2 still serves the post-delete cut
+    "io_restore" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE epoch_us(ts) < 1705795200000000),
+        |r3 AS (
+        |  SELECT 'restored' AS rel, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |r2 AS (
+        |  SELECT 'pre_restore' AS rel, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src WHERE typ <> 'purchase' GROUP BY 2)
+        |SELECT * FROM r3 UNION ALL SELECT * FROM r2""".stripMargin,
     // I15: change feed — v0→v1 is a pure insert of the appended days,
     // v1→v2 a pure delete of the purchases (COW survivors cancel)
     "io_cdf" ->
@@ -4579,6 +4604,56 @@ object SparkEntry {
       .mkString("", "\nUNION ALL ", "")
     sb.toString
   }
+
+  // F33 BPE replay: k greedy merge rounds over the word-FREQUENCY
+  // table (MATERIALIZED — the kcenterSql discipline: inlining would
+  // re-evaluate the chain 2^k times). Every token is delimited on
+  // BOTH sides by chr(1) inside wtok, so replace() is exact-token
+  // left-to-right non-overlapping fusion — the same semantics as the
+  // trainer's vector fold.
+  private def bpeRoundsSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wf AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1 GROUP BY 1),
+      |w0 AS MATERIALIZED (SELECT w, cnt,
+      |    list_aggregate(list_transform(string_split_regex(w, ''),
+      |      c -> chr(1)||c||chr(1)), 'string_agg', '') AS wtok FROM wf)""".stripMargin
+    for (r <- 1 to k) {
+      sb ++= s""",
+        |pr$r AS (SELECT cnt, unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(f := toks[i], t := toks[i+1]))) AS pr
+        |  FROM (SELECT cnt, string_split(trim(wtok, chr(1)),
+        |      chr(1)||chr(1)) AS toks FROM w${r - 1})),
+        |m$r AS MATERIALIZED (SELECT pr.f AS f, pr.t AS t, sum(cnt) AS n
+        |  FROM pr$r GROUP BY 1, 2 ORDER BY n DESC, f, t LIMIT 1),
+        |w$r AS MATERIALIZED (SELECT w, cnt,
+        |    replace(wtok, chr(1)||m.f||chr(1)||chr(1)||m.t||chr(1),
+        |      chr(1)||m.f||m.t||chr(1)) AS wtok FROM w${r - 1}, m$r m)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val bpeMergesSql: String =
+    bpeRoundsSql(8) + "\n" + (1 to 8).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rk, f, t, CAST(n AS BIGINT) AS n FROM m$r")
+      .mkString("\nUNION ALL ")
+
+  private val bpeEncodeSql: String =
+    bpeRoundsSql(8) + s""",
+      |v AS (SELECT w,
+      |    (length(wtok) - length(replace(wtok, chr(1), ''))) // 2 AS n_tok
+      |  FROM w8),
+      |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |d2 AS (SELECT doc_id, d.w AS w, n_tok FROM d JOIN v ON d.w = v.w
+      |  WHERE length(d.w) >= 1)
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(length(w)) AS BIGINT) AS n_chars_tok,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  floor(CAST(sum(n_tok) AS DOUBLE) / CAST(sum(length(w)) AS DOUBLE)
+      |    * 1e4 + 0.5) / 1e4 AS ratio
+      |FROM d2 GROUP BY 1""".stripMargin
 
   private val exactJaccardSql: String =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

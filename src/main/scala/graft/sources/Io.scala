@@ -864,6 +864,59 @@ object Io {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** I20: RESTORE TABLE TO VERSION — roll the table back to an earlier
+    * version's CONTENT as a NEW commit (Delta RESTORE semantics): the
+    * log stays append-only, every intermediate version remains
+    * readable, and the restored state is served through the old
+    * commit's file list carried by reference — zero data moved at any
+    * table size, because data files are immutable. Fails fast if a
+    * restored file was vacuumed away (Delta's restore-after-vacuum
+    * error), checked per file — ∝ #files, metadata-scale.
+    */
+  def tableRestore(spark: SparkSession, table: String,
+      toVersion: Long): Long = {
+    val latest = tableVersion(spark, table)
+    require(toVersion >= 0 && toVersion <= latest,
+      s"restore target $toVersion out of range [0, $latest] at $table")
+    val files = readCommit(spark, table, toVersion)
+    val fs = fsFor(spark, table)
+    files.foreach { f =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(resolve(table, f))),
+        s"cannot restore to $toVersion: $f was vacuumed")
+    }
+    writeCommit(spark, table, latest + 1, files)
+    latest + 1
+  }
+
+  private val restRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I20, oracle-gated: restore-then-read — a private 3-commit table
+    * (create / append / COW-delete purchases) is RESTORED to v1,
+    * un-deleting the purchases as commit v3; the latest read must then
+    * ≡ the v1 cut (purchases back, served through the ORIGINAL c0/c1
+    * files by reference) while v2 read back unchanged proves the
+    * rollback added history instead of rewriting it. Both cuts
+    * replayed by DuckDB from the source.
+    */
+  def restoreRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = restRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_restore_" + fp).toString
+      buildEventsTable(spark, dir, tt)
+      val v = tableRestore(spark, tt, 1L)
+      require(v == 3L, s"expected restore to commit v3 at $tt, got $v")
+      tt
+    })
+    def agg(tag: String, v: Long): DataFrame =
+      readTableVersion(spark, t, v)
+        .groupBy(lit(tag).as("rel"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg("restored", 3L).unionByName(agg("pre_restore", 2L))
+  }
+
   /** ORC round-trip (second columnar format). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

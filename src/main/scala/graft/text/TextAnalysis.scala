@@ -1079,6 +1079,116 @@ object TextAnalysis {
         floor(col("n_kept") / col("n_docs").cast("double") * 1e4 + 0.5) / 1e4)
   }
 
+  /** F33 shared trainer: greedy BPE merge learning (Sennrich et al.
+    * 2016) — `rounds` rounds over the distinct-word FREQUENCY table,
+    * each round picking the most frequent adjacent token pair
+    * (count desc, then pair lexicographic — deterministic) and fusing
+    * every left-to-right non-overlapping occurrence.
+    *
+    * The trainer state is the VOCABULARY, not the corpus: word
+    * frequencies aggregate distributed (one bounded groupBy — vocab
+    * grows with the language, not the byte count; fastBPE/HF
+    * tokenizers train on exactly this table), and only that table is
+    * collected. At 100 TB the collect is the same few-hundred-k rows
+    * it is here. Returns merges in rank order with the pair count at
+    * selection time.
+    */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int = 8): Seq[(String, String, Long)] = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(words).as("w")).filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var toks: Array[(Vector[String], Long)] =
+      wf.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Vector.newBuilder[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      toks.foreach { case (ts, c) =>
+        var i = 0
+        while (i + 1 < ts.length) {
+          val k = (ts(i), ts(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((f, t), n) = counts.minBy { case ((f, t), n) => (-n, f, t) }
+        merges += ((f, t, n))
+        toks = toks.map { case (ts, c) =>
+          // left-to-right non-overlapping fuse — the exact semantics of
+          // a string replace on the delimited form, so the oracle's
+          // replace() replays it
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i + 1 < ts.length && ts(i) == f && ts(i + 1) == t) {
+              b += (f + t); i += 2
+            } else { b += ts(i); i += 1 }
+          }
+          (b.result(), c)
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** F33a: the learned merge table (rank, left, right, pair count at
+    * selection) — the tokenizer artifact itself. DuckDB replays the
+    * trainer via `rounds` unrolled MATERIALIZED CTE rounds over the
+    * same word-frequency table (each round: weighted pair count →
+    * top-1 → global replace on the SOH-delimited token string).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrain(spark, dir).zipWithIndex
+      .map { case ((f, t, n), i) => ((i + 1).toLong, f, t, n) }
+      .toDF("rk", "f", "t", "n")
+  }
+
+  /** F33b: BPE ENCODING — the learned merges applied to the corpus,
+    * closing the tokenizer loop F23 opened (pair stats → merges →
+    * token counts, the quantity every packing/budget decision
+    * downstream consumes).
+    *
+    * Shape at 100 TB: the encode is vocab-sized, not corpus-sized —
+    * each DISTINCT word encodes once (the 8 merges are literal
+    * `replace` chains over an SOH-delimited char string, one codegen
+    * projection over the vocab frame), then one broadcast join puts
+    * per-word token counts back on the exploded corpus and a per-doc
+    * aggregate finishes. No shuffle touches the corpus beyond the
+    * doc_id partial agg.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ms = bpeTrain(spark, dir)
+    val soh = "\u0001"
+    val vocabBase = Tables.documents(spark, dir)
+      .select(explode(words).as("w")).filter(length(col("w")) >= 1)
+      .distinct()
+    val tok0 = regexp_replace(col("w"), "(.)", soh + "$1" + soh)
+    val encoded = ms.foldLeft(tok0) { case (c, (f, t, _)) =>
+      call_function("replace", c,
+        lit(soh + f + soh + soh + t + soh), lit(soh + f + t + soh))
+    }
+    val vocab = vocabBase.withColumn("wtok", encoded)
+      .withColumn("n_tok",
+        ((length(col("wtok")) -
+          length(call_function("replace", col("wtok"), lit(soh), lit("")))) / 2)
+          .cast("long"))
+      .select(col("w"), col("n_tok"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars_tok"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("ratio",
+        floor(col("n_tokens").cast("double") / col("n_chars_tok").cast("double")
+          * 1e4 + 0.5) / 1e4)
+  }
+
   private[graft] def qualityClassifyOn(spark: SparkSession, docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(words).as("w"))

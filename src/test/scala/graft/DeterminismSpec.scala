@@ -84,7 +84,11 @@ class DeterminismSpec extends AnyFunSuite {
       // set whose arrival order varies with partitioning; the Gopher
       // top-gram pick breaks count ties lexicographically; the pair
       // assembly chains the phash join + a bucketed wraparound window
-      "dedup_paragraph", "ann_mmr", "text_gopher_rep", "mm_pairs")) {
+      "dedup_paragraph", "ann_mmr", "text_gopher_rep", "mm_pairs",
+      // round-9 session 4: the BPE trainer aggregates the word-freq
+      // table into a driver map (order-free counts, lexicographic
+      // tie-break), encode is a broadcast-joined literal replace chain
+      "bpe_encode")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)

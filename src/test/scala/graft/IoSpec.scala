@@ -372,6 +372,42 @@ class IoSpec extends AnyFunSuite {
     assert(Io.readTableVersion(spark, t, 0L).count() == 10)
   }
 
+  test("I20: restore rolls content back as a zero-copy commit, keeps " +
+      "history, refuses expired targets") {
+    import spark.implicits._
+    val t = s"$tmp/restore"
+    def dataFiles(tb: String): Set[String] = {
+      val d = java.nio.file.Paths.get(tb, "data")
+      if (!java.nio.file.Files.exists(d)) Set.empty
+      else {
+        val s = java.nio.file.Files.walk(d)
+        try s.filter(p => p.getFileName.toString.startsWith("part-"))
+          .map[String](_.toString).toArray.map(_.toString).toSet
+        finally s.close()
+      }
+    }
+    val d0 = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "k").repartition(2)
+    Io.tableAppend(d0, t)                             // v0
+    Io.tableDeleteWhere(spark, t, col("k") === "x")   // v1
+    assert(Io.readTableVersion(spark, t, 1L).count() == 20)
+    val before = dataFiles(t)
+    assert(Io.tableRestore(spark, t, 0L) == 2L)
+    // zero-copy: the restore commit landed no data files of its own
+    assert(dataFiles(t) == before)
+    // latest serves the v0 content again; v1 history intact
+    assert(Io.readTableVersion(spark, t, 2L).count() == 40)
+    assert(Io.readTableVersion(spark, t, 1L).count() == 20)
+    // restoring to an expired (vacuumed-away) version refuses
+    val t2 = s"$tmp/restore2"
+    Io.tableAppend(d0, t2)
+    Io.tableDeleteWhere(spark, t2, col("k") === "x")
+    Io.vacuumTable(spark, t2, retainFrom = 1L)
+    intercept[IllegalArgumentException] {
+      Io.tableRestore(spark, t2, 0L)
+    }
+  }
+
   test("I18: vacuum deletes only unreferenced files, expired versions " +
       "refuse reads, retained version intact") {
     import spark.implicits._

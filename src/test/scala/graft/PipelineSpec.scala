@@ -17,6 +17,28 @@ class PipelineSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
+  test("F33: BPE round-1 merge is the bpe_pairs top pair; encoding " +
+      "strictly compresses and never exceeds the char count") {
+    val merges = text.TextAnalysis.bpeTrain(spark, dir)
+    assert(merges.size == 8)
+    // the first training round's statistics ARE F23's pair table
+    val top = SparkEntry.queries("bpe_pairs")(spark, dir)
+      .filter(col("rk") === 1).collect()(0)
+    assert(merges.head._1 + merges.head._2 == top.getString(1),
+      s"round-1 merge ${merges.head} != bpe_pairs rk1 ${top}")
+    assert(merges.head._3 == top.getLong(2))
+    // a later merge must fuse a token built by an earlier one (the
+    // second-order behavior that distinguishes BPE from pair stats)
+    assert(merges.exists { case (f, t, _) => f.length > 1 || t.length > 1 },
+      s"no second-order merge in $merges")
+    val enc = SparkEntry.queries("bpe_encode")(spark, dir).cache()
+    try {
+      assert(enc.filter(col("n_tokens") > col("n_chars_tok")).count() == 0)
+      assert(enc.filter(col("n_tokens") < col("n_chars_tok")).count() > 0,
+        "8 merges compressed nothing")
+    } finally enc.unpersist()
+  }
+
   test("minhash LSH output equals exact ngram jaccard pairs (full recall here)") {
     val exact = dedup.Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -367,6 +367,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the queries:\n$p")
   }
 
+  test("bpe_encode: vocab broadcasts back onto the corpus, no sort-merge join") {
+    val p = plan("bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), s"vocab should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the vocab join:\n$p")
+  }
+
   test("dedup_ngram_jaccard: candidate join reads only shingle prefixes") {
     // the prefix filter must appear below the self-join: rank <= n - ceil(n*t) + 1
     val p = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
