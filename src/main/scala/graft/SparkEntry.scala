@@ -184,6 +184,7 @@ object SparkEntry {
     "io_vacuum" -> (sources.Io.vacuumRead _),
     "io_stream_sink" -> (streaming.StreamOps.tableSinkStreamed _),
     "io_restore" -> (sources.Io.restoreRead _),
+    "io_optimize" -> (sources.Io.optimizeRead _),
     "text_normalize" -> (text.TextAnalysis.textNormalize _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
@@ -2037,6 +2038,16 @@ object SparkEntry {
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM src WHERE typ <> 'purchase' GROUP BY 2)
         |SELECT * FROM r3 UNION ALL SELECT * FROM r2""".stripMargin,
+    // I21: optimize — a pure layout commit: the packed v3 read serves
+    // exactly the v2 cut (days ≤ 01-20, purchases COW-deleted)
+    "io_optimize" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE epoch_us(ts) < 1705795200000000 AND event_type <> 'purchase'
+        |GROUP BY 1""".stripMargin,
     // I15: change feed — v0→v1 is a pure insert of the appended days,
     // v1→v2 a pure delete of the purchases (COW survivors cancel)
     "io_cdf" ->

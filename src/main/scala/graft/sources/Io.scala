@@ -888,6 +888,57 @@ object Io {
     latest + 1
   }
 
+  /** I21: OPTIMIZE — bin-packing compaction as a LOG COMMIT (Delta
+    * OPTIMIZE semantics): the latest version's files are rewritten
+    * into `targetFiles` larger ones and committed as the next version
+    * with IDENTICAL content — a pure layout change, so time travel
+    * still serves every prior version through the original small
+    * files until vacuum expires them. The streaming-ingest pattern
+    * (one small file per micro-batch, I19) is exactly what this
+    * exists to clean up; at 100 TB the rewrite is per-partition and
+    * the commit stays metadata-scale.
+    */
+  def tableOptimize(spark: SparkSession, table: String,
+      targetFiles: Int): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val files = readCommit(spark, table, v)
+    val nv = v + 1
+    val packed = landData(
+      spark.read.parquet(files.map(resolve(table, _)): _*)
+        .coalesce(targetFiles), table, s"c$nv")
+    writeCommit(spark, table, nv, packed)
+    nv
+  }
+
+  private val optRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I21, oracle-gated: optimize-then-read — the 3-commit fixture's
+    * latest version is bin-packed to one file as commit v3; the
+    * optimized read must ≡ the v2 cut exactly (layout changed, content
+    * never), replayed by DuckDB from the source. IoSpec pins the
+    * file-count drop, pre-optimize history intactness, and that
+    * vacuum afterwards removes the superseded small files.
+    */
+  def optimizeRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = optRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_opt_" + fp).toString
+      buildEventsTable(spark, dir, tt)
+      val before = readCommit(spark, tt, 2L).size
+      val v = tableOptimize(spark, tt, 1)
+      require(v == 3L && readCommit(spark, tt, 3L).size < before,
+        s"optimize did not shrink the file list at $tt")
+      tt
+    })
+    readTableVersion(spark, t, 3L)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
   private val restRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

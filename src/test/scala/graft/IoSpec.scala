@@ -408,6 +408,28 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("I21: optimize packs files without changing content; history " +
+      "intact; vacuum then drops the superseded small files") {
+    import spark.implicits._
+    val t = s"$tmp/opt"
+    val d0 = (1 to 60).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "k")
+      .repartition(6)
+    Io.tableAppend(d0, t)                                   // v0: 6 files
+    val before = Io.readTableVersion(spark, t, 0L).orderBy("id")
+      .collect().toSeq
+    assert(Io.tableOptimize(spark, t, 1) == 1L)
+    // content identical, layout packed
+    assert(Io.readTableVersion(spark, t, 1L).orderBy("id")
+      .collect().toSeq == before)
+    assert(Io.readTableVersion(spark, t, 1L).rdd.getNumPartitions == 1)
+    // the pre-optimize version still reads through its own files
+    assert(Io.readTableVersion(spark, t, 0L).count() == 60)
+    // vacuum to latest-only removes exactly the 6 superseded files
+    assert(Io.vacuumTable(spark, t, retainFrom = 1L) == 6L)
+    assert(Io.readTableVersion(spark, t, 1L).orderBy("id")
+      .collect().toSeq == before)
+  }
+
   test("I18: vacuum deletes only unreferenced files, expired versions " +
       "refuse reads, retained version intact") {
     import spark.implicits._
