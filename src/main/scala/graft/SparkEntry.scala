@@ -45,6 +45,7 @@ object SparkEntry {
     "stream_alerts" -> (streaming.StreamOps.alertsStreamed _),
     "stream_scd2" -> (streaming.StreamOps.scd2Streamed _),
     "stream_features" -> (streaming.StreamOps.featuresStreamed _),
+    "stream_gapfill" -> (streaming.StreamOps.gapfillStreamed _),
     "index_churn" -> (index.IndexQueries.indexChurn _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
@@ -1234,45 +1235,9 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // B52: gapfill — hourly grid × series, observed MAX, LOCF +
     // linear interp via ignore-nulls one-sided windows
-    "gapfill" ->
-      """WITH e AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS usr,
-        |    (epoch_us(ts)//1000000 - (epoch_us(ts)//1000000) % 3600) AS h_sec,
-        |    value
-        |  FROM events
-        |  WHERE event_type = 'purchase' AND user_id <= 3
-        |    AND epoch_us(ts)//1000000 >= 1704067200
-        |    AND epoch_us(ts)//1000000 < 1704067200 + 168*3600),
-        |o AS (SELECT usr, h_sec, max(value) AS mx FROM e GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT s.usr, 1704067200 + g.i*3600 AS h_sec
-        |  FROM (SELECT DISTINCT usr FROM e) s,
-        |    (SELECT unnest(generate_series(0, 167)) AS i) g),
-        |j AS (
-        |  SELECT grid.usr, grid.h_sec, o.mx
-        |  FROM grid LEFT JOIN o ON grid.usr = o.usr AND grid.h_sec = o.h_sec),
-        |f AS (
-        |  SELECT usr, h_sec, mx,
-        |    last_value(mx IGNORE NULLS) OVER wp AS pv,
-        |    last_value(CASE WHEN mx IS NOT NULL THEN h_sec END IGNORE NULLS)
-        |      OVER wp AS ph,
-        |    first_value(mx IGNORE NULLS) OVER wf AS nv,
-        |    first_value(CASE WHEN mx IS NOT NULL THEN h_sec END IGNORE NULLS)
-        |      OVER wf AS nh
-        |  FROM j
-        |  WINDOW wp AS (PARTITION BY usr ORDER BY h_sec
-        |                ROWS UNBOUNDED PRECEDING),
-        |         wf AS (PARTITION BY usr ORDER BY h_sec
-        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT usr, h_sec,
-        |  floor(mx * 10000 + 0.5) / 10000 AS observed,
-        |  floor(pv * 10000 + 0.5) / 10000 AS locf,
-        |  CASE WHEN mx IS NOT NULL THEN floor(mx * 10000 + 0.5) / 10000
-        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-        |         floor((pv + (nv - pv) * (CAST(h_sec - ph AS DOUBLE) / (nh - ph)))
-        |           * 10000 + 0.5) / 10000
-        |       ELSE NULL END AS interp
-        |FROM f""".stripMargin,
+    "gapfill" -> gapfillSql,
+    // H25: the live serving loop must produce the identical grid
+    "stream_gapfill" -> gapfillSql,
     "downsample" ->
       """SELECT usr, typ, step_sec, last_v FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
@@ -4615,6 +4580,48 @@ object SparkEntry {
       .mkString("", "\nUNION ALL ", "")
     sb.toString
   }
+
+  // B52 + H25 share one replay: the live serving loop must produce
+  // the batch gapfill grid verbatim
+  private val gapfillSql: String =
+    """WITH e AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS usr,
+      |    (epoch_us(ts)//1000000 - (epoch_us(ts)//1000000) % 3600) AS h_sec,
+      |    value
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id <= 3
+      |    AND epoch_us(ts)//1000000 >= 1704067200
+      |    AND epoch_us(ts)//1000000 < 1704067200 + 168*3600),
+      |o AS (SELECT usr, h_sec, max(value) AS mx FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.usr, 1704067200 + g.i*3600 AS h_sec
+      |  FROM (SELECT DISTINCT usr FROM e) s,
+      |    (SELECT unnest(generate_series(0, 167)) AS i) g),
+      |j AS (
+      |  SELECT grid.usr, grid.h_sec, o.mx
+      |  FROM grid LEFT JOIN o ON grid.usr = o.usr AND grid.h_sec = o.h_sec),
+      |f AS (
+      |  SELECT usr, h_sec, mx,
+      |    last_value(mx IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN mx IS NOT NULL THEN h_sec END IGNORE NULLS)
+      |      OVER wp AS ph,
+      |    first_value(mx IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN mx IS NOT NULL THEN h_sec END IGNORE NULLS)
+      |      OVER wf AS nh
+      |  FROM j
+      |  WINDOW wp AS (PARTITION BY usr ORDER BY h_sec
+      |                ROWS UNBOUNDED PRECEDING),
+      |         wf AS (PARTITION BY usr ORDER BY h_sec
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT usr, h_sec,
+      |  floor(mx * 10000 + 0.5) / 10000 AS observed,
+      |  floor(pv * 10000 + 0.5) / 10000 AS locf,
+      |  CASE WHEN mx IS NOT NULL THEN floor(mx * 10000 + 0.5) / 10000
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |         floor((pv + (nv - pv) * (CAST(h_sec - ph AS DOUBLE) / (nh - ph)))
+      |           * 10000 + 0.5) / 10000
+      |       ELSE NULL END AS interp
+      |FROM f""".stripMargin
 
   // F33 BPE replay: k greedy merge rounds over the word-FREQUENCY
   // table (MATERIALIZED — the kcenterSql discipline: inlining would

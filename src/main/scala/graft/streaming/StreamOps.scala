@@ -78,6 +78,22 @@ case class FeatState(hist: Seq[String])
 case class FeatOut(event_id: Long, user_id: Long, prev5: String,
     n_prev: Int)
 
+/** H25: one sample on the live gap-fill stream (`flush` marks the
+  * per-series end-of-grid sentinel that closes the open hour and emits
+  * the LOCF tail). */
+case class GfIn(usr: String, h_sec: Long, value: Double, flush: Boolean,
+    ts: java.sql.Timestamp)
+
+/** H25 per-series serving state: the last CLOSED observed hour
+  * (already emitted) + the currently accumulating hour — O(1)
+  * checkpointed state per series. */
+case class GfState(hasLast: Boolean, lastH: Long, lastV: Double,
+    hasAcc: Boolean, accH: Long, accV: Double)
+
+/** H25 emission: one dashboard grid row (observed / LOCF / linear). */
+case class GfOut(usr: String, h_sec: Long, observed: Option[Double],
+    locf: Option[Double], interp: Option[Double])
+
 /** Structured Streaming ingest path (SURVEY.md §2.H) — the Spark
   * analog of the reference's WAL → MemIndex maintenance
   * (/root/reference/src/index/index_server.cpp add_series + commit):
@@ -1313,6 +1329,124 @@ object StreamOps extends Serializable {
         .schema(spark.read.parquet(landing).schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
       val q = streamingFeatures(stream.as[FeatIn])
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    spark.table(table)
+  }
+
+  /** H25: LIVE gap-filled downsampling — B52's dashboard grid
+    * (observed / LOCF / linear-interp per series-hour) served from a
+    * stream with O(1) state per series: the last CLOSED observed hour
+    * plus the currently accumulating one. An hour's row (and the gap
+    * rows behind it) is emitted append-once when a LATER hour's first
+    * sample closes it — the interp column is why the closed segment
+    * must buffer one step: a gap's linear fill needs the FINAL max of
+    * the bracketing next hour, which is only known once that hour
+    * ends. The per-series `flush` sentinel closes the open hour at
+    * grid end and emits the LOCF tail (interp undefined there, exactly
+    * like batch). In-order replay ⇒ emissions ≡ the B52 batch window
+    * derivation verbatim (same oracle) — the live dashboard cache and
+    * the batch backfill provably serve identical ticks.
+    */
+  def streamingGapfill(ev: Dataset[GfIn], t0: Long,
+      hours: Int): Dataset[GfOut] = {
+    import ev.sparkSession.implicits._
+    val gridEnd = t0 + (hours - 1) * 3600L
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    ev.groupByKey(_.usr)
+      .flatMapGroupsWithState[GfState, GfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (usr, rows, state) =>
+          var st = state.getOption
+            .getOrElse(GfState(false, 0L, 0d, false, 0L, 0d))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GfOut]
+          // close the accumulating hour: emit the gap rows behind it
+          // (LOCF = last closed value; interp = the batch formula
+          // replicated IEEE-op-for-op) and then its own observed row
+          def closeAcc(): Unit = {
+            if (!st.hasLast) {
+              var hh = t0
+              while (hh < st.accH) {
+                out += GfOut(usr, hh, None, None, None); hh += 3600
+              }
+            } else {
+              var hh = st.lastH + 3600
+              while (hh < st.accH) {
+                val frac = (hh - st.lastH).toDouble / (st.accH - st.lastH)
+                out += GfOut(usr, hh, None, Some(r4(st.lastV)),
+                  Some(r4(st.lastV + (st.accV - st.lastV) * frac)))
+                hh += 3600
+              }
+            }
+            out += GfOut(usr, st.accH, Some(r4(st.accV)),
+              Some(r4(st.accV)), Some(r4(st.accV)))
+            st = GfState(true, st.accH, st.accV, false, 0L, 0d)
+          }
+          rows.toSeq.sortBy(r => (r.h_sec, r.flush)).foreach { r =>
+            if (r.flush) {
+              if (st.hasAcc) closeAcc()
+              if (st.hasLast && st.lastH < gridEnd) {
+                var hh = st.lastH + 3600
+                while (hh <= gridEnd) {
+                  out += GfOut(usr, hh, None, Some(r4(st.lastV)), None)
+                  hh += 3600
+                }
+                st = st.copy(lastH = gridEnd) // idempotent re-flush
+              }
+            } else if (!st.hasAcc)
+              st = st.copy(hasAcc = true, accH = r.h_sec, accV = r.value)
+            else if (r.h_sec == st.accH)
+              st = st.copy(accV = math.max(st.accV, r.value))
+            else {
+              closeAcc()
+              st = st.copy(hasAcc = true, accH = r.h_sec, accV = r.value)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  private val gfRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H25, oracle-gated: the B52 slice (purchase series of usr ≤ 3,
+    * Jan 1-7) replays in 4 event-time quartile micro-batches + the
+    * per-series grid-end sentinels through [[streamingGapfill]]; the
+    * appended grid rows must equal the batch gapfill verbatim (same
+    * DuckDB oracle) — hours and gaps span micro-batch boundaries,
+    * which is exactly what the checkpointed two-segment state is for.
+    */
+  def gapfillStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t0 = 1704067200L
+    val table = gfRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h25_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h25_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val sec = unix_timestamp(col("ts"))
+      val ev = graft.Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") <= 3 &&
+          sec >= t0 && sec < t0 + 168L * 3600L)
+        .select(col("user_id").cast("string").as("usr"),
+          (sec - pmod(sec, lit(3600L))).as("h_sec"),
+          col("value"), lit(false).as("flush"), col("ts"))
+      val sentinels = ev.select(col("usr")).distinct()
+        .select(col("usr"), lit(t0 + 168L * 3600L).as("h_sec"),
+          lit(0.0).as("value"), lit(true).as("flush"),
+          lit(t0 + 169L * 3600L).cast("timestamp").as("ts"))
+      landOrdered(ev.unionByName(sentinels), Seq("ts"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = streamingGapfill(stream.as[GfIn], t0, 168)
         .toDF()
         .writeStream.outputMode("append")
         .format("memory").queryName(name)

@@ -209,6 +209,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H25: streaming gapfill buffers one closed segment, folds an hour " +
+      "across batches, fills gaps and tail, and re-flush is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200L
+    def ts(k: Int) = new java.sql.Timestamp((t0 + k * 60L) * 1000L)
+    val in = MemoryStream[graft.streaming.GfIn]
+    val q = StreamOps.streamingGapfill(in.toDS(), t0, 6)
+      .writeStream.format("memory").queryName("h25_out").outputMode("append").start()
+    try {
+      in.addData(graft.streaming.GfIn("1", t0 + 3600, 2.0, flush = false, ts(1)))
+      q.processAllAvailable()
+      // the same hour continues in the NEXT micro-batch: max folds in state
+      in.addData(graft.streaming.GfIn("1", t0 + 3600, 4.0, flush = false, ts(2)),
+        graft.streaming.GfIn("1", t0 + 4 * 3600, 8.0, flush = false, ts(3)))
+      q.processAllAvailable()
+      val mid = spark.table("h25_out").as[graft.streaming.GfOut].collect()
+      // hour-1 closed on hour-4 arrival (head row + its own row); the
+      // gap rows 2-3 must NOT be out yet — their interp needs hour-4's
+      // final max, which is still accumulating
+      assert(mid.toSet == Set(
+        graft.streaming.GfOut("1", t0, None, None, None),
+        graft.streaming.GfOut("1", t0 + 3600, Some(4.0), Some(4.0), Some(4.0))),
+        s"unexpected mid-stream rows: ${mid.toSeq}")
+      in.addData(graft.streaming.GfIn("1", t0 + 6 * 3600, 0.0, flush = true, ts(4)))
+      q.processAllAvailable()
+      val fin = spark.table("h25_out").as[graft.streaming.GfOut].collect()
+      assert(fin.toSet == Set(
+        graft.streaming.GfOut("1", t0, None, None, None),
+        graft.streaming.GfOut("1", t0 + 3600, Some(4.0), Some(4.0), Some(4.0)),
+        graft.streaming.GfOut("1", t0 + 2 * 3600, None, Some(4.0), Some(5.3333)),
+        graft.streaming.GfOut("1", t0 + 3 * 3600, None, Some(4.0), Some(6.6667)),
+        graft.streaming.GfOut("1", t0 + 4 * 3600, Some(8.0), Some(8.0), Some(8.0)),
+        graft.streaming.GfOut("1", t0 + 5 * 3600, None, Some(8.0), None)),
+        s"unexpected final rows: ${fin.toSeq}")
+      // duplicate flush emits nothing
+      in.addData(graft.streaming.GfIn("1", t0 + 6 * 3600, 0.0, flush = true, ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("h25_out").count() == 6, "re-flush must be a no-op")
+    } finally q.stop()
+  }
+
   test("H2b: series tracking runs on the RocksDB state store (production backend)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
