@@ -46,6 +46,7 @@ object SparkEntry {
     "stream_scd2" -> (streaming.StreamOps.scd2Streamed _),
     "stream_features" -> (streaming.StreamOps.featuresStreamed _),
     "stream_gapfill" -> (streaming.StreamOps.gapfillStreamed _),
+    "stream_rollup" -> (streaming.StreamOps.rollupStreamed _),
     "index_churn" -> (index.IndexQueries.indexChurn _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "count_values" -> (tsdb.Tsdb.countValues _),
     "downsample" -> (tsdb.Tsdb.downsample _),
     "gapfill" -> (tsdb.Tsdb.gapfill _),
+    "rollup_serve" -> (tsdb.Rollup.rollupServe _),
     "ingest_batch" -> (tsdb.Tsdb.ingestBatch _),
     "asof_join" -> (tsdb.Tsdb.asofCheckpoints _),
     "delta" -> (tsdb.Tsdb.delta _),
@@ -143,6 +145,7 @@ object SparkEntry {
     "sessionize" -> (operators.Relational.sessionize _),
     "scd2" -> (operators.Relational.scd2 _),
     "feature_assembly" -> (operators.Relational.featureAssembly _),
+    "weighted_sample" -> (operators.Relational.weightedSample _),
     "quality_cut" -> (text.TextAnalysis.qualityCut _),
     "sketch_cms" -> (operators.Relational.cmsEstimate _),
     "ancestor_closure" -> (operators.Relational.ancestorClosure _),
@@ -186,6 +189,7 @@ object SparkEntry {
     "io_stream_sink" -> (streaming.StreamOps.tableSinkStreamed _),
     "io_restore" -> (sources.Io.restoreRead _),
     "io_optimize" -> (sources.Io.optimizeRead _),
+    "io_skipping" -> (sources.Io.skippingRead _),
     "text_normalize" -> (text.TextAnalysis.textNormalize _),
     "dedup_url" -> (text.TextAnalysis.urlCanon _),
     // E. similarity search
@@ -218,6 +222,7 @@ object SparkEntry {
     "text_gopher_rep" -> (text.TextAnalysis.gopherRepetition _),
     "text_decontaminate" -> (text.TextAnalysis.decontaminate _),
     "text_lm_score" -> (text.TextAnalysis.lmScore _),
+    "dsir_sample" -> (text.TextAnalysis.dsirSample _),
     "seq_pack" -> (text.TextAnalysis.seqPack _),
     "text_chunk" -> (text.TextAnalysis.chunk _),
     "text_urls" -> (text.TextAnalysis.urlExtract _),
@@ -1238,6 +1243,12 @@ object SparkEntry {
     "gapfill" -> gapfillSql,
     // H25: the live serving loop must produce the identical grid
     "stream_gapfill" -> gapfillSql,
+    // B53: daily dashboard served from the LANDED 1h rollup tier;
+    // the oracle computes it from raw events (tier ≡ raw)
+    "rollup_serve" -> rollupDailySql,
+    // H26: the stream-maintained tier must serve the identical
+    // dashboard (stream ≡ batch tier ≡ raw)
+    "stream_rollup" -> rollupDailySql,
     "downsample" ->
       """SELECT usr, typ, step_sec, last_v FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
@@ -2012,6 +2023,17 @@ object SparkEntry {
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events
         |WHERE epoch_us(ts) < 1705795200000000 AND event_type <> 'purchase'
+        |GROUP BY 1""".stripMargin,
+    // I22: commit-stats data skipping — the pruned band read must
+    // reproduce the raw source cut (IoSpec pins the actual skipping)
+    "io_skipping" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704672000000000
+        |  AND epoch_us(ts) < 1705190400000000
         |GROUP BY 1""".stripMargin,
     // I15: change feed — v0→v1 is a pure insert of the appended days,
     // v1→v2 a pure delete of the purchases (COW survivors cancel)
@@ -2871,6 +2893,46 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(sum(q) / count(*) * 10000 + 0.5) / 10000 AS lm_score
         |FROM q GROUP BY 1""".stripMargin,
+    // F34 DSIR: the oracle replays the full pipeline — dual-poly
+    // bucket hash, Laplace-smoothed λ (integer products, ONE IEEE
+    // division, one ln, dyadic 2^-20 quantize — exact sums), top-100.
+    // hb is MATERIALIZED: four consumers would otherwise re-fold the
+    // per-character polynomial hash four times.
+    "dsir_sample" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang, unnest(list_concat(w,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+        |    AS f
+        |  FROM t),
+        |hb AS MATERIALIZED (SELECT doc_id, lang,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(f, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) * 2147483648 +
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(f, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 137 + x) % 998244353)) % 2048 AS b
+        |  FROM f),
+        |sc AS (SELECT b, count(*) AS s_b FROM hb GROUP BY 1),
+        |tc AS (SELECT b, count(*) AS t_b FROM hb WHERE lang = 'en'
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM hb) AS s_tot,
+        |  (SELECT count(*) FROM hb WHERE lang = 'en') AS t_tot),
+        |lam AS (SELECT g.b,
+        |    floor(ln(CAST((coalesce(t_b, 0) + 1) * (s_tot + 2048) AS DOUBLE) /
+        |             CAST((coalesce(s_b, 0) + 1) * (t_tot + 2048) AS DOUBLE))
+        |      * 1048576 + 0.5) / 1048576 AS lam
+        |  FROM (SELECT unnest(range(0, 2048)) AS b) g
+        |  LEFT JOIN sc ON g.b = sc.b LEFT JOIN tc ON g.b = tc.b, tot),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY 1, 2),
+        |sco AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        |    floor(sum(c * lam) * 1e4 + 0.5) / 1e4 AS score
+        |  FROM dc JOIN lam ON dc.b = lam.b GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |    AS rk, doc_id, n_feats, score
+        |FROM sco ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     // B41: pure IEEE comparisons/copies, no arithmetic — parity is by
     // construction (CASE replays sgn in doubles)
     "clamp_funcs" ->
@@ -3105,6 +3167,32 @@ object SparkEntry {
         |  array_to_string(coalesce(hist, []), ',') AS prev5,
         |  CAST(coalesce(len(hist), 0) AS INT) AS n_prev
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // C27: priority sampling — the oracle replays the EXACT draw:
+    // u is a dyadic fraction of the dual-poly hash of the doc id and
+    // priority is one IEEE division, so even the doubles hash-match
+    "weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) /
+        |      (CAST((h1 * 2147483648 + h2) % 1099511627776 + 1 AS DOUBLE)
+        |        / 1099511627776.0) AS priority
+        |  FROM h),
+        |r AS (SELECT doc_id, n_chars, priority,
+        |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |  FROM p),
+        |t AS (SELECT priority AS tau FROM r WHERE rn = 201)
+        |SELECT r.doc_id, r.n_chars, r.priority,
+        |  greatest(CAST(r.n_chars AS DOUBLE), t.tau) AS w_hat
+        |FROM r, t WHERE r.rn <= 200""".stripMargin,
     // H23: the streamed per-user rolling history ≡ the batch trailing
     // window verbatim — same oracle as C26
     "stream_features" ->
@@ -4583,6 +4671,37 @@ object SparkEntry {
 
   // B52 + H25 share one replay: the live serving loop must produce
   // the batch gapfill grid verbatim
+  // B53/H26: the 3-week daily dashboard computed from RAW events —
+  // the Spark side serves it from the landed 1h rollup tier (batch)
+  // or the stream-maintained tier (H26), so the shared oracle proves
+  // the tier is a lossless rollup, not merely self-consistent.
+  // last_v is the full (µs, event_id)-ordered last sample of the day.
+  private val rollupDailySql: String =
+    """WITH d AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+      |    (epoch_us(ts)//1000000 - (epoch_us(ts)//1000000) % 86400)
+      |      AS day_sec,
+      |    epoch_us(ts) AS us, value, event_id
+      |  FROM events
+      |  WHERE epoch_us(ts)//1000000 >= 1704067200
+      |    AND epoch_us(ts)//1000000 < 1704067200 + 21*86400),
+      |a AS (
+      |  SELECT usr, typ, day_sec, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS sum_cents,
+      |    min(value) AS vmin, max(value) AS vmax
+      |  FROM d GROUP BY 1, 2, 3),
+      |l AS (
+      |  SELECT usr, typ, day_sec, value AS last_v FROM (
+      |    SELECT usr, typ, day_sec, value,
+      |      row_number() OVER (PARTITION BY usr, typ, day_sec
+      |                         ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM d) WHERE rn = 1)
+      |SELECT a.usr, a.typ, a.day_sec, a.n, a.sum_cents,
+      |  a.vmin, a.vmax, l.last_v
+      |FROM a JOIN l ON a.usr = l.usr AND a.typ = l.typ
+      |  AND a.day_sec = l.day_sec""".stripMargin
+
   private val gapfillSql: String =
     """WITH e AS (
       |  SELECT CAST(user_id AS VARCHAR) AS usr,

@@ -679,6 +679,43 @@ object Relational {
         sum(when(col("cls") === "same", lit(1L)).otherwise(lit(0L))).as("n_same"))
   }
 
+  /** C27 (round 9): weighted sampling WITHOUT replacement — priority
+    * sampling (Duffield–Lund–Thorup, JACM 2007), the curation
+    * primitive that draws a fixed-size corpus sample where heavy
+    * documents are proportionally more likely, with an unbiased
+    * subset-sum estimator attached. Each doc gets priority
+    * p = w / u: weight w = n_chars, u a DETERMINISTIC dyadic uniform
+    * in (0, 1] — the low 40 bits of the [[graft.functions.DualPolyHash]]
+    * of the doc id, +1, over 2^40. Both factors are exact in a
+    * double and p is ONE IEEE division, so priorities are
+    * bit-identical on any engine — the DuckDB oracle replays the
+    * whole draw including the doubles, no rounding. The sample is
+    * the n highest priorities; with τ = the (n+1)-th priority, the
+    * Horvitz–Thompson estimate ŵ = max(w, τ) makes Σŵ unbiased for
+    * Σw over ANY subset-sum query — the published guarantee that
+    * lets a 200-doc sample answer corpus-size questions.
+    *
+    * Plan shape: one scan + TakeOrderedAndProject top-(n+1) — no
+    * row ever shuffles; each task contributes its local top-(n+1)
+    * and the driver holds n+1 rows at any corpus size.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val n = 200
+    val m = 1099511627776L // 2^40
+    val u = (pmod(graft.functions.DualPolyHash.column(spark,
+        col("doc_id").cast("string")), lit(m)) + 1L).cast("double") /
+      lit(m.toDouble)
+    val pri = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars").cast("double") / u).as("priority"))
+    val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(n + 1)
+    val tau = top.agg(min(col("priority")).as("tau"))
+    top.orderBy(col("priority").desc, col("doc_id")).limit(n)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("n_chars"), col("priority"),
+        greatest(col("n_chars").cast("double"), col("tau")).as("w_hat"))
+  }
+
   def freqItems(spark: SparkSession, dir: String): DataFrame = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_items_1024",

@@ -1081,4 +1081,139 @@ object Io {
       else spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
+
+  // ---- I22: commit-embedded file statistics + data-skipping reads —
+  // the Delta add-action stats / Iceberg manifest-entry bounds: the
+  // I12 manifest idea captured IN THE WRITE COMMIT itself, so stats
+  // are version-consistent by construction (each version's sidecar
+  // covers exactly its file list, carried forward like the files),
+  // and a time-travel read can skip files with zero extra passes.
+  // At 100 TB: planning reads one sidecar ∝ #files — no footer
+  // round-trips, no post-hoc manifest job, and the pruned band scan
+  // reads only the overlapping files. ----
+
+  private def statsFin(table: String, version: Long) =
+    new org.apache.hadoop.fs.Path(table, f"_commits/$version%08d.stats")
+
+  private def writeStatsFile(spark: SparkSession, table: String,
+      version: Long, entries: Seq[(String, Long, Long)]): Unit = {
+    val fs = fsFor(spark, table)
+    val tmp = new org.apache.hadoop.fs.Path(table,
+      f"_commits/$version%08d.stats.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, statsFin(table, version)),
+      s"stats rename failed at $table v$version")
+  }
+
+  private[graft] def readStatsFile(spark: SparkSession, table: String,
+      version: Long): Map[String, (Long, Long)] = {
+    val fs = fsFor(spark, table)
+    val fin = statsFin(table, version)
+    require(fs.exists(fin),
+      s"no commit stats at $table v$version — built without tableAppendStats?")
+    val in = fs.open(fin)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(f, mn, mx) = l.split("\t")
+      f -> (mn.toLong, mx.toLong)
+    }.toMap
+  }
+
+  /** Append `df` as the next version WITH per-file [min, max] stats of
+    * `statsCol` embedded in the commit (a `.stats` sidecar next to the
+    * `.commit`). Stats for the new files come from ONE distributed
+    * pass over just-landed data grouped by file (collect ∝ #files —
+    * metadata-scale); prior entries carry forward by reference exactly
+    * like the file list.
+    */
+  def tableAppendStats(df: DataFrame, table: String,
+      statsCol: String): Long = {
+    val spark = df.sparkSession
+    val v = tableVersion(spark, table) + 1
+    val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
+    val priorStats =
+      if (v == 0) Map.empty[String, (Long, Long)]
+      else readStatsFile(spark, table, v - 1)
+    require(prior.forall(f => priorStats.contains(trail(f))),
+      s"prior version at $table is missing stats entries — mixed " +
+        "stats/plain appends are not supported")
+    val fresh = landData(df, table, s"c$v")
+    val freshStats = spark.read.parquet(s"$table/data/c$v")
+      .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
+        .as("f"))
+      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    writeCommit(spark, table, v, prior ++ fresh)
+    writeStatsFile(spark, table, v,
+      prior.map(f => (f, priorStats(trail(f))._1, priorStats(trail(f))._2)) ++
+        fresh.map(f => (f, freshStats(trail(f))._1, freshStats(trail(f))._2)))
+    v
+  }
+
+  /** Data-skipping time-travel read: version `version`'s file list
+    * pruned by the commit-embedded stats to those overlapping
+    * [lo, hi) on `statsCol`, with the residual predicate making the
+    * result exact (stat pruning is file-conservative). */
+  def readTableVersionSkipping(spark: SparkSession, table: String,
+      version: Long, statsCol: String, lo: Long, hi: Long): DataFrame = {
+    val files = readCommit(spark, table, version)
+    val stats = readStatsFile(spark, table, version)
+    val keep = files.filter { f =>
+      val (mn, mx) = stats(trail(f)); mx >= lo && mn < hi
+    }
+    val base =
+      if (keep.isEmpty) readTableVersion(spark, table, version)
+        .filter(lit(false))
+      else spark.read.parquet(keep.map(resolve(table, _)): _*)
+    base.filter(col(statsCol) >= lo && col(statsCol) < hi)
+  }
+
+  private val skipRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def skipTable(spark: SparkSession, dir: String): String =
+    skipRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_skip_" + fp).toString
+      fsFor(spark, t).delete(new org.apache.hadoop.fs.Path(t), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        unix_micros(Tables.tsCol(raw)).as("us"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      // three stats-carrying commits by day band, each range-laid-out
+      // into 3 time-bounded files (the Z-order/I11 discipline in one
+      // dimension) so the sidecar bounds are tight per file
+      def batch(loUs: Long, hiUs: Long): Unit = {
+        tableAppendStats(
+          flat.filter(col("us") >= loUs && col("us") < hiUs)
+            .repartitionByRange(3, col("us")), t, "us")
+        ()
+      }
+      batch(0L, 1704931200000000L)                      // ≤ 01-10
+      batch(1704931200000000L, 1705795200000000L)       // 01-11..20
+      batch(1705795200000000L, Long.MaxValue)           // 01-21..
+      t
+    })
+
+  /** I22, oracle-gated: the latest version read through commit stats
+    * for the 2024-01-08..14 band — IoSpec separately pins that the
+    * skipping read touches strictly fewer files than the commit lists
+    * and equals the unpruned filtered read; here the oracle proves the
+    * routed band's CONTENT against the raw source.
+    */
+  def skippingRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = skipTable(spark, dir)
+    val lo = 1704672000000000L // 2024-01-08 00:00:00 UTC (µs)
+    val hi = 1705190400000000L // 2024-01-14 00:00:00 UTC (µs)
+    readTableVersionSkipping(spark, t, tableVersion(spark, t), "us", lo, hi)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
 }

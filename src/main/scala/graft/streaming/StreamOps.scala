@@ -205,6 +205,63 @@ object StreamOps extends Serializable {
       col("typ"), col("n"))
   }
 
+  private val rollupRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H26, oracle-gated: LIVE maintenance of the B53 1h rollup tier —
+    * the streaming half of the downsample story: the batch job
+    * backfills the tier, this keeps it current, and both must serve
+    * identical dashboards. Events stream back in 4-file micro-batches
+    * and ONE Complete-mode aggregation folds every tier column
+    * incrementally: count and cents-sum add, min/max fold, and
+    * last_v = max_by over the (µs, event_id) struct — each partial is
+    * MERGEABLE and order-free, so the fold needs no ordered replay
+    * and no watermark: any arrival order yields the same tier, which
+    * is precisely what makes this maintainable by a streaming job at
+    * fleet scale (state ∝ live series × open hours, each entry 5
+    * scalars). The gate serves the same 3-week daily dashboard as
+    * `rollup_serve` FROM THE STREAM-MAINTAINED TIER and shares its
+    * raw-events DuckDB oracle: stream ≡ batch tier ≡ raw, closing
+    * the loop.
+    */
+  def rollupStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = rollupRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h26_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h26_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      raw.select(col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"),
+          unix_micros(graft.Tables.tsCol(raw)).as("us"),
+          col("event_id"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream
+        .groupBy(col("usr"), col("typ"),
+          (expr("us div 1000000") - pmod(expr("us div 1000000"),
+            lit(3600L))).as("h_sec"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"),
+          max_by(col("value"), struct(col("us"), col("event_id")))
+            .as("last_v"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+    graft.tsdb.Rollup.dailyFromHours(
+      spark.table(table)
+        .filter(col("h_sec") >= t0 && col("h_sec") < t0 + 21L * 86400L))
+  }
+
   private val dedupRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

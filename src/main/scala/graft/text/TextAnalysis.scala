@@ -1189,6 +1189,74 @@ object TextAnalysis {
           * 1e4 + 0.5) / 1e4)
   }
 
+  /** F34 (round 9 s4): DSIR — Data Selection with Importance
+    * Resampling (Xie et al., NeurIPS 2023), the published
+    * target-distribution curation method: score every raw document by
+    * how much more likely its hashed n-gram features are under a
+    * TARGET corpus (here: the `lang='en'` slice) than under the raw
+    * corpus, then keep the top of the ranking (the deterministic
+    * refinement of the paper's Gumbel resampling — same estimator,
+    * replayable draw). Features are word unigrams + bigrams hashed
+    * into B=2048 buckets ([[graft.functions.DualPolyHash]], the same
+    * dual polynomial the oracle replays bit-for-bit); bucket
+    * log-likelihood ratios are Laplace-smoothed
+    * λ_b = ln((T_b+1)(S+B) / ((S_b+1)(T+B))) — integer products, ONE
+    * IEEE division, one ln — quantized to the dyadic 2⁻²⁰ grid (the
+    * F9 trick), so per-doc scores Σ c_b·λ_b sum EXACTLY in any
+    * aggregation order and the final 1e-4 rounding is stable.
+    *
+    * Shape at 100 TB: the feature stream is map-side transform +
+    * explode; both count tables are B-bounded (2048 rows — the λ
+    * table is broadcast-sized at ANY corpus size, the whole point of
+    * the hashing trick); per-doc scoring is one partial-agg groupBy +
+    * a broadcast join; top-100 is a TakeOrdered. Nothing scales
+    * worse than the token count.
+    */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val B = 2048L
+    val docs = Tables.documents(spark, dir)
+    // unigram + bigram feature OCCURRENCES per doc (duplicates count:
+    // DSIR's bag-of-ngrams model)
+    val feats = graft.Memo.cached(spark, s"text.dsir_feats:$dir") {
+      docs.withColumn("__w", words)
+        .select(col("doc_id"), col("lang"), explode(concat(
+          col("__w"),
+          // sequence(1,0) would run DESCENDING — guard the 1-word case
+          when(size(col("__w")) >= 2,
+            transform(sequence(lit(1), size(col("__w")) - 1),
+              i => concat_ws(" ", element_at(col("__w"), i),
+                element_at(col("__w"), i + 1))))
+            .otherwise(array().cast("array<string>")))).as("f"))
+        .withColumn("b",
+          pmod(graft.functions.DualPolyHash.column(spark, col("f")), lit(B)))
+        .select(col("doc_id"), col("lang"), col("b"))
+    }
+    val srcCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("s_b"))
+    val tgtCnt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("t_b"))
+    val sTot = feats.count()
+    val tTot = feats.filter(col("lang") === "en").count()
+    // λ_b for every bucket 0..B-1 (buckets unseen in either corpus
+    // still get the smoothed prior ratio via the full outer frame)
+    val lam = spark.range(B).select(col("id").as("b"))
+      .join(srcCnt, Seq("b"), "left").join(tgtCnt, Seq("b"), "left")
+      .select(col("b"),
+        (floor(log(
+          ((coalesce(col("t_b"), lit(0L)) + 1L) * lit(sTot + B)).cast("double") /
+            ((coalesce(col("s_b"), lit(0L)) + 1L) * lit(tTot + B)).cast("double"))
+          * 1048576 + 0.5) / 1048576).as("lam"))
+    val wRk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        (floor(sum(col("c") * col("lam")) * 1e4 + 0.5) / 1e4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(100)
+      .withColumn("rk", row_number().over(wRk))
+      .select(col("rk"), col("doc_id"), col("n_feats"), col("score"))
+  }
+
   private[graft] def qualityClassifyOn(spark: SparkSession, docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(words).as("w"))

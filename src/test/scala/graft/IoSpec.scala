@@ -452,4 +452,31 @@ class IoSpec extends AnyFunSuite {
     // idempotent: nothing left to remove
     assert(Io.vacuumTable(spark, t, retainFrom = 1L) == 0L)
   }
+
+  test("I22: commit-embedded stats skip non-overlapping files, result " +
+      "equals the unpruned filtered read") {
+    import spark.implicits._
+    val t = s"$tmp/skip"
+    // two stats-carrying commits, each laid out into 3 range-bounded
+    // files on k: 1..90 then 91..180
+    Io.tableAppendStats((1L to 90L).toDF("k")
+      .repartitionByRange(3, col("k")), t, "k")
+    Io.tableAppendStats((91L to 180L).toDF("k")
+      .repartitionByRange(3, col("k")), t, "k")
+    val total = Io.readStatsFile(spark, t, 1L)
+    assert(total.size == 6, s"expected 6 stats entries, got ${total.size}")
+    // stats must be version-consistent: v0's sidecar covers exactly c0
+    assert(Io.readStatsFile(spark, t, 0L).size == 3)
+    // band [50, 100): overlaps the tail of c0 and the head of c1 only
+    val kept = total.count { case (_, (mn, mx)) => mx >= 50L && mn < 100L }
+    assert(kept < 6 && kept > 0, s"band should skip some files, kept $kept")
+    val pruned = Io.readTableVersionSkipping(spark, t, 1L, "k", 50L, 100L)
+    val full = Io.readTableVersion(spark, t, 1L)
+      .filter(col("k") >= 50L && col("k") < 100L)
+    assert(pruned.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+    // and the pruned plan really reads fewer files
+    val scanned = pruned.select(input_file_name()).distinct().count()
+    assert(scanned == kept, s"pruned read scanned $scanned files, stats kept $kept")
+  }
 }
