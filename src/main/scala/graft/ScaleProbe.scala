@@ -20,6 +20,11 @@ object ScaleProbe {
     val headlineOnly = args.contains("headline")
     val headline = Set("match_conj", "agg_hourly", "promql_range_grid",
       "minhash_bands", "ivfpq_train_probe")
+    // `only <row names...>`: probe just the named rows (new-operator
+    // measurement without re-running the full suite)
+    val only: Set[String] =
+      if (args.contains("only")) args.drop(args.indexOf("only") + 1).toSet
+      else Set.empty
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -42,7 +47,8 @@ object ScaleProbe {
     println(s"rows: ${big.count()} (factor $factor)")
 
     def t(name: String)(df: => DataFrame): Unit =
-      if (!headlineOnly || headline(name)) {
+      if ((!headlineOnly || headline(name)) &&
+          (only.isEmpty || only(name))) {
         val t0 = System.nanoTime()
         df.count()
         println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -209,6 +215,36 @@ object ScaleProbe {
     // k-center loop (k passes of least()-folded dots + TakeOrdered
     // top-1 — growth ∝ k·N dots, zero pairwise shuffle)
     t("scd2_versions")(operators.Relational.scd2On(big))
+    // round-9 session 4: the rollup-tier build + daily fold (two
+    // partial-agg groupBys — growth ∝ rows for the build, ∝ tier rows
+    // for the fold) and the shuffle-free priority-sample TakeOrdered
+    t("rollup_tier_daily")(tsdb.Rollup.dailyFromHours(
+      tsdb.Rollup.buildHourTierOn(big.select(
+        col("user_id").cast("string").as("usr"),
+        col("event_type").as("typ"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")))))
+    t("priority_sample") {
+      val m = 1099511627776L
+      val u = (pmod(graft.functions.DualPolyHash.column(spark,
+          col("doc_id").cast("string")), lit(m)) + 1L).cast("double") /
+        lit(m.toDouble)
+      dbig.select(col("doc_id"),
+          (length(col("text")).cast("double") / u).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id")).limit(201)
+    }
+    // the DSIR bucket aggregation — the corpus-scan-bound stage (the
+    // λ table and top-k that follow are B- and k-bounded)
+    t("dsir_buckets")(dbig
+      .withColumn("__w", split(col("text"), " "))
+      .select(explode(concat(col("__w"),
+        when(size(col("__w")) >= 2,
+          transform(sequence(lit(1), size(col("__w")) - 1),
+            i => concat_ws(" ", element_at(col("__w"), i),
+              element_at(col("__w"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("f"))
+      .groupBy(pmod(graft.functions.DualPolyHash.column(spark, col("f")),
+        lit(2048L)).as("b"))
+      .agg(count(lit(1)).as("s_b")))
     // the bounded-frame collect_list window (state ∝ k per row)
     t("feature_assembly")(operators.Relational.featureAssemblyOn(big))
     t("substr_windows")(dedup.Dedup.substringDensityOn(

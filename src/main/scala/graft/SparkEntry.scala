@@ -47,6 +47,7 @@ object SparkEntry {
     "stream_features" -> (streaming.StreamOps.featuresStreamed _),
     "stream_gapfill" -> (streaming.StreamOps.gapfillStreamed _),
     "stream_rollup" -> (streaming.StreamOps.rollupStreamed _),
+    "stream_wsample" -> (streaming.StreamOps.weightedSampleStreamed _),
     "index_churn" -> (index.IndexQueries.indexChurn _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
@@ -3170,29 +3171,10 @@ object SparkEntry {
     // C27: priority sampling — the oracle replays the EXACT draw:
     // u is a dyadic fraction of the dual-poly hash of the doc id and
     // priority is one IEEE division, so even the doubles hash-match
-    "weighted_sample" ->
-      """WITH h AS (SELECT doc_id, n_chars,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
-        |        ch -> CAST(ascii(ch) AS BIGINT))),
-        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
-        |        ch -> CAST(ascii(ch) AS BIGINT))),
-        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
-        |  FROM documents),
-        |p AS (SELECT doc_id, n_chars,
-        |    CAST(n_chars AS DOUBLE) /
-        |      (CAST((h1 * 2147483648 + h2) % 1099511627776 + 1 AS DOUBLE)
-        |        / 1099511627776.0) AS priority
-        |  FROM h),
-        |r AS (SELECT doc_id, n_chars, priority,
-        |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
-        |  FROM p),
-        |t AS (SELECT priority AS tau FROM r WHERE rn = 201)
-        |SELECT r.doc_id, r.n_chars, r.priority,
-        |  greatest(CAST(r.n_chars AS DOUBLE), t.tau) AS w_hat
-        |FROM r, t WHERE r.rn <= 200""".stripMargin,
+    "weighted_sample" -> wsampleSql,
+    // H27: the streaming bounded-heap sample must equal the batch
+    // draw bit-for-bit (priorities are pure functions of the doc)
+    "stream_wsample" -> wsampleSql,
     // H23: the streamed per-user rolling history ≡ the batch trailing
     // window verbatim — same oracle as C26
     "stream_features" ->
@@ -4701,6 +4683,33 @@ object SparkEntry {
       |  a.vmin, a.vmax, l.last_v
       |FROM a JOIN l ON a.usr = l.usr AND a.typ = l.typ
       |  AND a.day_sec = l.day_sec""".stripMargin
+
+  // C27/H27: priority sampling — the oracle replays the EXACT draw
+  // (dyadic hash uniform, one IEEE division), doubles included; the
+  // streaming bounded-heap sample must reproduce it bit-for-bit.
+  private val wsampleSql: String =
+    """WITH h AS (SELECT doc_id, n_chars,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
+      |        ch -> CAST(ascii(ch) AS BIGINT))),
+      |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
+      |        ch -> CAST(ascii(ch) AS BIGINT))),
+      |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+      |  FROM documents),
+      |p AS (SELECT doc_id, n_chars,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST((h1 * 2147483648 + h2) % 1099511627776 + 1 AS DOUBLE)
+      |        / 1099511627776.0) AS priority
+      |  FROM h),
+      |r AS (SELECT doc_id, n_chars, priority,
+      |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+      |  FROM p),
+      |t AS (SELECT priority AS tau FROM r WHERE rn = 201)
+      |SELECT r.doc_id, r.n_chars, r.priority,
+      |  greatest(CAST(r.n_chars AS DOUBLE), t.tau) AS w_hat
+      |FROM r, t WHERE r.rn <= 200""".stripMargin
 
   private val gapfillSql: String =
     """WITH e AS (

@@ -708,7 +708,11 @@ object Relational {
     val pri = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         (col("n_chars").cast("double") / u).as("priority"))
-    val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(n + 1)
+    // Memo: τ and the sample both read the top-(n+1) frame — cache it
+    // so the corpus is scanned ONCE, not once per consumer
+    val top = graft.Memo.cached(spark, s"rel.wsample_top:$dir") {
+      pri.orderBy(col("priority").desc, col("doc_id")).limit(n + 1)
+    }
     val tau = top.agg(min(col("priority")).as("tau"))
     top.orderBy(col("priority").desc, col("doc_id")).limit(n)
       .crossJoin(broadcast(tau))

@@ -517,9 +517,62 @@ object Io {
     val fin = new org.apache.hadoop.fs.Path(dir, f"$version%08d.commit")
     require(!fs.exists(fin),
       s"version $version already committed at $table (log is append-only)")
+    // Optimistic concurrency: the version number is CLAIMED atomically
+    // before any content lands at the final name, so two racing
+    // writers serialize — exactly one wins each version and the loser
+    // gets a catchable conflict (Delta's LogStore put-if-absent
+    // contract). On file:// the claim is a true O_EXCL create via
+    // java.nio (Hadoop's local createNewFile is check-then-act and
+    // loses races); on HDFS create-no-overwrite is atomic server-side;
+    // an object store would need the external coordinator Delta uses
+    // there.
+    val lock = new org.apache.hadoop.fs.Path(dir, f"$version%08d.lock")
+    val claimed =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(
+            fs.makeQualified(lock).toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else fs.createNewFile(lock)
+    require(claimed,
+      s"version $version already claimed at $table (concurrent writer)")
     val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+  }
+
+  /** Append under write contention: optimistic-concurrency retry — on
+    * losing a version claim to a concurrent writer, re-read HEAD,
+    * RE-LAND against the new version (each attempt lands into a
+    * writer-unique dir so racing attempts never clobber each other's
+    * files), and try the next number. Lost attempts leave orphan data
+    * dirs that [[vacuumTable]] collects — the same crash-orphan class
+    * the idempotent streaming sink already produces.
+    */
+  def tableAppendOcc(df: DataFrame, table: String, writer: String,
+      maxRetries: Int = 50): Long = {
+    val spark = df.sparkSession
+    var attempt = 0
+    while (true) {
+      val v = tableVersion(spark, table) + 1
+      val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
+      val fresh = landData(df, table, s"c$v-$writer")
+      try {
+        writeCommit(spark, table, v, prior ++ fresh)
+        return v
+      } catch {
+        case _: IllegalArgumentException if attempt < maxRetries =>
+          attempt += 1 // lost the race — HEAD moved; re-land and retry
+          // linear backoff: the winner may still be mid-rename (its
+          // claim taken, its .commit not yet visible), during which
+          // HEAD has not advanced and an immediate retry re-loses
+          Thread.sleep(20L * attempt)
+      }
+    }
+    -1L // unreachable
   }
 
   private def readCommit(spark: SparkSession, table: String,

@@ -262,6 +262,65 @@ object StreamOps extends Serializable {
         .filter(col("h_sec") >= t0 && col("h_sec") < t0 + 21L * 86400L))
   }
 
+  private val wsampleRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H27, oracle-gated: STREAMING priority sampling — C27's weighted
+    * sample maintained live over an unbounded corpus feed, the
+    * canonical use of the estimator (Duffield–Lund–Thorup define it
+    * for exactly this: a fixed-size sketch of a stream that answers
+    * weighted subset-sum queries unbiasedly at any moment). Because a
+    * priority is a PURE function of the document (deterministic
+    * dyadic hash uniform), the sample state is just the running
+    * top-(n+1) priorities — the same bounded-heap TopKAgg that powers
+    * batch topk and H12, here as a Complete-mode GLOBAL aggregate:
+    * O(n) state total, each micro-batch folds its local top-(n+1)
+    * into it, arrival order irrelevant. The gate unpacks the final
+    * heap into the (sample, τ, ŵ) form and must equal C27's batch
+    * draw bit-for-bit — SAME DuckDB oracle, doubles included.
+    */
+  def weightedSampleStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val n = 200
+    val table = wsampleRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/documents.parquet")
+      val name = "graft_h27_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h27_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val m = 1099511627776L // 2^40
+      val u = (pmod(graft.functions.DualPolyHash.column(spark,
+          col("doc_id").cast("string")), lit(m)) + 1L).cast("double") /
+        lit(m.toDouble)
+      val q = stream
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars").cast("double") / u).as("priority"))
+        .groupBy()
+        .agg(graft.functions.TopKAgg.column(spark, col("priority"),
+          col("doc_id").cast("string"), col("n_chars").cast("string"),
+          n + 1).as("top"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    val top = spark.table(table)
+      .select(explode(col("top")).as("e"))
+      .select(col("e.v").as("priority"),
+        col("e.a").cast("long").as("doc_id"),
+        col("e.b").cast("long").as("n_chars"))
+    val tau = top.agg(min(col("priority")).as("tau"))
+    top.orderBy(col("priority").desc, col("doc_id")).limit(n)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("n_chars"), col("priority"),
+        greatest(col("n_chars").cast("double"), col("tau")).as("w_hat"))
+  }
+
   private val dedupRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

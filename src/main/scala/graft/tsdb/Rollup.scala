@@ -48,11 +48,16 @@ object Rollup {
     */
   def buildHourTier(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.eventsRaw(spark, dir)
-    val ev = raw.select(
+    buildHourTierOn(raw.select(
       col("user_id").cast("string").as("usr"),
       col("event_type").as("typ"),
       unix_micros(Tables.tsCol(raw)).as("us"),
-      col("event_id"), col("value"))
+      col("event_id"), col("value")))
+  }
+
+  /** DataFrame-generic tier build; input needs (usr, typ, us,
+    * event_id, value). Exposed for the scale probe. */
+  def buildHourTierOn(ev: DataFrame): DataFrame =
     ev.groupBy(col("usr"), col("typ"),
         (expr("us div 1000000") - pmod(expr("us div 1000000"), lit(3600L)))
           .as("h_sec"))
@@ -61,7 +66,6 @@ object Rollup {
         min(col("value")).as("vmin"),
         max(col("value")).as("vmax"),
         max_by(col("value"), struct(col("us"), col("event_id"))).as("last_v"))
-  }
 
   /** Daily dashboard aggregation over hour rows (tier or equivalent):
     * every output column merges from the hourly partials — count and

@@ -88,7 +88,15 @@ class DeterminismSpec extends AnyFunSuite {
       // round-9 session 4: the BPE trainer aggregates the word-freq
       // table into a driver map (order-free counts, lexicographic
       // tie-break), encode is a broadcast-joined literal replace chain
-      "bpe_encode")) {
+      "bpe_encode",
+      // round-9 session 4 cont.: the priority sample's top-(n+1) heap
+      // and τ ride exact doubles + id tie-breaks (the TakeOrdered must
+      // not depend on which partition reports first); DSIR's per-doc
+      // scores sum dyadic λ contributions (order-free) before the
+      // ranked cut; the rollup daily fold merges per-hour partials
+      // whose arrival order varies with partitioning (max_by struct
+      // keys make last_v order-free)
+      "weighted_sample", "dsir_sample", "rollup_serve")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)

@@ -453,6 +453,41 @@ class IoSpec extends AnyFunSuite {
     assert(Io.vacuumTable(spark, t, retainFrom = 1L) == 0L)
   }
 
+  test("I23: concurrent writers serialize through version claims — " +
+      "no lost updates, orphan attempts vacuumable") {
+    import spark.implicits._
+    val t = s"$tmp/occ"
+    val writers = 4
+    val perWriter = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          def call(): Seq[Long] = (0 until perWriter).map { i =>
+            Io.tableAppendOcc(
+              Seq((w.toLong * 100 + i, s"w$w")).toDF("id", "writer"),
+              t, s"w$w")
+          }
+        })
+      }
+      val versions = futures.flatMap(_.get(120,
+        java.util.concurrent.TimeUnit.SECONDS))
+      // every append got a DISTINCT version and none were lost
+      assert(versions.toSet.size == writers * perWriter)
+      assert(Io.tableVersion(spark, t) == writers * perWriter - 1)
+    } finally pool.shutdownNow()
+    // the final version contains every batch exactly once
+    val rows = Io.readTableVersion(spark, t,
+      Io.tableVersion(spark, t)).collect()
+    assert(rows.length == writers * perWriter)
+    assert(rows.map(_.getLong(0)).toSet.size == writers * perWriter)
+    // losing attempts may have landed orphan dirs; vacuum collects
+    // them and the table still reads back intact
+    Io.vacuumTable(spark, t, retainFrom = 0L)
+    assert(Io.readTableVersion(spark, t, Io.tableVersion(spark, t))
+      .count() == writers * perWriter)
+  }
+
   test("I22: commit-embedded stats skip non-overlapping files, result " +
       "equals the unpruned filtered read") {
     import spark.implicits._
