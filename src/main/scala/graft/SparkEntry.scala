@@ -196,6 +196,7 @@ object SparkEntry {
     // E. similarity search
     "ann_bruteforce" -> (similarity.Ann.bruteforceTopk _),
     "ann_filtered" -> (similarity.Ann.filteredTopk _),
+    "ann_ivf_filtered" -> (similarity.Ann.ivfFilteredFull _),
     "ann_mips" -> (similarity.Ann.mipsTopk _),
     "ann_ivf" -> (similarity.Ann.ivfTopk _),
     "ann_ivf_full" -> (similarity.Ann.ivfFull _),
@@ -2683,22 +2684,10 @@ object SparkEntry {
         |WHERE rk <= 5""".stripMargin,
     // E8: E1's oracle with the label equality folded into the join
     // predicate (pre-filter, not post-filter)
-    "ann_filtered" ->
-      """WITH v AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label, e,
-        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
-        |q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn
-        |  FROM n WHERE vec_id < 10),
-        |scored AS (SELECT q.query_id, q.label, n.vec_id AS neighbor_id,
-        |    round(list_sum(list_transform(range(1, 65),
-        |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
-        |  FROM q JOIN n ON n.vec_id <> q.query_id AND n.label = q.label)
-        |SELECT query_id, label, rk, neighbor_id, cs FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
-        |WHERE rk <= 5""".stripMargin,
+    "ann_filtered" -> annFilteredSql,
+    // E16: exhaustive-probe filtered IVF ≡ filtered brute force —
+    // the E3b invariant, same label-constrained exact-scan oracle
+    "ann_ivf_filtered" -> annFilteredSql,
     // centroid = per-label SUM of unit vectors quantized to the 2^-20
     // grid: each per-dim sum is a dyadic rational double represents
     // EXACTLY (order-independent), so Spark and DuckDB centroids are
@@ -4683,6 +4672,24 @@ object SparkEntry {
       |  a.vmin, a.vmax, l.last_v
       |FROM a JOIN l ON a.usr = l.usr AND a.typ = l.typ
       |  AND a.day_sec = l.day_sec""".stripMargin
+
+  // E10/E16: label-constrained exact scan (pre-filter semantics)
+  private val annFilteredSql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, e,
+      |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |q AS (SELECT vec_id AS query_id, label, e AS qe, nrm AS qn
+      |  FROM n WHERE vec_id < 10),
+      |scored AS (SELECT q.query_id, q.label, n.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, 65),
+      |      i -> q.qe[i]*n.e[i])) / (q.qn*n.nrm), 4) AS cs
+      |  FROM q JOIN n ON n.vec_id <> q.query_id AND n.label = q.label)
+      |SELECT query_id, label, rk, neighbor_id, cs FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+      |WHERE rk <= 5""".stripMargin
 
   // C27/H27: priority sampling — the oracle replays the EXACT draw
   // (dyadic hash uniform, one IEEE division), doubles included; the

@@ -573,6 +573,58 @@ object Ann {
     ivfTopkOn(vecs(spark, dir), col("vec_id") < 10, nprobe = 16,
       memoKey = Some(s"ann.model:$dir"))
 
+  /** E16 (round 9 s4): attribute-FILTERED IVF ANN — filter-aware
+    * probing, the vector-database feature E10 documents as "the same
+    * predicate composes with the E2/E3/E7 candidate streams": the
+    * label equality lands on the CELL-SCAN side of the candidate
+    * join, before any ranking, so the probe reads only matching rows
+    * of the probed cells (pre-filter semantics — a rare label can
+    * never be starved the way post-filtering a top-k list is). At
+    * 100 TB the scan cost is nprobe/k of the corpus FURTHER pruned
+    * by label selectivity.
+    *
+    * Gated at nprobe = k: exhaustive probing covers every cell, so
+    * the output provably equals E10's filtered brute force no matter
+    * what the quantizer learned — the E3b invariant discipline, with
+    * the SAME DuckDB oracle shape (label-constrained exact scan).
+    */
+  def ivfFilteredTopkOn(all: DataFrame, isQuery: Column, k: Int = 16,
+      nprobe: Int = 4, iters: Int = 3, dim: Int = 64,
+      memoKey: Option[String] = None): DataFrame = {
+    val spark = all.sparkSession
+    graft.functions.VecFunctions.register(spark)
+    val unit = unitize(all)
+    val cents = trainIvfCentroids(unit, k, iters, dim, memoKey)
+    val assigned = withCell(unit, cents)
+    val probes = unit.filter(isQuery)
+      .withColumn("pc",
+        slice(reverse(array_sort(cellScores(cents))), 1, nprobe))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        explode(expr("transform(pc, x -> x.cid)")).as("cell"))
+    val candIds = assigned.select(col("vec_id"), col("label"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qVecs = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("label").as("qlabel"))
+    val cand = candIds
+      .join(broadcast(qVecs), Seq("query_id"))
+      .join(all, Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    cand.withColumn("cs",
+        round(cosine(col("qv"), col("v"), col("qn"), col("norm")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("qlabel").as("label"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("cs"))
+  }
+
+  def ivfFilteredFull(spark: SparkSession, dir: String): DataFrame =
+    ivfFilteredTopkOn(vecs(spark, dir), col("vec_id") < 10, nprobe = 16,
+      memoKey = Some(s"ann.model:$dir"))
+
   /** E7: product-quantization ANN — the memory-compression scale path:
     * each unit vector is split into `m` subspaces, each subspace
     * L2-k-means-quantized to one of `ks` codes, so a 64-dim float

