@@ -204,6 +204,21 @@ object IndexSql {
         argString("graft_promql_range", exprs, 4).toLong, lookback))
     },
 
+    // B53 from SQL: the daily dashboard served from the landed 1h
+    // rollup tier, e.g. graft_rollup_daily('/data', '1704067200',
+    // '1705881600') — from/to are epoch-second hour bounds
+    "graft_rollup_daily" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 3,
+        "graft_rollup_daily expects (dir, fromSec, toSec)")
+      def a(i: Int) = argString("graft_rollup_daily", exprs, i)
+      val (from, to) =
+        try (a(1).toLong, a(2).toLong)
+        catch { case _: NumberFormatException =>
+          sys.error("graft_rollup_daily: from/to must be epoch seconds") }
+      plan(graft.tsdb.Rollup.serveDaily(SparkSession.active, a(0),
+        stepSec = 86400L, fromSec = from, toSec = to))
+    },
+
     // B49 from SQL: the alerting-rule grid, e.g.
     // graft_promql_alerts('/data', 'expr > 2', '2024-01-03 00:00:00',
     // '2024-01-31 00:00:00', '86400', '172800', 'HighRate')

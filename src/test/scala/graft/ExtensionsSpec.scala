@@ -176,6 +176,15 @@ class ExtensionsSpec extends AnyFunSuite {
         "2024-01-03 00:00:00", "2024-01-31 00:00:00", 86400L, 172800L, "A")
       assert(sorted(sqlAlerts) == sorted(apiAlerts) && sqlAlerts.count() > 0)
 
+      // B53 from SQL: the rollup-tier dashboard TVF ≡ the Rollup API
+      val sqlRoll = s.sql(
+        s"""SELECT usr, typ, day_sec, n, sum_cents, vmin, vmax, last_v
+           |FROM graft_rollup_daily('$dir', '1704067200',
+           |  '${1704067200L + 7L * 86400L}')""".stripMargin)
+      val apiRoll = tsdb.Rollup.serveDaily(s, dir, 86400L,
+        1704067200L, 1704067200L + 7L * 86400L)
+      assert(sorted(sqlRoll) == sorted(apiRoll) && sqlRoll.count() > 0)
+
       // parser rejects garbage loudly
       val err = intercept[Exception](IndexSql.parseSelector("""typ~="click""""))
       assert(err.getMessage.contains("bad matcher term"))
