@@ -27,6 +27,7 @@ object SparkEntry {
     "match_conj_stored" -> (index.IndexQueries.matchConjStored _),
     "match_conj_streamed" -> (index.IndexQueries.matchConjStreamed _),
     "match_at" -> (index.IndexQueries.matchAt _),
+    "match_tombstoned" -> (index.IndexQueries.matchTombstoned _),
     "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
     "stream_quality_route" -> (streaming.StreamOps.qualityRouteStreamed _),
@@ -764,6 +765,13 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
         |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    // A24: resolution through a delete_series tombstone — the deleted
+    // class must be invisible to an unrelated matcher (hide semantics)
+    "match_tombstoned" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE CAST(user_id AS VARCHAR) >= '10'
+        |  AND event_type <> 'error'""".stripMargin,
     // A21: snapshot resolution at the first segment's ordinal ≡ the
     // same matcher algebra over the source table cut to the snapshot's
     // ingest watermark (series first sighted later must not appear)

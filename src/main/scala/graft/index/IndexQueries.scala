@@ -238,6 +238,46 @@ object IndexQueries {
       .select("usr", "typ")
   }
 
+  // a PRIVATE store with a delete_series tombstone applied (separate
+  // from storeFor — deletes must not contaminate the other gates);
+  // rebuilt from scratch per JVM so a crashed prior build can't leave
+  // a partial store or stacked tombstones behind
+  private val tombStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tombStoreFor(spark: SparkSession, dir: String): String =
+    tombStores.computeIfAbsent(dir, _ => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_tombstore_" + graft.Tables.fingerprint(s"$dir/events.parquet"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(base)
+      val p = base.toString
+      IndexStore.materialize(idx(spark, dir), p)
+      val n = IndexStore.deleteSeries(spark, p,
+        Seq(LabelMatcher("typ", Eql, "error")))
+      require(n > 0, s"delete_series matched no series at $p")
+      p
+    })
+
+  /** A24/C9+ (oracle-gated, round 9 s4): matcher resolution through a
+    * store with a delete_series TOMBSTONE applied — the reference's
+    * delete path (storage.h delete_series) as a SERVING mode, not just
+    * a spec: every `typ="error"` series is tombstoned, then an
+    * unrelated matcher resolves from the merge-on-read view and the
+    * deleted series must be invisible. The DuckDB oracle replays the
+    * matcher algebra over the source MINUS the deleted class, so the
+    * hide semantics (not merely "fewer rows") are what hash-gates.
+    */
+  def matchTombstoned(spark: SparkSession, dir: String): DataFrame = {
+    val store = tombStoreFor(spark, dir)
+    val tsids = IndexStore.resolvePostings(spark, store, Seq(
+      LabelMatcher("usr", Gte, "10")))
+    idx(spark, dir).seriesCatalog
+      .join(tsids, Seq("tsid"), "left_semi")
+      .select("usr", "typ")
+  }
+
   // a store populated ONLY through the H9 streaming foreachBatch loop
   // (one per dataset; `_done` marks a completed build — a partial
   // leftover from a crashed run is wiped and rebuilt, never resumed
