@@ -28,6 +28,7 @@ object SparkEntry {
     "match_conj_streamed" -> (index.IndexQueries.matchConjStreamed _),
     "match_at" -> (index.IndexQueries.matchAt _),
     "match_tombstoned" -> (index.IndexQueries.matchTombstoned _),
+    "match_compacted" -> (index.IndexQueries.matchCompacted _),
     "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
     "stream_quality_route" -> (streaming.StreamOps.qualityRouteStreamed _),
@@ -49,6 +50,7 @@ object SparkEntry {
     "stream_gapfill" -> (streaming.StreamOps.gapfillStreamed _),
     "stream_rollup" -> (streaming.StreamOps.rollupStreamed _),
     "stream_wsample" -> (streaming.StreamOps.weightedSampleStreamed _),
+    "stream_churn" -> (streaming.StreamOps.churnStreamed _),
     "index_churn" -> (index.IndexQueries.indexChurn _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
@@ -761,6 +763,13 @@ object SparkEntry {
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
         |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
     "match_conj_streamed" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
+        |  AND CAST(user_id AS VARCHAR) <> '12'""".stripMargin,
+    // C9+: resolution from the COMPACTED single-segment store must
+    // answer the same algebra as the multi-segment view (try_compact)
+    "match_compacted" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS usr, event_type AS typ
         |FROM events
         |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) >= '10'
@@ -3395,22 +3404,10 @@ object SparkEntry {
         |FROM g GROUP BY 1""".stripMargin,
     // A22: series churn — births/deaths per day from the per-series
     // time bounds, ~30-row running net
-    "index_churn" ->
-      """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
-        |    min(strftime(ts, '%Y-%m-%d')) AS fd,
-        |    max(strftime(ts, '%Y-%m-%d')) AS ld
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT fd AS day, count(*) AS born FROM s GROUP BY 1),
-        |d AS (SELECT ld AS day, count(*) AS died FROM s GROUP BY 1),
-        |j AS (
-        |  SELECT coalesce(b.day, d.day) AS day,
-        |    coalesce(born, 0) AS born, coalesce(died, 0) AS died
-        |  FROM b FULL OUTER JOIN d ON b.day = d.day)
-        |SELECT day, CAST(born AS BIGINT) AS born, CAST(died AS BIGINT) AS died,
-        |  CAST(sum(born - died) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-        |    AS BIGINT) AS open_after
-        |FROM j""".stripMargin,
+    "index_churn" -> churnSql,
+    // H28: the stream-maintained series catalog must serve the
+    // identical churn dashboard (same oracle as A22)
+    "stream_churn" -> churnSql,
     // H22: streamed SCD2 cursor ≡ the batch derivation's CLOSED rows
     "stream_scd2" ->
       """WITH e AS (
@@ -4698,6 +4695,24 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
       |WHERE rk <= 5""".stripMargin
+
+  // A22/H28: per-day series births/deaths/net from the catalog bounds
+  private val churnSql: String =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+      |    min(strftime(ts, '%Y-%m-%d')) AS fd,
+      |    max(strftime(ts, '%Y-%m-%d')) AS ld
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT fd AS day, count(*) AS born FROM s GROUP BY 1),
+      |d AS (SELECT ld AS day, count(*) AS died FROM s GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(b.day, d.day) AS day,
+      |    coalesce(born, 0) AS born, coalesce(died, 0) AS died
+      |  FROM b FULL OUTER JOIN d ON b.day = d.day)
+      |SELECT day, CAST(born AS BIGINT) AS born, CAST(died AS BIGINT) AS died,
+      |  CAST(sum(born - died) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS open_after
+      |FROM j""".stripMargin
 
   // C27/H27: priority sampling — the oracle replays the EXACT draw
   // (dyadic hash uniform, one IEEE division), doubles included; the

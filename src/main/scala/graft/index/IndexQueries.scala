@@ -238,6 +238,43 @@ object IndexQueries {
       .select("usr", "typ")
   }
 
+  // a PRIVATE store compacted down to one segment (separate from
+  // storeFor so compaction can't mask a merge-on-read bug there)
+  private val compactStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def compactStoreFor(spark: SparkSession, dir: String): String =
+    compactStores.computeIfAbsent(dir, _ => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_compactstore_" + graft.Tables.fingerprint(s"$dir/events.parquet"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(base)
+      val p = base.toString
+      IndexStore.materialize(idx(spark, dir), p)
+      IndexStore.compact(spark, p)
+      p
+    })
+
+  /** C9+ (oracle-gated, round 9 s4): the A7 conjunction resolved from
+    * a COMPACTED store — the reference's try_compact outcome
+    * (index_server.cpp): after the background merge retires the
+    * segment pile into one, matchers must answer identically. Shares
+    * `match_conj`'s oracle, so the gate proves the compacted
+    * single-segment layout serves the same algebra the multi-segment
+    * merge-on-read view did.
+    */
+  def matchCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val store = compactStoreFor(spark, dir)
+    val tsids = IndexStore.resolvePostings(spark, store, Seq(
+      LabelMatcher("typ", Eql, "purchase"),
+      LabelMatcher("usr", Gte, "10"),
+      LabelMatcher("usr", Neq, "12")))
+    idx(spark, dir).seriesCatalog
+      .join(tsids, Seq("tsid"), "left_semi")
+      .select("usr", "typ")
+  }
+
   // a PRIVATE store with a delete_series tombstone applied (separate
   // from storeFor — deletes must not contaminate the other gates);
   // rebuilt from scratch per JVM so a crashed prior build can't leave

@@ -262,6 +262,60 @@ object StreamOps extends Serializable {
         .filter(col("h_sec") >= t0 && col("h_sec") < t0 + 21L * 86400L))
   }
 
+  private val churnRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H28, oracle-gated: LIVE series-churn dashboard — A22's per-day
+    * births/deaths/net-open served from a stream, the cardinality-
+    * explosion alarm a TSDB operator actually watches in real time.
+    * The state is the streaming form of the reference's mem_index
+    * per-series [min_ts, max_ts] bounds (mem_index.h:19-29): ONE
+    * Complete-mode aggregate keyed by series holding min(us)/max(us)
+    * — both order-free folds, so no watermark and no ordered replay;
+    * any arrival order yields the same catalog, O(1) state per live
+    * series. The gate derives the churn table from the final
+    * stream-maintained catalog exactly as A22 derives it from the
+    * batch catalog and shares `index_churn`'s DuckDB oracle verbatim.
+    */
+  def churnStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = churnRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h28_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h28_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      raw.select(col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"),
+          unix_micros(graft.Tables.tsCol(raw)).as("us"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream
+        .groupBy(col("usr"), col("typ"))
+        .agg(min(col("us")).as("fd_us"), max(col("us")).as("ld_us"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spark.table(table)
+      .select(explode(array(
+        struct(date_format(timestamp_micros(col("fd_us")), "yyyy-MM-dd")
+          .as("day"), lit(1L).as("b"), lit(0L).as("d")),
+        struct(date_format(timestamp_micros(col("ld_us")), "yyyy-MM-dd")
+          .as("day"), lit(0L).as("b"), lit(1L).as("d")))).as("x"))
+      .groupBy(col("x.day").as("day"))
+      .agg(sum(col("x.b")).as("born"), sum(col("x.d")).as("died"))
+      .withColumn("open_after",
+        sum(col("born") - col("died")).over(w))
+  }
+
   private val wsampleRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
