@@ -98,6 +98,7 @@ object SparkEntry {
     "downsample" -> (tsdb.Tsdb.downsample _),
     "gapfill" -> (tsdb.Tsdb.gapfill _),
     "rollup_serve" -> (tsdb.Rollup.rollupServe _),
+    "rollup_weekly" -> (tsdb.Rollup.rollupServeWeekly _),
     "ingest_batch" -> (tsdb.Tsdb.ingestBatch _),
     "asof_join" -> (tsdb.Tsdb.asofCheckpoints _),
     "delta" -> (tsdb.Tsdb.delta _),
@@ -1268,6 +1269,37 @@ object SparkEntry {
     // H26: the stream-maintained tier must serve the identical
     // dashboard (stream ≡ batch tier ≡ raw)
     "stream_rollup" -> rollupDailySql,
+    // B54: the 1h → 1d → weekly tier chain must equal the same weeks
+    // computed from raw samples (epoch-aligned week formula)
+    "rollup_weekly" ->
+      """WITH d AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,
+        |    (epoch_us(ts)//1000000 - (epoch_us(ts)//1000000) % 86400)
+        |      AS day_sec,
+        |    epoch_us(ts) AS us, value, event_id
+        |  FROM events
+        |  WHERE epoch_us(ts)//1000000 >= 1704067200
+        |    AND epoch_us(ts)//1000000 < 1704067200 + 28*86400),
+        |w AS (
+        |  SELECT usr, typ, day_sec - day_sec % 604800 AS week_sec,
+        |    us, value, event_id
+        |  FROM d),
+        |a AS (
+        |  SELECT usr, typ, week_sec, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    min(value) AS vmin, max(value) AS vmax
+        |  FROM w GROUP BY 1, 2, 3),
+        |l AS (
+        |  SELECT usr, typ, week_sec, value AS last_v FROM (
+        |    SELECT usr, typ, week_sec, value,
+        |      row_number() OVER (PARTITION BY usr, typ, week_sec
+        |                         ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM w) WHERE rn = 1)
+        |SELECT a.usr, a.typ, a.week_sec, a.n, a.sum_cents,
+        |  a.vmin, a.vmax, l.last_v
+        |FROM a JOIN l ON a.usr = l.usr AND a.typ = l.typ
+        |  AND a.week_sec = l.week_sec""".stripMargin,
     "downsample" ->
       """SELECT usr, typ, step_sec, last_v FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS usr, event_type AS typ,

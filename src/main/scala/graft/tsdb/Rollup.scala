@@ -38,6 +38,12 @@ object Rollup {
         "graft_rollup_" + fp).toString
       buildHourTier(spark, dir).write.mode("overwrite")
         .parquet(s"$base/1h")
+      // B54: the 1d tier is maintained FROM the landed 1h tier
+      // (tier-of-tier — Thanos's 5m→1h chain): every column merges
+      // from the hourly partials, so the daily compactor never
+      // re-reads raw samples
+      dailyFromHours(spark.read.parquet(s"$base/1h"))
+        .write.mode("overwrite").parquet(s"$base/1d")
       base
     })
 
@@ -95,6 +101,28 @@ object Rollup {
     dailyFromHours(
       spark.read.parquet(s"${tierRoot(spark, dir)}/1h")
         .filter(col("h_sec") >= t0 && col("h_sec") < t0 + 21L * 86400L))
+  }
+
+  /** B54 gate: the 4-week weekly dashboard served FROM THE LANDED 1d
+    * TIER (itself derived from the 1h tier, never from raw) — weeks
+    * are epoch-aligned (`day_sec - day_sec % 604800`, a pure formula
+    * both engines replay); every column merges from daily partials
+    * and the day's last value completes the (µs, event_id) total
+    * order through max_by on day_sec. The DuckDB oracle computes the
+    * same weeks from RAW samples, so the gate proves the whole
+    * 1h → 1d → weekly chain is lossless.
+    */
+  def rollupServeWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+    spark.read.parquet(s"${tierRoot(spark, dir)}/1d")
+      .filter(col("day_sec") >= t0 && col("day_sec") < t0 + 28L * 86400L)
+      .groupBy(col("usr"), col("typ"),
+        (col("day_sec") - pmod(col("day_sec"), lit(604800L))).as("week_sec"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        max_by(col("last_v"), col("day_sec")).as("last_v"))
   }
 
   /** Tier selection — the query-planner face of the tiers: a grid

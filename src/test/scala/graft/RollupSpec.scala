@@ -60,6 +60,16 @@ class RollupSpec extends AnyFunSuite {
       "hour-aligned plan still touches raw events")
   }
 
+  test("B54: the landed 1d tier (derived from the 1h tier, never raw) " +
+      "≡ the raw daily derivation") {
+    val tier1d = spark.read
+      .parquet(s"${Rollup.tierRoot(spark, dir)}/1d")
+    val raw = dailyRaw()
+    assert(tier1d.count() == raw.count())
+    assert(tier1d.except(raw).isEmpty && raw.except(tier1d).isEmpty,
+      "1d tier-of-tier diverges from the raw daily derivation")
+  }
+
   test("B53: the 1h tier is a real downsample (rows ≪ raw samples)") {
     val tierRows = spark.read
       .parquet(s"${Rollup.tierRoot(spark, dir)}/1h").count()
