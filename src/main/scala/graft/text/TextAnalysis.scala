@@ -1231,15 +1231,23 @@ object TextAnalysis {
           pmod(graft.functions.DualPolyHash.column(spark, col("f")), lit(B)))
         .select(col("doc_id"), col("lang"), col("b"))
     }
-    val srcCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("s_b"))
-    val tgtCnt = feats.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("t_b"))
-    val sTot = feats.count()
-    val tTot = feats.filter(col("lang") === "en").count()
+    // ONE bucket pass carries both corpora (source count + target
+    // conditional count per bucket); the totals then derive from the
+    // B-row table itself — the feature stream feeds exactly two
+    // aggregations (this and the per-doc counts below), which is what
+    // you want at corpus scale: recomputable map-side work, no extra
+    // count() actions over the exploded stream
+    val bc = graft.Memo.cached(spark, s"text.dsir_buckets:$dir") {
+      feats.groupBy(col("b")).agg(count(lit(1)).as("s_b"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+    }
+    val tot = bc.agg(sum(col("s_b")), sum(col("t_b"))).collect()(0)
+    val (sTot, tTot) = (tot.getLong(0), tot.getLong(1))
     // λ_b for every bucket 0..B-1 (buckets unseen in either corpus
-    // still get the smoothed prior ratio via the full outer frame)
+    // still get the smoothed prior ratio via the left join); the λ
+    // table is B-bounded — broadcast-sized at ANY corpus volume
     val lam = spark.range(B).select(col("id").as("b"))
-      .join(srcCnt, Seq("b"), "left").join(tgtCnt, Seq("b"), "left")
+      .join(broadcast(bc), Seq("b"), "left")
       .select(col("b"),
         (floor(log(
           ((coalesce(col("t_b"), lit(0L)) + 1L) * lit(sTot + B)).cast("double") /
