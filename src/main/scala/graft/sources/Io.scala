@@ -508,6 +508,43 @@ object Io {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A lost OCC race (version already committed or claimed by a
+    * concurrent writer). Extends IllegalArgumentException so existing
+    * callers/specs that intercept the broad type keep working, while
+    * [[tableAppendOcc]] retries ONLY this — a rename failure or a
+    * missing commit is a genuine error, not a race, and must surface.
+    */
+  final class CommitConflictException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Liveness janitor for the OCC claim (the one gap in the lock
+    * protocol): a writer that crashed between claiming a version and
+    * landing its `.commit` leaves the `.lock` behind forever, wedging
+    * that version number. A claim is STALE when its `.commit` never
+    * appeared and the lock file is older than the TTL
+    * (`graft.occ.lockTtlMs`, default 10 min — must exceed the longest
+    * plausible claim→rename latency). Reclaim deletes ONLY the lock —
+    * never a `.tmp` or `.commit` — and the reclaimer then re-races the
+    * O_EXCL create, so two janitors arriving together still serialize.
+    * If the presumed-dead writer is merely slow and renames after a
+    * reclaim won the version, its rename fails (destination exists)
+    * and it surfaces an error rather than corrupting the log.
+    */
+  private def reclaimStaleLock(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, fin: org.apache.hadoop.fs.Path,
+      ttlMs: Long): Boolean = {
+    if (fs.exists(fin)) return false // committed — lock is legitimate
+    val age = try System.currentTimeMillis() -
+      fs.getFileStatus(lock).getModificationTime
+    catch { case _: java.io.FileNotFoundException => return true }
+    if (age > ttlMs && !fs.exists(fin)) { fs.delete(lock, false); true }
+    else false
+  }
+
+  private def occLockTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.occ.lockTtlMs").map(_.toLong)
+      .getOrElse(600000L)
+
   private def writeCommit(spark: SparkSession, table: String,
       version: Long, files: Seq[String]): Unit = {
     val fs = fsFor(spark, table)
@@ -515,7 +552,7 @@ object Io {
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, f"$version%08d.tmp")
     val fin = new org.apache.hadoop.fs.Path(dir, f"$version%08d.commit")
-    require(!fs.exists(fin),
+    if (fs.exists(fin)) throw new CommitConflictException(
       s"version $version already committed at $table (log is append-only)")
     // Optimistic concurrency: the version number is CLAIMED atomically
     // before any content lands at the final name, so two racing
@@ -527,7 +564,7 @@ object Io {
     // an object store would need the external coordinator Delta uses
     // there.
     val lock = new org.apache.hadoop.fs.Path(dir, f"$version%08d.lock")
-    val claimed =
+    def tryClaim(): Boolean =
       if (fs.getUri.getScheme == "file") {
         try {
           java.nio.file.Files.createFile(java.nio.file.Paths.get(
@@ -537,11 +574,23 @@ object Io {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       } else fs.createNewFile(lock)
-    require(claimed,
+    val claimed = tryClaim() ||
+      (reclaimStaleLock(fs, lock, fin, occLockTtlMs(spark)) && tryClaim())
+    if (!claimed) throw new CommitConflictException(
       s"version $version already claimed at $table (concurrent writer)")
-    val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+    // Past the claim, any failure releases the lock so the version
+    // number is not wedged until the TTL janitor (crash-without-
+    // release remains the janitor's case).
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+    } catch {
+      case t: Throwable =>
+        try { fs.delete(tmp, false); fs.delete(lock, false) }
+        catch { case _: Throwable => () }
+        throw t
+    }
   }
 
   /** Append under write contention: optimistic-concurrency retry — on
@@ -564,7 +613,7 @@ object Io {
         writeCommit(spark, table, v, prior ++ fresh)
         return v
       } catch {
-        case _: IllegalArgumentException if attempt < maxRetries =>
+        case _: CommitConflictException if attempt < maxRetries =>
           attempt += 1 // lost the race — HEAD moved; re-land and retry
           // linear backoff: the winner may still be mid-rename (its
           // claim taken, its .commit not yet visible), during which
@@ -770,7 +819,12 @@ object Io {
       else Some(spark.read.parquet(
         fs.toSeq.sorted.map(f => resolve(table, f)): _*))
     (readSet(from -- to), readSet(to -- from)) match {
-      case (None, None) => spark.emptyDataFrame
+      // identical file sets (e.g. a restore or a no-match delete): an
+      // EMPTY feed must still carry the table schema + change_type so
+      // callers selecting/grouping change_type analyze cleanly
+      case (None, None) =>
+        readTableVersion(spark, table, toV).filter(lit(false))
+          .withColumn("change_type", lit(""))
       case (None, Some(add)) =>
         add.withColumn("change_type", lit("insert"))
       case (Some(rem), None) =>
@@ -1193,17 +1247,27 @@ object Io {
     require(prior.forall(f => priorStats.contains(trail(f))),
       s"prior version at $table is missing stats entries — mixed " +
         "stats/plain appends are not supported")
-    val fresh = landData(df, table, s"c$v")
+    val landed = landData(df, table, s"c$v")
     val freshStats = spark.read.parquet(s"$table/data/c$v")
       .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
         .as("f"))
       .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    writeCommit(spark, table, v, prior ++ fresh)
-    writeStatsFile(spark, table, v,
+    // A zero-row part file (possible under repartitionByRange skew)
+    // produces no stats row — exclude it from the committed file list
+    // (it carries no data) so every committed entry has a sidecar
+    // entry. The full stats payload is assembled BEFORE the commit and
+    // the sidecar renamed into place first: a crash between the two
+    // leaves an orphan sidecar (harmless — versions are defined by
+    // `.commit` files), never a committed version whose stats reads
+    // fail forever after.
+    val fresh = landed.filter(f => freshStats.contains(trail(f)))
+    val allStats =
       prior.map(f => (f, priorStats(trail(f))._1, priorStats(trail(f))._2)) ++
-        fresh.map(f => (f, freshStats(trail(f))._1, freshStats(trail(f))._2)))
+        fresh.map(f => (f, freshStats(trail(f))._1, freshStats(trail(f))._2))
+    writeStatsFile(spark, table, v, allStats)
+    writeCommit(spark, table, v, prior ++ fresh)
     v
   }
 

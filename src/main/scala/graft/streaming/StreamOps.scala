@@ -1601,13 +1601,18 @@ object StreamOps extends Serializable {
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_h25_" + fp)
       val landing = new java.io.File(base, "landing").toString
-      val sec = unix_timestamp(col("ts"))
-      val ev = graft.Tables.events(spark, dir)
-        .filter(col("event_type") === "purchase" && col("user_id") <= 3 &&
-          sec >= t0 && sec < t0 + 168L * 3600L)
+      // range via Tables.tsBetween → file-native-column pushdown
+      // (end-1µs keeps the half-open bound; CLAUDE.md invariant)
+      val raw = graft.Tables.tsBetween(graft.Tables.eventsRaw(spark, dir),
+        timestamp_micros(lit(t0 * 1000000L)),
+        timestamp_micros(lit((t0 + 168L * 3600L) * 1000000L - 1L)))
+      val sec = unix_timestamp(graft.Tables.tsCol(raw))
+      val ev = raw
+        .filter(col("event_type") === "purchase" && col("user_id") <= 3)
         .select(col("user_id").cast("string").as("usr"),
           (sec - pmod(sec, lit(3600L))).as("h_sec"),
-          col("value"), lit(false).as("flush"), col("ts"))
+          col("value"), lit(false).as("flush"),
+          graft.Tables.tsCol(raw).as("ts"))
       val sentinels = ev.select(col("usr")).distinct()
         .select(col("usr"), lit(t0 + 168L * 3600L).as("h_sec"),
           lit(0.0).as("value"), lit(true).as("flush"),

@@ -320,13 +320,19 @@ object Tsdb {
     */
   def gapfill(spark: SparkSession, dir: String): DataFrame = {
     val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
-    val ev = Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase" && col("user_id") <= 3 &&
-        unix_timestamp(col("ts")) >= t0 &&
-        unix_timestamp(col("ts")) < t0 + 168L * 3600L)
+    val endSec = t0 + 168L * 3600L
+    // time range through Tables.tsBetween so the predicate lands on the
+    // file-native time column (parquet row-group pruning in either
+    // events encoding); end-1µs keeps the half-open [t0, end) semantics
+    // under tsBetween's inclusive bound
+    val raw = Tables.tsBetween(Tables.eventsRaw(spark, dir),
+      timestamp_micros(lit(t0 * 1000000L)),
+      timestamp_micros(lit(endSec * 1000000L - 1L)))
+    val tsS = unix_timestamp(Tables.tsCol(raw))
+    val ev = raw
+      .filter(col("event_type") === "purchase" && col("user_id") <= 3)
       .select(col("user_id").cast("string").as("usr"),
-        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(3600L)))
-          .as("h_sec"),
+        (tsS - pmod(tsS, lit(3600L))).as("h_sec"),
         col("value"))
     val obs = ev.groupBy(col("usr"), col("h_sec"))
       .agg(max(col("value")).as("mx"))

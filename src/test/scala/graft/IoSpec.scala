@@ -488,6 +488,55 @@ class IoSpec extends AnyFunSuite {
       .count() == writers * perWriter)
   }
 
+  test("I23 janitor: a fresh foreign claim blocks; a dead claim past " +
+      "TTL is reclaimed and the version number freed") {
+    import spark.implicits._
+    val t = s"$tmp/janitor"
+    Io.tableAppend(Seq(1L).toDF("k"), t) // v0
+    // simulate a writer that claimed v1 and died before its .commit
+    val lock = new java.io.File(s"$t/_commits/00000001.lock")
+    assert(lock.createNewFile())
+    // under the default 10-min TTL the claim is honored: conflict
+    intercept[IllegalArgumentException] { Io.tableAppend(Seq(2L).toDF("k"), t) }
+    assert(Io.tableVersion(spark, t) == 0L)
+    // past the TTL the janitor reclaims the lock and the append lands
+    spark.conf.set("graft.occ.lockTtlMs", "1")
+    try {
+      Thread.sleep(10)
+      assert(Io.tableAppend(Seq(2L).toDF("k"), t) == 1L)
+      assert(Io.readTableVersion(spark, t, 1L).count() == 2)
+    } finally spark.conf.unset("graft.occ.lockTtlMs")
+    // a COMMITTED version's lock is never treated as stale
+    intercept[IllegalArgumentException] {
+      Io.readTableVersion(spark, t, 2L) // sanity: v2 does not exist yet
+    }
+  }
+
+  test("stats append: every committed entry has a sidecar entry and " +
+      "later stats appends are never wedged") {
+    import spark.implicits._
+    val t = s"$tmp/statszero"
+    // repartition(4) of 2 rows forces empty write partitions — any
+    // zero-row part file must be excluded from the committed list
+    Io.tableAppendStats(Seq(1L, 2L).toDF("k").repartition(4), t, "k")
+    assert(Io.readTableVersion(spark, t, 0L).count() == 2)
+    // the invariant readStatsFile requires: no committed file without
+    // stats — a second stats append replays that require over v0
+    Io.tableAppendStats(Seq(3L).toDF("k"), t, "k")
+    assert(Io.readTableVersion(spark, t, 1L)
+      .agg(sum(col("k"))).collect()(0).getLong(0) == 6L)
+  }
+
+  test("changeFeed: identical file sets yield an EMPTY feed that still " +
+      "carries the schema + change_type") {
+    import spark.implicits._
+    val t = s"$tmp/cfnoop"
+    Io.tableAppend(Seq((1L, "a")).toDF("id", "v"), t)
+    val feed = Io.changeFeed(spark, t, 0L, 0L)
+    assert(feed.columns.contains("change_type") && feed.columns.contains("id"))
+    assert(feed.groupBy("change_type").count().collect().isEmpty)
+  }
+
   test("I22: commit-embedded stats skip non-overlapping files, result " +
       "equals the unpruned filtered read") {
     import spark.implicits._
