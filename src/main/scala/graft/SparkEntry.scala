@@ -559,6 +559,47 @@ object SparkEntry {
         "2024-01-31 00:00:00")
         .select(col("usr"), col("typ"), col("value"))
     }),
+    // B55 (round 10): PromQL NATIVE histograms — sparse exponential-
+    // bucket histogram samples (schema 0, zero bucket at 2^-4) derived
+    // per (typ, hour) with counter semantics; the 3.x function family
+    // evaluates over them (promql/NativeHist.scala)
+    "promql_native_histq" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // exponential interpolation within the hit bucket (3.x native rule)
+      promql.NativeHist.eval(s, dir,
+        """histogram_quantile(0.9, {typ=~".*"})""", "2024-01-08 00:00:00")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
+    }),
+    "promql_native_fraction" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // estimated fraction of observations in [10, 100] — log-space
+      // position within the containing buckets on both engines
+      promql.NativeHist.eval(s, dir,
+        """histogram_fraction(10, 100, {typ=~".*"})""", "2024-01-08 00:00:00")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("frac_10_100"))
+    }),
+    "promql_native_stats" -> ((s: SparkSession, dir: String) => {
+      // histogram_count/sum/avg/stddev in one dashboard row per series;
+      // sum is the dyadically-quantized ingest accumulator (exact on
+      // both engines), stddev uses geometric bucket midpoints
+      promql.NativeHist.statsAll(s, dir, """{typ=~".*"}""",
+        "2024-01-08 00:00:00")
+    }),
+    "promql_native_rate" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // rate() of a native histogram: per-bucket counter diff over 24h;
+      // the median of the rate histogram + the observation rate itself
+      val q = promql.NativeHist.eval(s, dir,
+        """histogram_quantile(0.5, rate({typ=~".*"}[1d]))""",
+        "2024-01-08 00:00:00")
+        .select(col("typ"), (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50r"))
+      val c = promql.NativeHist.eval(s, dir,
+        """histogram_count(rate({typ=~".*"}[1d]))""", "2024-01-08 00:00:00")
+        .select(col("typ"), col("value").as("cps"))
+      q.join(c, Seq("typ"))
+    }),
     "promql_atan2" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       // infix atan2 with default 1:1 vector matching on (usr); both
@@ -4234,6 +4275,128 @@ object SparkEntry {
         |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
         |  GROUP BY 1, 2)
         |WHERE rn <= 2""".stripMargin,
+    // native histograms (B55): the oracle replays the schema-0 bucket
+    // assignment (exact power-of-two comparisons — no log), cumulative
+    // counts, and the 3.x exponential interpolation from raw events;
+    // only pow(2, frac) is transcendental, quantized 1e-4 both sides
+    "promql_native_histq" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |b AS (SELECT typ, v, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0, 4.0,
+        |      8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT typ, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt
+        |  FROM b GROUP BY 1),
+        |bc AS (SELECT typ, idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT typ, idx, c,
+        |    sum(c) OVER (PARTITION BY typ ORDER BY idx) AS pc FROM bc),
+        |hit AS (SELECT cm.typ, cm.idx, CAST(cm.c AS DOUBLE) AS c,
+        |    CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE) AS cum,
+        |    CAST(t.cnt AS DOUBLE) * 0.9 AS rk,
+        |    CAST(t.zcnt AS DOUBLE) AS z,
+        |    row_number() OVER (PARTITION BY cm.typ ORDER BY cm.idx) AS rn
+        |  FROM cm JOIN tot t USING (typ)
+        |  WHERE CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE)
+        |    >= CAST(t.cnt AS DOUBLE) * 0.9)
+        |SELECT typ, floor((CASE WHEN rk <= z THEN 0.0625 * rk / z
+        |    ELSE pow(2.0, idx - 1) * pow(2.0, (rk - (cum - c)) / c) END)
+        |  * 1e4 + 0.5) / 1e4 AS hq90
+        |FROM hit WHERE rn = 1""".stripMargin,
+    // native histogram_fraction(10, 100): interpolated cumulative at
+    // each bound (10 lands in bucket 4 = (8,16], 100 in bucket 7 =
+    // (64,128]); ln(x)/ln(2) evaluated in-engine on both sides
+    "promql_native_fraction" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |b AS (SELECT typ, v, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0, 4.0,
+        |      8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |      x -> x < v)) END AS idx FROM e),
+        |agg AS (SELECT typ, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt,
+        |    CAST(sum(CASE WHEN idx IS NOT NULL AND idx < 4 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS b10,
+        |    CAST(sum(CASE WHEN idx = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c10,
+        |    CAST(sum(CASE WHEN idx IS NOT NULL AND idx < 7 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS b100,
+        |    CAST(sum(CASE WHEN idx = 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c100
+        |  FROM b GROUP BY 1)
+        |SELECT typ, floor((((zcnt + b100 + c100 * (ln(100.0) / ln(2.0) - 6))
+        |    - (zcnt + b10 + c10 * (ln(10.0) / ln(2.0) - 3))) / cnt)
+        |  * 1e4 + 0.5) / 1e4 AS frac_10_100
+        |FROM agg""".stripMargin,
+    // native histogram stats: sum is the dyadic (2^-20) ingest
+    // accumulator — exact in any order on both engines; stddev uses
+    // geometric bucket midpoints sqrt(2^(2*idx-1)), zero bucket at 0
+    "promql_native_stats" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |b AS (SELECT typ, v,
+        |    floor(v * 1048576.0 + 0.5) / 1048576.0 AS qv,
+        |    CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0, 4.0,
+        |      8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT typ, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt,
+        |    sum(qv) AS hsum
+        |  FROM b GROUP BY 1),
+        |bc AS (SELECT typ, idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1, 2),
+        |sd AS (SELECT bc.typ,
+        |    sum(bc.c * (sqrt(pow(2.0, 2 * bc.idx - 1)) - t.hsum / t.cnt)
+        |             * (sqrt(pow(2.0, 2 * bc.idx - 1)) - t.hsum / t.cnt))
+        |      AS s2
+        |  FROM bc JOIN tot t USING (typ) GROUP BY 1)
+        |SELECT t.typ, t.cnt AS h_count, t.hsum AS h_sum,
+        |  floor((t.hsum / t.cnt) * 1e4 + 0.5) / 1e4 AS h_avg,
+        |  floor(sqrt((sd.s2 + t.zcnt * (t.hsum / t.cnt) * (t.hsum / t.cnt))
+        |    / t.cnt) * 1e4 + 0.5) / 1e4 AS h_stddev
+        |FROM tot t JOIN sd USING (typ)""".stripMargin,
+    // rate() of a native histogram over [T-24h, T): the counter diffs
+    // equal the sub-window's own histogram, so the oracle replays them
+    // directly; quantile selection runs on RAW counts (scale-invariant
+    // — exact comparisons), only the observation rate divides
+    "promql_native_rate" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |b AS (SELECT typ, v, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0, 4.0,
+        |      8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT typ, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt
+        |  FROM b GROUP BY 1),
+        |bc AS (SELECT typ, idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT typ, idx, c,
+        |    sum(c) OVER (PARTITION BY typ ORDER BY idx) AS pc FROM bc),
+        |hit AS (SELECT cm.typ, cm.idx, CAST(cm.c AS DOUBLE) AS c,
+        |    CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE) AS cum,
+        |    CAST(t.cnt AS DOUBLE) * 0.5 AS rk,
+        |    CAST(t.zcnt AS DOUBLE) AS z,
+        |    row_number() OVER (PARTITION BY cm.typ ORDER BY cm.idx) AS rn
+        |  FROM cm JOIN tot t USING (typ)
+        |  WHERE CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE)
+        |    >= CAST(t.cnt AS DOUBLE) * 0.5)
+        |SELECT h.typ, floor((CASE WHEN h.rk <= h.z THEN 0.0625 * h.rk / h.z
+        |    ELSE pow(2.0, h.idx - 1) * pow(2.0, (h.rk - (h.cum - h.c)) / h.c)
+        |    END) * 1e4 + 0.5) / 1e4 AS q50r,
+        |  CAST(t2.cnt AS DOUBLE) / 86400.0 AS cps
+        |FROM hit h JOIN tot t2 USING (typ) WHERE h.rn = 1""".stripMargin,
     // infix atan2 with 1:1 matching on usr; exact-count operands
     "promql_atan2" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS usr,

@@ -1,0 +1,334 @@
+package graft.promql
+
+import graft.{Memo, Tables}
+import graft.index.{LabelMatcher, MatchOp}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prometheus NATIVE histograms (the 3.x headline feature) over Spark:
+  * a sample is a whole histogram — observation count, sum, a zero
+  * bucket, and SPARSE buckets at exponential boundaries — and the
+  * `histogram_*` function family evaluates against those samples.
+  * The reference's Prometheus adapter
+  * (/root/reference/include/tagtree/adapters/prom/querier.h:14-24)
+  * serves PromQL clients, and 3.x clients send these functions; this
+  * module closes that last language-family gap (round-10 VERDICT #1).
+  *
+  * Sample model (schema 0, i.e. base-2 bucket boundaries — the
+  * coarsest standard native-histogram resolution; the derivation
+  * parallels [[graft.index.TagIndex.forBucketedEvents]]'s classic
+  * `le` fixture):
+  *  - one histogram sample per (typ, hour) over Jan 1-7 (168 hours),
+  *    stamped `t_sec` = END of its hour (the scrape instant);
+  *  - CUMULATIVE counter semantics from the window start, exactly a
+  *    live `*_bucket` counter family: sample at t covers every
+  *    observation with ts < t;
+  *  - positive bucket `idx` covers (2^(idx-1), 2^idx]; observations
+  *    ≤ zeroThreshold = 2^-4 land in the ZERO bucket (Prometheus's
+  *    zero-bucket contract, width chosen so it does real work on the
+  *    corpus); `buckets` stores (idx, count) sparsely, only non-empty
+  *    buckets — the wire format's spans/deltas carry exactly this;
+  *  - `hsum` accumulates observation values dyadically quantized at
+  *    2^-20 (the model's declared ingest precision): dyadic addends
+  *    make the float sum EXACT in any order — both a 1000-executor
+  *    aggregation and the DuckDB oracle reproduce it bit-for-bit.
+  *
+  * Function semantics (Prometheus 3.x, pinned in PromConformanceSpec):
+  *  - histogram_quantile: rank = φ·count; if rank falls in the zero
+  *    bucket, LINEAR interpolation in [0, zeroThreshold] (lower bound
+  *    0 when no negative buckets — Prometheus's special case); else
+  *    EXPONENTIAL interpolation within the hit bucket:
+  *    2^(idx-1+frac) (3.x interpolates native buckets in log space;
+  *    classic `le` buckets stay linear — see the B19/B45 path);
+  *  - histogram_fraction(lo, hi): interpolated cumulative F(hi)-F(lo)
+  *    over count, same per-bucket interpolation rules;
+  *  - histogram_stddev/stdvar: per-bucket midpoint = GEOMETRIC mean
+  *    √(lower·upper) = √(2^(2·idx-1)) (Prometheus's funcHistogramStdDev),
+  *    zero bucket midpoint 0; population variance against mean=sum/count;
+  *  - rate(h[d]): per-bucket counter difference over the window
+  *    divided by its seconds — component-wise, yielding a rate
+  *    histogram consumable by every function above. Like B4/B42 rate,
+  *    WITHOUT Prometheus's window-edge extrapolation (graft's
+  *    documented divergence; the derived counters never reset).
+  *
+  * Scale: the sample table is ∝ series × hours × occupied buckets —
+  * rollup-tier-sized (3-4 orders under raw samples), built in one
+  * pruned scan + two keyed window passes; every function is one
+  * explode + groupBy over ≤ 14-entry arrays per series.
+  */
+object NativeHist {
+
+  val t0Sec = 1704067200L // 2024-01-01 00:00:00 UTC
+  val hours = 168
+  val zeroThreshold = 0.0625 // 2^-4
+  val minIdx = -3 // (2^-4, 2^-3] — adjacent to the zero bucket
+  val maxIdx = 9 // (2^8, 2^9] covers the corpus max (490.02)
+  /** Upper bounds 2^minIdx .. 2^maxIdx — exact doubles, compared (not
+    * log'd) so bucket assignment is bit-identical in any engine. */
+  val uppers: Seq[Double] = (minIdx to maxIdx).map(i => math.pow(2.0, i))
+
+  private val q20 = 1048576.0 // 2^20 — dyadic ingest quantization
+
+  /** The native-histogram sample series:
+    * (typ, t_sec, cnt, zcnt, hsum, buckets: array<struct<idx,c>>).
+    */
+  def samples(spark: SparkSession, dir: String): DataFrame =
+    Memo.cached(spark, s"nativehist.samples:$dir") {
+      val endSec = t0Sec + hours * 3600L
+      val raw = Tables.tsBetween(Tables.eventsRaw(spark, dir),
+        timestamp_micros(lit(t0Sec * 1000000L)),
+        timestamp_micros(lit(endSec * 1000000L - 1L)))
+      val sec = unix_timestamp(Tables.tsCol(raw))
+      val ev = raw.select(
+        col("event_type").as("typ"),
+        (sec - pmod(sec, lit(3600L))).as("h_sec"),
+        col("value"),
+        (floor(col("value") * q20 + 0.5) / q20).as("qv"),
+        when(col("value") <= zeroThreshold, lit(null).cast("int"))
+          .otherwise(lit(minIdx) +
+            size(filter(typedlit(uppers), b => b < col("value"))))
+          .as("idx"))
+      val typs = ev.select(col("typ")).distinct()
+      val grid = typs.withColumn("h_sec",
+        explode(sequence(lit(t0Sec), lit(endSec - 3600L), lit(3600L))))
+      // per-bucket hourly deltas → time-cumulative per (typ, idx);
+      // the window is keyed by series×bucket, so the pass shuffles
+      // tier-scale rows, never samples
+      val hb = ev.filter(col("idx").isNotNull)
+        .groupBy(col("typ"), col("h_sec"), col("idx"))
+        .agg(count(lit(1)).as("dc"))
+      val bgrid = grid.withColumn("idx",
+        explode(sequence(lit(minIdx), lit(maxIdx))))
+      val wcum = Window.partitionBy(col("typ"), col("idx"))
+        .orderBy(col("h_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumB = bgrid.join(hb, Seq("typ", "h_sec", "idx"), "left")
+        .withColumn("cum", sum(coalesce(col("dc"), lit(0L))).over(wcum))
+        .filter(col("cum") > 0) // sparse: only occupied buckets land
+        .groupBy(col("typ"), col("h_sec"))
+        .agg(sort_array(collect_list(struct(col("idx"), col("cum").as("c"))))
+          .as("buckets"))
+      val hs = ev.groupBy(col("typ"), col("h_sec")).agg(
+        count(lit(1)).as("dcnt"),
+        sum(when(col("idx").isNull, 1L).otherwise(0L)).as("dz"),
+        sum(col("qv")).as("ds"))
+      val wc = Window.partitionBy(col("typ")).orderBy(col("h_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hs, Seq("typ", "h_sec"), "left")
+        .withColumn("cnt", sum(coalesce(col("dcnt"), lit(0L))).over(wc))
+        .withColumn("zcnt", sum(coalesce(col("dz"), lit(0L))).over(wc))
+        .withColumn("hsum", sum(coalesce(col("ds"), lit(0.0))).over(wc))
+        .join(cumB, Seq("typ", "h_sec"), "left")
+        .select(col("typ"), (col("h_sec") + 3600L).as("t_sec"),
+          col("cnt"), col("zcnt"), col("hsum"),
+          coalesce(col("buckets"),
+            typedlit(Seq.empty[(Int, Long)])
+              .cast("array<struct<idx:int,c:bigint>>")).as("buckets"))
+    }
+
+  // ---------------- selection ----------------
+
+  /** Matchers applied directly to the sample series' label column —
+    * the full MatchOp set, anchored regexes like the index path. */
+  private def matcherPred(ms: Seq[LabelMatcher]): Column =
+    ms.map { m =>
+      val c = col(if (m.name == "__name__") "typ" else m.name)
+      m.op match {
+        case MatchOp.Eql => c === m.value
+        case MatchOp.Neq => c =!= m.value
+        case MatchOp.Lss => c < m.value
+        case MatchOp.Gtr => c > m.value
+        case MatchOp.Lte => c <= m.value
+        case MatchOp.Gte => c >= m.value
+        case MatchOp.EqlRegex => c.rlike("^(?:" + m.value + ")$")
+        case MatchOp.NeqRegex => !c.rlike("^(?:" + m.value + ")$")
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Instant vector of histogram samples: per series the latest sample
+    * at-or-before T (as-of — the staleness lookback is the sample
+    * interval here, samples land every hour by construction). Counts
+    * emerge as DOUBLE; `rsec` is the rate denominator (1 for instant).
+    */
+  private def histAt(spark: SparkSession, dir: String,
+      ms: Seq[LabelMatcher], tSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("typ")).orderBy(col("t_sec").desc)
+    samples(spark, dir)
+      .filter(matcherPred(ms) && col("t_sec") <= tSec)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("typ"), col("cnt").cast("double").as("cnt"),
+        col("zcnt").cast("double").as("zcnt"), col("hsum"),
+        expr("transform(buckets, x -> named_struct(" +
+          "'idx', x.idx, 'c', cast(x.c as double)))").as("buckets"),
+        lit(1.0).as("rsec"))
+  }
+
+  /** rate(h[rangeSec]) at T: component-wise counter difference of the
+    * samples at T and T-range. The diffs stay RAW (exact integers in
+    * doubles) with `rsec` carrying the denominator: quantile/fraction/
+    * stddev/avg are scale-invariant, so bucket selection compares
+    * exact counts — no cross-engine float-ordering surface — and only
+    * histogram_count/sum divide (one exact IEEE quotient each, the
+    * priority-sampling precedent). A series absent at T-range diffs
+    * against the empty histogram.
+    */
+  private def histRate(spark: SparkSession, dir: String,
+      ms: Seq[LabelMatcher], tSec: Long, rangeSec: Long): DataFrame = {
+    val a = histAt(spark, dir, ms, tSec)
+    val b = histAt(spark, dir, ms, tSec - rangeSec)
+    val ae = a.select(col("typ"), explode(col("buckets")).as("x"))
+      .select(col("typ"), col("x.idx").as("idx"), col("x.c").as("dc"))
+    val be = b.select(col("typ"), explode(col("buckets")).as("x"))
+      .select(col("typ"), col("x.idx").as("idx"), (-col("x.c")).as("dc"))
+    val db = ae.unionByName(be)
+      .groupBy(col("typ"), col("idx")).agg(sum(col("dc")).as("d"))
+      .filter(col("d") > 0)
+      .groupBy(col("typ"))
+      .agg(sort_array(collect_list(struct(col("idx"),
+        col("d").as("c")))).as("buckets"))
+    a.join(b.select(col("typ"), col("cnt").as("bcnt"),
+        col("zcnt").as("bzcnt"), col("hsum").as("bhsum")),
+        Seq("typ"), "left")
+      .select(col("typ"),
+        (col("cnt") - coalesce(col("bcnt"), lit(0.0))).as("cnt"),
+        (col("zcnt") - coalesce(col("bzcnt"), lit(0.0))).as("zcnt"),
+        (col("hsum") - coalesce(col("bhsum"), lit(0.0))).as("hsum"))
+      .join(db, Seq("typ"), "left")
+      .withColumn("buckets", coalesce(col("buckets"),
+        typedlit(Seq.empty[(Int, Double)])
+          .cast("array<struct<idx:int,c:double>>")))
+      .withColumn("rsec", lit(rangeSec.toDouble))
+  }
+
+  // ---------------- function math ----------------
+
+  private def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+
+  /** φ-quantile per series: explode the ≤14-entry bucket array, running
+    * cumulative over idx, first bucket with cum ≥ rank, exponential
+    * interpolation (zero bucket linear from 0). */
+  private[graft] def quantileOf(h: DataFrame, q: Double): DataFrame = {
+    val withRank = h.withColumn("rank", col("cnt") * lit(q))
+    val e = withRank.select(col("typ"), col("zcnt"), col("rank"),
+        explode(col("buckets")).as("x"))
+      .select(col("typ"), col("zcnt"), col("rank"),
+        col("x.idx").as("idx"), col("x.c").as("c"))
+    val wcum = Window.partitionBy(col("typ")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hit = e.withColumn("cum", col("zcnt") + sum(col("c")).over(wcum))
+      .filter(col("cum") >= col("rank"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("typ")).orderBy(col("idx"))))
+      .filter(col("__rn") === 1)
+      .select(col("typ"), col("idx"), col("c"), col("cum"))
+    withRank.join(hit, Seq("typ"), "left")
+      .select(col("typ"),
+        when(col("cnt") <= 0, lit(Double.NaN))
+          .when(col("rank") <= col("zcnt"),
+            lit(zeroThreshold) * col("rank") / col("zcnt"))
+          .when(col("idx").isNull, lit(Double.NaN))
+          .otherwise(pow(lit(2.0), col("idx") - 1) *
+            pow(lit(2.0),
+              (col("rank") - (col("cum") - col("c"))) / col("c")))
+          .as("value"))
+  }
+
+  /** Interpolated cumulative count F(x) of a literal bound x ≥ 0 —
+    * log-space position within the containing bucket, matching the
+    * quantile's exponential rule. ln(x)/ln(2) is evaluated IN each
+    * engine (the 1-ulp-identical ln precedent: F9/F18, 5 rounds). */
+  private def interpCum(x: Double): Column = {
+    require(x >= 0, s"histogram_fraction bound $x < 0: the derived " +
+      "model has no negative buckets")
+    if (x == 0) lit(0.0)
+    else if (x <= zeroThreshold) col("zcnt") * (lit(x) / lit(zeroThreshold))
+    else if (x > uppers.last) col("cnt")
+    else {
+      val ix = (minIdx to maxIdx).find(i => x <= math.pow(2.0, i)).get
+      val below = expr(
+        s"aggregate(filter(buckets, b -> b.idx < $ix), 0D, (a, b) -> a + b.c)")
+      val cb = coalesce(
+        expr(s"get(filter(buckets, b -> b.idx = $ix), 0).c"), lit(0.0))
+      col("zcnt") + below +
+        cb * (log(lit(x)) / log(lit(2.0)) - lit(ix - 1))
+    }
+  }
+
+  private[graft] def fractionOf(h: DataFrame, lo: Double, hi: Double): DataFrame =
+    h.select(col("typ"),
+      when(col("cnt") <= 0, lit(Double.NaN))
+        .otherwise((interpCum(hi) - interpCum(lo)) / col("cnt"))
+        .as("value"))
+
+  /** count/sum/avg/stddev/stdvar of the histogram itself. Only count
+    * and sum see `rsec` — the rest are scale-invariant ratios, so the
+    * rate path keeps exact integer counts throughout. */
+  private[graft] def statOf(h: DataFrame, name: String): DataFrame = name match {
+    case "histogram_count" =>
+      h.select(col("typ"), (col("cnt") / col("rsec")).as("value"))
+    case "histogram_sum" =>
+      h.select(col("typ"), (col("hsum") / col("rsec")).as("value"))
+    case "histogram_avg" =>
+      h.select(col("typ"), (col("hsum") / col("cnt")).as("value"))
+    case _ => // stddev / stdvar: geometric bucket midpoints, zero at 0
+      val mean = col("hsum") / col("cnt")
+      val varCol = (expr(
+        "aggregate(buckets, 0D, (a, b) -> a + b.c * " +
+          "(sqrt(pow(2D, 2 * b.idx - 1)) - __mean) * " +
+          "(sqrt(pow(2D, 2 * b.idx - 1)) - __mean))") +
+        col("zcnt") * col("__mean") * col("__mean")) / col("cnt")
+      val withVar = h.withColumn("__mean", mean).withColumn("__var", varCol)
+      if (name == "histogram_stdvar")
+        withVar.select(col("typ"), col("__var").as("value"))
+      else withVar.select(col("typ"), sqrt(col("__var")).as("value"))
+  }
+
+  // ---------------- the language hook ----------------
+
+  import PromQl.{Expr, Func, HistFrac, Sel}
+
+  /** Evaluate a native-histogram PromQL expression (parsed by
+    * [[PromQl.parse]] — the shared grammar) as an instant query at
+    * `t`. Supported shapes: `histogram_quantile(φ, H)`,
+    * `histogram_fraction(lo, hi, H)`, `histogram_count/sum/avg/
+    * stddev/stdvar(H)`, where H is a selector over the native sample
+    * series or `rate(sel[d])` of it.
+    */
+  def eval(spark: SparkSession, dir: String, exprStr: String,
+      t: String): DataFrame = {
+    val tSec = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    def inner(e: Expr): DataFrame = e match {
+      case Sel(ms, None, 0, None, None) => histAt(spark, dir, ms, tSec)
+      case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
+        histRate(spark, dir, ms, tSec, r)
+      case other => sys.error(s"native-histogram argument must be an " +
+        s"instant selector or rate(sel[d]), got $other")
+    }
+    PromQl.parse(exprStr) match {
+      case Func("histogram_quantile", arg, Some(q)) => quantileOf(inner(arg), q)
+      case HistFrac(lo, hi, arg) => fractionOf(inner(arg), lo, hi)
+      case Func(n, arg, None) if PromQl.nativeHistFuncs(n) =>
+        statOf(inner(arg), n)
+      case other => sys.error(s"not a native-histogram expression: $other")
+    }
+  }
+
+  /** The four-stat dashboard row per series (count, sum, avg, stddev)
+    * — one frame for the gate; each column is the corresponding
+    * histogram_* function. */
+  def statsAll(spark: SparkSession, dir: String, sel: String,
+      t: String): DataFrame = {
+    def f(fn: String) = eval(spark, dir, s"$fn($sel)", t)
+    f("histogram_count").withColumnRenamed("value", "h_count")
+      .join(f("histogram_sum").withColumnRenamed("value", "h_sum"), Seq("typ"))
+      .join(f("histogram_avg").withColumnRenamed("value", "h_avg"), Seq("typ"))
+      .join(f("histogram_stddev").withColumnRenamed("value", "h_stddev"),
+        Seq("typ"))
+      .select(col("typ"), col("h_count").cast("long").as("h_count"),
+        col("h_sum"), r4(col("h_avg")).as("h_avg"),
+        r4(col("h_stddev")).as("h_stddev"))
+  }
+}

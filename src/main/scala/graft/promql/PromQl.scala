@@ -147,6 +147,20 @@ object PromQl {
     * its own node instead of widening Func's single-scalar shape.
     */
   final case class HW(arg: Expr, sf: Double, tf: Double) extends Expr
+  /** histogram_fraction(lower, upper, v) — native-histogram fraction
+    * estimation (Prometheus 3.x); two scalar parameters, so its own
+    * node per the HW precedent. Evaluated by [[NativeHist]] — the
+    * scalar-vector evaluator here has no histogram-valued samples.
+    */
+  final case class HistFrac(lo: Double, hi: Double, arg: Expr) extends Expr
+
+  /** Native-histogram-only functions (Prometheus 3.x): parsed here so
+    * the language surface is complete, evaluated by [[NativeHist]]
+    * over a native-histogram sample series ([[NativeHist.samples]]).
+    */
+  val nativeHistFuncs: Set[String] = Set(
+    "histogram_count", "histogram_sum", "histogram_avg",
+    "histogram_stddev", "histogram_stdvar")
 
   val rangeFuncs: Set[String] = Set(
     "rate", "increase", "delta", "idelta", "changes", "resets", "irate",
@@ -461,6 +475,15 @@ object PromQl {
         if (lo > hi) err("clamp needs min <= max")
         Func("clamp_max", Func("clamp_min", e, Some(lo)), Some(hi))
       } else if (name == "scalar") {
+        eat('('); val e = parseSetOp(); eat(')')
+        Func(name, e, None)
+      } else if (name == "histogram_fraction") {
+        // (lower, upper, v) — scalars first, Prometheus argument order
+        eat('('); val lo = number(); eat(','); val hi = number(); eat(',')
+        val e = parseSetOp(); eat(')')
+        if (lo > hi) err("histogram_fraction needs lower <= upper")
+        HistFrac(lo, hi, e)
+      } else if (nativeHistFuncs(name)) {
         eat('('); val e = parseSetOp(); eat(')')
         Func(name, e, None)
       } else if (name == "sort" || name == "sort_desc") {
@@ -948,6 +971,13 @@ object PromQl {
           inc.select(keys :+ value.as("value"): _*)
       }
       Left(Vec(df0, v.labels))
+
+    case Func(n, _, _) if nativeHistFuncs(n) =>
+      sys.error(s"$n() evaluates over NATIVE histograms — use " +
+        "NativeHist.eval against a native-histogram sample series")
+    case HistFrac(_, _, _) =>
+      sys.error("histogram_fraction() evaluates over NATIVE histograms " +
+        "— use NativeHist.eval against a native-histogram sample series")
 
     case Func("histogram_quantile", arg, Some(q)) =>
       // classic-bucket quantile over ANY vector carrying an `le` label

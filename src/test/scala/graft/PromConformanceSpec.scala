@@ -200,4 +200,117 @@ class PromConformanceSpec extends AnyFunSuite {
     // newest sample ≤ 630 inside the shifted lookback → (600, 100)
     assert(one("""cnt{usr="1"} offset -5m""", T330) == 100.0)
   }
+
+  // ---------------- native histograms (round 10, B55) ----------------
+
+  /** A hand-evaluable native histogram (schema 0, zeroThreshold 2^-4):
+    * observations {0.05, 1.5, 3.0, 6.0, 12.0} → zero bucket 1 (0.05),
+    * positive buckets (1,2]:1, (2,4]:1, (4,8]:1, (8,16]:1.
+    * cnt=5, sum=22.55.
+    */
+  private def nhFixture(rsec: Double): DataFrame = {
+    import spark.implicits._
+    Seq(("x", 5.0, 1.0, 22.55, Seq((1, 1.0), (2, 1.0), (3, 1.0), (4, 1.0)),
+      rsec))
+      .toDF("typ", "cnt", "zcnt", "hsum", "bs", "rsec")
+      .withColumn("buckets",
+        expr("transform(bs, b -> named_struct('idx', b._1, 'c', b._2))"))
+      .drop("bs")
+  }
+  private def nhOne(df: DataFrame): Double =
+    df.collect().head.getAs[Double]("value")
+
+  test("native histogram_quantile: exponential interpolation in " +
+      "positive buckets, linear in the zero bucket (Prometheus 3.x)") {
+    import graft.promql.NativeHist
+    val h = nhFixture(1.0)
+    // φ=0.5: rank=2.5; cum zero:1, b1:2, b2:3 ≥ 2.5 → hit (2,4],
+    // frac=(2.5-2)/1=0.5 → 2^(1+0.5) = 2·√2 (3.x log-space rule;
+    // pre-3.0 linear would give 2 + 0.5·2 = 3)
+    assert(nhOne(NativeHist.quantileOf(h, 0.5)) == math.pow(2.0, 1.5))
+    // φ=0.1: rank=0.5 ≤ zcnt=1 → zero bucket, LINEAR from lower bound
+    // 0 (no negative buckets): 0.0625·0.5/1 = 0.03125 exactly
+    assert(nhOne(NativeHist.quantileOf(h, 0.1)) == 0.03125)
+    // φ=1: rank=5=cum of the last bucket → frac=1 → its upper bound 16
+    assert(nhOne(NativeHist.quantileOf(h, 1.0)) == 16.0)
+    // a RATE histogram (uniformly scaled counts) has the same
+    // quantiles — scale invariance is why the evaluator keeps raw
+    // counts and only count/sum see rsec
+    assert(nhOne(NativeHist.quantileOf(nhFixture(100.0), 0.5))
+      == math.pow(2.0, 1.5))
+  }
+
+  test("native histogram_fraction: interpolated cumulative in log " +
+      "space; power-of-two bounds are exact") {
+    import graft.promql.NativeHist
+    val h = nhFixture(1.0)
+    // F(8): bucket (4,8], below = 1(zero)+1+1 = 3, frac = log2(8)-2 = 1
+    //   → 4; F(2): bucket (1,2], below = 1, frac = log2(2)-0 = 1 → 2;
+    //   fraction = (4-2)/5 = 0.4 (ln-ratio log2 is 1-ulp exact here)
+    assert(math.abs(nhOne(NativeHist.fractionOf(h, 2.0, 8.0)) - 0.4) < 1e-12)
+    // bounds spanning everything → 1; below the zero bucket → z share
+    assert(math.abs(nhOne(NativeHist.fractionOf(h, 0.0, 512.0)) - 1.0) < 1e-12)
+    // F(0.03125) = zcnt·(0.03125/0.0625) = 0.5 → 0.1 of the count
+    assert(math.abs(nhOne(NativeHist.fractionOf(h, 0.0, 0.03125)) - 0.1)
+      < 1e-12)
+  }
+
+  test("native histogram stats: geometric bucket midpoints, zero " +
+      "bucket at 0, population variance (funcHistogramStdDev)") {
+    import graft.promql.NativeHist
+    val h = nhFixture(1.0)
+    assert(nhOne(NativeHist.statOf(h, "histogram_count")) == 5.0)
+    assert(nhOne(NativeHist.statOf(h, "histogram_sum")) == 22.55)
+    assert(nhOne(NativeHist.statOf(h, "histogram_avg")) == 22.55 / 5.0)
+    // midpoints √(2^(2i-1)): √2, √8, √32, √128; zero bucket 0
+    val mean = 22.55 / 5.0
+    val mids = Seq(0.0, math.sqrt(2.0), math.sqrt(8.0), math.sqrt(32.0),
+      math.sqrt(128.0))
+    val varExp = mids.map(m => (m - mean) * (m - mean)).sum / 5.0
+    assert(math.abs(nhOne(NativeHist.statOf(h, "histogram_stdvar")) - varExp)
+      < 1e-9)
+    assert(math.abs(nhOne(NativeHist.statOf(h, "histogram_stddev"))
+      - math.sqrt(varExp)) < 1e-9)
+    // rate scaling reaches ONLY count and sum
+    val hr = nhFixture(10.0)
+    assert(nhOne(NativeHist.statOf(hr, "histogram_count")) == 0.5)
+    assert(nhOne(NativeHist.statOf(hr, "histogram_sum")) == 2.255)
+    assert(nhOne(NativeHist.statOf(hr, "histogram_avg")) == 22.55 / 5.0)
+  }
+
+  test("native-histogram sample model: cumulative counter semantics " +
+      "and sparse occupancy on the events corpus") {
+    import graft.promql.NativeHist
+    val dir = "/root/testdata/sf0.001"
+    val s = NativeHist.samples(spark, dir).cache()
+    // one sample per series-hour over the whole grid
+    val typs = s.select("typ").distinct().count()
+    assert(s.count() == typs * NativeHist.hours)
+    // cnt is the cumulative event count: the last sample equals the
+    // window's total per typ
+    val last = s.filter(col("t_sec") ===
+        NativeHist.t0Sec + NativeHist.hours * 3600L)
+      .select("typ", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = Tables.events(spark, dir)
+      .filter(unix_timestamp(col("ts")) >= NativeHist.t0Sec &&
+        unix_timestamp(col("ts")) < NativeHist.t0Sec + 168L * 3600L)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == raw)
+    // counters never decrease, and bucket arrays are sparse (no
+    // zero-count entries) and idx-sorted
+    val bad = s.select(col("typ"), col("t_sec"), col("cnt"),
+        lag(col("cnt"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("typ")
+            .orderBy("t_sec")).as("prev"))
+      .filter(col("prev").isNotNull && col("cnt") < col("prev")).count()
+    assert(bad == 0)
+    assert(s.filter(expr("exists(buckets, b -> b.c <= 0)")).count() == 0)
+    // (size < 2 arrays are trivially sorted; sequence(1, 0) would run
+    // DESCENDING — the documented Spark trap — so guard on size)
+    assert(s.filter(size(col("buckets")) >= 2 && expr(
+      "exists(sequence(1, size(buckets) - 1), " +
+        "i -> get(buckets, i - 1).idx >= get(buckets, i).idx)")).count() == 0)
+  }
 }
