@@ -349,6 +349,21 @@ object SparkEntry {
         """max_over_time({typ="usr_purchase_count_1d"}[30d])""",
         "2024-01-30 00:00:00")
     }),
+    // B56: ordered rule-group evaluation — rule 2 reads rule 1's
+    // recorded metric, the alert fires on rule 2's series (Prometheus
+    // rules/group.go intra-group sequencing); the oracle replays the
+    // whole three-stage chain from raw events
+    "promql_rule_group" -> ((s: SparkSession, dir: String) => {
+      promql.Rules.evalGroup(s, dir, "purchase_health",
+        Seq(
+          promql.Rules.Record("usr_purchase_1d",
+            """sum by (usr) (count_over_time({typ="purchase"}[1d]))"""),
+          promql.Rules.Record("usr_purchase_avg3",
+            """avg_over_time({typ="usr_purchase_1d"}[3d])"""),
+          promql.Rules.Alert("SustainedPurchases",
+            """{typ="usr_purchase_avg3"} > 2""", 172800L)),
+        "2024-01-04 00:00:00", "2024-01-30 00:00:00", 86400L)
+    }),
     "promql_range_rate" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       promql.PromQl.evalRange(s, dir, """rate({typ="click"}[1d]) * 3600""",
@@ -3968,6 +3983,37 @@ object SparkEntry {
         |a AS (SELECT usr, i, min(i) OVER (PARTITION BY usr, isl) AS since FROM r)
         |SELECT 'HighPurchaseVolume' AS alertname, usr,
         |  1704240000 + i * 86400 AS t_sec,
+        |  CASE WHEN (i - since) * 86400 >= 172800
+        |       THEN 'firing' ELSE 'pending' END AS alertstate
+        |FROM a""".stripMargin,
+    // B56: the whole ordered group chain replayed from raw events —
+    // daily purchase counts (rule 1), the 3d trailing average over the
+    // RECORDED daily series incl. gaps (rule 2: a grid point with no
+    // rule-1 sample at i still averages the j in [i-3, i] that exist),
+    // then the for-duration islands on rule 2's values (the alert);
+    // avg of ≤4 exact counts + one division is bit-deterministic
+    "promql_rule_group" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 26)) AS i),
+        |p AS (
+        |  SELECT CAST(e.user_id AS VARCHAR) AS usr, g.i
+        |  FROM events e, g
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= 1704326400000000 + g.i*86400000000 - 86400000000
+        |    AND epoch_us(e.ts) <= 1704326400000000 + g.i*86400000000),
+        |r1 AS (SELECT usr, i, CAST(count(*) AS DOUBLE) AS v
+        |  FROM p GROUP BY 1, 2),
+        |r2 AS (SELECT u.usr, gg.i, avg(b.v) AS av
+        |  FROM (SELECT DISTINCT usr FROM r1) u
+        |  CROSS JOIN g gg
+        |  JOIN r1 b ON b.usr = u.usr AND b.i BETWEEN gg.i - 3 AND gg.i
+        |  GROUP BY 1, 2),
+        |f AS (SELECT usr, i FROM r2 WHERE av > 2),
+        |r AS (SELECT usr, i,
+        |    i - row_number() OVER (PARTITION BY usr ORDER BY i) AS isl FROM f),
+        |a AS (SELECT usr, i, min(i) OVER (PARTITION BY usr, isl) AS since FROM r)
+        |SELECT 'SustainedPurchases' AS alertname, usr,
+        |  'usr_purchase_avg3' AS typ,
+        |  1704326400 + i * 86400 AS t_sec,
         |  CASE WHEN (i - since) * 86400 >= 172800
         |       THEN 'firing' ELSE 'pending' END AS alertstate
         |FROM a""".stripMargin,

@@ -120,12 +120,89 @@ object Rules {
     * `event_id` is the grid timestamp (one sample per step per series
     * — no ties to break).
     */
+  // ---------------- rule groups (round 10, VERDICT #2) ----------------
+
+  sealed trait GroupRule
+  /** `record: name / expr: ...` */
+  final case class Record(name: String, expr: String) extends GroupRule
+  /** `alert: name / expr: ... / for: forSec` */
+  final case class Alert(name: String, expr: String, forSec: Long)
+    extends GroupRule
+
+  private val groupRuns =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  /** Prometheus rule GROUP evaluation (rules/group.go): the group's
+    * rules evaluate IN DECLARATION ORDER on a shared grid, and each
+    * recording rule's output is ingested before the next rule runs —
+    * so rule k+1's selectors (and the group's alerts) read rule k's
+    * recorded metric exactly like a raw series. That ordering is the
+    * whole point of groups: Prometheus guarantees intra-group
+    * sequencing (and no guarantees across groups).
+    *
+    * Each `Record` lands through the [[recordedIndex]] discipline
+    * (parquet sample lake + IndexStore flushBatch + `_done` commit,
+    * re-read from the LANDED files), and the read-back samples union
+    * into the group's view of the TSDB — recorded series must carry
+    * the same label columns as the base index (aggregate `by` the
+    * index's non-typ labels, the Prometheus convention of keeping
+    * identifying labels). `Alert`s evaluate over that view via
+    * [[alerts]]; the returned frame is the union of all alert rows.
+    * `alertLookbackSec` defaults below the step so a missing recorded
+    * sample means ABSENT, not carried-forward (Prometheus's 5m
+    * staleness next to typical ≥1m intervals).
+    *
+    * Scale: recorded series are aggregates (∝ series × grid, orders
+    * under raw samples); the union index adds tier-scale rows to the
+    * scan and each chained eval is one more Catalyst plan — nothing
+    * iterates per series or per step on the driver.
+    */
+  def evalGroup(spark: SparkSession, dir: String, groupName: String,
+      rules: Seq[GroupRule], start: String, end: String, stepSec: Long,
+      lookbackSec: Long = 86400L,
+      alertLookbackSec: Long = 3600L): DataFrame = {
+    groupRuns.computeIfAbsent((spark, dir, groupName), _ => {
+      val base = TagIndex.forEvents(spark, dir)
+      val cols = Seq("event_id", "ts_ns", "ts", "value") ++
+        base.labelNames
+      var cur = base
+      val alertFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      rules.foreach {
+        case Record(name, ex) =>
+          val ri = recordedIndexOn(spark, cur, dir,
+            s"$groupName.$name", name, ex, start, end, stepSec)
+          val recorded = ri.samples
+            .withColumn("ts_ns", col("event_id") * 1000000000L)
+            .select(cols.map(col): _*)
+          cur = new TagIndex(
+            cur.samples.select(cols.map(col): _*).unionByName(recorded),
+            base.labelNames)
+        case Alert(name, ex, forSec) =>
+          alertFrames += alerts(cur, ex, start, end, stepSec, forSec,
+            name, alertLookbackSec)
+      }
+      require(alertFrames.nonEmpty,
+        s"rule group $groupName has no alert rule — nothing to return")
+      alertFrames.reduce(_.unionByName(_))
+    })
+  }
+
   def recordedIndex(spark: SparkSession, dir: String, ruleName: String,
+      expr: String, start: String, end: String, stepSec: Long): TagIndex =
+    recordedIndexOn(spark, TagIndex.forEvents(spark, dir), dir, ruleName,
+      ruleName, expr, start, end, stepSec)
+
+  /** [[recordedIndex]] generalized to an explicit evaluation index —
+    * the hook [[evalGroup]] chains: rule k's selector resolves against
+    * an index already containing rules 1..k-1's recorded series. */
+  private def recordedIndexOn(spark: SparkSession, evalIdx: TagIndex,
+      dir: String, storeKey: String, ruleName: String,
       expr: String, start: String, end: String, stepSec: Long): TagIndex = {
-    val base = recordedStores.computeIfAbsent((dir, ruleName), _ => {
+    val base = recordedStores.computeIfAbsent((dir, storeKey), _ => {
       val d = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_recrule_" + graft.Tables.fingerprint(s"$dir/events.parquet") +
-          "_" + ruleName.replaceAll("[^A-Za-z0-9]", "_"))
+          "_" + storeKey.replaceAll("[^A-Za-z0-9]", "_"))
       val done = new java.io.File(d, "_done")
       if (!done.exists()) {
         if (d.exists()) {
@@ -134,8 +211,12 @@ object Rules {
           }
           rm(d)
         }
-        val v = PromQl.evalRange(spark, dir, expr, start, end, stepSec)
-        val labels = v.columns.filterNot(Set("t_sec", "value")).toSeq
+        val v = PromQl.evalRangeIndexed(evalIdx, expr, start, end, stepSec)
+        // Prometheus recording semantics: the result's metric name
+        // (__name__ ≡ typ) is REPLACED by the rule name; every other
+        // label is kept — so a per-series expression (which carries
+        // the source metric's typ through) records cleanly
+        val labels = v.columns.filterNot(Set("t_sec", "value", "typ")).toSeq
         val sampleCols = Seq(col("t_sec").as("event_id"),
           timestamp_seconds(col("t_sec")).as("ts"), col("value")) ++
           labels.map(col) :+ lit(ruleName).as("typ")

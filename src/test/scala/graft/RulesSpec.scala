@@ -69,4 +69,40 @@ class RulesSpec extends AnyFunSuite {
       "2024-01-30 00:00:00")
     assert(some.count() > 0)
   }
+
+  test("rule group: declaration order is load-bearing — rule 2 reads " +
+      "rule 1's recorded series, the alert reads rule 2's") {
+    val (gs, ge) = ("2024-01-04 00:00:00", "2024-01-30 00:00:00")
+    // the chained metric does NOT exist in the base index: evaluating
+    // rule 2's expression against raw events alone yields nothing —
+    // only the group's intra-group ingest makes it resolvable
+    val unchained = promql.PromQl.evalRange(spark, dir,
+      """avg_over_time({typ="spec_g.r1"}[3d])""", gs, ge, step)
+    assert(unchained.count() == 0)
+    val out = promql.Rules.evalGroup(spark, dir, "spec_group",
+      Seq(
+        promql.Rules.Record("spec_g.r1",
+          """sum by (usr) (count_over_time({typ="purchase"}[1d]))"""),
+        promql.Rules.Record("spec_g.r2",
+          """avg_over_time({typ="spec_g.r1"}[3d])"""),
+        promql.Rules.Alert("SpecGroupAlert",
+          """{typ="spec_g.r2"} > 0""", 0L)),
+      gs, ge, step)
+    // for=0 ⇒ firing wherever rule 2's series exists and is > 0; rule
+    // 2 exists at every grid point within 3d of a rule-1 sample —
+    // cross-check one stage deep: the firing set equals the grid
+    // points whose 3d-trailing window holds ≥1 recorded daily count
+    val r1 = promql.PromQl.evalRange(spark, dir,
+        """sum by (usr) (count_over_time({typ="purchase"}[1d]))""",
+        gs, ge, step)
+      .select(col("usr"), col("t_sec")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = r1.flatMap { case (u, t) =>
+      (0 to 3).map(d => (u, t + d * 86400L))
+    }.filter(_._2 <= 1706572800L)
+    val got = out.collect()
+      .map(r => (r.getAs[String]("usr"), r.getAs[Long]("t_sec"))).toSet
+    assert(out.collect().forall(_.getAs[String]("alertstate") == "firing"))
+    assert(got == expected)
+  }
 }
