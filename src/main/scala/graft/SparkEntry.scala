@@ -32,6 +32,7 @@ object SparkEntry {
     "promql_streamed" -> (index.IndexQueries.promqlStreamed _),
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
     "stream_quality_route" -> (streaming.StreamOps.qualityRouteStreamed _),
+    "stream_dsir_route" -> (streaming.StreamOps.dsirRouteStreamed _),
     "stream_embed_ingest" -> (streaming.StreamOps.embedIngestStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
     "stream_wm_dedup" -> (streaming.StreamOps.wmDedupStreamed _),
@@ -3135,6 +3136,48 @@ object SparkEntry {
         |  CAST(sum(ns) AS BIGINT) AS sum_stop,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM v GROUP BY 1""".stripMargin,
+    // H29: the DSIR routing replayed as a batch derivation — same
+    // hashed-bigram buckets, λ table, and dyadic per-doc scores as
+    // F34's oracle; the accept cut (score > 0) and the per-verdict
+    // score SUM are exact because every addend is dyadic
+    "stream_dsir_route" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang, unnest(list_concat(w,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+        |    AS f
+        |  FROM t),
+        |hb AS MATERIALIZED (SELECT doc_id, lang,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(f, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 1000000007) * 2147483648 +
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(f, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a, x) -> (a * 137 + x) % 998244353)) % 2048 AS b
+        |  FROM f),
+        |sc AS (SELECT b, count(*) AS s_b FROM hb GROUP BY 1),
+        |tc AS (SELECT b, count(*) AS t_b FROM hb WHERE lang = 'en'
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM hb) AS s_tot,
+        |  (SELECT count(*) FROM hb WHERE lang = 'en') AS t_tot),
+        |lam AS (SELECT g.b,
+        |    floor(ln(CAST((coalesce(t_b, 0) + 1) * (s_tot + 2048) AS DOUBLE) /
+        |             CAST((coalesce(s_b, 0) + 1) * (t_tot + 2048) AS DOUBLE))
+        |      * 1048576 + 0.5) / 1048576 AS lam
+        |  FROM (SELECT unnest(range(0, 2048)) AS b) g
+        |  LEFT JOIN sc ON g.b = sc.b LEFT JOIN tc ON g.b = tc.b, tot),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY 1, 2),
+        |sco AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        |    sum(c * lam) AS score
+        |  FROM dc JOIN lam ON dc.b = lam.b GROUP BY 1)
+        |SELECT CASE WHEN score > 0 THEN 'accept' ELSE 'reject' END
+        |    AS verdict,
+        |  count(*) AS n, CAST(sum(n_feats) AS BIGINT) AS sum_feats,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  floor(sum(score) * 1e4 + 0.5) / 1e4 AS sum_score
+        |FROM sco GROUP BY 1""".stripMargin,
     // F23: adjacent char pairs via 1-based string subscripts; rk <= 50
     // ≡ limit(50) because (n DESC, p) is a total order
     "bpe_pairs" ->

@@ -2022,4 +2022,70 @@ object StreamOps extends Serializable {
         sum(col("n_stop")).as("sum_stop"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
+
+  private val dsirRouteRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H29 (round 10, oracle-gated): streaming DSIR router —
+    * score-at-ingest curation. F34's λ table is STATIC (built once
+    * from the reference corpus, B-bounded → broadcast-sized at any
+    * volume), so live routing is H19's split-sink shape with the DSIR
+    * scorer in the hot path: each documents micro-batch is scored
+    * Σ c_b·λ_b against the broadcast table and routed to accept/
+    * (score > 0 — target-like) or reject/, `batch=<id>` overwrite dirs
+    * for foreachBatch-retry idempotence. Scores stay DYADIC (λ is
+    * 2⁻²⁰-quantized) so the read-back SUM of routed scores is exact in
+    * any order and the gate's single 1e-4 rounding is stable — the
+    * landed-files rule: read both sinks back, reproduce the DuckDB
+    * batch derivation of the same routing from the source table.
+    */
+  def dsirRouteStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = dsirRouteRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/documents.parquet")
+      val b = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h29_" + fp)
+      val done = new java.io.File(b, "_done")
+      if (!done.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(b)
+        // the static table — built BEFORE the stream starts, like a
+        // production router loading its model at deploy
+        val lam = graft.text.TextAnalysis.dsirLambda(spark, dir)
+        val docs = graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val landing = new java.io.File(b, "landing").toString
+        landOrdered(docs, Seq("doc_id"), landing, 4)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = stream.writeStream
+          .option("checkpointLocation", new java.io.File(b, "ckpt").toString)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val scored = graft.text.TextAnalysis
+              .dsirScoreOn(spark, batch, lam).persist()
+            try {
+              scored.filter(col("score") > 0).write
+                .mode("overwrite").parquet(s"$b/accept/batch=$id")
+              scored.filter(!(col("score") > 0)).write
+                .mode("overwrite").parquet(s"$b/reject/batch=$id")
+            } finally scored.unpersist()
+            ()
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        done.createNewFile()
+      }
+      b.toString
+    })
+    def side(name: String): DataFrame =
+      spark.read.option("basePath", s"$base/$name").parquet(s"$base/$name")
+        .withColumn("verdict", lit(name)).drop("batch")
+    side("accept").unionByName(side("reject"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_feats")).as("sum_feats"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        (floor(sum(col("score")) * 1e4 + 0.5) / 1e4).as("sum_score"))
+  }
 }

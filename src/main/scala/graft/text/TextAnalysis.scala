@@ -1212,47 +1212,80 @@ object TextAnalysis {
     * a broadcast join; top-100 is a TakeOrdered. Nothing scales
     * worse than the token count.
     */
+  private val dsirB = 2048L
+
+  /** The DSIR hashed unigram+bigram feature stream of a documents
+    * frame: (extra..., doc_id, b). Map-side transform + explode —
+    * shared by the corpus pass and the per-micro-batch router scorer.
+    */
+  private def dsirFeatStream(spark: SparkSession, docs: DataFrame,
+      extra: Seq[String]): DataFrame =
+    docs.withColumn("__w", words)
+      .select((Seq("doc_id") ++ extra).map(col) :+ explode(concat(
+        col("__w"),
+        // sequence(1,0) would run DESCENDING — guard the 1-word case
+        when(size(col("__w")) >= 2,
+          transform(sequence(lit(1), size(col("__w")) - 1),
+            i => concat_ws(" ", element_at(col("__w"), i),
+              element_at(col("__w"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("f"): _*)
+      .withColumn("b",
+        pmod(graft.functions.DualPolyHash.column(spark, col("f")), lit(dsirB)))
+      .drop("f")
+
+  /** The F34 λ table (bucket log-likelihood ratios, dyadically
+    * quantized) built ONCE from the static corpus — B-bounded, so
+    * broadcast-sized at any volume; the H29 streaming router ships it
+    * into every micro-batch (score-at-ingest: the table is static, the
+    * stream is not).
+    */
+  def dsirLambda(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(spark, s"text.dsir_lambda:$dir") {
+      val bc = graft.Memo.cached(spark, s"text.dsir_buckets:$dir") {
+        dsirFeats(spark, dir).groupBy(col("b"))
+          .agg(count(lit(1)).as("s_b"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+      }
+      val tot = bc.agg(sum(col("s_b")), sum(col("t_b"))).collect()(0)
+      val (sTot, tTot) = (tot.getLong(0), tot.getLong(1))
+      // λ_b for every bucket 0..B-1 (buckets unseen in either corpus
+      // still get the smoothed prior ratio via the left join)
+      spark.range(dsirB).select(col("id").as("b"))
+        .join(broadcast(bc), Seq("b"), "left")
+        .select(col("b"),
+          (floor(log(
+            ((coalesce(col("t_b"), lit(0L)) + 1L) * lit(sTot + dsirB))
+              .cast("double") /
+              ((coalesce(col("s_b"), lit(0L)) + 1L) * lit(tTot + dsirB))
+                .cast("double"))
+            * 1048576 + 0.5) / 1048576).as("lam"))
+    }
+
+  // unigram + bigram feature OCCURRENCES per corpus doc (duplicates
+  // count: DSIR's bag-of-ngrams model); memoized — feeds exactly two
+  // aggregations (the bucket pass and the per-doc counts)
+  private def dsirFeats(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(spark, s"text.dsir_feats:$dir") {
+      dsirFeatStream(spark, Tables.documents(spark, dir), Seq("lang"))
+    }
+
+  /** Per-doc DSIR scores of an arbitrary documents frame against a
+    * prebuilt λ table: (doc_id, n_feats, score) — `score` is the RAW
+    * dyadic Σ c_b·λ_b (exact in any aggregation order; round at the
+    * consumer). The H29 router calls this per micro-batch.
+    */
+  private[graft] def dsirScoreOn(spark: SparkSession, docs: DataFrame,
+      lam: DataFrame): DataFrame =
+    dsirFeatStream(spark, docs, Seq.empty)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("lam")).as("score"))
+
   def dsirSample(spark: SparkSession, dir: String): DataFrame = {
-    val B = 2048L
-    val docs = Tables.documents(spark, dir)
-    // unigram + bigram feature OCCURRENCES per doc (duplicates count:
-    // DSIR's bag-of-ngrams model)
-    val feats = graft.Memo.cached(spark, s"text.dsir_feats:$dir") {
-      docs.withColumn("__w", words)
-        .select(col("doc_id"), col("lang"), explode(concat(
-          col("__w"),
-          // sequence(1,0) would run DESCENDING — guard the 1-word case
-          when(size(col("__w")) >= 2,
-            transform(sequence(lit(1), size(col("__w")) - 1),
-              i => concat_ws(" ", element_at(col("__w"), i),
-                element_at(col("__w"), i + 1))))
-            .otherwise(array().cast("array<string>")))).as("f"))
-        .withColumn("b",
-          pmod(graft.functions.DualPolyHash.column(spark, col("f")), lit(B)))
-        .select(col("doc_id"), col("lang"), col("b"))
-    }
-    // ONE bucket pass carries both corpora (source count + target
-    // conditional count per bucket); the totals then derive from the
-    // B-row table itself — the feature stream feeds exactly two
-    // aggregations (this and the per-doc counts below), which is what
-    // you want at corpus scale: recomputable map-side work, no extra
-    // count() actions over the exploded stream
-    val bc = graft.Memo.cached(spark, s"text.dsir_buckets:$dir") {
-      feats.groupBy(col("b")).agg(count(lit(1)).as("s_b"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
-    }
-    val tot = bc.agg(sum(col("s_b")), sum(col("t_b"))).collect()(0)
-    val (sTot, tTot) = (tot.getLong(0), tot.getLong(1))
-    // λ_b for every bucket 0..B-1 (buckets unseen in either corpus
-    // still get the smoothed prior ratio via the left join); the λ
-    // table is B-bounded — broadcast-sized at ANY corpus volume
-    val lam = spark.range(B).select(col("id").as("b"))
-      .join(broadcast(bc), Seq("b"), "left")
-      .select(col("b"),
-        (floor(log(
-          ((coalesce(col("t_b"), lit(0L)) + 1L) * lit(sTot + B)).cast("double") /
-            ((coalesce(col("s_b"), lit(0L)) + 1L) * lit(tTot + B)).cast("double"))
-          * 1048576 + 0.5) / 1048576).as("lam"))
+    val feats = dsirFeats(spark, dir)
+    val lam = dsirLambda(spark, dir)
     val wRk = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
     feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
