@@ -27,17 +27,40 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Bounded quiet-window wait: poll until 1-min load < 2 or the
-    // budget runs out. Cheap insurance against measuring into a spike.
+    // PRE-FLIGHT LOAD GATE (round 10, VERDICT #8 — round 9's bench ran
+    // into a 95 s load_wait window and every median inflated): two
+    // tiers of patience, and the decision is PRINTED so the artifact's
+    // reader knows what happened without reconstructing it.
+    //  - quiet tier: wait up to SPARK_GRAFT_LOAD_WAIT (240 s) for
+    //    1-min load < 2 — the clean-start condition;
+    //  - hard tier: if the quiet budget ran out and load is STILL ≥ 4
+    //    (someone else owns the box), keep waiting up to
+    //    SPARK_GRAFT_LOAD_MAXWAIT (900 s) more for load < 4 rather
+    //    than measure garbage. Never refuses outright — the driver
+    //    needs a BENCH artifact every round; a run that starts loaded
+    //    after both budgets is marked contended as before.
     val waitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "240").toInt
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAXWAIT", "900").toInt
     val waitStart = System.nanoTime()
+    def waited = (System.nanoTime() - waitStart) / 1e9
     var waitedSec = 0.0
-    while (loadavg1 >= 2.0 &&
-           (System.nanoTime() - waitStart) / 1e9 < waitBudgetSec) {
+    while (loadavg1 >= 2.0 && waited < waitBudgetSec) {
       Thread.sleep(5000)
-      waitedSec = (System.nanoTime() - waitStart) / 1e9
+      waitedSec = waited
+    }
+    if (loadavg1 >= 4.0) {
+      System.err.println(f"[bench] load gate: still loaded " +
+        f"(${loadavg1}%.1f) after quiet wait ${waitedSec}%.0f s — " +
+        f"holding up to $maxWaitSec s more for < 4")
+      while (loadavg1 >= 4.0 && waited < waitBudgetSec + maxWaitSec) {
+        Thread.sleep(10000)
+        waitedSec = waited
+      }
     }
     val loadStart = loadavg1
+    System.err.println(f"[bench] load gate: start loadavg=$loadStart%.2f " +
+      f"after ${waitedSec}%.0f s wait — " +
+      (if (loadStart >= 2.0) "CONTENDED start" else "clean start"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -13,17 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val factor = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
-    // `headline` mode (round 9): only the five headline shapes, for the
+    // the factor is parsed ONLY from args before the `only` keyword
+    // (a digit-only row name must not be misread as the factor), and
+    // an empty-string arg is never the factor
+    val onlyIdx = args.indexOf("only")
+    val preOnly = if (onlyIdx >= 0) args.take(onlyIdx) else args
+    val factor = preOnly.find(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toInt).getOrElse(10)
+    // `headline` mode (round 9): only the headline shapes, for the
     // 100x tier where the full probe's quadratic-candidate entries
-    // (ngram_jaccard, containment, editdist) would run for hours
+    // (ngram_jaccard, containment, editdist) would run for hours;
+    // round 10 adds the round-9 shapes the verdict asked to carry to
+    // the 100x tier
     val headlineOnly = args.contains("headline")
     val headline = Set("match_conj", "agg_hourly", "promql_range_grid",
-      "minhash_bands", "ivfpq_train_probe")
+      "minhash_bands", "ivfpq_train_probe",
+      "rollup_tier_daily", "dsir_buckets", "paragraph_dedup",
+      "gapfill_grid")
     // `only <row names...>`: probe just the named rows (new-operator
     // measurement without re-running the full suite)
     val only: Set[String] =
-      if (args.contains("only")) args.drop(args.indexOf("only") + 1).toSet
+      if (onlyIdx >= 0) args.drop(onlyIdx + 1).filter(_.nonEmpty).toSet
       else Set.empty
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -251,6 +261,35 @@ object ScaleProbe {
       dbig.select(col("doc_id"), col("text").as("t"))))
     t("kcenter_greedy")(similarity.Ann.kcenterProbe(spark,
       edecor.select(col("vec_id"), col("v")), 8))
+    // doubling k must ~double wall (flat per-round cost): the round-10
+    // cache-swap fix makes each greedy round ONE new dot column over
+    // the cached predecessor instead of re-evaluating the whole
+    // least() lineage (O(k·N), was O(k²·N))
+    t("kcenter_greedy16")(similarity.Ann.kcenterProbe(spark,
+      edecor.select(col("vec_id"), col("v")), 16))
+    // the B52 gapfill grid: series × 168 hourly grid rows, LOCF +
+    // bracketing interpolation in ONE keyed window pass pair — growth
+    // ∝ series (the grid), never samples; partitions stay 168 rows
+    t("gapfill_grid") {
+      import org.apache.spark.sql.expressions.Window
+      val t0 = 1704067200L
+      val sec = unix_timestamp(col("ts"))
+      val ev = big.filter(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("usr"),
+          (sec - pmod(sec, lit(3600L))).as("h_sec"), col("value"))
+      val obs = ev.groupBy(col("usr"), col("h_sec"))
+        .agg(max(col("value")).as("mx"))
+      val grid = ev.select(col("usr")).distinct()
+        .withColumn("h_sec", explode(sequence(lit(t0),
+          lit(t0 + 167L * 3600L), lit(3600L))))
+      val wp = Window.partitionBy(col("usr")).orderBy(col("h_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf2 = Window.partitionBy(col("usr")).orderBy(col("h_sec"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(obs, Seq("usr", "h_sec"), "left")
+        .withColumn("pv", last(col("mx"), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("mx"), ignoreNulls = true).over(wf2))
+    }
     t("bloom_build_probe") {
       val h = dbig.select(xxhash64(col("text")).as("h"))
       val sk = h.agg(functions.BloomFuncs

@@ -5073,10 +5073,15 @@ object SparkEntry {
   // trainer's vector fold.
   private def bpeRoundsSql(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH wf AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+    // `tr` replays bpeTrain's min-count floor (the fastBPE hapax prune
+    // that bounds the trainer's driver state): merge SELECTION counts
+    // only floored words, while the replace chain — and therefore the
+    // encode vocabulary — still covers every word
+    sb ++= """WITH wf AS MATERIALIZED (SELECT w, count(*) AS cnt,
+      |    count(*) >= 2 AS tr FROM (
       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  WHERE length(w) >= 1 GROUP BY 1),
-      |w0 AS MATERIALIZED (SELECT w, cnt,
+      |w0 AS MATERIALIZED (SELECT w, cnt, tr,
       |    list_aggregate(list_transform(string_split_regex(w, ''),
       |      c -> chr(1)||c||chr(1)), 'string_agg', '') AS wtok FROM wf)""".stripMargin
     for (r <- 1 to k) {
@@ -5084,10 +5089,10 @@ object SparkEntry {
         |pr$r AS (SELECT cnt, unnest(list_transform(range(1, len(toks)),
         |    i -> struct_pack(f := toks[i], t := toks[i+1]))) AS pr
         |  FROM (SELECT cnt, string_split(trim(wtok, chr(1)),
-        |      chr(1)||chr(1)) AS toks FROM w${r - 1})),
+        |      chr(1)||chr(1)) AS toks FROM w${r - 1} WHERE tr)),
         |m$r AS MATERIALIZED (SELECT pr.f AS f, pr.t AS t, sum(cnt) AS n
         |  FROM pr$r GROUP BY 1, 2 ORDER BY n DESC, f, t LIMIT 1),
-        |w$r AS MATERIALIZED (SELECT w, cnt,
+        |w$r AS MATERIALIZED (SELECT w, cnt, tr,
         |    replace(wtok, chr(1)||m.f||chr(1)||chr(1)||m.t||chr(1),
         |      chr(1)||m.f||m.t||chr(1)) AS wtok FROM w${r - 1}, m$r m)""".stripMargin
     }

@@ -371,19 +371,36 @@ object Ann {
   private def kcenterOn(spark: SparkSession, u: DataFrame, k: Int): DataFrame = {
     val seed = u.orderBy(col("vec_id")).limit(1).collect()(0)
     var chosen = Vector((seed.getLong(0), 0.0))
+    // Per-round CACHE SWAP (the ancestor-closure discipline): each
+    // round's dist frame is persisted and MATERIALIZED before its
+    // parent is released, so round i computes exactly ONE new dot
+    // column over the cached predecessor — O(k·N) dots total with O(1)
+    // plan depth per round, not the O(k²·N) a composed least() lineage
+    // would re-evaluate on every collect. least() over materialized
+    // values is pure selection (no arithmetic), so picks are
+    // bit-identical to the composed form (AnnMipsSpec pins them).
+    // Round frames are session-transient and all released before
+    // return — no per-invocation cache leak (the returned frame is a
+    // local k-row toDF).
     var dist = u.withColumn("dist",
       lit(1.0) - call_function("vec_dot", col("u"),
-        typedlit(seed.getSeq[Double](1))))
-    for (_ <- 2 to k) {
+        typedlit(seed.getSeq[Double](1)))).persist()
+    for (r <- 2 to k) {
       val sel = dist
         .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
         .orderBy(col("dist").desc, col("vec_id").asc).limit(1)
         .collect()(0)
       chosen :+= ((sel.getLong(0), sel.getAs[Double]("dist")))
-      dist = dist.withColumn("dist",
-        least(col("dist"), lit(1.0) - call_function("vec_dot", col("u"),
-          typedlit(sel.getSeq[Double](1)))))
+      if (r < k) { // the post-final-pick update would never be read
+        val next = dist.withColumn("dist",
+          least(col("dist"), lit(1.0) - call_function("vec_dot", col("u"),
+            typedlit(sel.getSeq[Double](1))))).persist()
+        next.count() // materialize against the still-cached parent
+        dist.unpersist()
+        dist = next
+      }
     }
+    dist.unpersist()
     import spark.implicits._
     chosen.zipWithIndex
       .map { case ((id, d), i) =>

@@ -1094,10 +1094,20 @@ object TextAnalysis {
     * selection time.
     */
   private[graft] def bpeTrain(spark: SparkSession, dir: String,
-      rounds: Int = 8): Seq[(String, String, Long)] = {
+      rounds: Int = 8, minCount: Long = 2L): Seq[(String, String, Long)] = {
+    // The driver-side trainer state is the distinct-word frequency
+    // table. Raw web text at 100 TB has hundreds of millions of
+    // distinct "words" (URLs, hashes, typos) — a min-count floor
+    // BEFORE the collect is what fastBPE does (its default prunes
+    // hapaxes) and bounds the driver at vocabulary scale, while the
+    // learned merges are unchanged on any real corpus: a pair backed
+    // only by singleton words can never beat one backed by repeated
+    // words until deep into the tail (PipelineSpec pins floored ≡
+    // unfloored on the test corpus). Set minCount=1 to disable.
     val wf = Tables.documents(spark, dir)
       .select(explode(words).as("w")).filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var toks: Array[(Vector[String], Long)] =
       wf.map { case (w, c) => (w.map(_.toString).toVector, c) }

@@ -21,12 +21,21 @@ class PipelineSpec extends AnyFunSuite {
       "strictly compresses and never exceeds the char count") {
     val merges = text.TextAnalysis.bpeTrain(spark, dir)
     assert(merges.size == 8)
-    // the first training round's statistics ARE F23's pair table
+    // the first training round picks F23's top pair (the trainer's
+    // min-count floor drops hapax words, so its COUNT is ≤ the
+    // unfloored pair table's — the pair itself must agree)
     val top = SparkEntry.queries("bpe_pairs")(spark, dir)
       .filter(col("rk") === 1).collect()(0)
     assert(merges.head._1 + merges.head._2 == top.getString(1),
       s"round-1 merge ${merges.head} != bpe_pairs rk1 ${top}")
-    assert(merges.head._3 == top.getLong(2))
+    assert(merges.head._3 <= top.getLong(2))
+    // the driver-bounding hapax floor does not change what is LEARNED
+    // on this corpus: same merge sequence with or without it (counts
+    // shift by the dropped singletons only)
+    val unfloored = text.TextAnalysis.bpeTrain(spark, dir, minCount = 1L)
+    assert(merges.map(m => (m._1, m._2)) ==
+      unfloored.map(m => (m._1, m._2)),
+      s"floor changed the learned merges: $merges vs $unfloored")
     // a later merge must fuse a token built by an earlier one (the
     // second-order behavior that distinguishes BPE from pair stats)
     assert(merges.exists { case (f, t, _) => f.length > 1 || t.length > 1 },
