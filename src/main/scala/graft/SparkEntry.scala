@@ -33,6 +33,7 @@ object SparkEntry {
     "stream_window_agg" -> (streaming.StreamOps.windowedAggStreamed _),
     "stream_quality_route" -> (streaming.StreamOps.qualityRouteStreamed _),
     "stream_dsir_route" -> (streaming.StreamOps.dsirRouteStreamed _),
+    "stream_native_hist" -> (streaming.StreamOps.nativeHistStreamed _),
     "stream_embed_ingest" -> (streaming.StreamOps.embedIngestStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
     "stream_wm_dedup" -> (streaming.StreamOps.wmDedupStreamed _),
@@ -615,6 +616,21 @@ object SparkEntry {
         """histogram_count(rate({typ=~".*"}[1d]))""", "2024-01-08 00:00:00")
         .select(col("typ"), col("value").as("cps"))
       q.join(c, Seq("typ"))
+    }),
+    "promql_native_agg" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // the dashboard-paste shape: component-wise histogram SUM across
+      // all series of the 24h rate histograms, then the p90 of the
+      // aggregate + the fleet-wide observation rate
+      val q = promql.NativeHist.eval(s, dir,
+        """histogram_quantile(0.9, sum(rate({typ=~".*"}[1d])))""",
+        "2024-01-08 00:00:00")
+        .select((floor(col("value") * 1e4 + 0.5) / 1e4).as("q90_all"))
+      val c = promql.NativeHist.eval(s, dir,
+        """histogram_count(sum(rate({typ=~".*"}[1d])))""",
+        "2024-01-08 00:00:00")
+        .select(col("value").as("cps_all"))
+      q.crossJoin(c)
     }),
     "promql_atan2" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -4396,6 +4412,36 @@ object SparkEntry {
         |    ELSE pow(2.0, idx - 1) * pow(2.0, (rk - (cum - c)) / c) END)
         |  * 1e4 + 0.5) / 1e4 AS hq90
         |FROM hit WHERE rn = 1""".stripMargin,
+    // H30: the stream-maintained native histogram must serve the SAME
+    // p90 as the batch model — one oracle for B55 and its live twin
+    "stream_native_hist" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |b AS (SELECT typ, v, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0, 4.0,
+        |      8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT typ, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt
+        |  FROM b GROUP BY 1),
+        |bc AS (SELECT typ, idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT typ, idx, c,
+        |    sum(c) OVER (PARTITION BY typ ORDER BY idx) AS pc FROM bc),
+        |hit AS (SELECT cm.typ, cm.idx, CAST(cm.c AS DOUBLE) AS c,
+        |    CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE) AS cum,
+        |    CAST(t.cnt AS DOUBLE) * 0.9 AS rk,
+        |    CAST(t.zcnt AS DOUBLE) AS z,
+        |    row_number() OVER (PARTITION BY cm.typ ORDER BY cm.idx) AS rn
+        |  FROM cm JOIN tot t USING (typ)
+        |  WHERE CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE)
+        |    >= CAST(t.cnt AS DOUBLE) * 0.9)
+        |SELECT typ, floor((CASE WHEN rk <= z THEN 0.0625 * rk / z
+        |    ELSE pow(2.0, idx - 1) * pow(2.0, (rk - (cum - c)) / c) END)
+        |  * 1e4 + 0.5) / 1e4 AS hq90
+        |FROM hit WHERE rn = 1""".stripMargin,
     // native histogram_fraction(10, 100): interpolated cumulative at
     // each bound (10 lands in bucket 4 = (8,16], 100 in bucket 7 =
     // (64,128]); ln(x)/ln(2) evaluated in-engine on both sides
@@ -4486,6 +4532,37 @@ object SparkEntry {
         |    END) * 1e4 + 0.5) / 1e4 AS q50r,
         |  CAST(t2.cnt AS DOUBLE) / 86400.0 AS cps
         |FROM hit h JOIN tot t2 USING (typ) WHERE h.rn = 1""".stripMargin,
+    // histogram SUM aggregation: the global 24h histogram IS the
+    // component-wise sum of the per-typ rate histograms (raw counts —
+    // scale-invariant quantile), so the oracle computes it directly
+    "promql_native_agg" ->
+      """WITH e AS (SELECT value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |b AS (SELECT v, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0, 4.0,
+        |      8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt
+        |  FROM b),
+        |bc AS (SELECT idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1),
+        |cm AS (SELECT idx, c, sum(c) OVER (ORDER BY idx) AS pc FROM bc),
+        |hit AS (SELECT cm.idx, CAST(cm.c AS DOUBLE) AS c,
+        |    CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE) AS cum,
+        |    CAST(t.cnt AS DOUBLE) * 0.9 AS rk,
+        |    CAST(t.zcnt AS DOUBLE) AS z,
+        |    row_number() OVER (ORDER BY cm.idx) AS rn
+        |  FROM cm, tot t
+        |  WHERE CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE)
+        |    >= CAST(t.cnt AS DOUBLE) * 0.9)
+        |SELECT floor((CASE WHEN h.rk <= h.z THEN 0.0625 * h.rk / h.z
+        |    ELSE pow(2.0, h.idx - 1) * pow(2.0, (h.rk - (h.cum - h.c)) / h.c)
+        |    END) * 1e4 + 0.5) / 1e4 AS q90_all,
+        |  CAST(t2.cnt AS DOUBLE) / 86400.0 AS cps_all
+        |FROM hit h, tot t2 WHERE h.rn = 1""".stripMargin,
     // infix atan2 with 1:1 matching on usr; exact-count operands
     "promql_atan2" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS usr,

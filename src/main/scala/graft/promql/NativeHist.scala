@@ -206,25 +206,38 @@ object NativeHist {
 
   private def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
 
+  // a histogram frame = label columns + the histogram payload; the
+  // evaluators key by whatever labels the frame carries (typ for the
+  // raw series, aggregated label subsets after sum by (...))
+  private val hMeta = Set("cnt", "zcnt", "hsum", "buckets", "rsec", "rank")
+  private def hLabels(h: DataFrame): Seq[String] =
+    h.columns.filterNot(hMeta).toSeq
+
   /** φ-quantile per series: explode the ≤14-entry bucket array, running
     * cumulative over idx, first bucket with cum ≥ rank, exponential
     * interpolation (zero bucket linear from 0). */
   private[graft] def quantileOf(h: DataFrame, q: Double): DataFrame = {
-    val withRank = h.withColumn("rank", col("cnt") * lit(q))
-    val e = withRank.select(col("typ"), col("zcnt"), col("rank"),
-        explode(col("buckets")).as("x"))
-      .select(col("typ"), col("zcnt"), col("rank"),
-        col("x.idx").as("idx"), col("x.c").as("c"))
-    val wcum = Window.partitionBy(col("typ")).orderBy(col("idx"))
+    val labels = hLabels(h)
+    val lcols = labels.map(col)
+    // explode_outer keeps bucket-less series as a null-bucket row, so
+    // every series resolves on its FIRST row with cum ≥ rank (cum_max
+    // = cnt ≥ rank guarantees one exists) and no join back to h is
+    // needed — a single-branch plan that also survives histogram
+    // frames whose lineage contains joins or memory-sink views
+    val e = h.withColumn("rank", col("cnt") * lit(q))
+      .select(lcols ++ Seq(col("cnt"), col("zcnt"), col("rank"),
+        explode_outer(col("buckets")).as("x")): _*)
+      .select(lcols ++ Seq(col("cnt"), col("zcnt"), col("rank"),
+        col("x.idx").as("idx"),
+        coalesce(col("x.c"), lit(0.0)).as("c")): _*)
+    val wcum = Window.partitionBy(lcols: _*).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hit = e.withColumn("cum", col("zcnt") + sum(col("c")).over(wcum))
+    e.withColumn("cum", col("zcnt") + sum(col("c")).over(wcum))
       .filter(col("cum") >= col("rank"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("typ")).orderBy(col("idx"))))
+        Window.partitionBy(lcols: _*).orderBy(col("idx"))))
       .filter(col("__rn") === 1)
-      .select(col("typ"), col("idx"), col("c"), col("cum"))
-    withRank.join(hit, Seq("typ"), "left")
-      .select(col("typ"),
+      .select(lcols :+
         when(col("cnt") <= 0, lit(Double.NaN))
           .when(col("rank") <= col("zcnt"),
             lit(zeroThreshold) * col("rank") / col("zcnt"))
@@ -232,7 +245,44 @@ object NativeHist {
           .otherwise(pow(lit(2.0), col("idx") - 1) *
             pow(lit(2.0),
               (col("rank") - (col("cum") - col("c"))) / col("c")))
-          .as("value"))
+          .as("value"): _*)
+  }
+
+  /** Component-wise histogram SUM (`sum by (...) (H)`): native
+    * histograms of equal schema add per bucket — the Prometheus
+    * aggregation behind every `histogram_quantile(φ, sum(rate(...)))`
+    * dashboard panel. Exact: counts are raw integers (rate scaling is
+    * deferred via rsec, which must be uniform across the summed
+    * series) and hsum is dyadic, so the sums are order-independent on
+    * both engines. An empty `by` aggregates everything into one
+    * histogram (a hidden constant key keeps the keyed plan shape; the
+    * eval hook strips it from the output).
+    */
+  private[graft] def sumHists(h: DataFrame, by: Seq[String]): DataFrame = {
+    val keys = if (by.nonEmpty) by else Seq("__g")
+    val base = if (by.nonEmpty) h else h.withColumn("__g", lit(1))
+    val kcols = keys.map(col)
+    val sb = base.select(kcols :+ explode(col("buckets")).as("x"): _*)
+      .groupBy(kcols :+ col("x.idx").as("idx"): _*)
+      .agg(sum(col("x.c")).as("c"))
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(struct(col("idx"), col("c"))))
+        .as("buckets"))
+    base.groupBy(kcols: _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("zcnt")).as("zcnt"),
+        sum(col("hsum")).as("hsum"),
+        min(col("rsec")).as("__rmin"), max(col("rsec")).as("__rmax"))
+      // the guard lives INSIDE rsec so it fires exactly when a
+      // consumer (count/sum) reads the scale of a mixed-range sum
+      .withColumn("rsec",
+        when(col("__rmin") =!= col("__rmax"),
+          raise_error(lit("sum over histograms with mixed rate ranges")))
+          .otherwise(col("__rmin")))
+      .drop("__rmin", "__rmax")
+      .join(sb, keys.toSeq, "left")
+      .withColumn("buckets", coalesce(col("buckets"),
+        typedlit(Seq.empty[(Int, Double)])
+          .cast("array<struct<idx:int,c:double>>")))
   }
 
   /** Interpolated cumulative count F(x) of a literal bound x ≥ 0 —
@@ -257,44 +307,49 @@ object NativeHist {
   }
 
   private[graft] def fractionOf(h: DataFrame, lo: Double, hi: Double): DataFrame =
-    h.select(col("typ"),
+    h.select(hLabels(h).map(col) :+
       when(col("cnt") <= 0, lit(Double.NaN))
         .otherwise((interpCum(hi) - interpCum(lo)) / col("cnt"))
-        .as("value"))
+        .as("value"): _*)
 
   /** count/sum/avg/stddev/stdvar of the histogram itself. Only count
     * and sum see `rsec` — the rest are scale-invariant ratios, so the
     * rate path keeps exact integer counts throughout. */
-  private[graft] def statOf(h: DataFrame, name: String): DataFrame = name match {
-    case "histogram_count" =>
-      h.select(col("typ"), (col("cnt") / col("rsec")).as("value"))
-    case "histogram_sum" =>
-      h.select(col("typ"), (col("hsum") / col("rsec")).as("value"))
-    case "histogram_avg" =>
-      h.select(col("typ"), (col("hsum") / col("cnt")).as("value"))
-    case _ => // stddev / stdvar: geometric bucket midpoints, zero at 0
-      val mean = col("hsum") / col("cnt")
-      val varCol = (expr(
-        "aggregate(buckets, 0D, (a, b) -> a + b.c * " +
-          "(sqrt(pow(2D, 2 * b.idx - 1)) - __mean) * " +
-          "(sqrt(pow(2D, 2 * b.idx - 1)) - __mean))") +
-        col("zcnt") * col("__mean") * col("__mean")) / col("cnt")
-      val withVar = h.withColumn("__mean", mean).withColumn("__var", varCol)
-      if (name == "histogram_stdvar")
-        withVar.select(col("typ"), col("__var").as("value"))
-      else withVar.select(col("typ"), sqrt(col("__var")).as("value"))
+  private[graft] def statOf(h: DataFrame, name: String): DataFrame = {
+    val lcols = hLabels(h).map(col)
+    name match {
+      case "histogram_count" =>
+        h.select(lcols :+ (col("cnt") / col("rsec")).as("value"): _*)
+      case "histogram_sum" =>
+        h.select(lcols :+ (col("hsum") / col("rsec")).as("value"): _*)
+      case "histogram_avg" =>
+        h.select(lcols :+ (col("hsum") / col("cnt")).as("value"): _*)
+      case _ => // stddev / stdvar: geometric bucket midpoints, zero at 0
+        val mean = col("hsum") / col("cnt")
+        val varCol = (expr(
+          "aggregate(buckets, 0D, (a, b) -> a + b.c * " +
+            "(sqrt(pow(2D, 2 * b.idx - 1)) - __mean) * " +
+            "(sqrt(pow(2D, 2 * b.idx - 1)) - __mean))") +
+          col("zcnt") * col("__mean") * col("__mean")) / col("cnt")
+        val withVar = h.withColumn("__mean", mean).withColumn("__var", varCol)
+        if (name == "histogram_stdvar")
+          withVar.select(lcols :+ col("__var").as("value"): _*)
+        else withVar.select(lcols :+ sqrt(col("__var")).as("value"): _*)
+    }
   }
 
   // ---------------- the language hook ----------------
 
-  import PromQl.{Expr, Func, HistFrac, Sel}
+  import PromQl.{Agg, Expr, Func, HistFrac, Sel}
 
   /** Evaluate a native-histogram PromQL expression (parsed by
     * [[PromQl.parse]] — the shared grammar) as an instant query at
     * `t`. Supported shapes: `histogram_quantile(φ, H)`,
     * `histogram_fraction(lo, hi, H)`, `histogram_count/sum/avg/
-    * stddev/stdvar(H)`, where H is a selector over the native sample
-    * series or `rate(sel[d])` of it.
+    * stddev/stdvar(H)`, where H is a histogram-valued expression:
+    * an instant selector over the native sample series, `rate(sel[d])`
+    * of it, or `sum [by (...)]` of either — the
+    * `histogram_quantile(φ, sum(rate(h[5m])))` dashboard shape.
     */
   def eval(spark: SparkSession, dir: String, exprStr: String,
       t: String): DataFrame = {
@@ -304,16 +359,20 @@ object NativeHist {
       case Sel(ms, None, 0, None, None) => histAt(spark, dir, ms, tSec)
       case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
         histRate(spark, dir, ms, tSec, r)
+      case Agg("sum", by, Seq(), arg, None, None) =>
+        sumHists(inner(arg), by)
       case other => sys.error(s"native-histogram argument must be an " +
-        s"instant selector or rate(sel[d]), got $other")
+        s"instant selector, rate(sel[d]), or sum by (...) of either, " +
+        s"got $other")
     }
-    PromQl.parse(exprStr) match {
+    val out = PromQl.parse(exprStr) match {
       case Func("histogram_quantile", arg, Some(q)) => quantileOf(inner(arg), q)
       case HistFrac(lo, hi, arg) => fractionOf(inner(arg), lo, hi)
       case Func(n, arg, None) if PromQl.nativeHistFuncs(n) =>
         statOf(inner(arg), n)
       case other => sys.error(s"not a native-histogram expression: $other")
     }
+    if (out.columns.contains("__g")) out.drop("__g") else out
   }
 
   /** The four-stat dashboard row per series (count, sum, avg, stddev)

@@ -2023,6 +2023,75 @@ object StreamOps extends Serializable {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  private val nhRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H30 (round 10, oracle-gated): LIVE native-histogram maintenance —
+    * the streaming half of B55. A native histogram is a bag of
+    * MERGEABLE partials (per-bucket counts, zero-bucket count, dyadic
+    * value sum), so one Complete-mode aggregation keyed by
+    * (series, bucket) folds the stream incrementally with NO watermark
+    * and NO ordered replay (any arrival order yields the same
+    * histogram — the H26 rollup argument; state ∝ series × occupied
+    * buckets, 2 scalars each). The gate assembles the final
+    * stream-maintained state into B55's sample shape, runs the SAME
+    * 3.x exponential-interpolation quantile over it, and must
+    * reproduce `promql_native_histq`'s raw-events DuckDB oracle:
+    * stream ≡ batch model ≡ raw.
+    */
+  def nativeHistStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = nhRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h30_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h30_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val t0 = graft.promql.NativeHist.t0Sec
+      val endSec = t0 + graft.promql.NativeHist.hours * 3600L
+      val raw = graft.Tables.tsBetween(graft.Tables.eventsRaw(spark, dir),
+        timestamp_micros(lit(t0 * 1000000L)),
+        timestamp_micros(lit(endSec * 1000000L - 1L)))
+      val ev = raw.select(col("event_type").as("typ"), col("value"),
+        col("event_id"))
+      landOrdered(ev, Seq("event_id"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val uppers = graft.promql.NativeHist.uppers
+      val zt = graft.promql.NativeHist.zeroThreshold
+      val bucketed = stream.select(col("typ"),
+        when(col("value") <= zt, lit(null).cast("int"))
+          .otherwise(lit(graft.promql.NativeHist.minIdx) +
+            size(filter(typedlit(uppers), b => b < col("value")))).as("idx"),
+        (floor(col("value") * 1048576.0 + 0.5) / 1048576.0).as("qv"))
+      val q = bucketed.groupBy(col("typ"), col("idx"))
+        .agg(count(lit(1)).as("c"), sum(col("qv")).as("s"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    // assemble the final streamed state into the B55 sample shape and
+    // serve the p90 through the SAME interpolation path
+    val st = spark.table(table)
+    // ONE aggregation assembles the whole sample (collect_list skips
+    // the null the zero-bucket row maps to — and a single-branch
+    // lineage keeps quantileOf's self-join resolvable)
+    val h = st.groupBy(col("typ")).agg(
+      sum(col("c")).cast("double").as("cnt"),
+      sum(when(col("idx").isNull, col("c")).otherwise(0L))
+        .cast("double").as("zcnt"),
+      sum(col("s")).as("hsum"),
+      sort_array(collect_list(when(col("idx").isNotNull,
+        struct(col("idx"), col("c").cast("double").as("c")))))
+        .as("buckets"))
+      .withColumn("rsec", lit(1.0))
+    graft.promql.NativeHist.quantileOf(h, 0.9)
+      .select(col("typ"),
+        (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
+  }
+
   private val dsirRouteRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
