@@ -615,7 +615,17 @@ object SparkEntry {
       val c = promql.NativeHist.eval(s, dir,
         """histogram_count(rate({typ=~".*"}[1d]))""", "2024-01-08 00:00:00")
         .select(col("typ"), col("value").as("cps"))
-      q.join(c, Seq("typ"))
+      q.join(broadcast(c), Seq("typ"))
+    }),
+    "promql_native_range" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // the /query_range panel over native histograms: daily p50 of
+      // the 24h rate histogram per series — one plan for the grid
+      promql.NativeHist.evalRange(s, dir,
+        """histogram_quantile(0.5, rate({typ=~".*"}[1d]))""",
+        "2024-01-02 00:00:00", "2024-01-07 00:00:00", 86400L)
+        .select(col("typ"), col("t_sec"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50r"))
     }),
     "promql_native_agg" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -4532,6 +4542,41 @@ object SparkEntry {
         |    END) * 1e4 + 0.5) / 1e4 AS q50r,
         |  CAST(t2.cnt AS DOUBLE) / 86400.0 AS cps
         |FROM hit h JOIN tot t2 USING (typ) WHERE h.rn = 1""".stripMargin,
+    // native range query: per (typ, day) the 24h window's own
+    // histogram (cumulative diffs ≡ sub-window counts), same quantile
+    // formula keyed by the grid step
+    "promql_native_range" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 5)) AS i),
+        |e AS (SELECT ev.event_type AS typ, g.i, ev.value AS v
+        |  FROM events ev, g
+        |  WHERE epoch_us(ev.ts) >= (1704153600 + g.i*86400 - 86400) * 1000000
+        |    AND epoch_us(ev.ts) < (1704153600 + g.i*86400) * 1000000),
+        |b AS (SELECT typ, i, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0, 4.0,
+        |      8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT typ, i, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt
+        |  FROM b GROUP BY 1, 2),
+        |bc AS (SELECT typ, i, idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1, 2, 3),
+        |cm AS (SELECT typ, i, idx, c,
+        |    sum(c) OVER (PARTITION BY typ, i ORDER BY idx) AS pc FROM bc),
+        |hit AS (SELECT cm.typ, cm.i, cm.idx, CAST(cm.c AS DOUBLE) AS c,
+        |    CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE) AS cum,
+        |    CAST(t.cnt AS DOUBLE) * 0.5 AS rk,
+        |    CAST(t.zcnt AS DOUBLE) AS z,
+        |    row_number() OVER (PARTITION BY cm.typ, cm.i
+        |      ORDER BY cm.idx) AS rn
+        |  FROM cm JOIN tot t ON cm.typ = t.typ AND cm.i = t.i
+        |  WHERE CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE)
+        |    >= CAST(t.cnt AS DOUBLE) * 0.5)
+        |SELECT typ, 1704153600 + i * 86400 AS t_sec,
+        |  floor((CASE WHEN rk <= z THEN 0.0625 * rk / z
+        |    ELSE pow(2.0, idx - 1) * pow(2.0, (rk - (cum - c)) / c) END)
+        |  * 1e4 + 0.5) / 1e4 AS q50r
+        |FROM hit WHERE rn = 1""".stripMargin,
     // histogram SUM aggregation: the global 24h histogram IS the
     // component-wise sum of the per-typ rate histograms (raw counts —
     // scale-invariant quantile), so the oracle computes it directly

@@ -204,6 +204,18 @@ object IndexSql {
         argString("graft_promql_range", exprs, 4).toLong, lookback))
     },
 
+    // B55 from SQL: the native-histogram function family at an
+    // instant, e.g. graft_promql_native('/data',
+    // 'histogram_quantile(0.9, sum(rate({typ=~".*"}[1d])))',
+    // '2024-01-08 00:00:00')
+    "graft_promql_native" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 3,
+        "graft_promql_native expects (dir, expr, t)")
+      def a(i: Int) = argString("graft_promql_native", exprs, i)
+      plan(graft.promql.NativeHist.eval(SparkSession.active,
+        a(0), a(1), a(2)))
+    },
+
     // B53 from SQL: the daily dashboard served from the landed 1h
     // rollup tier, e.g. graft_rollup_daily('/data', '1704067200',
     // '1705881600') — from/to are epoch-second hour bounds

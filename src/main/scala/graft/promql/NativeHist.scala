@@ -175,31 +175,69 @@ object NativeHist {
     * against the empty histogram.
     */
   private def histRate(spark: SparkSession, dir: String,
-      ms: Seq[LabelMatcher], tSec: Long, rangeSec: Long): DataFrame = {
-    val a = histAt(spark, dir, ms, tSec)
-    val b = histAt(spark, dir, ms, tSec - rangeSec)
-    val ae = a.select(col("typ"), explode(col("buckets")).as("x"))
-      .select(col("typ"), col("x.idx").as("idx"), col("x.c").as("dc"))
-    val be = b.select(col("typ"), explode(col("buckets")).as("x"))
-      .select(col("typ"), col("x.idx").as("idx"), (-col("x.c")).as("dc"))
+      ms: Seq[LabelMatcher], tSec: Long, rangeSec: Long): DataFrame =
+    histDiff(histAt(spark, dir, ms, tSec),
+      histAt(spark, dir, ms, tSec - rangeSec), Seq("typ"), rangeSec)
+
+  /** a − b per histogram component, keyed by `keys` (the range form
+    * adds t_sec to the key set — every evaluator downstream is
+    * label-generic, so per-step histograms flow through unchanged).
+    */
+  private def histDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+      rangeSec: Long): DataFrame = {
+    val kcols = keys.map(col)
+    val ae = a.select(kcols :+ explode(col("buckets")).as("x"): _*)
+      .select(kcols ++ Seq(col("x.idx").as("idx"), col("x.c").as("dc")): _*)
+    val be = b.select(kcols :+ explode(col("buckets")).as("x"): _*)
+      .select(kcols ++ Seq(col("x.idx").as("idx"), (-col("x.c")).as("dc")): _*)
     val db = ae.unionByName(be)
-      .groupBy(col("typ"), col("idx")).agg(sum(col("dc")).as("d"))
+      .groupBy(kcols :+ col("idx"): _*).agg(sum(col("dc")).as("d"))
       .filter(col("d") > 0)
-      .groupBy(col("typ"))
+      .groupBy(kcols: _*)
       .agg(sort_array(collect_list(struct(col("idx"),
         col("d").as("c")))).as("buckets"))
-    a.join(b.select(col("typ"), col("cnt").as("bcnt"),
-        col("zcnt").as("bzcnt"), col("hsum").as("bhsum")),
-        Seq("typ"), "left")
-      .select(col("typ"),
+    // post-aggregation joins have no Catalyst stats and would fall
+    // back to sort-merge (the promql_ignoring lesson); both right
+    // sides are ∝ matched series — broadcast-sized for any dashboard
+    // selection
+    a.join(broadcast(b.select(kcols ++ Seq(col("cnt").as("bcnt"),
+        col("zcnt").as("bzcnt"), col("hsum").as("bhsum")): _*)),
+        keys, "left")
+      .select(kcols ++ Seq(
         (col("cnt") - coalesce(col("bcnt"), lit(0.0))).as("cnt"),
         (col("zcnt") - coalesce(col("bzcnt"), lit(0.0))).as("zcnt"),
-        (col("hsum") - coalesce(col("bhsum"), lit(0.0))).as("hsum"))
-      .join(db, Seq("typ"), "left")
+        (col("hsum") - coalesce(col("bhsum"), lit(0.0))).as("hsum")): _*)
+      .join(broadcast(db), keys, "left")
       .withColumn("buckets", coalesce(col("buckets"),
         typedlit(Seq.empty[(Int, Double)])
           .cast("array<struct<idx:int,c:double>>")))
       .withColumn("rsec", lit(rangeSec.toDouble))
+  }
+
+  /** Histogram samples at every grid step (the range-query selection):
+    * grid steps must land on the hourly sample grid, where a sample
+    * exists per series by construction — selection is an equi-join on
+    * t_sec, one scan for the whole grid (`shift` re-stamps the frame
+    * forward for the rate subtrahend). */
+  private def histAtGrid(spark: SparkSession, dir: String,
+      ms: Seq[LabelMatcher], grid: Seq[Long], shift: Long): DataFrame = {
+    // g - shift == t0Sec is the virtual zero histogram at the counter
+    // epoch — no sample row exists, and histDiff's left join reads the
+    // absence as zero, which IS the correct cumulative-counter value
+    grid.foreach { g =>
+      require((g - shift - t0Sec) % 3600 == 0 &&
+        g - shift >= t0Sec && g - shift <= t0Sec + hours * 3600L,
+        s"grid step ${g - shift} off the hourly native-sample grid")
+    }
+    samples(spark, dir)
+      .filter(matcherPred(ms) &&
+        col("t_sec").isInCollection(grid.map(_ - shift)))
+      .select(col("typ"), (col("t_sec") + shift).as("t_sec"),
+        col("cnt").cast("double").as("cnt"),
+        col("zcnt").cast("double").as("zcnt"), col("hsum"),
+        expr("transform(buckets, x -> named_struct(" +
+          "'idx', x.idx, 'c', cast(x.c as double)))").as("buckets"),
+        lit(1.0).as("rsec"))
   }
 
   // ---------------- function math ----------------
@@ -364,6 +402,43 @@ object NativeHist {
       case other => sys.error(s"native-histogram argument must be an " +
         s"instant selector, rate(sel[d]), or sum by (...) of either, " +
         s"got $other")
+    }
+    val out = PromQl.parse(exprStr) match {
+      case Func("histogram_quantile", arg, Some(q)) => quantileOf(inner(arg), q)
+      case HistFrac(lo, hi, arg) => fractionOf(inner(arg), lo, hi)
+      case Func(n, arg, None) if PromQl.nativeHistFuncs(n) =>
+        statOf(inner(arg), n)
+      case other => sys.error(s"not a native-histogram expression: $other")
+    }
+    if (out.columns.contains("__g")) out.drop("__g") else out
+  }
+
+  /** RANGE-query form (the /query_range panel over native histograms):
+    * the same expression class evaluated at every grid step
+    * start + i·step ≤ end, emitted with a `t_sec` column. Because the
+    * evaluators are label-generic, the per-step histograms just carry
+    * t_sec as one more key — one plan for the whole grid, no
+    * per-timestamp re-scan (grid selection is an equi-join on the
+    * hourly sample grid; rate is one shifted self-join).
+    */
+  def evalRange(spark: SparkSession, dir: String, exprStr: String,
+      start: String, end: String, stepSec: Long): DataFrame = {
+    def sec(s: String) = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val (su, eu) = (sec(start), sec(end))
+    require(stepSec > 0 && eu >= su, "need end >= start and step > 0")
+    val grid: Seq[Long] = (su to eu by stepSec)
+    def inner(e: Expr): DataFrame = e match {
+      case Sel(ms, None, 0, None, None) =>
+        histAtGrid(spark, dir, ms, grid, 0L)
+      case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
+        histDiff(histAtGrid(spark, dir, ms, grid, 0L),
+          histAtGrid(spark, dir, ms, grid, r), Seq("typ", "t_sec"), r)
+      case Agg("sum", by, Seq(), arg, None, None) =>
+        sumHists(inner(arg), if (by.contains("t_sec")) by
+          else by :+ "t_sec")
+      case other => sys.error(s"native-histogram range argument must " +
+        s"be a selector, rate(sel[d]), or sum by (...), got $other")
     }
     val out = PromQl.parse(exprStr) match {
       case Func("histogram_quantile", arg, Some(q)) => quantileOf(inner(arg), q)

@@ -96,7 +96,13 @@ class DeterminismSpec extends AnyFunSuite {
       // ranked cut; the rollup daily fold merges per-hour partials
       // whose arrival order varies with partitioning (max_by struct
       // keys make last_v order-free)
-      "weighted_sample", "dsir_sample", "rollup_serve")) {
+      "weighted_sample", "dsir_sample", "rollup_serve",
+      // round-10: the native-histogram quantile folds a sorted sparse
+      // bucket array with exact integer cumulatives (the hit-bucket
+      // comparison must not depend on partial-agg order); the rate
+      // form diffs raw counts; the rule-group alert islands derive
+      // from two chained recorded series through keyed windows
+      "promql_native_histq", "promql_native_rate", "promql_rule_group")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)

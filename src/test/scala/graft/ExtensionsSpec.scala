@@ -185,6 +185,15 @@ class ExtensionsSpec extends AnyFunSuite {
         1704067200L, 1704067200L + 7L * 86400L)
       assert(sorted(sqlRoll) == sorted(apiRoll) && sqlRoll.count() > 0)
 
+      // B55 from SQL: the native-histogram family ≡ the API path
+      val sqlNh = s.sql(
+        s"""SELECT typ, value FROM graft_promql_native('$dir',
+           |  'histogram_quantile(0.9, {typ=~".*"})',
+           |  '2024-01-08 00:00:00')""".stripMargin)
+      val apiNh = promql.NativeHist.eval(s, dir,
+        """histogram_quantile(0.9, {typ=~".*"})""", "2024-01-08 00:00:00")
+      assert(sorted(sqlNh) == sorted(apiNh) && sqlNh.count() > 0)
+
       // parser rejects garbage loudly
       val err = intercept[Exception](IndexSql.parseSelector("""typ~="click""""))
       assert(err.getMessage.contains("bad matcher term"))
