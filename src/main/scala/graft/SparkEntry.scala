@@ -221,6 +221,7 @@ object SparkEntry {
     "ann_mrl_full" -> (similarity.Ann.mrlFull _),
     "ann_kcenter" -> (similarity.Ann.kcenterSample _),
     "ann_mmr" -> (similarity.Ann.mmrRerank _),
+    "ann_hybrid_rrf" -> (similarity.Ann.hybridRrf _),
     // F. text analysis
     "text_langid" -> (text.TextAnalysis.langid _),
     "text_quality" -> (text.TextAnalysis.quality _),
@@ -3372,6 +3373,38 @@ object SparkEntry {
     // the lm_score trick); ranking ties break on the zero-padded
     // doc-id string = TopKAgg's native (v desc, a asc) comparator
     "bm25_topk" -> bm25Sql,
+    // E17: both retrieval legs replayed (the F14 chain + the E1 scan
+    // without self-exclusion), then RRF — integer ranks, one exact
+    // quotient each, one addition: bit-deterministic before rounding
+    "ann_hybrid_rrf" ->
+      (bm25Sql.stripSuffix("\nSELECT qid, rk, doc_id, floor(sq * 10000 + 0.5) / 10000 AS score\nFROM r WHERE rk <= 10")
+        + """,
+        |lex AS (SELECT qid, doc_id, rk AS lrk FROM r WHERE rk <= 10),
+        |ev AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |en AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM ev),
+        |q2 AS (SELECT vec_id AS qid, e AS qe, nrm AS qn
+        |  FROM en WHERE vec_id % 101 = 0),
+        |vs AS (SELECT q2.qid, en.vec_id AS doc_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q2.qe[i]*en.e[i])) / (q2.qn*en.nrm), 4) AS cs
+        |  FROM q2 CROSS JOIN en),
+        |vr AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cs DESC, lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS vrk
+        |  FROM vs),
+        |vtop AS (SELECT qid, doc_id, vrk FROM vr WHERE vrk <= 10),
+        |fused AS (SELECT coalesce(l.qid, vt.qid) AS qid,
+        |    coalesce(l.doc_id, vt.doc_id) AS doc_id,
+        |    coalesce(1.0/(l.lrk + 60.0), CAST(0 AS DOUBLE)) +
+        |      coalesce(1.0/(vt.vrk + 60.0), CAST(0 AS DOUBLE)) AS rrf
+        |  FROM lex l FULL OUTER JOIN vtop vt
+        |    ON l.qid = vt.qid AND l.doc_id = vt.doc_id),
+        |fr AS (SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+        |SELECT qid, rk, doc_id, floor(rrf * 1e6 + 0.5) / 1e6 AS rrf
+        |FROM fr WHERE rk <= 10""".stripMargin),
     // F14b: the stored path must answer exactly like in-query postings
     "bm25_stored" -> bm25Sql,
     "source_cap" ->

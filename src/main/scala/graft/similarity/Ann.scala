@@ -413,6 +413,57 @@ object Ann {
   def kcenterProbe(spark: SparkSession, vecs: DataFrame, k: Int): DataFrame =
     kcenterOn(spark, kcenterUnit(spark, vecs).cache(), k)
 
+  /** E17 (round 10): HYBRID retrieval — Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher, SIGIR'09), the standard production
+    * combiner of lexical and vector search (OpenSearch/Vespa/Qdrant
+    * hybrid mode): rank the corpus independently by BM25 (F14's
+    * pipeline verbatim, top-10) and by exact cosine to the query's own
+    * embedding (E1's scan, top-10, no self-exclusion — fusion treats
+    * both lists symmetrically), then fuse with
+    * rrf(d) = Σ_lists 1/(60 + rank_list(d)) and re-rank.
+    *
+    * Determinism across engines: ranks are integers, each 1/(60+r) is
+    * one exact IEEE quotient, the fusion is ONE addition of two exact
+    * doubles, and ties break on doc_id — so the fused ranking replays
+    * bit-for-bit in DuckDB with no quantization before the final
+    * display rounding. Shape at 100 TB: both candidate stages are the
+    * proven bounded-heap pipelines (≤ k rows per query cross the
+    * shuffle); fusion touches ≤ 2k rows per query — re-ranker-bounded
+    * like MMR, never corpus-bounded. The queries (doc_id ≡ 0 mod 101)
+    * align with F14's so the oracle replays both legs from the same
+    * tables.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.text.Bm25.topk(spark, dir)
+      .select(col("qid"), col("doc_id"), col("rk").as("lrk"))
+    val all = vecs(spark, dir)
+    val q = all.filter(pmod(col("vec_id"), lit(101)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val scored = all.select(col("vec_id").as("doc_id"), col("v"), col("norm"))
+      .crossJoin(broadcast(q))
+      .withColumn("cs", round(
+        call_function("vec_dot", col("v"), col("qv")) /
+          (col("norm") * col("qn")), 4))
+    val vec = scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.column(spark, col("cs"),
+        lpad(col("doc_id").cast("string"), 8, "0"),
+        col("qid").cast("string"), 10).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).as("vrk"),
+        col("col.a").cast("long").as("doc_id"))
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("lrk") + lit(60.0)), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vrk") + lit(60.0)), lit(0.0)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("doc_id"),
+        (floor(col("rrf") * 1e6 + 0.5) / 1e6).as("rrf"))
+  }
+
   /** E15 (round 9): MMR — Maximal Marginal Relevance diversity
     * re-ranking (Carbonell & Goldstein, SIGIR'98), the standard RAG
     * serving pass that trades pure relevance for coverage: for each

@@ -102,7 +102,10 @@ class DeterminismSpec extends AnyFunSuite {
       // comparison must not depend on partial-agg order); the rate
       // form diffs raw counts; the rule-group alert islands derive
       // from two chained recorded series through keyed windows
-      "promql_native_histq", "promql_native_rate", "promql_rule_group")) {
+      "promql_native_histq", "promql_native_rate", "promql_rule_group",
+      // round-10: RRF fuses two bounded-heap rankings whose arrival
+      // order varies with partitioning; exact quotients + id ties
+      "ann_hybrid_rrf")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)
