@@ -591,6 +591,7 @@ object Io {
         catch { case _: Throwable => () }
         throw t
     }
+    writeHeadHint(fs, table, version)
   }
 
   /** Append under write contention: optimistic-concurrency retry — on
@@ -648,14 +649,62 @@ object Io {
   private val trailRe = "data/[^/]+/[^/]+$".r
   private def trail(f: String): String = trailRe.findFirstIn(f).getOrElse(f)
 
+  // ---- O(1) HEAD discovery (round 10): `_commits/_head` holds a
+  // BEST-EFFORT hint of the newest committed version (written via
+  // tmp+rename after each successful commit — the Delta
+  // `_last_checkpoint` idea applied to HEAD lookup). The hint can lag
+  // (a crashed writer, two racers finishing out of order) but can
+  // never run ahead: it is only stamped after the `.commit` rename
+  // lands. Readers therefore PROBE FORWARD from the hint until the
+  // next version is missing — O(1 + lag) exists() calls instead of a
+  // directory listing ∝ #versions, which is what keeps HEAD discovery
+  // flat on a table with a million commits. A missing/corrupt hint
+  // falls back to the full listing, so the hint is never load-bearing
+  // for correctness (IoSpec pins a stale and a garbage hint).
+  private def headHintPath(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_commits/_head")
+
+  private def writeHeadHint(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, version: Long): Unit =
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(table,
+        f"_commits/_head.tmp-$version%08d")
+      val out = fs.create(tmp, true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(headHintPath(table), false)
+      fs.rename(tmp, headHintPath(table))
+      ()
+    } catch { case _: Throwable => () } // hint only — never fail a commit
+
   /** Latest committed version, or -1 for an empty table. */
   def tableVersion(spark: SparkSession, table: String): Long = {
     val fs = fsFor(spark, table)
     val dir = new org.apache.hadoop.fs.Path(table, "_commits")
-    if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit").toLong).foldLeft(-1L)(math.max)
+    if (!fs.exists(dir)) return -1L
+    def commitAt(v: Long) = fs.exists(
+      new org.apache.hadoop.fs.Path(table, f"_commits/$v%08d.commit"))
+    val hinted: Option[Long] =
+      try {
+        val p = headHintPath(table)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          val v = s.toLong
+          if (v >= 0 && commitAt(v)) Some(v) else None
+        }
+      } catch { case _: Throwable => None }
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (commitAt(v + 1)) v += 1
+        v
+      case None =>
+        fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.endsWith(".commit"))
+          .map(_.stripSuffix(".commit").toLong).foldLeft(-1L)(math.max)
+    }
   }
 
   // land a batch as immutable data files under data/<tag>/, returning

@@ -512,6 +512,27 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("HEAD hint: tableVersion probes forward from a stale hint and " +
+      "survives a garbage or missing hint (never load-bearing)") {
+    import spark.implicits._
+    val t = s"$tmp/headhint"
+    (0 to 4).foreach(i => Io.tableAppend(Seq(i.toLong).toDF("k"), t))
+    assert(Io.tableVersion(spark, t) == 4L)
+    val hint = new java.io.File(s"$t/_commits/_head")
+    assert(hint.exists(), "commit should stamp the hint")
+    // stale hint (a lagging writer): forward probing recovers HEAD
+    java.nio.file.Files.write(hint.toPath, "1".getBytes)
+    assert(Io.tableVersion(spark, t) == 4L)
+    // garbage hint: full-listing fallback
+    java.nio.file.Files.write(hint.toPath, "not-a-number".getBytes)
+    assert(Io.tableVersion(spark, t) == 4L)
+    // missing hint: full-listing fallback, and the next append restores it
+    assert(hint.delete())
+    assert(Io.tableVersion(spark, t) == 4L)
+    Io.tableAppend(Seq(9L).toDF("k"), t)
+    assert(new String(java.nio.file.Files.readAllBytes(hint.toPath)) == "5")
+  }
+
   test("stats append: every committed entry has a sidecar entry and " +
       "later stats appends are never wedged") {
     import spark.implicits._
