@@ -34,6 +34,8 @@ object SparkEntry {
     "stream_quality_route" -> (streaming.StreamOps.qualityRouteStreamed _),
     "stream_dsir_route" -> (streaming.StreamOps.dsirRouteStreamed _),
     "stream_native_hist" -> (streaming.StreamOps.nativeHistStreamed _),
+    "stream_bm25" -> (streaming.StreamOps.bm25Streamed _),
+    "dedup_span_remove" -> (dedup.Dedup.spanRemove _),
     "stream_embed_ingest" -> (streaming.StreamOps.embedIngestStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
     "stream_wm_dedup" -> (streaming.StreamOps.wmDedupStreamed _),
@@ -3373,6 +3375,39 @@ object SparkEntry {
     // the lm_score trick); ranking ties break on the zero-padded
     // doc-id string = TopKAgg's native (v desc, a asc) comparator
     "bm25_topk" -> bm25Sql,
+    // H31: the stream-built TermStore must answer F14's ranking
+    // exactly — same oracle as bm25_topk
+    "stream_bm25" -> bm25Sql,
+    // D16: disjoint width-20 tiling, global keep-first on the tile
+    // string, ordered reassembly, and the dual byte-polynomial hash of
+    // the cleaned text — content pinned, not just counts
+    "dedup_span_remove" ->
+      """WITH t AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |tl0 AS (SELECT doc_id, text, unnest(range(1,
+        |    CAST(ceil(length(text) / 20.0) AS BIGINT) + 1)) AS idx FROM t),
+        |tl AS (SELECT doc_id, idx,
+        |    substr(text, CAST(1 + (idx - 1) * 20 AS BIGINT), 20) AS tile
+        |  FROM tl0),
+        |k AS (SELECT doc_id, idx, tile, row_number() OVER (
+        |    PARTITION BY tile ORDER BY doc_id, idx) AS rn FROM tl),
+        |c AS (SELECT doc_id, count(*) AS n_tiles,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    coalesce(string_agg(tile, '' ORDER BY idx)
+        |      FILTER (rn = 1), '') AS clean
+        |  FROM k GROUP BY 1)
+        |SELECT doc_id, n_tiles, n_removed,
+        |  length(clean) AS len_clean,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(clean, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, x) -> (a * 131 + x) % 1000000007) * 2147483648 +
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(clean, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, x) -> (a * 137 + x) % 998244353) AS h2
+        |FROM c""".stripMargin,
     // E17: both retrieval legs replayed (the F14 chain + the E1 scan
     // without self-exclusion), then RRF — integer ranks, one exact
     // quotient each, one addition: bit-deterministic before rounding

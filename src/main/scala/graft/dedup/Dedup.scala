@@ -922,6 +922,53 @@ object Dedup {
         .otherwise(col("text")).as("t")))
   }
 
+  /** D16 (round 10): duplicated-span REMOVAL with reassembly — the
+    * destructive half of the ExactSubstr pass (Lee et al. 2021 CUT
+    * the duplicated spans out of the corpus; D14 only measures them).
+    * Character-level keep-first at span granularity: each document
+    * tiles into DISJOINT width-20 character tiles (the disjoint
+    * tiling makes removal well-defined and reassembly unambiguous —
+    * the overlapping-window form can't subtract spans without a
+    * second covering pass), a tile is removed iff the identical tile
+    * string occurred EARLIER in the global (doc_id, tile index)
+    * order, and the cleaned document is the ordered concatenation of
+    * surviving tiles — D15's paragraph discipline pushed down to
+    * spans. The gate pins content, not just counts: the cleaned
+    * text's [[graft.functions.DualPolyHash]] is emitted per doc and
+    * DuckDB replays tiling, the global keep-first window, ordered
+    * reassembly, and the byte-polynomial hash exactly.
+    *
+    * Shape at 100 TB: tiles ∝ chars/20 (bounded blowup, map-side
+    * derivation), ONE shuffle on the tile string (the keep-first
+    * window — tiles would hash before the shuffle at scale, the D2
+    * discipline), one doc-keyed groupBy to reassemble. No joins, no
+    * per-pair work — removal cost is linear in corpus bytes.
+    */
+  def spanRemove(spark: SparkSession, dir: String): DataFrame = {
+    val W = 20
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tiles = docs
+      .select(col("doc_id"), posexplode(
+        when(length(col("text")) >= 1, expr(
+          s"transform(sequence(1, cast(ceil(length(text) / $W.0) as int)), " +
+            s"i -> substring(text, (i - 1) * $W + 1, $W))"))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("tile"))
+    val wFirst = Window.partitionBy(col("tile"))
+      .orderBy(col("doc_id"), col("idx"))
+    val flagged = tiles.withColumn("__rn", row_number().over(wFirst))
+    val out = flagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tiles"),
+      sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+      concat_ws("", expr(
+        "transform(array_sort(collect_list(CASE WHEN __rn = 1 THEN " +
+          "named_struct('idx', idx, 'tile', tile) END)), x -> x.tile)"))
+        .as("clean"))
+    out.select(col("doc_id"), col("n_tiles"), col("n_removed"),
+      length(col("clean")).as("len_clean"),
+      graft.functions.DualPolyHash.column(spark, col("clean")).as("h2"))
+  }
+
   /** DataFrame-generic window-density pipeline; input needs
     * (doc_id, t). Exposed for the scale probe. */
   def substringDensityOn(docsIn: DataFrame): DataFrame = {

@@ -2023,6 +2023,55 @@ object StreamOps extends Serializable {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  private val bm25Runs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H31 (round 10, oracle-gated): streaming TEXT-index maintenance —
+    * the BM25 twin of H9's per-micro-batch tag-index loop: each
+    * documents micro-batch flushes its postings into a [[TermStore]]
+    * segment (`seg=b<id>`, `_SUCCESS`-gated, idempotent under
+    * foreachBatch replay — the store's existing contract), and the
+    * gate answers F14's EXACT ranking from the stream-built store:
+    * same oracle as `bm25_topk`, proving stream-flushed postings
+    * answer exactly like freshly-derived ones. Documents are
+    * immutable, so segments are append-only and merge-on-read is a
+    * plain union — incremental cost per batch ∝ the batch's tokens.
+    */
+  def bm25Streamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = bm25Runs.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/documents.parquet")
+      val b = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_h31_" + fp)
+      val done = new java.io.File(b, "_done")
+      if (!done.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(b)
+        val docs = graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val landing = new java.io.File(b, "landing").toString
+        landOrdered(docs, Seq("doc_id"), landing, 4)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val store = new java.io.File(b, "store").toString
+        val q = stream.writeStream
+          .option("checkpointLocation", new java.io.File(b, "ckpt").toString)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.text.TermStore.flush(batch, store, id)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        done.createNewFile()
+      }
+      b.toString
+    })
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    graft.text.Bm25.rankStored(spark,
+      new java.io.File(base, "store").toString, docs, s"h31:$dir")
+  }
+
   private val nhRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

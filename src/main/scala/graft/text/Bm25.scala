@@ -136,6 +136,15 @@ object Bm25 {
     rankPostings(spark,
       cachedPostings(spark, s"store:$path", TermStore.load(spark, path)), docs)
   }
+
+  /** Ranking over an arbitrary materialized TermStore (H31's
+    * stream-built store) — same memoized-postings + ranking path as
+    * [[storedTopk]], `memoKey` namespacing the per-store cache. */
+  private[graft] def rankStored(spark: SparkSession, path: String,
+      queryDocs: DataFrame, memoKey: String): DataFrame =
+    rankPostings(spark,
+      cachedPostings(spark, s"store:$memoKey", TermStore.load(spark, path)),
+      queryDocs)
 }
 
 /** LSM-lite store for the BM25 postings: one `seg=b<batchId>` parquet

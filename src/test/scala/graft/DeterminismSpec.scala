@@ -104,8 +104,10 @@ class DeterminismSpec extends AnyFunSuite {
       // from two chained recorded series through keyed windows
       "promql_native_histq", "promql_native_rate", "promql_rule_group",
       // round-10: RRF fuses two bounded-heap rankings whose arrival
-      // order varies with partitioning; exact quotients + id ties
-      "ann_hybrid_rrf")) {
+      // order varies with partitioning; exact quotients + id ties;
+      // span removal rides a keep-first window on a total order and
+      // the reassembled content is hash-pinned
+      "ann_hybrid_rrf", "dedup_span_remove")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)
