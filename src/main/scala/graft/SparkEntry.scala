@@ -36,6 +36,7 @@ object SparkEntry {
     "stream_native_hist" -> (streaming.StreamOps.nativeHistStreamed _),
     "stream_bm25" -> (streaming.StreamOps.bm25Streamed _),
     "dedup_span_remove" -> (dedup.Dedup.spanRemove _),
+    "scd2_asof" -> (operators.Relational.scd2AsOf _),
     "stream_embed_ingest" -> (streaming.StreamOps.embedIngestStreamed _),
     "stream_dedup" -> (streaming.StreamOps.dedupStreamed _),
     "stream_wm_dedup" -> (streaming.StreamOps.wmDedupStreamed _),
@@ -3652,6 +3653,33 @@ object SparkEntry {
         |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
         |SELECT user_id, attr, valid_from_us, valid_to_us, version
         |FROM v WHERE valid_to_us IS NOT NULL""".stripMargin,
+    // C28: the as-of pick ≡ interval containment (vf ≤ us < vt) over
+    // the degenerate-filtered version set — cross-form equivalence
+    "scd2_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS attr, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, attr, us,
+        |    lag(attr) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_id, attr, us FROM c
+        |  WHERE prev IS NULL OR prev <> attr),
+        |v AS (
+        |  SELECT user_id, attr, us AS vf, lead(us) OVER w AS vt
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |nd AS (SELECT * FROM v WHERE vt IS NULL OR vf < vt),
+        |f AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT f.user_id, f.cents, nd.attr
+        |  FROM f JOIN nd ON f.user_id = nd.user_id
+        |    AND f.us >= nd.vf AND (nd.vt IS NULL OR f.us < nd.vt))
+        |SELECT attr AS attr_at, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM j GROUP BY 1""".stripMargin,
     // C25: SCD2 — identical lag-dedup + lead-close + version numbering
     "scd2" ->
       """WITH e AS (

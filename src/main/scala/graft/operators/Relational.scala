@@ -410,6 +410,43 @@ object Relational {
         col("version"), col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** C28 (round 10): POINT-IN-TIME (as-of) dimension join — the
+    * leakage-safe feature join every ML warehouse needs: each PURCHASE
+    * fact joins the SCD2 dimension version that was valid AT the
+    * fact's own timestamp (never a later one — the label-leakage bug
+    * this operator class exists to prevent). Composition: C25's
+    * version build → drop degenerate same-µs predecessors (so
+    * valid_from is a strict total order per user and the as-of pick is
+    * deterministic) → [[graft.plans.AsOfJoin]] (union + ordered
+    * window — ONE exchange on the natural key, no range join, no
+    * per-fact probe; the at-scale shape for billions of facts against
+    * millions of dimension versions). The gate aggregates spend by
+    * at-purchase-time dimension state; the oracle replays the interval
+    * join form (vf ≤ us < vt) — as-of ≡ interval containment because
+    * the filtered versions PARTITION each user's timeline, so the gate
+    * is also a cross-form equivalence proof.
+    */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = scd2On(ev)
+      .filter(col("valid_to_us").isNull ||
+        col("valid_from_us") < col("valid_to_us"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    // distinct probe instants, then re-attach fact payloads: two
+    // purchases at the same µs share one as-of resolution and must
+    // not fan out through the re-join
+    val joined = graft.plans.AsOfJoin.asofJoin(
+      dim.select(col("user_id"), col("valid_from_us"), col("attr")),
+      facts.select(col("user_id"), col("us")).distinct(),
+      Seq("user_id"), "valid_from_us", "attr", "us")
+    joined.join(facts, Seq("user_id", "us"))
+      .groupBy(col("asof_value").as("attr_at"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** C26 (round 9): trailing-window feature assembly — the
     * feature-engineering pattern that turns an event stream into
     * supervised training examples: for every PURCHASE event, the
