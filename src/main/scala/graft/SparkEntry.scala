@@ -57,6 +57,8 @@ object SparkEntry {
     "stream_wsample" -> (streaming.StreamOps.weightedSampleStreamed _),
     "stream_churn" -> (streaming.StreamOps.churnStreamed _),
     "index_churn" -> (index.IndexQueries.indexChurn _),
+    "index_guard" -> ((s: SparkSession, dir: String) =>
+      index.IndexQueries.cardinalityGuard(s, dir)),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
     "stream_store_ingest" -> (streaming.StreamOps.storeIngestStreamed _),
@@ -3631,6 +3633,23 @@ object SparkEntry {
     // A22: series churn — births/deaths per day from the per-series
     // time bounds, ~30-row running net
     "index_churn" -> churnSql,
+    // A25: admission = first-40 series per metric in (first-seen µs,
+    // usr) order, replayed from the raw per-series bounds
+    "index_guard" ->
+      """WITH s AS (SELECT event_type AS typ,
+        |    CAST(user_id AS VARCHAR) AS usr,
+        |    epoch_us(min(ts)) AS first_us, count(*) AS n_samples
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT typ, usr, n_samples, row_number() OVER (
+        |    PARTITION BY typ ORDER BY first_us, usr) AS rk FROM s)
+        |SELECT typ, count(*) AS n_series,
+        |  CAST(sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(sum(CASE WHEN rk > 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rejected,
+        |  CAST(sum(CASE WHEN rk > 40 THEN n_samples ELSE 0 END) AS BIGINT)
+        |    AS samples_dropped
+        |FROM r GROUP BY 1""".stripMargin,
     // H28: the stream-maintained series catalog must serve the
     // identical churn dashboard (same oracle as A22)
     "stream_churn" -> churnSql,

@@ -77,6 +77,37 @@ object IndexQueries {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** A25 (round 10): series-cardinality LIMIT enforcement — the
+    * ingestion guard every production TSDB runs (Prometheus
+    * sample/series limits, M3's per-metric cardinality limiter,
+    * Cortex/Mimir per-tenant series caps) against the cardinality
+    * explosions the reference's mem_index bounds exist to surface:
+    * per metric (typ), only the FIRST `maxSeries` series in
+    * first-seen order (min_ts, then the usr label as the
+    * engine-replayable tie key) are admitted; later series — the
+    * runaway-label blow-up — are rejected. The gate reports the
+    * admission accounting per metric, incl. how many SAMPLES the
+    * guard would have dropped (the operational number capacity
+    * planning needs). Cost ∝ #series (one catalog window pass), never
+    * samples — the catalog is the mem_index analog, so the guard
+    * runs at metadata scale.
+    */
+  def cardinalityGuard(spark: SparkSession, dir: String,
+      maxSeries: Long = 40L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("typ"))
+      .orderBy(unix_micros(col("min_ts")), col("usr"))
+    idx(spark, dir).seriesCatalog
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__ok", col("__rk") <= maxSeries)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n_series"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(!col("__ok"), 1L).otherwise(0L)).as("n_rejected"),
+        sum(when(!col("__ok"), col("n_samples")).otherwise(0L))
+          .as("samples_dropped"))
+  }
+
   /** A12: the materialized inverted index, aggregated per label entry. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     idx(spark, dir).invertedIndex
