@@ -259,6 +259,11 @@ object ScaleProbe {
     t("feature_assembly")(operators.Relational.featureAssemblyOn(big))
     t("substr_windows")(dedup.Dedup.substringDensityOn(
       dbig.select(col("doc_id"), col("text").as("t"))))
+    // round-10: disjoint-tile keep-first removal (one tile-string
+    // shuffle + one doc groupBy — growth ∝ corpus bytes; the salted
+    // replicas keep tiles from collapsing into factor-way duplicates)
+    t("span_remove")(dedup.Dedup.spanRemoveOn(spark,
+      dbig.select(col("doc_id"), col("text"))))
     t("kcenter_greedy")(similarity.Ann.kcenterProbe(spark,
       edecor.select(col("vec_id"), col("v")), 8))
     // doubling k must ~double wall (flat per-round cost): the round-10

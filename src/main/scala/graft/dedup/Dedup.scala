@@ -944,15 +944,21 @@ object Dedup {
     * discipline), one doc-keyed groupBy to reassemble. No joins, no
     * per-pair work — removal cost is linear in corpus bytes.
     */
-  def spanRemove(spark: SparkSession, dir: String): DataFrame = {
+  def spanRemove(spark: SparkSession, dir: String): DataFrame =
+    spanRemoveOn(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** DataFrame-generic span removal; input needs (doc_id, text).
+    * Exposed for the scale probe. */
+  def spanRemoveOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     val W = 20
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // one greedy regex pass tiles the doc left-to-right ((?s) so
+    // newlines tile too) — per-tile substring() would re-scan the
+    // UTF8String from the front each time (the text_cdc O(len²)
+    // lesson); the regex walks the bytes once
     val tiles = docs
       .select(col("doc_id"), posexplode(
-        when(length(col("text")) >= 1, expr(
-          s"transform(sequence(1, cast(ceil(length(text) / $W.0) as int)), " +
-            s"i -> substring(text, (i - 1) * $W + 1, $W))"))
-          .otherwise(array().cast("array<string>"))))
+        expr(s"regexp_extract_all(text, '(?s).{1,$W}', 0)")))
       .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("tile"))
     val wFirst = Window.partitionBy(col("tile"))
       .orderBy(col("doc_id"), col("idx"))

@@ -453,10 +453,17 @@ object Ann {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).as("vrk"),
         col("col.a").cast("long").as("doc_id"))
-    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (col("lrk") + lit(60.0)), lit(0.0)) +
-          coalesce(lit(1.0) / (col("vrk") + lit(60.0)), lit(0.0)))
+    // fusion as union + groupBy (no full-outer join — a full outer
+    // can't broadcast and would sort-merge): each list contributes
+    // 1/(60+rank); a doc on both lists sums two exact quotients, and
+    // IEEE addition is commutative so the sum is order-independent
+    val fused = lex
+      .select(col("qid"), col("doc_id"),
+        (lit(1.0) / (col("lrk") + lit(60.0))).as("c"))
+      .unionByName(vec.select(col("qid"), col("doc_id"),
+        (lit(1.0) / (col("vrk") + lit(60.0))).as("c")))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
     fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
