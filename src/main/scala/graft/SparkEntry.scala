@@ -59,6 +59,7 @@ object SparkEntry {
     "index_churn" -> (index.IndexQueries.indexChurn _),
     "index_guard" -> ((s: SparkSession, dir: String) =>
       index.IndexQueries.cardinalityGuard(s, dir)),
+    "stream_guard" -> (streaming.StreamOps.cardinalityGuardStreamed _),
     "stream_centroid" -> (streaming.StreamOps.centroidStreamed _),
     "stream_rate" -> (streaming.StreamOps.rateStreamed _),
     "stream_store_ingest" -> (streaming.StreamOps.storeIngestStreamed _),
@@ -3636,6 +3637,23 @@ object SparkEntry {
     // A25: admission = first-40 series per metric in (first-seen µs,
     // usr) order, replayed from the raw per-series bounds
     "index_guard" ->
+      """WITH s AS (SELECT event_type AS typ,
+        |    CAST(user_id AS VARCHAR) AS usr,
+        |    epoch_us(min(ts)) AS first_us, count(*) AS n_samples
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT typ, usr, n_samples, row_number() OVER (
+        |    PARTITION BY typ ORDER BY first_us, usr) AS rk FROM s)
+        |SELECT typ, count(*) AS n_series,
+        |  CAST(sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(sum(CASE WHEN rk > 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rejected,
+        |  CAST(sum(CASE WHEN rk > 40 THEN n_samples ELSE 0 END) AS BIGINT)
+        |    AS samples_dropped
+        |FROM r GROUP BY 1""".stripMargin,
+    // H32: the stream-maintained first-seen table must admit exactly
+    // like the batch guard — same oracle as index_guard
+    "stream_guard" ->
       """WITH s AS (SELECT event_type AS typ,
         |    CAST(user_id AS VARCHAR) AS usr,
         |    epoch_us(min(ts)) AS first_us, count(*) AS n_samples

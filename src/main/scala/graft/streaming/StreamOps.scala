@@ -316,6 +316,58 @@ object StreamOps extends Serializable {
         sum(col("born") - col("died")).over(w))
   }
 
+  private val guardRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H32 (round 10, oracle-gated): LIVE series-cardinality admission —
+    * A25's guard as the ingest-path gatekeeper it actually is in
+    * production (a limiter that only runs in nightly batch has
+    * already lost the cardinality explosion it exists to stop). The
+    * state is the same order-free mergeable fold as H28: per (typ,
+    * usr) the running (min arrival µs, sample count) in ONE
+    * Complete-mode aggregation — no watermark, no ordered replay, any
+    * arrival order yields the same first-seen table. The gate ranks
+    * the final streamed state exactly like the batch guard
+    * (first-seen µs, usr tie key) and must reproduce `index_guard`'s
+    * raw-events oracle: stream ≡ batch catalog ≡ raw.
+    */
+  def cardinalityGuardStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val table = guardRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h32_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h32_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      raw.select(col("user_id").cast("string").as("usr"),
+          col("event_type").as("typ"),
+          unix_micros(graft.Tables.tsCol(raw)).as("us"))
+        .repartition(4).write.mode("overwrite").parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream
+        .groupBy(col("usr"), col("typ"))
+        .agg(min(col("us")).as("first_us"), count(lit(1)).as("n_samples"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("typ"))
+      .orderBy(col("first_us"), col("usr"))
+    spark.table(table)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__ok", col("__rk") <= 40L)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n_series"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(!col("__ok"), 1L).otherwise(0L)).as("n_rejected"),
+        sum(when(!col("__ok"), col("n_samples")).otherwise(0L))
+          .as("samples_dropped"))
+  }
+
   private val wsampleRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
