@@ -192,6 +192,7 @@ object SparkEntry {
     "io_pruned" -> (sources.Io.prunedRead _),
     "io_upsert" -> (sources.Io.upsertedRead _),
     "io_evolved" -> (sources.Io.evolvedRead _),
+    "io_evolve_log" -> (sources.Io.evolveLogRead _),
     "io_bucketed" -> (sources.Io.bucketedRead _),
     "io_retention" -> (sources.Io.retentionRead _),
     "io_timetravel" -> (sources.Io.timetravelRead _),
@@ -2294,6 +2295,26 @@ object SparkEntry {
         |    AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM merged GROUP BY 1""".stripMargin,
+    // I24: schema evolution ON THE COMMIT LOG — v0 is the old schema
+    // (no typ), v1 appends typed rows; both version reads replayed
+    // from the source cuts (n_typed counts only v1's own rows)
+    "io_evolve_log" ->
+      """WITH f AS (SELECT event_id, epoch_us(ts) AS us,
+        |    event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v0 AS (SELECT CAST(0 AS BIGINT) AS ver, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(0 AS BIGINT) AS n_typed, CAST(0 AS BIGINT) AS n_typs
+        |  FROM f WHERE us < 1704931200000000),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS ver, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(sum(CASE WHEN us >= 1704931200000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_typed,
+        |    count(DISTINCT CASE WHEN us >= 1704931200000000 THEN typ END)
+        |      AS n_typs
+        |  FROM f WHERE us < 1705795200000000)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
     // I9 (round 8): mergeSchema unions the two eras' footers and
     // backfills era-1's missing quality column with null — the oracle
     // replays both eras and the backfill arithmetic

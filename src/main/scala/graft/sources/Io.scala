@@ -797,6 +797,23 @@ object Io {
     else spark.read.parquet(files.map(resolve(table, _)): _*)
   }
 
+  /** I24 (round 10): version read with SCHEMA EVOLUTION — Delta's
+    * append-time evolution (`mergeSchema`) on the commit log: a later
+    * append may carry new columns, and a version read unions the
+    * schemas of exactly that version's files, null-backfilling rows
+    * from pre-evolution files. Time travel composes: a version from
+    * BEFORE the evolution reads back with the old schema (its file
+    * set simply has no new-column footer). The planning cost is the
+    * footer union over the version's file list — metadata-scale.
+    */
+  def readTableVersionEvolved(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    val files = readCommit(spark, table, version)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(resolve(table, _)): _*)
+  }
+
   /** I17: SHALLOW CLONE — a new table whose first commit references the
     * source table's CURRENT files by absolute path: zero data copied,
     * one metadata write at any table size (Delta SHALLOW CLONE /
@@ -962,6 +979,51 @@ object Io {
     tableAppend(flat.filter(col("us") >= 1704931200000000L &&
       col("us") < 1705795200000000L), t)                             // 01-11..20
     tableDeleteWhere(spark, t, col("typ") === "purchase")
+  }
+
+  private val evolveRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I24, oracle-gated: append-time schema evolution on the commit
+    * log — v0 creates with (event_id, us, cents), v1 APPENDS rows
+    * that additionally carry `typ` (the evolved column). Both
+    * versions then read back through [[readTableVersionEvolved]]:
+    * v1 serves the union schema with pre-evolution rows
+    * null-backfilled in `typ` (the per-version typed/untyped split is
+    * exactly the two commits' row counts), while v0 — time travel to
+    * BEFORE the evolution — has no `typ` at all (asserted, then
+    * aggregated under the same output schema). The oracle replays
+    * both cuts from the source events, so what the gate proves is
+    * land→commit→evolve→read across the schema boundary.
+    */
+  def evolveLogRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = evolveRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_evl_" + fp).toString
+      fsFor(spark, p).delete(new org.apache.hadoop.fs.Path(p), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        unix_micros(Tables.tsCol(raw)).as("us"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(flat.filter(col("us") < 1704931200000000L)
+        .drop("typ"), p)                                        // v0: old schema
+      tableAppend(flat.filter(col("us") >= 1704931200000000L &&
+        col("us") < 1705795200000000L), p)                      // v1: + typ
+      p
+    })
+    val v0 = readTableVersionEvolved(spark, t, 0L)
+    require(!v0.columns.contains("typ"),
+      "time travel to before the evolution must serve the OLD schema")
+    def agg(df: DataFrame, ver: Long): DataFrame =
+      df.agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(when(col("typ").isNotNull, 1L).otherwise(0L)).as("n_typed"),
+          countDistinct(col("typ")).as("n_typs"))
+        .select(lit(ver).as("ver"), col("n"), col("sum_cents"),
+          col("n_typed"), col("n_typs"))
+    agg(v0.withColumn("typ", lit(null).cast("string")), 0L)
+      .unionByName(agg(readTableVersionEvolved(spark, t, 1L), 1L))
   }
 
   private val cloneRuns =
