@@ -392,6 +392,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("native histograms: no sort-merge joins anywhere in the family") {
+    // histDiff / the rate gate / the sum aggregation all join
+    // post-aggregation frames (stats invisible to Catalyst) — every
+    // join must ride an explicit broadcast of the series-bounded side
+    for (q <- Seq("promql_native_histq", "promql_native_rate",
+        "promql_native_agg", "promql_native_range")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q picked a sort-merge join:\n$p")
+    }
+  }
+
+  test("dsir scorer: the lambda table broadcasts onto the feature stream") {
+    // the gated query reads the landed sinks back, so the scoring plan
+    // is asserted on the per-batch scorer itself (what foreachBatch
+    // runs): λ is B-bounded and must broadcast, never shuffle
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val lam = text.TextAnalysis.dsirLambda(spark, dir)
+    val p = text.TextAnalysis.dsirScoreOn(spark, docs, lam)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dsir lambda join lost the broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dsir scorer shuffles the lambda join:\n$p")
+  }
+
+  test("rrf fusion: union + groupBy, no join at all in the fused ranking") {
+    val p = plan("ann_hybrid_rrf")
+    assert(!p.contains("SortMergeJoin"), s"rrf fused through a sort-merge join:\n$p")
+  }
+
   test("ancestor_closure: consumed plan reads the memoized converged cache") {
     // Each doubling round's lineage references the previous round twice,
     // so an uncached consumption replays ~2^rounds base scans. The
