@@ -523,12 +523,15 @@ object Io {
     * that version number. A claim is STALE when its `.commit` never
     * appeared and the lock file is older than the TTL
     * (`graft.occ.lockTtlMs`, default 10 min — must exceed the longest
-    * plausible claim→rename latency). Reclaim deletes ONLY the lock —
-    * never a `.tmp` or `.commit` — and the reclaimer then re-races the
-    * O_EXCL create, so two janitors arriving together still serialize.
-    * If the presumed-dead writer is merely slow and renames after a
-    * reclaim won the version, its rename fails (destination exists)
-    * and it surfaces an error rather than corrupting the log.
+    * plausible claim→rename latency). Takeover is an ATOMIC RENAME of
+    * the stale lock to a janitor-unique name (then deleted): exactly
+    * one of two concurrent janitors wins the rename, so the loser can
+    * never delete the winner's FRESH re-claim (the delete-then-create
+    * TOCTOU this replaces). The reclaimer then re-races the O_EXCL
+    * create. If the presumed-dead writer is merely slow, the ownership
+    * re-verify before its commit rename (see [[writeCommit]]) turns
+    * its late rename into a caught conflict, never silent log
+    * corruption.
     */
   private def reclaimStaleLock(fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path, fin: org.apache.hadoop.fs.Path,
@@ -537,9 +540,28 @@ object Io {
     val age = try System.currentTimeMillis() -
       fs.getFileStatus(lock).getModificationTime
     catch { case _: java.io.FileNotFoundException => return true }
-    if (age > ttlMs && !fs.exists(fin)) { fs.delete(lock, false); true }
-    else false
+    if (age > ttlMs && !fs.exists(fin)) {
+      val taken = new org.apache.hadoop.fs.Path(lock.getParent,
+        lock.getName + ".reclaimed-" + java.util.UUID.randomUUID())
+      val won = try fs.rename(lock, taken)
+        catch { case _: java.io.IOException => false }
+      if (won) { try fs.delete(taken, false)
+        catch { case _: Throwable => () } }
+      won
+    } else false
   }
+
+  /** The owner token recorded inside a claim lock (None when the lock
+    * is missing or its content unreadable/not-yet-flushed — callers
+    * must then treat the lock as someone else's). */
+  private def lockOwner(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (s.nonEmpty) Some(s) else None
+    } catch { case _: Throwable => None }
 
   private def occLockTtlMs(spark: SparkSession): Long =
     spark.conf.getOption("graft.occ.lockTtlMs").map(_.toLong)
@@ -550,7 +572,13 @@ object Io {
     val fs = fsFor(spark, table)
     val dir = new org.apache.hadoop.fs.Path(table, "_commits")
     fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, f"$version%08d.tmp")
+    // The claim token names THIS writer: it is the lock's content (so
+    // cleanup and the pre-rename re-verify can tell our claim from a
+    // janitor's re-claim) and the tmp-file suffix (so a stalled writer
+    // and a reclaimer never share a tmp path — the content-clobber
+    // race of the unsuffixed design).
+    val token = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(dir, f"$version%08d.tmp-$token")
     val fin = new org.apache.hadoop.fs.Path(dir, f"$version%08d.commit")
     if (fs.exists(fin)) throw new CommitConflictException(
       s"version $version already committed at $table (log is append-only)")
@@ -567,28 +595,59 @@ object Io {
     def tryClaim(): Boolean =
       if (fs.getUri.getScheme == "file") {
         try {
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(
-            fs.makeQualified(lock).toUri.getPath))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
+            token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      } else fs.createNewFile(lock)
+      } else {
+        try {
+          val out = fs.create(lock, false)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
     val claimed = tryClaim() ||
       (reclaimStaleLock(fs, lock, fin, occLockTtlMs(spark)) && tryClaim())
     if (!claimed) throw new CommitConflictException(
       s"version $version already claimed at $table (concurrent writer)")
-    // Past the claim, any failure releases the lock so the version
-    // number is not wedged until the TTL janitor (crash-without-
-    // release remains the janitor's case).
+    // Past the claim, any failure releases the lock — IF still ours —
+    // so the version number is not wedged until the TTL janitor
+    // (crash-without-release remains the janitor's case). The lock is
+    // never deleted when another writer's token sits in it.
+    def releaseIfOwned(): Unit =
+      try { if (lockOwner(fs, lock).contains(token)) fs.delete(lock, false) }
+      catch { case _: Throwable => () }
     try {
       val out = fs.create(tmp, true)
       try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
-      require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+      // Re-verify ownership + fin-absence immediately before the
+      // rename: if a janitor reclaimed our claim past the TTL (we are
+      // the presumed-dead writer, merely slow), our token is gone and
+      // renaming now could replace the reclaimer's acknowledged commit
+      // — surface a conflict instead and let the caller retry.
+      if (!lockOwner(fs, lock).contains(token) || fs.exists(fin)) {
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw new CommitConflictException(
+          s"version $version claim lost at $table (reclaimed past TTL " +
+            "or committed by a concurrent writer)")
+      }
+      if (!fs.rename(tmp, fin)) {
+        // rename-onto-existing returns false: if fin appeared in the
+        // verify→rename window that is the same lost race; anything
+        // else is a genuine FS error and must surface as one
+        if (fs.exists(fin)) throw new CommitConflictException(
+          s"version $version committed concurrently at $table")
+        else sys.error(s"commit rename $tmp -> $fin failed")
+      }
     } catch {
       case t: Throwable =>
-        try { fs.delete(tmp, false); fs.delete(lock, false) }
-        catch { case _: Throwable => () }
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        releaseIfOwned()
         throw t
     }
     writeHeadHint(fs, table, version)
@@ -1321,6 +1380,13 @@ object Io {
     val out = fs.create(tmp, true)
     try out.write(entries.map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
       .mkString("\n").getBytes("UTF-8")) finally out.close()
+    // Overwrite semantics: a sidecar is authoritative only alongside
+    // its `.commit`, so an ORPHAN left by a crash (or a lost commit
+    // race) between the stats rename and the commit must not wedge a
+    // later attempt at the same version — rename-onto-existing returns
+    // false on HDFS/file, so clear the stale fin first.
+    try fs.delete(statsFin(table, version), false)
+    catch { case _: Throwable => () }
     require(fs.rename(tmp, statsFin(table, version)),
       s"stats rename failed at $table v$version")
   }

@@ -548,6 +548,33 @@ class IoSpec extends AnyFunSuite {
       .agg(sum(col("k"))).collect()(0).getLong(0) == 6L)
   }
 
+  test("stats append: an orphan sidecar from a crashed attempt never " +
+      "wedges the version (overwrite, not rename-onto-existing)") {
+    import spark.implicits._
+    val t = s"$tmp/statsorphan"
+    Io.tableAppendStats(Seq(1L).toDF("k"), t, "k") // v0
+    // simulate a crash between the stats rename and the commit at v1:
+    // the orphan sidecar exists, the .commit does not
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_commits/00000001.stats"),
+      "garbage\t0\t0".getBytes("UTF-8"))
+    Io.tableAppendStats(Seq(2L).toDF("k"), t, "k") // retry at v1 must land
+    assert(Io.readTableVersion(spark, t, 1L).count() == 2)
+    // the orphan content was replaced by the real sidecar
+    val st = Io.readStatsFile(spark, t, 1L)
+    assert(st.nonEmpty && !st.contains("garbage"))
+  }
+
+  test("OCC claim locks carry the owner token so cleanup/reclaim can " +
+      "distinguish writers") {
+    import spark.implicits._
+    val t = s"$tmp/locktoken"
+    Io.tableAppend(Seq(1L).toDF("k"), t) // v0 — its lock stays behind
+    val lock = java.nio.file.Paths.get(s"$t/_commits/00000000.lock")
+    val tok = new String(java.nio.file.Files.readAllBytes(lock), "UTF-8").trim
+    assert(tok.matches("[0-9a-f-]{36}"), s"expected a UUID token, got '$tok'")
+  }
+
   test("changeFeed: identical file sets yield an EMPTY feed that still " +
       "carries the schema + change_type") {
     import spark.implicits._
