@@ -374,6 +374,25 @@ object SparkEntry {
             """{typ="usr_purchase_avg3"} > 2""", 172800L)),
         "2024-01-04 00:00:00", "2024-01-30 00:00:00", 86400L)
     }),
+    // B57 (round 11): rule-group `interval:` + `limit:` — the grid
+    // step comes from the Group definition and the alert rule's
+    // per-evaluation series cap DISCARDS any step producing more than
+    // `limit` alerts (breaking the for-duration island there, the
+    // Prometheus unhealthy-eval semantics). The chain is scale-free:
+    // usr is rewritten to its last digit (label_replace), so the
+    // recorded share series is ≤10 per step at any SF and the limit
+    // does real work at both gated scale factors.
+    "promql_rule_limit" -> ((s: SparkSession, dir: String) => {
+      promql.Rules.evalGroupDef(s, dir,
+        promql.Rules.Group("digit_share", 86400L, Seq(
+          promql.Rules.Record("digit_purchase_1d",
+            """sum by (usr) (label_replace(count_over_time({typ="purchase"}[1d]), "usr", "$1", "usr", ".*(.)"))"""),
+          promql.Rules.Record("digit_share_1d",
+            """{typ="digit_purchase_1d"} / on() group_left sum({typ="digit_purchase_1d"})"""),
+          promql.Rules.Alert("HotDigit",
+            """{typ="digit_share_1d"} > 0.11""", 172800L, limit = 3L))),
+        "2024-01-04 00:00:00", "2024-01-30 00:00:00", lookbackSec = 3600L)
+    }),
     "promql_range_rate" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       promql.PromQl.evalRange(s, dir, """rate({typ="click"}[1d]) * 3600""",
@@ -4236,6 +4255,37 @@ object SparkEntry {
         |a AS (SELECT usr, i, min(i) OVER (PARTITION BY usr, isl) AS since FROM r)
         |SELECT 'SustainedPurchases' AS alertname, usr,
         |  'usr_purchase_avg3' AS typ,
+        |  1704326400 + i * 86400 AS t_sec,
+        |  CASE WHEN (i - since) * 86400 >= 172800
+        |       THEN 'firing' ELSE 'pending' END AS alertstate
+        |FROM a""".stripMargin,
+    // B57: the limit-capped group replayed from raw events — per-day
+    // purchase counts by LAST DIGIT of usr (rule 1), each digit's
+    // share of the day (rule 2: one exact IEEE division of integer
+    // counts), the >0.11 alert set capped at 3 series per step (steps
+    // over the cap are discarded entirely, resetting the islands),
+    // then the for-duration islands on the survivors
+    "promql_rule_limit" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 26)) AS i),
+        |p AS (
+        |  SELECT substr(CAST(e.user_id AS VARCHAR),
+        |                length(CAST(e.user_id AS VARCHAR)), 1) AS usr, g.i
+        |  FROM events e, g
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= 1704326400000000 + g.i*86400000000 - 86400000000
+        |    AND epoch_us(e.ts) <= 1704326400000000 + g.i*86400000000),
+        |r1 AS (SELECT usr, i, CAST(count(*) AS DOUBLE) AS v
+        |  FROM p GROUP BY 1, 2),
+        |tot AS (SELECT i, sum(v) AS tv FROM r1 GROUP BY i),
+        |r2 AS (SELECT r1.usr, r1.i, r1.v / tot.tv AS share
+        |  FROM r1 JOIN tot USING (i)),
+        |f0 AS (SELECT usr, i FROM r2 WHERE share > 0.11),
+        |cap AS (SELECT i, count(*) AS n FROM f0 GROUP BY i),
+        |f AS (SELECT f0.usr, f0.i FROM f0 JOIN cap USING (i) WHERE cap.n <= 3),
+        |r AS (SELECT usr, i,
+        |    i - row_number() OVER (PARTITION BY usr ORDER BY i) AS isl FROM f),
+        |a AS (SELECT usr, i, min(i) OVER (PARTITION BY usr, isl) AS since FROM r)
+        |SELECT 'HotDigit' AS alertname, usr, 'digit_share_1d' AS typ,
         |  1704326400 + i * 86400 AS t_sec,
         |  CASE WHEN (i - since) * 86400 >= 172800
         |       THEN 'firing' ELSE 'pending' END AS alertstate

@@ -315,8 +315,12 @@ object PromQl {
         else if (kwAt("ignoring")) { pos += 8; true }
         else return None
       eat('(')
-      val ks = scala.collection.mutable.ArrayBuffer(ident())
-      while (tryEat(',')) ks += ident()
+      // `on()` with ZERO labels is legal PromQL: match everything
+      // against a single no-label series (scalar-shaped sums) on the
+      // timestamp alone
+      val ks = scala.collection.mutable.ArrayBuffer.empty[String]
+      ws()
+      if (peek != ')') { ks += ident(); while (tryEat(',')) ks += ident() }
       eat(')'); ws()
       val grp = if (kwAt("group_left")) { pos += 10; Some("left") }
         else if (kwAt("group_right")) { pos += 11; Some("right") }

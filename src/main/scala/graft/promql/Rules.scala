@@ -51,8 +51,10 @@ object Rules {
     */
   def alerts(idx: TagIndex, expr: String, start: String, end: String,
       stepSec: Long, forSec: Long, alertName: String,
-      lookbackSec: Long = 86400L): DataFrame = {
-    val v = PromQl.evalRangeIndexed(idx, expr, start, end, stepSec, lookbackSec)
+      lookbackSec: Long = 86400L, limit: Long = 0L): DataFrame = {
+    val v = capSeries(
+      PromQl.evalRangeIndexed(idx, expr, start, end, stepSec, lookbackSec),
+      limit)
     val labels = v.columns.filterNot(Set("t_sec", "value")).toSeq
     val wOrd = Window.partitionBy(labels.map(col): _*).orderBy(col("t_sec"))
     val islanded = v
@@ -123,15 +125,50 @@ object Rules {
   // ---------------- rule groups (round 10, VERDICT #2) ----------------
 
   sealed trait GroupRule
-  /** `record: name / expr: ...` */
-  final case class Record(name: String, expr: String) extends GroupRule
-  /** `alert: name / expr: ... / for: forSec` */
-  final case class Alert(name: String, expr: String, forSec: Long)
+  /** `record: name / expr: ...` (+ `limit:` — see [[capSeries]]) */
+  final case class Record(name: String, expr: String, limit: Long = 0L)
     extends GroupRule
+  /** `alert: name / expr: ... / for: forSec` (+ `limit:`) */
+  final case class Alert(name: String, expr: String, forSec: Long,
+      limit: Long = 0L) extends GroupRule
 
+  /** A rule group definition (rules/group.go): the evaluation INTERVAL
+    * is a property of the group, not of the caller — [[evalGroupDef]]
+    * derives the grid step from it. */
+  final case class Group(name: String, intervalSec: Long,
+      rules: Seq[GroupRule])
+
+  /** The `limit:` knob (rules/group.go; Prometheus scopes one value
+    * per group and applies it to every rule's evaluation — carrying it
+    * per rule generalizes that, a uniform value being the group form):
+    * an evaluation step producing MORE than `limit` series has its
+    * entire output discarded — Prometheus drops the eval's samples and
+    * marks the rule unhealthy, so a recording rule records nothing and
+    * an alerting rule's ActiveAt resets (the discarded step breaks the
+    * `for` island). 0 = unlimited. One keyed window over the
+    * rule-result frame (∝ series × grid) — never touches samples.
+    */
+  private def capSeries(v: DataFrame, limit: Long): DataFrame =
+    if (limit <= 0L) v
+    else {
+      val w = Window.partitionBy(col("t_sec"))
+      v.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") <= limit).drop("__n")
+    }
+
+  // memoized per (session, dataset, group DEFINITION): the key folds a
+  // fingerprint of the rules and grid parameters, so re-evaluating a
+  // same-named group with different rules/grid never returns the
+  // first call's frame (the round-10 ADVICE staleness)
   private val groupRuns =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]()
+
+  private def fp(parts: Seq[Any]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(parts.mkString("\u0000").getBytes("UTF-8"))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
 
   /** Prometheus rule GROUP evaluation (rules/group.go): the group's
     * rules evaluate IN DECLARATION ORDER on a shared grid, and each
@@ -161,29 +198,43 @@ object Rules {
   def evalGroup(spark: SparkSession, dir: String, groupName: String,
       rules: Seq[GroupRule], start: String, end: String, stepSec: Long,
       lookbackSec: Long = 86400L,
+      alertLookbackSec: Long = 3600L): DataFrame =
+    evalGroupDef(spark, dir, Group(groupName, stepSec, rules), start, end,
+      lookbackSec, alertLookbackSec)
+
+  /** [[evalGroup]] over a [[Group]] DEFINITION: the evaluation grid
+    * step is the group's `intervalSec` (rules/group.go — the interval
+    * belongs to the group, callers only pick the window), and each
+    * rule's `limit:` caps its per-step series output via
+    * [[capSeries]]. */
+  def evalGroupDef(spark: SparkSession, dir: String, group: Group,
+      start: String, end: String, lookbackSec: Long = 86400L,
       alertLookbackSec: Long = 3600L): DataFrame = {
-    groupRuns.computeIfAbsent((spark, dir, groupName), _ => {
+    val stepSec = group.intervalSec
+    val key = group.name + ":" + fp(group.rules ++
+      Seq(start, end, stepSec, lookbackSec, alertLookbackSec))
+    groupRuns.computeIfAbsent((spark, dir, key), _ => {
       val base = TagIndex.forEvents(spark, dir)
       val cols = Seq("event_id", "ts_ns", "ts", "value") ++
         base.labelNames
       var cur = base
       val alertFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      rules.foreach {
-        case Record(name, ex) =>
+      group.rules.foreach {
+        case Record(name, ex, limit) =>
           val ri = recordedIndexOn(spark, cur, dir,
-            s"$groupName.$name", name, ex, start, end, stepSec)
+            s"${group.name}.$name", name, ex, start, end, stepSec, limit)
           val recorded = ri.samples
             .withColumn("ts_ns", col("event_id") * 1000000000L)
             .select(cols.map(col): _*)
           cur = new TagIndex(
             cur.samples.select(cols.map(col): _*).unionByName(recorded),
             base.labelNames)
-        case Alert(name, ex, forSec) =>
+        case Alert(name, ex, forSec, limit) =>
           alertFrames += alerts(cur, ex, start, end, stepSec, forSec,
-            name, alertLookbackSec)
+            name, alertLookbackSec, limit)
       }
       require(alertFrames.nonEmpty,
-        s"rule group $groupName has no alert rule — nothing to return")
+        s"rule group ${group.name} has no alert rule — nothing to return")
       alertFrames.reduce(_.unionByName(_))
     })
   }
@@ -194,15 +245,22 @@ object Rules {
       ruleName, expr, start, end, stepSec)
 
   /** [[recordedIndex]] generalized to an explicit evaluation index —
-    * the hook [[evalGroup]] chains: rule k's selector resolves against
-    * an index already containing rules 1..k-1's recorded series. */
+    * the hook [[evalGroupDef]] chains: rule k's selector resolves
+    * against an index already containing rules 1..k-1's recorded
+    * series. The persisted store key folds a fingerprint of the rule
+    * DEFINITION (expr/grid/limit), so a same-named rule with different
+    * content lands in its own store instead of silently reading a
+    * stale one. */
   private def recordedIndexOn(spark: SparkSession, evalIdx: TagIndex,
       dir: String, storeKey: String, ruleName: String,
-      expr: String, start: String, end: String, stepSec: Long): TagIndex = {
-    val base = recordedStores.computeIfAbsent((dir, storeKey), _ => {
+      expr: String, start: String, end: String, stepSec: Long,
+      limit: Long = 0L): TagIndex = {
+    val defKey = storeKey + "." +
+      fp(Seq(expr, start, end, stepSec, limit))
+    val base = recordedStores.computeIfAbsent((dir, defKey), _ => {
       val d = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_recrule_" + graft.Tables.fingerprint(s"$dir/events.parquet") +
-          "_" + storeKey.replaceAll("[^A-Za-z0-9]", "_"))
+          "_" + defKey.replaceAll("[^A-Za-z0-9]", "_"))
       val done = new java.io.File(d, "_done")
       if (!done.exists()) {
         if (d.exists()) {
@@ -211,7 +269,8 @@ object Rules {
           }
           rm(d)
         }
-        val v = PromQl.evalRangeIndexed(evalIdx, expr, start, end, stepSec)
+        val v = capSeries(
+          PromQl.evalRangeIndexed(evalIdx, expr, start, end, stepSec), limit)
         // Prometheus recording semantics: the result's metric name
         // (__name__ ≡ typ) is REPLACED by the rule name; every other
         // label is kept — so a per-series expression (which carries

@@ -105,4 +105,64 @@ class RulesSpec extends AnyFunSuite {
     assert(out.collect().forall(_.getAs[String]("alertstate") == "firing"))
     assert(got == expected)
   }
+
+  test("limit: an evaluation step producing more than `limit` series " +
+      "is discarded ENTIRELY; surviving steps are untouched") {
+    val unlimited = promql.Rules.alerts(idx, expr, start, end, step, 0L, "A")
+      .select("usr", "t_sec").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perStep = unlimited.groupBy(_._2).view.mapValues(_.length).toMap
+    // pick a limit that some steps exceed and some do not, from the
+    // data itself (sf0.001 is small enough that counts vary per day)
+    val counts = perStep.values.toSeq.sorted
+    val lim = counts(counts.size / 2).toLong
+    assume(counts.exists(_ > lim) && counts.exists(_ <= lim))
+    val limited = promql.Rules.alerts(idx, expr, start, end, step, 0L, "A",
+        limit = lim)
+      .select("usr", "t_sec").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = unlimited.filter(x => perStep(x._2) <= lim).toSet
+    assert(limited == expected)
+  }
+
+  test("limit on a RECORD rule: capped steps record nothing — the " +
+      "recorded store has no sample at any over-limit step") {
+    val rule = """sum by (usr) (count_over_time({typ="purchase"}[1d]))"""
+    val (gs, ge) = ("2024-01-01 00:00:00", "2024-01-30 00:00:00")
+    val full = promql.PromQl.evalRange(spark, dir, rule, gs, ge, step)
+      .select("t_sec").collect().map(_.getLong(0))
+    val perStep = full.groupBy(identity).view.mapValues(_.length).toMap
+    val counts = perStep.values.toSeq.sorted
+    val lim = counts(counts.size / 2).toLong
+    assume(counts.exists(_ > lim) && counts.exists(_ <= lim))
+    val out = promql.Rules.evalGroupDef(spark, dir,
+      promql.Rules.Group("spec_limgrp", step, Seq(
+        promql.Rules.Record("spec_lim.r1", rule, limit = lim),
+        promql.Rules.Alert("SpecLimAlert",
+          """{typ="spec_lim.r1"} > 0""", 0L))),
+      gs, ge, lookbackSec = 3600L)
+    val got = out.select("t_sec").collect().map(_.getLong(0)).toSet
+    assert(got == perStep.filter(_._2 <= lim).keySet)
+  }
+
+  test("evalGroup memo key folds the rule DEFINITIONS: a same-named " +
+      "group with different rules is re-evaluated, not served stale") {
+    def run(forSec: Long) = promql.Rules.evalGroup(spark, dir, "spec_memo",
+      Seq(promql.Rules.Alert("M", expr, forSec)), start, end, step)
+    val immediate = run(0L)
+    val delayed = run(5 * 86400L)
+    assert(immediate.filter(col("alertstate") === "pending").count() == 0)
+    assert(delayed.filter(col("alertstate") === "pending").count() > 0,
+      "second evalGroup call with different rules returned the first's frame")
+  }
+
+  test("Group.intervalSec IS the evaluation grid step") {
+    val out = promql.Rules.evalGroupDef(spark, dir,
+      promql.Rules.Group("spec_ivl", 2 * 86400L, Seq(
+        promql.Rules.Alert("I", expr, 0L))),
+      start, end)
+    val ts = out.select("t_sec").distinct().collect().map(_.getLong(0))
+    val t0 = 1704240000L // 2024-01-03 00:00:00 UTC
+    assert(ts.nonEmpty && ts.forall(t => (t - t0) % (2 * 86400L) == 0))
+  }
 }
