@@ -669,6 +669,44 @@ object SparkEntry {
         .select(col("value").as("cps_all"))
       q.crossJoin(c)
     }),
+    // B55+ (round 11): native-histogram schema > 0 — the MIXED model
+    // scrapes click/error at schema 3 (base 2^(1/8), the 3.x client
+    // default) and the rest at schema 0; quantile/rate re-gated at
+    // schema 3 and the sum-by gate exercises Prometheus's
+    // downscale-to-coarsest-common-schema aggregation rule
+    "promql_native_q3" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // p90 of the schema-3 series: 104-bucket ladder, exponential
+      // interpolation at base 2^(1/8) — value = 2^((idx-1+frac)/8)
+      promql.NativeHist.eval(s, dir,
+        """histogram_quantile(0.9, {typ=~"click|error"})""",
+        "2024-01-08 00:00:00", mixed = true)
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
+    }),
+    "promql_native_rate3" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // rate() at schema 3: per-bucket counter diffs stay raw (rsec
+      // scaling) so bucket selection is integer-exact cross-engine
+      promql.NativeHist.eval(s, dir,
+        """histogram_quantile(0.5, rate({typ=~"click|error"}[1d]))""",
+        "2024-01-08 00:00:00", mixed = true)
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50r"))
+    }),
+    "promql_native_schema" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // the dashboard shape over the MIXED fleet: sum(rate(h[1d]))
+      // downscales the schema-3 series to the group's coarsest schema
+      // (0) by pairwise bucket merging — a lossless-to-schema-0
+      // operation, so the oracle derives the panel straight from raw
+      // events at schema 0 (any downscale bug breaks the hash)
+      promql.NativeHist.evalRange(s, dir,
+        """histogram_quantile(0.5, sum(rate({typ=~".*"}[1d])))""",
+        "2024-01-02 00:00:00", "2024-01-07 00:00:00", 86400L, mixed = true)
+        .select(col("t_sec"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50_all"))
+    }),
     "promql_atan2" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       // infix atan2 with default 1:1 vector matching on (usr); both
@@ -4746,6 +4784,101 @@ object SparkEntry {
         |    END) * 1e4 + 0.5) / 1e4 AS q50r,
         |  CAST(t2.cnt AS DOUBLE) / 86400.0 AS cps
         |FROM hit h JOIN tot t2 USING (typ) WHERE h.rn = 1""".stripMargin,
+    // B55+ schema-3 gates: the 104-entry boundary ladder is serialized
+    // from the SAME Scala doubles the Spark side compares against
+    // (%.17g round-trips exactly), so bucket assignment is
+    // bit-identical; interpolation is the single-pow base-2^(1/8) form
+    "promql_native_q3" ->
+      s"""WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'
+        |    AND event_type IN ('click', 'error')),
+        |b AS (SELECT typ, v, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -31 + len(list_filter(${promql.NativeHist.uppersSqlList(3)},
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT typ, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt
+        |  FROM b GROUP BY 1),
+        |bc AS (SELECT typ, idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT typ, idx, c,
+        |    sum(c) OVER (PARTITION BY typ ORDER BY idx) AS pc FROM bc),
+        |hit AS (SELECT cm.typ, cm.idx, CAST(cm.c AS DOUBLE) AS c,
+        |    CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE) AS cum,
+        |    CAST(t.cnt AS DOUBLE) * 0.9 AS rk,
+        |    CAST(t.zcnt AS DOUBLE) AS z,
+        |    row_number() OVER (PARTITION BY cm.typ ORDER BY cm.idx) AS rn
+        |  FROM cm JOIN tot t USING (typ)
+        |  WHERE CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE)
+        |    >= CAST(t.cnt AS DOUBLE) * 0.9)
+        |SELECT typ, floor((CASE WHEN rk <= z THEN 0.0625 * rk / z
+        |    ELSE pow(2.0, (idx - 1 + (rk - (cum - c)) / c) / 8.0) END)
+        |  * 1e4 + 0.5) / 1e4 AS hq90
+        |FROM hit WHERE rn = 1""".stripMargin,
+    "promql_native_rate3" ->
+      s"""WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'
+        |    AND event_type IN ('click', 'error')),
+        |b AS (SELECT typ, v, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -31 + len(list_filter(${promql.NativeHist.uppersSqlList(3)},
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT typ, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt
+        |  FROM b GROUP BY 1),
+        |bc AS (SELECT typ, idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT typ, idx, c,
+        |    sum(c) OVER (PARTITION BY typ ORDER BY idx) AS pc FROM bc),
+        |hit AS (SELECT cm.typ, cm.idx, CAST(cm.c AS DOUBLE) AS c,
+        |    CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE) AS cum,
+        |    CAST(t.cnt AS DOUBLE) * 0.5 AS rk,
+        |    CAST(t.zcnt AS DOUBLE) AS z,
+        |    row_number() OVER (PARTITION BY cm.typ ORDER BY cm.idx) AS rn
+        |  FROM cm JOIN tot t USING (typ)
+        |  WHERE CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE)
+        |    >= CAST(t.cnt AS DOUBLE) * 0.5)
+        |SELECT typ, floor((CASE WHEN rk <= z THEN 0.0625 * rk / z
+        |    ELSE pow(2.0, (idx - 1 + (rk - (cum - c)) / c) / 8.0) END)
+        |  * 1e4 + 0.5) / 1e4 AS q50r
+        |FROM hit WHERE rn = 1""".stripMargin,
+    // the mixed sum-by panel: downscale-to-schema-0 merging is exactly
+    // schema-0 assignment of the raw observations (8 consecutive
+    // schema-3 buckets union to 1 schema-0 bucket), so the oracle
+    // replays the whole fleet at schema 0 per grid step
+    "promql_native_schema" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 5)) AS i),
+        |e AS (SELECT g.i, ev.value AS v
+        |  FROM events ev, g
+        |  WHERE epoch_us(ev.ts) >= (1704153600 + g.i*86400 - 86400) * 1000000
+        |    AND epoch_us(ev.ts) < (1704153600 + g.i*86400) * 1000000),
+        |b AS (SELECT i, CASE WHEN v <= 0.0625 THEN NULL
+        |    ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0, 4.0,
+        |      8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |      x -> x < v)) END AS idx FROM e),
+        |tot AS (SELECT i, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zcnt
+        |  FROM b GROUP BY 1),
+        |bc AS (SELECT i, idx, count(*) AS c FROM b
+        |  WHERE idx IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT i, idx, c,
+        |    sum(c) OVER (PARTITION BY i ORDER BY idx) AS pc FROM bc),
+        |hit AS (SELECT cm.i, cm.idx, CAST(cm.c AS DOUBLE) AS c,
+        |    CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE) AS cum,
+        |    CAST(t.cnt AS DOUBLE) * 0.5 AS rk,
+        |    CAST(t.zcnt AS DOUBLE) AS z,
+        |    row_number() OVER (PARTITION BY cm.i ORDER BY cm.idx) AS rn
+        |  FROM cm JOIN tot t USING (i)
+        |  WHERE CAST(t.zcnt AS DOUBLE) + CAST(cm.pc AS DOUBLE)
+        |    >= CAST(t.cnt AS DOUBLE) * 0.5)
+        |SELECT 1704153600 + i * 86400 AS t_sec,
+        |  floor((CASE WHEN rk <= z THEN 0.0625 * rk / z
+        |    ELSE pow(2.0, idx - 1) * pow(2.0, (rk - (cum - c)) / c) END)
+        |  * 1e4 + 0.5) / 1e4 AS q50_all
+        |FROM hit WHERE rn = 1""".stripMargin,
     // native range query: per (typ, day) the 24h window's own
     // histogram (cumulative diffs ≡ sub-window counts), same quantile
     // formula keyed by the grid step

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * serves PromQL clients, and 3.x clients send these functions; this
   * module closes that last language-family gap (round-10 VERDICT #1).
   *
-  * Sample model (schema 0, i.e. base-2 bucket boundaries — the
-  * coarsest standard native-histogram resolution; the derivation
+  * Sample model (schema s: base 2^(2^−s) bucket boundaries; the
+  * legacy model scrapes everything at schema 0 — the coarsest
+  * standard resolution — and the MIXED model at per-series schema
+  * 0/3, since 3.x clients default to schema 3; the derivation
   * parallels [[graft.index.TagIndex.forBucketedEvents]]'s classic
   * `le` fixture):
   *  - one histogram sample per (typ, hour) over Jan 1-7 (168 hours),
@@ -24,11 +26,15 @@ import org.apache.spark.sql.functions._
   *  - CUMULATIVE counter semantics from the window start, exactly a
   *    live `*_bucket` counter family: sample at t covers every
   *    observation with ts < t;
-  *  - positive bucket `idx` covers (2^(idx-1), 2^idx]; observations
-  *    ≤ zeroThreshold = 2^-4 land in the ZERO bucket (Prometheus's
-  *    zero-bucket contract, width chosen so it does real work on the
-  *    corpus); `buckets` stores (idx, count) sparsely, only non-empty
-  *    buckets — the wire format's spans/deltas carry exactly this;
+  *  - positive bucket `idx` covers (base^(idx-1), base^idx];
+  *    observations ≤ zeroThreshold = 2^-4 land in the ZERO bucket
+  *    (Prometheus's zero-bucket contract, width chosen so it does
+  *    real work on the corpus); `buckets` stores (idx, count)
+  *    sparsely, only non-empty buckets — the wire format's
+  *    spans/deltas carry exactly this; `sum by` over mixed schemas
+  *    DOWNSCALES to the group's coarsest schema by pairwise bucket
+  *    merging (idx' = ((idx−1) >> d) + 1), Prometheus's aggregation
+  *    rule;
   *  - `hsum` accumulates observation values dyadically quantized at
   *    2^-20 (the model's declared ingest precision): dyadic addends
   *    make the float sum EXACT in any order — both a 1000-executor
@@ -62,34 +68,100 @@ object NativeHist {
   val t0Sec = 1704067200L // 2024-01-01 00:00:00 UTC
   val hours = 168
   val zeroThreshold = 0.0625 // 2^-4
-  val minIdx = -3 // (2^-4, 2^-3] — adjacent to the zero bucket
-  val maxIdx = 9 // (2^8, 2^9] covers the corpus max (490.02)
-  /** Upper bounds 2^minIdx .. 2^maxIdx — exact doubles, compared (not
-    * log'd) so bucket assignment is bit-identical in any engine. */
-  val uppers: Seq[Double] = (minIdx to maxIdx).map(i => math.pow(2.0, i))
+
+  /** Bucket resolutions the derived model uses. Schema s has base
+    * 2^(2^−s) buckets: positive bucket idx covers
+    * (base^(idx−1), base^idx] (Prometheus 3.x; schema 0 = base 2 is
+    * the coarsest standard resolution, schema 3 = base 2^(1/8) is
+    * what 3.x clients scrape by default). */
+  val schemas: Seq[Int] = Seq(0, 3)
+
+  /** First bucket above the zero threshold at schema s:
+    * 2^-4 = base^(−4·2^s). */
+  def minIdxAt(s: Int): Int = -4 * (1 << s) + 1
+  /** Ladder top at schema s: 2^9 = base^(9·2^s) covers the corpus max
+    * inside the model window (487.4 at sf0.1); [[samples]] guards the
+    * bound at build time. */
+  def maxIdxAt(s: Int): Int = 9 * (1 << s)
+
+  /** Upper bounds base^minIdx .. base^maxIdx at schema s — LITERAL
+    * doubles compared (not log'd) on both engines, so bucket
+    * assignment is bit-identical regardless of pow() rounding:
+    * the oracle SQL interpolates the same literals
+    * ([[uppersSqlList]]). */
+  def uppersAt(s: Int): Seq[Double] =
+    (minIdxAt(s) to maxIdxAt(s)).map(i => math.pow(2.0, i.toDouble / (1 << s)))
+
+  /** The schema-s boundary ladder as a DuckDB list literal — %.17g
+    * round-trips a double exactly, so both engines compare identical
+    * boundary values. */
+  def uppersSqlList(s: Int): String =
+    uppersAt(s).map(d => f"$d%.17g").mkString("[", ", ", "]")
+
+  // legacy (schema-0) aliases — the streaming twin H30 builds the
+  // sample shape from these
+  val minIdx: Int = minIdxAt(0)
+  val maxIdx: Int = maxIdxAt(0)
+  val uppers: Seq[Double] = uppersAt(0)
 
   private val q20 = 1048576.0 // 2^20 — dyadic ingest quantization
 
+  /** Per-series schema assignment of the MIXED model: click/error
+    * scrape at schema 3, the rest at schema 0 — deterministic and
+    * trivially replayed by the oracle (typ < 'n'). */
+  private def mixedSchema: Column =
+    when(col("typ") < "n", lit(3)).otherwise(lit(0))
+
+  /** Bucket index of `value` at schema s (boundary-literal compare). */
+  private def idxAt(s: Int): Column =
+    lit(minIdxAt(s)) +
+      size(filter(typedlit(uppersAt(s)), b => b < col("value")))
+
   /** The native-histogram sample series:
-    * (typ, t_sec, cnt, zcnt, hsum, buckets: array<struct<idx,c>>).
+    * (typ, schema, t_sec, cnt, zcnt, hsum, buckets:
+    * array<struct<idx,c>>). The legacy model scrapes everything at
+    * schema 0; [[samplesMixed]] is the 3.x-shaped corpus.
     */
   def samples(spark: SparkSession, dir: String): DataFrame =
-    Memo.cached(spark, s"nativehist.samples:$dir") {
+    samplesModel(spark, dir, mixed = false)
+
+  /** The MIXED-resolution sample series: per-series schema via
+    * [[mixedSchema]] — what a real 3.x fleet sends (clients scrape at
+    * schema 3 and downscale under memory pressure, so a corpus is
+    * never single-resolution). */
+  def samplesMixed(spark: SparkSession, dir: String): DataFrame =
+    samplesModel(spark, dir, mixed = true)
+
+  private def samplesModel(spark: SparkSession, dir: String,
+      mixed: Boolean): DataFrame =
+    Memo.cached(spark, s"nativehist.samples:$mixed:$dir") {
+      val schemaC = if (mixed) mixedSchema else lit(0)
       val endSec = t0Sec + hours * 3600L
       val raw = Tables.tsBetween(Tables.eventsRaw(spark, dir),
         timestamp_micros(lit(t0Sec * 1000000L)),
         timestamp_micros(lit(endSec * 1000000L - 1L)))
       val sec = unix_timestamp(Tables.tsCol(raw))
+      // the ladder-top guard (any schema tops out at 2^9): an
+      // observation above it would be counted in cnt but dropped from
+      // the bucket model, silently breaking quantileOf's
+      // `cum_max = cnt ≥ rank` invariant — fail the build instead
+      val idxC = when(col("value") > lit(uppers.last),
+          raise_error(format_string(
+            "native-histogram observation %s above the 2^9 bucket ladder",
+            col("value").cast("string"))).cast("int"))
+        .when(col("value") <= zeroThreshold, lit(null).cast("int"))
+        .otherwise(schemas.tail.foldLeft(idxAt(schemas.head)) {
+          case (acc, s) => when(col("schema") === s, idxAt(s)).otherwise(acc)
+        })
       val ev = raw.select(
         col("event_type").as("typ"),
         (sec - pmod(sec, lit(3600L))).as("h_sec"),
         col("value"),
-        (floor(col("value") * q20 + 0.5) / q20).as("qv"),
-        when(col("value") <= zeroThreshold, lit(null).cast("int"))
-          .otherwise(lit(minIdx) +
-            size(filter(typedlit(uppers), b => b < col("value"))))
-          .as("idx"))
+        (floor(col("value") * q20 + 0.5) / q20).as("qv"))
+        .withColumn("schema", schemaC)
+        .withColumn("idx", idxC)
       val typs = ev.select(col("typ")).distinct()
+        .withColumn("schema", schemaC)
       val grid = typs.withColumn("h_sec",
         explode(sequence(lit(t0Sec), lit(endSec - 3600L), lit(3600L))))
       // per-bucket hourly deltas → time-cumulative per (typ, idx);
@@ -98,8 +170,14 @@ object NativeHist {
       val hb = ev.filter(col("idx").isNotNull)
         .groupBy(col("typ"), col("h_sec"), col("idx"))
         .agg(count(lit(1)).as("dc"))
-      val bgrid = grid.withColumn("idx",
-        explode(sequence(lit(minIdx), lit(maxIdx))))
+      // each series explodes ITS schema's ladder (13 buckets at
+      // schema 0, 104 at schema 3 — still tier-scale)
+      val ladder = schemas.tail.foldLeft(
+        sequence(lit(minIdxAt(schemas.head)), lit(maxIdxAt(schemas.head)))) {
+        case (acc, s) => when(col("schema") === s,
+          sequence(lit(minIdxAt(s)), lit(maxIdxAt(s)))).otherwise(acc)
+      }
+      val bgrid = grid.withColumn("idx", explode(ladder))
       val wcum = Window.partitionBy(col("typ"), col("idx"))
         .orderBy(col("h_sec"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -120,7 +198,7 @@ object NativeHist {
         .withColumn("zcnt", sum(coalesce(col("dz"), lit(0L))).over(wc))
         .withColumn("hsum", sum(coalesce(col("ds"), lit(0.0))).over(wc))
         .join(cumB, Seq("typ", "h_sec"), "left")
-        .select(col("typ"), (col("h_sec") + 3600L).as("t_sec"),
+        .select(col("typ"), col("schema"), (col("h_sec") + 3600L).as("t_sec"),
           col("cnt"), col("zcnt"), col("hsum"),
           coalesce(col("buckets"),
             typedlit(Seq.empty[(Int, Long)])
@@ -152,13 +230,15 @@ object NativeHist {
     * emerge as DOUBLE; `rsec` is the rate denominator (1 for instant).
     */
   private def histAt(spark: SparkSession, dir: String,
-      ms: Seq[LabelMatcher], tSec: Long): DataFrame = {
+      ms: Seq[LabelMatcher], tSec: Long,
+      mixed: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("typ")).orderBy(col("t_sec").desc)
-    samples(spark, dir)
+    samplesModel(spark, dir, mixed)
       .filter(matcherPred(ms) && col("t_sec") <= tSec)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("typ"), col("cnt").cast("double").as("cnt"),
+      .select(col("typ"), col("schema"),
+        col("cnt").cast("double").as("cnt"),
         col("zcnt").cast("double").as("zcnt"), col("hsum"),
         expr("transform(buckets, x -> named_struct(" +
           "'idx', x.idx, 'c', cast(x.c as double)))").as("buckets"),
@@ -175,9 +255,10 @@ object NativeHist {
     * against the empty histogram.
     */
   private def histRate(spark: SparkSession, dir: String,
-      ms: Seq[LabelMatcher], tSec: Long, rangeSec: Long): DataFrame =
-    histDiff(histAt(spark, dir, ms, tSec),
-      histAt(spark, dir, ms, tSec - rangeSec), Seq("typ"), rangeSec)
+      ms: Seq[LabelMatcher], tSec: Long, rangeSec: Long,
+      mixed: Boolean = false): DataFrame =
+    histDiff(histAt(spark, dir, ms, tSec, mixed),
+      histAt(spark, dir, ms, tSec - rangeSec, mixed), Seq("typ"), rangeSec)
 
   /** a − b per histogram component, keyed by `keys` (the range form
     * adds t_sec to the key set — every evaluator downstream is
@@ -200,10 +281,11 @@ object NativeHist {
     // back to sort-merge (the promql_ignoring lesson); both right
     // sides are ∝ matched series — broadcast-sized for any dashboard
     // selection
+    // rate never crosses series, so a's schema IS the diff's schema
     a.join(broadcast(b.select(kcols ++ Seq(col("cnt").as("bcnt"),
         col("zcnt").as("bzcnt"), col("hsum").as("bhsum")): _*)),
         keys, "left")
-      .select(kcols ++ Seq(
+      .select(kcols ++ Seq(col("schema"),
         (col("cnt") - coalesce(col("bcnt"), lit(0.0))).as("cnt"),
         (col("zcnt") - coalesce(col("bzcnt"), lit(0.0))).as("zcnt"),
         (col("hsum") - coalesce(col("bhsum"), lit(0.0))).as("hsum")): _*)
@@ -220,7 +302,8 @@ object NativeHist {
     * t_sec, one scan for the whole grid (`shift` re-stamps the frame
     * forward for the rate subtrahend). */
   private def histAtGrid(spark: SparkSession, dir: String,
-      ms: Seq[LabelMatcher], grid: Seq[Long], shift: Long): DataFrame = {
+      ms: Seq[LabelMatcher], grid: Seq[Long], shift: Long,
+      mixed: Boolean = false): DataFrame = {
     // g - shift == t0Sec is the virtual zero histogram at the counter
     // epoch — no sample row exists, and histDiff's left join reads the
     // absence as zero, which IS the correct cumulative-counter value
@@ -229,10 +312,10 @@ object NativeHist {
         g - shift >= t0Sec && g - shift <= t0Sec + hours * 3600L,
         s"grid step ${g - shift} off the hourly native-sample grid")
     }
-    samples(spark, dir)
+    samplesModel(spark, dir, mixed)
       .filter(matcherPred(ms) &&
         col("t_sec").isInCollection(grid.map(_ - shift)))
-      .select(col("typ"), (col("t_sec") + shift).as("t_sec"),
+      .select(col("typ"), col("schema"), (col("t_sec") + shift).as("t_sec"),
         col("cnt").cast("double").as("cnt"),
         col("zcnt").cast("double").as("zcnt"), col("hsum"),
         expr("transform(buckets, x -> named_struct(" +
@@ -247,14 +330,21 @@ object NativeHist {
   // a histogram frame = label columns + the histogram payload; the
   // evaluators key by whatever labels the frame carries (typ for the
   // raw series, aggregated label subsets after sum by (...))
-  private val hMeta = Set("cnt", "zcnt", "hsum", "buckets", "rsec", "rank")
+  private val hMeta = Set("cnt", "zcnt", "hsum", "buckets", "rsec", "rank",
+    "schema")
   private def hLabels(h: DataFrame): Seq[String] =
     h.columns.filterNot(hMeta).toSeq
+
+  // pre-mixed callers (the streaming twin, conformance fixtures) build
+  // the sample payload without a schema column — they are schema 0
+  private def withSchema(h: DataFrame): DataFrame =
+    if (h.columns.contains("schema")) h else h.withColumn("schema", lit(0))
 
   /** φ-quantile per series: explode the ≤14-entry bucket array, running
     * cumulative over idx, first bucket with cum ≥ rank, exponential
     * interpolation (zero bucket linear from 0). */
-  private[graft] def quantileOf(h: DataFrame, q: Double): DataFrame = {
+  private[graft] def quantileOf(h0: DataFrame, q: Double): DataFrame = {
+    val h = withSchema(h0)
     val labels = hLabels(h)
     val lcols = labels.map(col)
     // explode_outer keeps bucket-less series as a null-bucket row, so
@@ -263,13 +353,19 @@ object NativeHist {
     // needed — a single-branch plan that also survives histogram
     // frames whose lineage contains joins or memory-sink views
     val e = h.withColumn("rank", col("cnt") * lit(q))
-      .select(lcols ++ Seq(col("cnt"), col("zcnt"), col("rank"),
-        explode_outer(col("buckets")).as("x")): _*)
-      .select(lcols ++ Seq(col("cnt"), col("zcnt"), col("rank"),
-        col("x.idx").as("idx"),
+      .select(lcols ++ Seq(col("schema"), col("cnt"), col("zcnt"),
+        col("rank"), explode_outer(col("buckets")).as("x")): _*)
+      .select(lcols ++ Seq(col("schema"), col("cnt"), col("zcnt"),
+        col("rank"), col("x.idx").as("idx"),
         coalesce(col("x.c"), lit(0.0)).as("c")): _*)
     val wcum = Window.partitionBy(lcols: _*).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exponential in-bucket interpolation: base^(idx−1+frac) =
+    // 2^((idx−1+frac)·2^−s). The schema-0 branch keeps the exact
+    // round-10 float form (split pow product), so existing gates stay
+    // bit-identical; higher schemas use the single-pow generalization
+    // the oracle mirrors verbatim.
+    val frac = (col("rank") - (col("cum") - col("c"))) / col("c")
     e.withColumn("cum", col("zcnt") + sum(col("c")).over(wcum))
       .filter(col("cum") >= col("rank"))
       .withColumn("__rn", row_number().over(
@@ -280,9 +376,10 @@ object NativeHist {
           .when(col("rank") <= col("zcnt"),
             lit(zeroThreshold) * col("rank") / col("zcnt"))
           .when(col("idx").isNull, lit(Double.NaN))
-          .otherwise(pow(lit(2.0), col("idx") - 1) *
-            pow(lit(2.0),
-              (col("rank") - (col("cum") - col("c"))) / col("c")))
+          .when(col("schema") === 0,
+            pow(lit(2.0), col("idx") - 1) * pow(lit(2.0), frac))
+          .otherwise(pow(lit(2.0),
+            (col("idx") - lit(1) + frac) / pow(lit(2.0), col("schema"))))
           .as("value"): _*)
   }
 
@@ -296,19 +393,33 @@ object NativeHist {
     * histogram (a hidden constant key keeps the keyed plan shape; the
     * eval hook strips it from the output).
     */
-  private[graft] def sumHists(h: DataFrame, by: Seq[String]): DataFrame = {
+  private[graft] def sumHists(h0: DataFrame, by: Seq[String]): DataFrame = {
+    val h = withSchema(h0)
     val keys = if (by.nonEmpty) by else Seq("__g")
     val base = if (by.nonEmpty) h else h.withColumn("__g", lit(1))
     val kcols = keys.map(col)
-    val sb = base.select(kcols :+ explode(col("buckets")).as("x"): _*)
-      .groupBy(kcols :+ col("x.idx").as("idx"): _*)
+    // Prometheus sums MIXED-schema histograms by DOWNSCALING every
+    // series to the group's COARSEST schema (min): d = s − target
+    // merges 2^d consecutive buckets, idx' = ((idx−1) >> d) + 1 —
+    // computed as exact floor division (doubles are exact at these
+    // magnitudes, and floor matches the arithmetic shift on negatives).
+    // The target schema travels on the result, so downstream
+    // interpolation happens at the aggregated resolution.
+    val tgt = base.groupBy(kcols: _*).agg(min(col("schema")).as("schema"))
+    val sb = base.select(kcols ++ Seq(col("schema").as("__s"),
+        explode(col("buckets")).as("x")): _*)
+      .join(broadcast(tgt), keys.toSeq)
+      .withColumn("idx",
+        (floor((col("x.idx") - lit(1)).cast("double") /
+          pow(lit(2.0), col("__s") - col("schema"))) + lit(1)).cast("int"))
+      .groupBy(kcols :+ col("idx"): _*)
       .agg(sum(col("x.c")).as("c"))
       .groupBy(kcols: _*)
       .agg(sort_array(collect_list(struct(col("idx"), col("c"))))
         .as("buckets"))
     base.groupBy(kcols: _*)
       .agg(sum(col("cnt")).as("cnt"), sum(col("zcnt")).as("zcnt"),
-        sum(col("hsum")).as("hsum"),
+        sum(col("hsum")).as("hsum"), min(col("schema")).as("schema"),
         min(col("rsec")).as("__rmin"), max(col("rsec")).as("__rmax"))
       // the guard lives INSIDE rsec so it fires exactly when a
       // consumer (count/sum) reads the scale of a mixed-range sum
@@ -327,33 +438,50 @@ object NativeHist {
     * log-space position within the containing bucket, matching the
     * quantile's exponential rule. ln(x)/ln(2) is evaluated IN each
     * engine (the 1-ulp-identical ln precedent: F9/F18, 5 rounds). */
-  private def interpCum(x: Double): Column = {
-    require(x >= 0, s"histogram_fraction bound $x < 0: the derived " +
-      "model has no negative buckets")
+  private def interpCumAt(x: Double, s: Int): Column = {
     if (x == 0) lit(0.0)
     else if (x <= zeroThreshold) col("zcnt") * (lit(x) / lit(zeroThreshold))
-    else if (x > uppers.last) col("cnt")
+    else if (x > uppersAt(s).last) col("cnt")
     else {
-      val ix = (minIdx to maxIdx).find(i => x <= math.pow(2.0, i)).get
+      val ix = (minIdxAt(s) to maxIdxAt(s))
+        .find(i => x <= math.pow(2.0, i.toDouble / (1 << s))).get
       val below = expr(
         s"aggregate(filter(buckets, b -> b.idx < $ix), 0D, (a, b) -> a + b.c)")
       val cb = coalesce(
         expr(s"get(filter(buckets, b -> b.idx = $ix), 0).c"), lit(0.0))
-      col("zcnt") + below +
-        cb * (log(lit(x)) / log(lit(2.0)) - lit(ix - 1))
+      // log-space position within the schema-s bucket:
+      // log_base(x) − (ix−1), log_base(x) = log2(x)·2^s (the s=0 form
+      // kept verbatim for hash stability of the round-10 gates)
+      val posC =
+        if (s == 0) log(lit(x)) / log(lit(2.0)) - lit(ix - 1)
+        else (log(lit(x)) / log(lit(2.0))) * lit((1 << s).toDouble) -
+          lit((ix - 1).toDouble)
+      col("zcnt") + below + cb * posC
     }
   }
 
-  private[graft] def fractionOf(h: DataFrame, lo: Double, hi: Double): DataFrame =
+  private def interpCum(x: Double): Column = {
+    require(x >= 0, s"histogram_fraction bound $x < 0: the derived " +
+      "model has no negative buckets")
+    schemas.tail.foldLeft(interpCumAt(x, schemas.head)) {
+      case (acc, s) => when(col("schema") === s, interpCumAt(x, s))
+        .otherwise(acc)
+    }
+  }
+
+  private[graft] def fractionOf(h0: DataFrame, lo: Double, hi: Double): DataFrame = {
+    val h = withSchema(h0)
     h.select(hLabels(h).map(col) :+
       when(col("cnt") <= 0, lit(Double.NaN))
         .otherwise((interpCum(hi) - interpCum(lo)) / col("cnt"))
         .as("value"): _*)
+  }
 
   /** count/sum/avg/stddev/stdvar of the histogram itself. Only count
     * and sum see `rsec` — the rest are scale-invariant ratios, so the
     * rate path keeps exact integer counts throughout. */
-  private[graft] def statOf(h: DataFrame, name: String): DataFrame = {
+  private[graft] def statOf(h0: DataFrame, name: String): DataFrame = {
+    val h = withSchema(h0)
     val lcols = hLabels(h).map(col)
     name match {
       case "histogram_count" =>
@@ -363,11 +491,17 @@ object NativeHist {
       case "histogram_avg" =>
         h.select(lcols :+ (col("hsum") / col("cnt")).as("value"): _*)
       case _ => // stddev / stdvar: geometric bucket midpoints, zero at 0
+        // midpoint √(base^(2idx−1)) = 2^((2idx−1)/(2·2^s)); the s=0
+        // branch keeps the round-10 sqrt(pow(...)) float form
+        val mid = "(CASE WHEN schema = 0 " +
+          "THEN sqrt(pow(2D, 2 * b.idx - 1)) " +
+          "ELSE pow(2D, cast(2 * b.idx - 1 AS DOUBLE) / " +
+          "(2.0 * pow(2D, cast(schema AS DOUBLE)))) END)"
         val mean = col("hsum") / col("cnt")
         val varCol = (expr(
           "aggregate(buckets, 0D, (a, b) -> a + b.c * " +
-            "(sqrt(pow(2D, 2 * b.idx - 1)) - __mean) * " +
-            "(sqrt(pow(2D, 2 * b.idx - 1)) - __mean))") +
+            s"($mid - __mean) * " +
+            s"($mid - __mean))") +
           col("zcnt") * col("__mean") * col("__mean")) / col("cnt")
         val withVar = h.withColumn("__mean", mean).withColumn("__var", varCol)
         if (name == "histogram_stdvar")
@@ -390,13 +524,14 @@ object NativeHist {
     * `histogram_quantile(φ, sum(rate(h[5m])))` dashboard shape.
     */
   def eval(spark: SparkSession, dir: String, exprStr: String,
-      t: String): DataFrame = {
+      t: String, mixed: Boolean = false): DataFrame = {
     val tSec = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
       .toEpochSecond(java.time.ZoneOffset.UTC)
     def inner(e: Expr): DataFrame = e match {
-      case Sel(ms, None, 0, None, None) => histAt(spark, dir, ms, tSec)
+      case Sel(ms, None, 0, None, None) =>
+        histAt(spark, dir, ms, tSec, mixed)
       case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
-        histRate(spark, dir, ms, tSec, r)
+        histRate(spark, dir, ms, tSec, r, mixed)
       case Agg("sum", by, Seq(), arg, None, None) =>
         sumHists(inner(arg), by)
       case other => sys.error(s"native-histogram argument must be an " +
@@ -422,7 +557,8 @@ object NativeHist {
     * hourly sample grid; rate is one shifted self-join).
     */
   def evalRange(spark: SparkSession, dir: String, exprStr: String,
-      start: String, end: String, stepSec: Long): DataFrame = {
+      start: String, end: String, stepSec: Long,
+      mixed: Boolean = false): DataFrame = {
     def sec(s: String) = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toEpochSecond(java.time.ZoneOffset.UTC)
     val (su, eu) = (sec(start), sec(end))
@@ -430,10 +566,10 @@ object NativeHist {
     val grid: Seq[Long] = (su to eu by stepSec)
     def inner(e: Expr): DataFrame = e match {
       case Sel(ms, None, 0, None, None) =>
-        histAtGrid(spark, dir, ms, grid, 0L)
+        histAtGrid(spark, dir, ms, grid, 0L, mixed)
       case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
-        histDiff(histAtGrid(spark, dir, ms, grid, 0L),
-          histAtGrid(spark, dir, ms, grid, r), Seq("typ", "t_sec"), r)
+        histDiff(histAtGrid(spark, dir, ms, grid, 0L, mixed),
+          histAtGrid(spark, dir, ms, grid, r, mixed), Seq("typ", "t_sec"), r)
       case Agg("sum", by, Seq(), arg, None, None) =>
         sumHists(inner(arg), if (by.contains("t_sec")) by
           else by :+ "t_sec")

@@ -313,4 +313,89 @@ class PromConformanceSpec extends AnyFunSuite {
       "exists(sequence(1, size(buckets) - 1), " +
         "i -> get(buckets, i - 1).idx >= get(buckets, i).idx)")).count() == 0)
   }
+
+  // ------------- native histograms at schema > 0 (round 11) -------------
+
+  /** A schema-3 histogram (base 2^(1/8)): buckets idx 4 (covers
+    * (2^(3/8), 2^(1/2)]): 2 obs and idx 9 ((2^1, 2^(9/8)]): 2 obs,
+    * plus 1 zero-bucket obs. cnt=5. */
+  private def nhFixture3(): DataFrame = {
+    import spark.implicits._
+    Seq(("x", 3, 5.0, 1.0, 7.0, Seq((4, 2.0), (9, 2.0)), 1.0))
+      .toDF("typ", "schema", "cnt", "zcnt", "hsum", "bs", "rsec")
+      .withColumn("buckets",
+        expr("transform(bs, b -> named_struct('idx', b._1, 'c', b._2))"))
+      .drop("bs")
+  }
+
+  test("schema-3 quantile: exponential interpolation at base 2^(1/8) — " +
+      "value = 2^((idx-1+frac)/8)") {
+    import graft.promql.NativeHist
+    val h = nhFixture3()
+    // φ=0.6: rank=3 = cum of bucket idx 4 (zero 1 + 2) → frac=1 →
+    // exactly the bucket upper bound 2^(4/8) = √2
+    assert(nhOne(NativeHist.quantileOf(h, 0.6)) == math.pow(2.0, 0.5))
+    // φ=0.8: rank=4; bucket idx 9: cum 5 ≥ 4, frac=(4-3)/2=0.5 →
+    // 2^((9-1+0.5)/8) = 2^(8.5/8)
+    assert(nhOne(NativeHist.quantileOf(h, 0.8)) == math.pow(2.0, 8.5 / 8.0))
+    // zero bucket stays linear regardless of schema
+    assert(nhOne(NativeHist.quantileOf(h, 0.1)) == 0.03125)
+  }
+
+  test("downscale: sum over mixed schemas lands at the COARSEST common " +
+      "schema, merging 2^d consecutive buckets (idx' = ((idx-1)>>d)+1)") {
+    import graft.promql.NativeHist
+    import spark.implicits._
+    val s0 = Seq(("a", 0, 4.0, 0.0, 10.0, Seq((1, 4.0)), 1.0))
+      .toDF("typ", "schema", "cnt", "zcnt", "hsum", "bs", "rsec")
+      .withColumn("buckets",
+        expr("transform(bs, b -> named_struct('idx', b._1, 'c', b._2))"))
+      .drop("bs")
+    val mixed = nhFixture3().unionByName(s0)
+    val out = NativeHist.sumHists(mixed, Seq.empty)
+    val row = out.collect().head
+    assert(row.getAs[Int]("schema") == 0, "target must be min(schema)")
+    assert(row.getAs[Double]("cnt") == 9.0 && row.getAs[Double]("zcnt") == 1.0)
+    // schema-3 idx 4 → ceil(4/8) = 1 (merges with s0's idx 1: 2+4=6);
+    // idx 9 → ceil(9/8) = 2
+    val bs = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "buckets").map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(bs == Seq((1, 6.0), (2, 2.0)), s"got $bs")
+    // and the downscaled sum serves quantiles at schema 0: φ=0.5 →
+    // rank 4.5, bucket (1,2] idx 1 cum 7 ≥ 4.5, frac=(4.5-1)/6 →
+    // 2^0 · 2^(3.5/6)
+    assert(nhOne(NativeHist.quantileOf(out, 0.5))
+      == math.pow(2.0, 0.0) * math.pow(2.0, 3.5 / 6.0))
+  }
+
+  test("mixed sample model: per-series schema, schema-3 ladders, and " +
+      "downscale-to-0 count preservation on the events corpus") {
+    import graft.promql.NativeHist
+    val dir = "/root/testdata/sf0.001"
+    val s = NativeHist.samplesMixed(spark, dir).cache()
+    // click/error scrape at schema 3, the rest at 0
+    val sch = s.select("typ", "schema").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sch.forall { case (t, x) => x == (if (t < "n") 3 else 0) })
+    // schema-3 bucket indices live on the schema-3 ladder
+    assert(s.filter(col("schema") === 3 && expr(
+      s"exists(buckets, b -> b.idx < ${NativeHist.minIdxAt(3)} or " +
+        s"b.idx > ${NativeHist.maxIdxAt(3)})")).count() == 0)
+    // downscaling a schema-3 series to 0 preserves per-bucket totals:
+    // final-hour cumulative counts of the mixed model, remapped, must
+    // equal the legacy schema-0 model's final buckets
+    val tEnd = NativeHist.t0Sec + NativeHist.hours * 3600L
+    def finalBuckets(df: org.apache.spark.sql.DataFrame, remap: Boolean) =
+      df.filter(col("t_sec") === tEnd && col("typ") === "click")
+        .select(explode(col("buckets")).as("x"), col("schema"))
+        .select((if (remap)
+          (floor((col("x.idx") - 1).cast("double") /
+            pow(lit(2.0), col("schema"))) + 1).cast("int")
+        else col("x.idx")).as("idx"), col("x.c").as("c"))
+        .groupBy("idx").agg(sum("c").as("c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val remapped = finalBuckets(s, remap = true)
+    val legacy = finalBuckets(NativeHist.samples(spark, dir), remap = false)
+    assert(remapped == legacy)
+  }
 }
