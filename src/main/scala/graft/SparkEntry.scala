@@ -308,6 +308,20 @@ object SparkEntry {
         .select(col("typ"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("value"))
     }),
+    // B58 (round 11): Prometheus's REAL rate()/increase() — boundary
+    // extrapolation (B39's pinned algebra) as a parser-level opt-in
+    // via graft.promql.extrapolate; closes the #1 conformance
+    // divergence for migrating users (the default stays raw
+    // ordered-delta, the documented graft form)
+    "promql_rate_extrap" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("graft.promql.extrapolate", "true")
+      try promql.PromQl.eval(s, dir,
+        """increase({typ="click"}[1d])""", "2024-01-08 00:00:00")
+        .select(col("usr"), col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("inc_x"))
+      finally s.conf.unset("graft.promql.extrapolate")
+    }),
     "promql_over_time" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       promql.PromQl.eval(s, dir,
@@ -4149,6 +4163,47 @@ object SparkEntry {
         |      WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
         |        AND ts <= TIMESTAMP '2024-01-31 00:00:00')
         |WHERE rn = 1""".stripMargin,
+    // B58: the extrapolated-increase window replayed with the same
+    // algebra and operation order (zero-point cap via least() BEFORE
+    // the 1.1×avg-interval threshold pick — the B39 discipline); all
+    // inputs are exact (µs integers, raw counter deltas), so both
+    // engines produce identical doubles before the 1e-4 quantization
+    "promql_rate_extrap" ->
+      """WITH w AS (SELECT e.user_id, e.value, epoch_us(e.ts) AS us,
+        |    e.event_id
+        |  FROM events e
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(e.ts) >= 1704585600000000
+        |    AND epoch_us(e.ts) <= 1704672000000000),
+        |d AS (SELECT user_id, value, us, event_id,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev
+        |  FROM w),
+        |a AS (SELECT user_id,
+        |    sum(CASE WHEN prev IS NULL THEN 0
+        |             WHEN value - prev >= 0 THEN value - prev
+        |             ELSE value END) AS inc,
+        |    count(*) AS n, min(us) AS umin, max(us) AS umax,
+        |    first(value ORDER BY us, event_id) AS fv
+        |  FROM d GROUP BY 1
+        |  HAVING count(*) >= 2 AND max(us) > min(us)),
+        |x AS (SELECT user_id, inc, n, fv,
+        |    (umax - umin) / 1e6 AS sampled,
+        |    umin / 1e6 - 1704585600 AS ds0,
+        |    1704672000 - umax / 1e6 AS de
+        |  FROM a),
+        |y AS (SELECT user_id, inc, sampled, de,
+        |    sampled / (n - 1) AS avgiv,
+        |    (sampled / (n - 1)) * 1.1 AS thresh,
+        |    CASE WHEN inc > 0 AND fv >= 0
+        |         THEN least(ds0, sampled * (fv / inc)) ELSE ds0 END AS ds
+        |  FROM x)
+        |SELECT CAST(user_id AS VARCHAR) AS usr, 'click' AS typ,
+        |  floor(inc * ((sampled
+        |    + (CASE WHEN ds < thresh THEN ds ELSE avgiv / 2 END)
+        |    + (CASE WHEN de < thresh THEN de ELSE avgiv / 2 END))
+        |    / sampled) * 1e4 + 0.5) / 1e4 AS inc_x
+        |FROM y""".stripMargin,
     "promql_rate_sum" ->
       """WITH w AS (
         |  SELECT user_id, event_type, value,

@@ -855,15 +855,56 @@ object PromQl {
             .agg(max_by(col("__r"), struct(col("ts"), col("event_id"))).as("value"))
         case "increase" | "rate" =>
           // counter semantics: Σ max(Δ,0), a reset (Δ<0) contributes the
-          // post-reset value; series need ≥2 samples in the window
-          val inc = withDelta(w)
-            .withColumn("__c", when(col("__prev").isNull, lit(0.0))
-              .when(col("__d") >= 0, col("__d")).otherwise(col("value")))
-            .groupBy(keys: _*)
-            .agg(sum(col("__c")).as("__inc"), count(lit(1)).as("__n"))
-            .filter(col("__n") >= 2)
-          val v = if (name == "rate") (col("__inc") / lit(range.toDouble)) else col("__inc")
-          inc.select(col("tsid") +: col("t_sec") +: idx.labelNames.map(col) :+ v.as("value"): _*)
+          // post-reset value; series need ≥2 samples in the window.
+          // OPT-IN boundary extrapolation (round 11, the #1 conformance
+          // divergence): with `graft.promql.extrapolate=true` the
+          // sampled delta is scaled to the window edges exactly like
+          // B39/Tsdb.rateExtrapolated (public semantics:
+          // promql/functions.go extrapolatedRate) — at most half an
+          // average sample interval per side (edge gaps ≥ 1.1× the
+          // average interval read as series start/end), never past the
+          // counter's zero point (the repo's pinned operation order:
+          // zero-point cap before the threshold pick). Default stays
+          // the raw ordered-delta sum — graft's documented divergence.
+          val extrapolate = idx.samples.sparkSession.conf
+            .getOption("graft.promql.extrapolate").exists(_.toBoolean)
+          if (!extrapolate) {
+            val inc = withDelta(w)
+              .withColumn("__c", when(col("__prev").isNull, lit(0.0))
+                .when(col("__d") >= 0, col("__d")).otherwise(col("value")))
+              .groupBy(keys: _*)
+              .agg(sum(col("__c")).as("__inc"), count(lit(1)).as("__n"))
+              .filter(col("__n") >= 2)
+            val v = if (name == "rate") (col("__inc") / lit(range.toDouble)) else col("__inc")
+            inc.select(col("tsid") +: col("t_sec") +: idx.labelNames.map(col) :+ v.as("value"): _*)
+          } else {
+            val agg = withDelta(w)
+              .withColumn("__c", when(col("__prev").isNull, lit(0.0))
+                .when(col("__d") >= 0, col("__d")).otherwise(col("value")))
+              .withColumn("__us", unix_micros(col("ts")))
+              .groupBy(keys: _*)
+              .agg(sum(col("__c")).as("__inc"), count(lit(1)).as("__n"),
+                min(col("__us")).as("__umin"), max(col("__us")).as("__umax"),
+                min_by(col("value"), struct(col("ts"), col("event_id")))
+                  .as("__fv"))
+              .filter(col("__n") >= 2 && col("__umax") > col("__umin"))
+            val sampled = (col("__umax") - col("__umin")) / lit(1e6)
+            val avgIv = sampled / (col("__n") - lit(1))
+            val thresh = avgIv * lit(1.1)
+            val dStart0 = col("__umin") / lit(1e6) -
+              (col("t_sec") - lit(range)).cast("double")
+            val dEnd = col("t_sec").cast("double") - col("__umax") / lit(1e6)
+            val dStart = when(col("__inc") > 0 && col("__fv") >= 0,
+              least(dStart0, sampled * (col("__fv") / col("__inc"))))
+              .otherwise(dStart0)
+            val extrapIv = sampled +
+              when(dStart < thresh, dStart).otherwise(avgIv / lit(2)) +
+              when(dEnd < thresh, dEnd).otherwise(avgIv / lit(2))
+            val inc = col("__inc") * (extrapIv / sampled)
+            val v = if (name == "rate") inc / lit(range.toDouble) else inc
+            agg.select(col("tsid") +: col("t_sec") +:
+              idx.labelNames.map(col) :+ v.as("value"): _*)
+          }
       }
       Left(Vec(df, idx.labelNames))
 

@@ -109,6 +109,21 @@ class PromConformanceSpec extends AnyFunSuite {
     assert(one("""delta(gauge[5m])""", T630) == 2.0)
   }
 
+  test("opt-in extrapolation (graft.promql.extrapolate): the parser's " +
+      "increase/rate reproduce Prometheus's extrapolated values on the " +
+      "divergence fixture") {
+    spark.conf.set("graft.promql.extrapolate", "true")
+    try {
+      // the documented 40-vs-50 fixture: 30 s edge gaps < 1.1×avg
+      // interval (66 s) → 40 × 300/240 = 50, Prometheus's number
+      assert(one("""increase(cnt{usr="1"}[5m])""", T630) == 50.0)
+      assert(math.abs(one("""rate(cnt{usr="1"}[5m])""", T630)
+        - 50.0 / 300.0) < 1e-12)
+    } finally spark.conf.unset("graft.promql.extrapolate")
+    // and the default stays the raw ordered-delta form
+    assert(one("""increase(cnt{usr="1"}[5m])""", T630) == 40.0)
+  }
+
   test("regression functions on a perfectly linear counter are exact") {
     // A is v(t) = t/6 → slope 1/6 (regression is exact on a line,
     // extrapolation plays no role: conformant with Prometheus)
