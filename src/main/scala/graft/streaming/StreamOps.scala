@@ -2114,6 +2114,10 @@ object StreamOps extends Serializable {
           }
           .start()
         q.processAllAvailable(); q.stop()
+        // fold the micro-batch segments (round 11): the gate now
+        // answers from the COMPACTED store — same oracle, proving the
+        // backup-rename fold changes nothing a reader can observe
+        graft.text.TermStore.compact(spark, store)
         done.createNewFile()
       }
       b.toString

@@ -121,8 +121,9 @@ object Bm25 {
     * merge-on-read unions the segments, and the identical ranking
     * (and oracle) over them proves flushed postings answer exactly
     * like freshly-derived ones. Documents are immutable, so segments
-    * are append-only — no fold needed, just the committed-segment
-    * union; incremental cost per batch is the batch's tokens.
+    * are append-only; the ranking here is served from the COMPACTED
+    * store (round 11) — the same oracle staying green proves the
+    * [[TermStore.compact]] fold changes nothing a reader can observe.
     */
   def storedTopk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -131,6 +132,7 @@ object Bm25 {
         "graft_termstore_" + graft.Tables.fingerprint(s"$dir/documents.parquet")).toString
       TermStore.flush(docs.filter(pmod(col("doc_id"), lit(2)) === 0), p, 0L)
       TermStore.flush(docs.filter(pmod(col("doc_id"), lit(2)) === 1), p, 1L)
+      TermStore.compact(docs.sparkSession, p)
       p
     })
     rankPostings(spark,
@@ -152,29 +154,110 @@ object Bm25 {
   * idempotent (a committed batch id is never rewritten — safe under
   * foreachBatch replay). Append-only because documents are immutable;
   * merge-on-read is the union of committed segments.
+  *
+  * Round 11 adds [[compact]]: a year of micro-batches would otherwise
+  * make every read a million-segment union — the planning cost (file
+  * listing + footer fetches) grows ∝ #segments even though the data
+  * volume doesn't. Compaction folds all committed segments into ONE
+  * under the HIGHEST batch ordinal, via the IndexStore backup-rename
+  * swap (the reference's try_compact shape, cow_tree.h discipline):
+  * write the merged copy aside, freeze the store by renaming it to
+  * `.bak`, verify nothing committed in between, swap the merged copy
+  * in, drop the backup. A crash at any point leaves either the old
+  * store, or the backup that [[recover]] restores — never a nested,
+  * doubled, or lost store. Replayed flushes of compacted-away batch
+  * ids stay no-ops (the max-ordinal guard below), which is what makes
+  * compaction safe under a live foreachBatch ingest loop.
   */
 object TermStore {
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def committedSegs(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=b"))
+      .filter(s => f.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).toIndexedSeq.sorted
+  }
+
+  private def segId(name: String): Long =
+    name.stripPrefix("seg=b").toLong
+
+  private def maxCommittedId(spark: SparkSession, path: String): Long =
+    committedSegs(spark, path).map(segId).foldLeft(-1L)(math.max)
+
   def flush(docsBatch: DataFrame, path: String, batchId: Long): Unit = {
     val spark = docsBatch.sparkSession
     val seg = new org.apache.hadoop.fs.Path(s"$path/seg=b$batchId")
     val f = fs(spark, path)
     if (f.exists(new org.apache.hadoop.fs.Path(seg, "_SUCCESS"))) return
+    // a batch id at or below the store's max ordinal was already
+    // committed — its segment may have been folded away by [[compact]],
+    // and re-flushing it would double-count the batch's tokens
+    if (batchId <= maxCommittedId(spark, path)) return
     Bm25.postings(docsBatch)
       .write.mode("overwrite").parquet(seg.toString)
   }
 
   def load(spark: SparkSession, path: String): DataFrame = {
-    val f = fs(spark, path)
-    val segs = f.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-      .filter(s => f.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.toString)
+    recover(spark, path)
+    val segs = committedSegs(spark, path).map(n => s"$path/$n")
     require(segs.nonEmpty, s"no committed term-store segments at $path")
-    spark.read.option("basePath", path).parquet(segs.toIndexedSeq: _*)
+    spark.read.option("basePath", path).parquet(segs: _*)
       .select("doc_id", "w", "tf")
+  }
+
+  /** Fold every committed segment into one under the max batch
+    * ordinal. Safe against a racing flush: the store is frozen
+    * (renamed aside) before the swap, and if the frozen snapshot
+    * differs from what was merged the compact ABORTS restoring the
+    * original — both copies preserved, nothing double-counted.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
+    val snapshot = committedSegs(spark, path)
+    if (snapshot.size <= 1) return // already compact (or empty)
+    val sn = s"seg=b${snapshot.map(segId).max}"
+    val tmp = path + ".compacting"
+    val bak = path + ".bak"
+    val f = fs(spark, path)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // Hadoop rename onto an EXISTING directory nests the source inside
+    // the destination — every rename checks destination absence first
+    // (the IndexStore.compact lesson)
+    f.delete(p(tmp), true)
+    spark.read.option("basePath", path)
+      .parquet(snapshot.map(n => s"$path/$n"): _*)
+      .select("doc_id", "w", "tf")
+      .write.mode("overwrite").parquet(s"$tmp/$sn")
+    f.delete(p(bak), true)
+    require(f.rename(p(path), p(bak)) && !f.exists(p(path)),
+      s"rename $path -> $bak failed")
+    if (committedSegs(spark, bak).toSet != snapshot.toSet) {
+      require(!f.exists(p(path)) && f.rename(p(bak), p(path)),
+        s"restore $bak -> $path failed; pre-compact store at $bak")
+      f.delete(p(tmp), true)
+      throw new IllegalStateException(
+        s"term store at $path changed during compact; aborted without " +
+          "touching the store — retry during an ingest pause")
+    }
+    require(!f.exists(p(path)) && f.rename(p(tmp), p(path)),
+      s"rename $tmp -> $path failed; pre-compact store preserved at $bak")
+    f.delete(p(bak), true)
+  }
+
+  /** Heal the compact crash window: store path gone + complete backup
+    * present → restore the backup. Invoked by [[load]] and
+    * [[compact]]. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (!f.exists(new org.apache.hadoop.fs.Path(path)) && f.exists(bak))
+      require(f.rename(bak, new org.apache.hadoop.fs.Path(path)),
+        s"recover: rename $bak -> $path failed")
   }
 }
