@@ -196,6 +196,7 @@ object SparkEntry {
     "io_bucketed" -> (sources.Io.bucketedRead _),
     "io_retention" -> (sources.Io.retentionRead _),
     "io_timetravel" -> (sources.Io.timetravelRead _),
+    "io_dv" -> (sources.Io.dvRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
     "io_history" -> (sources.Io.historyRead _),
     "io_clone" -> (sources.Io.cloneRead _),
@@ -2209,6 +2210,36 @@ object SparkEntry {
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM src WHERE typ <> 'purchase' GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
+    // I25: deletion vectors — v0 everything, v1 after the DV-path
+    // point delete (error ∧ id≡0 mod 7), v2 after the bulk purchase
+    // delete (per-file COW fallback); each version's merge-on-read
+    // read ≡ the source cut, and v1 read back AFTER v2 committed
+    // proves DV version isolation
+    "io_dv" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src WHERE NOT (typ = 'error' AND event_id % 7 = 0)
+        |  GROUP BY 2),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src WHERE NOT (typ = 'error' AND event_id % 7 = 0)
+        |    AND typ <> 'purchase'
+        |  GROUP BY 2)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1
+        |UNION ALL SELECT * FROM v2""".stripMargin,
     // I20: restore — latest (v3, the rollback commit) serves the v1
     // cut with purchases back; v2 still serves the post-delete cut
     "io_restore" ->

@@ -784,6 +784,12 @@ object Io {
     val spark = df.sparkSession
     val v = tableVersion(spark, table) + 1
     val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
+    // deletion vectors (I25) carry forward by reference like the file
+    // list: an append must not resurrect rows deleted at v-1
+    if (v > 0) {
+      val (key, dvDirs) = readDvMeta(spark, table, v - 1)
+      key.foreach(k => writeDvFile(spark, table, v, k, dvDirs))
+    }
     writeCommit(spark, table, v, prior ++ landData(df, table, s"c$v"))
     v
   }
@@ -826,6 +832,10 @@ object Io {
       pred: Column): Long = {
     val v = tableVersion(spark, table)
     require(v >= 0, s"no table at $table")
+    require(readDvMeta(spark, table, v)._2.isEmpty,
+      s"table at $table carries deletion vectors — plain COW delete " +
+        "would scan raw files and resurrect DV-deleted rows; use " +
+        "tableDeleteWhereDv (or optimizeTableDv first)")
     val files = readCommit(spark, table, v)
     val cur = spark.read.parquet(files.map(resolve(table, _)): _*)
     // trailing data/<tag>/<part> segment of each scanned row's source
@@ -918,9 +928,22 @@ object Io {
         }
       }
     }
+    // deletion-vector dirs (I25) are live iff a RETAINED version's .dv
+    // sidecar references them — same liveness rule as data files
+    val liveDv = (retainFrom to latest)
+      .flatMap(readDvMeta(spark, table, _)._2).toSet
+    val dvRoot = new org.apache.hadoop.fs.Path(table, "dv")
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { d =>
+      if (d.isDirectory && !liveDv(s"dv/${d.getPath.getName}")) {
+        removed += fs.listStatus(d.getPath)
+          .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        fs.delete(d.getPath, true)
+      }
+    }
     (0L until retainFrom).foreach { ver =>
       fs.delete(new org.apache.hadoop.fs.Path(table,
         f"_commits/$ver%08d.commit"), false)
+      fs.delete(dvFin(table, ver), false)
     }
     removed
   }
@@ -1448,6 +1471,177 @@ object Io {
     v
   }
 
+  // ---- I25 (round 11): DELETION VECTORS — merge-on-read DELETE.
+  // The Delta-DV / Iceberg-v2-delete idea on the commit log: when the
+  // matched rows are a small fraction of their files, DELETE writes a
+  // tiny "deleted keys" sidecar table instead of rewriting whole data
+  // files (COW turns a 1-row delete into a multi-GB rewrite at
+  // 100 TB); readers anti-join the version's DV entries, and OPTIMIZE
+  // materializes them back into clean files. DV state is VERSIONED
+  // exactly like the file list: a `.dv` sidecar per commit names the
+  // dv/ parquet dirs that apply to THAT version (carried forward by
+  // appends, dropped by OPTIMIZE), so time travel composes — an old
+  // version's reads see exactly its own deletes. Entries are
+  // (file, key) under a caller-named ROW-UNIQUE key column (the
+  // commit-log analog of Delta's row positions — positions are not
+  // stable across Spark's split-parallel reads, keys are); the
+  // anti-join uses the key alone (unique ⇒ equivalent and cheaper),
+  // the file attribution drives the per-file COW-fallback threshold
+  // and OPTIMIZE's touched-file discovery. ----
+
+  private def dvFin(table: String, version: Long) =
+    new org.apache.hadoop.fs.Path(table, f"_commits/$version%08d.dv")
+
+  /** Write the version's DV sidecar: the key column name + the dv/
+    * dirs applying to this version. Same discipline as stats: written
+    * BEFORE the commit, overwrite-semantics (an orphan from a crash
+    * never wedges the version). */
+  private def writeDvFile(spark: SparkSession, table: String,
+      version: Long, key: String, dvDirs: Seq[String]): Unit = {
+    val fs = fsFor(spark, table)
+    val tmp = new org.apache.hadoop.fs.Path(table,
+      f"_commits/$version%08d.dv.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write((s"key $key" +: dvDirs).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    try fs.delete(dvFin(table, version), false)
+    catch { case _: Throwable => () }
+    require(fs.rename(tmp, dvFin(table, version)),
+      s"dv sidecar rename failed at $table v$version")
+  }
+
+  /** (key column, dv dirs) of a version — (None, empty) when the
+    * version has no deletion vectors. */
+  private[graft] def readDvMeta(spark: SparkSession, table: String,
+      version: Long): (Option[String], Seq[String]) = {
+    val fs = fsFor(spark, table)
+    val fin = dvFin(table, version)
+    if (!fs.exists(fin)) return (None, Seq.empty)
+    val in = fs.open(fin)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+    val key = lines.headOption.filter(_.startsWith("key "))
+      .map(_.stripPrefix("key "))
+    (key, lines.drop(1))
+  }
+
+  /** Merge-on-read version read: the version's files minus its DV
+    * entries (one anti-join against a frame ∝ #deleted rows — at
+    * 100 TB the DV side is broadcast-sized until OPTIMIZE folds it).
+    * A version with no DVs reads exactly like [[readTableVersion]]. */
+  def readTableVersionMor(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    val base = readTableVersion(spark, table, version)
+    val (key, dvDirs) = readDvMeta(spark, table, version)
+    if (dvDirs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(dvDirs.map(resolve(table, _)): _*)
+      base.join(
+        broadcast(dv.select(col("k").as(key.get)).distinct()),
+        Seq(key.get), "left_anti")
+    }
+  }
+
+  /** Merge-on-read DELETE: rows matching `pred` disappear from the new
+    * version WITHOUT rewriting their files — unless a file's matched
+    * fraction exceeds `cowFraction`, in which case that file falls
+    * back to copy-on-write (a mostly-deleted file is cheaper to
+    * rewrite than to carry + anti-join forever — the Delta DV
+    * heuristic). `keyCol` must be row-unique (the delete's identity).
+    * Costs: one distributed matched-scan, a collect ∝ #touched files
+    * (metadata-scale), a DV write ∝ #deleted rows, rewrites only for
+    * over-threshold files.
+    */
+  def tableDeleteWhereDv(spark: SparkSession, table: String,
+      pred: Column, keyCol: String, cowFraction: Double = 0.2): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val (priorKey, priorDv) = readDvMeta(spark, table, v)
+    require(priorKey.forall(_ == keyCol),
+      s"table at $table already carries DVs keyed by ${priorKey.get}, " +
+        s"got $keyCol")
+    val files = readCommit(spark, table, v)
+    val relFile = regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
+    // the MOR view of v with file attribution: matches must honor
+    // PRIOR deletes (a row deleted at v must not be re-matched) and
+    // per-file totals drive the COW threshold
+    val raw = spark.read.parquet(files.map(resolve(table, _)): _*)
+      .withColumn("__f", relFile)
+    val live =
+      if (priorDv.isEmpty) raw
+      else raw.join(
+        broadcast(spark.read.parquet(priorDv.map(resolve(table, _)): _*)
+          .select(col("k").as(keyCol)).distinct()),
+        Seq(keyCol), "left_anti")
+    val perFile = live.withColumn("__m", when(pred, 1L).otherwise(0L))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("__rows"), sum(col("__m")).as("__nm"))
+      .filter(col("__nm") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nv = v + 1
+    if (perFile.isEmpty) { // no-op delete still commits a version
+      writeDvFile(spark, table, nv, keyCol, priorDv)
+      writeCommit(spark, table, nv, files)
+      return nv
+    }
+    val cowSet = perFile.filter { case (_, rows, nm) =>
+      nm.toDouble > cowFraction * rows
+    }.map(_._1).toSet
+    val dvSet = perFile.map(_._1).filterNot(cowSet).toSet
+    // 1) the DV: matched keys of under-threshold files, (file, key)
+    val newDv =
+      if (dvSet.isEmpty) Seq.empty[String]
+      else {
+        val d = f"dv/d$nv%08d"
+        live.filter(pred && col("__f").isInCollection(dvSet))
+          .select(col("__f").as("f"), col(keyCol).as("k"))
+          .write.mode("overwrite").parquet(s"$table/$d")
+        Seq(d)
+      }
+    // 2) COW fallback: over-threshold files rewritten from the MOR
+    // view without their matches (prior DV entries for them
+    // materialize away — their keys no longer exist, the carried
+    // entries are inert)
+    val cowFull = files.filter(f => cowSet(trail(f)))
+    val rewritten =
+      if (cowFull.isEmpty) Seq.empty[String]
+      else landData(
+        live.filter(col("__f").isInCollection(cowSet) && !pred)
+          .drop("__f"), table, s"c$nv")
+    writeDvFile(spark, table, nv, keyCol, priorDv ++ newDv)
+    writeCommit(spark, table, nv,
+      files.filterNot(f => cowSet(trail(f))) ++ rewritten)
+    nv
+  }
+
+  /** OPTIMIZE (DV materialization): rewrite exactly the files carrying
+    * DV entries at HEAD without their deleted rows, and commit a
+    * version with NO deletion vectors — the compaction that keeps the
+    * anti-join side bounded. Untouched files carry by reference. */
+  def optimizeTableDv(spark: SparkSession, table: String): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val (key, dvDirs) = readDvMeta(spark, table, v)
+    val files = readCommit(spark, table, v)
+    if (dvDirs.isEmpty) return v // nothing to materialize
+    val dv = spark.read.parquet(dvDirs.map(resolve(table, _)): _*)
+    val touched = dv.select(col("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touchedFull = files.filter(f => touched(trail(f)))
+    val nv = v + 1
+    val rewritten =
+      if (touchedFull.isEmpty) Seq.empty[String]
+      else landData(
+        spark.read.parquet(touchedFull.map(resolve(table, _)): _*)
+          .join(broadcast(dv.select(col("k").as(key.get)).distinct()),
+            Seq(key.get), "left_anti"), table, s"c$nv")
+    // no .dv sidecar at nv: absence = no deletion vectors
+    writeCommit(spark, table, nv,
+      files.filterNot(f => touched(trail(f))) ++ rewritten)
+    nv
+  }
+
   /** Data-skipping time-travel read: version `version`'s file list
     * pruned by the commit-embedded stats to those overlapping
     * [lo, hi) on `statsCol`, with the residual predicate making the
@@ -1464,6 +1658,48 @@ object Io {
         .filter(lit(false))
       else spark.read.parquet(keep.map(resolve(table, _)): _*)
     base.filter(col(statsCol) >= lo && col(statsCol) < hi)
+  }
+
+  private val dvRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def dvTable(spark: SparkSession, dir: String): String =
+    dvRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_dv_" + fp).toString
+      fsFor(spark, t).delete(new org.apache.hadoop.fs.Path(t), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        unix_micros(Tables.tsCol(raw)).as("us"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      // type-clustered layout so the two deletes exercise BOTH paths:
+      // the point-ish delete (error ∧ id≡0 mod 7 ≈ 1/7 of one file)
+      // rides the DV, the bulk delete (all purchases ≈ a whole file)
+      // trips the per-file COW fallback
+      tableAppend(flat.repartitionByRange(4, col("typ"), col("event_id")), t)
+      tableDeleteWhereDv(spark, t,
+        col("typ") === "error" && pmod(col("event_id"), lit(7)) === 0,
+        "event_id")
+      tableDeleteWhereDv(spark, t, col("typ") === "purchase", "event_id")
+      t
+    })
+
+  /** I25, oracle-gated: all three versions of the DV table read back
+    * MERGE-ON-READ and aggregated — v0 (everything), v1 (after the
+    * DV-path point delete), v2 (after the bulk delete's COW fallback).
+    * The oracle replays each cut from the raw source, so the gate
+    * proves write→DV-sidecar→anti-join-read content AND version
+    * isolation (v1 still serves rows v2 deleted). */
+  def dvRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = dvTable(spark, dir)
+    def agg(v: Long): DataFrame =
+      readTableVersionMor(spark, t, v)
+        .groupBy(lit(v).as("version"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg(0L).unionByName(agg(1L)).unionByName(agg(2L))
   }
 
   private val skipRuns =

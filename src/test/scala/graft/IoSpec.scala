@@ -575,6 +575,79 @@ class IoSpec extends AnyFunSuite {
     assert(tok.matches("[0-9a-f-]{36}"), s"expected a UUID token, got '$tok'")
   }
 
+  test("I25 DV: under-threshold delete writes a sidecar and rewrites " +
+      "NOTHING; over-threshold files fall back to COW; versions isolate") {
+    import spark.implicits._
+    val t = s"$tmp/dv"
+    // 2 range files: keys 1..10 and 11..20
+    Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
+    val files0 = Io.readTableVersion(spark, t, 0L) // v0 exists
+    assert(files0.count() == 20)
+    val commit0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_commits/00000000.commit")), "UTF-8")
+    // 1 of ~10 rows in its file (10% < default 20%) → DV path
+    assert(Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") == 1L)
+    val commit1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_commits/00000001.commit")), "UTF-8")
+    assert(commit1 == commit0, "DV delete must not rewrite data files")
+    assert(new java.io.File(s"$t/_commits/00000001.dv").exists())
+    assert(Io.readTableVersionMor(spark, t, 1L).count() == 19)
+    assert(!Io.readTableVersionMor(spark, t, 1L)
+      .filter(col("k") === 3).collect().nonEmpty)
+    // v0 unchanged (version isolation)
+    assert(Io.readTableVersionMor(spark, t, 0L).count() == 20)
+    // 6 of the first file's 9 LIVE rows (> 20%) → that file COWs;
+    // the second file is untouched and carried by reference
+    assert(Io.tableDeleteWhereDv(spark, t, col("k") <= 7, "k") == 2L)
+    val commit2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_commits/00000002.commit")), "UTF-8")
+    assert(commit2 != commit1, "over-threshold delete must rewrite")
+    val carried = commit2.split("\n").count(f => commit1.contains(f))
+    assert(carried >= 1, "the untouched file must carry by reference")
+    assert(Io.readTableVersionMor(spark, t, 2L).count() == 13)
+    assert(Io.readTableVersionMor(spark, t, 2L)
+      .agg(min(col("k"))).collect()(0).getLong(0) == 8L)
+    // v1 still serves 19 AFTER v2 (isolation through both paths)
+    assert(Io.readTableVersionMor(spark, t, 1L).count() == 19)
+    // plain COW delete on a DV table is refused loudly
+    intercept[IllegalArgumentException] {
+      Io.tableDeleteWhere(spark, t, col("k") === 99)
+    }
+    // appends carry the DV sidecar: new rows land, old deletes hold
+    Io.tableAppend(Seq(100L).toDF("k"), t) // v3
+    val m3 = Io.readTableVersionMor(spark, t, 3L)
+    assert(m3.count() == 14 && m3.filter(col("k") === 3).count() == 0)
+  }
+
+  test("I25 DV: OPTIMIZE materializes deletion vectors (clean files, " +
+      "no sidecar) and VACUUM collects the dv dirs") {
+    import spark.implicits._
+    val t = s"$tmp/dvopt"
+    Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
+    Io.tableDeleteWhereDv(spark, t, col("k") === 15, "k") // v1, DV path
+    assert(Io.readTableVersionMor(spark, t, 1L).count() == 19)
+    val v2 = Io.optimizeTableDv(spark, t)
+    assert(v2 == 2L)
+    assert(!new java.io.File(s"$t/_commits/00000002.dv").exists(),
+      "optimize must commit a DV-free version")
+    // the PLAIN read of the optimized version is already clean
+    assert(Io.readTableVersion(spark, t, 2L).count() == 19)
+    assert(Io.readTableVersion(spark, t, 2L)
+      .filter(col("k") === 15).count() == 0)
+    // the dv dir is still live (v1 references it) — vacuum keeping v1
+    // must NOT collect it, vacuum from v2 must
+    assert(new java.io.File(s"$t/dv").listFiles().nonEmpty)
+    Io.vacuumTable(spark, t, retainFrom = 1L)
+    assert(Io.readTableVersionMor(spark, t, 1L).count() == 19,
+      "retained DV version must survive vacuum intact")
+    val removed = Io.vacuumTable(spark, t, retainFrom = 2L)
+    assert(removed > 0, "vacuum must account the dv files it collects")
+    val dvLeft = Option(new java.io.File(s"$t/dv").listFiles())
+      .map(_.length).getOrElse(0)
+    assert(dvLeft == 0, "unreferenced dv dirs must be collected")
+    assert(Io.readTableVersion(spark, t, 2L).count() == 19)
+  }
+
   test("changeFeed: identical file sets yield an EMPTY feed that still " +
       "carries the schema + change_type") {
     import spark.implicits._
