@@ -196,6 +196,8 @@ object SparkEntry {
     "io_bucketed" -> (sources.Io.bucketedRead _),
     "io_retention" -> (sources.Io.retentionRead _),
     "io_timetravel" -> (sources.Io.timetravelRead _),
+    "io_timetravel_dsv2" -> (sources.Io.dsv2TimetravelRead _),
+    "io_skipping_dsv2" -> (sources.Io.dsv2SkippingRead _),
     "io_dv" -> (sources.Io.dvRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
     "io_history" -> (sources.Io.historyRead _),
@@ -2210,6 +2212,36 @@ object SparkEntry {
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM src WHERE typ <> 'purchase' GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
+    // I26: the same two cuts served THROUGH the DSv2 connector
+    // (format("graft") + versionAsOf) — identical oracle as
+    // io_timetravel proves connector ≡ API
+    "io_timetravel_dsv2" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE epoch_us(ts) < 1705795200000000),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src WHERE typ <> 'purchase' GROUP BY 2)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
+    // I26: the stats-skipping band THROUGH the connector — identical
+    // oracle as io_skipping
+    "io_skipping_dsv2" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704672000000000
+        |  AND epoch_us(ts) < 1705190400000000
+        |GROUP BY 1""".stripMargin,
     // I25: deletion vectors — v0 everything, v1 after the DV-path
     // point delete (error ∧ id≡0 mod 7), v2 after the bulk purchase
     // delete (per-file COW fallback); each version's merge-on-read

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** I26 (round 11): a DataSourceV2 `TableProvider` that makes the
+  * commit-log tables first-class SQL citizens:
+  *
+  * {{{
+  *   spark.read.format("graft").option("versionAsOf", 1).load(path)
+  *   // or from pure SQL:
+  *   CREATE TEMPORARY VIEW t USING graft OPTIONS (path '...', versionAsOf '1')
+  * }}}
+  *
+  * The connector's job is exactly the lakehouse planning step: resolve
+  * the requested version through the commit list (O(1) HEAD discovery
+  * via the hint; one metadata fetch per read), optionally prune the
+  * file list with the commit-embedded I22 stats (`skipCol`/`skipLo`/
+  * `skipHi` — file-level, conservative: callers apply their predicate
+  * as usual, the pruning only shrinks the scan), and hand the exact
+  * file set to Spark's OWN parquet machinery — the returned table IS a
+  * [[ParquetTable]], so column pruning, predicate pushdown, vectorized
+  * reads and whole-stage codegen all apply unchanged. This is the
+  * Spark-first shape: the connector plans, Catalyst executes.
+  *
+  * Options: `versionAsOf` (default HEAD); `skipCol` + `skipLo`/`skipHi`
+  * (µs/long band over a stats-carrying table — requires the version to
+  * have been written via `tableAppendStats`).
+  *
+  * A version carrying DELETION VECTORS (I25) is refused loudly: a raw
+  * file scan would resurrect DV-deleted rows — read those through
+  * [[Io.readTableVersionMor]] (or OPTIMIZE first).
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def resolveTable(options: CaseInsensitiveStringMap): ParquetTable = {
+    val spark = SparkSession.active
+    val path = Option(options.get("path")).getOrElse(
+      sys.error("the graft source needs a path (.load(tablePath) or " +
+        "OPTIONS (path '...'))"))
+    val head = Io.tableVersion(spark, path)
+    require(head >= 0, s"no commit-log table at $path")
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .getOrElse(head)
+    require(version >= 0 && version <= head,
+      s"version $version out of range [0, $head] at $path")
+    require(Io.readDvMeta(spark, path, version)._2.isEmpty,
+      s"version $version at $path carries deletion vectors — a raw " +
+        "file scan would resurrect deleted rows; read it via " +
+        "Io.readTableVersionMor or optimizeTableDv first")
+    val files = Io.versionFiles(spark, path, version)
+    require(files.nonEmpty, s"version $version at $path is empty")
+    val pruned = Option(options.get("skipCol")) match {
+      case None => files
+      case Some(_) =>
+        val stats = Io.readStatsFile(spark, path, version)
+        val lo = Option(options.get("skipLo")).map(_.toLong)
+          .getOrElse(Long.MinValue)
+        val hi = Option(options.get("skipHi")).map(_.toLong)
+          .getOrElse(Long.MaxValue)
+        val kept = files.filter { f =>
+          val (mn, mx) = stats(Io.trailOf(f)); mx >= lo && mn < hi
+        }
+        // schema inference needs ≥1 file; an all-pruned read keeps one
+        // carrier file — pruning is conservative, the caller's own
+        // predicate (which skipping never replaces) yields the empty set
+        if (kept.nonEmpty) kept else files.take(1)
+    }
+    ParquetTable(s"graft:$path@$version", spark, options,
+      pruned.toIndexedSeq, None, classOf[ParquetFileFormat])
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolveTable(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    resolveTable(new CaseInsensitiveStringMap(properties))
+}

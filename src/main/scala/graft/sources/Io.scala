@@ -696,6 +696,16 @@ object Io {
     txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** A version's file list, resolved to readable paths — the planning
+    * handle the DSv2 connector ([[GraftTableProvider]]) builds its
+    * [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable]]
+    * from. */
+  private[graft] def versionFiles(spark: SparkSession, table: String,
+      version: Long): Seq[String] =
+    readCommit(spark, table, version).map(resolve(table, _))
+
+  private[graft] def trailOf(f: String): String = trail(f)
+
   // A commit entry is normally table-root-relative (`data/<tag>/<part>`);
   // a SHALLOW CLONE commit references the source table's files by
   // absolute path, so resolution passes absolute/URI entries through.
@@ -1685,6 +1695,39 @@ object Io {
       tableDeleteWhereDv(spark, t, col("typ") === "purchase", "event_id")
       t
     })
+
+  /** I26, oracle-gated: I14's time-travel reads THROUGH the DSv2
+    * connector — `spark.read.format("graft").option("versionAsOf", v)`
+    * resolves the version from the commit list and hands the exact
+    * file set to Spark's parquet scan; same oracle as `io_timetravel`,
+    * so connector reads ≡ API reads ≡ source cuts. */
+  def dsv2TimetravelRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = ttTable(spark, dir)
+    def agg(v: Long): DataFrame =
+      spark.read.format("graft").option("versionAsOf", v).load(table)
+        .groupBy(lit(v).as("version"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg(1L).unionByName(agg(2L))
+  }
+
+  /** I26, oracle-gated: I22's stats-skipping read THROUGH the DSv2
+    * connector — file-level pruning from the commit-embedded stats
+    * (`skipCol`/`skipLo`/`skipHi`), residual predicate applied as
+    * usual; same oracle as `io_skipping`. ExtensionsSpec separately
+    * pins that the connector scan touches strictly fewer files. */
+  def dsv2SkippingRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = skipTable(spark, dir)
+    val lo = 1704672000000000L // 2024-01-08 00:00:00 UTC (µs)
+    val hi = 1705190400000000L // 2024-01-14 00:00:00 UTC (µs)
+    spark.read.format("graft")
+      .option("skipCol", "us").option("skipLo", lo).option("skipHi", hi)
+      .load(t)
+      .filter(col("us") >= lo && col("us") < hi)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
 
   /** I25, oracle-gated: all three versions of the DV table read back
     * MERGE-ON-READ and aggregated — v0 (everything), v1 (after the

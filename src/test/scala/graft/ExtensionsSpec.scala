@@ -202,4 +202,50 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("I26 DSv2 connector: SQL (CREATE TEMP VIEW USING graft) ≡ API; " +
+      "versionAsOf resolves through the commit list; stats options " +
+      "prune the scan; DV versions refused") {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_spec").toString + "/table"
+    sources.Io.tableAppendStats(
+      (1L to 10L).toDF("k").repartitionByRange(2, col("k")), t, "k") // v0
+    sources.Io.tableAppendStats(
+      (11L to 20L).toDF("k").repartitionByRange(2, col("k")), t, "k") // v1
+    // versionAsOf: v0 sees 10 rows, HEAD (default) sees 20
+    val v0 = s.read.format("graft").option("versionAsOf", 0).load(t)
+    assert(v0.count() == 10)
+    assert(s.read.format("graft").load(t).count() == 20)
+    // pure SQL ≡ API
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW g0 " +
+      s"USING graft OPTIONS (path '$t', versionAsOf '0')")
+    assert(s.sql("SELECT sum(k) FROM g0").head().getLong(0) ==
+      v0.agg(sum(col("k"))).head().getLong(0))
+    // stats skipping prunes the FILE list (4 files at HEAD; the k<6
+    // band overlaps only v0's first range file)
+    val full = s.read.format("graft").load(t)
+    val skip = s.read.format("graft")
+      .option("skipCol", "k").option("skipLo", 1).option("skipHi", 6)
+      .load(t)
+    assert(skip.inputFiles.length < full.inputFiles.length,
+      s"skip read ${skip.inputFiles.length} of ${full.inputFiles.length}")
+    assert(skip.filter(col("k") >= 1 && col("k") < 6).count() == 5)
+    // a DV-carrying version is refused loudly (raw scan would
+    // resurrect deleted rows)
+    sources.Io.tableDeleteWhereDv(s, t, col("k") === 4, "k") // v2
+    val err = intercept[IllegalArgumentException] {
+      s.read.format("graft").load(t).count()
+    }
+    assert(err.getMessage.contains("deletion vectors"))
+    // but the pre-DV versions still read through the connector
+    assert(s.read.format("graft").option("versionAsOf", 1).load(t)
+      .count() == 20)
+  }
 }
