@@ -960,9 +960,22 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         expr(s"regexp_extract_all(text, '(?s).{1,$W}', 0)")))
       .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("tile"))
-    val wFirst = Window.partitionBy(col("tile"))
+    // keep-first shuffle keyed HASH-FIRST (round 11, the D2 shingle
+    // discipline): the 8-byte DualPolyHash leads the window key, so
+    // partitioning and the within-partition sort compare fixed-width
+    // longs and touch the tile string only on hash-equal rows
+    // (hash-then-confirm — semantics stay STRING equality, a hash
+    // collision costs a comparison, never a wrong removal, and the
+    // oracle replays the string form unchanged)
+    val hashed = tiles.withColumn("__th",
+      graft.functions.DualPolyHash.column(spark, col("tile")))
+    val wFirst = Window.partitionBy(col("__th"), col("tile"))
       .orderBy(col("doc_id"), col("idx"))
-    val flagged = tiles.withColumn("__rn", row_number().over(wFirst))
+    val flagged = hashed.withColumn("__rn", row_number().over(wFirst))
+      // losers shed their payload here: only the keep-first WINNER's
+      // string crosses the reassembly shuffle (losers ride as nulls —
+      // ∝ removed-span coords, not bytes)
+      .withColumn("tile", when(col("__rn") === 1, col("tile")))
     val out = flagged.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_tiles"),
       sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_removed"),
