@@ -724,6 +724,32 @@ object SparkEntry {
         .select(col("t_sec"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50_all"))
     }),
+    // B59 (round 11): NHCB — native histograms with CUSTOM buckets
+    // (schema -53, the classic-`le` migration path): whole-histogram
+    // samples carrying the B19 bound ladder; classic LINEAR
+    // interpolation, +Inf rank → highest finite bound
+    "promql_nhcb" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      promql.NativeHist.nhcbQuantile(s, dir, 0.9, "2024-01-08 00:00:00")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
+    }),
+    "promql_nhcb_rate" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // component-wise counter diffs over 1d, raw (scale-invariant)
+      promql.NativeHist.nhcbRateQuantile(s, dir, 0.5,
+        "2024-01-08 00:00:00", 86400L)
+        .filter(!isnan(col("value"))) // empty-window series emit nothing
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50r"))
+    }),
+    "promql_nhcb_agg" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // fleet-wide sum: identical ladders add element-wise (mismatched
+      // ladders raise — spec-pinned)
+      promql.NativeHist.nhcbSumQuantile(s, dir, 0.9, "2024-01-08 00:00:00")
+        .select((floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90_all"))
+    }),
     "promql_atan2" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       // infix atan2 with default 1:1 vector matching on (usr); both
@@ -4902,6 +4928,64 @@ object SparkEntry {
         |    END) * 1e4 + 0.5) / 1e4 AS q50r,
         |  CAST(t2.cnt AS DOUBLE) / 86400.0 AS cps
         |FROM hit h JOIN tot t2 USING (typ) WHERE h.rn = 1""".stripMargin,
+    // B59: NHCB replayed from raw events — classic cumulative counts
+    // over the B19 ladder, the SAME linear-interpolation CASE chain
+    // and operation order as the Spark fold (counts cast to double
+    // before every arithmetic step)
+    "promql_nhcb" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |a AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(CASE WHEN v <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        |    CAST(sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN v <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        |    CAST(sum(CASE WHEN v <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+        |  FROM e GROUP BY 1),
+        |q AS (SELECT typ, cnt * 0.9 AS rk, c0, c1, c2, c3 FROM a)
+        |SELECT typ, floor((CASE
+        |    WHEN c0 >= rk THEN 0.0 + (rk - 0.0) / (c0 - 0.0) * 25.0
+        |    WHEN c1 >= rk THEN 25.0 + (rk - c0) / (c1 - c0) * 25.0
+        |    WHEN c2 >= rk THEN 50.0 + (rk - c1) / (c2 - c1) * 50.0
+        |    WHEN c3 >= rk THEN 100.0 + (rk - c2) / (c3 - c2) * 100.0
+        |    ELSE 200.0 END) * 1e4 + 0.5) / 1e4 AS hq90
+        |FROM q""".stripMargin,
+    "promql_nhcb_rate" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |a AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(CASE WHEN v <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        |    CAST(sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN v <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        |    CAST(sum(CASE WHEN v <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+        |  FROM e GROUP BY 1),
+        |q AS (SELECT typ, cnt * 0.5 AS rk, c0, c1, c2, c3 FROM a)
+        |SELECT typ, floor((CASE
+        |    WHEN c0 >= rk THEN 0.0 + (rk - 0.0) / (c0 - 0.0) * 25.0
+        |    WHEN c1 >= rk THEN 25.0 + (rk - c0) / (c1 - c0) * 25.0
+        |    WHEN c2 >= rk THEN 50.0 + (rk - c1) / (c2 - c1) * 50.0
+        |    WHEN c3 >= rk THEN 100.0 + (rk - c2) / (c3 - c2) * 100.0
+        |    ELSE 200.0 END) * 1e4 + 0.5) / 1e4 AS q50r
+        |FROM q""".stripMargin,
+    "promql_nhcb_agg" ->
+      """WITH e AS (SELECT value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(CASE WHEN v <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        |    CAST(sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN v <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        |    CAST(sum(CASE WHEN v <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+        |  FROM e),
+        |q AS (SELECT cnt * 0.9 AS rk, c0, c1, c2, c3 FROM a)
+        |SELECT floor((CASE
+        |    WHEN c0 >= rk THEN 0.0 + (rk - 0.0) / (c0 - 0.0) * 25.0
+        |    WHEN c1 >= rk THEN 25.0 + (rk - c0) / (c1 - c0) * 25.0
+        |    WHEN c2 >= rk THEN 50.0 + (rk - c1) / (c2 - c1) * 50.0
+        |    WHEN c3 >= rk THEN 100.0 + (rk - c2) / (c3 - c2) * 100.0
+        |    ELSE 200.0 END) * 1e4 + 0.5) / 1e4 AS hq90_all
+        |FROM q""".stripMargin,
     // B55+ schema-3 gates: the 104-entry boundary ladder is serialized
     // from the SAME Scala doubles the Spark side compares against
     // (%.17g round-trips exactly), so bucket assignment is

@@ -510,6 +510,154 @@ object NativeHist {
     }
   }
 
+  // ---------------- NHCB: custom buckets (round 11) ----------------
+  // Native Histograms with Custom Buckets (Prometheus 3.x schema -53):
+  // how classic `le` histograms MIGRATE into the native sample model —
+  // one whole-histogram sample per scrape carrying an arbitrary sorted
+  // bound ladder + cumulative per-bound counts, instead of one series
+  // per `le` label. Semantics follow the classic rules, not the
+  // exponential ones: LINEAR in-bucket interpolation (the B19/B45
+  // formula), a rank falling in the +Inf bucket returns the highest
+  // finite bound, the lowest bucket interpolates from 0, and
+  // aggregation REQUIRES identical bound ladders (Prometheus refuses
+  // to sum mismatched custom buckets — the raise_error guard below).
+  // Scale shape: samples are ∝ series × hours with a fixed-width
+  // array payload; every function is column arithmetic over that
+  // array — no explode, no join.
+
+  /** The migrated classic ladder (B19's bounds; +Inf implicit). */
+  val nhcbBounds: Seq[Double] = Seq(25.0, 50.0, 100.0, 200.0)
+
+  /** NHCB sample series: (typ, t_sec, bounds, cnt, bcum) — cumulative
+    * counter semantics like [[samples]], cumulative-in-value like the
+    * classic `le` form (bcum(i) = observations ≤ bounds(i)). */
+  def nhcbSamples(spark: SparkSession, dir: String): DataFrame =
+    Memo.cached(spark, s"nativehist.nhcb:$dir") {
+      val endSec = t0Sec + hours * 3600L
+      val raw = Tables.tsBetween(Tables.eventsRaw(spark, dir),
+        timestamp_micros(lit(t0Sec * 1000000L)),
+        timestamp_micros(lit(endSec * 1000000L - 1L)))
+      val sec = unix_timestamp(Tables.tsCol(raw))
+      val ev = raw.select(col("event_type").as("typ"),
+        (sec - pmod(sec, lit(3600L))).as("h_sec"), col("value"))
+      val typs = ev.select(col("typ")).distinct()
+      val grid = typs.withColumn("h_sec",
+        explode(sequence(lit(t0Sec), lit(endSec - 3600L), lit(3600L))))
+      val aggs = count(lit(1)).as("dcnt") +:
+        nhcbBounds.zipWithIndex.map { case (b, i) =>
+          sum(when(col("value") <= b, 1L).otherwise(0L)).as(s"db$i")
+        }
+      val hs = ev.groupBy(col("typ"), col("h_sec")).agg(aggs.head, aggs.tail: _*)
+      val wc = Window.partitionBy(col("typ")).orderBy(col("h_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.join(hs, Seq("typ", "h_sec"), "left")
+        .withColumn("cnt", sum(coalesce(col("dcnt"), lit(0L))).over(wc))
+      val withB = nhcbBounds.indices.foldLeft(cum) { (df, i) =>
+        df.withColumn(s"b$i", sum(coalesce(col(s"db$i"), lit(0L))).over(wc))
+      }
+      withB.select(col("typ"), (col("h_sec") + 3600L).as("t_sec"),
+        typedlit(nhcbBounds).as("bounds"), col("cnt"),
+        array(nhcbBounds.indices.map(i => col(s"b$i")): _*).as("bcum"))
+    }
+
+  /** Instant NHCB vector at T (latest sample per series, like
+    * [[histAt]]); counts emerge as doubles for the shared math. */
+  private def nhcbAt(spark: SparkSession, dir: String,
+      tSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("typ")).orderBy(col("t_sec").desc)
+    nhcbSamples(spark, dir)
+      .filter(col("t_sec") <= tSec)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("typ"), col("bounds"),
+        col("cnt").cast("double").as("cnt"),
+        expr("transform(bcum, x -> cast(x as double))").as("bcum"))
+  }
+
+  /** rate-form NHCB at T over [T−rangeSec, T): component-wise counter
+    * diffs, raw (the quantile is scale-invariant — the rsec
+    * discipline). */
+  private def nhcbRate(spark: SparkSession, dir: String, tSec: Long,
+      rangeSec: Long): DataFrame = {
+    val a = nhcbAt(spark, dir, tSec)
+    val b = nhcbAt(spark, dir, tSec - rangeSec)
+      .select(col("typ"), col("cnt").as("bcnt"), col("bcum").as("bbcum"))
+    a.join(broadcast(b), Seq("typ"), "left")
+      .select(col("typ"), col("bounds"),
+        (col("cnt") - coalesce(col("bcnt"), lit(0.0))).as("cnt"),
+        coalesce(
+          expr("zip_with(bcum, bbcum, (x, y) -> x - y)"), col("bcum"))
+          .as("bcum"))
+  }
+
+  /** Component-wise NHCB sum — Prometheus refuses to aggregate
+    * custom-bucket histograms with MISMATCHED ladders; the guard rides
+    * the bounds column so it fires exactly when a consumer reads the
+    * mixed sum. Empty `by` sums everything (the hidden-key trick). */
+  private[graft] def sumNhcb(h: DataFrame, by: Seq[String]): DataFrame = {
+    val keys = if (by.nonEmpty) by else Seq("__g")
+    val base = if (by.nonEmpty) h else h.withColumn("__g", lit(1))
+    val kcols = keys.map(col)
+    val n = nhcbBounds.size
+    base.groupBy(kcols: _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        array(nhcbBounds.indices.map(i =>
+          sum(element_at(col("bcum"), i + 1))): _*).as("bcum"),
+        min(col("bounds")).as("__bmin"), max(col("bounds")).as("__bmax"))
+      .withColumn("bounds",
+        when(col("__bmin") =!= col("__bmax"),
+          raise_error(lit("sum over NHCB histograms with mismatched " +
+            "custom bucket ladders")).cast(s"array<double>"))
+          .otherwise(col("__bmin")))
+      .drop("__bmin", "__bmax")
+  }
+
+  /** φ-quantile of an NHCB frame — the CLASSIC linear rule (B19's
+    * exact formula and operation order, so the DuckDB oracle replays
+    * it verbatim): first bucket with cum ≥ rank, lower bound 0 below
+    * the ladder, rank past the last finite count returns the highest
+    * finite bound. */
+  private[graft] def quantileNhcb(h: DataFrame, q: Double): DataFrame = {
+    val labels = h.columns
+      .filterNot(Set("bounds", "cnt", "bcum", "__g")).toSeq
+    val rank = col("cnt") * lit(q)
+    val lowers: Seq[Double] = 0.0 +: nhcbBounds.dropRight(1)
+    def c(i: Int): Column =
+      if (i < 0) lit(0.0) else element_at(col("bcum"), i + 1)
+    val interp = nhcbBounds.zipWithIndex.zip(lowers)
+      .foldRight(lit(nhcbBounds.last): Column) {
+        case (((b, i), lo), rest) =>
+          when(c(i) >= rank,
+            lit(lo) + (rank - c(i - 1)) / (c(i) - c(i - 1)) * (b - lo))
+            .otherwise(rest)
+      }
+    h.select(labels.map(col) :+
+      when(col("cnt") <= 0, lit(Double.NaN)).otherwise(interp)
+        .as("value"): _*)
+  }
+
+  /** The NHCB gate surfaces: instant quantile, rate quantile, and the
+    * fleet-wide sum — the migration proof that classic `le` content
+    * serves through the native sample model unchanged. */
+  def nhcbQuantile(spark: SparkSession, dir: String, q: Double,
+      t: String): DataFrame =
+    quantileNhcb(nhcbAt(spark, dir, tSecOf(t)), q)
+
+  def nhcbRateQuantile(spark: SparkSession, dir: String, q: Double,
+      t: String, rangeSec: Long): DataFrame =
+    quantileNhcb(nhcbRate(spark, dir, tSecOf(t), rangeSec), q)
+
+  def nhcbSumQuantile(spark: SparkSession, dir: String, q: Double,
+      t: String): DataFrame = {
+    val out = quantileNhcb(sumNhcb(nhcbAt(spark, dir, tSecOf(t)),
+      Seq.empty), q)
+    if (out.columns.contains("__g")) out.drop("__g") else out
+  }
+
+  private def tSecOf(t: String): Long =
+    java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+
   // ---------------- the language hook ----------------
 
   import PromQl.{Agg, Expr, Func, HistFrac, Sel}

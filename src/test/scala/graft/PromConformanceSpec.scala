@@ -383,6 +383,36 @@ class PromConformanceSpec extends AnyFunSuite {
       == math.pow(2.0, 0.0) * math.pow(2.0, 3.5 / 6.0))
   }
 
+  test("NHCB (custom buckets): classic linear interpolation, +Inf rank " +
+      "returns the highest finite bound, mismatched ladders refuse to sum") {
+    import graft.promql.NativeHist
+    import spark.implicits._
+    // cumulative counts over the [25,50,100,200] ladder: 2,5,9,14 of
+    // cnt=16 (2 observations above 200 live in the +Inf bucket)
+    val h = Seq(("x", Seq(25.0, 50.0, 100.0, 200.0), 16.0,
+        Seq(2.0, 5.0, 9.0, 14.0)))
+      .toDF("typ", "bounds", "cnt", "bcum")
+    // φ=0.5: rank 8 lands in (50,100] (cum 9 ≥ 8): 50 + (8−5)/(9−5)·50
+    assert(nhOne(NativeHist.quantileNhcb(h, 0.5)) == 50.0 + 3.0 / 4.0 * 50.0)
+    // φ=0.125: rank 2 = c0 → first bucket, linear from 0: 2/2·25 = 25
+    assert(nhOne(NativeHist.quantileNhcb(h, 0.125)) == 25.0)
+    // φ=1: rank 16 > c3=14 → the +Inf bucket → highest finite bound
+    assert(nhOne(NativeHist.quantileNhcb(h, 1.0)) == 200.0)
+    // identical ladders sum element-wise…
+    val sum2 = NativeHist.sumNhcb(h.unionByName(h), Seq.empty)
+    assert(sum2.collect().head.getAs[Double]("cnt") == 32.0)
+    assert(nhOne(NativeHist.quantileNhcb(sum2, 0.5))
+      == 50.0 + 3.0 / 4.0 * 50.0, "sum of identical histograms keeps quantiles")
+    // …mismatched ladders refuse loudly (the Prometheus NHCB rule)
+    val other = Seq(("x", Seq(10.0, 50.0, 100.0, 200.0), 16.0,
+        Seq(2.0, 5.0, 9.0, 14.0)))
+      .toDF("typ", "bounds", "cnt", "bcum")
+    val err = intercept[Exception] {
+      NativeHist.sumNhcb(h.unionByName(other), Seq.empty).collect()
+    }
+    assert(err.getMessage.contains("mismatched"))
+  }
+
   test("mixed sample model: per-series schema, schema-3 ladders, and " +
       "downscale-to-0 count preservation on the events corpus") {
     import graft.promql.NativeHist
