@@ -78,7 +78,15 @@ object PlanDump {
       // span-removal window, the admission guard, the stream-built
       // text index
       "ann_hybrid_rrf", "scd2_asof", "dedup_span_remove",
-      "index_guard", "stream_bm25", "io_evolve_log", "stream_guard")
+      "index_guard", "stream_bm25", "io_evolve_log", "stream_guard",
+      // round 11: the mixed-schema native sum (downscale fold), the
+      // schema-3 quantile, the NHCB array-arithmetic family, the
+      // limit-capped rule group, the extrapolated-rate window, the
+      // DV merge-on-read read, and the DSv2 connector reads
+      "promql_native_schema", "promql_native_q3", "promql_nhcb",
+      "promql_nhcb_rate", "promql_nhcb_agg", "promql_rule_limit",
+      "promql_rate_extrap", "io_dv", "io_timetravel_dsv2",
+      "io_skipping_dsv2")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` at sf0.001. What to look for:\n")
