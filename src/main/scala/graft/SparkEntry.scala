@@ -199,6 +199,7 @@ object SparkEntry {
     "io_timetravel_dsv2" -> (sources.Io.dsv2TimetravelRead _),
     "io_skipping_dsv2" -> (sources.Io.dsv2SkippingRead _),
     "io_dv" -> (sources.Io.dvRead _),
+    "io_dv_cdf" -> (sources.Io.dvCdfRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
     "io_history" -> (sources.Io.historyRead _),
     "io_clone" -> (sources.Io.cloneRead _),
@@ -2298,6 +2299,23 @@ object SparkEntry {
         |  GROUP BY 2)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1
         |UNION ALL SELECT * FROM v2""".stripMargin,
+    // I25+I15: the DV change feed — v0→v1 deletes are the DV'd point
+    // rows (no file changed), v1→v2 deletes are the purchases (COW +
+    // DV mix); no inserts in either transition
+    "io_dv_cdf" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |d1 AS (
+        |  SELECT CAST(0 AS BIGINT) AS from_v, 'delete' AS change_type,
+        |    typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM src WHERE typ = 'error' AND event_id % 7 = 0 GROUP BY 3),
+        |d2 AS (
+        |  SELECT CAST(1 AS BIGINT) AS from_v, 'delete' AS change_type,
+        |    typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM src WHERE typ = 'purchase' GROUP BY 3)
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2""".stripMargin,
     // I20: restore — latest (v3, the rollback commit) serves the v1
     // cut with purchases back; v2 still serves the post-delete cut
     "io_restore" ->

@@ -740,9 +740,21 @@ object Io {
         f"_commits/_head.tmp-$version%08d")
       val out = fs.create(tmp, true)
       try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-      fs.delete(headHintPath(table), false)
-      fs.rename(tmp, headHintPath(table))
-      ()
+      if (fs.getUri.getScheme == "file") {
+        // atomic replace where the FS supports it — a reader never
+        // observes a missing hint between delete and rename (the
+        // round-10 nit; the hint is still best-effort either way)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(
+            fs.makeQualified(headHintPath(table)).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        fs.delete(headHintPath(table), false)
+        fs.rename(tmp, headHintPath(table))
+        ()
+      }
     } catch { case _: Throwable => () } // hint only — never fail a commit
 
   /** Latest committed version, or -1 for an empty table. */
@@ -990,6 +1002,77 @@ object Io {
       case (Some(rem), Some(add)) =>
         add.exceptAll(rem).withColumn("change_type", lit("insert"))
           .unionByName(rem.exceptAll(add).withColumn("change_type", lit("delete")))
+    }
+  }
+
+  /** I25+I15 (round 11): CHANGE DATA FEED over a table with deletion
+    * vectors. The file-diff feed ([[changeFeed]]) is blind to DV-only
+    * deletes (no file changes) and would mis-attribute rows a PRIOR
+    * version's DV already removed when a COW rewrite touches their
+    * file — so both sides of the multiset diff read MERGE-ON-READ with
+    * their own version's DVs, and the DV dirs ADDED in (fromV, toV]
+    * contribute delete rows directly (their content looked up in the
+    * files both versions share; rewritten files are covered by the
+    * file diff). Cost stays ∝ touched files + new DV entries, never
+    * table size. */
+  def changeFeedMor(spark: SparkSession, table: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val from = readCommit(spark, table, fromV).toSet
+    val to = readCommit(spark, table, toV).toSet
+    val (fromKey, fromDv) = readDvMeta(spark, table, fromV)
+    val (toKey, toDv) = readDvMeta(spark, table, toV)
+    require(fromKey.forall(k => toKey.forall(_ == k)),
+      s"DV key changed between v$fromV and v$toV at $table")
+    val key = toKey.orElse(fromKey)
+    def dvKeys(dirs: Seq[String]): Option[DataFrame] =
+      if (dirs.isEmpty || key.isEmpty) None
+      else Some(spark.read.parquet(dirs.map(resolve(table, _)): _*)
+        .select(col("k").as(key.get)).distinct())
+    // MOR view of a file subset under a version's DV set
+    def readMor(fs: Set[String], dv: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else {
+        val base = spark.read.parquet(
+          fs.toSeq.sorted.map(f => resolve(table, f)): _*)
+        dvKeys(dv) match {
+          case Some(k) => Some(base.join(broadcast(k), Seq(key.get), "left_anti"))
+          case None => Some(base)
+        }
+      }
+    val fileFeed = (readMor(from -- to, fromDv), readMor(to -- from, toDv)) match {
+      case (None, None) => None
+      case (None, Some(add)) => Some(add.withColumn("change_type", lit("insert")))
+      case (Some(rem), None) => Some(rem.withColumn("change_type", lit("delete")))
+      case (Some(rem), Some(add)) => Some(
+        add.exceptAll(rem).withColumn("change_type", lit("insert"))
+          .unionByName(rem.exceptAll(add)
+            .withColumn("change_type", lit("delete"))))
+    }
+    // DV-only deletes: keys in dirs added between the versions, looked
+    // up in the files BOTH versions carry (rewritten/removed files are
+    // already accounted by the file diff); subtract fromV's DV keys so
+    // a carried dir never re-emits an old delete
+    val newDirs = toDv.filterNot(fromDv.toSet)
+    val dvFeed = (readMor(from intersect to, Seq.empty), dvKeys(newDirs)) match {
+      case (Some(shared), Some(k)) =>
+        val fresh = dvKeys(fromDv) match {
+          case Some(old) => k.join(old, Seq(key.get), "left_anti")
+          case None => k
+        }
+        Some(shared.join(broadcast(fresh), Seq(key.get), "left_semi")
+          .withColumn("change_type", lit("delete")))
+      case _ => None
+    }
+    (fileFeed, dvFeed) match {
+      case (None, None) =>
+        readTableVersionMor(spark, table, toV).filter(lit(false))
+          .withColumn("change_type", lit(""))
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (Some(a), Some(b)) =>
+        // align column orders before the union (MOR anti-joins move
+        // the key column to the front)
+        b.select(a.columns.map(col): _*).unionByName(a)
     }
   }
 
@@ -1727,6 +1810,22 @@ object Io {
       .groupBy(col("typ"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
+  /** I25+I15, oracle-gated: the change feed of both DV-table
+    * transitions — v0→v1 is a DV-ONLY delete (no file changes: the
+    * file-diff CDF sees nothing; the feed must come from the new DV
+    * entries) and v1→v2 mixes the COW fallback (file diff, both sides
+    * MOR-filtered so v1's DV'd rows don't re-emit) with any
+    * under-threshold DV'd files. The oracle replays both delete sets
+    * from the source. */
+  def dvCdfRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = dvTable(spark, dir)
+    def agg(fromV: Long): DataFrame =
+      changeFeedMor(spark, t, fromV, fromV + 1)
+        .groupBy(lit(fromV).as("from_v"), col("change_type"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    agg(0L).unionByName(agg(1L))
   }
 
   /** I25, oracle-gated: all three versions of the DV table read back

@@ -619,6 +619,32 @@ class IoSpec extends AnyFunSuite {
     assert(m3.count() == 14 && m3.filter(col("k") === 3).count() == 0)
   }
 
+  test("I25 DV change feed: DV-only deletes surface (no file diff), " +
+      "carried dirs never re-emit, COW transitions exclude prior DVs") {
+    import spark.implicits._
+    val t = s"$tmp/dvcdf"
+    Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
+    Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") // v1: DV only
+    Io.tableDeleteWhereDv(spark, t, col("k") <= 7, "k")  // v2: COW file 1
+    // v0→v1: the plain file-diff CDF is BLIND here (no file changed)…
+    assert(Io.changeFeed(spark, t, 0L, 1L)
+      .filter(col("change_type") =!= "").count() == 0)
+    // …the MOR feed emits exactly the DV'd row
+    val f01 = Io.changeFeedMor(spark, t, 0L, 1L).collect()
+    assert(f01.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
+      .toSet == Set((3L, "delete")))
+    // v1→v2: deletes are k ∈ {1,2,4,5,6,7} — k=3 must NOT re-emit
+    // (it died at v1; the COW rewrite must not resurrect it as a diff)
+    val f12 = Io.changeFeedMor(spark, t, 1L, 2L).collect()
+    assert(f12.forall(_.getAs[String]("change_type") == "delete"))
+    assert(f12.map(_.getAs[Long]("k")).toSet == Set(1L, 2L, 4L, 5L, 6L, 7L))
+    // end-to-end: v0→v2 emits all seven deletes once each
+    val f02 = Io.changeFeedMor(spark, t, 0L, 2L).collect()
+    assert(f02.map(_.getAs[Long]("k")).toSet
+      == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(f02.length == 7)
+  }
+
   test("I25 DV: OPTIMIZE materializes deletion vectors (clean files, " +
       "no sidecar) and VACUUM collects the dv dirs") {
     import spark.implicits._
