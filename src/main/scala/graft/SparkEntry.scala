@@ -34,6 +34,7 @@ object SparkEntry {
     "stream_quality_route" -> (streaming.StreamOps.qualityRouteStreamed _),
     "stream_dsir_route" -> (streaming.StreamOps.dsirRouteStreamed _),
     "stream_native_hist" -> (streaming.StreamOps.nativeHistStreamed _),
+    "stream_nhcb" -> (streaming.StreamOps.nhcbStreamed _),
     "stream_bm25" -> (streaming.StreamOps.bm25Streamed _),
     "dedup_span_remove" -> (dedup.Dedup.spanRemove _),
     "scd2_asof" -> (operators.Relational.scd2AsOf _),
@@ -4946,6 +4947,26 @@ object SparkEntry {
         |    END) * 1e4 + 0.5) / 1e4 AS q50r,
         |  CAST(t2.cnt AS DOUBLE) / 86400.0 AS cps
         |FROM hit h JOIN tot t2 USING (typ) WHERE h.rn = 1""".stripMargin,
+    // H33: the stream-maintained NHCB must serve the SAME p90 as the
+    // batch model — one oracle for B59 and its live twin
+    "stream_nhcb" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |a AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(CASE WHEN v <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        |    CAST(sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN v <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        |    CAST(sum(CASE WHEN v <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+        |  FROM e GROUP BY 1),
+        |q AS (SELECT typ, cnt * 0.9 AS rk, c0, c1, c2, c3 FROM a)
+        |SELECT typ, floor((CASE
+        |    WHEN c0 >= rk THEN 0.0 + (rk - 0.0) / (c0 - 0.0) * 25.0
+        |    WHEN c1 >= rk THEN 25.0 + (rk - c0) / (c1 - c0) * 25.0
+        |    WHEN c2 >= rk THEN 50.0 + (rk - c1) / (c2 - c1) * 50.0
+        |    WHEN c3 >= rk THEN 100.0 + (rk - c2) / (c3 - c2) * 100.0
+        |    ELSE 200.0 END) * 1e4 + 0.5) / 1e4 AS hq90
+        |FROM q""".stripMargin,
     // B59: NHCB replayed from raw events — classic cumulative counts
     // over the B19 ladder, the SAME linear-interpolation CASE chain
     // and operation order as the Spark fold (counts cast to double

@@ -2197,6 +2197,61 @@ object StreamOps extends Serializable {
         (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
   }
 
+  private val nhcbStreamRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H33 (round 11, oracle-gated): LIVE NHCB maintenance — the
+    * streaming half of B59. A custom-bucket histogram is, like the
+    * exponential one, a bag of MERGEABLE partials (one count per
+    * finite bound + the total), so ONE Complete-mode aggregation
+    * keyed by series folds the stream with no watermark and no
+    * ordered replay (any arrival order yields the same counts — the
+    * H30 argument with a fixed-width ladder: state ∝ series ×
+    * #bounds scalars). The gate assembles the final streamed counts
+    * into B59's sample shape and serves the p90 through the SAME
+    * classic linear interpolation: stream ≡ batch model ≡ raw, one
+    * oracle (`promql_nhcb`'s).
+    */
+  def nhcbStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = graft.promql.NativeHist.nhcbBounds
+    val table = nhcbStreamRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val name = "graft_h33_" + fp
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h33_" + fp)
+      val landing = new java.io.File(base, "landing").toString
+      val t0 = graft.promql.NativeHist.t0Sec
+      val endSec = t0 + graft.promql.NativeHist.hours * 3600L
+      val raw = graft.Tables.tsBetween(graft.Tables.eventsRaw(spark, dir),
+        timestamp_micros(lit(t0 * 1000000L)),
+        timestamp_micros(lit(endSec * 1000000L - 1L)))
+      val ev = raw.select(col("event_type").as("typ"), col("value"),
+        col("event_id"))
+      landOrdered(ev, Seq("event_id"), landing, 4)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val aggs = count(lit(1)).as("cnt") +:
+        bounds.zipWithIndex.map { case (b, i) =>
+          sum(when(col("value") <= b, 1L).otherwise(0L)).as(s"c$i")
+        }
+      val q = stream.groupBy(col("typ")).agg(aggs.head, aggs.tail: _*)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      name
+    })
+    val st = spark.table(table)
+    val h = st.select(col("typ"), typedlit(bounds).as("bounds"),
+      col("cnt").cast("double").as("cnt"),
+      array(bounds.indices.map(i => col(s"c$i").cast("double")): _*)
+        .as("bcum"))
+    graft.promql.NativeHist.quantileNhcb(h, 0.9)
+      .select(col("typ"),
+        (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
+  }
+
   private val dsirRouteRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
