@@ -264,6 +264,30 @@ object ScaleProbe {
     // replicas keep tiles from collapsing into factor-way duplicates)
     t("span_remove")(dedup.Dedup.spanRemoveOn(spark,
       dbig.select(col("doc_id"), col("text"))))
+    // round-11: the native-histogram model builds — the schema-3
+    // ladder assignment (104-literal boundary filter per row, the
+    // mixed model's dominant map-side cost) and the NHCB per-bound
+    // conditional aggregation; both reduce to (typ, hour[, idx])
+    // groups ∝ series × hours — tier-scale, never sample-scale
+    t("native_s3_buckets") {
+      val sec = unix_timestamp(col("ts"))
+      big.select(col("event_type").as("typ"),
+        (sec - pmod(sec, lit(3600L))).as("h_sec"),
+        (lit(promql.NativeHist.minIdxAt(3)) + size(filter(
+          typedlit(promql.NativeHist.uppersAt(3)),
+          b => b < col("value")))).as("idx"))
+        .groupBy(col("typ"), col("h_sec"), col("idx")).agg(count(lit(1)))
+    }
+    t("nhcb_counts") {
+      val sec = unix_timestamp(col("ts"))
+      val aggs = count(lit(1)).as("dcnt") +:
+        promql.NativeHist.nhcbBounds.zipWithIndex.map { case (b, i) =>
+          sum(when(col("value") <= b, 1L).otherwise(0L)).as(s"db$i")
+        }
+      big.select(col("event_type").as("typ"),
+        (sec - pmod(sec, lit(3600L))).as("h_sec"), col("value"))
+        .groupBy(col("typ"), col("h_sec")).agg(aggs.head, aggs.tail: _*)
+    }
     t("kcenter_greedy")(similarity.Ann.kcenterProbe(spark,
       edecor.select(col("vec_id"), col("v")), 8))
     // doubling k must ~double wall (flat per-round cost): the round-10
