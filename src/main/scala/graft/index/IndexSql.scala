@@ -216,6 +216,33 @@ object IndexSql {
         a(0), a(1), a(2)))
     },
 
+    // B55+ from SQL: the MIXED-schema model (per-series schema 0/3,
+    // downscale-to-coarsest sum) — graft_promql_native with a 4th
+    // 'mixed' flag, e.g. graft_promql_native_mixed('/data',
+    // 'histogram_quantile(0.9, sum(rate({typ=~".*"}[1d])))',
+    // '2024-01-08 00:00:00')
+    "graft_promql_native_mixed" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 3,
+        "graft_promql_native_mixed expects (dir, expr, t)")
+      def a(i: Int) = argString("graft_promql_native_mixed", exprs, i)
+      plan(graft.promql.NativeHist.eval(SparkSession.active,
+        a(0), a(1), a(2), mixed = true))
+    },
+
+    // B59 from SQL: the custom-bucket quantile, e.g.
+    // graft_nhcb_quantile('/data', '0.9', '2024-01-08 00:00:00')
+    "graft_nhcb_quantile" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 3,
+        "graft_nhcb_quantile expects (dir, phi, t)")
+      def a(i: Int) = argString("graft_nhcb_quantile", exprs, i)
+      val phi =
+        try a(1).toDouble
+        catch { case _: NumberFormatException =>
+          sys.error("graft_nhcb_quantile: phi must be a number") }
+      plan(graft.promql.NativeHist.nhcbQuantile(SparkSession.active,
+        a(0), phi, a(2)))
+    },
+
     // B53 from SQL: the daily dashboard served from the landed 1h
     // rollup tier, e.g. graft_rollup_daily('/data', '1704067200',
     // '1705881600') — from/to are epoch-second hour bounds

@@ -203,6 +203,32 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 TVFs: graft_promql_native_mixed and " +
+      "graft_nhcb_quantile — pure SQL ≡ API") {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    index.IndexSql.register(s)
+    val dir = "/root/testdata/sf0.001"
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val apiMixed = promql.NativeHist.eval(s, dir,
+      """histogram_quantile(0.9, sum({typ=~".*"}))""",
+      "2024-01-08 00:00:00", mixed = true)
+    val sqlMixed = s.sql(s"""SELECT * FROM graft_promql_native_mixed(
+      |'$dir', 'histogram_quantile(0.9, sum({typ=~".*"}))',
+      |'2024-01-08 00:00:00')""".stripMargin)
+    assert(sorted(apiMixed) == sorted(sqlMixed) && sorted(apiMixed).nonEmpty)
+    val apiN = promql.NativeHist.nhcbQuantile(s, dir, 0.9,
+      "2024-01-08 00:00:00")
+    val sqlN = s.sql(
+      s"SELECT * FROM graft_nhcb_quantile('$dir', '0.9', '2024-01-08 00:00:00')")
+    assert(sorted(apiN) == sorted(sqlN) && sorted(apiN).nonEmpty)
+  }
+
   test("I26 DSv2 connector: SQL (CREATE TEMP VIEW USING graft) ≡ API; " +
       "versionAsOf resolves through the commit list; stats options " +
       "prune the scan; DV versions refused") {
