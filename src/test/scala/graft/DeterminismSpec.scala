@@ -107,7 +107,15 @@ class DeterminismSpec extends AnyFunSuite {
       // order varies with partitioning; exact quotients + id ties;
       // span removal rides a keep-first window on a total order and
       // the reassembled content is hash-pinned
-      "ann_hybrid_rrf", "dedup_span_remove")) {
+      "ann_hybrid_rrf", "dedup_span_remove",
+      // round-11: the mixed-schema sum folds downscaled buckets whose
+      // merge order varies with partitioning (exact integer counts);
+      // the limit-capped rule group discards whole steps off a keyed
+      // window count; the NHCB quantile compares exact per-bound
+      // cumulatives; the extrapolated rate's five per-window
+      // aggregates must not depend on partial-agg order
+      "promql_native_schema", "promql_rule_limit", "promql_nhcb",
+      "promql_rate_extrap")) {
     test(s"$q is identical at 1, 3 and 16 shuffle partitions") {
       val runs = Seq(1, 3, 16).map(p => runAt(p, q))
       assert(runs(0).nonEmpty)
