@@ -243,6 +243,24 @@ object IndexSql {
         a(0), phi, a(2)))
     },
 
+    // I25/I14 from SQL: the MERGE-ON-READ table read — the TVF is the
+    // SQL surface for DV-carrying versions the DSv2 connector refuses
+    // (a TVF returns a full logical plan, so the DV anti-join rides
+    // inside it); version -1 = HEAD. e.g.
+    // graft_table('/tbl', '-1'), graft_table('/tbl', '2')
+    "graft_table" -> { exprs: Seq[Expression] =>
+      require(exprs.length == 2,
+        "graft_table expects (path, version; -1 = HEAD)")
+      def a(i: Int) = argString("graft_table", exprs, i)
+      val spark = SparkSession.active
+      val v0 =
+        try a(1).toLong
+        catch { case _: NumberFormatException =>
+          sys.error("graft_table: version must be a number (-1 = HEAD)") }
+      val v = if (v0 < 0) graft.sources.Io.tableVersion(spark, a(0)) else v0
+      plan(graft.sources.Io.readTableVersionMor(spark, a(0), v))
+    },
+
     // B53 from SQL: the daily dashboard served from the landed 1h
     // rollup tier, e.g. graft_rollup_daily('/data', '1704067200',
     // '1705881600') — from/to are epoch-second hour bounds

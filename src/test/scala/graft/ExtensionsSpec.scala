@@ -273,5 +273,14 @@ class ExtensionsSpec extends AnyFunSuite {
     // but the pre-DV versions still read through the connector
     assert(s.read.format("graft").option("versionAsOf", 1).load(t)
       .count() == 20)
+    // …and the graft_table TVF serves the DV version from pure SQL
+    // (the anti-join rides inside the TVF's plan)
+    index.IndexSql.register(s)
+    assert(s.sql(s"SELECT count(*) FROM graft_table('$t', '-1')")
+      .head().getLong(0) == 19)
+    assert(s.sql(s"SELECT count(*) FROM graft_table('$t', '2')")
+      .filter(lit(true)).head().getLong(0) == 19)
+    assert(s.sql(s"SELECT sum(k) FROM graft_table('$t', '1')")
+      .head().getLong(0) == (1L to 20L).sum)
   }
 }
