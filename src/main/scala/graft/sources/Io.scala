@@ -567,6 +567,43 @@ object Io {
     spark.conf.getOption("graft.occ.lockTtlMs").map(_.toLong)
       .getOrElse(600000L)
 
+  // ---- commit ENCODING (round 11): full list vs delta-vs-previous.
+  // A commit that stores the full file list costs ∝ #files — on a
+  // million-file table every append rewrites ~50 MB of metadata and
+  // the log grows QUADRATICALLY in appends (Delta's pre-checkpoint
+  // problem). So a commit is written as a DELTA against its
+  // predecessor (`@delta <v-1>` header + `+path`/`-path` lines — cost
+  // ∝ the commit's own changes) except every
+  // `graft.log.checkpointInterval`-th version (default 10), which is
+  // a FULL list (the checkpoint) bounding resolution to < interval
+  // hops. Plain full-list files with no header remain valid (every
+  // pre-round-11 table reads unchanged), and resolution order is
+  // deterministic: carried files keep base order, adds append.
+
+  private def checkpointInterval(spark: SparkSession): Long =
+    spark.conf.getOption("graft.log.checkpointInterval").map(_.toLong)
+      .getOrElse(10L)
+      .max(1L)
+
+  private def encodeCommit(spark: SparkSession, table: String,
+      version: Long, files: Seq[String]): String =
+    if (version == 0L || version % checkpointInterval(spark) == 0L ||
+        !fs0Exists(spark, table, version - 1)) files.mkString("\n")
+    else {
+      val prior = readCommit(spark, table, version - 1)
+      val priorSet = prior.toSet
+      val fileSet = files.toSet
+      val removed = prior.filterNot(fileSet)
+      val added = files.filterNot(priorSet)
+      (s"@delta ${version - 1}" +:
+        (removed.map("-" + _) ++ added.map("+" + _))).mkString("\n")
+    }
+
+  private def fs0Exists(spark: SparkSession, table: String,
+      version: Long): Boolean =
+    fsFor(spark, table).exists(new org.apache.hadoop.fs.Path(table,
+      f"_commits/$version%08d.commit"))
+
   private def writeCommit(spark: SparkSession, table: String,
       version: Long, files: Seq[String]): Unit = {
     val fs = fsFor(spark, table)
@@ -623,8 +660,9 @@ object Io {
       try { if (lockOwner(fs, lock).contains(token)) fs.delete(lock, false) }
       catch { case _: Throwable => () }
     try {
+      val payload = encodeCommit(spark, table, version, files)
       val out = fs.create(tmp, true)
-      try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
       // Re-verify ownership + fin-absence immediately before the
       // rename: if a janitor reclaimed our claim past the TTL (we are
       // the presumed-dead writer, merely slow), our token is gone and
@@ -684,16 +722,33 @@ object Io {
     -1L // unreachable
   }
 
+  // a vacuum that expires a delta commit's ancestors first writes the
+  // MATERIALIZED full list here (the checkpoint-before-expiry rule);
+  // readCommit prefers it, so retained chains never dangle
+  private def ckptPath(table: String, version: Long) =
+    new org.apache.hadoop.fs.Path(table, f"_commits/$version%08d.ckpt")
+
   private def readCommit(spark: SparkSession, table: String,
       version: Long): Seq[String] = {
     val fs = fsFor(spark, table)
     val fin = new org.apache.hadoop.fs.Path(table,
       f"_commits/$version%08d.commit")
     require(fs.exists(fin), s"no version $version at $table")
-    val in = fs.open(fin)
+    val src = { val c = ckptPath(table, version)
+      if (fs.exists(c)) c else fin }
+    val in = fs.open(src)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+    val lines = txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+    lines.headOption match {
+      case Some(h) if h.startsWith("@delta ") =>
+        val base = readCommit(spark, table, h.stripPrefix("@delta ").toLong)
+        val removed = lines.tail.filter(_.startsWith("-"))
+          .map(_.stripPrefix("-")).toSet
+        val added = lines.tail.filter(_.startsWith("+")).map(_.stripPrefix("+"))
+        base.filterNot(removed) ++ added
+      case _ => lines
+    }
   }
 
   /** A version's file list, resolved to readable paths — the planning
@@ -740,21 +795,15 @@ object Io {
         f"_commits/_head.tmp-$version%08d")
       val out = fs.create(tmp, true)
       try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-      if (fs.getUri.getScheme == "file") {
-        // atomic replace where the FS supports it — a reader never
-        // observes a missing hint between delete and rename (the
-        // round-10 nit; the hint is still best-effort either way)
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
-          java.nio.file.Paths.get(
-            fs.makeQualified(headHintPath(table)).toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } else {
-        fs.delete(headHintPath(table), false)
-        fs.rename(tmp, headHintPath(table))
-        ()
-      }
+      // delete-then-rename through the Hadoop API (a bare
+      // java.nio move would leave the ChecksumFileSystem's .crc
+      // sidecar stale and every later hint read would fail its
+      // checksum — silently disabling the hint). The missing-hint
+      // window between the two calls is harmless by design: readers
+      // fall back to the full listing.
+      fs.delete(headHintPath(table), false)
+      fs.rename(tmp, headHintPath(table))
+      ()
     } catch { case _: Throwable => () } // hint only — never fail a commit
 
   /** Latest committed version, or -1 for an empty table. */
@@ -962,9 +1011,41 @@ object Io {
         fs.delete(d.getPath, true)
       }
     }
+    // delta-encoded commits resolve through their predecessors:
+    // expiring below a delta commit would orphan every retained commit
+    // chained onto it — so the earliest RETAINED commit is first
+    // MATERIALIZED as a full list (content-identical, the Delta
+    // checkpoint-before-expiry rule; atomic replace so readers never
+    // see it missing), and only then do the ancestors expire. The
+    // expired-version contract is unchanged: reads below retainFrom
+    // refuse with "no version".
+    def isFull(v: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(table, f"_commits/$v%08d.commit")
+      if (!fs.exists(p)) return false
+      val in = fs.open(p)
+      try {
+        val head = new Array[Byte](7)
+        val n = in.read(head)
+        n < 7 || new String(head, 0, n, "UTF-8") != "@delta "
+      } finally in.close()
+    }
+    if (retainFrom > 0 && !isFull(retainFrom)) {
+      val full = readCommit(spark, table, retainFrom).mkString("\n")
+      val fin = ckptPath(table, retainFrom)
+      val tmp = new org.apache.hadoop.fs.Path(table,
+        f"_commits/$retainFrom%08d.ckpt.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(full.getBytes("UTF-8")) finally out.close()
+      // overwrite-semantics like the stats sidecar (re-vacuum writes
+      // the same deterministic content)
+      try fs.delete(fin, false) catch { case _: Throwable => () }
+      require(fs.rename(tmp, fin),
+        s"checkpoint write for v$retainFrom failed at $table")
+    }
     (0L until retainFrom).foreach { ver =>
       fs.delete(new org.apache.hadoop.fs.Path(table,
         f"_commits/$ver%08d.commit"), false)
+      fs.delete(ckptPath(table, ver), false)
       fs.delete(dvFin(table, ver), false)
     }
     removed

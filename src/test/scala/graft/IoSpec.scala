@@ -295,11 +295,8 @@ class IoSpec extends AnyFunSuite {
     assert(Io.readTableVersion(spark, t, 1L).count() == 150)
     // COW delete of k='c' must not touch batch-0 files
     assert(Io.tableDeleteWhere(spark, t, col("k") === "c") == 2L)
-    def commitFiles(v: Long): Set[String] = {
-      val p = java.nio.file.Paths.get(t, "_commits", f"$v%08d.commit")
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        .split("\n").toSet
-    }
+    def commitFiles(v: Long): Set[String] =
+      Io.versionFiles(spark, t, v).toSet
     val (f0, f1, f2) = (commitFiles(0), commitFiles(1), commitFiles(2))
     assert(f0.subsetOf(f1) && f0.subsetOf(f2),
       "untouched batch-0 files must be carried by reference across versions")
@@ -583,12 +580,10 @@ class IoSpec extends AnyFunSuite {
     Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
     val files0 = Io.readTableVersion(spark, t, 0L) // v0 exists
     assert(files0.count() == 20)
-    val commit0 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$t/_commits/00000000.commit")), "UTF-8")
+    val commit0 = Io.versionFiles(spark, t, 0L).toSet
     // 1 of ~10 rows in its file (10% < default 20%) → DV path
     assert(Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") == 1L)
-    val commit1 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$t/_commits/00000001.commit")), "UTF-8")
+    val commit1 = Io.versionFiles(spark, t, 1L).toSet
     assert(commit1 == commit0, "DV delete must not rewrite data files")
     assert(new java.io.File(s"$t/_commits/00000001.dv").exists())
     assert(Io.readTableVersionMor(spark, t, 1L).count() == 19)
@@ -599,11 +594,10 @@ class IoSpec extends AnyFunSuite {
     // 6 of the first file's 9 LIVE rows (> 20%) → that file COWs;
     // the second file is untouched and carried by reference
     assert(Io.tableDeleteWhereDv(spark, t, col("k") <= 7, "k") == 2L)
-    val commit2 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$t/_commits/00000002.commit")), "UTF-8")
+    val commit2 = Io.versionFiles(spark, t, 2L).toSet
     assert(commit2 != commit1, "over-threshold delete must rewrite")
-    val carried = commit2.split("\n").count(f => commit1.contains(f))
-    assert(carried >= 1, "the untouched file must carry by reference")
+    assert((commit2 & commit1).nonEmpty,
+      "the untouched file must carry by reference")
     assert(Io.readTableVersionMor(spark, t, 2L).count() == 13)
     assert(Io.readTableVersionMor(spark, t, 2L)
       .agg(min(col("k"))).collect()(0).getLong(0) == 8L)
@@ -617,6 +611,50 @@ class IoSpec extends AnyFunSuite {
     Io.tableAppend(Seq(100L).toDF("k"), t) // v3
     val m3 = Io.readTableVersionMor(spark, t, 3L)
     assert(m3.count() == 14 && m3.filter(col("k") === 3).count() == 0)
+  }
+
+  test("delta-encoded commits: non-checkpoint commits store only their " +
+      "changes, every version resolves exactly, vacuum keeps chains " +
+      "resolvable by snapping to the checkpoint") {
+    import spark.implicits._
+    val t = s"$tmp/deltalog"
+    spark.conf.set("graft.log.checkpointInterval", "4")
+    try {
+      (0 to 8).foreach(i => Io.tableAppend(Seq(i.toLong).toDF("k"), t))
+      def commitText(v: Long) = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_commits", f"$v%08d.commit")), "UTF-8")
+      // checkpoints (0, 4, 8) are FULL lists; the rest are deltas
+      // whose size is the commit's own changes, not the table's
+      for (v <- Seq(0L, 4L, 8L))
+        assert(!commitText(v).startsWith("@delta"), s"v$v must be full")
+      for (v <- Seq(1L, 2L, 3L, 5L, 6L, 7L)) {
+        assert(commitText(v).startsWith(s"@delta ${v - 1}"))
+        val changes = commitText(v).split("\n").count(_.startsWith("+"))
+        assert(changes >= 1 && changes <= 2,
+          s"v$v delta must list only its own files, got $changes")
+      }
+      // every version resolves to exactly its cumulative content
+      for (v <- 0L to 8L)
+        assert(Io.readTableVersion(spark, t, v).count() == v + 1)
+      // a COW delete through a delta commit removes + adds correctly
+      Io.tableDeleteWhere(spark, t, col("k") === 0L) // v9 (delta)
+      assert(Io.readTableVersion(spark, t, 9L).count() == 8)
+      assert(Io.readTableVersion(spark, t, 8L).count() == 9) // immutable
+      // vacuum from v6 (a delta): the earliest retained commit is
+      // MATERIALIZED as a full .ckpt before its ancestors expire, so
+      // the chain never dangles and expired versions refuse as before
+      Io.vacuumTable(spark, t, retainFrom = 6L)
+      assert(new java.io.File(f"$t/_commits/00000006.ckpt").exists(),
+        "earliest retained delta commit must gain a checkpoint")
+      for (v <- 6L to 9L)
+        assert(Io.readTableVersion(spark, t, v).count() ==
+          (if (v == 9L) 8 else v + 1))
+      assert(!new java.io.File(f"$t/_commits/00000005.commit").exists(),
+        "commits below retainFrom are expired")
+      intercept[IllegalArgumentException] {
+        Io.readTableVersion(spark, t, 3L)
+      }
+    } finally spark.conf.unset("graft.log.checkpointInterval")
   }
 
   test("I25 DV change feed: DV-only deletes surface (no file diff), " +
