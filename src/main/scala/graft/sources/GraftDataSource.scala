@@ -50,7 +50,20 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
         "OPTIONS (path '...'))"))
     val head = Io.tableVersion(spark, path)
     require(head >= 0, s"no commit-log table at $path")
-    val version = Option(options.get("versionAsOf")).map(_.toLong)
+    val byTs = Option(options.get("timestampAsOf")).map { t =>
+      val millis =
+        try t.toLong
+        catch {
+          case _: NumberFormatException => // ISO local datetime
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+      Io.versionAtTimestamp(spark, path, millis)
+    }
+    require(byTs.isEmpty || !options.containsKey("versionAsOf"),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version = byTs
+      .orElse(Option(options.get("versionAsOf")).map(_.toLong))
       .getOrElse(head)
     require(version >= 0 && version <= head,
       s"version $version out of range [0, $head] at $path")

@@ -928,6 +928,28 @@ object Io {
     nv
   }
 
+  /** The newest version whose commit landed at-or-before `tsMillis`
+    * (Delta's `timestampAsOf`): commit files are written once and
+    * never touched (the vacuum checkpoint is a SEPARATE `.ckpt`), so
+    * their mtimes are the commit wall-clock and monotone in version —
+    * one `_commits` listing resolves the cut. Refuses a timestamp
+    * before the first retained commit (nothing to serve). */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val fs = fsFor(spark, table)
+    val dir = new org.apache.hadoop.fs.Path(table, "_commits")
+    require(fs.exists(dir), s"no table at $table")
+    val hits = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".commit"))
+      .map(st => (st.getPath.getName.stripSuffix(".commit").toLong,
+        st.getModificationTime))
+      .filter(_._2 <= tsMillis)
+    require(hits.nonEmpty,
+      s"no version at $table as of $tsMillis (first retained commit " +
+        "is newer)")
+    hits.map(_._1).max
+  }
+
   /** Read the table AS OF `version` — one commit fetch + exactly that
     * version's file list. */
   def readTableVersion(spark: SparkSession, table: String,

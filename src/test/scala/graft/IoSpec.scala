@@ -613,6 +613,29 @@ class IoSpec extends AnyFunSuite {
     assert(m3.count() == 14 && m3.filter(col("k") === 3).count() == 0)
   }
 
+  test("timestampAsOf: commit mtimes resolve the version cut; before " +
+      "the first commit refuses; the DSv2 option composes") {
+    import spark.implicits._
+    val t = s"$tmp/tsasof"
+    Io.tableAppend(Seq(1L).toDF("k"), t) // v0
+    Thread.sleep(1100)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Io.tableAppend(Seq(2L).toDF("k"), t) // v1
+    assert(Io.versionAtTimestamp(spark, t, cut) == 0L)
+    assert(Io.versionAtTimestamp(spark, t, System.currentTimeMillis()) == 1L)
+    intercept[IllegalArgumentException] {
+      Io.versionAtTimestamp(spark, t, 1000L) // 1970 — before v0
+    }
+    // the connector option resolves through the same cut
+    assert(spark.read.format("graft").option("timestampAsOf", cut)
+      .load(t).count() == 1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", cut)
+        .option("versionAsOf", 1).load(t).count()
+    }
+  }
+
   test("delta-encoded commits: non-checkpoint commits store only their " +
       "changes, every version resolves exactly, vacuum keeps chains " +
       "resolvable by snapping to the checkpoint") {
