@@ -75,14 +75,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     require(files.nonEmpty, s"version $version at $path is empty")
     val pruned = Option(options.get("skipCol")) match {
       case None => files
-      case Some(_) =>
+      case Some(skipCol) =>
         val stats = Io.readStatsFile(spark, path, version)
         val lo = Option(options.get("skipLo")).map(_.toLong)
           .getOrElse(Long.MinValue)
         val hi = Option(options.get("skipHi")).map(_.toLong)
           .getOrElse(Long.MaxValue)
         val kept = files.filter { f =>
-          val (mn, mx) = stats(Io.trailOf(f)); mx >= lo && mn < hi
+          val (mn, mx) = stats((Io.trailOf(f), skipCol))
+          mx >= lo && mn < hi
         }
         // schema inference needs ≥1 file; an all-pruned read keeps one
         // carrier file — pruning is conservative, the caller's own

@@ -1592,12 +1592,12 @@ object Io {
     new org.apache.hadoop.fs.Path(table, f"_commits/$version%08d.stats")
 
   private def writeStatsFile(spark: SparkSession, table: String,
-      version: Long, entries: Seq[(String, Long, Long)]): Unit = {
+      version: Long, entries: Seq[(String, String, Long, Long)]): Unit = {
     val fs = fsFor(spark, table)
     val tmp = new org.apache.hadoop.fs.Path(table,
       f"_commits/$version%08d.stats.tmp")
     val out = fs.create(tmp, true)
-    try out.write(entries.map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
+    try out.write(entries.map { case (f, c, mn, mx) => s"$f\t$c\t$mn\t$mx" }
       .mkString("\n").getBytes("UTF-8")) finally out.close()
     // Overwrite semantics: a sidecar is authoritative only alongside
     // its `.commit`, so an ORPHAN left by a crash (or a lost commit
@@ -1610,8 +1610,9 @@ object Io {
       s"stats rename failed at $table v$version")
   }
 
+  /** (file trail, column) → [min, max]. */
   private[graft] def readStatsFile(spark: SparkSession, table: String,
-      version: Long): Map[String, (Long, Long)] = {
+      version: Long): Map[(String, String), (Long, Long)] = {
     val fs = fsFor(spark, table)
     val fin = statsFin(table, version)
     require(fs.exists(fin),
@@ -1620,36 +1621,44 @@ object Io {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
-      val Array(f, mn, mx) = l.split("\t")
-      f -> (mn.toLong, mx.toLong)
+      val Array(f, c, mn, mx) = l.split("\t")
+      (f, c) -> (mn.toLong, mx.toLong)
     }.toMap
   }
 
   /** Append `df` as the next version WITH per-file [min, max] stats of
-    * `statsCol` embedded in the commit (a `.stats` sidecar next to the
-    * `.commit`). Stats for the new files come from ONE distributed
-    * pass over just-landed data grouped by file (collect ∝ #files —
+    * every named column embedded in the commit (a `.stats` sidecar
+    * next to the `.commit` — the Delta multi-column add-action stats).
+    * Stats for the new files come from ONE distributed pass over
+    * just-landed data grouped by file (collect ∝ #files × #cols —
     * metadata-scale); prior entries carry forward by reference exactly
     * like the file list.
     */
   def tableAppendStats(df: DataFrame, table: String,
-      statsCol: String): Long = {
+      statsCols: String*): Long = {
+    require(statsCols.nonEmpty, "tableAppendStats needs ≥1 stats column")
     val spark = df.sparkSession
     val v = tableVersion(spark, table) + 1
     val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
     val priorStats =
-      if (v == 0) Map.empty[String, (Long, Long)]
+      if (v == 0) Map.empty[(String, String), (Long, Long)]
       else readStatsFile(spark, table, v - 1)
-    require(prior.forall(f => priorStats.contains(trail(f))),
-      s"prior version at $table is missing stats entries — mixed " +
-        "stats/plain appends are not supported")
+    require(prior.forall(f => statsCols.forall(c =>
+        priorStats.contains((trail(f), c)))),
+      s"prior version at $table is missing stats entries for " +
+        s"${statsCols.mkString(",")} — mixed stats/plain appends (or " +
+        "changed stats columns) are not supported")
     val landed = landData(df, table, s"c$v")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     val freshStats = spark.read.parquet(s"$table/data/c$v")
       .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
         .as("f"))
-      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().flatMap { r =>
+        statsCols.map(c => (r.getAs[String]("f"), c) ->
+          (r.getAs[Long](s"mn_$c"), r.getAs[Long](s"mx_$c")))
+      }.toMap
     // A zero-row part file (possible under repartitionByRange skew)
     // produces no stats row — exclude it from the committed file list
     // (it carries no data) so every committed entry has a sidecar
@@ -1658,10 +1667,15 @@ object Io {
     // leaves an orphan sidecar (harmless — versions are defined by
     // `.commit` files), never a committed version whose stats reads
     // fail forever after.
-    val fresh = landed.filter(f => freshStats.contains(trail(f)))
+    val fresh = landed.filter(f =>
+      freshStats.contains((trail(f), statsCols.head)))
     val allStats =
-      prior.map(f => (f, priorStats(trail(f))._1, priorStats(trail(f))._2)) ++
-        fresh.map(f => (f, freshStats(trail(f))._1, freshStats(trail(f))._2))
+      prior.flatMap(f => statsCols.map { c =>
+        val (mn, mx) = priorStats((trail(f), c)); (f, c, mn, mx)
+      }) ++
+        fresh.flatMap(f => statsCols.map { c =>
+          val (mn, mx) = freshStats((trail(f), c)); (f, c, mn, mx)
+        })
     writeStatsFile(spark, table, v, allStats)
     writeCommit(spark, table, v, prior ++ fresh)
     v
@@ -1846,8 +1860,10 @@ object Io {
       version: Long, statsCol: String, lo: Long, hi: Long): DataFrame = {
     val files = readCommit(spark, table, version)
     val stats = readStatsFile(spark, table, version)
+    require(files.isEmpty || stats.contains((trail(files.head), statsCol)),
+      s"no commit stats for column $statsCol at $table v$version")
     val keep = files.filter { f =>
-      val (mn, mx) = stats(trail(f)); mx >= lo && mn < hi
+      val (mn, mx) = stats((trail(f), statsCol)); mx >= lo && mn < hi
     }
     val base =
       if (keep.isEmpty) readTableVersion(spark, table, version)
@@ -1963,11 +1979,13 @@ object Io {
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       // three stats-carrying commits by day band, each range-laid-out
       // into 3 time-bounded files (the Z-order/I11 discipline in one
-      // dimension) so the sidecar bounds are tight per file
+      // dimension) so the sidecar bounds are tight per file; stats
+      // collected on BOTH us and cents (round 11: multi-column — the
+      // Delta add-action shape), skipping reads pick their column
       def batch(loUs: Long, hiUs: Long): Unit = {
         tableAppendStats(
           flat.filter(col("us") >= loUs && col("us") < hiUs)
-            .repartitionByRange(3, col("us")), t, "us")
+            .repartitionByRange(3, col("us")), t, "us", "cents")
         ()
       }
       batch(0L, 1704931200000000L)                      // ≤ 01-10

@@ -559,7 +559,7 @@ class IoSpec extends AnyFunSuite {
     assert(Io.readTableVersion(spark, t, 1L).count() == 2)
     // the orphan content was replaced by the real sidecar
     val st = Io.readStatsFile(spark, t, 1L)
-    assert(st.nonEmpty && !st.contains("garbage"))
+    assert(st.nonEmpty && !st.keys.exists(_._1 == "garbage"))
   }
 
   test("OCC claim locks carry the owner token so cleanup/reclaim can " +
@@ -770,5 +770,28 @@ class IoSpec extends AnyFunSuite {
     // and the pruned plan really reads fewer files
     val scanned = pruned.select(input_file_name()).distinct().count()
     assert(scanned == kept, s"pruned read scanned $scanned files, stats kept $kept")
+  }
+
+  test("I22 multi-column stats: each column prunes independently; a " +
+      "column without stats refuses loudly") {
+    import spark.implicits._
+    val t = s"$tmp/skipmulti"
+    // k ascending, neg descending: a k-band and a neg-band prune
+    // OPPOSITE ends of the range layout
+    Io.tableAppendStats((1L to 90L).map(k => (k, 1000L - k))
+      .toDF("k", "neg").repartitionByRange(3, col("k")), t, "k", "neg")
+    assert(Io.readStatsFile(spark, t, 0L).size == 6) // 3 files × 2 cols
+    def scanned(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    val byK = Io.readTableVersionSkipping(spark, t, 0L, "k", 1L, 20L)
+    val byNeg = Io.readTableVersionSkipping(spark, t, 0L, "neg", 990L, 1001L)
+    assert(byK.count() == 19 && scanned(byK) == 1)
+    assert(byNeg.count() == 10 && scanned(byNeg) == 1)
+    // the two bands select the SAME rows (neg = 1000 - k)
+    assert(byNeg.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 10L))
+    intercept[IllegalArgumentException] {
+      Io.readTableVersionSkipping(spark, t, 0L, "nope", 0L, 1L).count()
+    }
   }
 }
