@@ -708,6 +708,7 @@ object Io {
       val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
       val fresh = landData(df, table, s"c$v-$writer")
       try {
+        carryDvSidecar(spark, table, v)
         writeCommit(spark, table, v, prior ++ fresh)
         return v
       } catch {
@@ -851,16 +852,22 @@ object Io {
   /** Commit `df` as the next version: an APPEND (prior files carried by
     * reference + the new batch's files). Version 0 creates the table.
     */
-  def tableAppend(df: DataFrame, table: String): Long = {
-    val spark = df.sparkSession
-    val v = tableVersion(spark, table) + 1
-    val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
-    // deletion vectors (I25) carry forward by reference like the file
-    // list: an append must not resurrect rows deleted at v-1
+  // deletion vectors (I25) carry forward by reference like the file
+  // list: EVERY append flavor must not resurrect rows deleted at v−1
+  // (racing writers both write identical carried content — the
+  // sidecar is overwrite-semantics, so the race is benign)
+  private def carryDvSidecar(spark: SparkSession, table: String,
+      v: Long): Unit =
     if (v > 0) {
       val (key, dvDirs) = readDvMeta(spark, table, v - 1)
       key.foreach(k => writeDvFile(spark, table, v, k, dvDirs))
     }
+
+  def tableAppend(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val v = tableVersion(spark, table) + 1
+    val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
+    carryDvSidecar(spark, table, v)
     writeCommit(spark, table, v, prior ++ landData(df, table, s"c$v"))
     v
   }
@@ -885,6 +892,7 @@ object Io {
         s"batch $batchId delivered before batch ${batchId - 1} committed at $table")
       val prior = if (batchId == 0) Seq.empty
         else readCommit(spark, table, batchId - 1)
+      carryDvSidecar(spark, table, batchId)
       writeCommit(spark, table, batchId,
         prior ++ landData(df, table, s"c$batchId"))
       true
@@ -951,12 +959,35 @@ object Io {
   }
 
   /** Read the table AS OF `version` — one commit fetch + exactly that
-    * version's file list. */
+    * version's file list, ALWAYS honoring the version's deletion
+    * vectors (round 11: one read path, one semantics — a version read
+    * can never resurrect DV-deleted rows; the anti-join costs nothing
+    * on DV-free versions). */
   def readTableVersion(spark: SparkSession, table: String,
+      version: Long): DataFrame =
+    dvFilter(spark, table, version, readTableVersionRaw(spark, table, version))
+
+  /** The raw file union of a version — the internal reader the DV
+    * machinery itself builds on (matched-scan, rewrite, OPTIMIZE). */
+  private def readTableVersionRaw(spark: SparkSession, table: String,
       version: Long): DataFrame = {
     val files = readCommit(spark, table, version)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files.map(resolve(table, _)): _*)
+  }
+
+  /** Apply a version's DV anti-join to an already-assembled frame over
+    * (a subset of) its files. */
+  private def dvFilter(spark: SparkSession, table: String, version: Long,
+      base: DataFrame): DataFrame = {
+    val (key, dvDirs) = readDvMeta(spark, table, version)
+    if (dvDirs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(dvDirs.map(resolve(table, _)): _*)
+      base.join(
+        broadcast(dv.select(col("k").as(key.get)).distinct()),
+        Seq(key.get), "left_anti")
+    }
   }
 
   /** I24 (round 10): version read with SCHEMA EVOLUTION — Delta's
@@ -972,8 +1003,9 @@ object Io {
       version: Long): DataFrame = {
     val files = readCommit(spark, table, version)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true")
-      .parquet(files.map(resolve(table, _)): _*)
+    else dvFilter(spark, table, version,
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(resolve(table, _)): _*))
   }
 
   /** I17: SHALLOW CLONE — a new table whose first commit references the
@@ -990,6 +1022,9 @@ object Io {
     require(v >= 0, s"no table at $srcTable")
     require(tableVersion(spark, dstTable) == -1L,
       s"$dstTable already exists (clone target must be fresh)")
+    require(readDvMeta(spark, srcTable, v)._2.isEmpty,
+      s"source at $srcTable carries deletion vectors — a by-reference " +
+        "clone would resurrect deleted rows; optimizeTableDv first")
     writeCommit(spark, dstTable, 0L,
       readCommit(spark, srcTable, v).map(resolve(srcTable, _)))
     0L
@@ -1084,29 +1119,10 @@ object Io {
     * 3 files, the feed reads 6 files.
     */
   def changeFeed(spark: SparkSession, table: String,
-      fromV: Long, toV: Long): DataFrame = {
-    val from = readCommit(spark, table, fromV).toSet
-    val to = readCommit(spark, table, toV).toSet
-    def readSet(fs: Set[String]): Option[DataFrame] =
-      if (fs.isEmpty) None
-      else Some(spark.read.parquet(
-        fs.toSeq.sorted.map(f => resolve(table, f)): _*))
-    (readSet(from -- to), readSet(to -- from)) match {
-      // identical file sets (e.g. a restore or a no-match delete): an
-      // EMPTY feed must still carry the table schema + change_type so
-      // callers selecting/grouping change_type analyze cleanly
-      case (None, None) =>
-        readTableVersion(spark, table, toV).filter(lit(false))
-          .withColumn("change_type", lit(""))
-      case (None, Some(add)) =>
-        add.withColumn("change_type", lit("insert"))
-      case (Some(rem), None) =>
-        rem.withColumn("change_type", lit("delete"))
-      case (Some(rem), Some(add)) =>
-        add.exceptAll(rem).withColumn("change_type", lit("insert"))
-          .unionByName(rem.exceptAll(add).withColumn("change_type", lit("delete")))
-    }
-  }
+      fromV: Long, toV: Long): DataFrame =
+    // since round 11 the feed is ALWAYS DV-aware (one semantics): on
+    // DV-free tables this degenerates to the pure file-diff form
+    changeFeedMor(spark, table, fromV, toV)
 
   /** I25+I15 (round 11): CHANGE DATA FEED over a table with deletion
     * vectors. The file-diff feed ([[changeFeed]]) is blind to DV-only
@@ -1736,22 +1752,12 @@ object Io {
     (key, lines.drop(1))
   }
 
-  /** Merge-on-read version read: the version's files minus its DV
-    * entries (one anti-join against a frame ∝ #deleted rows — at
-    * 100 TB the DV side is broadcast-sized until OPTIMIZE folds it).
-    * A version with no DVs reads exactly like [[readTableVersion]]. */
+  /** Merge-on-read version read — since round 11 this IS
+    * [[readTableVersion]] (one read path, always DV-correct); the
+    * alias stays for callers naming the semantics explicitly. */
   def readTableVersionMor(spark: SparkSession, table: String,
-      version: Long): DataFrame = {
-    val base = readTableVersion(spark, table, version)
-    val (key, dvDirs) = readDvMeta(spark, table, version)
-    if (dvDirs.isEmpty) base
-    else {
-      val dv = spark.read.parquet(dvDirs.map(resolve(table, _)): _*)
-      base.join(
-        broadcast(dv.select(col("k").as(key.get)).distinct()),
-        Seq(key.get), "left_anti")
-    }
-  }
+      version: Long): DataFrame =
+    readTableVersion(spark, table, version)
 
   /** Merge-on-read DELETE: rows matching `pred` disappear from the new
     * version WITHOUT rewriting their files — unless a file's matched
@@ -1868,7 +1874,8 @@ object Io {
     val base =
       if (keep.isEmpty) readTableVersion(spark, table, version)
         .filter(lit(false))
-      else spark.read.parquet(keep.map(resolve(table, _)): _*)
+      else dvFilter(spark, table, version,
+        spark.read.parquet(keep.map(resolve(table, _)): _*))
     base.filter(col(statsCol) >= lo && col(statsCol) < hi)
   }
 

@@ -687,11 +687,9 @@ class IoSpec extends AnyFunSuite {
     Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
     Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") // v1: DV only
     Io.tableDeleteWhereDv(spark, t, col("k") <= 7, "k")  // v2: COW file 1
-    // v0→v1: the plain file-diff CDF is BLIND here (no file changed)…
-    assert(Io.changeFeed(spark, t, 0L, 1L)
-      .filter(col("change_type") =!= "").count() == 0)
-    // …the MOR feed emits exactly the DV'd row
-    val f01 = Io.changeFeedMor(spark, t, 0L, 1L).collect()
+    // v0→v1: no file changed — the feed must come from the DV entries
+    // (changeFeed and changeFeedMor are one path since round 11)
+    val f01 = Io.changeFeed(spark, t, 0L, 1L).collect()
     assert(f01.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
       .toSet == Set((3L, "delete")))
     // v1→v2: deletes are k ∈ {1,2,4,5,6,7} — k=3 must NOT re-emit
