@@ -675,17 +675,25 @@ object NativeHist {
       t: String, mixed: Boolean = false): DataFrame = {
     val tSec = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
       .toEpochSecond(java.time.ZoneOffset.UTC)
-    def inner(e: Expr): DataFrame = e match {
-      case Sel(ms, None, 0, None, None) =>
-        histAt(spark, dir, ms, tSec, mixed)
-      case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
-        histRate(spark, dir, ms, tSec, r, mixed)
-      case Agg("sum", by, Seq(), arg, None, None) =>
-        sumHists(inner(arg), by)
-      case other => sys.error(s"native-histogram argument must be an " +
-        s"instant selector, rate(sel[d]), or sum by (...) of either, " +
-        s"got $other")
-    }
+    // the inner histogram FRAME is memoized per (expression, instant):
+    // a dashboard serves several panels from one evaluated histogram
+    // (quantile + count in promql_native_agg/rate, FOUR stats in
+    // statsAll), and the frames are tiny (∝ matched series) — one
+    // pinned copy ends the rebuild-per-panel cost
+    def inner(e: Expr): DataFrame =
+      Memo.cached(spark, s"nativehist.inner:$mixed:$tSec:$e:$dir") {
+        e match {
+          case Sel(ms, None, 0, None, None) =>
+            histAt(spark, dir, ms, tSec, mixed)
+          case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
+            histRate(spark, dir, ms, tSec, r, mixed)
+          case Agg("sum", by, Seq(), arg, None, None) =>
+            sumHists(inner(arg), by)
+          case other => sys.error(s"native-histogram argument must be " +
+            s"an instant selector, rate(sel[d]), or sum by (...) of " +
+            s"either, got $other")
+        }
+      }
     val out = PromQl.parse(exprStr) match {
       case Func("histogram_quantile", arg, Some(q)) => quantileOf(inner(arg), q)
       case HistFrac(lo, hi, arg) => fractionOf(inner(arg), lo, hi)
