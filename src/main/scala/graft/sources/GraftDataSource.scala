@@ -1,10 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -43,7 +46,7 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def resolveTable(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def resolveTable(options: CaseInsensitiveStringMap): GraftTable = {
     val spark = SparkSession.active
     val path = Option(options.get("path")).getOrElse(
       sys.error("the graft source needs a path (.load(tablePath) or " +
@@ -90,8 +93,11 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
         // predicate (which skipping never replaces) yields the empty set
         if (kept.nonEmpty) kept else files.take(1)
     }
-    ParquetTable(s"graft:$path@$version", spark, options,
-      pruned.toIndexedSeq, None, classOf[ParquetFileFormat])
+    new GraftTable(
+      ParquetTable(s"graft:$path@$version", spark, options,
+        pruned.toIndexedSeq, None, classOf[ParquetFileFormat]),
+      spark, path, version, head,
+      Option(options.get("deleteKey")))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -100,4 +106,61 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     resolveTable(new CaseInsensitiveStringMap(properties))
+}
+
+/** The connector's Table: reads delegate to Spark's own
+  * [[ParquetTable]] scan machinery over the resolved file set, and
+  * `DELETE FROM` (SQL DML) routes into the commit protocol —
+  * merge-on-read via deletion vectors when the view was created with
+  * a `deleteKey` option (the I25 row-unique key), copy-on-write
+  * otherwise. Deletes apply to HEAD only (a pinned
+  * versionAsOf/timestampAsOf view refuses). */
+private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
+    path: String, version: Long, head: Long, deleteKey: Option[String])
+  extends Table with SupportsRead with SupportsDelete {
+
+  override def name(): String = pt.name
+  override def schema(): StructType = pt.schema
+  // read-only + SQL DELETE: BATCH_WRITE is deliberately NOT advertised
+  // (appends go through the OCC commit protocol, not a file sink)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    pt.newScanBuilder(options)
+
+  private def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(version == head,
+      s"DELETE applies to HEAD (v$head) — this view is pinned to " +
+        s"v$version via versionAsOf/timestampAsOf")
+    val pred = filters.flatMap(toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    deleteKey match {
+      case Some(k) => Io.tableDeleteWhereDv(spark, path, pred, k)
+      case None => Io.tableDeleteWhere(spark, path, pred)
+    }
+    ()
+  }
 }

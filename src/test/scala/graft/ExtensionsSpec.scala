@@ -255,13 +255,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s.sql("SELECT sum(k) FROM g0").head().getLong(0) ==
       v0.agg(sum(col("k"))).head().getLong(0))
     // stats skipping prunes the FILE list (4 files at HEAD; the k<6
-    // band overlaps only v0's first range file)
+    // band overlaps only v0's first range file) — counted at runtime
+    // via input_file_name (the wrapper table hides the FileIndex from
+    // DataFrame.inputFiles)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
     val full = s.read.format("graft").load(t)
     val skip = s.read.format("graft")
       .option("skipCol", "k").option("skipLo", 1).option("skipHi", 6)
       .load(t)
-    assert(skip.inputFiles.length < full.inputFiles.length,
-      s"skip read ${skip.inputFiles.length} of ${full.inputFiles.length}")
+    assert(scannedFiles(skip) < scannedFiles(full),
+      s"skip read ${scannedFiles(skip)} of ${scannedFiles(full)}")
     assert(skip.filter(col("k") >= 1 && col("k") < 6).count() == 5)
     // a DV-carrying version is refused loudly (raw scan would
     // resurrect deleted rows)
@@ -282,5 +286,47 @@ class ExtensionsSpec extends AnyFunSuite {
       .filter(lit(true)).head().getLong(0) == 19)
     assert(s.sql(s"SELECT sum(k) FROM graft_table('$t', '1')")
       .head().getLong(0) == (1L to 20L).sum)
+  }
+
+  test("SQL DELETE FROM through the connector: DV path with deleteKey, " +
+      "COW without, pinned views refuse") {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_del").toString + "/table"
+    sources.Io.tableAppend(
+      (1L to 20L).toDF("k").repartitionByRange(2, col("k")), t) // v0
+    // a deleteKey'd view routes DELETE FROM into the DV path
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gdel " +
+      s"USING graft OPTIONS (path '$t', deleteKey 'k')")
+    s.sql("DELETE FROM gdel WHERE k = 7")
+    assert(sources.Io.tableVersion(s, t) == 1L)
+    assert(new java.io.File(s"$t/_commits/00000001.dv").exists(),
+      "point delete must ride the DV sidecar")
+    assert(sources.Io.readTableVersion(s, t, 1L).count() == 19)
+    // without deleteKey the delete is COW — but the table now carries
+    // DVs, so the plain path refuses (no resurrect) until OPTIMIZE
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gdel2 " +
+      s"USING graft OPTIONS (path '$t', versionAsOf '0')")
+    val pinned = intercept[Exception] { s.sql("DELETE FROM gdel2 WHERE k = 1") }
+    assert(pinned.getMessage.contains("pinned"))
+    sources.Io.optimizeTableDv(s, t) // v2: materialize, DV-free
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gdel3 " +
+      s"USING graft OPTIONS (path '$t')")
+    s.sql("DELETE FROM gdel3 WHERE k <= 5")
+    assert(sources.Io.readTableVersion(s, t, 3L).count() == 14)
+    assert(!new java.io.File(s"$t/_commits/00000003.dv").exists(),
+      "keyless delete is copy-on-write")
+    // reads through the TVF see the DML results (k=7 and k≤5 gone)
+    index.IndexSql.register(s)
+    assert(s.sql(s"SELECT min(k) FROM graft_table('$t', '-1')")
+      .head().getLong(0) == 6L)
+    assert(s.sql(s"SELECT count(*) FROM graft_table('$t', '-1')")
+      .head().getLong(0) == 14L)
   }
 }
