@@ -726,6 +726,20 @@ object SparkEntry {
         .select(col("t_sec"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50_all"))
     }),
+    // B60 (round 11): SIGNED native histograms — the negative bucket
+    // ladder (mirror of the exponential rule below the zero bucket)
+    // over a derived deviation metric (value − 50); p30 lands in the
+    // negative ladder (~63% of mass is negative), p90 in the positive
+    "promql_native_signed" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val q30 = promql.NativeHist.signedQuantile(s, dir, 0.3,
+        "2024-01-08 00:00:00")
+        .select(col("typ"), (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq30"))
+      val q90 = promql.NativeHist.signedQuantile(s, dir, 0.9,
+        "2024-01-08 00:00:00")
+        .select(col("typ"), (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
+      q30.join(broadcast(q90), Seq("typ"))
+    }),
     // B59 (round 11): NHCB — native histograms with CUSTOM buckets
     // (schema -53, the classic-`le` migration path): whole-histogram
     // samples carrying the B19 bound ladder; classic LINEAR
@@ -4947,6 +4961,65 @@ object SparkEntry {
         |    END) * 1e4 + 0.5) / 1e4 AS q50r,
         |  CAST(t2.cnt AS DOUBLE) / 86400.0 AS cps
         |FROM hit h JOIN tot t2 USING (typ) WHERE h.rn = 1""".stripMargin,
+    // B60: the signed model replayed from raw — deviation vc = v − 50,
+    // mirrored ladder on |vc| (the closed end lands on the larger
+    // magnitude, exactly the positive rule on -vc), cumulative over
+    // the value ordering (neg desc-idx, zero, pos asc-idx), and the
+    // mirrored exponential interpolation −2^(idx − frac)
+    "promql_native_signed" ->
+      """WITH e AS (SELECT event_type AS typ, value - 50.0 AS vc FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |b AS (SELECT typ, vc,
+        |    CASE WHEN abs(vc) <= 0.0625 THEN 0
+        |         WHEN vc > 0 THEN 1 ELSE -1 END AS side,
+        |    CASE WHEN abs(vc) <= 0.0625 THEN 0
+        |         WHEN vc > 0 THEN -3 + len(list_filter([0.125, 0.25, 0.5,
+        |           1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0,
+        |           512.0], x -> x < vc))
+        |         ELSE -3 + len(list_filter([0.125, 0.25, 0.5, 1.0, 2.0,
+        |           4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0],
+        |           x -> x < -vc)) END AS idx
+        |  FROM e),
+        |g AS (SELECT typ, side, idx,
+        |    CASE WHEN side = -1 THEN -idx WHEN side = 0 THEN 100
+        |         ELSE 200 + idx END AS ord,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |tot AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS zcnt,
+        |    CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS negtotal
+        |  FROM b GROUP BY 1),
+        |cm AS (SELECT g.typ, g.side, g.idx, g.ord, g.c,
+        |    sum(g.c) OVER (PARTITION BY g.typ ORDER BY g.ord) AS cum
+        |  FROM g),
+        |qq AS (SELECT cm.*, t.cnt, t.zcnt, t.negtotal
+        |  FROM cm JOIN tot t USING (typ)),
+        |h30 AS (SELECT *, cnt * 0.3 AS rk,
+        |    row_number() OVER (PARTITION BY typ ORDER BY ord) AS rn
+        |  FROM qq WHERE cum >= cnt * 0.3),
+        |v30 AS (SELECT typ, CASE
+        |    WHEN side = -1 THEN -pow(2.0, idx - (rk - (cum - c)) / c)
+        |    WHEN side = 0 THEN CASE WHEN negtotal > 0
+        |      THEN -0.0625 + 0.125 * ((rk - negtotal) / zcnt)
+        |      ELSE 0.0625 * rk / zcnt END
+        |    ELSE pow(2.0, idx - 1) * pow(2.0, (rk - (cum - c)) / c) END AS v
+        |  FROM h30 WHERE rn = 1),
+        |h90 AS (SELECT *, cnt * 0.9 AS rk,
+        |    row_number() OVER (PARTITION BY typ ORDER BY ord) AS rn
+        |  FROM qq WHERE cum >= cnt * 0.9),
+        |v90 AS (SELECT typ, CASE
+        |    WHEN side = -1 THEN -pow(2.0, idx - (rk - (cum - c)) / c)
+        |    WHEN side = 0 THEN CASE WHEN negtotal > 0
+        |      THEN -0.0625 + 0.125 * ((rk - negtotal) / zcnt)
+        |      ELSE 0.0625 * rk / zcnt END
+        |    ELSE pow(2.0, idx - 1) * pow(2.0, (rk - (cum - c)) / c) END AS v
+        |  FROM h90 WHERE rn = 1)
+        |SELECT v30.typ, floor(v30.v * 1e4 + 0.5) / 1e4 AS hq30,
+        |  floor(v90.v * 1e4 + 0.5) / 1e4 AS hq90
+        |FROM v30 JOIN v90 USING (typ)""".stripMargin,
     // H33: the stream-maintained NHCB must serve the SAME p90 as the
     // batch model — one oracle for B59 and its live twin
     "stream_nhcb" ->

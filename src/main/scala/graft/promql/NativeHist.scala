@@ -510,6 +510,146 @@ object NativeHist {
     }
   }
 
+  // ------------- SIGNED histograms: negative buckets (round 11) -------------
+  // Prometheus native histograms mirror the exponential ladder below
+  // the zero bucket: negative bucket idx covers [−2^idx, −2^(idx−1))
+  // — exactly the positive rule on |v| (the closed end lands on the
+  // larger magnitude). The events corpus is non-negative, so the
+  // signed model derives a DEVIATION metric (value − 50, the
+  // "distance from target" shape that makes gauges signed in
+  // practice); the gate replays the derivation, both ladders, and the
+  // signed quantile from raw events. Quantile semantics: rank counts
+  // from the MOST NEGATIVE value — negative buckets in descending
+  // idx, then the zero bucket (linear across [−zt, zt] when negative
+  // mass exists — Prometheus's two-sided zero-bucket rule), then the
+  // positive buckets; in-bucket interpolation stays exponential with
+  // the mirror orientation (value = −2^(idx−frac): frac 0 → the
+  // bucket's most negative edge).
+
+  private val signedShift = 50.0
+
+  /** The signed sample series: (typ, t_sec, cnt, zcnt, hsum,
+    * buckets, nbuckets) — schema 0; nbuckets are the negative ladder
+    * counts, idx-sorted. */
+  def samplesSigned(spark: SparkSession, dir: String): DataFrame =
+    Memo.cached(spark, s"nativehist.signed:$dir") {
+      val endSec = t0Sec + hours * 3600L
+      val raw = Tables.tsBetween(Tables.eventsRaw(spark, dir),
+        timestamp_micros(lit(t0Sec * 1000000L)),
+        timestamp_micros(lit(endSec * 1000000L - 1L)))
+      val sec = unix_timestamp(Tables.tsCol(raw))
+      val vc = col("value") - lit(signedShift)
+      val idxOf: Column => Column = v =>
+        lit(minIdx) + size(filter(typedlit(uppers), b => b < v))
+      val ev = raw.select(
+        col("event_type").as("typ"),
+        (sec - pmod(sec, lit(3600L))).as("h_sec"),
+        vc.as("vc"),
+        (floor(vc * q20 + 0.5) / q20).as("qv"))
+        .withColumn("side",
+          when(abs(col("vc")) > lit(uppers.last),
+            raise_error(lit("signed observation beyond the 2^9 ladder"))
+              .cast("int"))
+          .when(abs(col("vc")) <= zeroThreshold, lit(0))
+          .when(col("vc") > 0, lit(1)).otherwise(lit(-1)))
+        .withColumn("idx",
+          when(col("side") === 1, idxOf(col("vc")))
+            .when(col("side") === -1, idxOf(-col("vc")))
+            .otherwise(lit(null).cast("int")))
+      val typs = ev.select(col("typ")).distinct()
+      val grid = typs.withColumn("h_sec",
+        explode(sequence(lit(t0Sec), lit(endSec - 3600L), lit(3600L))))
+      def cumSide(side: Int, name: String): DataFrame = {
+        val hb = ev.filter(col("side") === side)
+          .groupBy(col("typ"), col("h_sec"), col("idx"))
+          .agg(count(lit(1)).as("dc"))
+        val bgrid = grid.withColumn("idx",
+          explode(sequence(lit(minIdx), lit(maxIdx))))
+        val wcum = Window.partitionBy(col("typ"), col("idx"))
+          .orderBy(col("h_sec"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bgrid.join(hb, Seq("typ", "h_sec", "idx"), "left")
+          .withColumn("cum", sum(coalesce(col("dc"), lit(0L))).over(wcum))
+          .filter(col("cum") > 0)
+          .groupBy(col("typ"), col("h_sec"))
+          .agg(sort_array(collect_list(struct(col("idx"),
+            col("cum").as("c")))).as(name))
+      }
+      val hs = ev.groupBy(col("typ"), col("h_sec")).agg(
+        count(lit(1)).as("dcnt"),
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("dz"),
+        sum(col("qv")).as("ds"))
+      val wc = Window.partitionBy(col("typ")).orderBy(col("h_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val empty = typedlit(Seq.empty[(Int, Long)])
+        .cast("array<struct<idx:int,c:bigint>>")
+      grid.join(hs, Seq("typ", "h_sec"), "left")
+        .withColumn("cnt", sum(coalesce(col("dcnt"), lit(0L))).over(wc))
+        .withColumn("zcnt", sum(coalesce(col("dz"), lit(0L))).over(wc))
+        .withColumn("hsum", sum(coalesce(col("ds"), lit(0.0))).over(wc))
+        .join(cumSide(1, "buckets"), Seq("typ", "h_sec"), "left")
+        .join(cumSide(-1, "nbuckets"), Seq("typ", "h_sec"), "left")
+        .select(col("typ"), (col("h_sec") + 3600L).as("t_sec"),
+          col("cnt"), col("zcnt"), col("hsum"),
+          coalesce(col("buckets"), empty).as("buckets"),
+          coalesce(col("nbuckets"), empty).as("nbuckets"))
+    }
+
+  /** φ-quantile of the signed model at T per series. Ordering: most
+    * negative bucket (largest negative idx) first, zero bucket, then
+    * the positive ladder. */
+  def signedQuantile(spark: SparkSession, dir: String, q: Double,
+      t: String): DataFrame = {
+    val tSec = tSecOf(t)
+    val w = Window.partitionBy(col("typ")).orderBy(col("t_sec").desc)
+    val h = samplesSigned(spark, dir)
+      .filter(col("t_sec") <= tSec)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    // one exploded frame over both ladders + the zero bucket, ordered
+    // by value: ord = −idx (neg) < 100 (zero) < 200 + idx (pos)
+    val parts = h.select(col("typ"), col("cnt"), col("zcnt"),
+      expr("""concat(
+        transform(nbuckets, x -> named_struct(
+          'ord', -x.idx, 'side', -1, 'idx', x.idx,
+          'c', cast(x.c as double))),
+        array(named_struct('ord', 100, 'side', 0, 'idx', 0,
+          'c', cast(zcnt as double))),
+        transform(buckets, x -> named_struct(
+          'ord', 200 + x.idx, 'side', 1, 'idx', x.idx,
+          'c', cast(x.c as double))))""").as("bs"))
+      .select(col("typ"), col("cnt"), col("zcnt"),
+        expr("aggregate(filter(bs, b -> b.side = -1), 0D, (a, b) -> a + b.c)")
+          .as("negTotal"),
+        explode(col("bs")).as("x"))
+      .select(col("typ"), col("cnt"), col("zcnt"), col("negTotal"),
+        col("x.ord").as("ord"), col("x.side").as("side"),
+        col("x.idx").as("idx"), col("x.c").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("rank", col("cnt").cast("double") * lit(q))
+    val wcum = Window.partitionBy(col("typ")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zt = zeroThreshold
+    val frac = (col("rank") - (col("cum") - col("c"))) / col("c")
+    parts.withColumn("cum", sum(col("c")).over(wcum))
+      .filter(col("cum") >= col("rank"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("typ")).orderBy(col("ord"))))
+      .filter(col("__rn") === 1)
+      .select(col("typ"),
+        when(col("cnt") <= 0, lit(Double.NaN))
+          .when(col("side") === -1,
+            -pow(lit(2.0), col("idx") - frac))
+          .when(col("side") === 0,
+            when(col("negTotal") > 0,
+              lit(-zt) + lit(2 * zt) *
+                ((col("rank") - col("negTotal")) / col("zcnt")))
+              .otherwise(lit(zt) * col("rank") / col("zcnt")))
+          .otherwise(pow(lit(2.0), col("idx") - 1) *
+            pow(lit(2.0), frac))
+          .as("value"))
+  }
+
   // ---------------- NHCB: custom buckets (round 11) ----------------
   // Native Histograms with Custom Buckets (Prometheus 3.x schema -53):
   // how classic `le` histograms MIGRATE into the native sample model —

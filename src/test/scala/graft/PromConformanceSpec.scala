@@ -383,6 +383,41 @@ class PromConformanceSpec extends AnyFunSuite {
       == math.pow(2.0, 0.0) * math.pow(2.0, 3.5 / 6.0))
   }
 
+  test("signed histograms: rank counts from the most negative bucket, " +
+      "mirrored exponential interpolation, two-sided zero bucket") {
+    import graft.promql.NativeHist
+    // hand model via the real corpus path is exercised by the gate;
+    // here pin the interpolation algebra on a tiny synthetic corpus:
+    // write 8 events with known deviations and read the quantile back
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_signed_fixture").toString
+    import spark.implicits._
+    // deviations vc = v − 50: {-40,-40,-3,-0.05,0.05,3,40,400} —
+    // 2 in neg idx 6 ([-64,-32)), 1 in neg idx 2, 2 in the zero
+    // bucket, 1 in pos idx 2, 1 in pos idx 6, 1 in pos idx 9
+    val vs = Seq(10.0, 10.0, 47.0, 49.95, 50.05, 53.0, 90.0, 450.0)
+    vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00"),
+        "t", 1L, v, "{}")
+    }.toDF("event_id", "ts", "event_type", "user_id", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def q(phi: Double): Double =
+      NativeHist.signedQuantile(spark, tmp, phi, "2024-01-08 00:00:00")
+        .collect().head.getAs[Double]("value")
+    // φ=0.25 → rank 2 = cum of neg idx 6 → frac 1 → −2^(6−1) = −32
+    assert(q(0.25) == -32.0)
+    // φ=0.125 → rank 1, neg idx 6, frac 0.5 → −2^5.5 (1-ulp tolerance:
+    // the JIT's Math.pow intrinsic and the interpreted call may differ
+    // in the last bit on fractional exponents — the gates' 1e-4
+    // quantization absorbs this; integer-exponent results are exact)
+    assert(math.abs(q(0.125) - -math.pow(2.0, 5.5)) < 1e-9)
+    // φ=0.5 → rank 4 = neg(3) + first zero obs: two-sided zero bucket
+    // linear: −zt + 2zt·(4−3)/2 = 0 exactly
+    assert(q(0.5) == 0.0)
+    // φ=0.75 → rank 6 = cum through pos idx 2 → its upper bound 4
+    assert(q(0.75) == 4.0)
+  }
+
   test("NHCB (custom buckets): classic linear interpolation, +Inf rank " +
       "returns the highest finite bound, mismatched ladders refuse to sum") {
     import graft.promql.NativeHist
