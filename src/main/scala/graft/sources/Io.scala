@@ -604,8 +604,19 @@ object Io {
     fsFor(spark, table).exists(new org.apache.hadoop.fs.Path(table,
       f"_commits/$version%08d.commit"))
 
+  // `dv` is the version's deletion-vector sidecar content (key column +
+  // dv/ dirs), written INSIDE the claimed-lock window below — after the
+  // version claim is won and re-verified, immediately before the commit
+  // rename — so two writers racing the same version can never pair the
+  // committed version with the losing writer's sidecar (round-11 ADVICE:
+  // the pre-claim overwrite-semantics write was only benign for
+  // identical append-vs-append content). `None` DELETES any stale
+  // orphan sidecar at this version (a crashed DV-delete attempt must
+  // not haunt a later plain commit of the same number with phantom
+  // deletes).
   private def writeCommit(spark: SparkSession, table: String,
-      version: Long, files: Seq[String]): Unit = {
+      version: Long, files: Seq[String],
+      dv: Option[(String, Seq[String])] = None): Unit = {
     val fs = fsFor(spark, table)
     val dir = new org.apache.hadoop.fs.Path(table, "_commits")
     fs.mkdirs(dir)
@@ -674,6 +685,16 @@ object Io {
           s"version $version claim lost at $table (reclaimed past TTL " +
             "or committed by a concurrent writer)")
       }
+      // DV sidecar lands only once the claim is verified ours: the
+      // claim loser threw above and never touches the sidecar. The
+      // residual TTL hazard (janitor reclaim in the sidecar→rename
+      // window) is the same one the rename itself already carries.
+      dv match {
+        case Some((k, dirs)) => writeDvFile(spark, table, version, k, dirs)
+        case None =>
+          try fs.delete(dvFin(table, version), false)
+          catch { case _: Throwable => () }
+      }
       if (!fs.rename(tmp, fin)) {
         // rename-onto-existing returns false: if fin appeared in the
         // verify→rename window that is the same lost race; anything
@@ -708,8 +729,8 @@ object Io {
       val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
       val fresh = landData(df, table, s"c$v-$writer")
       try {
-        carryDvSidecar(spark, table, v)
-        writeCommit(spark, table, v, prior ++ fresh)
+        writeCommit(spark, table, v, prior ++ fresh,
+          carriedDv(spark, table, v))
         return v
       } catch {
         case _: CommitConflictException if attempt < maxRetries =>
@@ -853,22 +874,23 @@ object Io {
     * reference + the new batch's files). Version 0 creates the table.
     */
   // deletion vectors (I25) carry forward by reference like the file
-  // list: EVERY append flavor must not resurrect rows deleted at v−1
-  // (racing writers both write identical carried content — the
-  // sidecar is overwrite-semantics, so the race is benign)
-  private def carryDvSidecar(spark: SparkSession, table: String,
-      v: Long): Unit =
-    if (v > 0) {
+  // list: EVERY append flavor must not resurrect rows deleted at v−1.
+  // This resolves the carried content; [[writeCommit]] lands the
+  // sidecar inside the version's claimed-lock window.
+  private def carriedDv(spark: SparkSession, table: String,
+      v: Long): Option[(String, Seq[String])] =
+    if (v <= 0) None
+    else {
       val (key, dvDirs) = readDvMeta(spark, table, v - 1)
-      key.foreach(k => writeDvFile(spark, table, v, k, dvDirs))
+      key.map(k => (k, dvDirs))
     }
 
   def tableAppend(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
     val v = tableVersion(spark, table) + 1
     val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
-    carryDvSidecar(spark, table, v)
-    writeCommit(spark, table, v, prior ++ landData(df, table, s"c$v"))
+    writeCommit(spark, table, v, prior ++ landData(df, table, s"c$v"),
+      carriedDv(spark, table, v))
     v
   }
 
@@ -892,9 +914,9 @@ object Io {
         s"batch $batchId delivered before batch ${batchId - 1} committed at $table")
       val prior = if (batchId == 0) Seq.empty
         else readCommit(spark, table, batchId - 1)
-      carryDvSidecar(spark, table, batchId)
       writeCommit(spark, table, batchId,
-        prior ++ landData(df, table, s"c$batchId"))
+        prior ++ landData(df, table, s"c$batchId"),
+        carriedDv(spark, table, batchId))
       true
     }
   }
@@ -926,13 +948,14 @@ object Io {
       .distinct().collect().map(_.getString(0)).toSet
     val nv = v + 1
     val touchedFull = files.filter(f => touched(trail(f)))
-    val rewritten =
-      if (touchedFull.isEmpty) Seq.empty
+    val rewritten0 =
+      if (touchedFull.isEmpty) Seq.empty[String]
       else landData(
         spark.read.parquet(touchedFull.map(resolve(table, _)): _*)
           .filter(!pred), table, s"c$nv")
-    writeCommit(spark, table, nv,
-      files.filterNot(f => touched(trail(f))) ++ rewritten)
+    val keptFiles = files.filterNot(f => touched(trail(f)))
+    val rewritten = carryStats(spark, table, v, nv, keptFiles, rewritten0)
+    writeCommit(spark, table, nv, keptFiles ++ rewritten)
     nv
   }
 
@@ -1396,7 +1419,25 @@ object Io {
       require(fs.exists(new org.apache.hadoop.fs.Path(resolve(table, f))),
         s"cannot restore to $toVersion: $f was vacuumed")
     }
-    writeCommit(spark, table, latest + 1, files)
+    // restored state ≡ the old version's CONTENT, which includes its
+    // deletion vectors: carry the target's DV sidecar (and verify its
+    // dv/ dirs survived vacuum, the per-file check's DV twin). A
+    // DV-free target restored over a DV-carrying HEAD writes no
+    // sidecar — writeCommit clears any stale one, so the restore also
+    // rolls back deletes, exactly the Delta RESTORE contract.
+    val (dvKey, dvDirs) = readDvMeta(spark, table, toVersion)
+    dvDirs.foreach { d =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(resolve(table, d))),
+        s"cannot restore to $toVersion: $d was vacuumed")
+    }
+    // file list identical to the target ⇒ its stats sidecar is too
+    if (fs.exists(statsFin(table, toVersion))) {
+      val ps = readStatsFile(spark, table, toVersion)
+      writeStatsFile(spark, table, latest + 1,
+        ps.toSeq.map { case ((f, c), (mn, mx)) => (f, c, mn, mx) })
+    }
+    writeCommit(spark, table, latest + 1, files,
+      dvKey.map(k => (k, dvDirs)))
     latest + 1
   }
 
@@ -1416,9 +1457,16 @@ object Io {
     require(v >= 0, s"no table at $table")
     val files = readCommit(spark, table, v)
     val nv = v + 1
-    val packed = landData(
-      spark.read.parquet(files.map(resolve(table, _)): _*)
+    // the rewrite input is the MOR view, not the raw files: OPTIMIZE
+    // on a DV-carrying table materializes the deletes into the packed
+    // files (≡ optimizeTableDv + bin-packing) and commits DV-free —
+    // a raw-file rewrite would permanently resurrect DV-deleted rows
+    // (round-11 ADVICE high).
+    val packed0 = landData(
+      dvFilter(spark, table, v,
+        spark.read.parquet(files.map(resolve(table, _)): _*))
         .coalesce(targetFiles), table, s"c$nv")
+    val packed = carryStats(spark, table, v, nv, Seq.empty, packed0)
     writeCommit(spark, table, nv, packed)
     nv
   }
@@ -1626,6 +1674,52 @@ object Io {
       s"stats rename failed at $table v$version")
   }
 
+  /** Per-file [min, max] of `cols` over a just-landed data dir — ONE
+    * distributed pass grouped by file; collect ∝ #files × #cols
+    * (metadata-scale). */
+  private def landedStats(spark: SparkSession, table: String, tag: String,
+      cols: Seq[String]): Map[(String, String), (Long, Long)] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    spark.read.parquet(s"$table/data/$tag")
+      .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
+        .as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().flatMap { r =>
+        cols.map(c => (r.getAs[String]("f"), c) ->
+          (r.getAs[Long](s"mn_$c"), r.getAs[Long](s"mx_$c")))
+      }.toMap
+  }
+
+  /** Carry the prior version's stats sidecar across a rewrite commit
+    * (round 12 — makes stats skipping compose with DV deletes and
+    * OPTIMIZE): carried files keep their entries (conservative under
+    * deletes — min/max may widen, pruning stays file-correct),
+    * rewritten files get a fresh [[landedStats]] pass. Returns
+    * `rewritten` minus any zero-row part (those carry no data and no
+    * stats row — the tableAppendStats exclusion); identity when the
+    * prior version had no sidecar. */
+  private def carryStats(spark: SparkSession, table: String, priorV: Long,
+      nv: Long, kept: Seq[String], rewritten: Seq[String]): Seq[String] = {
+    if (!fsFor(spark, table).exists(statsFin(table, priorV))) return rewritten
+    val ps = readStatsFile(spark, table, priorV)
+    val cols = ps.keys.map(_._2).toSeq.distinct.sorted
+    val fresh =
+      if (rewritten.isEmpty) Map.empty[(String, String), (Long, Long)]
+      else landedStats(spark, table, s"c$nv", cols)
+    val keptRewritten = rewritten.filter(f =>
+      fresh.contains((trail(f), cols.head)))
+    val entries =
+      kept.flatMap(f => cols.map { c =>
+        val (mn, mx) = ps((trail(f), c)); (f, c, mn, mx)
+      }) ++
+        keptRewritten.flatMap(f => cols.map { c =>
+          val (mn, mx) = fresh((trail(f), c)); (f, c, mn, mx)
+        })
+    writeStatsFile(spark, table, nv, entries)
+    keptRewritten
+  }
+
   /** (file trail, column) → [min, max]. */
   private[graft] def readStatsFile(spark: SparkSession, table: String,
       version: Long): Map[(String, String), (Long, Long)] = {
@@ -1665,16 +1759,7 @@ object Io {
         s"${statsCols.mkString(",")} — mixed stats/plain appends (or " +
         "changed stats columns) are not supported")
     val landed = landData(df, table, s"c$v")
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    val freshStats = spark.read.parquet(s"$table/data/c$v")
-      .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
-        .as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().flatMap { r =>
-        statsCols.map(c => (r.getAs[String]("f"), c) ->
-          (r.getAs[Long](s"mn_$c"), r.getAs[Long](s"mx_$c")))
-      }.toMap
+    val freshStats = landedStats(spark, table, s"c$v", statsCols)
     // A zero-row part file (possible under repartitionByRange skew)
     // produces no stats row — exclude it from the committed file list
     // (it carries no data) so every committed entry has a sidecar
@@ -1693,7 +1778,9 @@ object Io {
           val (mn, mx) = freshStats((trail(f), c)); (f, c, mn, mx)
         })
     writeStatsFile(spark, table, v, allStats)
-    writeCommit(spark, table, v, prior ++ fresh)
+    // same 'EVERY append flavor' DV invariant as tableAppend: a stats
+    // append onto a DV-carrying table must not resurrect v−1's deletes
+    writeCommit(spark, table, v, prior ++ fresh, carriedDv(spark, table, v))
     v
   }
 
@@ -1719,9 +1806,10 @@ object Io {
     new org.apache.hadoop.fs.Path(table, f"_commits/$version%08d.dv")
 
   /** Write the version's DV sidecar: the key column name + the dv/
-    * dirs applying to this version. Same discipline as stats: written
-    * BEFORE the commit, overwrite-semantics (an orphan from a crash
-    * never wedges the version). */
+    * dirs applying to this version. Called ONLY from [[writeCommit]]'s
+    * claimed-lock window (round 12) — the claim winner alone writes
+    * it, immediately before the commit rename. Overwrite semantics so
+    * an orphan from a crash never wedges the version. */
   private def writeDvFile(spark: SparkSession, table: String,
       version: Long, key: String, dvDirs: Seq[String]): Unit = {
     val fs = fsFor(spark, table)
@@ -1750,6 +1838,15 @@ object Io {
     val key = lines.headOption.filter(_.startsWith("key "))
       .map(_.stripPrefix("key "))
     (key, lines.drop(1))
+  }
+
+  /** A version's DV meta with the dv/ dirs resolved to readable paths —
+    * the DSv2 connector's planning handle (round 12: MOR reads through
+    * `format("graft")`). */
+  private[graft] def dvMetaResolved(spark: SparkSession, table: String,
+      version: Long): (Option[String], Seq[String]) = {
+    val (k, dirs) = readDvMeta(spark, table, version)
+    (k, dirs.map(resolve(table, _)))
   }
 
   /** Merge-on-read version read — since round 11 this IS
@@ -1797,8 +1894,8 @@ object Io {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val nv = v + 1
     if (perFile.isEmpty) { // no-op delete still commits a version
-      writeDvFile(spark, table, nv, keyCol, priorDv)
-      writeCommit(spark, table, nv, files)
+      carryStats(spark, table, v, nv, files, Seq.empty)
+      writeCommit(spark, table, nv, files, Some((keyCol, priorDv)))
       return nv
     }
     val cowSet = perFile.filter { case (_, rows, nm) =>
@@ -1820,14 +1917,15 @@ object Io {
     // materialize away — their keys no longer exist, the carried
     // entries are inert)
     val cowFull = files.filter(f => cowSet(trail(f)))
-    val rewritten =
+    val rewritten0 =
       if (cowFull.isEmpty) Seq.empty[String]
       else landData(
         live.filter(col("__f").isInCollection(cowSet) && !pred)
           .drop("__f"), table, s"c$nv")
-    writeDvFile(spark, table, nv, keyCol, priorDv ++ newDv)
-    writeCommit(spark, table, nv,
-      files.filterNot(f => cowSet(trail(f))) ++ rewritten)
+    val keptFiles = files.filterNot(f => cowSet(trail(f)))
+    val rewritten = carryStats(spark, table, v, nv, keptFiles, rewritten0)
+    writeCommit(spark, table, nv, keptFiles ++ rewritten,
+      Some((keyCol, priorDv ++ newDv)))
     nv
   }
 
@@ -1846,15 +1944,16 @@ object Io {
       .collect().map(_.getString(0)).toSet
     val touchedFull = files.filter(f => touched(trail(f)))
     val nv = v + 1
-    val rewritten =
+    val rewritten0 =
       if (touchedFull.isEmpty) Seq.empty[String]
       else landData(
         spark.read.parquet(touchedFull.map(resolve(table, _)): _*)
           .join(broadcast(dv.select(col("k").as(key.get)).distinct()),
             Seq(key.get), "left_anti"), table, s"c$nv")
+    val keptFiles = files.filterNot(f => touched(trail(f)))
+    val rewritten = carryStats(spark, table, v, nv, keptFiles, rewritten0)
     // no .dv sidecar at nv: absence = no deletion vectors
-    writeCommit(spark, table, nv,
-      files.filterNot(f => touched(trail(f))) ++ rewritten)
+    writeCommit(spark, table, nv, keptFiles ++ rewritten)
     nv
   }
 

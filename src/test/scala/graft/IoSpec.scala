@@ -792,4 +792,86 @@ class IoSpec extends AnyFunSuite {
       Io.readTableVersionSkipping(spark, t, 0L, "nope", 0L, 1L).count()
     }
   }
+
+  test("round-12 DV hardening: OPTIMIZE materializes deletes instead of " +
+      "resurrecting them; RESTORE carries the target's DV sidecar both " +
+      "ways; appends keep carrying") {
+    import spark.implicits._
+    val t = s"$tmp/dvharden"
+    Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
+    Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") // v1: DV-only
+    // (1) generic OPTIMIZE on the DV-carrying HEAD: the packed content
+    // is the MOR view (19 rows, no k=3) and the commit is DV-free —
+    // the raw-file rewrite would have resurrected k=3 permanently
+    assert(Io.tableOptimize(spark, t, 1) == 2L)
+    assert(!new java.io.File(s"$t/_commits/00000002.dv").exists(),
+      "optimize must commit DV-free")
+    assert(Io.readTableVersion(spark, t, 2L).count() == 19)
+    assert(Io.readTableVersion(spark, t, 2L)
+      .filter(col("k") === 3).count() == 0)
+    // (2) RESTORE back to the DV-carrying v1: the restored commit must
+    // carry v1's sidecar — content ≡ v1 (19 rows), not its raw files (20)
+    assert(Io.tableRestore(spark, t, 1L) == 3L)
+    assert(new java.io.File(s"$t/_commits/00000003.dv").exists(),
+      "restore must reproduce the target version's DV sidecar")
+    assert(Io.readTableVersion(spark, t, 3L).count() == 19)
+    assert(Io.readTableVersion(spark, t, 3L)
+      .filter(col("k") === 3).count() == 0)
+    // (3) and RESTORE to the DV-FREE v0 from the DV-carrying HEAD must
+    // clear the sidecar — deletes roll back with the content
+    assert(Io.tableRestore(spark, t, 0L) == 4L)
+    assert(!new java.io.File(s"$t/_commits/00000004.dv").exists(),
+      "restore to a DV-free version must not inherit HEAD's sidecar")
+    assert(Io.readTableVersion(spark, t, 4L).count() == 20)
+  }
+
+  test("round-12 stats × DV composition: DV deletes, OPTIMIZE and " +
+      "RESTORE carry the stats sidecar; skipping reads stay DV-correct") {
+    import spark.implicits._
+    val t = s"$tmp/dvstats"
+    // 2 range files (k 1..10, 11..20) with commit stats on k
+    Io.tableAppendStats(
+      (1L to 20L).toDF("k").repartitionByRange(2, col("k")), t, "k")
+    // DV-path delete (1 of 10 rows in file 1): stats must carry so the
+    // skipping read still plans — and must NOT serve the deleted row
+    Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") // v1
+    assert(new java.io.File(s"$t/_commits/00000001.stats").exists(),
+      "DV delete must carry the stats sidecar")
+    val skip1 = Io.readTableVersionSkipping(spark, t, 1L, "k", 1L, 11L)
+    assert(skip1.count() == 9 && skip1.filter(col("k") === 3).count() == 0)
+    // the frame is now a DV anti-join (two parquet sources), so count
+    // the DATA files the plan reads instead of input_file_name()
+    def scanned(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.toSeq
+      }.flatten.count(_.contains("/data/"))
+    assert(scanned(skip1) == 1, "stats pruning must still skip file 2")
+    // COW-fallback delete (6 of 9 live rows in file 1): the rewritten
+    // file gets FRESH stats, the carried file keeps its entry
+    Io.tableDeleteWhereDv(spark, t, col("k") <= 7, "k") // v2
+    val st2 = Io.readStatsFile(spark, t, 2L)
+    assert(st2.size == 2, s"2 files × 1 col expected, got ${st2.size}")
+    assert(st2.values.exists(_._1 == 8L),
+      "rewritten file's fresh stats must start at the surviving min k=8")
+    val skip2 = Io.readTableVersionSkipping(spark, t, 2L, "k", 1L, 11L)
+    assert(skip2.count() == 3) // 8, 9, 10
+    // stats appends onto the DV-carrying table keep both sidecars
+    Io.tableAppendStats(Seq(100L).toDF("k"), t, "k") // v3
+    assert(new java.io.File(s"$t/_commits/00000003.dv").exists(),
+      "stats append must carry the DV sidecar (round-11 ADVICE)")
+    assert(Io.readTableVersionMor(spark, t, 3L).count() == 14)
+    val skip3 = Io.readTableVersionSkipping(spark, t, 3L, "k", 90L, 200L)
+    assert(skip3.count() == 1 && scanned(skip3) == 1)
+    // OPTIMIZE rebuilds stats for the packed file, commits DV-free
+    assert(Io.tableOptimize(spark, t, 1) == 4L)
+    val st4 = Io.readStatsFile(spark, t, 4L)
+    assert(st4.size == 1 && st4.values.head == (8L, 100L))
+    // RESTORE to v2 reproduces both sidecars
+    assert(Io.tableRestore(spark, t, 2L) == 5L)
+    assert(Io.readStatsFile(spark, t, 5L) == st2)
+    assert(Io.readTableVersionMor(spark, t, 5L).count() == 13)
+  }
 }
