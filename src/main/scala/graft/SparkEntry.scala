@@ -200,6 +200,8 @@ object SparkEntry {
     "io_timetravel_dsv2" -> (sources.Io.dsv2TimetravelRead _),
     "io_skipping_dsv2" -> (sources.Io.dsv2SkippingRead _),
     "io_dv" -> (sources.Io.dvRead _),
+    "io_dv_dsv2" -> (sources.Io.dvDsv2Read _),
+    "io_write_dsv2" -> (sources.Io.dsv2WriteRead _),
     "io_dv_cdf" -> (sources.Io.dvCdfRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
     "io_history" -> (sources.Io.historyRead _),
@@ -2314,6 +2316,44 @@ object SparkEntry {
         |  GROUP BY 2)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1
         |UNION ALL SELECT * FROM v2""".stripMargin,
+    // I26 (round 12): the SAME three DV cuts served through the DSv2
+    // connector's merge-on-read scan (DvScanBuilder key-set filter) --
+    // identical oracle as io_dv proves connector == API == source
+    "io_dv_dsv2" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src WHERE NOT (typ = 'error' AND event_id % 7 = 0)
+        |  GROUP BY 2),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src WHERE NOT (typ = 'error' AND event_id % 7 = 0)
+        |    AND typ <> 'purchase'
+        |  GROUP BY 2)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1
+        |UNION ALL SELECT * FROM v2""".stripMargin,
+    // I26 write path (round 12): two connector appends (V1Write ->
+    // tableAppendOcc) onto an API-created v0 must reproduce the full
+    // events aggregation -- write->commit->read is what's gated
+    "io_write_dsv2" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |GROUP BY 1""".stripMargin,
     // I25+I15: the DV change feed — v0→v1 deletes are the DV'd point
     // rows (no file changed), v1→v2 deletes are the purchases (COW +
     // DV mix); no inserts in either transition

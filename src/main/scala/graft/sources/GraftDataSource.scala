@@ -1,15 +1,19 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** I26 (round 11): a DataSourceV2 `TableProvider` that makes the
@@ -36,9 +40,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (µs/long band over a stats-carrying table — requires the version to
   * have been written via `tableAppendStats`).
   *
-  * A version carrying DELETION VECTORS (I25) is refused loudly: a raw
-  * file scan would resurrect DV-deleted rows — read those through
-  * [[Io.readTableVersionMor]] (or OPTIMIZE first).
+  * A version carrying DELETION VECTORS (I25) is served MERGE-ON-READ
+  * (round 12): the connector collects the version's deleted-key set at
+  * planning time (broadcast-sized by the COW-fallback design — files
+  * with >cowFraction deleted rows were rewritten, so the surviving DV
+  * entries are bounded) and wraps Spark's parquet readers with a
+  * key-set row filter. Column pruning and predicate pushdown still
+  * forward to the parquet scan; the key column is read-augmented when
+  * the query didn't select it and projected back out. Aggregate/limit
+  * pushdown is deliberately NOT forwarded on DV versions (it would
+  * bypass the row filter). DV-free versions take the raw
+  * [[ParquetTable]] path unchanged — zero overhead.
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister {
 
@@ -70,16 +82,18 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       .getOrElse(head)
     require(version >= 0 && version <= head,
       s"version $version out of range [0, $head] at $path")
-    require(Io.readDvMeta(spark, path, version)._2.isEmpty,
-      s"version $version at $path carries deletion vectors — a raw " +
-        "file scan would resurrect deleted rows; read it via " +
-        "Io.readTableVersionMor or optimizeTableDv first")
+    val (dvKey, dvDirs) = Io.dvMetaResolved(spark, path, version)
     val files = Io.versionFiles(spark, path, version)
     require(files.nonEmpty, s"version $version at $path is empty")
     val pruned = Option(options.get("skipCol")) match {
       case None => files
       case Some(skipCol) =>
         val stats = Io.readStatsFile(spark, path, version)
+        require(files.isEmpty ||
+            stats.contains((Io.trailOf(files.head), skipCol)),
+          s"no commit stats for column $skipCol at $path v$version — " +
+            "skipCol needs a version written via tableAppendStats " +
+            "covering that column")
         val lo = Option(options.get("skipLo")).map(_.toLong)
           .getOrElse(Long.MinValue)
         val hi = Option(options.get("skipHi")).map(_.toLong)
@@ -97,7 +111,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       ParquetTable(s"graft:$path@$version", spark, options,
         pruned.toIndexedSeq, None, classOf[ParquetFileFormat]),
       spark, path, version, head,
-      Option(options.get("deleteKey")))
+      Option(options.get("deleteKey")),
+      dvKey.filter(_ => dvDirs.nonEmpty), dvDirs)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -116,17 +131,66 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   * otherwise. Deletes apply to HEAD only (a pinned
   * versionAsOf/timestampAsOf view refuses). */
 private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
-    path: String, version: Long, head: Long, deleteKey: Option[String])
-  extends Table with SupportsRead with SupportsDelete {
+    path: String, version: Long, head: Long, deleteKey: Option[String],
+    dvKeyCol: Option[String], dvDirs: Seq[String])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = pt.name
   override def schema(): StructType = pt.schema
-  // read-only + SQL DELETE: BATCH_WRITE is deliberately NOT advertised
-  // (appends go through the OCC commit protocol, not a file sink)
+  // Writes (round 12) stage through the OCC commit protocol
+  // (tableAppendOcc — writer-unique data dir, version claim at commit,
+  // conflict retry), not a raw file sink: the WriteBuilder produces a
+  // V1Write so the append is handed over as a whole DataFrame (the
+  // JDBC connector's shape — DataSourceV2Strategy plans it as
+  // AppendDataExecV1) instead of per-task commits that could never be
+  // made atomic against the version log. BATCH_WRITE is advertised so
+  // DataFrameWriter takes the DSv2 path at all; V1_BATCH_WRITE is what
+  // the capability check actually consumes for a V1Write. TRUNCATE is
+  // deliberately absent — mode("overwrite") must refuse, the log is
+  // append-only.
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.singleton(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  /** Exactly-once `df.write.format("graft").mode("append")`: one OCC
+    * commit per save — concurrent writers serialize through version
+    * claims and the loser re-lands (the I23 discipline). Appends apply
+    * to HEAD only; `mode("overwrite")` is refused (the log is
+    * append-only — DELETE/RESTORE are commits, not truncations), and
+    * the table must already exist (create v0 via Io.tableAppend: the
+    * connector cannot infer a schema from an empty log). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          new sources.InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                s"graft table $path is append-only through the " +
+                  "connector (the commit log keeps history); use " +
+                  "DELETE FROM / Io.tableRestore for removals")
+              require(version == head,
+                s"append applies to HEAD (v$head) — this view is " +
+                  s"pinned to v$version via versionAsOf/timestampAsOf")
+              Io.tableAppendOcc(data, path,
+                writer = java.util.UUID.randomUUID().toString)
+              ()
+            }
+          }
+      }
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    pt.newScanBuilder(options)
+    dvKeyCol match {
+      case Some(k) =>
+        // one metadata-scale collect per planned scan: the version's
+        // distinct deleted keys (external values — converted to
+        // Catalyst form executor-side)
+        val keys = spark.read.parquet(dvDirs: _*)
+          .select(col("k")).distinct().collect().map(_.get(0))
+        new DvScanBuilder(pt.newScanBuilder(options), k,
+          pt.schema.apply(k).dataType, keys)
+      case None => pt.newScanBuilder(options)
+    }
 
   private def toColumn(f: sources.Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
@@ -148,8 +212,23 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     case _ => None
   }
 
-  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    filters.forall(toColumn(_).isDefined)
+  // Untranslatable predicates fail LOUDLY with the remedy instead of
+  // returning false (which Spark would surface as an opaque
+  // cannot-delete planning error): name the filter that refused, the
+  // `deleteKey` option that turns SQL DELETE into a merge-on-read DV
+  // delete, and the API escape hatch for arbitrary predicates.
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean = {
+    val bad = filters.filter(toColumn(_).isEmpty)
+    if (bad.nonEmpty) sys.error(
+      s"DELETE predicate not translatable to a graft delete: " +
+        s"${bad.mkString(", ")}. SQL DELETE supports " +
+        "=/</<=/>/>=/IN/IS NULL/LIKE-prefix combinations; for " +
+        "arbitrary predicates use Io.tableDeleteWhere(Dv) directly. " +
+        "(Views created with OPTIONS (deleteKey '<row-unique col>') " +
+        "delete merge-on-read via deletion vectors; without it, " +
+        "DELETE is copy-on-write.)")
+    true
+  }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(version == head,
@@ -162,5 +241,131 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
       case None => Io.tableDeleteWhere(spark, path, pred)
     }
     ()
+  }
+}
+
+/** Round 12: the merge-on-read planning wrapper for DV-carrying
+  * versions. Delegates column pruning and (Catalyst) filter pushdown
+  * to Spark's own [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]]
+  * — so the parquet scan still prunes columns, pushes predicates and
+  * row-group-skips — and wraps the produced readers with an exact
+  * deleted-key row filter (the executor-side form of
+  * `Io.readTableVersion`'s broadcast anti-join). Aggregate, limit and
+  * runtime-filter pushdown are NOT forwarded: each would let results
+  * bypass the row filter (aggregates/limits) or is a pure perf hint
+  * the transitional DV state can live without (DPP).
+  *
+  * If the query didn't select the DV key column it is READ anyway
+  * (appended to the pruned schema) so the filter can key on it, then
+  * projected back out before rows leave the reader — readSchema()
+  * reports exactly what the query asked for.
+  */
+private[graft] class DvScanBuilder(delegate: ScanBuilder, keyCol: String,
+    keyDt: DataType, deletedKeys: Array[Any])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val augmented =
+      if (requiredSchema.fieldNames.contains(keyCol)) requiredSchema
+      else StructType(requiredSchema.fields :+
+        StructType(Seq.empty).add(keyCol, keyDt).fields.head)
+    delegate match {
+      case d: SupportsPushDownRequiredColumns => d.pruneColumns(augmented)
+      case _ => ()
+    }
+    userSchema = Some(requiredSchema)
+  }
+  private var userSchema: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate match {
+      case d: SupportsPushDownCatalystFilters => d.pushFilters(filters)
+      case _ => filters
+    }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate match {
+      case d: SupportsPushDownCatalystFilters => d.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def build(): Scan = {
+    val dScan = delegate.build()
+    val dSchema = dScan.readSchema()
+    val keyIdx = dSchema.fieldIndex(keyCol)
+    // the key col is dropped from the reported schema ONLY when the
+    // query didn't ask for it (read-augmented by pruneColumns above)
+    val dropKey = userSchema.exists(!_.fieldNames.contains(keyCol))
+    val outSchema =
+      if (dropKey)
+        StructType(dSchema.fields.zipWithIndex
+          .filter(_._2 != keyIdx).map(_._1))
+      else dSchema
+    new DvScan(dScan, outSchema, keyIdx, keyDt, deletedKeys, dropKey)
+  }
+}
+
+private[graft] class DvScan(delegate: Scan, outSchema: StructType,
+    keyIdx: Int, keyDt: DataType, deletedKeys: Array[Any], dropKey: Boolean)
+  extends Scan with Batch {
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    s"${delegate.description()} (graft DV filter: ${deletedKeys.length} keys)"
+  override def toBatch: Batch = this
+  private lazy val dBatch = delegate.toBatch
+  override def planInputPartitions(): Array[InputPartition] =
+    dBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DvReaderFactory(dBatch.createReaderFactory(), keyIdx, keyDt,
+      deletedKeys,
+      if (dropKey)
+        delegate.readSchema().fields.zipWithIndex
+          .filter(_._2 != keyIdx)
+          .map { case (f, i) => (i, f.dataType, f.nullable) }
+      else Array.empty)
+}
+
+/** Row-filtering wrapper: drops rows whose key is in the version's
+  * deleted-key set, projecting out a read-augmented key column. Rows
+  * only — columnar reads are declined so the delegate hands us
+  * row-based parquet readers (the transitional DV cost OPTIMIZE
+  * erases). */
+private[graft] class DvReaderFactory(delegate: PartitionReaderFactory,
+    keyIdx: Int, keyDt: DataType, deletedKeys: Array[Any],
+    project: Array[(Int, DataType, Boolean)])
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(partition)
+    // Catalyst-form key set, built once per task from the shipped
+    // external values (bounded by the COW-fallback design)
+    val conv = CatalystTypeConverters.createToCatalystConverter(keyDt)
+    val keySet = new java.util.HashSet[Any](deletedKeys.length * 2)
+    deletedKeys.foreach(k => keySet.add(conv(k)))
+    val proj =
+      if (project.isEmpty) null
+      else UnsafeProjection.create(project.map { case (i, dt, n) =>
+        BoundReference(i, dt, n): Expression
+      }.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          val k = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyDt)
+          if (k == null || !keySet.contains(k)) { cur = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow =
+        if (proj == null) cur else proj(cur)
+      override def close(): Unit = inner.close()
+    }
   }
 }

@@ -2069,6 +2069,61 @@ object Io {
     agg(0L).unionByName(agg(1L)).unionByName(agg(2L))
   }
 
+  /** I25+I26 (round 12), oracle-gated: the SAME three DV-table cuts as
+    * [[dvRead]] served THROUGH the DSv2 connector — `format("graft")`
+    * plans the merge-on-read key-set filter itself (DvScanBuilder)
+    * instead of refusing DV versions; identical oracle as `io_dv`
+    * proves connector ≡ API ≡ source cut on every transition (DV-only
+    * delete at v1, COW-fallback mix at v2, version isolation). */
+  def dvDsv2Read(spark: SparkSession, dir: String): DataFrame = {
+    val t = dvTable(spark, dir)
+    def agg(v: Long): DataFrame =
+      spark.read.format("graft").option("versionAsOf", v).load(t)
+        .groupBy(lit(v).as("version"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg(0L).unionByName(agg(1L)).unionByName(agg(2L))
+  }
+
+  private val dsv2wRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I26 write path (round 12), oracle-gated: two thirds of the events
+    * table are appended THROUGH the connector
+    * (`df.write.format("graft").mode("append")` → V1Write →
+    * tableAppendOcc) onto an API-created v0, then the final version is
+    * read back and aggregated — write→commit-log→read must reproduce
+    * the batch aggregation DuckDB computes from the source. The write
+    * is the thing gated: a dropped/duplicated/mis-committed append
+    * shifts n and sum_cents. */
+  def dsv2WriteRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = dsv2wRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_dsv2w_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      // v0 creates the table via the API (the connector needs an
+      // existing log to infer schema from); v1 and v2 land through
+      // the DSv2 write path
+      tableAppend(flat.filter(col("typ") === "view"), tt)
+      flat.filter(col("typ") === "purchase")
+        .write.format("graft").mode("append").save(tt)
+      flat.filter(!col("typ").isInCollection(Seq("view", "purchase")))
+        .write.format("graft").mode("append").save(tt)
+      require(tableVersion(spark, tt) == 2L,
+        s"expected 3 commits at $tt, head is ${tableVersion(spark, tt)}")
+      tt
+    })
+    spark.read.format("graft").load(t)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
   private val skipRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

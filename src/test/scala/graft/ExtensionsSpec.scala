@@ -231,7 +231,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("I26 DSv2 connector: SQL (CREATE TEMP VIEW USING graft) ≡ API; " +
       "versionAsOf resolves through the commit list; stats options " +
-      "prune the scan; DV versions refused") {
+      "prune the scan; DV versions served merge-on-read") {
     val s = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -267,25 +267,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(scannedFiles(skip) < scannedFiles(full),
       s"skip read ${scannedFiles(skip)} of ${scannedFiles(full)}")
     assert(skip.filter(col("k") >= 1 && col("k") < 6).count() == 5)
-    // a DV-carrying version is refused loudly (raw scan would
-    // resurrect deleted rows)
+    // round 12: a DV-carrying version is served MERGE-ON-READ by the
+    // connector itself — the key-set row filter wraps the parquet
+    // readers, so `format("graft")` ≡ the API read ≡ the TVF
     sources.Io.tableDeleteWhereDv(s, t, col("k") === 4, "k") // v2
-    val err = intercept[IllegalArgumentException] {
-      s.read.format("graft").load(t).count()
-    }
-    assert(err.getMessage.contains("deletion vectors"))
-    // but the pre-DV versions still read through the connector
-    assert(s.read.format("graft").option("versionAsOf", 1).load(t)
-      .count() == 20)
-    // …and the graft_table TVF serves the DV version from pure SQL
-    // (the anti-join rides inside the TVF's plan)
+    val dvHead = s.read.format("graft").load(t)
+    assert(dvHead.count() == 19)
+    assert(dvHead.filter(col("k") === 4).count() == 0)
+    // count(*) (empty required schema: the key col is read-augmented
+    // and projected out) and a key-free projection both stay DV-exact
+    assert(dvHead.selectExpr("k * 2 AS kk").agg(sum(col("kk"))).head()
+      .getLong(0) == ((1L to 20L).sum - 4L) * 2)
+    // connector ≡ API ≡ TVF on the DV version
     index.IndexSql.register(s)
+    assert(dvHead.agg(sum(col("k"))).head().getLong(0) ==
+      sources.Io.readTableVersionMor(s, t, 2L)
+        .agg(sum(col("k"))).head().getLong(0))
     assert(s.sql(s"SELECT count(*) FROM graft_table('$t', '-1')")
       .head().getLong(0) == 19)
     assert(s.sql(s"SELECT count(*) FROM graft_table('$t', '2')")
       .filter(lit(true)).head().getLong(0) == 19)
     assert(s.sql(s"SELECT sum(k) FROM graft_table('$t', '1')")
       .head().getLong(0) == (1L to 20L).sum)
+    // version isolation through the connector: the pre-delete version
+    // still serves k=4
+    assert(s.read.format("graft").option("versionAsOf", 1).load(t)
+      .count() == 20)
+    assert(s.read.format("graft").option("versionAsOf", 1).load(t)
+      .filter(col("k") === 4).count() == 1)
+    // skipCol composes with the DV filter (stats carried across the
+    // DV delete): the k<6 band prunes files AND drops the deleted row
+    val dvSkip = s.read.format("graft")
+      .option("skipCol", "k").option("skipLo", 1).option("skipHi", 6)
+      .load(t).filter(col("k") >= 1 && col("k") < 6)
+    assert(dvSkip.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L))
+    // predicate pushdown still reaches the parquet scan under the DV
+    // wrapper (PushedFilters in the formatted plan)
+    val pushed = dvHead.filter(col("k") >= 10)
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,10)]") ||
+      pushed.queryExecution.toString
+        .contains("GreaterThanOrEqual(k,10)"),
+      "filter must still push down on DV versions")
+    assert(pushed.count() == 11) // k ∈ 10..20 — the deleted k=4 is below
   }
 
   test("SQL DELETE FROM through the connector: DV path with deleteKey, " +
@@ -328,5 +353,89 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0) == 6L)
     assert(s.sql(s"SELECT count(*) FROM graft_table('$t', '-1')")
       .head().getLong(0) == 14L)
+    // round 12: a source filter we can't translate (<=> reaches the
+    // connector as EqualNullSafe) names the remedy — the deleteKey
+    // option + the API escape hatch — not an opaque refusal.
+    // (Expressions Spark itself can't turn into source filters, like
+    // k % 2 = 0, fail upstream with Spark's own message.)
+    val bad = intercept[Exception] {
+      s.sql("DELETE FROM gdel3 WHERE k <=> 8")
+    }
+    assert(bad.getMessage.contains("deleteKey") &&
+      bad.getMessage.contains("tableDeleteWhere"),
+      s"unhelpful message: ${bad.getMessage}")
+    // round 12: skipCol over a stats-less table refuses with the
+    // actionable message, not a bare NoSuchElementException
+    val noStats = intercept[Exception] {
+      s.read.format("graft").option("skipCol", "k")
+        .option("skipLo", 1).option("skipHi", 5).load(t).count()
+    }
+    assert(noStats.getMessage.contains("no commit stats"),
+      s"unhelpful message: ${noStats.getMessage}")
+    // …and a stats-carrying table pointed at a MISSING column gets the
+    // per-column message (the round-11 ADVICE bare-lookup fix)
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_del2").toString + "/table"
+    sources.Io.tableAppendStats(Seq(1L).toDF("k"), t2, "k")
+    val noCol = intercept[Exception] {
+      s.read.format("graft").option("skipCol", "nope")
+        .option("skipLo", 1).option("skipHi", 5).load(t2).count()
+    }
+    assert(noCol.getMessage.contains("no commit stats for column nope"),
+      s"unhelpful message: ${noCol.getMessage}")
+  }
+
+  test("DSv2 write path (round 12): mode(append) commits through OCC " +
+      "exactly once, racing writers serialize, overwrite and pinned " +
+      "views refuse") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_write").toString + "/table"
+    sources.Io.tableAppend(Seq(0L).toDF("k"), t) // v0 (creation is API)
+    // a connector append is ONE commit with exactly the written rows
+    (1L to 10L).toDF("k").write.format("graft").mode("append").save(t)
+    assert(sources.Io.tableVersion(s, t) == 1L)
+    assert(s.read.format("graft").load(t).count() == 11)
+    // racing writers: 8 concurrent appends all land, versions 2..9,
+    // no lost updates (the I23 discipline through the V1Write path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val futs = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit =
+          Seq(100L + i).toDF("k").write.format("graft")
+            .mode("append").save(t)
+      })
+    }
+    futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(sources.Io.tableVersion(s, t) == 9L)
+    val all = s.read.format("graft").load(t)
+    assert(all.count() == 19)
+    assert(all.filter(col("k") > 100).count() == 8)
+    // overwrite refuses — TRUNCATE capability deliberately absent, so
+    // Spark's own capability check raises before any data moves
+    val ow = intercept[Exception] {
+      Seq(1L).toDF("k").write.format("graft").mode("overwrite").save(t)
+    }
+    assert(ow.getMessage.contains("does not support truncate"),
+      s"unexpected: ${ow.getMessage}")
+    // a pinned view refuses appends (HEAD-only, like DELETE)
+    val pin = intercept[Exception] {
+      Seq(1L).toDF("k").write.format("graft")
+        .option("versionAsOf", "1").mode("append").save(t)
+    }
+    assert(pin.getMessage.contains("HEAD"), s"unexpected: ${pin.getMessage}")
+    // appends through the connector carry DV sidecars like any flavor
+    sources.Io.tableDeleteWhereDv(s, t, col("k") === 5, "k") // v10
+    Seq(200L).toDF("k").write.format("graft").mode("append").save(t) // v11
+    val afterDv = s.read.format("graft").load(t)
+    assert(afterDv.count() == 19 && afterDv.filter(col("k") === 5).count() == 0,
+      "connector append must not resurrect DV-deleted rows")
   }
 }
