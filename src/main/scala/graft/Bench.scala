@@ -125,6 +125,47 @@ object Bench {
       }
     }
     val failed = results.collect { case (k, (v, _, _)) if v < 0 => k }.toSeq
+    // PER-QUERY REGRESSION SCREEN (round 12, VERDICT #8): compare this
+    // run's mins against the PREVIOUS round's bench artifact so the
+    // output is adjudication-ready — a judge reads candidate
+    // regressions (>2x AND >0.5 s absolute on the shared sample)
+    // directly from the artifact instead of reconstructing them. The
+    // prior artifact is the newest BENCH_r*.json in the repo root
+    // (override: SPARK_GRAFT_PREV_BENCH); min-vs-min is the right
+    // comparison (medians carry this container's ±3x noise).
+    val prevBench: Map[String, Double] = {
+      val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH")
+      val candidate = explicit.orElse {
+        val root = new java.io.File("/root/repo")
+        Option(root.listFiles()).toSeq.flatten
+          .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption.map(_.getPath)
+      }
+      candidate.flatMap { path =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          // the driver's artifact may carry only a CLIPPED tail of the
+          // bench stdout, so don't assume a parsable object: harvest
+          // every "name":num pair, keep names that are real query
+          // keys, LAST occurrence wins (the clip-proof line order
+          // prints the min map last)
+          val known = SparkEntry.queries.keySet
+          val pairs = "\"([A-Za-z0-9_]+)\\\\?\":(-?[0-9.]+)".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter { case (k, _) => known(k) }
+            .toSeq
+          if (pairs.isEmpty) None else Some(pairs.toMap)
+        } catch { case _: Throwable => None }
+      }.getOrElse(Map.empty)
+    }
+    val regressions = results.collect {
+      case (k, (mn, _, _))
+        if mn >= 0 && prevBench.get(k).exists(p =>
+          p >= 0 && mn > 2 * p && mn - p > 0.5) =>
+        k -> ((prevBench(k), mn))
+    }.toSeq.sortBy(-_._2._2)
     // Locale.ROOT: a default locale with comma decimal separators would
     // render invalid JSON
     def fmt(v: Double): String =
@@ -139,8 +180,11 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.collect { case (v, _, _) if v >= 0 => v }.sum
     val totalMed = results.values.collect { case (_, m, _) if m >= 0 => m }.sum
+    val regJson = regressions.map { case (k, (p, n)) =>
+      "\"" + k + "\":[" + fmt(p) + "," + fmt(n) + "]"
+    }.mkString("{", ",", "}")
     val env =
-      s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"contended":$contended,"load_wait_sec":${fmt(waitedSec)},"attempts":$attempts"""
+      s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"contended":$contended,"load_wait_sec":${fmt(waitedSec)},"attempts":$attempts,"regressions_vs_prev":$regJson"""
     // CLIP-PROOFING (round 9): the driver captures only a TAIL of
     // stdout, and in round 8 the clip cut the big line such that only
     // the queries_max map survived — misreporting the round's perf by

@@ -108,6 +108,7 @@ object SparkEntry {
     "gapfill" -> (tsdb.Tsdb.gapfill _),
     "rollup_serve" -> (tsdb.Rollup.rollupServe _),
     "rollup_weekly" -> (tsdb.Rollup.rollupServeWeekly _),
+    "rollup_pruned" -> (tsdb.Rollup.rollupServePruned _),
     "ingest_batch" -> (tsdb.Tsdb.ingestBatch _),
     "asof_join" -> (tsdb.Tsdb.asofCheckpoints _),
     "delta" -> (tsdb.Tsdb.delta _),
@@ -403,6 +404,21 @@ object SparkEntry {
     // usr is rewritten to its last digit (label_replace), so the
     // recorded share series is ≤10 per step at any SF and the limit
     // does real work at both gated scale factors.
+    // round 12: rule-group `query_offset:` — the whole group evaluates
+    // (and stamps) 12h into the past, the remote-write-lag guard from
+    // rules/group.go; the oracle replays the SHIFTED grid from raw
+    // events, so both the windows and the emitted timestamps prove
+    // the shift
+    "promql_rule_offset" -> ((s: SparkSession, dir: String) => {
+      promql.Rules.evalGroupDef(s, dir,
+        promql.Rules.Group("purchase_health_offset", 86400L, Seq(
+          promql.Rules.Record("usr_purchase_1d_off",
+            """sum by (usr) (count_over_time({typ="purchase"}[1d]))"""),
+          promql.Rules.Alert("SustainedPurchasesOff",
+            """{typ="usr_purchase_1d_off"} > 2""", 172800L)),
+          queryOffsetSec = 43200L),
+        "2024-01-04 00:00:00", "2024-01-30 00:00:00")
+    }),
     "promql_rule_limit" -> ((s: SparkSession, dir: String) => {
       promql.Rules.evalGroupDef(s, dir,
         promql.Rules.Group("digit_share", 86400L, Seq(
@@ -767,6 +783,38 @@ object SparkEntry {
       // ladders raise — spec-pinned)
       promql.NativeHist.nhcbSumQuantile(s, dir, 0.9, "2024-01-08 00:00:00")
         .select((floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90_all"))
+    }),
+    "promql_nhcb_fraction" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // round 12: histogram_fraction over custom buckets through the
+      // shared grammar — CLASSIC linear F(x) within the containing
+      // bucket (30 and 150 sit strictly inside ladder buckets, so both
+      // ends interpolate)
+      promql.NativeHist.evalNhcb(s, dir,
+        """histogram_fraction(30, 150, {typ=~".*"})""",
+        "2024-01-08 00:00:00")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("frac_30_150"))
+    }),
+    "promql_nhcb_stats" -> ((s: SparkSession, dir: String) => {
+      // round 12: histogram_count/sum/avg/stddev over custom buckets,
+      // every column through the parser; sum is the migrated _sum
+      // accumulator (dyadic — exact both engines), stddev uses
+      // ARITHMETIC bucket midpoints (+Inf collapses to the top bound)
+      promql.NativeHist.nhcbStatsAll(s, dir, """{typ=~".*"}""",
+        "2024-01-08 00:00:00")
+    }),
+    "promql_nhcb_ladders" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // round 12: PER-METRIC bound ladders (purchase migrated its own
+      // classic layout) — each series interpolates against its own
+      // bounds; summing across the mismatched ladders refuses
+      // (spec-pinned), per-metric quantiles serve
+      promql.NativeHist.evalNhcb(s, dir,
+        """histogram_quantile(0.9, {typ=~".*"})""",
+        "2024-01-08 00:00:00", perMetric = true)
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
     }),
     "promql_atan2" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -1475,6 +1523,12 @@ object SparkEntry {
     // B53: daily dashboard served from the LANDED 1h rollup tier;
     // the oracle computes it from raw events (tier ≡ raw)
     "rollup_serve" -> rollupDailySql,
+    // round 12: the same daily dashboard for the 01-08..01-10 band,
+    // served from the COMMIT-LOG tier with stats file pruning; raw
+    // replay proves pruning lost nothing
+    "rollup_pruned" -> rollupDailySql
+      .replace("1704067200 + 21*86400", "1704067200 + 10*86400")
+      .replace(">= 1704067200\n", ">= 1704067200 + 7*86400\n"),
     // H26: the stream-maintained tier must serve the identical
     // dashboard (stream ≡ batch tier ≡ raw)
     "stream_rollup" -> rollupDailySql,
@@ -4520,6 +4574,29 @@ object SparkEntry {
     // counts), the >0.11 alert set capped at 3 series per step (steps
     // over the cap are discarded entirely, resetting the islands),
     // then the for-duration islands on the survivors
+    // round 12: the offset group replayed on the SHIFTED grid (base
+    // 1704326400 - 43200 = 1704283200): same windows, same islands,
+    // timestamps carry the offset
+    "promql_rule_offset" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 26)) AS i),
+        |p AS (
+        |  SELECT CAST(e.user_id AS VARCHAR) AS usr, g.i
+        |  FROM events e, g
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= 1704283200000000 + g.i*86400000000 - 86400000000
+        |    AND epoch_us(e.ts) <= 1704283200000000 + g.i*86400000000),
+        |r1 AS (SELECT usr, i, CAST(count(*) AS DOUBLE) AS v
+        |  FROM p GROUP BY 1, 2),
+        |f AS (SELECT usr, i FROM r1 WHERE v > 2),
+        |r AS (SELECT usr, i,
+        |    i - row_number() OVER (PARTITION BY usr ORDER BY i) AS isl FROM f),
+        |a AS (SELECT usr, i, min(i) OVER (PARTITION BY usr, isl) AS since FROM r)
+        |SELECT 'SustainedPurchasesOff' AS alertname, usr,
+        |  'usr_purchase_1d_off' AS typ,
+        |  1704283200 + i * 86400 AS t_sec,
+        |  CASE WHEN (i - since) * 86400 >= 172800
+        |       THEN 'firing' ELSE 'pending' END AS alertstate
+        |FROM a""".stripMargin,
     "promql_rule_limit" ->
       """WITH g AS (SELECT unnest(generate_series(0, 26)) AS i),
         |p AS (
@@ -5137,6 +5214,82 @@ object SparkEntry {
         |    WHEN c2 >= rk THEN 50.0 + (rk - c1) / (c2 - c1) * 50.0
         |    WHEN c3 >= rk THEN 100.0 + (rk - c2) / (c3 - c2) * 100.0
         |    ELSE 200.0 END) * 1e4 + 0.5) / 1e4 AS hq90_all
+        |FROM q""".stripMargin,
+    // round 12: NHCB fraction -- classic linear F(x) at 30 (inside
+    // (25,50]) and 150 (inside (100,200]), op order mirrored exactly
+    "promql_nhcb_fraction" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |a AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(CASE WHEN v <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        |    CAST(sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN v <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        |    CAST(sum(CASE WHEN v <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+        |  FROM e GROUP BY 1)
+        |SELECT typ, floor((
+        |    (c2 + (150.0 - 100.0) / (200.0 - 100.0) * (c3 - c2))
+        |  - (c0 + (30.0 - 25.0) / (50.0 - 25.0) * (c1 - c0))
+        |  ) / cnt * 1e4 + 0.5) / 1e4 AS frac_30_150
+        |FROM a""".stripMargin,
+    // round 12: NHCB count/sum/avg/stddev -- sum is the dyadic _sum
+    // accumulator; variance = sum of per-bucket mass at ARITHMETIC
+    // midpoints (the +Inf bucket at the top finite bound), summed in
+    // ladder order like the Spark fold
+    "promql_nhcb_stats" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |a AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(CASE WHEN v <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        |    CAST(sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN v <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        |    CAST(sum(CASE WHEN v <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+        |    sum(floor(v * 1048576.0 + 0.5) / 1048576.0) AS hsum
+        |  FROM e GROUP BY 1)
+        |SELECT typ, CAST(cnt AS BIGINT) AS h_count, hsum AS h_sum,
+        |  floor(hsum / cnt * 1e4 + 0.5) / 1e4 AS h_avg,
+        |  floor(sqrt((
+        |      (c0 - 0.0) * ((0.0 + 25.0) / 2.0 - hsum / cnt)
+        |                 * ((0.0 + 25.0) / 2.0 - hsum / cnt)
+        |    + (c1 - c0) * ((25.0 + 50.0) / 2.0 - hsum / cnt)
+        |                * ((25.0 + 50.0) / 2.0 - hsum / cnt)
+        |    + (c2 - c1) * ((50.0 + 100.0) / 2.0 - hsum / cnt)
+        |                * ((50.0 + 100.0) / 2.0 - hsum / cnt)
+        |    + (c3 - c2) * ((100.0 + 200.0) / 2.0 - hsum / cnt)
+        |                * ((100.0 + 200.0) / 2.0 - hsum / cnt)
+        |    + (cnt - c3) * (200.0 - hsum / cnt) * (200.0 - hsum / cnt)
+        |    ) / cnt) * 1e4 + 0.5) / 1e4 AS h_stddev
+        |FROM a""".stripMargin,
+    // round 12: per-metric ladders -- purchase interpolates against
+    // its own migrated bounds (40/80/160/320), everything else against
+    // the default ladder
+    "promql_nhcb_ladders" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |a AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt,
+        |    CASE WHEN typ = 'purchase' THEN 40.0 ELSE 25.0 END AS u1,
+        |    CASE WHEN typ = 'purchase' THEN 80.0 ELSE 50.0 END AS u2,
+        |    CASE WHEN typ = 'purchase' THEN 160.0 ELSE 100.0 END AS u3,
+        |    CASE WHEN typ = 'purchase' THEN 320.0 ELSE 200.0 END AS u4,
+        |    CAST(sum(CASE WHEN v <= (CASE WHEN typ = 'purchase'
+        |      THEN 40.0 ELSE 25.0 END) THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        |    CAST(sum(CASE WHEN v <= (CASE WHEN typ = 'purchase'
+        |      THEN 80.0 ELSE 50.0 END) THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN v <= (CASE WHEN typ = 'purchase'
+        |      THEN 160.0 ELSE 100.0 END) THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        |    CAST(sum(CASE WHEN v <= (CASE WHEN typ = 'purchase'
+        |      THEN 320.0 ELSE 200.0 END) THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+        |  FROM e GROUP BY 1, 3, 4, 5, 6),
+        |q AS (SELECT typ, cnt * 0.9 AS rk, u1, u2, u3, u4, c0, c1, c2, c3
+        |  FROM a)
+        |SELECT typ, floor((CASE
+        |    WHEN c0 >= rk THEN 0.0 + (rk - 0.0) / (c0 - 0.0) * (u1 - 0.0)
+        |    WHEN c1 >= rk THEN u1 + (rk - c0) / (c1 - c0) * (u2 - u1)
+        |    WHEN c2 >= rk THEN u2 + (rk - c1) / (c2 - c1) * (u3 - u2)
+        |    WHEN c3 >= rk THEN u3 + (rk - c2) / (c3 - c2) * (u4 - u3)
+        |    ELSE u4 END) * 1e4 + 0.5) / 1e4 AS hq90
         |FROM q""".stripMargin,
     // B55+ schema-3 gates: the 104-entry boundary ladder is serialized
     // from the SAME Scala doubles the Spark side compares against

@@ -650,6 +650,8 @@ object NativeHist {
           .as("value"))
   }
 
+  import PromQl.{Agg, Expr, Func, HistFrac, Sel}
+
   // ---------------- NHCB: custom buckets (round 11) ----------------
   // Native Histograms with Custom Buckets (Prometheus 3.x schema -53):
   // how classic `le` histograms MIGRATE into the native sample model —
@@ -668,89 +670,170 @@ object NativeHist {
   /** The migrated classic ladder (B19's bounds; +Inf implicit). */
   val nhcbBounds: Seq[Double] = Seq(25.0, 50.0, 100.0, 200.0)
 
-  /** NHCB sample series: (typ, t_sec, bounds, cnt, bcum) — cumulative
-    * counter semantics like [[samples]], cumulative-in-value like the
-    * classic `le` form (bcum(i) = observations ≤ bounds(i)). */
+  /** Round 12: the PER-METRIC ladder registry — a migrated fleet does
+    * not share one bucket layout; each metric declares the bounds its
+    * classic histogram used (Prometheus's
+    * `convert_classic_histograms_to_nhcb` keeps each scrape target's
+    * own `le` ladder). Metrics absent from the map use [[nhcbBounds]].
+    * Ladders must share a LENGTH (the sample payload is a fixed-width
+    * array); values are free — and [[sumNhcb]] refuses to aggregate
+    * across metrics whose ladders differ, exactly like Prometheus. */
+  val nhcbLadders: Map[String, Seq[Double]] =
+    Map("purchase" -> Seq(40.0, 80.0, 160.0, 320.0))
+
+  /** NHCB sample series: (typ, t_sec, bounds, cnt, bcum, hsum) —
+    * cumulative counter semantics like [[samples]],
+    * cumulative-in-value like the classic `le` form (bcum(i) =
+    * observations ≤ bounds(i)); `hsum` accumulates the dyadically
+    * quantized observation sum (the migrated `_sum` series — same
+    * 2^-20 ingest quantization as the exponential model, so sums are
+    * order-independent on both engines). */
   def nhcbSamples(spark: SparkSession, dir: String): DataFrame =
-    Memo.cached(spark, s"nativehist.nhcb:$dir") {
+    nhcbSamplesModel(spark, dir, perMetric = false)
+
+  /** The per-metric-ladder corpus (round 12): same construction, each
+    * typ's bounds drawn from [[nhcbLadders]]. */
+  def nhcbSamplesLadders(spark: SparkSession, dir: String): DataFrame =
+    nhcbSamplesModel(spark, dir, perMetric = true)
+
+  private def nhcbSamplesModel(spark: SparkSession, dir: String,
+      perMetric: Boolean): DataFrame =
+    Memo.cached(spark, s"nativehist.nhcb:$perMetric:$dir") {
+      val n = nhcbBounds.size
+      require(nhcbLadders.values.forall(_.size == n),
+        "per-metric NHCB ladders must share the default ladder's length")
+      // the metric's bound ladder as a column (uniform when !perMetric)
+      val boundsC: Column =
+        if (!perMetric) typedlit(nhcbBounds)
+        else coalesce(
+          element_at(typedlit(nhcbLadders), col("typ")),
+          typedlit(nhcbBounds))
       val endSec = t0Sec + hours * 3600L
       val raw = Tables.tsBetween(Tables.eventsRaw(spark, dir),
         timestamp_micros(lit(t0Sec * 1000000L)),
         timestamp_micros(lit(endSec * 1000000L - 1L)))
       val sec = unix_timestamp(Tables.tsCol(raw))
       val ev = raw.select(col("event_type").as("typ"),
-        (sec - pmod(sec, lit(3600L))).as("h_sec"), col("value"))
+        (sec - pmod(sec, lit(3600L))).as("h_sec"), col("value"),
+        (floor(col("value") * q20 + 0.5) / q20).as("qv"))
+        .withColumn("bounds", boundsC)
       val typs = ev.select(col("typ")).distinct()
       val grid = typs.withColumn("h_sec",
         explode(sequence(lit(t0Sec), lit(endSec - 3600L), lit(3600L))))
-      val aggs = count(lit(1)).as("dcnt") +:
-        nhcbBounds.zipWithIndex.map { case (b, i) =>
-          sum(when(col("value") <= b, 1L).otherwise(0L)).as(s"db$i")
+      val aggs = count(lit(1)).as("dcnt") +: sum(col("qv")).as("ds") +:
+        (0 until n).map { i =>
+          sum(when(col("value") <= element_at(col("bounds"), i + 1), 1L)
+            .otherwise(0L)).as(s"db$i")
         }
       val hs = ev.groupBy(col("typ"), col("h_sec")).agg(aggs.head, aggs.tail: _*)
       val wc = Window.partitionBy(col("typ")).orderBy(col("h_sec"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = grid.join(hs, Seq("typ", "h_sec"), "left")
         .withColumn("cnt", sum(coalesce(col("dcnt"), lit(0L))).over(wc))
-      val withB = nhcbBounds.indices.foldLeft(cum) { (df, i) =>
+        .withColumn("hsum", sum(coalesce(col("ds"), lit(0.0))).over(wc))
+      val withB = (0 until n).foldLeft(cum) { (df, i) =>
         df.withColumn(s"b$i", sum(coalesce(col(s"db$i"), lit(0L))).over(wc))
       }
       withB.select(col("typ"), (col("h_sec") + 3600L).as("t_sec"),
-        typedlit(nhcbBounds).as("bounds"), col("cnt"),
-        array(nhcbBounds.indices.map(i => col(s"b$i")): _*).as("bcum"))
+        boundsC.as("bounds"), col("cnt"),
+        array((0 until n).map(i => col(s"b$i")): _*).as("bcum"),
+        col("hsum"))
     }
 
   /** Instant NHCB vector at T (latest sample per series, like
-    * [[histAt]]); counts emerge as doubles for the shared math. */
-  private def nhcbAt(spark: SparkSession, dir: String,
-      tSec: Long): DataFrame = {
+    * [[histAt]]); counts emerge as doubles for the shared math.
+    * `rsec` = 1 (the rate denominator discipline of the exponential
+    * model — only count/sum consume it). */
+  private def nhcbAtFrom(samples: DataFrame, tSec: Long): DataFrame = {
     val w = Window.partitionBy(col("typ")).orderBy(col("t_sec").desc)
-    nhcbSamples(spark, dir)
+    samples
       .filter(col("t_sec") <= tSec)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("typ"), col("bounds"),
         col("cnt").cast("double").as("cnt"),
-        expr("transform(bcum, x -> cast(x as double))").as("bcum"))
+        expr("transform(bcum, x -> cast(x as double))").as("bcum"),
+        col("hsum"), lit(1.0).as("rsec"))
   }
 
+  private def nhcbAt(spark: SparkSession, dir: String,
+      tSec: Long): DataFrame =
+    nhcbAtFrom(nhcbSamples(spark, dir), tSec)
+
   /** rate-form NHCB at T over [T−rangeSec, T): component-wise counter
-    * diffs, raw (the quantile is scale-invariant — the rsec
-    * discipline). */
-  private def nhcbRate(spark: SparkSession, dir: String, tSec: Long,
+    * diffs, raw with the range carried in `rsec` (the quantile is
+    * scale-invariant; count/sum divide at the end — integer-exact
+    * bucket comparisons cross-engine). */
+  private def nhcbRateFrom(samples: DataFrame, tSec: Long,
       rangeSec: Long): DataFrame = {
-    val a = nhcbAt(spark, dir, tSec)
-    val b = nhcbAt(spark, dir, tSec - rangeSec)
-      .select(col("typ"), col("cnt").as("bcnt"), col("bcum").as("bbcum"))
+    val a = nhcbAtFrom(samples, tSec)
+    val b = nhcbAtFrom(samples, tSec - rangeSec)
+      .select(col("typ"), col("cnt").as("bcnt"), col("bcum").as("bbcum"),
+        col("hsum").as("bhsum"))
     a.join(broadcast(b), Seq("typ"), "left")
       .select(col("typ"), col("bounds"),
         (col("cnt") - coalesce(col("bcnt"), lit(0.0))).as("cnt"),
         coalesce(
           expr("zip_with(bcum, bbcum, (x, y) -> x - y)"), col("bcum"))
-          .as("bcum"))
+          .as("bcum"),
+        (col("hsum") - coalesce(col("bhsum"), lit(0.0))).as("hsum"),
+        lit(rangeSec.toDouble).as("rsec"))
   }
+
+  private def nhcbRate(spark: SparkSession, dir: String, tSec: Long,
+      rangeSec: Long): DataFrame =
+    nhcbRateFrom(nhcbSamples(spark, dir), tSec, rangeSec)
 
   /** Component-wise NHCB sum — Prometheus refuses to aggregate
     * custom-bucket histograms with MISMATCHED ladders; the guard rides
     * the bounds column so it fires exactly when a consumer reads the
     * mixed sum. Empty `by` sums everything (the hidden-key trick). */
-  private[graft] def sumNhcb(h: DataFrame, by: Seq[String]): DataFrame = {
+  private[graft] def sumNhcb(h0: DataFrame, by: Seq[String]): DataFrame = {
+    val h = withNhcbDefaults(h0)
     val keys = if (by.nonEmpty) by else Seq("__g")
     val base = if (by.nonEmpty) h else h.withColumn("__g", lit(1))
     val kcols = keys.map(col)
-    val n = nhcbBounds.size
     base.groupBy(kcols: _*)
       .agg(sum(col("cnt")).as("cnt"),
         array(nhcbBounds.indices.map(i =>
           sum(element_at(col("bcum"), i + 1))): _*).as("bcum"),
-        min(col("bounds")).as("__bmin"), max(col("bounds")).as("__bmax"))
+        sum(col("hsum")).as("hsum"),
+        min(col("bounds")).as("__bmin"), max(col("bounds")).as("__bmax"),
+        min(col("rsec")).as("__rmin"), max(col("rsec")).as("__rmax"))
       .withColumn("bounds",
         when(col("__bmin") =!= col("__bmax"),
           raise_error(lit("sum over NHCB histograms with mismatched " +
             "custom bucket ladders")).cast(s"array<double>"))
           .otherwise(col("__bmin")))
-      .drop("__bmin", "__bmax")
+      // like sumHists: the guard rides rsec so it fires exactly when a
+      // consumer (count/sum) reads the scale of a mixed-range sum
+      .withColumn("rsec",
+        when(col("__rmin") =!= col("__rmax"),
+          raise_error(lit("sum over NHCB histograms with mixed rate " +
+            "ranges")))
+          .otherwise(col("__rmin")))
+      .drop("__bmin", "__bmax", "__rmin", "__rmax")
   }
+
+  // streaming twins / fixtures may hand frames without the round-12
+  // hsum/rsec columns — they are instant (rsec 1) sum-less payloads
+  private def withNhcbDefaults(h: DataFrame): DataFrame = {
+    val a = if (h.columns.contains("hsum")) h
+      else h.withColumn("hsum", lit(0.0))
+    if (a.columns.contains("rsec")) a else a.withColumn("rsec", lit(1.0))
+  }
+
+  private val nhcbMeta = Set("bounds", "cnt", "bcum", "hsum", "rsec", "__g")
+  private def nhcbLabels(h: DataFrame): Seq[String] =
+    h.columns.filterNot(nhcbMeta).toSeq
+
+  // lower bound of bucket i (0 below the ladder) and its upper bound —
+  // COLUMN-valued (round 12) so per-metric ladders interpolate against
+  // their own bounds; with the uniform ladder these fold to the same
+  // literals as before (identical IEEE arithmetic either way)
+  private def nhcbLo(i: Int): Column =
+    if (i == 0) lit(0.0) else element_at(col("bounds"), i)
+  private def nhcbUp(i: Int): Column = element_at(col("bounds"), i + 1)
 
   /** φ-quantile of an NHCB frame — the CLASSIC linear rule (B19's
     * exact formula and operation order, so the DuckDB oracle replays
@@ -758,40 +841,161 @@ object NativeHist {
     * the ladder, rank past the last finite count returns the highest
     * finite bound. */
   private[graft] def quantileNhcb(h: DataFrame, q: Double): DataFrame = {
-    val labels = h.columns
-      .filterNot(Set("bounds", "cnt", "bcum", "__g")).toSeq
+    val labels = nhcbLabels(h)
     val rank = col("cnt") * lit(q)
-    val lowers: Seq[Double] = 0.0 +: nhcbBounds.dropRight(1)
+    val n = nhcbBounds.size
     def c(i: Int): Column =
       if (i < 0) lit(0.0) else element_at(col("bcum"), i + 1)
-    val interp = nhcbBounds.zipWithIndex.zip(lowers)
-      .foldRight(lit(nhcbBounds.last): Column) {
-        case (((b, i), lo), rest) =>
-          when(c(i) >= rank,
-            lit(lo) + (rank - c(i - 1)) / (c(i) - c(i - 1)) * (b - lo))
-            .otherwise(rest)
+    val interp = (0 until n)
+      .foldRight(element_at(col("bounds"), n): Column) { (i, rest) =>
+        when(c(i) >= rank,
+          nhcbLo(i) + (rank - c(i - 1)) / (c(i) - c(i - 1)) *
+            (nhcbUp(i) - nhcbLo(i)))
+          .otherwise(rest)
       }
     h.select(labels.map(col) :+
       when(col("cnt") <= 0, lit(Double.NaN)).otherwise(interp)
         .as("value"): _*)
   }
 
-  /** The NHCB gate surfaces: instant quantile, rate quantile, and the
-    * fleet-wide sum — the migration proof that classic `le` content
-    * serves through the native sample model unchanged. */
+  /** Interpolated cumulative count F(x) under the CLASSIC linear rule
+    * — the custom-bucket twin of [[interpCumAt]]: position within the
+    * containing bucket is linear in value; x at-or-beyond the highest
+    * finite bound counts everything (+Inf carries no width to
+    * interpolate into). */
+  private def nhcbCumAt(x: Double): Column = {
+    require(x >= 0, s"histogram_fraction bound $x < 0: custom-bucket " +
+      "ladders here are non-negative")
+    val n = nhcbBounds.size
+    def c(i: Int): Column =
+      if (i < 0) lit(0.0) else element_at(col("bcum"), i + 1)
+    (0 until n).foldRight(col("cnt"): Column) { (i, rest) =>
+      when(lit(x) <= nhcbUp(i),
+        c(i - 1) + (lit(x) - nhcbLo(i)) / (nhcbUp(i) - nhcbLo(i)) *
+          (c(i) - c(i - 1)))
+        .otherwise(rest)
+    }
+  }
+
+  /** histogram_fraction over NHCB: (F(hi) − F(lo)) / count, classic
+    * linear interpolation (round 12 — parity with the exponential
+    * model's [[fractionOf]]). */
+  private[graft] def fractionNhcb(h0: DataFrame, lo: Double,
+      hi: Double): DataFrame = {
+    val h = withNhcbDefaults(h0)
+    h.select(nhcbLabels(h).map(col) :+
+      when(col("cnt") <= 0, lit(Double.NaN))
+        .otherwise((nhcbCumAt(hi) - nhcbCumAt(lo)) / col("cnt"))
+        .as("value"): _*)
+  }
+
+  /** histogram_count/sum/avg/stddev/stdvar over NHCB (round 12):
+    * count and sum see `rsec` (rate scale), avg and the moments are
+    * scale-invariant. stddev/stdvar use ARITHMETIC bucket midpoints
+    * ((lo+up)/2 — custom buckets are linear, unlike the exponential
+    * ladder's geometric midpoints), the +Inf bucket collapsing to the
+    * highest finite bound, zero-width mass at the mean contributing 0
+    * — the classic-histogram convention. */
+  private[graft] def statNhcb(h0: DataFrame, name: String): DataFrame = {
+    val h = withNhcbDefaults(h0)
+    val lcols = nhcbLabels(h).map(col)
+    val n = nhcbBounds.size
+    name match {
+      case "histogram_count" =>
+        h.select(lcols :+ (col("cnt") / col("rsec")).as("value"): _*)
+      case "histogram_sum" =>
+        h.select(lcols :+ (col("hsum") / col("rsec")).as("value"): _*)
+      case "histogram_avg" =>
+        h.select(lcols :+ (col("hsum") / col("cnt")).as("value"): _*)
+      case _ =>
+        def c(i: Int): Column =
+          if (i < 0) lit(0.0) else element_at(col("bcum"), i + 1)
+        val mean = col("hsum") / col("cnt")
+        def term(mid: Column, cc: Column): Column =
+          cc * (mid - col("__mean")) * (mid - col("__mean"))
+        val finite = (0 until n).map { i =>
+          term((nhcbLo(i) + nhcbUp(i)) / lit(2.0), c(i) - c(i - 1))
+        }
+        val infTerm = term(element_at(col("bounds"), n),
+          col("cnt") - c(n - 1))
+        val varCol = (finite :+ infTerm).reduce(_ + _) / col("cnt")
+        val withVar = h.withColumn("__mean", mean).withColumn("__var", varCol)
+        if (name == "histogram_stdvar")
+          withVar.select(lcols :+ col("__var").as("value"): _*)
+        else withVar.select(lcols :+ sqrt(col("__var")).as("value"): _*)
+    }
+  }
+
+  /** The NHCB gate surfaces — since round 12 these are thin forms over
+    * [[evalNhcb]], so the gates exercise the SHARED PromQL grammar
+    * (parse → histogram-valued inner → function math), exactly like
+    * the exponential model's [[eval]]. */
   def nhcbQuantile(spark: SparkSession, dir: String, q: Double,
       t: String): DataFrame =
-    quantileNhcb(nhcbAt(spark, dir, tSecOf(t)), q)
+    evalNhcb(spark, dir, s"""histogram_quantile($q, {typ=~".*"})""", t)
 
   def nhcbRateQuantile(spark: SparkSession, dir: String, q: Double,
       t: String, rangeSec: Long): DataFrame =
-    quantileNhcb(nhcbRate(spark, dir, tSecOf(t), rangeSec), q)
+    evalNhcb(spark, dir,
+      s"""histogram_quantile($q, rate({typ=~".*"}[${rangeSec}s]))""", t)
 
   def nhcbSumQuantile(spark: SparkSession, dir: String, q: Double,
-      t: String): DataFrame = {
-    val out = quantileNhcb(sumNhcb(nhcbAt(spark, dir, tSecOf(t)),
-      Seq.empty), q)
+      t: String): DataFrame =
+    evalNhcb(spark, dir,
+      s"""histogram_quantile($q, sum({typ=~".*"}))""", t)
+
+  /** Round 12: evaluate an NHCB PromQL expression (the SHARED grammar
+    * — [[PromQl.parse]]) as an instant query at `t`: the same
+    * expression class as the exponential [[eval]] — one more
+    * sample-model source, exactly the architecture note at [[eval]].
+    * `histogram_quantile/fraction/count/sum/avg/stddev/stdvar` over an
+    * instant selector, `rate(sel[d])`, or `sum [by (...)]` of either.
+    * `perMetric = true` serves the [[nhcbLadders]] corpus (each metric
+    * its own bound ladder; cross-ladder sums refuse at read). */
+  def evalNhcb(spark: SparkSession, dir: String, exprStr: String,
+      t: String, perMetric: Boolean = false): DataFrame = {
+    val tSec = tSecOf(t)
+    def inner(e: Expr): DataFrame =
+      Memo.cached(spark, s"nativehist.nhcbinner:$perMetric:$tSec:$e:$dir") {
+        val samples =
+          if (perMetric) nhcbSamplesLadders(spark, dir)
+          else nhcbSamples(spark, dir)
+        e match {
+          case Sel(ms, None, 0, None, None) =>
+            nhcbAtFrom(samples, tSec).filter(matcherPred(ms))
+          case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
+            nhcbRateFrom(samples, tSec, r).filter(matcherPred(ms))
+          case Agg("sum", by, Seq(), arg, None, None) =>
+            sumNhcb(inner(arg), by)
+          case other => sys.error(s"NHCB argument must be an instant " +
+            s"selector, rate(sel[d]), or sum by (...) of either, got $other")
+        }
+      }
+    val out = PromQl.parse(exprStr) match {
+      case Func("histogram_quantile", arg, Some(q)) =>
+        quantileNhcb(inner(arg), q)
+      case HistFrac(lo, hi, arg) => fractionNhcb(inner(arg), lo, hi)
+      case Func(n, arg, None) if PromQl.nativeHistFuncs(n) =>
+        statNhcb(inner(arg), n)
+      case other => sys.error(s"not an NHCB histogram expression: $other")
+    }
     if (out.columns.contains("__g")) out.drop("__g") else out
+  }
+
+  /** The four-stat dashboard row per series over NHCB (round 12) —
+    * [[statsAll]]'s custom-bucket twin, every column through the
+    * parser. */
+  def nhcbStatsAll(spark: SparkSession, dir: String, sel: String,
+      t: String): DataFrame = {
+    def f(fn: String) = evalNhcb(spark, dir, s"$fn($sel)", t)
+    f("histogram_count").withColumnRenamed("value", "h_count")
+      .join(f("histogram_sum").withColumnRenamed("value", "h_sum"), Seq("typ"))
+      .join(f("histogram_avg").withColumnRenamed("value", "h_avg"), Seq("typ"))
+      .join(f("histogram_stddev").withColumnRenamed("value", "h_stddev"),
+        Seq("typ"))
+      .select(col("typ"), col("h_count").cast("long").as("h_count"),
+        col("h_sum"), r4(col("h_avg")).as("h_avg"),
+        r4(col("h_stddev")).as("h_stddev"))
   }
 
   private def tSecOf(t: String): Long =
@@ -800,7 +1004,6 @@ object NativeHist {
 
   // ---------------- the language hook ----------------
 
-  import PromQl.{Agg, Expr, Func, HistFrac, Sel}
 
   /** Evaluate a native-histogram PromQL expression (parsed by
     * [[PromQl.parse]] — the shared grammar) as an instant query at

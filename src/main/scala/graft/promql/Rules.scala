@@ -135,8 +135,20 @@ object Rules {
   /** A rule group definition (rules/group.go): the evaluation INTERVAL
     * is a property of the group, not of the caller — [[evalGroupDef]]
     * derives the grid step from it. */
+  /** `query_offset:` (round 12, rules/group.go's last semantic knob):
+    * a per-group evaluation delay — every rule's evaluation timestamp
+    * shifts `queryOffsetSec` into the past (the remote-write-lag
+    * guard: rules see data old enough to be complete), and recorded/
+    * alert series carry the SHIFTED timestamps, exactly Prometheus.
+    * `concurrentEvals` (rules/group.go's RuleConcurrencyController):
+    * >1 lets INDEPENDENT rules in a group evaluate concurrently;
+    * a rule referencing an earlier rule's recorded name closes the
+    * batch (conservative textual dependency test, like the upstream
+    * controller), so chained groups serialize exactly as before —
+    * RulesSpec pins concurrent ≡ sequential on both shapes. */
   final case class Group(name: String, intervalSec: Long,
-      rules: Seq[GroupRule])
+      rules: Seq[GroupRule], queryOffsetSec: Long = 0L,
+      concurrentEvals: Int = 0)
 
   /** The `limit:` knob (rules/group.go; Prometheus scopes one value
     * per group and applies it to every rule's evaluation — carrying it
@@ -207,31 +219,105 @@ object Rules {
     * belongs to the group, callers only pick the window), and each
     * rule's `limit:` caps its per-step series output via
     * [[capSeries]]. */
+  private def shiftTs(s: String, bySec: Long): String =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .plusSeconds(bySec)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  private def exprOf(r: GroupRule): String = r match {
+    case Record(_, e, _) => e
+    case Alert(_, e, _, _) => e
+  }
+
+  /** Dependency batches: consecutive rules none of which references a
+    * name recorded EARLIER IN THE SAME BATCH may evaluate against the
+    * batch's entry index concurrently — referencing one closes the
+    * batch. The test is the conservative textual containment the
+    * upstream controller also falls back to: it may over-serialize,
+    * never under. */
+  private[graft] def ruleName(r: GroupRule): String = r match {
+    case Record(n, _, _) => n
+    case Alert(n, _, _, _) => n
+  }
+
+  private[graft] def dependencyBatches(
+      rules: Seq[GroupRule]): Seq[Seq[GroupRule]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[GroupRule]]
+    var open = scala.collection.mutable.ArrayBuffer.empty[GroupRule]
+    var openNames = Set.empty[String]
+    // a regex name selector could match a recorded name WITHOUT
+    // containing it textually — indeterminate references depend on
+    // everything (the upstream controller's fallback)
+    def indeterminate(ex: String): Boolean =
+      ex.contains("=~") || ex.contains("!~")
+    rules.foreach { r =>
+      if (openNames.exists(exprOf(r).contains) ||
+          (openNames.nonEmpty && indeterminate(exprOf(r)))) {
+        out += open.toSeq
+        open = scala.collection.mutable.ArrayBuffer.empty[GroupRule]
+        openNames = Set.empty
+      }
+      open += r
+      r match { case Record(n, _, _) => openNames += n; case _ => () }
+    }
+    if (open.nonEmpty) out += open.toSeq
+    out.toSeq
+  }
+
   def evalGroupDef(spark: SparkSession, dir: String, group: Group,
       start: String, end: String, lookbackSec: Long = 86400L,
       alertLookbackSec: Long = 3600L): DataFrame = {
     val stepSec = group.intervalSec
+    // query_offset: every rule evaluates (and stamps) Q seconds back
+    val s0 = shiftTs(start, -group.queryOffsetSec)
+    val e0 = shiftTs(end, -group.queryOffsetSec)
     val key = group.name + ":" + fp(group.rules ++
-      Seq(start, end, stepSec, lookbackSec, alertLookbackSec))
+      Seq(start, end, stepSec, lookbackSec, alertLookbackSec,
+        group.queryOffsetSec, group.concurrentEvals))
     groupRuns.computeIfAbsent((spark, dir, key), _ => {
       val base = TagIndex.forEvents(spark, dir)
       val cols = Seq("event_id", "ts_ns", "ts", "value") ++
         base.labelNames
       var cur = base
       val alertFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      group.rules.foreach {
-        case Record(name, ex, limit) =>
-          val ri = recordedIndexOn(spark, cur, dir,
-            s"${group.name}.$name", name, ex, start, end, stepSec, limit)
-          val recorded = ri.samples
+      dependencyBatches(group.rules).foreach { batch =>
+        val entry = cur // every batch member resolves against this
+        // alerts are lazy frames — build in place; records do eager
+        // store work, so independent ones may run in parallel threads
+        val records = batch.collect { case r: Record => r }
+        def evalRecord(r: Record): (Record, TagIndex) =
+          (r, recordedIndexOn(spark, entry, dir,
+            s"${group.name}.${r.name}", r.name, r.expr, s0, e0, stepSec,
+            r.limit))
+        val recorded: Seq[(Record, TagIndex)] =
+          if (group.concurrentEvals > 1 && records.size > 1) {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(group.concurrentEvals, records.size))
+            try {
+              val futs = records.map(r => pool.submit(
+                new java.util.concurrent.Callable[(Record, TagIndex)] {
+                  override def call(): (Record, TagIndex) = evalRecord(r)
+                }))
+              futs.map(_.get())
+            } finally pool.shutdown()
+          } else records.map(evalRecord)
+        // merge in RULE ORDER — deterministic regardless of thread
+        // completion order
+        recorded.foreach { case (_, ri) =>
+          val rec = ri.samples
             .withColumn("ts_ns", col("event_id") * 1000000000L)
             .select(cols.map(col): _*)
           cur = new TagIndex(
-            cur.samples.select(cols.map(col): _*).unionByName(recorded),
+            cur.samples.select(cols.map(col): _*).unionByName(rec),
             base.labelNames)
-        case Alert(name, ex, forSec, limit) =>
-          alertFrames += alerts(cur, ex, start, end, stepSec, forSec,
-            name, alertLookbackSec, limit)
+        }
+        batch.foreach {
+          case Alert(name, ex, forSec, limit) =>
+            alertFrames += alerts(entry, ex, s0, e0, stepSec, forSec,
+              name, alertLookbackSec, limit)
+          case _: Record => ()
+        }
       }
       require(alertFrames.nonEmpty,
         s"rule group ${group.name} has no alert rule — nothing to return")

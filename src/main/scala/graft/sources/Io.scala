@@ -504,7 +504,7 @@ object Io {
   // copies data, which is precisely why the lakehouse formats do it
   // this way.
 
-  private def fsFor(spark: SparkSession, p: String) =
+  private[graft] def fsFor(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -27,25 +27,40 @@ object Rollup {
   private val tierRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** One landed 1h tier per (session, dataset) — the landed-files
+  /** One landed tier pair per (session, dataset) — the landed-files
     * discipline: the gate reads these files back, so build→write→read
-    * is what the oracle checks.
+    * is what the oracle checks. Round 12: tiers land as COMMIT-LOG
+    * TABLES (`Io.tableAppendStats` with time-band stats, range-laid
+    * so per-file bounds are tight), which buys them everything the
+    * lakehouse has — time travel, OCC appends for incremental
+    * maintenance, commit-embedded stats skipping — and serves them
+    * through `format("graft")` to ANY Spark job, no graft code
+    * linked. The serving reads below go through the connector.
     */
   def tierRoot(spark: SparkSession, dir: String): String =
     tierRuns.computeIfAbsent((spark, dir), _ => {
       val fp = Tables.fingerprint(s"$dir/events.parquet")
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_rollup_" + fp).toString
-      buildHourTier(spark, dir).write.mode("overwrite")
-        .parquet(s"$base/1h")
+      graft.sources.Io.fsFor(spark, base)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.sources.Io.tableAppendStats(
+        buildHourTier(spark, dir)
+          .repartitionByRange(3, col("h_sec")), s"$base/1h", "h_sec")
       // B54: the 1d tier is maintained FROM the landed 1h tier
       // (tier-of-tier — Thanos's 5m→1h chain): every column merges
       // from the hourly partials, so the daily compactor never
       // re-reads raw samples
-      dailyFromHours(spark.read.parquet(s"$base/1h"))
-        .write.mode("overwrite").parquet(s"$base/1d")
+      graft.sources.Io.tableAppendStats(
+        dailyFromHours(readTier(spark, s"$base/1h"))
+          .repartitionByRange(2, col("day_sec")), s"$base/1d", "day_sec")
       base
     })
+
+  /** A tier read THROUGH the DSv2 connector — the proof any vanilla
+    * Spark job can consume the tier store. */
+  def readTier(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("graft").load(table)
 
   /** The 1h tier derivation (exposed for the spec's tier ≡ raw
     * equality proof). last_v uses max_by over the (µs, event_id)
@@ -99,8 +114,26 @@ object Rollup {
   def rollupServe(spark: SparkSession, dir: String): DataFrame = {
     val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
     dailyFromHours(
-      spark.read.parquet(s"${tierRoot(spark, dir)}/1h")
+      readTier(spark, s"${tierRoot(spark, dir)}/1h")
         .filter(col("h_sec") >= t0 && col("h_sec") < t0 + 21L * 86400L))
+  }
+
+  /** Round 12 gate: a 3-day dashboard band served from the 1h tier
+    * with COMMIT-STATS FILE PRUNING — the connector's skipCol planning
+    * drops tier files whose [min,max] h_sec band misses the query
+    * (RollupSpec pins the file-count drop); the residual filter makes
+    * it exact and the DuckDB oracle replays the band from RAW events,
+    * so pruning provably loses nothing.
+    */
+  def rollupServePruned(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = 1704067200L
+    val lo = t0 + 7L * 86400L  // 2024-01-08
+    val hi = t0 + 10L * 86400L // .. 01-11 (exclusive)
+    dailyFromHours(
+      spark.read.format("graft")
+        .option("skipCol", "h_sec").option("skipLo", lo).option("skipHi", hi)
+        .load(s"${tierRoot(spark, dir)}/1h")
+        .filter(col("h_sec") >= lo && col("h_sec") < hi))
   }
 
   /** B54 gate: the 4-week weekly dashboard served FROM THE LANDED 1d
@@ -114,7 +147,7 @@ object Rollup {
     */
   def rollupServeWeekly(spark: SparkSession, dir: String): DataFrame = {
     val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
-    spark.read.parquet(s"${tierRoot(spark, dir)}/1d")
+    readTier(spark, s"${tierRoot(spark, dir)}/1d")
       .filter(col("day_sec") >= t0 && col("day_sec") < t0 + 28L * 86400L)
       .groupBy(col("usr"), col("typ"),
         (col("day_sec") - pmod(col("day_sec"), lit(604800L))).as("week_sec"))
@@ -135,7 +168,7 @@ object Rollup {
       fromSec: Long, toSec: Long): DataFrame = {
     val hours =
       if (stepSec % 3600L == 0L)
-        spark.read.parquet(s"${tierRoot(spark, dir)}/1h")
+        readTier(spark, s"${tierRoot(spark, dir)}/1h")
       else buildHourTier(spark, dir)
     dailyFromHours(
       hours.filter(col("h_sec") >= fromSec && col("h_sec") < toSec))

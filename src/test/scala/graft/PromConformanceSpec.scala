@@ -448,6 +448,49 @@ class PromConformanceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("mismatched"))
   }
 
+  test("NHCB fraction/stats (round 12): classic linear F(x), arithmetic " +
+      "bucket midpoints, +Inf mass at the top bound; count/sum see rsec") {
+    import graft.promql.NativeHist
+    import spark.implicits._
+    // ladder [25,50,100,200], cum 2,5,9,14 of cnt=16, hsum=1000
+    val h = Seq(("x", Seq(25.0, 50.0, 100.0, 200.0), 16.0,
+        Seq(2.0, 5.0, 9.0, 14.0), 1000.0, 1.0))
+      .toDF("typ", "bounds", "cnt", "bcum", "hsum", "rsec")
+    // F(30) = 2 + (30−25)/(50−25)·3 = 2.6; F(150) = 9 + 0.5·5 = 11.5
+    assert(nhOne(NativeHist.fractionNhcb(h, 30.0, 150.0))
+      == (11.5 - 2.6) / 16.0)
+    // F at the top finite bound is its cumulative count (2 of 16 live
+    // in +Inf); only a bound BEYOND the ladder counts everything
+    assert(nhOne(NativeHist.fractionNhcb(h, 0.0, 200.0)) == 14.0 / 16.0)
+    assert(nhOne(NativeHist.fractionNhcb(h, 0.0, 999.0)) == 1.0)
+    // a bound ON the ladder is exact: F(50) = c1 = 5
+    assert(nhOne(NativeHist.fractionNhcb(h, 25.0, 50.0)) == 3.0 / 16.0)
+    // stats: count/sum raw (rsec 1), avg = hsum/cnt
+    assert(nhOne(NativeHist.statNhcb(h, "histogram_count")) == 16.0)
+    assert(nhOne(NativeHist.statNhcb(h, "histogram_sum")) == 1000.0)
+    assert(nhOne(NativeHist.statNhcb(h, "histogram_avg")) == 62.5)
+    // stdvar: masses 2,3,4,5 at midpoints 12.5/37.5/75/150 + 2 at 200
+    val mean = 62.5
+    val expVar = (2 * (12.5 - mean) * (12.5 - mean)
+      + 3 * (37.5 - mean) * (37.5 - mean)
+      + 4 * (75.0 - mean) * (75.0 - mean)
+      + 5 * (150.0 - mean) * (150.0 - mean)
+      + 2 * (200.0 - mean) * (200.0 - mean)) / 16.0
+    assert(nhOne(NativeHist.statNhcb(h, "histogram_stdvar")) == expVar)
+    assert(nhOne(NativeHist.statNhcb(h, "histogram_stddev"))
+      == math.sqrt(expVar))
+    // a rate frame divides count/sum by its range, not the quantiles
+    val hr = h.withColumn("rsec", org.apache.spark.sql.functions.lit(100.0))
+    assert(nhOne(NativeHist.statNhcb(hr, "histogram_count")) == 0.16)
+    assert(nhOne(NativeHist.statNhcb(hr, "histogram_avg")) == 62.5)
+    // summing a rate frame with an instant frame refuses (mixed rsec)
+    val mixed = intercept[Exception] {
+      NativeHist.sumNhcb(h.unionByName(hr), Seq.empty)
+        .select(org.apache.spark.sql.functions.col("rsec")).collect()
+    }
+    assert(mixed.getMessage.contains("mixed rate ranges"))
+  }
+
   test("mixed sample model: per-series schema, schema-3 ladders, and " +
       "downscale-to-0 count preservation on the events corpus") {
     import graft.promql.NativeHist

@@ -62,8 +62,7 @@ class RollupSpec extends AnyFunSuite {
 
   test("B54: the landed 1d tier (derived from the 1h tier, never raw) " +
       "≡ the raw daily derivation") {
-    val tier1d = spark.read
-      .parquet(s"${Rollup.tierRoot(spark, dir)}/1d")
+    val tier1d = Rollup.readTier(spark, s"${Rollup.tierRoot(spark, dir)}/1d")
     val raw = dailyRaw()
     assert(tier1d.count() == raw.count())
     assert(tier1d.except(raw).isEmpty && raw.except(tier1d).isEmpty,
@@ -71,11 +70,36 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("B53: the 1h tier is a real downsample (rows ≪ raw samples)") {
-    val tierRows = spark.read
-      .parquet(s"${Rollup.tierRoot(spark, dir)}/1h").count()
+    val tierRows = Rollup.readTier(spark,
+      s"${Rollup.tierRoot(spark, dir)}/1h").count()
     val rawRows = Tables.eventsRaw(spark, dir).count()
     assert(tierRows < rawRows,
       s"tier $tierRows rows vs raw $rawRows — not a rollup")
+  }
+
+  test("round 12: tiers are commit-log tables — connector reads serve " +
+      "them, stats pruning drops off-band files, time travel holds") {
+    val root = Rollup.tierRoot(spark, dir)
+    // the tier store is a real commit-log table (commit + stats)
+    assert(new java.io.File(s"$root/1h/_commits/00000000.commit").exists())
+    assert(new java.io.File(s"$root/1h/_commits/00000000.stats").exists())
+    // pruned read plans fewer data files than the full tier
+    def dataFiles(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    val full = Rollup.readTier(spark, s"$root/1h")
+    val lo = 1704067200L + 7L * 86400L
+    val pruned = spark.read.format("graft")
+      .option("skipCol", "h_sec").option("skipLo", lo)
+      .option("skipHi", lo + 3L * 86400L).load(s"$root/1h")
+    assert(dataFiles(pruned) < dataFiles(full),
+      s"pruned ${dataFiles(pruned)} of ${dataFiles(full)} files")
+    // pruning + residual ≡ unpruned filter
+    val band = full.filter(col("h_sec") >= lo && col("h_sec") < lo + 3L * 86400L)
+    val bandP = pruned.filter(col("h_sec") >= lo && col("h_sec") < lo + 3L * 86400L)
+    assert(bandP.except(band).isEmpty && band.except(bandP).isEmpty)
+    // versionAsOf composes on the tier store
+    assert(spark.read.format("graft").option("versionAsOf", 0)
+      .load(s"$root/1h").count() == full.count())
   }
 
   test("C27: priority sample is 200 distinct docs with HT weights ≥ raw weights, bounded by τ rule") {

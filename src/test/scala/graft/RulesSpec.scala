@@ -165,4 +165,66 @@ class RulesSpec extends AnyFunSuite {
     val t0 = 1704240000L // 2024-01-03 00:00:00 UTC
     assert(ts.nonEmpty && ts.forall(t => (t - t0) % (2 * 86400L) == 0))
   }
+
+  test("round 12: dependency batches — chains serialize, independents " +
+      "share a batch, regex selectors depend on everything") {
+    import promql.Rules.{Record, Alert, dependencyBatches}
+    val r1 = Record("a_cnt", """sum by (usr) (count_over_time({typ="purchase"}[1d]))""")
+    val r2 = Record("b_cnt", """sum by (usr) (count_over_time({typ="click"}[1d]))""")
+    val dep = Record("a_avg", """avg_over_time({typ="a_cnt"}[3d])""")
+    val al = Alert("A", """{typ="a_avg"} > 2""", 0L)
+    val rx = Alert("R", """{typ=~"a_.*"} > 2""", 0L)
+    // two independents + a dependent chain → [r1 r2][dep][al]
+    assert(dependencyBatches(Seq(r1, r2, dep, al))
+      .map(_.map(promql.Rules.ruleName)) ==
+      Seq(Seq("a_cnt", "b_cnt"), Seq("a_avg"), Seq("A")))
+    // a regex selector cannot be proven independent → closes the batch
+    assert(dependencyBatches(Seq(r1, rx))
+      .map(_.size) == Seq(1, 1))
+    // …but leads its own batch fine when nothing is open
+    assert(dependencyBatches(Seq(rx, r1)).map(_.size) == Seq(2))
+  }
+
+  test("round 12: concurrent rule evaluation ≡ sequential (independent " +
+      "records in parallel threads; chained groups unaffected)") {
+    import promql.Rules.{Group, Record, Alert}
+    val rules = Seq(
+      Record("cc_p1d", """sum by (usr) (count_over_time({typ="purchase"}[1d]))"""),
+      Record("cc_c1d", """sum by (usr) (count_over_time({typ="click"}[1d]))"""),
+      Alert("CP", """{typ="cc_p1d"} > 2""", 172800L),
+      Alert("CC", """{typ="cc_c1d"} > 40""", 172800L))
+    val seqOut = promql.Rules.evalGroupDef(spark, dir,
+      Group("spec_conc", 86400L, rules), start, end).collect().toSet
+    val parOut = promql.Rules.evalGroupDef(spark, dir,
+      Group("spec_conc", 86400L, rules, concurrentEvals = 4),
+      start, end).collect().toSet
+    assert(seqOut == parOut, "concurrent evaluation diverged")
+    assert(seqOut.nonEmpty)
+  }
+
+  test("round 12: query_offset shifts every evaluation timestamp into " +
+      "the past — grid, windows and emitted t_sec all carry the shift") {
+    import promql.Rules.{Group, Alert}
+    // query_offset Q ≡ evaluating the plain group Q earlier: the
+    // offset run over [start, end] must equal the plain group run
+    // over [start−Q, end−Q] EXACTLY (windows, values, islands and
+    // emitted timestamps all shifted together)
+    val off = promql.Rules.evalGroupDef(spark, dir,
+      Group("spec_qoff1", 86400L, Seq(Alert("Q", expr, 0L)),
+        queryOffsetSec = 86400L),
+      start, end).collect()
+    val shifted = promql.Rules.evalGroupDef(spark, dir,
+      Group("spec_qoff2", 86400L, Seq(Alert("Q", expr, 0L))),
+      "2024-01-02 00:00:00", "2024-01-30 00:00:00").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("usr"), r.getAs[Long]("t_sec"),
+        r.getAs[String]("alertstate"))
+    assert(off.nonEmpty)
+    assert(off.map(key).toSet == shifted.map(key).toSet,
+      "offset run ≠ the plain run evaluated Q earlier")
+    // and the emitted grid really is in the past
+    val maxOff = off.map(_.getAs[Long]("t_sec")).max
+    assert(maxOff == 1706572800L, // 2024-01-30 = end − 1d offset
+      s"unexpected newest offset step $maxOff")
+  }
 }
