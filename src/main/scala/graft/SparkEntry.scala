@@ -203,6 +203,8 @@ object SparkEntry {
     "io_dv" -> (sources.Io.dvRead _),
     "io_dv_dsv2" -> (sources.Io.dvDsv2Read _),
     "io_write_dsv2" -> (sources.Io.dsv2WriteRead _),
+    "io_write_txn" -> (sources.Io.dsv2WriteTxnRead _),
+    "io_merge" -> (sources.Io.mergeRead _),
     "io_dv_cdf" -> (sources.Io.dvCdfRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
     "io_history" -> (sources.Io.historyRead _),
@@ -803,6 +805,17 @@ object SparkEntry {
       // ARITHMETIC bucket midpoints (+Inf collapses to the top bound)
       promql.NativeHist.nhcbStatsAll(s, dir, """{typ=~".*"}""",
         "2024-01-08 00:00:00")
+    }),
+    "promql_nhcb_range" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // round 12: the /query_range dashboard panel over NHCB — daily
+      // rate-histogram medians for 5 steps, one plan for the grid
+      promql.NativeHist.evalRangeNhcb(s, dir,
+        """histogram_quantile(0.5, rate({typ=~".*"}[1d]))""",
+        "2024-01-03 00:00:00", "2024-01-07 00:00:00", 86400L)
+        .filter(!isnan(col("value")))
+        .select(col("typ"), col("t_sec"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50r"))
     }),
     "promql_nhcb_ladders" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -2408,6 +2421,44 @@ object SparkEntry {
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events
         |GROUP BY 1""".stripMargin,
+    // round 12: the exactly-once (txnVersion) connector sink -- same
+    // content contract as io_write_dsv2; a redelivered batch that
+    // committed twice would double the purchase sums
+    "io_write_txn" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // round 12: MERGE INTO -- v0 is the raw flat table; v1 updates
+    // every purchase (cents + 100000 by event_id) and inserts a
+    // displaced copy of every click (event_id + 1e12); both cuts
+    // replayed from the source prove update/insert/carry/isolation
+    "io_merge" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |m AS (
+        |  SELECT typ, event_id,
+        |    CASE WHEN typ = 'purchase' THEN cents + 100000
+        |         ELSE cents END AS cents
+        |  FROM src
+        |  UNION ALL
+        |  SELECT typ, event_id + 1000000000000, cents
+        |  FROM src WHERE typ = 'click'),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM m GROUP BY 2)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
     // I25+I15: the DV change feed — v0→v1 deletes are the DV'd point
     // rows (no file changed), v1→v2 deletes are the purchases (COW +
     // DV mix); no inserts in either transition
@@ -5264,6 +5315,29 @@ object SparkEntry {
     // round 12: per-metric ladders -- purchase interpolates against
     // its own migrated bounds (40/80/160/320), everything else against
     // the default ladder
+    // round 12: NHCB rate-quantiles across the /query_range grid --
+    // per step, the 1d counter diff is the window's own histogram
+    "promql_nhcb_range" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 4)) AS i),
+        |e AS (SELECT e.event_type AS typ, g.i, e.value AS v
+        |  FROM events e, g
+        |  WHERE epoch_us(e.ts) >= CAST(1704240000 + g.i*86400 - 86400 AS BIGINT) * 1000000
+        |    AND epoch_us(e.ts) < CAST(1704240000 + g.i*86400 AS BIGINT) * 1000000),
+        |a AS (SELECT typ, i, CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(CASE WHEN v <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        |    CAST(sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN v <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        |    CAST(sum(CASE WHEN v <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+        |  FROM e GROUP BY 1, 2),
+        |q AS (SELECT typ, i, cnt * 0.5 AS rk, c0, c1, c2, c3 FROM a
+        |  WHERE cnt > 0)
+        |SELECT typ, 1704240000 + i * 86400 AS t_sec, floor((CASE
+        |    WHEN c0 >= rk THEN 0.0 + (rk - 0.0) / (c0 - 0.0) * (25.0 - 0.0)
+        |    WHEN c1 >= rk THEN 25.0 + (rk - c0) / (c1 - c0) * (50.0 - 25.0)
+        |    WHEN c2 >= rk THEN 50.0 + (rk - c1) / (c2 - c1) * (100.0 - 50.0)
+        |    WHEN c3 >= rk THEN 100.0 + (rk - c2) / (c3 - c2) * (200.0 - 100.0)
+        |    ELSE 200.0 END) * 1e4 + 0.5) / 1e4 AS q50r
+        |FROM q""".stripMargin,
     "promql_nhcb_ladders" ->
       """WITH e AS (SELECT event_type AS typ, value AS v FROM events
         |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'

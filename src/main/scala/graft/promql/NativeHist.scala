@@ -784,6 +784,44 @@ object NativeHist {
       rangeSec: Long): DataFrame =
     nhcbRateFrom(nhcbSamples(spark, dir), tSec, rangeSec)
 
+  /** Grid-vectorized NHCB selection (round 12 — the custom-bucket twin
+    * of [[histAtGrid]]): every requested step must land on the hourly
+    * sample grid, selection is one equi-join filter for the whole
+    * grid; `shift` re-stamps the frame forward for the rate
+    * subtrahend, and a step whose shifted source is the counter epoch
+    * reads as the zero histogram through the left join in
+    * [[nhcbDiffGrid]]. */
+  private def nhcbAtGrid(samples: DataFrame, grid: Seq[Long],
+      shift: Long): DataFrame = {
+    grid.foreach { g =>
+      require((g - shift - t0Sec) % 3600 == 0 &&
+        g - shift >= t0Sec && g - shift <= t0Sec + hours * 3600L,
+        s"grid step ${g - shift} off the hourly NHCB sample grid")
+    }
+    samples.filter(col("t_sec").isInCollection(grid.map(_ - shift)))
+      .select(col("typ"), (col("t_sec") + shift).as("t_sec"),
+        col("bounds"),
+        col("cnt").cast("double").as("cnt"),
+        expr("transform(bcum, x -> cast(x as double))").as("bcum"),
+        col("hsum"), lit(1.0).as("rsec"))
+  }
+
+  /** Component-wise counter diffs across the whole grid — one shifted
+    * self-join on (typ, t_sec); absence on the right is the zero
+    * histogram (cumulative counters from the epoch). */
+  private def nhcbDiffGrid(a: DataFrame, b: DataFrame,
+      rangeSec: Long): DataFrame =
+    a.join(b.select(col("typ"), col("t_sec"), col("cnt").as("bcnt"),
+        col("bcum").as("bbcum"), col("hsum").as("bhsum")),
+      Seq("typ", "t_sec"), "left")
+      .select(col("typ"), col("t_sec"), col("bounds"),
+        (col("cnt") - coalesce(col("bcnt"), lit(0.0))).as("cnt"),
+        coalesce(
+          expr("zip_with(bcum, bbcum, (x, y) -> x - y)"), col("bcum"))
+          .as("bcum"),
+        (col("hsum") - coalesce(col("bhsum"), lit(0.0))).as("hsum"),
+        lit(rangeSec.toDouble).as("rsec"))
+
   /** Component-wise NHCB sum — Prometheus refuses to aggregate
     * custom-bucket histograms with MISMATCHED ladders; the guard rides
     * the bounds column so it fires exactly when a consumer reads the
@@ -971,6 +1009,45 @@ object NativeHist {
             s"selector, rate(sel[d]), or sum by (...) of either, got $other")
         }
       }
+    val out = PromQl.parse(exprStr) match {
+      case Func("histogram_quantile", arg, Some(q)) =>
+        quantileNhcb(inner(arg), q)
+      case HistFrac(lo, hi, arg) => fractionNhcb(inner(arg), lo, hi)
+      case Func(n, arg, None) if PromQl.nativeHistFuncs(n) =>
+        statNhcb(inner(arg), n)
+      case other => sys.error(s"not an NHCB histogram expression: $other")
+    }
+    if (out.columns.contains("__g")) out.drop("__g") else out
+  }
+
+  /** RANGE-query form over NHCB (round 12 — the /query_range twin of
+    * [[evalNhcb]], mirroring the exponential [[evalRange]]): the same
+    * expression class evaluated at every grid step, `t_sec` riding as
+    * one more label through the label-generic evaluators — one plan
+    * for the whole grid, rate as one shifted self-join. Composes with
+    * the per-metric ladder corpus. */
+  def evalRangeNhcb(spark: SparkSession, dir: String, exprStr: String,
+      start: String, end: String, stepSec: Long,
+      perMetric: Boolean = false): DataFrame = {
+    val (su, eu) = (tSecOf(start), tSecOf(end))
+    require(stepSec > 0 && eu >= su, "need end >= start and step > 0")
+    val grid: Seq[Long] = (su to eu by stepSec)
+    val samples =
+      if (perMetric) nhcbSamplesLadders(spark, dir)
+      else nhcbSamples(spark, dir)
+    def inner(e: Expr): DataFrame = e match {
+      case Sel(ms, None, 0, None, None) =>
+        nhcbAtGrid(samples, grid, 0L).filter(matcherPred(ms))
+      case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
+        nhcbDiffGrid(
+          nhcbAtGrid(samples, grid, 0L).filter(matcherPred(ms)),
+          nhcbAtGrid(samples, grid, r).filter(matcherPred(ms)), r)
+      case Agg("sum", by, Seq(), arg, None, None) =>
+        sumNhcb(inner(arg),
+          if (by.contains("t_sec")) by else by :+ "t_sec")
+      case other => sys.error(s"NHCB range argument must be a " +
+        s"selector, rate(sel[d]), or sum by (...), got $other")
+    }
     val out = PromQl.parse(exprStr) match {
       case Func("histogram_quantile", arg, Some(q)) =>
         quantileNhcb(inner(arg), q)

@@ -161,6 +161,12 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     * connector cannot infer a schema from an empty log). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
+      // `txnVersion` (round 12): the Delta txnAppId/txnVersion idea as
+      // a writer option — a foreachBatch sink passes the micro-batch
+      // id and redelivery of an already-committed batch becomes a
+      // NO-OP (tableAppendIdempotent, the I19 exactly-once contract);
+      // without it each save is one OCC commit.
+      private val txn = Option(info.options.get("txnVersion")).map(_.toLong)
       override def build(): Write = new V1Write {
         override def toInsertableRelation: sources.InsertableRelation =
           new sources.InsertableRelation {
@@ -172,8 +178,11 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
               require(version == head,
                 s"append applies to HEAD (v$head) — this view is " +
                   s"pinned to v$version via versionAsOf/timestampAsOf")
-              Io.tableAppendOcc(data, path,
-                writer = java.util.UUID.randomUUID().toString)
+              txn match {
+                case Some(b) => Io.tableAppendIdempotent(data, path, b)
+                case None => Io.tableAppendOcc(data, path,
+                  writer = java.util.UUID.randomUUID().toString)
+              }
               ()
             }
           }

@@ -959,6 +959,63 @@ object Io {
     nv
   }
 
+  /** MERGE (round 12): the Delta `MERGE INTO` upsert verb on the
+    * commit log — WHEN MATCHED (by `keyCol`) the source row REPLACES
+    * the target row, WHEN NOT MATCHED it inserts; one new commit.
+    * Copy-on-write at FILE granularity: touched-file discovery is a
+    * distributed key semi-join (collect ∝ #touched files —
+    * metadata-scale), only files holding matched keys are rewritten
+    * (matched rows dropped, all source rows landed alongside), every
+    * other file carries by reference, and history stays immutable.
+    * Stats sidecars carry ([[carryStats]]). Join sizing is left to
+    * AQE — merge sources range from a trickle to a backfill, so
+    * nothing is force-broadcast. Refuses DV-carrying tables loudly: a
+    * merge re-inserting a DV-deleted key would be invisible behind
+    * the carried key anti-join (optimizeTableDv first — the
+    * tableDeleteWhere precedent). Refuses a source with duplicate
+    * keys (Delta's multiple-matches error — which duplicate wins
+    * would be nondeterministic).
+    */
+  def tableMerge(spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    require(readDvMeta(spark, table, v)._2.isEmpty,
+      s"table at $table carries deletion vectors — a merge could " +
+        "re-insert a DV-deleted key behind the carried anti-join; " +
+        "optimizeTableDv first")
+    val files = readCommit(spark, table, v)
+    val cur = spark.read.parquet(files.map(resolve(table, _)): _*)
+    require(cur.columns.toSet == source.columns.toSet,
+      s"merge source columns ${source.columns.mkString(",")} must match " +
+        s"target ${cur.columns.mkString(",")}")
+    val aligned = source.select(cur.columns.map(col).toIndexedSeq: _*)
+    val srcKeys = aligned.select(col(keyCol))
+    val keyStats = srcKeys.agg(
+      count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"))
+      .collect()(0)
+    require(keyStats.getLong(0) == keyStats.getLong(1),
+      s"merge source has duplicate $keyCol values — which row wins " +
+        "would be nondeterministic (the Delta multiple-matches error)")
+    val relFile = regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
+    val touched = cur.select(col(keyCol), relFile.as("__f"))
+      .join(srcKeys, Seq(keyCol), "left_semi")
+      .select(col("__f")).distinct().collect().map(_.getString(0)).toSet
+    val nv = v + 1
+    val touchedFull = files.filter(f => touched(trail(f)))
+    val out =
+      if (touchedFull.isEmpty) aligned // insert-only merge = append
+      else spark.read.parquet(touchedFull.map(resolve(table, _)): _*)
+        .join(srcKeys, Seq(keyCol), "left_anti")
+        .select(cur.columns.map(col).toIndexedSeq: _*)
+        .unionByName(aligned)
+    val landed = landData(out, table, s"c$nv")
+    val keptFiles = files.filterNot(f => touched(trail(f)))
+    val rewritten = carryStats(spark, table, v, nv, keptFiles, landed)
+    writeCommit(spark, table, nv, keptFiles ++ rewritten)
+    nv
+  }
+
   /** The newest version whose commit landed at-or-before `tsMillis`
     * (Delta's `timestampAsOf`): commit files are written once and
     * never touched (the vacuum checkpoint is a SEPARATE `.ckpt`), so
@@ -2085,8 +2142,86 @@ object Io {
     agg(0L).unionByName(agg(1L)).unionByName(agg(2L))
   }
 
+  private val mergeRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** MERGE gate (round 12), oracle-gated: v0 = the flat events table
+    * (type-clustered layout so the merge touches SOME files, not all);
+    * one MERGE whose source UPDATES every purchase (cents + 100000,
+    * matched by event_id) and INSERTS a displaced copy of every click
+    * (event_id + 10^12 — collision-free); both version cuts read back
+    * and aggregated, the oracle replaying them from the raw source —
+    * so update-in-place, insert, untouched-type carry-over AND version
+    * isolation are all content-checked. */
+  def mergeRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergeRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_merge_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(
+        flat.repartitionByRange(4, col("typ"), col("event_id")), tt)
+      val src = flat.filter(col("typ") === "purchase")
+        .withColumn("cents", col("cents") + 100000L)
+        .unionByName(flat.filter(col("typ") === "click")
+          .withColumn("event_id", col("event_id") + 1000000000000L))
+      val v = tableMerge(spark, tt, src, "event_id")
+      require(v == 1L, s"expected merge commit v1 at $tt, got $v")
+      tt
+    })
+    def agg(v: Long): DataFrame =
+      readTableVersion(spark, t, v)
+        .groupBy(lit(v).as("version"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg(0L).unionByName(agg(1L))
+  }
+
   private val dsv2wRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private val txnRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Transactional DSv2 write gate (round 12), oracle-gated: the
+    * foreachBatch sink pattern through the connector — batch 1
+    * (purchases) committed via `option("txnVersion", 1)`, REDELIVERED
+    * (must no-op: a duplicate would double the purchase sums the
+    * oracle checks), then batch 2 (the rest); HEAD read ≡ the full
+    * source aggregation. Same oracle as `io_write_dsv2` — the content
+    * contract is identical, the delivery discipline is what differs. */
+  def dsv2WriteTxnRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = txnRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_dsv2txn_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(flat.filter(col("typ") === "view"), tt) // v0 (API)
+      def deliver(b: Long, df: DataFrame): Unit =
+        df.write.format("graft").option("txnVersion", b)
+          .mode("append").save(tt)
+      val purchases = flat.filter(col("typ") === "purchase")
+      deliver(1L, purchases)
+      deliver(1L, purchases) // redelivery — MUST no-op
+      require(tableVersion(spark, tt) == 1L,
+        s"redelivered txn batch committed twice at $tt")
+      deliver(2L,
+        flat.filter(!col("typ").isInCollection(Seq("view", "purchase"))))
+      tt
+    })
+    spark.read.format("graft").load(t)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
 
   /** I26 write path (round 12), oracle-gated: two thirds of the events
     * table are appended THROUGH the connector

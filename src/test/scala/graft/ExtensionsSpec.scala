@@ -437,5 +437,19 @@ class ExtensionsSpec extends AnyFunSuite {
     val afterDv = s.read.format("graft").load(t)
     assert(afterDv.count() == 19 && afterDv.filter(col("k") === 5).count() == 0,
       "connector append must not resurrect DV-deleted rows")
+    // txnVersion (exactly-once sink): redelivery no-ops, gaps refuse
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_txn").toString + "/table"
+    sources.Io.tableAppend(Seq(0L).toDF("k"), t2) // v0
+    def txnWrite(b: Long, k: Long): Unit =
+      Seq(k).toDF("k").write.format("graft")
+        .option("txnVersion", b).mode("append").save(t2)
+    txnWrite(1L, 10L)
+    txnWrite(1L, 10L) // redelivered — must not commit again
+    assert(sources.Io.tableVersion(s, t2) == 1L)
+    assert(s.read.format("graft").load(t2).count() == 2)
+    val gap = intercept[Exception] { txnWrite(5L, 50L) }
+    assert(gap.getMessage.contains("delivered before"),
+      s"unexpected: ${gap.getMessage}")
   }
 }

@@ -793,6 +793,66 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("round-12 MERGE: matched rows replaced, unmatched inserted, " +
+      "untouched files carried by reference, refusals loud") {
+    import spark.implicits._
+    val t = s"$tmp/merge"
+    // two range files: k 1..10 (file 1), 11..20 (file 2)
+    Io.tableAppend((1L to 20L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")), t) // v0
+    val c0 = Io.versionFiles(spark, t, 0L).toSet
+    // merge touching ONLY file 1 keys: update k=3, insert k=100
+    val src = Seq((3L, 999L), (100L, 1000L)).toDF("k", "v")
+    assert(Io.tableMerge(spark, t, src, "k") == 1L)
+    val m1 = Io.readTableVersion(spark, t, 1L)
+    assert(m1.count() == 21)
+    assert(m1.filter(col("k") === 3).select("v").head().getLong(0) == 999L)
+    assert(m1.filter(col("k") === 100).count() == 1)
+    val c1 = Io.versionFiles(spark, t, 1L).toSet
+    assert((c1 & c0).nonEmpty, "untouched file must carry by reference")
+    assert(c1 != c0, "touched file must be rewritten")
+    // v0 unchanged (history immutable)
+    assert(Io.readTableVersion(spark, t, 0L).count() == 20)
+    assert(Io.readTableVersion(spark, t, 0L)
+      .filter(col("k") === 3).select("v").head().getLong(0) == 30L)
+    // insert-only merge touches nothing: pure append
+    assert(Io.tableMerge(spark, t,
+      Seq((200L, 1L)).toDF("k", "v"), "k") == 2L)
+    assert((Io.versionFiles(spark, t, 2L).toSet & c1) == c1,
+      "insert-only merge must carry every file")
+    // duplicate source keys refuse (the Delta multiple-matches error)
+    val dup = intercept[IllegalArgumentException] {
+      Io.tableMerge(spark, t, Seq((5L, 1L), (5L, 2L)).toDF("k", "v"), "k")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // schema mismatch refuses
+    intercept[IllegalArgumentException] {
+      Io.tableMerge(spark, t, Seq(1L).toDF("k"), "k")
+    }
+    // DV-carrying tables refuse (re-inserted key would vanish behind
+    // the carried anti-join)
+    Io.tableDeleteWhereDv(spark, t, col("k") === 7, "k") // v3
+    val dv = intercept[IllegalArgumentException] {
+      Io.tableMerge(spark, t, Seq((7L, 1L)).toDF("k", "v"), "k")
+    }
+    assert(dv.getMessage.contains("deletion vectors"))
+  }
+
+  test("round-12 MERGE × stats: the sidecar carries, rewritten files " +
+      "get fresh bounds, skipping stays exact") {
+    import spark.implicits._
+    val t = s"$tmp/mergestats"
+    Io.tableAppendStats((1L to 20L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")), t, "k")
+    Io.tableMerge(spark, t, Seq((3L, 999L), (100L, 1000L)).toDF("k", "v"), "k")
+    val st = Io.readStatsFile(spark, t, 1L)
+    assert(st.nonEmpty)
+    assert(st.values.exists(_._2 == 100L),
+      "rewritten file's fresh stats must cover the inserted k=100")
+    val skip = Io.readTableVersionSkipping(spark, t, 1L, "k", 11L, 21L)
+    assert(skip.count() == 10)
+  }
+
   test("round-12 DV hardening: OPTIMIZE materializes deletes instead of " +
       "resurrecting them; RESTORE carries the target's DV sidecar both " +
       "ways; appends keep carrying") {
