@@ -204,7 +204,11 @@ object SparkEntry {
     "io_dv_dsv2" -> (sources.Io.dvDsv2Read _),
     "io_write_dsv2" -> (sources.Io.dsv2WriteRead _),
     "io_write_txn" -> (sources.Io.dsv2WriteTxnRead _),
+    "io_catalog" -> (sources.Io.catalogRead _),
+    "io_ctas" -> (sources.Io.ctasRead _),
     "io_merge" -> (sources.Io.mergeRead _),
+    "io_merge_sql" -> (sources.Io.mergeSqlRead _),
+    "io_update" -> (sources.Io.updateRead _),
     "io_dv_cdf" -> (sources.Io.dvCdfRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
     "io_history" -> (sources.Io.historyRead _),
@@ -2431,6 +2435,25 @@ object SparkEntry {
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events
         |GROUP BY 1""".stripMargin,
+    // round 12: catalog DML lifecycle -- CREATE + INSERT + DELETE as
+    // graft.<ns>.<table> identifiers; insert-minus-delete replayed
+    "io_catalog" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE event_type <> 'view'
+        |GROUP BY 1""".stripMargin,
+    // round 12: atomic CTAS + SQL time travel -- VERSION AS OF 0 reads
+    // the pre-delete cut, so the oracle is the FULL source aggregation
+    "io_ctas" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |GROUP BY 1""".stripMargin,
     // round 12: MERGE INTO -- v0 is the raw flat table; v1 updates
     // every purchase (cents + 100000 by event_id) and inserts a
     // displaced copy of every click (event_id + 1e12); both cuts
@@ -2458,6 +2481,52 @@ object SparkEntry {
         |    CAST(sum(cents) AS BIGINT) AS sum_cents,
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM m GROUP BY 2)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
+    // round 12: SQL MERGE INTO through the catalog — the SAME replay
+    // as io_merge (SQL statement ≡ API verb ≡ source)
+    "io_merge_sql" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |m AS (
+        |  SELECT typ, event_id,
+        |    CASE WHEN typ = 'purchase' THEN cents + 100000
+        |         ELSE cents END AS cents
+        |  FROM src
+        |  UNION ALL
+        |  SELECT typ, event_id + 1000000000000, cents
+        |  FROM src WHERE typ = 'click'),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM m GROUP BY 2)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
+    // round 12: SQL UPDATE through the row-level COW rewrite — v0 is
+    // the raw cut, v1 adds 100000 cents to every purchase
+    "io_update" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents +
+        |      CASE WHEN typ = 'purchase' THEN 100000 ELSE 0 END)
+        |      AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
     // I25+I15: the DV change feed — v0→v1 deletes are the DV'd point
     // rows (no file changed), v1→v2 deletes are the purchases (COW +

@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
@@ -58,13 +59,62 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def resolveTable(options: CaseInsensitiveStringMap): GraftTable = {
+  private def resolveTable(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
     val path = Option(options.get("path")).getOrElse(
       sys.error("the graft source needs a path (.load(tablePath) or " +
         "OPTIONS (path '...'))"))
+    GraftTables.forPath(spark, path, options)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolveTable(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    resolveTable(new CaseInsensitiveStringMap(properties))
+}
+
+/** The shared table factory: the `format("graft")` provider and the
+  * [[GraftCatalog]] both resolve a commit-log path into the same
+  * [[GraftTable]] (round 12). */
+private[graft] object GraftTables {
+  private def schemaSidecar(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_schema")
+
+  /** Persist a DDL-declared schema for a not-yet-written table (the
+    * catalog's CREATE TABLE): the commit log itself has no schema
+    * until v0 lands, so the sidecar bridges CREATE → first INSERT. */
+  private[graft] def writeSchemaSidecar(spark: SparkSession, path: String,
+      schema: StructType): Unit = {
+    val fs = Io.fsFor(spark, path)
+    val out = fs.create(schemaSidecar(path), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readSchemaSidecar(spark: SparkSession,
+      path: String): Option[StructType] = {
+    val fs = Io.fsFor(spark, path)
+    if (!fs.exists(schemaSidecar(path))) None
+    else {
+      val in = fs.open(schemaSidecar(path))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[StructType])
+    }
+  }
+
+  def forPath(spark: SparkSession, path: String,
+      options: CaseInsensitiveStringMap): Table = {
     val head = Io.tableVersion(spark, path)
-    require(head >= 0, s"no commit-log table at $path")
+    if (head < 0) {
+      // a created-but-never-written table serves its declared schema,
+      // empty scans, and first-write (v0) appends
+      val declared = readSchemaSidecar(spark, path)
+      require(declared.isDefined, s"no commit-log table at $path")
+      return new GraftEmptyTable(spark, path, declared.get)
+    }
     val byTs = Option(options.get("timestampAsOf")).map { t =>
       val millis =
         try t.toLong
@@ -84,7 +134,13 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       s"version $version out of range [0, $head] at $path")
     val (dvKey, dvDirs) = Io.dvMetaResolved(spark, path, version)
     val files = Io.versionFiles(spark, path, version)
-    require(files.nonEmpty, s"version $version at $path is empty")
+    if (files.isEmpty) {
+      // an empty-SELECT atomic CTAS commits v0 with zero data files —
+      // the declared schema serves from the sidecar, appends go OCC
+      val declared = readSchemaSidecar(spark, path)
+      require(declared.isDefined, s"version $version at $path is empty")
+      return new GraftEmptyTable(spark, path, declared.get)
+    }
     val pruned = Option(options.get("skipCol")) match {
       case None => files
       case Some(skipCol) =>
@@ -114,13 +170,6 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       Option(options.get("deleteKey")),
       dvKey.filter(_ => dvDirs.nonEmpty), dvDirs)
   }
-
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolveTable(options).schema
-
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    resolveTable(new CaseInsensitiveStringMap(properties))
 }
 
 /** The connector's Table: reads delegate to Spark's own
@@ -133,10 +182,54 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     path: String, version: Long, head: Long, deleteKey: Option[String],
     dvKeyCol: Option[String], dvDirs: Seq[String])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with connector.catalog.SupportsMetadataColumns
+  with connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = pt.name
   override def schema(): StructType = pt.schema
+
+  /** `_graft_file` (round 12): each row's data file — the GROUP id of
+    * the row-level COW machinery (and a provenance column any query
+    * may select). Served by [[GraftFileScanBuilder]]'s row
+    * augmentation; normal scans that never reference it plan
+    * unchanged. */
+  override def metadataColumns()
+      : Array[connector.catalog.MetadataColumn] =
+    Array(new connector.catalog.MetadataColumn {
+      override def name(): String = RowLevel.FileCol
+      override def dataType(): DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "table-relative data file serving this row (graft COW group)"
+    })
+
+  /** SQL UPDATE / MERGE INTO / (untranslatable-predicate) DELETE —
+    * Spark's row-level-operation framework over the group-based COW
+    * rewrite in [[GraftRowLevelOperation]]. HEAD only, like every
+    * other mutation. UPDATE/MERGE refuse DV-carrying tables (a
+    * modified row could collide with a DV-deleted key behind the
+    * carried anti-join — optimizeTableDv first); DELETE composes
+    * (the rewrite scan is DV-filtered via [[DvScanBuilder]] and the
+    * commit carries the sidecar). */
+  override def newRowLevelOperationBuilder(
+      info: connector.write.RowLevelOperationInfo)
+      : connector.write.RowLevelOperationBuilder = {
+    require(version == head,
+      s"${info.command} applies to HEAD (v$head) — this view is " +
+        s"pinned to v$version via versionAsOf/timestampAsOf")
+    if (info.command != connector.write.RowLevelOperation.Command.DELETE)
+      require(dvDirs.isEmpty,
+        s"table at $path carries deletion vectors — ${info.command} " +
+          "could collide with a DV-deleted key behind the carried " +
+          "anti-join; run Io.optimizeTableDv first")
+    new connector.write.RowLevelOperationBuilder {
+      override def build(): connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(spark, path, version, info.command,
+          opts => baseScanBuilder(opts))
+    }
+  }
   // Writes (round 12) stage through the OCC commit protocol
   // (tableAppendOcc — writer-unique data dir, version claim at commit,
   // conflict retry), not a raw file sink: the WriteBuilder produces a
@@ -188,7 +281,7 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
           }
       }
     }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  private def baseScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     dvKeyCol match {
       case Some(k) =>
         // one metadata-scale collect per planned scan: the version's
@@ -200,6 +293,14 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
           pt.schema.apply(k).dataType, keys)
       case None => pt.newScanBuilder(options)
     }
+
+  // the file-column wrapper engages only when the plan references
+  // _graft_file (the row-level group-filter build side, or an explicit
+  // provenance SELECT); otherwise build() hands back the delegate scan
+  // untouched — normal reads plan exactly as before
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftFileScanBuilderPushdown(baseScanBuilder(options),
+      runtimeFilterable = false)
 
   private def toColumn(f: sources.Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
@@ -221,23 +322,15 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     case _ => None
   }
 
-  // Untranslatable predicates fail LOUDLY with the remedy instead of
-  // returning false (which Spark would surface as an opaque
-  // cannot-delete planning error): name the filter that refused, the
-  // `deleteKey` option that turns SQL DELETE into a merge-on-read DV
-  // delete, and the API escape hatch for arbitrary predicates.
-  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean = {
-    val bad = filters.filter(toColumn(_).isEmpty)
-    if (bad.nonEmpty) sys.error(
-      s"DELETE predicate not translatable to a graft delete: " +
-        s"${bad.mkString(", ")}. SQL DELETE supports " +
-        "=/</<=/>/>=/IN/IS NULL/LIKE-prefix combinations; for " +
-        "arbitrary predicates use Io.tableDeleteWhere(Dv) directly. " +
-        "(Views created with OPTIONS (deleteKey '<row-unique col>') " +
-        "delete merge-on-read via deletion vectors; without it, " +
-        "DELETE is copy-on-write.)")
-    true
-  }
+  // Translatable predicates take the metadata-delete fast path
+  // (Spark's OptimizeMetadataOnlyDeleteFromTable → deleteWhere below:
+  // DV merge-on-read with a deleteKey, COW commit without). A filter
+  // this surface can't express returns false and the DELETE falls
+  // back to the round-12 row-level COW rewrite (RowLevelOps.scala) —
+  // any predicate now works, it just pays a group rewrite instead of
+  // a metadata commit.
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(toColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(version == head,
@@ -376,5 +469,146 @@ private[graft] class DvReaderFactory(delegate: PartitionReaderFactory,
         if (proj == null) cur else proj(cur)
       override def close(): Unit = inner.close()
     }
+  }
+}
+
+/** A created-but-never-written commit-log table (round 12, the
+  * catalog's CREATE → INSERT window): serves the DDL-declared schema,
+  * plans an EMPTY batch scan, and accepts the first append (which
+  * lands v0 through the same OCC/txn write paths as [[GraftTable]]).
+  */
+private[graft] class GraftEmptyTable(spark: SparkSession, path: String,
+    declared: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft:$path@empty"
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = declared
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array.empty
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] =
+              throw new IllegalStateException(
+                "empty graft table planned no partitions")
+          }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      private val txn = Option(info.options.get("txnVersion")).map(_.toLong)
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          new sources.InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                s"graft table $path is append-only through the connector")
+              txn match {
+                case Some(b) => Io.tableAppendIdempotent(data, path, b)
+                case None => Io.tableAppendOcc(data, path,
+                  writer = java.util.UUID.randomUUID().toString)
+              }
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** Atomic CTAS staging (round 12, [[GraftCatalog.stageCreate]]): the
+  * SELECT's output lands under a writer-unique `data/` tag while the
+  * table stays INVISIBLE (no `_commits`, no `_schema` — loadTable and
+  * listTables cannot see it), and `commitStagedChanges` lands v0
+  * through the same OCC version claim as every other commit. Two
+  * racing `CREATE TABLE ... AS SELECT` of the same identifier thus
+  * serialize at the v0 claim: exactly one wins, the loser's abort
+  * removes only its own staging dir (never the winner's files). An
+  * empty-SELECT CTAS commits v0 with zero data files and serves its
+  * declared schema from the sidecar.
+  */
+private[graft] class GraftStagedTable(spark: SparkSession, path: String,
+    declared: StructType, replaceOf: Option[Long] = None)
+  extends StagedTable with SupportsWrite {
+
+  private val v0 = replaceOf.map(_ + 1).getOrElse(0L)
+  private val tag = s"c$v0-ctas-" + java.util.UUID.randomUUID().toString
+  @volatile private var landed: Seq[String] = Seq.empty
+  @volatile private var wrote = false
+
+  override def name(): String = s"graft:$path@staged"
+  override def schema(): StructType = declared
+  // TRUNCATE is advertised unconditionally: Spark plans (CREATE OR)
+  // REPLACE ... AS SELECT as truncate+write against the staged table,
+  // and the "truncate" is simply that the staged commit lists only
+  // the fresh files (a no-op for a staged CREATE, which has none)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS arrives as truncate+write; the "truncate" is implicit in
+      // the replace commit (it lists only the staged files), so the
+      // builder just accepts the mode
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          new sources.InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              landed = Io.stageLand(data, path, tag)
+              wrote = true
+              ()
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    require(wrote, s"atomic CTAS at $path committed before its write ran")
+    // the version claim is the arbitration point (OCC); the schema
+    // sidecar lands after the win so a lost race never clobbers the
+    // winner's declared schema. The sidecar also serves the
+    // empty-SELECT read. A REPLACE commit lists ONLY the fresh files
+    // (prior versions keep serving their own lists — time travel
+    // across a replace just works) and discards any DV sidecar with
+    // the replaced content.
+    replaceOf match {
+      case None => Io.commitStaged(spark, path, landed)
+      case Some(prev) =>
+        require(Io.tableVersion(spark, path) == prev,
+          s"REPLACE TABLE at $path lost to a concurrent commit " +
+            s"(staged against v$prev) — re-run against fresh state")
+        Io.commitReplaceAll(spark, path, prev + 1, landed)
+    }
+    GraftTables.writeSchemaSidecar(spark, path, declared)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val fs = Io.fsFor(spark, path)
+    try {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/$tag"), true)
+      val root = new org.apache.hadoop.fs.Path(path)
+      // drop the table dir only if nothing else (a racing winner, an
+      // older table) lives there
+      val dataDir = new org.apache.hadoop.fs.Path(path, "data")
+      if (fs.exists(dataDir) && fs.listStatus(dataDir).isEmpty)
+        fs.delete(dataDir, false)
+      if (fs.exists(root) && fs.listStatus(root).isEmpty)
+        fs.delete(root, false)
+    } catch { case _: Throwable => () }
   }
 }

@@ -870,6 +870,42 @@ object Io {
       .map(n => s"data/$tag/$n").toIndexedSeq
   }
 
+  // Staged-CTAS plumbing (round 12, [[GraftCatalog]] stageCreate): the
+  // SELECT's output lands under a writer-unique tag WITHOUT committing
+  // — the table stays invisible (no _commits, no _schema sidecar)
+  // until commitStaged lands v0 through the same OCC claim as every
+  // other commit (two racing atomic CTAS serialize; the loser's abort
+  // removes only its own staging dir).
+  private[graft] def stageLand(df: DataFrame, table: String,
+      tag: String): Seq[String] = landData(df, table, tag)
+
+  private[graft] def commitStaged(spark: SparkSession, table: String,
+      files: Seq[String]): Unit = writeCommit(spark, table, 0L, files)
+
+  /** REPLACE TABLE's commit (round 12): the next version lists ONLY
+    * the staged files — no carry, no DV sidecar (dv = None also
+    * scrubs any stale orphan at this number). History stays: every
+    * prior version keeps its own file list. */
+  private[graft] def commitReplaceAll(spark: SparkSession, table: String,
+      version: Long, files: Seq[String]): Unit =
+    writeCommit(spark, table, version, files)
+
+  /** A version's raw (table-root-relative) commit entries — the
+    * row-level COW write's arithmetic handle. */
+  private[graft] def commitEntries(spark: SparkSession, table: String,
+      version: Long): Seq[String] = readCommit(spark, table, version)
+
+  /** Land a SQL row-level rewrite as the next version: `files` is the
+    * full (kept + fresh) list, the DV sidecar carries (a DELETE
+    * rewrite on a DV table keeps kept-file rows deleted; UPDATE/MERGE
+    * refuse DV tables upstream), and the OCC claim serializes racing
+    * DML — the loser surfaces a CommitConflictException and Spark
+    * fails that statement cleanly (re-run re-scans fresh state). */
+  private[graft] def commitReplace(spark: SparkSession, table: String,
+      version: Long, files: Seq[String]): Unit =
+    writeCommit(spark, table, version, files,
+      carriedDv(spark, table, version))
+
   /** Commit `df` as the next version: an APPEND (prior files carried by
     * reference + the new batch's files). Version 0 creates the table.
     */
@@ -1757,13 +1793,20 @@ object Io {
     * stats row — the tableAppendStats exclusion); identity when the
     * prior version had no sidecar. */
   private def carryStats(spark: SparkSession, table: String, priorV: Long,
-      nv: Long, kept: Seq[String], rewritten: Seq[String]): Seq[String] = {
+      nv: Long, kept: Seq[String], rewritten: Seq[String]): Seq[String] =
+    carryStatsFor(spark, table, priorV, nv, kept, rewritten, s"c$nv")
+
+  // tag-general form (round 12): the SQL row-level COW write lands its
+  // fresh files under a writer-unique tag, not c<nv>
+  private[graft] def carryStatsFor(spark: SparkSession, table: String,
+      priorV: Long, nv: Long, kept: Seq[String], rewritten: Seq[String],
+      tag: String): Seq[String] = {
     if (!fsFor(spark, table).exists(statsFin(table, priorV))) return rewritten
     val ps = readStatsFile(spark, table, priorV)
     val cols = ps.keys.map(_._2).toSeq.distinct.sorted
     val fresh =
       if (rewritten.isEmpty) Map.empty[(String, String), (Long, Long)]
-      else landedStats(spark, table, s"c$nv", cols)
+      else landedStats(spark, table, tag, cols)
     val keptRewritten = rewritten.filter(f =>
       fresh.contains((trail(f), cols.head)))
     val entries =
@@ -2183,6 +2226,189 @@ object Io {
 
   private val dsv2wRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private val catRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Catalog gate (round 12), oracle-gated: the whole table lifecycle
+    * as `graft.<ns>.<table>` SQL identifiers — CREATE TABLE (schema
+    * sidecar), INSERT INTO ... SELECT (V1Write → OCC, v0 creates),
+    * DELETE FROM (COW commit), then the aggregation SELECT back
+    * through the catalog; the DuckDB oracle replays insert-minus-
+    * delete from the raw source, so identifier-addressed DML is
+    * content-checked end to end. */
+  def catalogRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = catRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_warehouse_" + fp).toString
+      fsFor(spark, wh).delete(new org.apache.hadoop.fs.Path(wh), true)
+      spark.conf.set("spark.sql.catalog.graftcat",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      val raw = Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .createOrReplaceTempView("__graft_cat_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.g")
+      spark.sql(
+        "CREATE TABLE graftcat.g.events_flat " +
+          "(event_id BIGINT, typ STRING, cents BIGINT)")
+      spark.sql("INSERT INTO graftcat.g.events_flat " +
+        "SELECT * FROM __graft_cat_src")
+      spark.sql("DELETE FROM graftcat.g.events_flat WHERE typ = 'view'")
+      wh
+    })
+    // t keeps the memo non-trivial; the read itself is pure SQL
+    require(t.nonEmpty)
+    spark.sql(
+      """SELECT typ, count(*) AS n, sum(cents) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM graftcat.g.events_flat GROUP BY typ""".stripMargin)
+  }
+
+  private val updRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** SQL UPDATE gate (round 12), oracle-gated: the row-level-operation
+    * framework end to end — CTAS lands the flat events table
+    * type-clustered (so purchases live in a SUBSET of files), one
+    * `UPDATE ... SET cents = cents + 100000 WHERE typ = 'purchase'`
+    * rewrites exactly the touched files (runtime group filtering; the
+    * builder asserts untouched files carried BY REFERENCE), and both
+    * version cuts read back via `VERSION AS OF` — the oracle replays
+    * them from the raw source, so update-in-place, carry-over and
+    * version isolation are all content-checked. */
+  def updateRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = updRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val w = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_upd_wh_" + fp).toString
+      fsFor(spark, w).delete(new org.apache.hadoop.fs.Path(w), true)
+      spark.conf.set("spark.sql.catalog.graftdml",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftdml.warehouse", w)
+      val raw = Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .repartitionByRange(4, col("typ"), col("event_id"))
+        .createOrReplaceTempView("__graft_upd_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftdml.g")
+      spark.sql("CREATE TABLE graftdml.g.ev AS " +
+        "SELECT * FROM __graft_upd_src")
+      spark.sql("UPDATE graftdml.g.ev SET cents = cents + 100000 " +
+        "WHERE typ = 'purchase'")
+      val t = s"$w/g/ev"
+      val v0 = commitEntries(spark, t, 0L).toSet
+      val v1 = commitEntries(spark, t, 1L).toSet
+      require(v0.intersect(v1).nonEmpty,
+        s"UPDATE must carry untouched files by reference (v0=$v0 v1=$v1)")
+      require(v1 != v0, "UPDATE must rewrite the touched files")
+      w
+    })
+    require(wh.nonEmpty)
+    def agg(v: Long): DataFrame =
+      spark.sql(s"SELECT typ, count(*) AS n, sum(cents) AS sum_cents, " +
+        "min(event_id) AS min_id, max(event_id) AS max_id " +
+        s"FROM graftdml.g.ev VERSION AS OF $v GROUP BY typ")
+        .select(lit(v).as("version"), col("typ"), col("n"),
+          col("sum_cents"), col("min_id"), col("max_id"))
+    agg(0L).unionByName(agg(1L))
+  }
+
+  private val msqlRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** SQL MERGE INTO gate (round 12), oracle-gated: the io_merge
+    * fixture driven by the MERGE STATEMENT through the catalog instead
+    * of the API verb — same source (purchases updated by event_id,
+    * clicks re-inserted displaced), same two-cut oracle. SQL MERGE ≡
+    * API merge ≡ source replay. */
+  def mergeSqlRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = msqlRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val w = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_msql_wh_" + fp).toString
+      fsFor(spark, w).delete(new org.apache.hadoop.fs.Path(w), true)
+      spark.conf.set("spark.sql.catalog.graftmsql",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftmsql.warehouse", w)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      flat.repartitionByRange(4, col("typ"), col("event_id"))
+        .createOrReplaceTempView("__graft_msql_tgt")
+      flat.filter(col("typ") === "purchase")
+        .withColumn("cents", col("cents") + 100000L)
+        .unionByName(flat.filter(col("typ") === "click")
+          .withColumn("event_id", col("event_id") + 1000000000000L))
+        .createOrReplaceTempView("__graft_msql_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftmsql.g")
+      spark.sql("CREATE TABLE graftmsql.g.ms AS " +
+        "SELECT * FROM __graft_msql_tgt")
+      spark.sql(
+        """MERGE INTO graftmsql.g.ms AS tg USING __graft_msql_src AS src
+          |ON tg.event_id = src.event_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val t = s"$w/g/ms"
+      require(commitEntries(spark, t, 0L).toSet
+          .intersect(commitEntries(spark, t, 1L).toSet).nonEmpty,
+        "SQL MERGE must carry untouched files by reference")
+      w
+    })
+    require(wh.nonEmpty)
+    def agg(v: Long): DataFrame =
+      spark.sql(s"SELECT typ, count(*) AS n, sum(cents) AS sum_cents, " +
+        "min(event_id) AS min_id, max(event_id) AS max_id " +
+        s"FROM graftmsql.g.ms VERSION AS OF $v GROUP BY typ")
+        .select(lit(v).as("version"), col("typ"), col("n"),
+          col("sum_cents"), col("min_id"), col("max_id"))
+    agg(0L).unionByName(agg(1L))
+  }
+
+  private val ctasRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Atomic-CTAS + SQL-time-travel gate (round 12), oracle-gated:
+    * `CREATE TABLE ... AS SELECT` lands the whole source as commit v0
+    * in ONE statement (the staged create — invisible until the OCC v0
+    * claim wins), `DELETE FROM` lands v1, and the gate reads `VERSION
+    * AS OF 0` back BY IDENTIFIER — Spark's time-travel clause through
+    * the catalog's loadTable(ident, version). The DuckDB oracle
+    * replays the FULL source aggregation, so the pinned cut must see
+    * through the later delete: CTAS content + version isolation are
+    * both content-checked. */
+  def ctasRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = ctasRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ctas_wh_" + fp).toString
+      fsFor(spark, wh).delete(new org.apache.hadoop.fs.Path(wh), true)
+      spark.conf.set("spark.sql.catalog.graftctas",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftctas.warehouse", wh)
+      val raw = Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .createOrReplaceTempView("__graft_ctas_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftctas.g")
+      spark.sql("CREATE TABLE graftctas.g.events_flat AS " +
+        "SELECT * FROM __graft_ctas_src")
+      spark.sql("DELETE FROM graftctas.g.events_flat WHERE typ = 'view'")
+      wh
+    })
+    require(t.nonEmpty)
+    spark.sql(
+      """SELECT typ, count(*) AS n, sum(cents) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM graftctas.g.events_flat VERSION AS OF 0
+        |GROUP BY typ""".stripMargin)
+  }
 
   private val txnRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()

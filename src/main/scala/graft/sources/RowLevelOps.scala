@@ -1,0 +1,391 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal => CatalystLiteral, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Round 12: SQL `UPDATE` and `MERGE INTO` on commit-log tables —
+  * Spark's DataSourceV2 row-level-operation framework
+  * (`SupportsRowLevelOperations`), GROUP-BASED COPY-ON-WRITE at FILE
+  * granularity, the Iceberg architecture re-expressed over the graft
+  * commit log:
+  *
+  *  - Spark's analyzer rewrites UPDATE/MERGE/DELETE into a
+  *    `ReplaceData` plan: read the affected groups, apply the
+  *    modification row-wise in a projection, write the groups back.
+  *  - The operation's scan ([[GraftFileScanBuilder]] over the same
+  *    [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable]]
+  *    delegate as every other read) serves the `_graft_file` METADATA
+  *    COLUMN (one group = one data file) and implements RUNTIME GROUP
+  *    FILTERING (`SupportsRuntimeV2Filtering`): Spark first runs a
+  *    build-side scan for `DISTINCT _graft_file WHERE cond`, then the
+  *    rewrite scan plans ONLY the touched files — untouched files
+  *    carry into the new commit BY REFERENCE, exactly the
+  *    `tableMerge`/`tableDeleteWhere` COW discipline. At 100 TB an
+  *    UPDATE of one key rewrites one file, not the table.
+  *  - The write is a REAL distributed V2 write: executors stream
+  *    `InternalRow`s straight into parquet via Spark's own
+  *    [[ParquetWriteSupport]] ([[GraftParquetDataWriter]] — no
+  *    driver-side funnel, no collect), and the driver-side commit
+  *    lands `(prior − scanned) + fresh` as one OCC version
+  *    ([[Io.commitReplace]] — claim, re-verify, rename; racing DML
+  *    serializes or conflicts loudly, history stays immutable).
+  *  - Commit stats carry ([[Io.carryStatsFor]]): kept files keep
+  *    their [min,max] entries, rewritten files get one distributed
+  *    stats pass — I22 data skipping composes with SQL DML.
+  *
+  * The rewrite scan deliberately pushes NO filters to parquet: a
+  * group-based rewrite must return EVERY row of a touched file (the
+  * non-matching rows are carried through the If(cond, ...) projection
+  * — row-level filter pushdown there would silently drop them). File
+  * pruning comes from the runtime group filter instead, which is both
+  * exact and arrives after the build-side scan has already enjoyed
+  * full parquet pushdown.
+  *
+  * DELETE SQL keeps its existing paths (`SupportsDelete` metadata
+  * delete / DV merge-on-read) for translatable predicates via Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable`; untranslatable predicates
+  * now fall back to this COW rewrite instead of erroring. UPDATE and
+  * MERGE refuse DV-carrying tables loudly (a modified row could
+  * collide with a DV-deleted key behind the carried anti-join — the
+  * `tableMerge` precedent: `optimizeTableDv` first); DELETE composes
+  * with DVs (the rewrite scan is DV-filtered and the commit carries
+  * the sidecar — a delete can never resurrect rows).
+  *
+  * Reference tie: tagtree's storage.h:30-44 delete_series/update
+  * surface — mutations must be atomic, versioned, and invisible to
+  * pinned readers, which the commit-log OCC protocol guarantees for
+  * every DML verb here.
+  */
+private[graft] object RowLevel {
+  val FileCol = "_graft_file"
+  val fileColRef: NamedReference = Expressions.column(FileCol)
+}
+
+/** The row-level operation: one instance is shared between the
+  * rewrite scan and the replace write, which is how the write learns
+  * WHICH files the (runtime-filtered) scan actually planned. */
+private[graft] class GraftRowLevelOperation(spark: SparkSession,
+    path: String, version: Long, cmd: Command,
+    delegateBuilder: org.apache.spark.sql.util.CaseInsensitiveStringMap
+      => ScanBuilder)
+  extends RowLevelOperation {
+
+  // trails (data/<tag>/<part>) of the files the LAST rewrite-scan
+  // planning pass produced. BatchScanExec re-plans partitions after
+  // delivering runtime filters, so the final planning pass — the one
+  // whose partitions actually execute — is what the commit reads.
+  @volatile private[sources] var scannedTrails: Option[Set[String]] = None
+
+  override def command(): Command = cmd
+  override def description(): String =
+    s"graft COW $cmd $path@v$version"
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftFileScanBuilder(delegateBuilder(options),
+      runtimeFilterable = true,
+      onPlanned = fs => { scannedTrails = Some(fs.map(Io.trailOf).toSet) })
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceWrite(spark, path, version, info.schema(),
+          GraftRowLevelOperation.this)
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(RowLevel.fileColRef)
+}
+
+/** Scan builder serving the `_graft_file` metadata column over any
+  * delegate (the raw ParquetTable builder, or the DV merge-on-read
+  * wrapper). Column pruning forwards (with the metadata column
+  * stripped); filter pushdown deliberately does NOT (see the module
+  * doc — group rewrites must read whole files). When the query never
+  * references the column and no runtime filtering is requested,
+  * `build()` returns the delegate scan untouched. */
+private[graft] class GraftFileScanBuilder(delegate: ScanBuilder,
+    runtimeFilterable: Boolean,
+    onPlanned: Seq[String] => Unit = _ => ())
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var wantFileCol = false
+  private var required: Option[StructType] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    wantFileCol = requiredSchema.fieldNames.contains(RowLevel.FileCol)
+    required = Some(requiredSchema)
+    val stripped = StructType(
+      requiredSchema.fields.filterNot(_.name == RowLevel.FileCol))
+    delegate match {
+      case d: SupportsPushDownRequiredColumns => d.pruneColumns(stripped)
+      case _ => ()
+    }
+  }
+
+  override def build(): Scan = {
+    val d = delegate.build()
+    if (!wantFileCol && !runtimeFilterable) d
+    else new GraftFileScan(d, required.getOrElse(d.readSchema()),
+      wantFileCol, runtimeFilterable, onPlanned)
+  }
+}
+
+/** The normal-read variant: same metadata-column service, but filter
+  * pushdown FORWARDS to the delegate (row filtering is safe outside a
+  * group rewrite — this is the builder every ordinary connector scan
+  * and the group-filter build side get). */
+private[graft] class GraftFileScanBuilderPushdown(delegate: ScanBuilder,
+    runtimeFilterable: Boolean)
+  extends GraftFileScanBuilder(delegate, runtimeFilterable)
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate match {
+      case d: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => d.pushFilters(filters)
+      case _ => filters
+    }
+
+  override def pushedFilters: Array[Predicate] = delegate match {
+    case d: org.apache.spark.sql.internal.connector
+        .SupportsPushDownCatalystFilters => d.pushedFilters
+    case _ => Array.empty
+  }
+}
+
+/** File-attributed scan: partitions are regrouped ONE PER DATA FILE
+  * (splits of the same file stay together), each row is optionally
+  * augmented with its file's path as `_graft_file`, and — when
+  * runtime-filterable — an `IN (_graft_file, ...)` runtime predicate
+  * from Spark's group-filter subquery prunes whole files before
+  * execution. */
+private[graft] class GraftFileScan(delegate: Scan, outSchema: StructType,
+    withFileCol: Boolean, runtimeFilterable: Boolean,
+    onPlanned: Seq[String] => Unit)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    s"${delegate.description()} (graft file groups" +
+      (if (withFileCol) s" +${RowLevel.FileCol}" else "") + ")"
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (runtimeFilterable) Array(RowLevel.fileColRef) else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keep = predicates.collect {
+      case p if p.name == "IN" &&
+          p.children.headOption.exists {
+            case r: NamedReference =>
+              r.fieldNames.sameElements(Array(RowLevel.FileCol))
+            case _ => false
+          } =>
+        p.children.drop(1).collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value)
+        }.toSet
+    }
+    if (keep.nonEmpty) runtimeKeep = Some(keep.reduce(_ intersect _))
+  }
+
+  private lazy val dBatch = delegate.toBatch
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splits: Array[PartitionedFile] = dBatch.planInputPartitions()
+      .flatMap {
+        case fp: FilePartition => fp.files
+        case other => sys.error(
+          s"graft file-group scan expected FilePartitions, got $other")
+      }
+    val byFile = splits.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
+    val kept = runtimeKeep match {
+      case Some(k) => byFile.filter { case (f, _) => k.contains(f) }
+      case None => byFile
+    }
+    onPlanned(kept.map(_._1))
+    kept.zipWithIndex.map { case ((_, fs), i) =>
+      FilePartition(i, fs): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFileReaderFactory(dBatch.createReaderFactory(),
+      delegate.readSchema(), outSchema, withFileCol)
+}
+
+/** Wraps the delegate readers; when the file column is requested,
+  * projects each row onto the required schema with the partition's
+  * (constant) file path appended. */
+private[graft] class GraftFileReaderFactory(
+    delegate: PartitionReaderFactory, dSchema: StructType,
+    outSchema: StructType, withFileCol: Boolean)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    if (withFileCol) false else delegate.supportColumnarReads(partition)
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(partition)
+    if (!withFileCol) inner
+    else {
+      val file = partition match {
+        case fp: FilePartition => fp.files.head.filePath.toString
+        case other => sys.error(s"unexpected partition $other")
+      }
+      val exprs: Seq[Expression] = outSchema.fields.toSeq.map { f =>
+        if (f.name == RowLevel.FileCol)
+          CatalystLiteral(UTF8String.fromString(file), StringType)
+        else {
+          val i = dSchema.fieldIndex(f.name)
+          BoundReference(i, dSchema(i).dataType, dSchema(i).nullable)
+        }
+      }
+      val proj = UnsafeProjection.create(exprs)
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = proj(inner.get())
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(partition)
+}
+
+/** The COW replace write: a real distributed V2 batch write. Tasks
+  * stream rows into parquet under a writer-unique `data/` tag
+  * ([[GraftParquetDataWriter]]); the driver commit lands
+  * `(prior − scanned) + fresh` as the next OCC version with stats
+  * carry and (for DELETE on DV tables) the DV sidecar carried. */
+private[graft] class GraftReplaceWrite(spark: SparkSession, path: String,
+    version: Long, writeSchema: StructType, op: GraftRowLevelOperation)
+  extends Write with BatchWrite {
+
+  private val nv = version + 1
+  private val tag =
+    s"c$nv-rlo-" + java.util.UUID.randomUUID().toString.take(8)
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft COW replace $path v$version->v$nv"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new Configuration(spark.sessionState.newHadoopConf())
+    ParquetWriteSupport.setSchema(writeSchema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
+    new GraftDataWriterFactory(s"$path/data/$tag",
+      new SerializableConfiguration(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect {
+      case GraftWrittenFile(rel) => s"data/$tag/$rel"
+    }.sorted.toIndexedSeq
+    val prior = Io.commitEntries(spark, path, version)
+    val scanned = op.scannedTrails.getOrElse(
+      prior.map(Io.trailOf).toSet)
+    val kept = prior.filterNot(f => scanned.contains(Io.trailOf(f)))
+    val freshKept = Io.carryStatsFor(spark, path, version, nv,
+      kept, fresh, tag)
+    Io.commitReplace(spark, path, nv, kept ++ freshKept)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    try Io.fsFor(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/data/$tag"), true)
+    catch { case _: Throwable => () }
+  }
+}
+
+private[graft] case class GraftWrittenFile(rel: String)
+  extends WriterCommitMessage
+private[graft] case object GraftNoFile extends WriterCommitMessage
+
+private[graft] class GraftDataWriterFactory(dir: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftParquetDataWriter(dir,
+      f"part-$partitionId%05d-$taskId.snappy.parquet", conf.value)
+}
+
+/** Executor-side parquet writer over Spark's own
+  * [[ParquetWriteSupport]] (the exact encoder `df.write.parquet`
+  * uses, so files are byte-compatible with every other read path).
+  * The file is created lazily on the first row — empty partitions
+  * land nothing — and an aborted task deletes its own file (the
+  * commit coordinator guarantees one committed attempt per
+  * partition; crash orphans are the vacuum's usual class). */
+private[graft] class GraftParquetDataWriter(dir: String, name: String,
+    conf: Configuration) extends DataWriter[InternalRow] {
+
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var closed = false
+
+  private class RowParquetBuilder(p: org.apache.hadoop.fs.Path)
+    extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+      InternalRow, RowParquetBuilder](p) {
+    override def self(): RowParquetBuilder = this
+    override def getWriteSupport(c: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  override def write(r: InternalRow): Unit = {
+    if (writer == null)
+      writer = new RowParquetBuilder(
+        new org.apache.hadoop.fs.Path(dir, name))
+        .withConf(conf)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+    writer.write(r)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) GraftNoFile
+    else { writer.close(); closed = true; GraftWrittenFile(name) }
+  }
+
+  override def abort(): Unit = {
+    try {
+      if (writer != null && !closed) { writer.close(); closed = true }
+      if (writer != null) {
+        val p = new org.apache.hadoop.fs.Path(dir, name)
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, false)
+        ()
+      }
+    } catch { case _: Throwable => () }
+  }
+
+  override def close(): Unit =
+    if (writer != null && !closed) { writer.close(); closed = true }
+}

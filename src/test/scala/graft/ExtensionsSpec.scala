@@ -353,17 +353,25 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0) == 6L)
     assert(s.sql(s"SELECT count(*) FROM graft_table('$t', '-1')")
       .head().getLong(0) == 14L)
-    // round 12: a source filter we can't translate (<=> reaches the
-    // connector as EqualNullSafe) names the remedy — the deleteKey
-    // option + the API escape hatch — not an opaque refusal.
-    // (Expressions Spark itself can't turn into source filters, like
-    // k % 2 = 0, fail upstream with Spark's own message.)
+    // round 12 (row-level ops): on a PATH temp view the row-level
+    // rewrite cannot engage (the View node hides the V2 relation from
+    // the analyzer rule — the Delta/Iceberg situation too), so a
+    // predicate the metadata surface can't express still refuses…
     val bad = intercept[Exception] {
       s.sql("DELETE FROM gdel3 WHERE k <=> 8")
     }
-    assert(bad.getMessage.contains("deleteKey") &&
-      bad.getMessage.contains("tableDeleteWhere"),
-      s"unhelpful message: ${bad.getMessage}")
+    assert(bad.getMessage.contains("Cannot delete"),
+      s"unexpected: ${bad.getMessage}")
+    // …but the SAME delete through a CATALOG identifier takes the COW
+    // row-level rewrite and just works, as one more commit
+    s.conf.set("spark.sql.catalog.gdelc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gdelc.warehouse",
+      new java.io.File(t).getParent)
+    s.sql("DELETE FROM gdelc.table WHERE k <=> 8")
+    assert(sources.Io.tableVersion(s, t) == 4L)
+    assert(sources.Io.readTableVersion(s, t, 4L).count() == 13)
+    assert(!new java.io.File(s"$t/_commits/00000004.dv").exists(),
+      "rewrite delete is copy-on-write")
     // round 12: skipCol over a stats-less table refuses with the
     // actionable message, not a bare NoSuchElementException
     val noStats = intercept[Exception] {
@@ -383,6 +391,226 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(noCol.getMessage.contains("no commit stats for column nope"),
       s"unhelpful message: ${noCol.getMessage}")
+  }
+
+  test("GraftCatalog (round 12): CREATE/INSERT/SELECT/DELETE/RENAME/" +
+      "DROP as graft.<ns>.<table> identifiers, one machinery with the " +
+      "path surfaces") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_catalog").toString
+    s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    // CREATE: schema sidecar bridges create → first insert; the empty
+    // table SELECTs as zero rows with the declared schema
+    s.sql("CREATE TABLE gcat.db.t (k BIGINT, v BIGINT)")
+    assert(s.sql("SELECT * FROM gcat.db.t").count() == 0)
+    assert(s.sql("SELECT * FROM gcat.db.t").schema.fieldNames.toSeq
+      == Seq("k", "v"))
+    // INSERT INTO = the V1Write → OCC append (v0 creates)
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("__cat_src")
+    s.sql("INSERT INTO gcat.db.t SELECT * FROM __cat_src")
+    assert(s.sql("SELECT sum(v) FROM gcat.db.t").head().getLong(0) == 60L)
+    assert(sources.Io.tableVersion(s, s"$wh/db/t") == 0L,
+      "first INSERT must land as commit v0")
+    // a second INSERT is one more commit; the path surface sees it too
+    s.sql("INSERT INTO gcat.db.t VALUES (4, 40)")
+    assert(s.read.format("graft").load(s"$wh/db/t").count() == 4,
+      "catalog and path surfaces must serve the same table")
+    // DELETE routes into the COW commit protocol
+    s.sql("DELETE FROM gcat.db.t WHERE k = 2")
+    assert(s.sql("SELECT count(*) FROM gcat.db.t").head().getLong(0) == 3)
+    assert(sources.Io.readTableVersion(s, s"$wh/db/t", 1L).count() == 4,
+      "history stays immutable under catalog DML")
+    // SHOW TABLES sees it; RENAME moves it; DROP removes it
+    assert(s.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("t"))
+    s.sql("ALTER TABLE gcat.db.t RENAME TO db.t2")
+    assert(s.sql("SELECT count(*) FROM gcat.db.t2").head().getLong(0) == 3)
+    intercept[Exception] { s.sql("SELECT * FROM gcat.db.t").collect() }
+    s.sql("DROP TABLE gcat.db.t2")
+    assert(s.sql("SHOW TABLES IN gcat.db").collect().isEmpty)
+    // CREATE over an existing table refuses
+    s.sql("CREATE TABLE gcat.db.u (k BIGINT)")
+    intercept[Exception] { s.sql("CREATE TABLE gcat.db.u (k BIGINT)") }
+  }
+
+  test("GraftCatalog atomic CTAS + SQL time travel (round 12): " +
+      "CREATE TABLE AS SELECT stages invisibly and commits v0 through " +
+      "OCC; VERSION AS OF / TIMESTAMP AS OF resolve through loadTable") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import s.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_catalog_ctas").toString
+    s.conf.set("spark.sql.catalog.gct", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gct.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gct.db")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("__ctas_src")
+    // atomic CTAS: one statement creates + lands v0
+    s.sql("CREATE TABLE gct.db.t AS SELECT * FROM __ctas_src")
+    assert(s.sql("SELECT sum(v) FROM gct.db.t").head().getLong(0) == 60L)
+    assert(sources.Io.tableVersion(s, s"$wh/db/t") == 0L,
+      "CTAS must land exactly commit v0")
+    // CTAS over an existing table refuses and leaves it untouched
+    intercept[Exception] {
+      s.sql("CREATE TABLE gct.db.t AS SELECT * FROM __ctas_src")
+    }
+    assert(s.sql("SELECT count(*) FROM gct.db.t").head().getLong(0) == 3)
+    // a FAILED CTAS leaves no table behind (atomicity): the SELECT
+    // throws mid-write, loadTable must then not see db.bad
+    intercept[Exception] {
+      s.sql("CREATE TABLE gct.db.bad AS " +
+        "SELECT k, assert_true(k < 2, 'boom') AS chk FROM __ctas_src")
+    }
+    intercept[Exception] { s.sql("SELECT * FROM gct.db.bad").collect() }
+    // empty-SELECT CTAS: zero data files, schema still serves
+    s.sql("CREATE TABLE gct.db.empty AS SELECT * FROM __ctas_src WHERE k < 0")
+    assert(s.sql("SELECT * FROM gct.db.empty").count() == 0)
+    assert(s.sql("SELECT * FROM gct.db.empty").schema.fieldNames.toSeq
+      == Seq("k", "v"))
+    s.sql("INSERT INTO gct.db.empty VALUES (9, 90)")
+    assert(s.sql("SELECT sum(v) FROM gct.db.empty").head().getLong(0) == 90L)
+    // SQL time travel: append v1, then read both cuts by identifier
+    s.sql("INSERT INTO gct.db.t VALUES (4, 40)")
+    assert(s.sql("SELECT sum(v) FROM gct.db.t").head().getLong(0) == 100L)
+    assert(s.sql("SELECT sum(v) FROM gct.db.t VERSION AS OF 0")
+      .head().getLong(0) == 60L)
+    assert(s.sql("SELECT sum(v) FROM gct.db.t VERSION AS OF 1")
+      .head().getLong(0) == 100L)
+    // TIMESTAMP AS OF now() resolves to HEAD (commit mtimes are past)
+    assert(s.sql("SELECT sum(v) FROM gct.db.t TIMESTAMP AS OF " +
+      "current_timestamp()").head().getLong(0) == 100L)
+    intercept[Exception] {
+      s.sql("SELECT * FROM gct.db.t VERSION AS OF 7").collect()
+    }
+  }
+
+  test("REPLACE TABLE AS SELECT + MERGE NOT MATCHED BY SOURCE " +
+      "(round 12): replace = one more version on the append-only log; " +
+      "the full three-clause merge plans over the same COW machinery") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import s.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_replace").toString
+    s.conf.set("spark.sql.catalog.grt", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.grt.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS grt.db")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .createOrReplaceTempView("__rt_a")
+    Seq((7L, 70L), (8L, 80L), (9L, 90L)).toDF("k", "v")
+      .createOrReplaceTempView("__rt_b")
+    s.sql("CREATE TABLE grt.db.t AS SELECT * FROM __rt_a")
+    // REPLACE swaps the whole content as version 1; v0 stays readable
+    s.sql("REPLACE TABLE grt.db.t AS SELECT * FROM __rt_b")
+    assert(s.sql("SELECT sum(v) FROM grt.db.t").head().getLong(0) == 240L)
+    assert(s.sql("SELECT sum(v) FROM grt.db.t VERSION AS OF 0")
+      .head().getLong(0) == 30L)
+    assert(sources.Io.tableVersion(s, s"$wh/db/t") == 1L)
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    intercept[Exception] {
+      s.sql("REPLACE TABLE grt.db.nope AS SELECT * FROM __rt_a")
+    }
+    s.sql("CREATE OR REPLACE TABLE grt.db.u AS SELECT * FROM __rt_a")
+    assert(s.sql("SELECT count(*) FROM grt.db.u").head().getLong(0) == 2L)
+    s.sql("CREATE OR REPLACE TABLE grt.db.u AS SELECT * FROM __rt_b")
+    assert(s.sql("SELECT count(*) FROM grt.db.u").head().getLong(0) == 3L)
+    // three-clause MERGE: matched update, not-matched insert, and
+    // NOT MATCHED BY SOURCE delete (the group filter then scans all
+    // groups — correctness over pruning, Spark plans it)
+    Seq((8L, 800L), (12L, 120L)).toDF("k", "v")
+      .createOrReplaceTempView("__rt_src")
+    s.sql("""MERGE INTO grt.db.t AS tg USING __rt_src AS src
+            |ON tg.k = src.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(s.sql("SELECT k, v FROM grt.db.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((8L, 800L), (12L, 120L)),
+      "matched row updated, unmatched-by-source rows deleted, " +
+        "new key inserted")
+  }
+
+  test("SQL UPDATE / MERGE INTO / COW DELETE (round 12): row-level " +
+      "operations rewrite ONLY touched files (runtime group filter), " +
+      "write through executor-side parquet, commit one OCC version") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import s.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_rowlevel").toString
+    s.conf.set("spark.sql.catalog.grl", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.grl.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS grl.db")
+    val t = s"$wh/db/t"
+    // two appends → two data files (one part each)
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("__rl_a")
+    Seq((3L, 30L), (4L, 40L)).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("__rl_b")
+    s.sql("CREATE TABLE grl.db.t AS SELECT * FROM __rl_a")
+    s.sql("INSERT INTO grl.db.t SELECT * FROM __rl_b")
+    val v1Files = sources.Io.commitEntries(s, t, 1L)
+    assert(v1Files.size == 2)
+    // UPDATE touches only the file holding k=4
+    s.sql("UPDATE grl.db.t SET v = v + 5 WHERE k = 4")
+    assert(s.sql("SELECT v FROM grl.db.t WHERE k = 4").head().getLong(0)
+      == 45L)
+    assert(s.sql("SELECT sum(v) FROM grl.db.t").head().getLong(0) == 105L)
+    assert(sources.Io.tableVersion(s, t) == 2L, "UPDATE = one commit")
+    val v2Files = sources.Io.commitEntries(s, t, 2L)
+    assert(v2Files.size == 2)
+    assert(v2Files.toSet.intersect(v1Files.toSet).size == 1,
+      "the file without matches must carry BY REFERENCE — got " +
+        s"v1=$v1Files v2=$v2Files")
+    // history stays immutable
+    assert(s.sql("SELECT sum(v) FROM grl.db.t VERSION AS OF 1")
+      .head().getLong(0) == 100L)
+    // MERGE INTO: matched UPDATE + not-matched INSERT
+    Seq((1L, 100L), (9L, 90L)).toDF("k", "v")
+      .createOrReplaceTempView("__rl_src")
+    s.sql("""MERGE INTO grl.db.t USING __rl_src AS src ON t.k = src.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(s.sql("SELECT v FROM grl.db.t WHERE k = 1").head().getLong(0)
+      == 100L)
+    assert(s.sql("SELECT count(*) FROM grl.db.t").head().getLong(0) == 5L)
+    val v3Files = sources.Io.commitEntries(s, t, 3L)
+    assert(v3Files.toSet.intersect(v2Files.toSet).nonEmpty,
+      "merge must carry untouched files by reference")
+    // DELETE with an untranslatable predicate falls back to COW rewrite
+    s.sql("DELETE FROM grl.db.t WHERE k % 2 = 1")
+    assert(s.sql("SELECT collect_list(k) FROM " +
+      "(SELECT k FROM grl.db.t ORDER BY k)").head()
+      .getSeq[Long](0) == Seq(2L, 4L))
+    // UPDATE on a version-pinned view refuses
+    intercept[Exception] {
+      s.sql("UPDATE grl.db.t VERSION AS OF 1 SET v = 0")
+    }
+    // _graft_file is selectable provenance
+    val files = s.sql("SELECT DISTINCT _graft_file FROM grl.db.t")
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("data/")))
   }
 
   test("DSv2 write path (round 12): mode(append) commits through OCC " +
