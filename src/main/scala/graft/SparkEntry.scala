@@ -215,6 +215,7 @@ object SparkEntry {
     "io_clone" -> (sources.Io.cloneRead _),
     "io_vacuum" -> (sources.Io.vacuumRead _),
     "io_stream_sink" -> (streaming.StreamOps.tableSinkStreamed _),
+    "stream_merge" -> (streaming.StreamOps.mergeStreamed _),
     "io_restore" -> (sources.Io.restoreRead _),
     "io_optimize" -> (sources.Io.optimizeRead _),
     "io_skipping" -> (sources.Io.skippingRead _),
@@ -829,9 +830,31 @@ object SparkEntry {
       // (spec-pinned), per-metric quantiles serve
       promql.NativeHist.evalNhcb(s, dir,
         """histogram_quantile(0.9, {typ=~".*"})""",
-        "2024-01-08 00:00:00", perMetric = true)
+        "2024-01-08 00:00:00", corpus = "perMetric")
         .select(col("typ"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
+    }),
+    "promql_nhcb_var" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // round 12 s3: VARIABLE-LENGTH ladders — a 3-bucket error
+      // histogram next to a 6-bucket purchase one; bucket selection is
+      // column arithmetic over size(bounds), no compile-time width
+      promql.NativeHist.evalNhcb(s, dir,
+        """histogram_quantile(0.9, {typ=~".*"})""",
+        "2024-01-08 00:00:00", corpus = "var")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("hq90"))
+    }),
+    "promql_nhcb_var_rate" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // the rate form over the variable corpus: component-wise counter
+      // diffs are zip_with (width-generic), bucket counts stay
+      // integer-exact cross-engine
+      promql.NativeHist.evalNhcb(s, dir,
+        """histogram_quantile(0.5, rate({typ=~".*"}[86400s]))""",
+        "2024-01-08 00:00:00", corpus = "var")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50r"))
     }),
     "promql_atan2" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -2482,6 +2505,25 @@ object SparkEntry {
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM m GROUP BY 2)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
+    // H34 (round 12): streaming CDC upsert apply — two key-disjoint
+    // change batches MERGEd through foreachBatch; final cut ≡ base
+    // with purchases updated and clicks re-inserted displaced
+    "stream_merge" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT typ, event_id,
+        |    CASE WHEN typ = 'purchase' THEN cents + 100000
+        |         ELSE cents END AS cents
+        |  FROM src
+        |  UNION ALL
+        |  SELECT typ, event_id + 1000000000000, cents
+        |  FROM src WHERE typ = 'click')
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
     // round 12: SQL MERGE INTO through the catalog — the SAME replay
     // as io_merge (SQL statement ≡ API verb ≡ source)
     "io_merge_sql" ->
@@ -5434,6 +5476,77 @@ object SparkEntry {
         |    WHEN c3 >= rk THEN u3 + (rk - c2) / (c3 - c2) * (u4 - u3)
         |    ELSE u4 END) * 1e4 + 0.5) / 1e4 AS hq90
         |FROM q""".stripMargin,
+    // round 12 s3: variable-length ladders — the oracle replays the
+    // classic interpolation LENGTH-AGNOSTICALLY (per-typ list bounds,
+    // lateral unnest, lag() for the previous bound/count, first
+    // cum >= rank wins, rank past the ladder returns the top bound) —
+    // the same operand order as the Spark column path
+    "promql_nhcb_var" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |lad AS (SELECT typ,
+        |    (CASE WHEN typ = 'purchase' THEN [20, 40, 80, 160, 320, 640]
+        |          WHEN typ = 'error' THEN [30, 90, 270]
+        |          ELSE [25, 50, 100, 200] END)::DOUBLE[] AS bounds
+        |  FROM (SELECT DISTINCT typ FROM e)),
+        |u AS (SELECT typ, i, bounds[i] AS ub
+        |  FROM lad, UNNEST(range(1, len(bounds) + 1)) AS t(i)),
+        |c AS (SELECT e.typ, u.i, u.ub,
+        |    CAST(sum(CASE WHEN e.v <= u.ub THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS cum
+        |  FROM e JOIN u USING (typ) GROUP BY 1, 2, 3),
+        |tot AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT c.typ, c.i, c.ub, c.cum,
+        |    lag(c.cum, 1, CAST(0 AS DOUBLE))
+        |      OVER (PARTITION BY c.typ ORDER BY c.i) AS pc,
+        |    lag(c.ub, 1, CAST(0 AS DOUBLE))
+        |      OVER (PARTITION BY c.typ ORDER BY c.i) AS lb,
+        |    t.cnt * 0.9 AS rk
+        |  FROM c JOIN tot t USING (typ)),
+        |hit AS (SELECT typ, lb + (rk - pc) / (cum - pc) * (ub - lb) AS qv,
+        |    row_number() OVER (PARTITION BY typ ORDER BY i) AS rn
+        |  FROM w WHERE cum >= rk),
+        |top AS (SELECT typ, max(ub) AS topb FROM w GROUP BY 1)
+        |SELECT t.typ, floor(COALESCE(h.qv, p.topb) * 1e4 + 0.5) / 1e4
+        |    AS hq90
+        |FROM tot t JOIN top p USING (typ)
+        |LEFT JOIN (SELECT typ, qv FROM hit WHERE rn = 1) h USING (typ)"""
+        .stripMargin,
+    "promql_nhcb_var_rate" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |lad AS (SELECT typ,
+        |    (CASE WHEN typ = 'purchase' THEN [20, 40, 80, 160, 320, 640]
+        |          WHEN typ = 'error' THEN [30, 90, 270]
+        |          ELSE [25, 50, 100, 200] END)::DOUBLE[] AS bounds
+        |  FROM (SELECT DISTINCT typ FROM e)),
+        |u AS (SELECT typ, i, bounds[i] AS ub
+        |  FROM lad, UNNEST(range(1, len(bounds) + 1)) AS t(i)),
+        |c AS (SELECT e.typ, u.i, u.ub,
+        |    CAST(sum(CASE WHEN e.v <= u.ub THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS cum
+        |  FROM e JOIN u USING (typ) GROUP BY 1, 2, 3),
+        |tot AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT c.typ, c.i, c.ub, c.cum,
+        |    lag(c.cum, 1, CAST(0 AS DOUBLE))
+        |      OVER (PARTITION BY c.typ ORDER BY c.i) AS pc,
+        |    lag(c.ub, 1, CAST(0 AS DOUBLE))
+        |      OVER (PARTITION BY c.typ ORDER BY c.i) AS lb,
+        |    t.cnt * 0.5 AS rk
+        |  FROM c JOIN tot t USING (typ)),
+        |hit AS (SELECT typ, lb + (rk - pc) / (cum - pc) * (ub - lb) AS qv,
+        |    row_number() OVER (PARTITION BY typ ORDER BY i) AS rn
+        |  FROM w WHERE cum >= rk),
+        |top AS (SELECT typ, max(ub) AS topb FROM w GROUP BY 1)
+        |SELECT t.typ, floor(COALESCE(h.qv, p.topb) * 1e4 + 0.5) / 1e4
+        |    AS q50r
+        |FROM tot t JOIN top p USING (typ)
+        |LEFT JOIN (SELECT typ, qv FROM hit WHERE rn = 1) h USING (typ)"""
+        .stripMargin,
     // B55+ schema-3 gates: the 104-entry boundary ladder is serialized
     // from the SAME Scala doubles the Spark side compares against
     // (%.17g round-trips exactly), so bucket assignment is

@@ -681,6 +681,19 @@ object NativeHist {
   val nhcbLadders: Map[String, Seq[Double]] =
     Map("purchase" -> Seq(40.0, 80.0, 160.0, 320.0))
 
+  /** Round 12, session 3: VARIABLE-LENGTH per-metric ladders — a real
+    * migrated fleet's layouts differ in bucket COUNT, not just bucket
+    * values (a 3-bucket error histogram next to a 6-bucket purchase
+    * one). The sample payload is a per-metric-width array and every
+    * consumer computes bucket selection as COLUMN arithmetic over
+    * `size(bounds)` (no compile-time width anywhere), so ladders of
+    * any length serve quantile/fraction/stats/rate; [[sumNhcb]] still
+    * refuses mismatched ladders (length or values) exactly like
+    * Prometheus. */
+  val nhcbLaddersVar: Map[String, Seq[Double]] =
+    Map("purchase" -> Seq(20.0, 40.0, 80.0, 160.0, 320.0, 640.0),
+      "error" -> Seq(30.0, 90.0, 270.0))
+
   /** NHCB sample series: (typ, t_sec, bounds, cnt, bcum, hsum) —
     * cumulative counter semantics like [[samples]],
     * cumulative-in-value like the classic `le` form (bcum(i) =
@@ -689,24 +702,31 @@ object NativeHist {
     * 2^-20 ingest quantization as the exponential model, so sums are
     * order-independent on both engines). */
   def nhcbSamples(spark: SparkSession, dir: String): DataFrame =
-    nhcbSamplesModel(spark, dir, perMetric = false)
+    nhcbSamplesModel(spark, dir, Map.empty, "u")
 
   /** The per-metric-ladder corpus (round 12): same construction, each
     * typ's bounds drawn from [[nhcbLadders]]. */
   def nhcbSamplesLadders(spark: SparkSession, dir: String): DataFrame =
-    nhcbSamplesModel(spark, dir, perMetric = true)
+    nhcbSamplesModel(spark, dir, nhcbLadders, "pm")
 
+  /** The variable-length corpus (round 12, session 3): ladders from
+    * [[nhcbLaddersVar]] — each metric its own bucket COUNT. */
+  def nhcbSamplesVar(spark: SparkSession, dir: String): DataFrame =
+    nhcbSamplesModel(spark, dir, nhcbLaddersVar, "var")
+
+  // The builder is width-generic: per-event bucket membership explodes
+  // the metric's OWN ladder (posexplode — the cost class of classic
+  // `le` series ingestion, ∝ events × ladder length), per-position
+  // hour-cumulative counters ride an ordinary window, and the array
+  // payload reassembles by sorted position. No compile-time width.
   private def nhcbSamplesModel(spark: SparkSession, dir: String,
-      perMetric: Boolean): DataFrame =
-    Memo.cached(spark, s"nativehist.nhcb:$perMetric:$dir") {
-      val n = nhcbBounds.size
-      require(nhcbLadders.values.forall(_.size == n),
-        "per-metric NHCB ladders must share the default ladder's length")
-      // the metric's bound ladder as a column (uniform when !perMetric)
+      ladders: Map[String, Seq[Double]], tagKey: String): DataFrame =
+    Memo.cached(spark, s"nativehist.nhcb:$tagKey:$dir") {
+      // the metric's bound ladder as a column (uniform when no registry)
       val boundsC: Column =
-        if (!perMetric) typedlit(nhcbBounds)
+        if (ladders.isEmpty) typedlit(nhcbBounds)
         else coalesce(
-          element_at(typedlit(nhcbLadders), col("typ")),
+          element_at(typedlit(ladders), col("typ")),
           typedlit(nhcbBounds))
       val endSec = t0Sec + hours * 3600L
       val raw = Tables.tsBetween(Tables.eventsRaw(spark, dir),
@@ -717,27 +737,41 @@ object NativeHist {
         (sec - pmod(sec, lit(3600L))).as("h_sec"), col("value"),
         (floor(col("value") * q20 + 0.5) / q20).as("qv"))
         .withColumn("bounds", boundsC)
-      val typs = ev.select(col("typ")).distinct()
+      val typs = ev.select(col("typ"), col("bounds")).distinct()
       val grid = typs.withColumn("h_sec",
         explode(sequence(lit(t0Sec), lit(endSec - 3600L), lit(3600L))))
-      val aggs = count(lit(1)).as("dcnt") +: sum(col("qv")).as("ds") +:
-        (0 until n).map { i =>
-          sum(when(col("value") <= element_at(col("bounds"), i + 1), 1L)
-            .otherwise(0L)).as(s"db$i")
-        }
-      val hs = ev.groupBy(col("typ"), col("h_sec")).agg(aggs.head, aggs.tail: _*)
       val wc = Window.partitionBy(col("typ")).orderBy(col("h_sec"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = grid.join(hs, Seq("typ", "h_sec"), "left")
+      val hs = ev.groupBy(col("typ"), col("h_sec"))
+        .agg(count(lit(1)).as("dcnt"), sum(col("qv")).as("ds"))
+      val cum = grid.select(col("typ"), col("h_sec"))
+        .join(hs, Seq("typ", "h_sec"), "left")
         .withColumn("cnt", sum(coalesce(col("dcnt"), lit(0L))).over(wc))
         .withColumn("hsum", sum(coalesce(col("ds"), lit(0.0))).over(wc))
-      val withB = (0 until n).foldLeft(cum) { (df, i) =>
-        df.withColumn(s"b$i", sum(coalesce(col(s"db$i"), lit(0L))).over(wc))
-      }
-      withB.select(col("typ"), (col("h_sec") + 3600L).as("t_sec"),
-        boundsC.as("bounds"), col("cnt"),
-        array((0 until n).map(i => col(s"b$i")): _*).as("bcum"),
-        col("hsum"))
+        .select(col("typ"), col("h_sec"), col("cnt"), col("hsum"))
+      // per-(typ, hour, bucket) deltas over the metric's own ladder
+      val evb = ev.select(col("typ"), col("h_sec"), col("value"),
+        posexplode(col("bounds")).as(Seq("__i", "__ub")))
+      val hb = evb.groupBy(col("typ"), col("h_sec"), col("__i"), col("__ub"))
+        .agg(sum(when(col("value") <= col("__ub"), 1L).otherwise(0L))
+          .as("db"))
+      val bgrid = grid.select(col("typ"), col("h_sec"),
+        posexplode(col("bounds")).as(Seq("__i", "__ub")))
+      val wcb = Window.partitionBy(col("typ"), col("__i"))
+        .orderBy(col("h_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val barr = bgrid
+        .join(hb, Seq("typ", "h_sec", "__i", "__ub"), "left")
+        .withColumn("b", sum(coalesce(col("db"), lit(0L))).over(wcb))
+        .groupBy(col("typ"), col("h_sec"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(__i, __ub, b)))," +
+            " x -> x.__ub)").as("bounds"),
+          expr("transform(array_sort(collect_list(struct(__i, __ub, b)))," +
+            " x -> x.b)").as("bcum"))
+      cum.join(barr, Seq("typ", "h_sec"))
+        .select(col("typ"), (col("h_sec") + 3600L).as("t_sec"),
+          col("bounds"), col("cnt"), col("bcum"), col("hsum"))
     }
 
   /** Instant NHCB vector at T (latest sample per series, like
@@ -831,13 +865,22 @@ object NativeHist {
     val keys = if (by.nonEmpty) by else Seq("__g")
     val base = if (by.nonEmpty) h else h.withColumn("__g", lit(1))
     val kcols = keys.map(col)
+    // width-generic element-wise bucket sum: positions explode, sum
+    // per (keys, position), reassemble sorted — the in-group ladders
+    // are identical by the guard below, so positions align
+    val bsum = base
+      .select(kcols :+ posexplode(col("bcum")).as(Seq("__i", "__c")): _*)
+      .groupBy((keys :+ "__i").map(col): _*)
+      .agg(sum(col("__c")).as("__cs"))
+      .groupBy(kcols: _*)
+      .agg(expr("transform(array_sort(collect_list(struct(__i, __cs)))," +
+        " x -> x.__cs)").as("bcum"))
     base.groupBy(kcols: _*)
       .agg(sum(col("cnt")).as("cnt"),
-        array(nhcbBounds.indices.map(i =>
-          sum(element_at(col("bcum"), i + 1))): _*).as("bcum"),
         sum(col("hsum")).as("hsum"),
         min(col("bounds")).as("__bmin"), max(col("bounds")).as("__bmax"),
         min(col("rsec")).as("__rmin"), max(col("rsec")).as("__rmax"))
+      .join(bsum, keys)
       .withColumn("bounds",
         when(col("__bmin") =!= col("__bmax"),
           raise_error(lit("sum over NHCB histograms with mismatched " +
@@ -865,13 +908,6 @@ object NativeHist {
   private def nhcbLabels(h: DataFrame): Seq[String] =
     h.columns.filterNot(nhcbMeta).toSeq
 
-  // lower bound of bucket i (0 below the ladder) and its upper bound —
-  // COLUMN-valued (round 12) so per-metric ladders interpolate against
-  // their own bounds; with the uniform ladder these fold to the same
-  // literals as before (identical IEEE arithmetic either way)
-  private def nhcbLo(i: Int): Column =
-    if (i == 0) lit(0.0) else element_at(col("bounds"), i)
-  private def nhcbUp(i: Int): Column = element_at(col("bounds"), i + 1)
 
   /** φ-quantile of an NHCB frame — the CLASSIC linear rule (B19's
     * exact formula and operation order, so the DuckDB oracle replays
@@ -880,18 +916,24 @@ object NativeHist {
     * finite bound. */
   private[graft] def quantileNhcb(h: DataFrame, q: Double): DataFrame = {
     val labels = nhcbLabels(h)
-    val rank = col("cnt") * lit(q)
-    val n = nhcbBounds.size
-    def c(i: Int): Column =
-      if (i < 0) lit(0.0) else element_at(col("bcum"), i + 1)
-    val interp = (0 until n)
-      .foldRight(element_at(col("bounds"), n): Column) { (i, rest) =>
-        when(c(i) >= rank,
-          nhcbLo(i) + (rank - c(i - 1)) / (c(i) - c(i - 1)) *
-            (nhcbUp(i) - nhcbLo(i)))
-          .otherwise(rest)
-      }
-    h.select(labels.map(col) :+
+    // width-generic bucket selection (round 12 s3): the hit index is
+    // the count of cumulative entries strictly below the rank (bcum is
+    // nondecreasing), computed per row over the metric's OWN ladder —
+    // the interpolation expression keeps the exact classic operand
+    // order, so the DuckDB oracle replays it verbatim at any width
+    val staged = h
+      .withColumn("__rk", col("cnt") * lit(q))
+      .withColumn("__n", size(col("bounds")))
+      .withColumn("__qi",
+        expr("size(filter(bcum, c -> c < __rk))"))
+    val lo = expr("if(__qi = 0, 0.0d, element_at(bounds, __qi))")
+    val up = expr("element_at(bounds, __qi + 1)")
+    val cPrev = expr("if(__qi = 0, 0.0d, element_at(bcum, __qi))")
+    val cHit = expr("element_at(bcum, __qi + 1)")
+    val interp = when(col("__qi") >= col("__n"),
+      element_at(col("bounds"), size(col("bounds"))))
+      .otherwise(lo + (col("__rk") - cPrev) / (cHit - cPrev) * (up - lo))
+    staged.select(labels.map(col) :+
       when(col("cnt") <= 0, lit(Double.NaN)).otherwise(interp)
         .as("value"): _*)
   }
@@ -901,18 +943,17 @@ object NativeHist {
     * containing bucket is linear in value; x at-or-beyond the highest
     * finite bound counts everything (+Inf carries no width to
     * interpolate into). */
-  private def nhcbCumAt(x: Double): Column = {
+  // F(x) with the hit index pre-staged in `idxCol` (the count of
+  // bounds strictly below x — width-generic, classic operand order)
+  private def nhcbCumAtIdx(x: Double, idxCol: String): Column = {
     require(x >= 0, s"histogram_fraction bound $x < 0: custom-bucket " +
       "ladders here are non-negative")
-    val n = nhcbBounds.size
-    def c(i: Int): Column =
-      if (i < 0) lit(0.0) else element_at(col("bcum"), i + 1)
-    (0 until n).foldRight(col("cnt"): Column) { (i, rest) =>
-      when(lit(x) <= nhcbUp(i),
-        c(i - 1) + (lit(x) - nhcbLo(i)) / (nhcbUp(i) - nhcbLo(i)) *
-          (c(i) - c(i - 1)))
-        .otherwise(rest)
-    }
+    val lo = expr(s"if($idxCol = 0, 0.0d, element_at(bounds, $idxCol))")
+    val up = expr(s"element_at(bounds, $idxCol + 1)")
+    val cPrev = expr(s"if($idxCol = 0, 0.0d, element_at(bcum, $idxCol))")
+    val cHit = expr(s"element_at(bcum, $idxCol + 1)")
+    when(col(idxCol) >= size(col("bounds")), col("cnt"))
+      .otherwise(cPrev + (lit(x) - lo) / (up - lo) * (cHit - cPrev))
   }
 
   /** histogram_fraction over NHCB: (F(hi) − F(lo)) / count, classic
@@ -920,10 +961,17 @@ object NativeHist {
     * model's [[fractionOf]]). */
   private[graft] def fractionNhcb(h0: DataFrame, lo: Double,
       hi: Double): DataFrame = {
+    val labels = nhcbLabels(h0)
     val h = withNhcbDefaults(h0)
-    h.select(nhcbLabels(h).map(col) :+
+      .withColumn("__fh",
+        expr(s"size(filter(bounds, b -> b < cast('$hi' as double)))"))
+      .withColumn("__fl",
+        expr(s"size(filter(bounds, b -> b < cast('$lo' as double)))"))
+    h.select(labels.map(col) :+
       when(col("cnt") <= 0, lit(Double.NaN))
-        .otherwise((nhcbCumAt(hi) - nhcbCumAt(lo)) / col("cnt"))
+        .otherwise(
+          (nhcbCumAtIdx(hi, "__fh") - nhcbCumAtIdx(lo, "__fl")) /
+            col("cnt"))
         .as("value"): _*)
   }
 
@@ -937,7 +985,6 @@ object NativeHist {
   private[graft] def statNhcb(h0: DataFrame, name: String): DataFrame = {
     val h = withNhcbDefaults(h0)
     val lcols = nhcbLabels(h).map(col)
-    val n = nhcbBounds.size
     name match {
       case "histogram_count" =>
         h.select(lcols :+ (col("cnt") / col("rsec")).as("value"): _*)
@@ -946,17 +993,26 @@ object NativeHist {
       case "histogram_avg" =>
         h.select(lcols :+ (col("hsum") / col("cnt")).as("value"): _*)
       case _ =>
-        def c(i: Int): Column =
-          if (i < 0) lit(0.0) else element_at(col("bcum"), i + 1)
         val mean = col("hsum") / col("cnt")
-        def term(mid: Column, cc: Column): Column =
-          cc * (mid - col("__mean")) * (mid - col("__mean"))
-        val finite = (0 until n).map { i =>
-          term((nhcbLo(i) + nhcbUp(i)) / lit(2.0), c(i) - c(i - 1))
-        }
-        val infTerm = term(element_at(col("bounds"), n),
-          col("cnt") - c(n - 1))
-        val varCol = (finite :+ infTerm).reduce(_ + _) / col("cnt")
+        // width-generic: per-bucket terms built over the metric's own
+        // ladder with an indexed transform, summed left-to-right by
+        // aggregate() — the same association order as the old
+        // fixed-width reduce, so IEEE sums are identical
+        val finiteSum = expr(
+          """aggregate(
+            |  transform(sequence(1, size(bounds)), i ->
+            |    (element_at(bcum, i) -
+            |       if(i = 1, 0.0d, element_at(bcum, i - 1))) *
+            |    (((if(i = 1, 0.0d, element_at(bounds, i - 1)) +
+            |        element_at(bounds, i)) / 2.0d) - __mean) *
+            |    (((if(i = 1, 0.0d, element_at(bounds, i - 1)) +
+            |        element_at(bounds, i)) / 2.0d) - __mean)),
+            |  0.0d, (acc, t) -> acc + t)""".stripMargin)
+        val infTerm =
+          (col("cnt") - expr("element_at(bcum, size(bcum))")) *
+            (expr("element_at(bounds, size(bounds))") - col("__mean")) *
+            (expr("element_at(bounds, size(bounds))") - col("__mean"))
+        val varCol = (finiteSum + infTerm) / col("cnt")
         val withVar = h.withColumn("__mean", mean).withColumn("__var", varCol)
         if (name == "histogram_stdvar")
           withVar.select(lcols :+ col("__var").as("value"): _*)
@@ -991,13 +1047,11 @@ object NativeHist {
     * `perMetric = true` serves the [[nhcbLadders]] corpus (each metric
     * its own bound ladder; cross-ladder sums refuse at read). */
   def evalNhcb(spark: SparkSession, dir: String, exprStr: String,
-      t: String, perMetric: Boolean = false): DataFrame = {
+      t: String, corpus: String = "uniform"): DataFrame = {
     val tSec = tSecOf(t)
     def inner(e: Expr): DataFrame =
-      Memo.cached(spark, s"nativehist.nhcbinner:$perMetric:$tSec:$e:$dir") {
-        val samples =
-          if (perMetric) nhcbSamplesLadders(spark, dir)
-          else nhcbSamples(spark, dir)
+      Memo.cached(spark, s"nativehist.nhcbinner:$corpus:$tSec:$e:$dir") {
+        val samples = nhcbCorpus(spark, dir, corpus)
         e match {
           case Sel(ms, None, 0, None, None) =>
             nhcbAtFrom(samples, tSec).filter(matcherPred(ms))
@@ -1026,15 +1080,24 @@ object NativeHist {
     * one more label through the label-generic evaluators — one plan
     * for the whole grid, rate as one shifted self-join. Composes with
     * the per-metric ladder corpus. */
+  /** Corpus selector: "uniform" (one ladder), "perMetric" (the
+    * fixed-width registry), "var" (variable-length ladders). */
+  private def nhcbCorpus(spark: SparkSession, dir: String,
+      corpus: String): DataFrame = corpus match {
+    case "uniform" => nhcbSamples(spark, dir)
+    case "perMetric" => nhcbSamplesLadders(spark, dir)
+    case "var" => nhcbSamplesVar(spark, dir)
+    case other => sys.error(s"unknown NHCB corpus '$other' " +
+      "(uniform | perMetric | var)")
+  }
+
   def evalRangeNhcb(spark: SparkSession, dir: String, exprStr: String,
       start: String, end: String, stepSec: Long,
-      perMetric: Boolean = false): DataFrame = {
+      corpus: String = "uniform"): DataFrame = {
     val (su, eu) = (tSecOf(start), tSecOf(end))
     require(stepSec > 0 && eu >= su, "need end >= start and step > 0")
     val grid: Seq[Long] = (su to eu by stepSec)
-    val samples =
-      if (perMetric) nhcbSamplesLadders(spark, dir)
-      else nhcbSamples(spark, dir)
+    val samples = nhcbCorpus(spark, dir, corpus)
     def inner(e: Expr): DataFrame = e match {
       case Sel(ms, None, 0, None, None) =>
         nhcbAtGrid(samples, grid, 0L).filter(matcherPred(ms))

@@ -1191,6 +1191,100 @@ object StreamOps extends Serializable {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
   }
 
+  private val smergeRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H34 (round 12), oracle-gated: STREAMING CDC UPSERT APPLY — the
+    * canonical lakehouse change-data-capture pattern: a change stream
+    * lands in micro-batches, and `foreachBatch` applies each batch to
+    * the commit-log table with the SQL `MERGE INTO` statement through
+    * the catalog (the round-12 row-level COW machinery: runtime group
+    * filtering rewrites only touched files, one OCC commit per
+    * micro-batch). The change batches carry ABSOLUTE row images (not
+    * deltas), so a redelivered batch re-merges to the identical
+    * content — the gate re-applies the last batch after the stream
+    * drains and the content hash must not move (CDC-apply
+    * idempotence, checked by the oracle replaying base+changes from
+    * the raw source). Changes are key-disjoint across batches, so the
+    * final state is arrival-order-free and the gate needs no ordered
+    * replay. */
+  def mergeStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tdir = smergeRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h34_" + fp)
+      val table = new java.io.File(base, "wh/g/t").toString
+      val done = new java.io.File(base, "_done")
+      spark.conf.set("spark.sql.catalog.graftsm",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftsm.warehouse",
+        new java.io.File(base, "wh").toString)
+      if (!done.exists()) {
+        if (base.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(base)
+        }
+        val raw = graft.Tables.eventsRaw(spark, dir)
+        val flat = raw.select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        graft.sources.Io.tableAppend(
+          flat.repartitionByRange(4, col("typ"), col("event_id")), table)
+        // two key-disjoint change batches: purchase row-image updates,
+        // displaced click inserts — landed as one file each so
+        // maxFilesPerTrigger=1 yields one MERGE per batch
+        val landing = new java.io.File(base, "landing").toString
+        flat.filter(col("typ") === "purchase")
+          .withColumn("cents", col("cents") + 100000L)
+          .coalesce(1).write.mode("append").parquet(landing)
+        flat.filter(col("typ") === "click")
+          .withColumn("event_id", col("event_id") + 1000000000000L)
+          .coalesce(1).write.mode("append").parquet(landing)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        def applyMerge(s: SparkSession, batch: DataFrame, id: Long): Unit = {
+          batch.createOrReplaceTempView(s"__h34_src_$id")
+          s.sql(
+            s"""MERGE INTO graftsm.g.t AS tg USING __h34_src_$id AS src
+               |ON tg.event_id = src.event_id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ()
+        }
+        val q = stream.writeStream
+          .option("checkpointLocation",
+            new java.io.File(base, "ckpt").toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              applyMerge(batch.sparkSession, batch.toDF(), batchId)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        // redelivery: re-merge the whole change set — absolute row
+        // images make it a content no-op (one more version, same cut)
+        val before = graft.sources.Io.readTableVersion(spark, table,
+          graft.sources.Io.tableVersion(spark, table))
+          .agg(count(lit(1)), sum(col("cents"))).collect()(0)
+        applyMerge(spark, spark.read.parquet(landing), 999L)
+        val after = graft.sources.Io.readTableVersion(spark, table,
+          graft.sources.Io.tableVersion(spark, table))
+          .agg(count(lit(1)), sum(col("cents"))).collect()(0)
+        require(before == after,
+          s"CDC re-apply must be a content no-op: $before != $after")
+        done.createNewFile()
+      }
+      table
+    })
+    graft.sources.Io.readTableVersion(spark, tdir,
+        graft.sources.Io.tableVersion(spark, tdir))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
   /** H3: checkpointed ingest to the lakehouse layout — the WAL analog.
     * foreachBatch appends day-partitioned parquet; the streaming
     * checkpoint gives exactly-once batches across restarts (the spec

@@ -613,6 +613,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("data/")))
   }
 
+  test("row-level DELETE on a DV-carrying table (round 12): the COW " +
+      "rewrite scan is DV-filtered and the commit carries the sidecar " +
+      "— deletes compose, nothing resurrects") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import s.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_rldv").toString
+    val t = s"$wh/tbl"
+    // v0: 20 rows; v1: DV-delete k=3 (merge-on-read, sidecar only)
+    sources.Io.tableAppend(
+      (1L to 20L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    sources.Io.tableDeleteWhereDv(s,
+      t, org.apache.spark.sql.functions.col("k") === 3L, "k")
+    assert(new java.io.File(s"$t/_commits/00000001.dv").exists())
+    assert(sources.Io.readTableVersion(s, t, 1L).count() == 19)
+    // catalog DELETE with an untranslatable predicate → COW rewrite
+    s.conf.set("spark.sql.catalog.grldv", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.grldv.warehouse", wh)
+    s.sql("DELETE FROM grldv.tbl WHERE k % 2 = 0")
+    assert(sources.Io.tableVersion(s, t) == 2L)
+    val left = s.sql("SELECT k FROM grldv.tbl ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(left == Seq(1L, 5L, 7L, 9L, 11L, 13L, 15L, 17L, 19L),
+      s"odd keys minus the DV-deleted 3 — got $left")
+    // the rewrite must not resurrect k=3 (it was only ever DV-deleted)
+    assert(!left.contains(3L))
+    // history: v1 still merge-on-read correct
+    assert(sources.Io.readTableVersion(s, t, 1L).count() == 19)
+  }
+
   test("DSv2 write path (round 12): mode(append) commits through OCC " +
       "exactly once, racing writers serialize, overwrite and pinned " +
       "views refuse") {

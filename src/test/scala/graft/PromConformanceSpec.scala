@@ -448,6 +448,48 @@ class PromConformanceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("mismatched"))
   }
 
+  test("NHCB variable-length ladders (round 12 s3): consumers are " +
+      "width-generic — 3- and 6-bucket histograms serve side by side, " +
+      "cross-length sums refuse") {
+    import graft.promql.NativeHist
+    import spark.implicits._
+    val h = Seq(
+      ("short", Seq(30.0, 90.0, 270.0), 10.0, Seq(4.0, 7.0, 9.0)),
+      ("long", Seq(10.0, 20.0, 40.0, 80.0, 160.0, 320.0), 12.0,
+        Seq(1.0, 3.0, 6.0, 9.0, 11.0, 12.0)))
+      .toDF("typ", "bounds", "cnt", "bcum")
+    val q = NativeHist.quantileNhcb(h, 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // short: rank 5 in (30,90] → 30 + (5−4)/(7−4)·60
+    assert(q("short") == 30.0 + 1.0 / 3.0 * 60.0)
+    // long: rank 6 = c2 → (20,40] → 20 + (6−3)/(6−3)·20 = 40
+    assert(q("long") == 40.0)
+    // rank beyond the last finite count → top bound, any width
+    val q1 = NativeHist.quantileNhcb(
+      h.filter($"typ" === "short").withColumn("cnt",
+        org.apache.spark.sql.functions.lit(20.0)), 1.0)
+    assert(nhOne(q1) == 270.0)
+    // fraction at mixed widths: F(90)−F(30) on short = (7−4)/10
+    assert(nhOne(NativeHist.fractionNhcb(
+      h.filter($"typ" === "short"), 30.0, 90.0)) == 3.0 / 10.0)
+    // stddev over a 3-bucket ladder: masses 4,3,2 at midpoints
+    // 15/60/180 + 1 in +Inf at 270, mean 50
+    val hs = h.filter($"typ" === "short")
+      .withColumn("hsum", org.apache.spark.sql.functions.lit(500.0))
+      .withColumn("rsec", org.apache.spark.sql.functions.lit(1.0))
+    val mean = 50.0
+    val expVar = (4 * (15.0 - mean) * (15.0 - mean)
+      + 3 * (60.0 - mean) * (60.0 - mean)
+      + 2 * (180.0 - mean) * (180.0 - mean)
+      + 1 * (270.0 - mean) * (270.0 - mean)) / 10.0
+    assert(nhOne(NativeHist.statNhcb(hs, "histogram_stdvar")) == expVar)
+    // summing across LENGTHS refuses like any mismatched ladder
+    val err = intercept[Exception] {
+      NativeHist.sumNhcb(h, Seq.empty).collect()
+    }
+    assert(err.getMessage.contains("mismatched"))
+  }
+
   test("NHCB fraction/stats (round 12): classic linear F(x), arithmetic " +
       "bucket midpoints, +Inf mass at the top bound; count/sum see rsec") {
     import graft.promql.NativeHist
