@@ -29,7 +29,7 @@ object ScaleProbe {
     val headline = Set("match_conj", "agg_hourly", "promql_range_grid",
       "minhash_bands", "ivfpq_train_probe",
       "rollup_tier_daily", "dsir_buckets", "paragraph_dedup",
-      "gapfill_grid")
+      "gapfill_grid", "rowlevel_update")
     // `only <row names...>`: probe just the named rows (new-operator
     // measurement without re-running the full suite)
     val only: Set[String] =
@@ -325,6 +325,37 @@ object ScaleProbe {
           .bloomAgg(spark, col("h"), 1000000L, 8000000L).as("bf"))
         .head.getAs[Array[Byte]](0)
       h.filter(functions.BloomFuncs.mightContain(spark, lit(sk), col("h")))
+    }
+    // round 12 s3: SQL UPDATE via the row-level COW rewrite — the
+    // probe updates a FIXED event_id band on a range-laid commit-log
+    // table whose file count grows with the factor; the runtime group
+    // filter prunes the rewrite to the band's files and everything
+    // else carries by reference, so wall time should stay FLAT as the
+    // table grows (the 100-TB claim: an UPDATE pays for what it
+    // touches). Table build happens outside the timer.
+    if (only.isEmpty || only("rowlevel_update") ||
+        (headlineOnly && headline("rowlevel_update"))) {
+      val rloDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_probe_rlo_$factor")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(rloDir)
+      val tdir = new java.io.File(rloDir, "wh/t").toString
+      sources.Io.tableAppend(
+        big.select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .repartitionByRange(32 * math.max(1, factor / 2),
+            col("event_id")),
+        tdir)
+      spark.conf.set("spark.sql.catalog.gprobe",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gprobe.warehouse",
+        new java.io.File(rloDir, "wh").toString)
+      t("rowlevel_update") {
+        spark.sql("UPDATE gprobe.t SET cents = cents + 1 " +
+          "WHERE event_id >= 5000 AND event_id < 15000")
+      }
     }
     spark.stop()
   }

@@ -309,8 +309,17 @@ private[graft] class GraftReplaceWrite(spark: SparkSession, path: String,
       case GraftWrittenFile(rel) => s"data/$tag/$rel"
     }.sorted.toIndexedSeq
     val prior = Io.commitEntries(spark, path, version)
-    val scanned = op.scannedTrails.getOrElse(
-      prior.map(Io.trailOf).toSet)
+    // FAIL-SAFE fallback: rows can only have been written from planned
+    // partitions, so an unset scan (an AQE-emptied plan — e.g. a MERGE
+    // whose source turned out empty) means nothing was read and
+    // nothing may be replaced; defaulting to "replace all" here would
+    // wipe the table on a no-op statement
+    val scanned = op.scannedTrails.getOrElse {
+      require(fresh.isEmpty,
+        s"row-level write at $path produced files without a planned " +
+          "scan — refusing to guess the replaced set")
+      Set.empty[String]
+    }
     val kept = prior.filterNot(f => scanned.contains(Io.trailOf(f)))
     val freshKept = Io.carryStatsFor(spark, path, version, nv,
       kept, fresh, tag)
