@@ -206,6 +206,7 @@ object SparkEntry {
     "io_write_txn" -> (sources.Io.dsv2WriteTxnRead _),
     "io_catalog" -> (sources.Io.catalogRead _),
     "io_ctas" -> (sources.Io.ctasRead _),
+    "io_overwrite" -> (sources.Io.overwriteRead _),
     "io_merge" -> (sources.Io.mergeRead _),
     "io_merge_sql" -> (sources.Io.mergeSqlRead _),
     "io_update" -> (sources.Io.updateRead _),
@@ -2468,6 +2469,24 @@ object SparkEntry {
         |FROM events
         |WHERE event_type <> 'view'
         |GROUP BY 1""".stripMargin,
+    // round 12 s3: INSERT OVERWRITE = one replace commit -- v0 is the
+    // full table, v1 the purchases-only replacement; both cuts replay
+    "io_overwrite" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src WHERE typ = 'purchase' GROUP BY 2)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
     // round 12: atomic CTAS + SQL time travel -- VERSION AS OF 0 reads
     // the pre-delete cut, so the oracle is the FULL source aggregation
     "io_ctas" ->

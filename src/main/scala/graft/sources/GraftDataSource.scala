@@ -238,12 +238,16 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
   // AppendDataExecV1) instead of per-task commits that could never be
   // made atomic against the version log. BATCH_WRITE is advertised so
   // DataFrameWriter takes the DSv2 path at all; V1_BATCH_WRITE is what
-  // the capability check actually consumes for a V1Write. TRUNCATE is
-  // deliberately absent — mode("overwrite") must refuse, the log is
-  // append-only.
+  // the capability check actually consumes for a V1Write. TRUNCATE
+  // (round 12, session 3) serves INSERT OVERWRITE / mode("overwrite")
+  // as a REPLACE COMMIT — the next version lists only the fresh batch,
+  // nothing is physically truncated, prior versions keep serving via
+  // time travel (the REPLACE TABLE semantics at write-path
+  // granularity).
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** Exactly-once `df.write.format("graft").mode("append")`: one OCC
     * commit per save — concurrent writers serialize through version
@@ -253,25 +257,28 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     * the table must already exist (create v0 via Io.tableAppend: the
     * connector cannot infer a schema from an empty log). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
       // `txnVersion` (round 12): the Delta txnAppId/txnVersion idea as
       // a writer option — a foreachBatch sink passes the micro-batch
       // id and redelivery of an already-committed batch becomes a
       // NO-OP (tableAppendIdempotent, the I19 exactly-once contract);
       // without it each save is one OCC commit.
       private val txn = Option(info.options.get("txnVersion")).map(_.toLong)
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: sources.InsertableRelation =
           new sources.InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite,
-                s"graft table $path is append-only through the " +
-                  "connector (the commit log keeps history); use " +
-                  "DELETE FROM / Io.tableRestore for removals")
               require(version == head,
-                s"append applies to HEAD (v$head) — this view is " +
+                s"writes apply to HEAD (v$head) — this view is " +
                   s"pinned to v$version via versionAsOf/timestampAsOf")
-              txn match {
+              if (replace || overwrite) {
+                // INSERT OVERWRITE / mode("overwrite"): one replace
+                // commit — fresh files only, history intact
+                Io.tableOverwrite(data, path)
+              } else txn match {
                 case Some(b) => Io.tableAppendIdempotent(data, path, b)
                 case None => Io.tableAppendOcc(data, path,
                   writer = java.util.UUID.randomUUID().toString)

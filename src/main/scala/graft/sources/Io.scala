@@ -890,6 +890,22 @@ object Io {
       version: Long, files: Seq[String]): Unit =
     writeCommit(spark, table, version, files)
 
+  /** OVERWRITE as a commit (round 12): `INSERT OVERWRITE` /
+    * `mode("overwrite")` land the batch as the NEXT version listing
+    * only the fresh files — the REPLACE TABLE semantics at write-path
+    * granularity. Nothing is truncated physically: every prior
+    * version keeps serving its own cut via time travel, and RESTORE
+    * can roll the overwrite back. Any DV state dies with the replaced
+    * content (dv = None scrubs stale sidecars at this number). */
+  def tableOverwrite(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val v = tableVersion(spark, table) + 1
+    require(v > 0, s"no table at $table — overwrite needs an existing " +
+      "commit log (create with tableAppend or catalog CTAS)")
+    writeCommit(spark, table, v, landData(df, table, s"c$v-ow"))
+    v
+  }
+
   /** A version's raw (table-root-relative) commit entries — the
     * row-level COW write's arithmetic handle. */
   private[graft] def commitEntries(spark: SparkSession, table: String,
@@ -2365,6 +2381,47 @@ object Io {
       spark.sql(s"SELECT typ, count(*) AS n, sum(cents) AS sum_cents, " +
         "min(event_id) AS min_id, max(event_id) AS max_id " +
         s"FROM graftmsql.g.ms VERSION AS OF $v GROUP BY typ")
+        .select(lit(v).as("version"), col("typ"), col("n"),
+          col("sum_cents"), col("min_id"), col("max_id"))
+    agg(0L).unionByName(agg(1L))
+  }
+
+  private val owRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** INSERT OVERWRITE gate (round 12 s3), oracle-gated: CTAS lands the
+    * full flat table as v0, `INSERT OVERWRITE ... SELECT` replaces the
+    * content with the purchases-only cut as v1 (ONE replace commit —
+    * fresh files only), and BOTH cuts read back via `VERSION AS OF` —
+    * the oracle replays each from the raw source, so overwrite content
+    * AND history intactness are content-checked. */
+  def overwriteRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = owRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val w = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ow_wh_" + fp).toString
+      fsFor(spark, w).delete(new org.apache.hadoop.fs.Path(w), true)
+      spark.conf.set("spark.sql.catalog.graftow",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftow.warehouse", w)
+      val raw = Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .createOrReplaceTempView("__graft_ow_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftow.g")
+      spark.sql("CREATE TABLE graftow.g.ev AS SELECT * FROM __graft_ow_src")
+      spark.sql("INSERT OVERWRITE graftow.g.ev " +
+        "SELECT * FROM __graft_ow_src WHERE typ = 'purchase'")
+      require(tableVersion(spark, s"$w/g/ev") == 1L,
+        "overwrite must land exactly one replace commit")
+      w
+    })
+    require(wh.nonEmpty)
+    def agg(v: Long): DataFrame =
+      spark.sql(s"SELECT typ, count(*) AS n, sum(cents) AS sum_cents, " +
+        "min(event_id) AS min_id, max(event_id) AS max_id " +
+        s"FROM graftow.g.ev VERSION AS OF $v GROUP BY typ")
         .select(lit(v).as("version"), col("typ"), col("n"),
           col("sum_cents"), col("min_id"), col("max_id"))
     agg(0L).unionByName(agg(1L))

@@ -648,8 +648,8 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("DSv2 write path (round 12): mode(append) commits through OCC " +
-      "exactly once, racing writers serialize, overwrite and pinned " +
-      "views refuse") {
+      "exactly once, racing writers serialize, overwrite = a replace " +
+      "commit with history intact, pinned views refuse") {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -680,13 +680,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val all = s.read.format("graft").load(t)
     assert(all.count() == 19)
     assert(all.filter(col("k") > 100).count() == 8)
-    // overwrite refuses — TRUNCATE capability deliberately absent, so
-    // Spark's own capability check raises before any data moves
-    val ow = intercept[Exception] {
-      Seq(1L).toDF("k").write.format("graft").mode("overwrite").save(t)
-    }
-    assert(ow.getMessage.contains("does not support truncate"),
-      s"unexpected: ${ow.getMessage}")
+    // overwrite (round 12 s3) = a REPLACE COMMIT: the next version
+    // lists only the fresh batch, every prior cut stays readable
+    Seq(1000L).toDF("k").write.format("graft").mode("overwrite").save(t)
+    assert(sources.Io.tableVersion(s, t) == 10L)
+    assert(s.read.format("graft").load(t).count() == 1)
+    assert(s.read.format("graft").option("versionAsOf", "9").load(t)
+      .count() == 19, "the pre-overwrite cut must keep serving")
+    // roll the overwrite back (RESTORE is a commit too) so the DV
+    // rows below continue from the 19-row state
+    sources.Io.tableRestore(s, t, 9L) // v11
     // a pinned view refuses appends (HEAD-only, like DELETE)
     val pin = intercept[Exception] {
       Seq(1L).toDF("k").write.format("graft")
@@ -694,8 +697,8 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(pin.getMessage.contains("HEAD"), s"unexpected: ${pin.getMessage}")
     // appends through the connector carry DV sidecars like any flavor
-    sources.Io.tableDeleteWhereDv(s, t, col("k") === 5, "k") // v10
-    Seq(200L).toDF("k").write.format("graft").mode("append").save(t) // v11
+    sources.Io.tableDeleteWhereDv(s, t, col("k") === 5, "k") // v12
+    Seq(200L).toDF("k").write.format("graft").mode("append").save(t) // v13
     val afterDv = s.read.format("graft").load(t)
     assert(afterDv.count() == 19 && afterDv.filter(col("k") === 5).count() == 0,
       "connector append must not resurrect DV-deleted rows")
