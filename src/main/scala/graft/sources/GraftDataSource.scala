@@ -189,6 +189,22 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
   override def name(): String = pt.name
   override def schema(): StructType = pt.schema
 
+  /** Table metadata for `DESCRIBE TABLE EXTENDED` (round 12 s3):
+    * the commit-log facts a table browser wants — served from state
+    * the provider already resolved, zero extra IO. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("graft.version", version.toString)
+    m.put("graft.head", head.toString)
+    m.put("graft.format", "graft commit-log parquet")
+    deleteKey.foreach(m.put("graft.deleteKey", _))
+    if (dvDirs.nonEmpty) {
+      m.put("graft.deletionVectors", dvDirs.size.toString)
+      dvKeyCol.foreach(m.put("graft.dvKey", _))
+    }
+    m
+  }
+
   /** `_graft_file` (round 12): each row's data file — the GROUP id of
     * the row-level COW machinery (and a provenance column any query
     * may select). Served by [[GraftFileScanBuilder]]'s row

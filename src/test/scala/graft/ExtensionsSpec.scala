@@ -430,6 +430,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) FROM gcat.db.t").head().getLong(0) == 3)
     assert(sources.Io.readTableVersion(s, s"$wh/db/t", 1L).count() == 4,
       "history stays immutable under catalog DML")
+    // DESCRIBE EXTENDED serves the commit-log facts as table props
+    val props = s.sql("DESCRIBE TABLE EXTENDED gcat.db.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val tblProps = props.getOrElse("Table Properties", "")
+    assert(tblProps.contains("graft.version=2") &&
+      tblProps.contains("graft.head=2"),
+      s"expected commit-log props, got: $tblProps")
     // SHOW TABLES sees it; RENAME moves it; DROP removes it
     assert(s.sql("SHOW TABLES IN gcat.db").collect()
       .map(_.getString(1)).contains("t"))
