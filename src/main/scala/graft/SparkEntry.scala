@@ -857,6 +857,34 @@ object SparkEntry {
         .select(col("typ"),
           (floor(col("value") * 1e4 + 0.5) / 1e4).as("q50r"))
     }),
+    "promql_nhcb_var_fraction" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // histogram_fraction at mixed ladder widths: each metric's F(x)
+      // interpolates within ITS OWN containing bucket (50 lands ON a
+      // default-ladder bound, strictly inside purchase/error buckets)
+      promql.NativeHist.evalNhcb(s, dir,
+        """histogram_fraction(50, 150, {typ=~".*"})""",
+        "2024-01-08 00:00:00", corpus = "var")
+        .select(col("typ"),
+          (floor(col("value") * 1e4 + 0.5) / 1e4).as("frac_50_150"))
+    }),
+    "promql_nhcb_var_stats" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // avg (dyadic _sum — exact both engines) and stddev (arithmetic
+      // midpoints over the metric's OWN width; the indexed-transform
+      // left fold keeps DuckDB's list_reduce association order)
+      val avg = promql.NativeHist.evalNhcb(s, dir,
+        """histogram_avg({typ=~".*"})""",
+        "2024-01-08 00:00:00", corpus = "var")
+        .select(col("typ"), (floor(col("value") * 1e4 + 0.5) / 1e4)
+          .as("h_avg"))
+      val sd = promql.NativeHist.evalNhcb(s, dir,
+        """histogram_stddev({typ=~".*"})""",
+        "2024-01-08 00:00:00", corpus = "var")
+        .select(col("typ"), (floor(col("value") * 1e4 + 0.5) / 1e4)
+          .as("h_stddev"))
+      avg.join(sd, Seq("typ"))
+    }),
     "promql_atan2" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       // infix atan2 with default 1:1 vector matching on (usr); both
@@ -5566,6 +5594,84 @@ object SparkEntry {
         |FROM tot t JOIN top p USING (typ)
         |LEFT JOIN (SELECT typ, qv FROM hit WHERE rn = 1) h USING (typ)"""
         .stripMargin,
+    // variable-width F(x): the hit bucket per bound is the first with
+    // ub >= x, interpolated with the same operand order as Spark's
+    // staged-index form; x past the ladder counts everything
+    "promql_nhcb_var_fraction" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |lad AS (SELECT typ,
+        |    (CASE WHEN typ = 'purchase' THEN [20, 40, 80, 160, 320, 640]
+        |          WHEN typ = 'error' THEN [30, 90, 270]
+        |          ELSE [25, 50, 100, 200] END)::DOUBLE[] AS bounds
+        |  FROM (SELECT DISTINCT typ FROM e)),
+        |u AS (SELECT typ, i, bounds[i] AS ub
+        |  FROM lad, UNNEST(range(1, len(bounds) + 1)) AS t(i)),
+        |c AS (SELECT e.typ, u.i, u.ub,
+        |    CAST(sum(CASE WHEN e.v <= u.ub THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS cum
+        |  FROM e JOIN u USING (typ) GROUP BY 1, 2, 3),
+        |tot AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT c.typ, c.i, c.ub, c.cum,
+        |    lag(c.cum, 1, CAST(0 AS DOUBLE))
+        |      OVER (PARTITION BY c.typ ORDER BY c.i) AS pc,
+        |    lag(c.ub, 1, CAST(0 AS DOUBLE))
+        |      OVER (PARTITION BY c.typ ORDER BY c.i) AS lb
+        |  FROM c),
+        |fh AS (SELECT typ, pc + (150.0 - lb) / (ub - lb) * (cum - pc)
+        |      AS fx, row_number() OVER (PARTITION BY typ ORDER BY i) AS rn
+        |  FROM w WHERE ub >= 150.0),
+        |fl AS (SELECT typ, pc + (50.0 - lb) / (ub - lb) * (cum - pc)
+        |      AS fx, row_number() OVER (PARTITION BY typ ORDER BY i) AS rn
+        |  FROM w WHERE ub >= 50.0)
+        |SELECT t.typ,
+        |  floor((COALESCE(h.fx, t.cnt) - COALESCE(l.fx, t.cnt)) / t.cnt
+        |    * 1e4 + 0.5) / 1e4 AS frac_50_150
+        |FROM tot t
+        |LEFT JOIN (SELECT typ, fx FROM fh WHERE rn = 1) h USING (typ)
+        |LEFT JOIN (SELECT typ, fx FROM fl WHERE rn = 1) l USING (typ)"""
+        .stripMargin,
+    // variable-width stats: dyadic-exact avg; variance terms built per
+    // bucket IN INDEX ORDER and left-folded with list_reduce (the same
+    // association order as Spark's aggregate()); +Inf mass at the top
+    "promql_nhcb_var_stats" ->
+      """WITH e AS (SELECT event_type AS typ, value AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |lad AS (SELECT typ,
+        |    (CASE WHEN typ = 'purchase' THEN [20, 40, 80, 160, 320, 640]
+        |          WHEN typ = 'error' THEN [30, 90, 270]
+        |          ELSE [25, 50, 100, 200] END)::DOUBLE[] AS bounds
+        |  FROM (SELECT DISTINCT typ FROM e)),
+        |u AS (SELECT typ, i, bounds[i] AS ub
+        |  FROM lad, UNNEST(range(1, len(bounds) + 1)) AS t(i)),
+        |c AS (SELECT e.typ, u.i, u.ub,
+        |    CAST(sum(CASE WHEN e.v <= u.ub THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS cum
+        |  FROM e JOIN u USING (typ) GROUP BY 1, 2, 3),
+        |tot AS (SELECT typ, CAST(count(*) AS DOUBLE) AS cnt,
+        |    sum(floor(v * 1048576.0 + 0.5) / 1048576.0) AS hsum
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT c.typ, c.i, c.ub, c.cum,
+        |    lag(c.cum, 1, CAST(0 AS DOUBLE))
+        |      OVER (PARTITION BY c.typ ORDER BY c.i) AS pc,
+        |    lag(c.ub, 1, CAST(0 AS DOUBLE))
+        |      OVER (PARTITION BY c.typ ORDER BY c.i) AS lb,
+        |    t.hsum / t.cnt AS mean
+        |  FROM c JOIN tot t USING (typ)),
+        |terms AS (SELECT typ,
+        |    list((cum - pc) * ((lb + ub) / 2.0 - mean)
+        |      * ((lb + ub) / 2.0 - mean) ORDER BY i) AS ts,
+        |    max(cum) AS topcum, max(ub) AS topb, max(mean) AS mean
+        |  FROM w GROUP BY 1)
+        |SELECT t.typ,
+        |  floor(t.hsum / t.cnt * 1e4 + 0.5) / 1e4 AS h_avg,
+        |  floor(sqrt((list_reduce(x.ts, (a, b) -> a + b)
+        |      + (t.cnt - x.topcum) * (x.topb - x.mean) * (x.topb - x.mean))
+        |    / t.cnt) * 1e4 + 0.5) / 1e4 AS h_stddev
+        |FROM tot t JOIN terms x USING (typ)""".stripMargin,
     // B55+ schema-3 gates: the 104-entry boundary ladder is serialized
     // from the SAME Scala doubles the Spark side compares against
     // (%.17g round-trips exactly), so bucket assignment is
