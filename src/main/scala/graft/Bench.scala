@@ -77,8 +77,16 @@ object Bench {
     // so round-over-round regressions are attributable without QDebug)
     // AND the max (a min/max spread >>2x marks that query's reading as
     // contention-suspect).
+    // SORTED name order (round 13, VERDICT #8): shared memoized state
+    // (the persisted inverted index, the landed io/stream fixtures) is
+    // charged to whichever query in its family runs FIRST — Map
+    // iteration order reshuffles when queries are added, which made the
+    // round-12 regression screen flag pure accounting moves
+    // (match_conj 0.13→0.70 s with zero code change on that path).
+    // A deterministic order keeps the warm-up charge on the same query
+    // round over round.
     def runAll(): Map[String, (Double, Double, Double)] =
-      SparkEntry.queries.map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         var ok = true
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -94,7 +102,7 @@ object Bench {
           if (ok) (times.min, times.sorted.apply(times.size / 2), times.max)
           else (-1.0, -1.0, -1.0)
         name -> ((mn, med, mx))
-      }
+      }.toMap
     var results = runAll()
     var loadEnd = loadavg1
     var contended = loadStart >= 2.0
@@ -146,16 +154,38 @@ object Bench {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(path)), "UTF-8")
           // the driver's artifact may carry only a CLIPPED tail of the
-          // bench stdout, so don't assume a parsable object: harvest
-          // every "name":num pair, keep names that are real query
-          // keys, LAST occurrence wins (the clip-proof line order
-          // prints the min map last)
+          // bench stdout, so don't assume a parsable object. ANCHOR the
+          // harvest on the MIN map specifically (round-12 ADVICE: a
+          // blind "name":num sweep relied on the min map printing last
+          // — a clip inside it would silently compare against MAX
+          // times): every per-query min map is introduced by the exact
+          // key `"queries":{` (the big line and the dedicated
+          // queries_min line both use it; the median/max maps are
+          // `"queries_median"`/`"queries_max"`), so harvest pairs only
+          // from inside those objects. A clip mid-map still yields a
+          // valid (partial) min map — and the TAGGED pairs this bench
+          // also emits (`"qmin:<name>":v`, round 13) parse even when
+          // the clip ate the map opener entirely (the round-12 tail
+          // was 2000 chars and kept no opener at all). Quotes may be
+          // `\"`-escaped inside the driver artifact's "tail" string.
           val known = SparkEntry.queries.keySet
-          val pairs = "\"([A-Za-z0-9_]+)\\\\?\":(-?[0-9.]+)".r
+          val tagged = "\"qmin:([A-Za-z0-9_]+)\\\\?\":(-?[0-9.]+)".r
             .findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter { case (k, _) => known(k) }
             .toSeq
+          val pairs =
+            if (tagged.nonEmpty) tagged
+            else {
+              val minMaps = "\"queries\\\\?\":\\{([^}]*)".r
+                .findAllMatchIn(txt).map(_.group(1)).toSeq
+              minMaps.flatMap { body =>
+                "\"([A-Za-z0-9_]+)\\\\?\":(-?[0-9.]+)".r
+                  .findAllMatchIn(body)
+                  .map(m => m.group(1) -> m.group(2).toDouble)
+                  .filter { case (k, _) => known(k) }
+              }
+            }
           if (pairs.isEmpty) None else Some(pairs.toMap)
         } catch { case _: Throwable => None }
       }.getOrElse(Map.empty)
@@ -205,6 +235,17 @@ object Bench {
     spark.stop()
     println(
       s"""{"metric":"queries_min","unit":"sec","agg":"min","queries":$qs}""")
+    // TAGGED per-pair min line (round 13, round-12 ADVICE): each pair
+    // is self-identifying ("qmin:<name>":v), so the NEXT round's
+    // regression screen parses valid mins out of any front-clipped
+    // tail — no dependence on a map opener or on line order surviving
+    // the clip. Second-to-last so a tiny tail keeps (part of) it plus
+    // the self-contained summary below.
+    val qsTagged = results.toSeq.sortBy(_._1).map { case (k, (mn, _, _)) =>
+      "\"qmin:" + k + "\":" + fmt(mn)
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"queries_min_tagged","unit":"sec","agg":"min","tagged":$qsTagged}""")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":3,"agg":"min","total_median":${fmt(totalMed)},$env,"failed":$failedJson}""")
   }

@@ -86,7 +86,20 @@ object PlanDump {
       "promql_native_schema", "promql_native_q3", "promql_nhcb",
       "promql_nhcb_rate", "promql_nhcb_agg", "promql_rule_limit",
       "promql_rate_extrap", "io_dv", "io_timetravel_dsv2",
-      "io_skipping_dsv2")
+      "io_skipping_dsv2",
+      // round 12 DML/catalog shapes (round-12 VERDICT #5): the
+      // ReplaceData group-COW rewrites (runtime group filtering must
+      // plan only touched files), the catalog/CTAS reads, the
+      // variable-ladder NHCB family, the offset rule group, and the
+      // streamed CDC apply
+      "io_update", "io_merge_sql", "io_catalog", "io_ctas",
+      "stream_merge", "promql_nhcb_var", "promql_nhcb_var_rate",
+      "promql_rule_offset", "io_overwrite", "io_write_txn",
+      // round 13: positional-DV reads (per-file positional filter in
+      // the connector), the reinsert merge, ALTER-evolved reads, and
+      // the streaming-source/update twins' landed reads
+      "io_dv_dsv2", "io_merge_reinsert", "io_alter_add",
+      "stream_table_source", "stream_update")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` at sf0.001. What to look for:\n")

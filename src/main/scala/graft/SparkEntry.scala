@@ -206,8 +206,10 @@ object SparkEntry {
     "io_write_txn" -> (sources.Io.dsv2WriteTxnRead _),
     "io_catalog" -> (sources.Io.catalogRead _),
     "io_ctas" -> (sources.Io.ctasRead _),
+    "io_alter_add" -> (sources.Io.alterAddRead _),
     "io_overwrite" -> (sources.Io.overwriteRead _),
     "io_merge" -> (sources.Io.mergeRead _),
+    "io_merge_reinsert" -> (sources.Io.mergeReinsertRead _),
     "io_merge_sql" -> (sources.Io.mergeSqlRead _),
     "io_update" -> (sources.Io.updateRead _),
     "io_dv_cdf" -> (sources.Io.dvCdfRead _),
@@ -217,6 +219,8 @@ object SparkEntry {
     "io_vacuum" -> (sources.Io.vacuumRead _),
     "io_stream_sink" -> (streaming.StreamOps.tableSinkStreamed _),
     "stream_merge" -> (streaming.StreamOps.mergeStreamed _),
+    "stream_update" -> (streaming.StreamOps.updateStreamed _),
+    "stream_table_source" -> (streaming.StreamOps.tableSourceStreamed _),
     "io_restore" -> (sources.Io.restoreRead _),
     "io_optimize" -> (sources.Io.optimizeRead _),
     "io_skipping" -> (sources.Io.skippingRead _),
@@ -2552,6 +2556,56 @@ object SparkEntry {
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM m GROUP BY 2)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
+    // round 13: ALTER TABLE ADD COLUMN through the catalog — era 1
+    // (even ids, 3 cols) null-backfills the added `band`, era 2 (odd
+    // ids) carries it physically (band = cents % 10)
+    "io_alter_add" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (
+        |  SELECT typ, event_id, cents, CAST(NULL AS BIGINT) AS band
+        |  FROM src WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT typ, event_id, cents, cents % 10 AS band
+        |  FROM src WHERE event_id % 2 = 1)
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(band) AS n_band, CAST(sum(band) AS BIGINT) AS sum_band,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM t GROUP BY 1""".stripMargin,
+    // round 13: MERGE × positional DVs — v1 DV-deletes error∧(id%7=0),
+    // v2 merges updates (non-error id%5=0 → 2c+1) + RE-INSERTS the
+    // id%14=0 half of the deleted class; the error file carries by
+    // reference, so its remaining DV entries must stay load-bearing
+    // (id%7=0 ∧ id%14≠0 hidden) while re-inserted keys serve fresh
+    "io_merge_reinsert" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v1 AS (
+        |  SELECT * FROM src
+        |  WHERE NOT (typ = 'error' AND event_id % 7 = 0)),
+        |v1a AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM v1 GROUP BY 2),
+        |m AS (
+        |  SELECT typ, event_id,
+        |    CASE WHEN typ <> 'error' AND event_id % 5 = 0
+        |         THEN cents * 2 + 1 ELSE cents END AS cents
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT typ, event_id, cents * 2 + 1
+        |  FROM src WHERE typ = 'error' AND event_id % 14 = 0),
+        |v2a AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM m GROUP BY 2)
+        |SELECT * FROM v1a UNION ALL SELECT * FROM v2a""".stripMargin,
     // H34 (round 12): streaming CDC upsert apply — two key-disjoint
     // change batches MERGEd through foreachBatch; final cut ≡ base
     // with purchases updated and clicks re-inserted displaced
@@ -2568,6 +2622,35 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT typ, event_id + 1000000000000, cents
         |  FROM src WHERE typ = 'click')
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
+    // round 13: the DSv2 streaming source over the commit log —
+    // write via the I19 exactly-once sink, read back via
+    // readStream.format("graft") (commit versions as offsets, a
+    // mid-stream append served by its own batch); final Complete-mode
+    // aggregate ≡ the batch aggregation of the raw source
+    "stream_table_source" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin,
+    // H35 (round 13): streaming UPDATE apply — two absolute-SET
+    // instructions (purchase: cents = id%1000+1, click: id%777+2)
+    // applied as SQL UPDATE per micro-batch; final landed cut ≡ the
+    // source with both type classes rewritten, others untouched
+    "stream_update" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT typ, event_id,
+        |    CASE WHEN typ = 'purchase' THEN event_id % 1000 + 1
+        |         WHEN typ = 'click' THEN event_id % 777 + 2
+        |         ELSE cents END AS cents
+        |  FROM src)
         |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM m GROUP BY 1""".stripMargin,

@@ -123,9 +123,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Spark stages the create here, writes the SELECT through the
     * staged table's V1Write (data lands invisible), and only
     * `commitStagedChanges` makes the table exist (v0 through the OCC
-    * claim — racing CTAS serialize, failed writes leave no table).
-    * REPLACE TABLE stays unsupported: the log is append-only — DROP
-    * then CTAS, or RESTORE, are the supported rewinds. */
+    * claim — racing CTAS serialize, failed writes leave no table). */
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     require(info.partitions.isEmpty,
       "graft tables do not take partition transforms (layout is a " +
@@ -161,10 +159,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(p)) stageReplace(ident, info) else stageCreate(ident, info)
   }
 
+  /** ALTER TABLE ADD COLUMN (round 13): the one schema mutation the
+    * append-only log supports losslessly — the `_schema` sidecar gains
+    * the (nullable, top-level) column, HEAD reads serve it with
+    * pre-evolution rows null-backfilled (the I24 mergeSchema semantics
+    * through the catalog), and later INSERTs carry it physically.
+    * Pinned `VERSION AS OF` reads keep their own era's schema (the
+    * sidecar applies to HEAD only — see [[GraftTables.forPath]]).
+    * Everything else (drop/rename/type change) keeps refusing: those
+    * would rewrite history. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    sys.error("ALTER TABLE is not supported: schema evolution is an " +
-      "append-time property of the commit log (mergeSchema reads, I24)")
+      changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    require(changes.forall(_.isInstanceOf[TableChange.AddColumn]),
+      "only ALTER TABLE ADD COLUMN is supported: schema evolution is " +
+        "an append-time property of the commit log (I24) — " +
+        "drop/rename/type changes would rewrite history")
+    val cur = GraftTables.readSchemaSidecar(spark, p).getOrElse(
+      GraftTables.forPath(spark, p, CaseInsensitiveStringMap.empty())
+        .schema())
+    val next = changes.foldLeft(cur) { (sch, c) =>
+      val a = c.asInstanceOf[TableChange.AddColumn]
+      require(a.fieldNames().length == 1,
+        "nested ADD COLUMN is not supported")
+      val name = a.fieldNames()(0)
+      require(!sch.fieldNames.contains(name),
+        s"column $name already exists")
+      require(a.isNullable,
+        "added columns must be NULLABLE — pre-evolution rows " +
+          "null-backfill (there is no default-value rewrite)")
+      sch.add(name, a.dataType(), nullable = true)
+    }
+    GraftTables.writeSchemaSidecar(spark, p, next)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -42,16 +42,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * have been written via `tableAppendStats`).
   *
   * A version carrying DELETION VECTORS (I25) is served MERGE-ON-READ
-  * (round 12): the connector collects the version's deleted-key set at
-  * planning time (broadcast-sized by the COW-fallback design — files
-  * with >cowFraction deleted rows were rewritten, so the surviving DV
-  * entries are bounded) and wraps Spark's parquet readers with a
-  * key-set row filter. Column pruning and predicate pushdown still
-  * forward to the parquet scan; the key column is read-augmented when
-  * the query didn't select it and projected back out. Aggregate/limit
-  * pushdown is deliberately NOT forwarded on DV versions (it would
-  * bypass the row filter). DV-free versions take the raw
-  * [[ParquetTable]] path unchanged — zero overhead.
+  * with a PER-FILE POSITIONAL filter (round 13 — positions replaced
+  * the round-12 key model): the connector collects the version's
+  * deleted (file, rowPos) entries at planning time (broadcast-sized by
+  * the COW-fallback design — files with >cowFraction deleted rows were
+  * rewritten, so the surviving DV entries are bounded), BROADCASTS
+  * them once per session, and wraps Spark's parquet readers with a
+  * sorted-array binary-search filter on the row's position. Positions
+  * come from the parquet reader itself (the
+  * `_tmp_metadata_row_index` schema mechanism Spark provides for
+  * exactly this), so column pruning, predicate pushdown and row-group
+  * skipping all still forward — a skipped row group cannot desync the
+  * positions. Aggregate/limit pushdown is deliberately NOT forwarded
+  * on DV versions (it would bypass the row filter). DV-free versions
+  * take the raw [[ParquetTable]] path unchanged — zero overhead.
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister {
 
@@ -132,7 +136,7 @@ private[graft] object GraftTables {
       .getOrElse(head)
     require(version >= 0 && version <= head,
       s"version $version out of range [0, $head] at $path")
-    val (dvKey, dvDirs) = Io.dvMetaResolved(spark, path, version)
+    val dvDirs = Io.dvDirsResolved(spark, path, version)
     val files = Io.versionFiles(spark, path, version)
     if (files.isEmpty) {
       // an empty-SELECT atomic CTAS commits v0 with zero data files —
@@ -145,8 +149,13 @@ private[graft] object GraftTables {
       case None => files
       case Some(skipCol) =>
         val stats = Io.readStatsFile(spark, path, version)
-        require(files.isEmpty ||
-            stats.contains((Io.trailOf(files.head), skipCol)),
+        // the COLUMN must be covered by the sidecar (a typo'd skipCol
+        // should refuse loudly, not scan everything), but coverage is
+        // per-FILE lenient (round-12 ADVICE): a connector append
+        // (V1Write→tableAppendOcc writes no stats) leaves later files
+        // without entries — those stay UN-PRUNABLE rather than
+        // crashing the read with a bare NoSuchElementException
+        require(files.isEmpty || stats.keys.exists(_._2 == skipCol),
           s"no commit stats for column $skipCol at $path v$version — " +
             "skipCol needs a version written via tableAppendStats " +
             "covering that column")
@@ -155,39 +164,75 @@ private[graft] object GraftTables {
         val hi = Option(options.get("skipHi")).map(_.toLong)
           .getOrElse(Long.MaxValue)
         val kept = files.filter { f =>
-          val (mn, mx) = stats((Io.trailOf(f), skipCol))
-          mx >= lo && mn < hi
+          stats.get((Io.trailOf(f), skipCol)) match {
+            case Some((mn, mx)) => mx >= lo && mn < hi
+            case None => true // no entry: un-prunable, keep the file
+          }
         }
         // schema inference needs ≥1 file; an all-pruned read keeps one
         // carrier file — pruning is conservative, the caller's own
         // predicate (which skipping never replaces) yields the empty set
         if (kept.nonEmpty) kept else files.take(1)
     }
-    new GraftTable(
-      ParquetTable(s"graft:$path@$version", spark, options,
-        pruned.toIndexedSeq, None, classOf[ParquetFileFormat]),
-      spark, path, version, head,
-      Option(options.get("deleteKey")),
-      dvKey.filter(_ => dvDirs.nonEmpty), dvDirs)
+    // HEAD reads serve the DECLARED schema when a `_schema` sidecar
+    // exists (the catalog's CREATE/CTAS/ALTER ADD COLUMN surface):
+    // an ALTER-added column reads as null from pre-evolution files.
+    // Pinned version reads keep their own era's schema — the sidecar
+    // describes HEAD, so time travel to before an evolution must not
+    // grow phantom columns.
+    val declared =
+      if (version == head) readSchemaSidecar(spark, path) else None
+    val basePt = ParquetTable(s"graft:$path@$version", spark, options,
+      pruned.toIndexedSeq, declared, classOf[ParquetFileFormat])
+    // a DV version's ParquetTable carries the row-index temp column in
+    // its declared schema: Spark's parquet readers synthesize the
+    // row's position within its file into that column (footer-exact,
+    // row-group-skip-safe), which is what the positional filter keys
+    // on. GraftTable.schema() hides it from queries.
+    val pt =
+      if (dvDirs.isEmpty) basePt
+      else ParquetTable(s"graft:$path@$version", spark, options,
+        pruned.toIndexedSeq,
+        Some(StructType(basePt.schema.fields :+ PosDv.rowIndexField)),
+        classOf[ParquetFileFormat])
+    new GraftTable(pt, spark, path, version, head,
+      Option(options.get("deleteKey")), dvDirs)
   }
+}
+
+/** The positional-DV constants: Spark's parquet readers populate a
+  * column named [[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME]]
+  * with each row's index within its FILE — computed from the footer's
+  * row-group offsets, so it stays exact under split-parallel reads,
+  * predicate pushdown and row-group skipping. */
+private[graft] object PosDv {
+  val TmpCol: String = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+  val rowIndexField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(TmpCol,
+      org.apache.spark.sql.types.LongType, nullable = true)
 }
 
 /** The connector's Table: reads delegate to Spark's own
   * [[ParquetTable]] scan machinery over the resolved file set, and
   * `DELETE FROM` (SQL DML) routes into the commit protocol —
-  * merge-on-read via deletion vectors when the view was created with
-  * a `deleteKey` option (the I25 row-unique key), copy-on-write
-  * otherwise. Deletes apply to HEAD only (a pinned
-  * versionAsOf/timestampAsOf view refuses). */
+  * merge-on-read via POSITIONAL deletion vectors when the view was
+  * created with a `deleteKey` option (the DV opt-in flag; since
+  * round 13 positions are the delete identity, so the option's VALUE
+  * is no longer consulted), copy-on-write otherwise. Deletes apply to
+  * HEAD only (a pinned versionAsOf/timestampAsOf view refuses). */
 private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     path: String, version: Long, head: Long, deleteKey: Option[String],
-    dvKeyCol: Option[String], dvDirs: Seq[String])
+    dvDirs: Seq[String])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with connector.catalog.SupportsMetadataColumns
   with connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = pt.name
-  override def schema(): StructType = pt.schema
+  // a DV version's ParquetTable declares the row-index temp column so
+  // the readers synthesize positions — hidden from the SQL surface
+  override def schema(): StructType =
+    if (dvDirs.isEmpty) pt.schema
+    else StructType(pt.schema.fields.filterNot(_.name == PosDv.TmpCol))
 
   /** Table metadata for `DESCRIBE TABLE EXTENDED` (round 12 s3):
     * the commit-log facts a table browser wants — served from state
@@ -198,10 +243,8 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     m.put("graft.head", head.toString)
     m.put("graft.format", "graft commit-log parquet")
     deleteKey.foreach(m.put("graft.deleteKey", _))
-    if (dvDirs.nonEmpty) {
+    if (dvDirs.nonEmpty)
       m.put("graft.deletionVectors", dvDirs.size.toString)
-      dvKeyCol.foreach(m.put("graft.dvKey", _))
-    }
     m
   }
 
@@ -224,22 +267,18 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
   /** SQL UPDATE / MERGE INTO / (untranslatable-predicate) DELETE —
     * Spark's row-level-operation framework over the group-based COW
     * rewrite in [[GraftRowLevelOperation]]. HEAD only, like every
-    * other mutation. UPDATE/MERGE refuse DV-carrying tables (a
-    * modified row could collide with a DV-deleted key behind the
-    * carried anti-join — optimizeTableDv first); DELETE composes
-    * (the rewrite scan is DV-filtered via [[DvScanBuilder]] and the
-    * commit carries the sidecar). */
+    * other mutation. DV-carrying tables COMPOSE with every verb
+    * (round 13, positional DVs): the rewrite scan is DV-filtered via
+    * [[PosDvScanBuilder]] — a touched file's rewrite materializes its
+    * deletes — and the commit carries the sidecar for kept files,
+    * whose (file, rowPos) entries can never collide with rewritten or
+    * re-inserted rows. */
   override def newRowLevelOperationBuilder(
       info: connector.write.RowLevelOperationInfo)
       : connector.write.RowLevelOperationBuilder = {
     require(version == head,
       s"${info.command} applies to HEAD (v$head) — this view is " +
         s"pinned to v$version via versionAsOf/timestampAsOf")
-    if (info.command != connector.write.RowLevelOperation.Command.DELETE)
-      require(dvDirs.isEmpty,
-        s"table at $path carries deletion vectors — ${info.command} " +
-          "could collide with a DV-deleted key behind the carried " +
-          "anti-join; run Io.optimizeTableDv first")
     new connector.write.RowLevelOperationBuilder {
       override def build(): connector.write.RowLevelOperation =
         new GraftRowLevelOperation(spark, path, version, info.command,
@@ -263,7 +302,7 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** Exactly-once `df.write.format("graft").mode("append")`: one OCC
     * commit per save — concurrent writers serialize through version
@@ -304,26 +343,37 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
           }
       }
     }
+  // one metadata-scale collect per TABLE HANDLE (not per scan): the
+  // version's deleted (file, rowPos) entries, grouped per file and
+  // sorted for binary search, shipped via a REAL broadcast — one copy
+  // per executor instead of per task closure (round-12 VERDICT note)
+  private lazy val dvPositions
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] = {
+    val m: Map[String, Array[Long]] = spark.read.parquet(dvDirs: _*)
+      .select(col("f"), col("p")).distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+    spark.sparkContext.broadcast(m)
+  }
+
   private def baseScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    dvKeyCol match {
-      case Some(k) =>
-        // one metadata-scale collect per planned scan: the version's
-        // distinct deleted keys (external values — converted to
-        // Catalyst form executor-side)
-        val keys = spark.read.parquet(dvDirs: _*)
-          .select(col("k")).distinct().collect().map(_.get(0))
-        new DvScanBuilder(pt.newScanBuilder(options), k,
-          pt.schema.apply(k).dataType, keys)
-      case None => pt.newScanBuilder(options)
-    }
+    if (dvDirs.isEmpty) pt.newScanBuilder(options)
+    else new PosDvScanBuilder(pt.newScanBuilder(options), dvPositions)
 
   // the file-column wrapper engages only when the plan references
   // _graft_file (the row-level group-filter build side, or an explicit
   // provenance SELECT); otherwise build() hands back the delegate scan
-  // untouched — normal reads plan exactly as before
+  // untouched — normal reads plan exactly as before. The built scan is
+  // additionally wrapped with the STREAMING entry point (round 13):
+  // `readStream.format("graft")` reaches toMicroBatchStream through
+  // it, batch plans are forwarded untouched.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftFileScanBuilderPushdown(baseScanBuilder(options),
-      runtimeFilterable = false)
+      runtimeFilterable = false) {
+      override def build(): Scan =
+        new GraftStreamableScan(super.build(), spark, path,
+          dvDirs.nonEmpty, options)
+    }
 
   private def toColumn(f: sources.Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
@@ -361,47 +411,48 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
         s"v$version via versionAsOf/timestampAsOf")
     val pred = filters.flatMap(toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    deleteKey match {
-      case Some(k) => Io.tableDeleteWhereDv(spark, path, pred, k)
-      case None => Io.tableDeleteWhere(spark, path, pred)
-    }
+    // deleteKey is the MOR opt-in flag; positions are the delete
+    // identity (round 13), so the option's value is not consulted
+    if (deleteKey.isDefined) Io.tableDeleteWhereDv(spark, path, pred)
+    else Io.tableDeleteWhere(spark, path, pred)
     ()
   }
 }
 
-/** Round 12: the merge-on-read planning wrapper for DV-carrying
-  * versions. Delegates column pruning and (Catalyst) filter pushdown
-  * to Spark's own [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]]
+/** Round 13: the merge-on-read planning wrapper for DV-carrying
+  * versions — POSITIONAL. Delegates column pruning and (Catalyst)
+  * filter pushdown to Spark's own [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]]
   * — so the parquet scan still prunes columns, pushes predicates and
   * row-group-skips — and wraps the produced readers with an exact
-  * deleted-key row filter (the executor-side form of
-  * `Io.readTableVersion`'s broadcast anti-join). Aggregate, limit and
-  * runtime-filter pushdown are NOT forwarded: each would let results
-  * bypass the row filter (aggregates/limits) or is a pure perf hint
-  * the transitional DV state can live without (DPP).
+  * (file, rowPos) filter: the row's position comes from the parquet
+  * reader's own `_tmp_metadata_row_index` synthesis (footer-exact
+  * under row-group skipping), the deleted positions from a
+  * per-executor broadcast of the version's DV entries. Aggregate,
+  * limit and runtime-filter pushdown are NOT forwarded: each would
+  * let results bypass the row filter (aggregates/limits) or is a pure
+  * perf hint the transitional DV state can live without (DPP).
   *
-  * If the query didn't select the DV key column it is READ anyway
-  * (appended to the pruned schema) so the filter can key on it, then
+  * The row-index temp column is appended to every pruned schema and
   * projected back out before rows leave the reader — readSchema()
   * reports exactly what the query asked for.
   */
-private[graft] class DvScanBuilder(delegate: ScanBuilder, keyCol: String,
-    keyDt: DataType, deletedKeys: Array[Any])
+private[graft] class PosDvScanBuilder(delegate: ScanBuilder,
+    dv: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
 
+  private var userSchema: Option[StructType] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val augmented =
-      if (requiredSchema.fieldNames.contains(keyCol)) requiredSchema
-      else StructType(requiredSchema.fields :+
-        StructType(Seq.empty).add(keyCol, keyDt).fields.head)
+    val stripped = StructType(
+      requiredSchema.fields.filterNot(_.name == PosDv.TmpCol))
     delegate match {
-      case d: SupportsPushDownRequiredColumns => d.pruneColumns(augmented)
+      case d: SupportsPushDownRequiredColumns =>
+        d.pruneColumns(StructType(stripped.fields :+ PosDv.rowIndexField))
       case _ => ()
     }
-    userSchema = Some(requiredSchema)
+    userSchema = Some(stripped)
   }
-  private var userSchema: Option[StructType] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     delegate match {
@@ -419,47 +470,67 @@ private[graft] class DvScanBuilder(delegate: ScanBuilder, keyCol: String,
   override def build(): Scan = {
     val dScan = delegate.build()
     val dSchema = dScan.readSchema()
-    val keyIdx = dSchema.fieldIndex(keyCol)
-    // the key col is dropped from the reported schema ONLY when the
-    // query didn't ask for it (read-augmented by pruneColumns above)
-    val dropKey = userSchema.exists(!_.fieldNames.contains(keyCol))
-    val outSchema =
-      if (dropKey)
-        StructType(dSchema.fields.zipWithIndex
-          .filter(_._2 != keyIdx).map(_._1))
-      else dSchema
-    new DvScan(dScan, outSchema, keyIdx, keyDt, deletedKeys, dropKey)
+    val posIdx = dSchema.fieldIndex(PosDv.TmpCol)
+    val outSchema = userSchema.getOrElse(
+      StructType(dSchema.fields.filterNot(_.name == PosDv.TmpCol)))
+    new PosDvScan(dScan, outSchema, posIdx, dv)
   }
 }
 
-private[graft] class DvScan(delegate: Scan, outSchema: StructType,
-    keyIdx: Int, keyDt: DataType, deletedKeys: Array[Any], dropKey: Boolean)
+private[graft] class PosDvScan(delegate: Scan, outSchema: StructType,
+    posIdx: Int,
+    dv: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
   extends Scan with Batch {
   override def readSchema(): StructType = outSchema
   override def description(): String =
-    s"${delegate.description()} (graft DV filter: ${deletedKeys.length} keys)"
+    s"${delegate.description()} (graft DV positional filter: " +
+      s"${dv.value.valuesIterator.map(_.length).sum} positions / " +
+      s"${dv.value.size} files)"
   override def toBatch: Batch = this
   private lazy val dBatch = delegate.toBatch
-  override def planInputPartitions(): Array[InputPartition] =
-    dBatch.planInputPartitions()
+
+  /** Splits of DV-carrying files regroup ONE PARTITION PER FILE so
+    * each reader's positional filter has constant file attribution;
+    * clean files keep Spark's own split packing (full parallelism).
+    * The DV file set is bounded by the COW-fallback threshold, so the
+    * per-file partitions are few and small-deleted. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dvFiles = dv.value.keySet
+    val dvSplits = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
+    val cleanParts = scala.collection.mutable.ArrayBuffer
+      .empty[Array[org.apache.spark.sql.execution.datasources.PartitionedFile]]
+    dBatch.planInputPartitions().foreach {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        val (d, c) = fp.files.partition(f =>
+          dvFiles.contains(Io.trailOf(f.filePath.toString)))
+        dvSplits ++= d
+        if (c.nonEmpty) cleanParts += c
+      case other =>
+        sys.error(s"graft DV scan expected FilePartitions, got $other")
+    }
+    val dvParts = dvSplits.groupBy(_.filePath.toString).toSeq
+      .sortBy(_._1).map(_._2.toArray)
+    (cleanParts.toSeq ++ dvParts).zipWithIndex.map { case (fs, i) =>
+      org.apache.spark.sql.execution.datasources
+        .FilePartition(i, fs): InputPartition
+    }.toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new DvReaderFactory(dBatch.createReaderFactory(), keyIdx, keyDt,
-      deletedKeys,
-      if (dropKey)
-        delegate.readSchema().fields.zipWithIndex
-          .filter(_._2 != keyIdx)
-          .map { case (f, i) => (i, f.dataType, f.nullable) }
-      else Array.empty)
+    new PosDvReaderFactory(dBatch.createReaderFactory(),
+      delegate.readSchema(), outSchema, posIdx, dv)
 }
 
-/** Row-filtering wrapper: drops rows whose key is in the version's
-  * deleted-key set, projecting out a read-augmented key column. Rows
-  * only — columnar reads are declined so the delegate hands us
-  * row-based parquet readers (the transitional DV cost OPTIMIZE
-  * erases). */
-private[graft] class DvReaderFactory(delegate: PartitionReaderFactory,
-    keyIdx: Int, keyDt: DataType, deletedKeys: Array[Any],
-    project: Array[(Int, DataType, Boolean)])
+/** Row-filtering wrapper: drops rows whose (file, position) is in the
+  * version's deleted set — a binary search in the file's sorted
+  * position array per row — and projects out the read-augmented
+  * row-index column. Rows only — columnar reads are declined so the
+  * delegate hands us row-based parquet readers (the transitional DV
+  * cost OPTIMIZE erases). */
+private[graft] class PosDvReaderFactory(delegate: PartitionReaderFactory,
+    dSchema: StructType, outSchema: StructType, posIdx: Int,
+    dv: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -468,30 +539,154 @@ private[graft] class DvReaderFactory(delegate: PartitionReaderFactory,
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val inner = delegate.createReader(partition)
-    // Catalyst-form key set, built once per task from the shipped
-    // external values (bounded by the COW-fallback design)
-    val conv = CatalystTypeConverters.createToCatalystConverter(keyDt)
-    val keySet = new java.util.HashSet[Any](deletedKeys.length * 2)
-    deletedKeys.foreach(k => keySet.add(conv(k)))
-    val proj =
-      if (project.isEmpty) null
-      else UnsafeProjection.create(project.map { case (i, dt, n) =>
-        BoundReference(i, dt, n): Expression
-      }.toIndexedSeq)
+    // DV-carrying files were planned one-per-partition, so the file
+    // attribution is a partition constant; multi-file partitions are
+    // clean by construction
+    val deleted: Array[Long] = partition match {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition
+          if fp.files.nonEmpty &&
+            fp.files.forall(_.filePath == fp.files.head.filePath) =>
+        dv.value.getOrElse(
+          Io.trailOf(fp.files.head.filePath.toString), Array.empty[Long])
+      case _ => Array.empty[Long]
+    }
+    val proj = UnsafeProjection.create(
+      outSchema.fields.toIndexedSeq.map { f =>
+        val i = dSchema.fieldIndex(f.name)
+        BoundReference(i, dSchema(i).dataType, dSchema(i).nullable)
+          : Expression
+      })
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = {
         while (inner.next()) {
           val r = inner.get()
-          val k = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyDt)
-          if (k == null || !keySet.contains(k)) { cur = r; return true }
+          if (deleted.length == 0 ||
+              java.util.Arrays.binarySearch(
+                deleted, r.getLong(posIdx)) < 0) {
+            cur = r; return true
+          }
         }
         false
       }
-      override def get(): InternalRow =
-        if (proj == null) cur else proj(cur)
+      override def get(): InternalRow = proj(cur)
       override def close(): Unit = inner.close()
     }
+  }
+}
+
+/** Batch-transparent scan wrapper that adds the STREAMING entry point
+  * (round 13): batch plans forward to the delegate untouched;
+  * `toMicroBatchStream` serves the commit log as a Structured
+  * Streaming source ([[GraftMicroBatchStream]]). DV-carrying tables
+  * refuse — deletes cannot be represented in an insert-only stream
+  * (run Io.optimizeTableDv first, or read the change feed). */
+private[graft] class GraftStreamableScan(delegate: Scan,
+    spark: SparkSession, path: String, hasDv: Boolean,
+    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = delegate.description()
+  override def toBatch: Batch = delegate.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : connector.read.streaming.MicroBatchStream = {
+    require(!hasDv,
+      s"table at $path carries deletion vectors — an insert-only " +
+        "stream cannot represent deletes; optimizeTableDv first")
+    new GraftMicroBatchStream(spark, path, delegate.readSchema(), options)
+  }
+}
+
+/** The commit version as a streaming offset. */
+private[graft] case class GraftStreamOffset(v: Long)
+  extends connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** Round 13: a MICRO-BATCH STREAMING SOURCE over the commit log —
+  * Delta's streaming reads re-expressed:
+  *
+  * {{{ spark.readStream.format("graft").load(tablePath) }}}
+  *
+  * The commit VERSION is the offset; each micro-batch serves exactly
+  * the files ADDED in (startV, endV] — append commits, the I19
+  * exactly-once sink's output being the canonical producer — and the
+  * reading itself is Spark's own parquet machinery over those files
+  * (column pruning forwarded, vectorized reads, codegen). Planning
+  * cost per batch: two commit fetches + one footer-less ParquetTable
+  * over the added files — metadata-scale, never ∝ table size. A
+  * NON-APPEND transition (removed files, new deletion vectors)
+  * refuses loudly: a replace/delete has no insert-only representation
+  * (Delta's ignoreChanges trap, made an error instead of silent
+  * row duplication). `startingVersion` optionally skips history. */
+private[graft] class GraftMicroBatchStream(spark: SparkSession,
+    path: String, requiredSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends connector.read.streaming.MicroBatchStream {
+
+  override def initialOffset(): connector.read.streaming.Offset =
+    GraftStreamOffset(Option(options.get("startingVersion"))
+      .map(_.toLong - 1L).getOrElse(-1L))
+  override def latestOffset(): connector.read.streaming.Offset =
+    GraftStreamOffset(Io.tableVersion(spark, path))
+  override def deserializeOffset(json: String)
+      : connector.read.streaming.Offset =
+    GraftStreamOffset(json.trim.toLong)
+  override def commit(end: connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def ver(o: connector.read.streaming.Offset): Long = o match {
+    case GraftStreamOffset(v) => v
+    case other => other.json().trim.toLong
+  }
+
+  // resolved paths of the files ADDED in (startV, endV]; refuses
+  // non-append transitions (file removals / DV changes)
+  private def addedFiles(startV: Long, endV: Long): Seq[String] = {
+    val end = Io.versionFiles(spark, path, endV)
+    val start =
+      if (startV < 0) Seq.empty else Io.versionFiles(spark, path, startV)
+    val startSet = start.toSet
+    require(start.forall(end.toSet),
+      s"streaming source at $path: commit range (v$startV, v$endV] " +
+        "removed files — non-append commits (DELETE/OVERWRITE/" +
+        "OPTIMIZE) cannot stream as inserts")
+    val startDv = if (startV < 0) Seq.empty
+      else Io.dvDirsOf(spark, path, startV)
+    require(Io.dvDirsOf(spark, path, endV) == startDv,
+      s"streaming source at $path: deletion vectors changed in " +
+        s"(v$startV, v$endV] — deletes cannot stream as inserts")
+    end.filterNot(startSet)
+  }
+
+  private def parquetScanOver(files: Seq[String]): Scan = {
+    val pt = ParquetTable(s"graft-stream:$path", spark, options,
+      files.toIndexedSeq, Some(requiredSchema), classOf[ParquetFileFormat])
+    val sb = pt.newScanBuilder(options)
+    sb match {
+      case s: SupportsPushDownRequiredColumns =>
+        s.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+    sb.build()
+  }
+
+  override def planInputPartitions(
+      start: connector.read.streaming.Offset,
+      end: connector.read.streaming.Offset): Array[InputPartition] = {
+    val added = addedFiles(ver(start), ver(end))
+    if (added.isEmpty) Array.empty
+    else parquetScanOver(added).toBatch.planInputPartitions()
+  }
+
+  // the factory is FILE-LIST independent (it reads whatever
+  // FilePartition it is handed), so a template over the head
+  // version's files serves every batch
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val head = Io.tableVersion(spark, path)
+    val files =
+      if (head < 0) Seq.empty[String]
+      else Io.versionFiles(spark, path, head)
+    parquetScanOver(files).toBatch.createReaderFactory()
   }
 }
 

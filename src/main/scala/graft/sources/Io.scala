@@ -604,19 +604,29 @@ object Io {
     fsFor(spark, table).exists(new org.apache.hadoop.fs.Path(table,
       f"_commits/$version%08d.commit"))
 
-  // `dv` is the version's deletion-vector sidecar content (key column +
-  // dv/ dirs), written INSIDE the claimed-lock window below — after the
-  // version claim is won and re-verified, immediately before the commit
+  // `dv` is the version's deletion-vector sidecar content (the dv/
+  // dirs holding (file, rowPos) entries — POSITIONAL since round 13),
+  // written INSIDE the claimed-lock window below — after the version
+  // claim is won and re-verified, immediately before the commit
   // rename — so two writers racing the same version can never pair the
   // committed version with the losing writer's sidecar (round-11 ADVICE:
   // the pre-claim overwrite-semantics write was only benign for
-  // identical append-vs-append content). `None` DELETES any stale
-  // orphan sidecar at this version (a crashed DV-delete attempt must
-  // not haunt a later plain commit of the same number with phantom
-  // deletes).
+  // identical append-vs-append content). An EMPTY list DELETES any
+  // stale orphan sidecar at this version (a crashed DV-delete attempt
+  // must not haunt a later plain commit of the same number with
+  // phantom deletes).
+  // `stats` is the version's commit-embedded file-statistics sidecar
+  // content, landed INSIDE the claimed-lock window exactly like the DV
+  // sidecar (round-13, round-12 ADVICE: two racing COW writers produce
+  // NON-identical stats — a pre-claim write could pair the committed
+  // version with the LOSER's sidecar, leaving the winner's fresh files
+  // without entries). `None` scrubs any stale orphan sidecar at this
+  // version (stats-free commits like tableOverwrite/commitReplaceAll
+  // must not inherit a crashed attempt's stats).
   private def writeCommit(spark: SparkSession, table: String,
       version: Long, files: Seq[String],
-      dv: Option[(String, Seq[String])] = None): Unit = {
+      dv: Seq[String] = Seq.empty,
+      stats: Option[Seq[(String, String, Long, Long)]] = None): Unit = {
     val fs = fsFor(spark, table)
     val dir = new org.apache.hadoop.fs.Path(table, "_commits")
     fs.mkdirs(dir)
@@ -689,10 +699,16 @@ object Io {
       // claim loser threw above and never touches the sidecar. The
       // residual TTL hazard (janitor reclaim in the sidecar→rename
       // window) is the same one the rename itself already carries.
-      dv match {
-        case Some((k, dirs)) => writeDvFile(spark, table, version, k, dirs)
+      if (dv.nonEmpty) writeDvFile(spark, table, version, dv)
+      else {
+        try fs.delete(dvFin(table, version), false)
+        catch { case _: Throwable => () }
+      }
+      // stats sidecar: same claimed-lock discipline as the DV sidecar
+      stats match {
+        case Some(entries) => writeStatsFile(spark, table, version, entries)
         case None =>
-          try fs.delete(dvFin(table, version), false)
+          try fs.delete(statsFin(table, version), false)
           catch { case _: Throwable => () }
       }
       if (!fs.rename(tmp, fin)) {
@@ -918,9 +934,10 @@ object Io {
     * DML — the loser surfaces a CommitConflictException and Spark
     * fails that statement cleanly (re-run re-scans fresh state). */
   private[graft] def commitReplace(spark: SparkSession, table: String,
-      version: Long, files: Seq[String]): Unit =
+      version: Long, files: Seq[String],
+      stats: Option[Seq[(String, String, Long, Long)]] = None): Unit =
     writeCommit(spark, table, version, files,
-      carriedDv(spark, table, version))
+      carriedDv(spark, table, version), stats)
 
   /** Commit `df` as the next version: an APPEND (prior files carried by
     * reference + the new batch's files). Version 0 creates the table.
@@ -930,12 +947,8 @@ object Io {
   // This resolves the carried content; [[writeCommit]] lands the
   // sidecar inside the version's claimed-lock window.
   private def carriedDv(spark: SparkSession, table: String,
-      v: Long): Option[(String, Seq[String])] =
-    if (v <= 0) None
-    else {
-      val (key, dvDirs) = readDvMeta(spark, table, v - 1)
-      key.map(k => (k, dvDirs))
-    }
+      v: Long): Seq[String] =
+    if (v <= 0) Seq.empty else dvDirsOf(spark, table, v - 1)
 
   def tableAppend(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
@@ -985,7 +998,7 @@ object Io {
       pred: Column): Long = {
     val v = tableVersion(spark, table)
     require(v >= 0, s"no table at $table")
-    require(readDvMeta(spark, table, v)._2.isEmpty,
+    require(dvDirsOf(spark, table, v).isEmpty,
       s"table at $table carries deletion vectors — plain COW delete " +
         "would scan raw files and resurrect DV-deleted rows; use " +
         "tableDeleteWhereDv (or optimizeTableDv first)")
@@ -1006,14 +1019,16 @@ object Io {
         spark.read.parquet(touchedFull.map(resolve(table, _)): _*)
           .filter(!pred), table, s"c$nv")
     val keptFiles = files.filterNot(f => touched(trail(f)))
-    val rewritten = carryStats(spark, table, v, nv, keptFiles, rewritten0)
-    writeCommit(spark, table, nv, keptFiles ++ rewritten)
+    val (rewritten, st) = carryStats(spark, table, v, nv, keptFiles, rewritten0)
+    writeCommit(spark, table, nv, keptFiles ++ rewritten, stats = st)
     nv
   }
 
   /** MERGE (round 12): the Delta `MERGE INTO` upsert verb on the
     * commit log — WHEN MATCHED (by `keyCol`) the source row REPLACES
-    * the target row, WHEN NOT MATCHED it inserts; one new commit.
+    * each matched target row (multiplicity preserved — N duplicate-key
+    * target rows yield N updated copies, the Delta row semantics),
+    * WHEN NOT MATCHED it inserts; one new commit.
     * Copy-on-write at FILE granularity: touched-file discovery is a
     * distributed key semi-join (collect ∝ #touched files —
     * metadata-scale), only files holding matched keys are rewritten
@@ -1021,27 +1036,34 @@ object Io {
     * other file carries by reference, and history stays immutable.
     * Stats sidecars carry ([[carryStats]]). Join sizing is left to
     * AQE — merge sources range from a trickle to a backfill, so
-    * nothing is force-broadcast. Refuses DV-carrying tables loudly: a
-    * merge re-inserting a DV-deleted key would be invisible behind
-    * the carried key anti-join (optimizeTableDv first — the
-    * tableDeleteWhere precedent). Refuses a source with duplicate
-    * keys (Delta's multiple-matches error — which duplicate wins
-    * would be nondeterministic).
+    * nothing is force-broadcast. DV-carrying tables COMPOSE (round 13,
+    * positional DVs): the target view is merge-on-read, so a source
+    * row re-inserting a previously DV-deleted key is NOT MATCHED and
+    * lands as a fresh insert — the old row stays hidden behind its
+    * (file, rowPos) entry, which can never collide with the new copy.
+    * Refuses a source with duplicate keys (Delta's multiple-matches
+    * error — which duplicate wins would be nondeterministic).
     */
   def tableMerge(spark: SparkSession, table: String, source: DataFrame,
       keyCol: String): Long = {
     val v = tableVersion(spark, table)
     require(v >= 0, s"no table at $table")
-    require(readDvMeta(spark, table, v)._2.isEmpty,
-      s"table at $table carries deletion vectors — a merge could " +
-        "re-insert a DV-deleted key behind the carried anti-join; " +
-        "optimizeTableDv first")
+    val priorDv = dvDirsOf(spark, table, v)
     val files = readCommit(spark, table, v)
-    val cur = spark.read.parquet(files.map(resolve(table, _)): _*)
-    require(cur.columns.toSet == source.columns.toSet,
+    val raw = withFilePos(
+      spark.read.parquet(files.map(resolve(table, _)): _*))
+    // the MOR view with (file, pos) attribution: matched-file discovery
+    // and the rewrite both honor prior deletes (a DV-deleted row can
+    // neither match nor resurrect)
+    val live =
+      if (priorDv.isEmpty) raw
+      else raw.join(broadcast(dvEntries(spark, table, priorDv)),
+        Seq("__f", "__p"), "left_anti")
+    val dataCols = raw.columns.filterNot(Set("__f", "__p")).toIndexedSeq
+    require(dataCols.toSet == source.columns.toSet,
       s"merge source columns ${source.columns.mkString(",")} must match " +
-        s"target ${cur.columns.mkString(",")}")
-    val aligned = source.select(cur.columns.map(col).toIndexedSeq: _*)
+        s"target ${dataCols.mkString(",")}")
+    val aligned = source.select(dataCols.map(col): _*)
     val srcKeys = aligned.select(col(keyCol))
     val keyStats = srcKeys.agg(
       count(lit(1)).as("n"), countDistinct(col(keyCol)).as("d"))
@@ -1049,22 +1071,39 @@ object Io {
     require(keyStats.getLong(0) == keyStats.getLong(1),
       s"merge source has duplicate $keyCol values — which row wins " +
         "would be nondeterministic (the Delta multiple-matches error)")
-    val relFile = regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
-    val touched = cur.select(col(keyCol), relFile.as("__f"))
+    val touched = live.select(col(keyCol), col("__f"))
       .join(srcKeys, Seq(keyCol), "left_semi")
       .select(col("__f")).distinct().collect().map(_.getString(0)).toSet
     val nv = v + 1
     val touchedFull = files.filter(f => touched(trail(f)))
     val out =
       if (touchedFull.isEmpty) aligned // insert-only merge = append
-      else spark.read.parquet(touchedFull.map(resolve(table, _)): _*)
-        .join(srcKeys, Seq(keyCol), "left_anti")
-        .select(cur.columns.map(col).toIndexedSeq: _*)
-        .unionByName(aligned)
+      else {
+        val tgt = live.filter(col("__f").isInCollection(touched))
+          .select(dataCols.map(col): _*)
+        // Delta MERGE row semantics (round 13, round-12 ADVICE): each
+        // MATCHED target row is REPLACED by its source row — target
+        // multiplicity is PRESERVED (N duplicate-key target rows yield
+        // N updated copies), never silently collapsed to one. The
+        // source-side duplicate guard above keeps the join 1:N.
+        val updated = tgt.select(col(keyCol))
+          .join(aligned, Seq(keyCol), "inner")
+          .select(dataCols.map(col): _*)
+        val untouchedRows = tgt.join(srcKeys, Seq(keyCol), "left_anti")
+          .select(dataCols.map(col): _*)
+        // NOT MATCHED inserts: a source key LIVE anywhere in the
+        // target is in a touched file by discovery, so the anti-join
+        // needs only the touched rows, never the whole table
+        val inserts = aligned
+          .join(tgt.select(col(keyCol)), Seq(keyCol), "left_anti")
+        updated.unionByName(untouchedRows).unionByName(inserts)
+      }
     val landed = landData(out, table, s"c$nv")
     val keptFiles = files.filterNot(f => touched(trail(f)))
-    val rewritten = carryStats(spark, table, v, nv, keptFiles, landed)
-    writeCommit(spark, table, nv, keptFiles ++ rewritten)
+    val (rewritten, st) = carryStats(spark, table, v, nv, keptFiles, landed)
+    // carried DV dirs keep applying to kept files; entries for the
+    // rewritten files point at trails no longer in the list — inert
+    writeCommit(spark, table, nv, keptFiles ++ rewritten, priorDv, st)
     nv
   }
 
@@ -1108,18 +1147,17 @@ object Io {
     else spark.read.parquet(files.map(resolve(table, _)): _*)
   }
 
-  /** Apply a version's DV anti-join to an already-assembled frame over
-    * (a subset of) its files. */
+  /** Apply a version's positional DV anti-join to a RAW file-scan
+    * frame over (a subset of) its files. `base` must be a direct
+    * parquet scan — see [[withFilePos]]. */
   private def dvFilter(spark: SparkSession, table: String, version: Long,
       base: DataFrame): DataFrame = {
-    val (key, dvDirs) = readDvMeta(spark, table, version)
+    val dvDirs = dvDirsOf(spark, table, version)
     if (dvDirs.isEmpty) base
-    else {
-      val dv = spark.read.parquet(dvDirs.map(resolve(table, _)): _*)
-      base.join(
-        broadcast(dv.select(col("k").as(key.get)).distinct()),
-        Seq(key.get), "left_anti")
-    }
+    else withFilePos(base)
+      .join(broadcast(dvEntries(spark, table, dvDirs)),
+        Seq("__f", "__p"), "left_anti")
+      .drop("__f", "__p")
   }
 
   /** I24 (round 10): version read with SCHEMA EVOLUTION — Delta's
@@ -1154,7 +1192,7 @@ object Io {
     require(v >= 0, s"no table at $srcTable")
     require(tableVersion(spark, dstTable) == -1L,
       s"$dstTable already exists (clone target must be fresh)")
-    require(readDvMeta(spark, srcTable, v)._2.isEmpty,
+    require(dvDirsOf(spark, srcTable, v).isEmpty,
       s"source at $srcTable carries deletion vectors — a by-reference " +
         "clone would resurrect deleted rows; optimizeTableDv first")
     writeCommit(spark, dstTable, 0L,
@@ -1191,7 +1229,7 @@ object Io {
     // deletion-vector dirs (I25) are live iff a RETAINED version's .dv
     // sidecar references them — same liveness rule as data files
     val liveDv = (retainFrom to latest)
-      .flatMap(readDvMeta(spark, table, _)._2).toSet
+      .flatMap(dvDirsOf(spark, table, _)).toSet
     val dvRoot = new org.apache.hadoop.fs.Path(table, "dv")
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { d =>
       if (d.isDirectory && !liveDv(s"dv/${d.getPath.getName}")) {
@@ -1270,23 +1308,20 @@ object Io {
       fromV: Long, toV: Long): DataFrame = {
     val from = readCommit(spark, table, fromV).toSet
     val to = readCommit(spark, table, toV).toSet
-    val (fromKey, fromDv) = readDvMeta(spark, table, fromV)
-    val (toKey, toDv) = readDvMeta(spark, table, toV)
-    require(fromKey.forall(k => toKey.forall(_ == k)),
-      s"DV key changed between v$fromV and v$toV at $table")
-    val key = toKey.orElse(fromKey)
-    def dvKeys(dirs: Seq[String]): Option[DataFrame] =
-      if (dirs.isEmpty || key.isEmpty) None
-      else Some(spark.read.parquet(dirs.map(resolve(table, _)): _*)
-        .select(col("k").as(key.get)).distinct())
-    // MOR view of a file subset under a version's DV set
+    val fromDv = dvDirsOf(spark, table, fromV)
+    val toDv = dvDirsOf(spark, table, toV)
+    def entries(dirs: Seq[String]): Option[DataFrame] =
+      if (dirs.isEmpty) None else Some(dvEntries(spark, table, dirs))
+    // MOR view of a file subset under a version's DV set (positional)
     def readMor(fs: Set[String], dv: Seq[String]): Option[DataFrame] =
       if (fs.isEmpty) None
       else {
         val base = spark.read.parquet(
           fs.toSeq.sorted.map(f => resolve(table, f)): _*)
-        dvKeys(dv) match {
-          case Some(k) => Some(base.join(broadcast(k), Seq(key.get), "left_anti"))
+        entries(dv) match {
+          case Some(e) => Some(withFilePos(base)
+            .join(broadcast(e), Seq("__f", "__p"), "left_anti")
+            .drop("__f", "__p"))
           case None => Some(base)
         }
       }
@@ -1299,18 +1334,23 @@ object Io {
           .unionByName(rem.exceptAll(add)
             .withColumn("change_type", lit("delete"))))
     }
-    // DV-only deletes: keys in dirs added between the versions, looked
-    // up in the files BOTH versions carry (rewritten/removed files are
-    // already accounted by the file diff); subtract fromV's DV keys so
-    // a carried dir never re-emits an old delete
+    // DV-only deletes: (file, pos) entries in dirs added between the
+    // versions, the rows looked up POSITIONALLY in the files BOTH
+    // versions carry (rewritten/removed files are already accounted by
+    // the file diff); subtract fromV's entries so a carried dir never
+    // re-emits an old delete
     val newDirs = toDv.filterNot(fromDv.toSet)
-    val dvFeed = (readMor(from intersect to, Seq.empty), dvKeys(newDirs)) match {
-      case (Some(shared), Some(k)) =>
-        val fresh = dvKeys(fromDv) match {
-          case Some(old) => k.join(old, Seq(key.get), "left_anti")
-          case None => k
+    val sharedFiles = from intersect to
+    val dvFeed = (sharedFiles.nonEmpty, entries(newDirs)) match {
+      case (true, Some(e)) =>
+        val fresh = entries(fromDv) match {
+          case Some(old) => e.join(old, Seq("__f", "__p"), "left_anti")
+          case None => e
         }
-        Some(shared.join(broadcast(fresh), Seq(key.get), "left_semi")
+        val shared = withFilePos(spark.read.parquet(
+          sharedFiles.toSeq.sorted.map(f => resolve(table, f)): _*))
+        Some(shared.join(broadcast(fresh), Seq("__f", "__p"), "left_semi")
+          .drop("__f", "__p")
           .withColumn("change_type", lit("delete")))
       case _ => None
     }
@@ -1534,19 +1574,18 @@ object Io {
     // DV-free target restored over a DV-carrying HEAD writes no
     // sidecar — writeCommit clears any stale one, so the restore also
     // rolls back deletes, exactly the Delta RESTORE contract.
-    val (dvKey, dvDirs) = readDvMeta(spark, table, toVersion)
+    val dvDirs = dvDirsOf(spark, table, toVersion)
     dvDirs.foreach { d =>
       require(fs.exists(new org.apache.hadoop.fs.Path(resolve(table, d))),
         s"cannot restore to $toVersion: $d was vacuumed")
     }
     // file list identical to the target ⇒ its stats sidecar is too
-    if (fs.exists(statsFin(table, toVersion))) {
-      val ps = readStatsFile(spark, table, toVersion)
-      writeStatsFile(spark, table, latest + 1,
-        ps.toSeq.map { case ((f, c), (mn, mx)) => (f, c, mn, mx) })
-    }
-    writeCommit(spark, table, latest + 1, files,
-      dvKey.map(k => (k, dvDirs)))
+    // (landed inside the claimed-lock window like every sidecar)
+    val st =
+      if (!fs.exists(statsFin(table, toVersion))) None
+      else Some(readStatsFile(spark, table, toVersion)
+        .toSeq.map { case ((f, c), (mn, mx)) => (f, c, mn, mx) })
+    writeCommit(spark, table, latest + 1, files, dvDirs, st)
     latest + 1
   }
 
@@ -1575,8 +1614,8 @@ object Io {
       dvFilter(spark, table, v,
         spark.read.parquet(files.map(resolve(table, _)): _*))
         .coalesce(targetFiles), table, s"c$nv")
-    val packed = carryStats(spark, table, v, nv, Seq.empty, packed0)
-    writeCommit(spark, table, nv, packed)
+    val (packed, st) = carryStats(spark, table, v, nv, Seq.empty, packed0)
+    writeCommit(spark, table, nv, packed, stats = st)
     nv
   }
 
@@ -1772,11 +1811,13 @@ object Io {
     val out = fs.create(tmp, true)
     try out.write(entries.map { case (f, c, mn, mx) => s"$f\t$c\t$mn\t$mx" }
       .mkString("\n").getBytes("UTF-8")) finally out.close()
-    // Overwrite semantics: a sidecar is authoritative only alongside
-    // its `.commit`, so an ORPHAN left by a crash (or a lost commit
-    // race) between the stats rename and the commit must not wedge a
-    // later attempt at the same version — rename-onto-existing returns
-    // false on HDFS/file, so clear the stale fin first.
+    // Called ONLY from [[writeCommit]]'s claimed-lock window (round 13
+    // — the DV-sidecar discipline applied to stats: the claim winner
+    // alone writes it, immediately before the commit rename). Overwrite
+    // semantics: an ORPHAN left by a crash between the stats rename and
+    // the commit must not wedge a later attempt at the same version —
+    // rename-onto-existing returns false on HDFS/file, so clear the
+    // stale fin first.
     try fs.delete(statsFin(table, version), false)
     catch { case _: Throwable => () }
     require(fs.rename(tmp, statsFin(table, version)),
@@ -1805,19 +1846,24 @@ object Io {
     * OPTIMIZE): carried files keep their entries (conservative under
     * deletes — min/max may widen, pruning stays file-correct),
     * rewritten files get a fresh [[landedStats]] pass. Returns
-    * `rewritten` minus any zero-row part (those carry no data and no
-    * stats row — the tableAppendStats exclusion); identity when the
+    * (`rewritten` minus any zero-row part — those carry no data and no
+    * stats row, the tableAppendStats exclusion; the sidecar ENTRIES
+    * for [[writeCommit]] to land inside the claimed-lock window —
+    * round 13, nothing is written here). (rewritten, None) when the
     * prior version had no sidecar. */
   private def carryStats(spark: SparkSession, table: String, priorV: Long,
-      nv: Long, kept: Seq[String], rewritten: Seq[String]): Seq[String] =
-    carryStatsFor(spark, table, priorV, nv, kept, rewritten, s"c$nv")
+      nv: Long, kept: Seq[String], rewritten: Seq[String])
+      : (Seq[String], Option[Seq[(String, String, Long, Long)]]) =
+    carryStatsFor(spark, table, priorV, kept, rewritten, s"c$nv")
 
   // tag-general form (round 12): the SQL row-level COW write lands its
   // fresh files under a writer-unique tag, not c<nv>
   private[graft] def carryStatsFor(spark: SparkSession, table: String,
-      priorV: Long, nv: Long, kept: Seq[String], rewritten: Seq[String],
-      tag: String): Seq[String] = {
-    if (!fsFor(spark, table).exists(statsFin(table, priorV))) return rewritten
+      priorV: Long, kept: Seq[String], rewritten: Seq[String],
+      tag: String)
+      : (Seq[String], Option[Seq[(String, String, Long, Long)]]) = {
+    if (!fsFor(spark, table).exists(statsFin(table, priorV)))
+      return (rewritten, None)
     val ps = readStatsFile(spark, table, priorV)
     val cols = ps.keys.map(_._2).toSeq.distinct.sorted
     val fresh =
@@ -1826,14 +1872,16 @@ object Io {
     val keptRewritten = rewritten.filter(f =>
       fresh.contains((trail(f), cols.head)))
     val entries =
-      kept.flatMap(f => cols.map { c =>
-        val (mn, mx) = ps((trail(f), c)); (f, c, mn, mx)
+      // kept files without a prior entry (a plain/OCC append onto the
+      // stats table) simply carry no entry — they stay un-prunable on
+      // the read side rather than crashing the rewrite
+      kept.flatMap(f => cols.flatMap { c =>
+        ps.get((trail(f), c)).map { case (mn, mx) => (f, c, mn, mx) }
       }) ++
         keptRewritten.flatMap(f => cols.map { c =>
           val (mn, mx) = fresh((trail(f), c)); (f, c, mn, mx)
         })
-    writeStatsFile(spark, table, nv, entries)
-    keptRewritten
+    (keptRewritten, Some(entries))
   }
 
   /** (file trail, column) → [min, max]. */
@@ -1879,11 +1927,7 @@ object Io {
     // A zero-row part file (possible under repartitionByRange skew)
     // produces no stats row — exclude it from the committed file list
     // (it carries no data) so every committed entry has a sidecar
-    // entry. The full stats payload is assembled BEFORE the commit and
-    // the sidecar renamed into place first: a crash between the two
-    // leaves an orphan sidecar (harmless — versions are defined by
-    // `.commit` files), never a committed version whose stats reads
-    // fail forever after.
+    // entry.
     val fresh = landed.filter(f =>
       freshStats.contains((trail(f), statsCols.head)))
     val allStats =
@@ -1893,46 +1937,51 @@ object Io {
         fresh.flatMap(f => statsCols.map { c =>
           val (mn, mx) = freshStats((trail(f), c)); (f, c, mn, mx)
         })
-    writeStatsFile(spark, table, v, allStats)
     // same 'EVERY append flavor' DV invariant as tableAppend: a stats
-    // append onto a DV-carrying table must not resurrect v−1's deletes
-    writeCommit(spark, table, v, prior ++ fresh, carriedDv(spark, table, v))
+    // append onto a DV-carrying table must not resurrect v−1's deletes.
+    // The sidecar lands inside writeCommit's claimed-lock window.
+    writeCommit(spark, table, v, prior ++ fresh, carriedDv(spark, table, v),
+      Some(allStats))
     v
   }
 
-  // ---- I25 (round 11): DELETION VECTORS — merge-on-read DELETE.
-  // The Delta-DV / Iceberg-v2-delete idea on the commit log: when the
-  // matched rows are a small fraction of their files, DELETE writes a
-  // tiny "deleted keys" sidecar table instead of rewriting whole data
-  // files (COW turns a 1-row delete into a multi-GB rewrite at
-  // 100 TB); readers anti-join the version's DV entries, and OPTIMIZE
+  // ---- I25 (round 11, POSITIONAL since round 13): DELETION VECTORS —
+  // merge-on-read DELETE. The Delta-DV / Iceberg-v2-position-delete
+  // idea on the commit log: when the matched rows are a small fraction
+  // of their files, DELETE writes a tiny sidecar table of deleted
+  // (file, rowPos) POSITIONS instead of rewriting whole data files
+  // (COW turns a 1-row delete into a multi-GB rewrite at 100 TB);
+  // readers anti-join the version's DV entries, and OPTIMIZE
   // materializes them back into clean files. DV state is VERSIONED
   // exactly like the file list: a `.dv` sidecar per commit names the
   // dv/ parquet dirs that apply to THAT version (carried forward by
   // appends, dropped by OPTIMIZE), so time travel composes — an old
   // version's reads see exactly its own deletes. Entries are
-  // (file, key) under a caller-named ROW-UNIQUE key column (the
-  // commit-log analog of Delta's row positions — positions are not
-  // stable across Spark's split-parallel reads, keys are); the
-  // anti-join uses the key alone (unique ⇒ equivalent and cheaper),
-  // the file attribution drives the per-file COW-fallback threshold
-  // and OPTIMIZE's touched-file discovery. ----
+  // (file trail, row index within the file) — Delta's actual DV shape:
+  // `_metadata.row_index` is computed by Spark's parquet reader from
+  // the file footer, so it is stable across split-parallel reads and
+  // row-group skipping (rounds ≤12 keyed DVs on a caller-named
+  // row-unique COLUMN instead, which made a later re-insert of a
+  // deleted key ambiguous and forced UPDATE/MERGE to refuse DV
+  // tables — both limitations die with positions). Reference tie:
+  // storage.h delete_series must compose with a later re-ingest of
+  // the SAME series, which only position-identity supports. ----
 
   private def dvFin(table: String, version: Long) =
     new org.apache.hadoop.fs.Path(table, f"_commits/$version%08d.dv")
 
-  /** Write the version's DV sidecar: the key column name + the dv/
+  /** Write the version's DV sidecar: a `pos` marker line + the dv/
     * dirs applying to this version. Called ONLY from [[writeCommit]]'s
     * claimed-lock window (round 12) — the claim winner alone writes
     * it, immediately before the commit rename. Overwrite semantics so
     * an orphan from a crash never wedges the version. */
   private def writeDvFile(spark: SparkSession, table: String,
-      version: Long, key: String, dvDirs: Seq[String]): Unit = {
+      version: Long, dvDirs: Seq[String]): Unit = {
     val fs = fsFor(spark, table)
     val tmp = new org.apache.hadoop.fs.Path(table,
       f"_commits/$version%08d.dv.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write((s"key $key" +: dvDirs).mkString("\n").getBytes("UTF-8"))
+    try out.write(("pos" +: dvDirs).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     try fs.delete(dvFin(table, version), false)
     catch { case _: Throwable => () }
@@ -1940,30 +1989,47 @@ object Io {
       s"dv sidecar rename failed at $table v$version")
   }
 
-  /** (key column, dv dirs) of a version — (None, empty) when the
-    * version has no deletion vectors. */
-  private[graft] def readDvMeta(spark: SparkSession, table: String,
-      version: Long): (Option[String], Seq[String]) = {
+  /** The dv/ dirs applying to a version — empty when the version has
+    * no deletion vectors. Refuses the retired key-based sidecar format
+    * loudly (a pre-round-13 fixture: rebuild it — /tmp fixtures are
+    * recreated per JVM, so this only fires on a hand-kept table). */
+  private[graft] def dvDirsOf(spark: SparkSession, table: String,
+      version: Long): Seq[String] = {
     val fs = fsFor(spark, table)
     val fin = dvFin(table, version)
-    if (!fs.exists(fin)) return (None, Seq.empty)
+    if (!fs.exists(fin)) return Seq.empty
     val in = fs.open(fin)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
-    val key = lines.headOption.filter(_.startsWith("key "))
-      .map(_.stripPrefix("key "))
-    (key, lines.drop(1))
+    require(lines.headOption.contains("pos"),
+      s"DV sidecar at $table v$version uses the retired key-based " +
+        "format — rebuild the table (positional DVs since round 13)")
+    lines.drop(1)
   }
 
-  /** A version's DV meta with the dv/ dirs resolved to readable paths —
-    * the DSv2 connector's planning handle (round 12: MOR reads through
+  /** A version's dv/ dirs resolved to readable paths — the DSv2
+    * connector's planning handle (round 12: MOR reads through
     * `format("graft")`). */
-  private[graft] def dvMetaResolved(spark: SparkSession, table: String,
-      version: Long): (Option[String], Seq[String]) = {
-    val (k, dirs) = readDvMeta(spark, table, version)
-    (k, dirs.map(resolve(table, _)))
-  }
+  private[graft] def dvDirsResolved(spark: SparkSession, table: String,
+      version: Long): Seq[String] =
+    dvDirsOf(spark, table, version).map(resolve(table, _))
+
+  /** Distinct deleted (file trail, row position) entries of a DV dir
+    * set, aliased (`__f`, `__p`) for the positional anti-join. */
+  private def dvEntries(spark: SparkSession, table: String,
+      dirs: Seq[String]): DataFrame =
+    spark.read.parquet(dirs.map(resolve(table, _)): _*)
+      .select(col("f").as("__f"), col("p").as("__p")).distinct()
+
+  /** A raw file-scan frame with (file trail, row position) attribution
+    * appended — the positional-DV working view. `base` MUST be a
+    * direct parquet scan (no projections yet): `_metadata.row_index`
+    * resolves only at the file-relation root. */
+  private def withFilePos(base: DataFrame): DataFrame =
+    base.select(col("*"),
+      regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0).as("__f"),
+      col("_metadata.row_index").as("__p"))
 
   /** Merge-on-read version read — since round 11 this IS
     * [[readTableVersion]] (one read path, always DV-correct); the
@@ -1977,32 +2043,29 @@ object Io {
     * fraction exceeds `cowFraction`, in which case that file falls
     * back to copy-on-write (a mostly-deleted file is cheaper to
     * rewrite than to carry + anti-join forever — the Delta DV
-    * heuristic). `keyCol` must be row-unique (the delete's identity).
-    * Costs: one distributed matched-scan, a collect ∝ #touched files
-    * (metadata-scale), a DV write ∝ #deleted rows, rewrites only for
-    * over-threshold files.
+    * heuristic). The delete's identity is the row's (file, position) —
+    * round 13, Delta's actual DV shape — so ANY predicate over ANY
+    * schema works (no row-unique key column needed) and later
+    * re-inserts of equal-valued rows can never collide with carried
+    * deletes. Costs: one distributed matched-scan, a collect ∝
+    * #touched files (metadata-scale), a DV write ∝ #deleted rows,
+    * rewrites only for over-threshold files.
     */
   def tableDeleteWhereDv(spark: SparkSession, table: String,
-      pred: Column, keyCol: String, cowFraction: Double = 0.2): Long = {
+      pred: Column, cowFraction: Double = 0.2): Long = {
     val v = tableVersion(spark, table)
     require(v >= 0, s"no table at $table")
-    val (priorKey, priorDv) = readDvMeta(spark, table, v)
-    require(priorKey.forall(_ == keyCol),
-      s"table at $table already carries DVs keyed by ${priorKey.get}, " +
-        s"got $keyCol")
+    val priorDv = dvDirsOf(spark, table, v)
     val files = readCommit(spark, table, v)
-    val relFile = regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
-    // the MOR view of v with file attribution: matches must honor
-    // PRIOR deletes (a row deleted at v must not be re-matched) and
-    // per-file totals drive the COW threshold
-    val raw = spark.read.parquet(files.map(resolve(table, _)): _*)
-      .withColumn("__f", relFile)
+    // the MOR view of v with (file, pos) attribution: matches must
+    // honor PRIOR deletes (a row deleted at v must not be re-matched)
+    // and per-file totals drive the COW threshold
+    val raw = withFilePos(
+      spark.read.parquet(files.map(resolve(table, _)): _*))
     val live =
       if (priorDv.isEmpty) raw
-      else raw.join(
-        broadcast(spark.read.parquet(priorDv.map(resolve(table, _)): _*)
-          .select(col("k").as(keyCol)).distinct()),
-        Seq(keyCol), "left_anti")
+      else raw.join(broadcast(dvEntries(spark, table, priorDv)),
+        Seq("__f", "__p"), "left_anti")
     val perFile = live.withColumn("__m", when(pred, 1L).otherwise(0L))
       .groupBy(col("__f"))
       .agg(count(lit(1)).as("__rows"), sum(col("__m")).as("__nm"))
@@ -2010,38 +2073,38 @@ object Io {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val nv = v + 1
     if (perFile.isEmpty) { // no-op delete still commits a version
-      carryStats(spark, table, v, nv, files, Seq.empty)
-      writeCommit(spark, table, nv, files, Some((keyCol, priorDv)))
+      val (_, st0) = carryStats(spark, table, v, nv, files, Seq.empty)
+      writeCommit(spark, table, nv, files, priorDv, st0)
       return nv
     }
     val cowSet = perFile.filter { case (_, rows, nm) =>
       nm.toDouble > cowFraction * rows
     }.map(_._1).toSet
     val dvSet = perFile.map(_._1).filterNot(cowSet).toSet
-    // 1) the DV: matched keys of under-threshold files, (file, key)
+    // 1) the DV: matched positions of under-threshold files, (f, p)
     val newDv =
       if (dvSet.isEmpty) Seq.empty[String]
       else {
         val d = f"dv/d$nv%08d"
         live.filter(pred && col("__f").isInCollection(dvSet))
-          .select(col("__f").as("f"), col(keyCol).as("k"))
+          .select(col("__f").as("f"), col("__p").as("p"))
           .write.mode("overwrite").parquet(s"$table/$d")
         Seq(d)
       }
     // 2) COW fallback: over-threshold files rewritten from the MOR
     // view without their matches (prior DV entries for them
-    // materialize away — their keys no longer exist, the carried
-    // entries are inert)
+    // materialize away — their file trails leave the list, the
+    // carried entries are inert)
     val cowFull = files.filter(f => cowSet(trail(f)))
     val rewritten0 =
       if (cowFull.isEmpty) Seq.empty[String]
       else landData(
         live.filter(col("__f").isInCollection(cowSet) && !pred)
-          .drop("__f"), table, s"c$nv")
+          .drop("__f", "__p"), table, s"c$nv")
     val keptFiles = files.filterNot(f => cowSet(trail(f)))
-    val rewritten = carryStats(spark, table, v, nv, keptFiles, rewritten0)
+    val (rewritten, st) = carryStats(spark, table, v, nv, keptFiles, rewritten0)
     writeCommit(spark, table, nv, keptFiles ++ rewritten,
-      Some((keyCol, priorDv ++ newDv)))
+      priorDv ++ newDv, st)
     nv
   }
 
@@ -2052,24 +2115,25 @@ object Io {
   def optimizeTableDv(spark: SparkSession, table: String): Long = {
     val v = tableVersion(spark, table)
     require(v >= 0, s"no table at $table")
-    val (key, dvDirs) = readDvMeta(spark, table, v)
+    val dvDirs = dvDirsOf(spark, table, v)
     val files = readCommit(spark, table, v)
     if (dvDirs.isEmpty) return v // nothing to materialize
-    val dv = spark.read.parquet(dvDirs.map(resolve(table, _)): _*)
-    val touched = dv.select(col("f")).distinct()
+    val dv = dvEntries(spark, table, dvDirs)
+    val touched = dv.select(col("__f")).distinct()
       .collect().map(_.getString(0)).toSet
     val touchedFull = files.filter(f => touched(trail(f)))
     val nv = v + 1
     val rewritten0 =
       if (touchedFull.isEmpty) Seq.empty[String]
       else landData(
-        spark.read.parquet(touchedFull.map(resolve(table, _)): _*)
-          .join(broadcast(dv.select(col("k").as(key.get)).distinct()),
-            Seq(key.get), "left_anti"), table, s"c$nv")
+        withFilePos(
+          spark.read.parquet(touchedFull.map(resolve(table, _)): _*))
+          .join(broadcast(dv), Seq("__f", "__p"), "left_anti")
+          .drop("__f", "__p"), table, s"c$nv")
     val keptFiles = files.filterNot(f => touched(trail(f)))
-    val rewritten = carryStats(spark, table, v, nv, keptFiles, rewritten0)
+    val (rewritten, st) = carryStats(spark, table, v, nv, keptFiles, rewritten0)
     // no .dv sidecar at nv: absence = no deletion vectors
-    writeCommit(spark, table, nv, keptFiles ++ rewritten)
+    writeCommit(spark, table, nv, keptFiles ++ rewritten, stats = st)
     nv
   }
 
@@ -2081,10 +2145,16 @@ object Io {
       version: Long, statsCol: String, lo: Long, hi: Long): DataFrame = {
     val files = readCommit(spark, table, version)
     val stats = readStatsFile(spark, table, version)
-    require(files.isEmpty || stats.contains((trail(files.head), statsCol)),
+    // column coverage is loud, per-file coverage is lenient (round-12
+    // ADVICE): a plain/OCC append onto a stats table leaves its files
+    // without entries — those stay un-prunable instead of crashing
+    require(files.isEmpty || stats.keys.exists(_._2 == statsCol),
       s"no commit stats for column $statsCol at $table v$version")
     val keep = files.filter { f =>
-      val (mn, mx) = stats((trail(f), statsCol)); mx >= lo && mn < hi
+      stats.get((trail(f), statsCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn < hi
+        case None => true
+      }
     }
     val base =
       if (keep.isEmpty) readTableVersion(spark, table, version)
@@ -2114,9 +2184,8 @@ object Io {
       // trips the per-file COW fallback
       tableAppend(flat.repartitionByRange(4, col("typ"), col("event_id")), t)
       tableDeleteWhereDv(spark, t,
-        col("typ") === "error" && pmod(col("event_id"), lit(7)) === 0,
-        "event_id")
-      tableDeleteWhereDv(spark, t, col("typ") === "purchase", "event_id")
+        col("typ") === "error" && pmod(col("event_id"), lit(7)) === 0)
+      tableDeleteWhereDv(spark, t, col("typ") === "purchase")
       t
     })
 
@@ -2240,6 +2309,55 @@ object Io {
     agg(0L).unionByName(agg(1L))
   }
 
+  private val mergeReRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** MERGE × positional-DV gate (round 13): v0 = the flat table
+    * (type-clustered layout); v1 DV-deletes the error ∧ (id%7=0) class
+    * (merge-on-read sidecar, no rewrite); v2 MERGEs a source that
+    * UPDATES every non-error id%5=0 row (cents → 2·cents+1) and
+    * RE-INSERTS the id%14=0 half of the DELETED class with the same
+    * transform — legal only under positional DVs (the round-12 key
+    * model refused DV-table merges outright). The source matches no
+    * LIVE error row, so the error file carries BY REFERENCE with its
+    * DV entries still load-bearing: the id%7=0 ∧ id%14≠0 half must
+    * stay hidden at v2 while the re-inserted half serves fresh rows.
+    * Both cuts read back and aggregated; the oracle replays them from
+    * the raw source. */
+  def mergeReinsertRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergeReRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_mergere_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(
+        flat.repartitionByRange(4, col("typ"), col("event_id")), tt)
+      val v1 = tableDeleteWhereDv(spark, tt,
+        col("typ") === "error" && pmod(col("event_id"), lit(7)) === 0)
+      require(v1 == 1L && dvDirsOf(spark, tt, 1L).nonEmpty,
+        s"expected a DV-path delete at $tt v1")
+      val src = flat.filter(
+        (col("typ") =!= "error" && pmod(col("event_id"), lit(5)) === 0) ||
+          (col("typ") === "error" && pmod(col("event_id"), lit(14)) === 0))
+        .withColumn("cents", col("cents") * 2 + 1)
+      val v2 = tableMerge(spark, tt, src, "event_id")
+      require(v2 == 2L, s"expected merge commit v2 at $tt, got $v2")
+      require(dvDirsOf(spark, tt, 2L).nonEmpty,
+        s"merge at $tt must carry the DV sidecar for kept files")
+      tt
+    })
+    def agg(v: Long): DataFrame =
+      readTableVersion(spark, t, v)
+        .groupBy(lit(v).as("version"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg(1L).unionByName(agg(2L))
+  }
+
   private val dsv2wRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -2332,6 +2450,47 @@ object Io {
         .select(lit(v).as("version"), col("typ"), col("n"),
           col("sum_cents"), col("min_id"), col("max_id"))
     agg(0L).unionByName(agg(1L))
+  }
+
+  private val alterRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** ALTER TABLE ADD COLUMN gate (round 13), oracle-gated: a pure-SQL
+    * catalog user evolves a table's schema — CTAS the even-id half
+    * (3 columns), `ALTER TABLE ... ADD COLUMN band BIGINT`, INSERT the
+    * odd-id half WITH the new column (band = cents % 10), then read
+    * the whole table back through the catalog: pre-evolution rows must
+    * serve `band` as NULL (count(band) sees only era-2 rows), both
+    * eras' data intact. The oracle replays the two eras from the raw
+    * source with an explicit NULL band on era 1. */
+  def alterAddRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = alterRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val w = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_alter_wh_" + fp).toString
+      fsFor(spark, w).delete(new org.apache.hadoop.fs.Path(w), true)
+      spark.conf.set("spark.sql.catalog.graftalt",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftalt.warehouse", w)
+      val raw = Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .createOrReplaceTempView("__graft_alter_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftalt.g")
+      spark.sql("CREATE TABLE graftalt.g.ev AS " +
+        "SELECT * FROM __graft_alter_src WHERE event_id % 2 = 0")
+      spark.sql("ALTER TABLE graftalt.g.ev ADD COLUMN band BIGINT")
+      spark.sql("INSERT INTO graftalt.g.ev " +
+        "SELECT event_id, typ, cents, cents % 10 AS band " +
+        "FROM __graft_alter_src WHERE event_id % 2 = 1")
+      w
+    })
+    require(wh.nonEmpty)
+    spark.sql("SELECT typ, count(*) AS n, sum(cents) AS sum_cents, " +
+      "count(band) AS n_band, sum(band) AS sum_band, " +
+      "min(event_id) AS min_id, max(event_id) AS max_id " +
+      "FROM graftalt.g.ev GROUP BY typ")
   }
 
   private val msqlRuns =

@@ -56,12 +56,13 @@ import org.apache.spark.util.SerializableConfiguration
   * DELETE SQL keeps its existing paths (`SupportsDelete` metadata
   * delete / DV merge-on-read) for translatable predicates via Spark's
   * `OptimizeMetadataOnlyDeleteFromTable`; untranslatable predicates
-  * now fall back to this COW rewrite instead of erroring. UPDATE and
-  * MERGE refuse DV-carrying tables loudly (a modified row could
-  * collide with a DV-deleted key behind the carried anti-join — the
-  * `tableMerge` precedent: `optimizeTableDv` first); DELETE composes
-  * with DVs (the rewrite scan is DV-filtered and the commit carries
-  * the sidecar — a delete can never resurrect rows).
+  * now fall back to this COW rewrite instead of erroring. EVERY verb
+  * composes with DV-carrying tables (round 13, positional DVs): the
+  * rewrite scan is DV-filtered — a touched file's rewrite
+  * materializes its deletes — and the commit carries the sidecar for
+  * kept files, whose (file, rowPos) entries can never collide with
+  * rewritten or re-inserted rows, so no verb can resurrect a deleted
+  * row or lose a live one.
   *
   * Reference tie: tagtree's storage.h:30-44 delete_series/update
   * surface — mutations must be atomic, versioned, and invisible to
@@ -321,9 +322,9 @@ private[graft] class GraftReplaceWrite(spark: SparkSession, path: String,
       Set.empty[String]
     }
     val kept = prior.filterNot(f => scanned.contains(Io.trailOf(f)))
-    val freshKept = Io.carryStatsFor(spark, path, version, nv,
+    val (freshKept, stats) = Io.carryStatsFor(spark, path, version,
       kept, fresh, tag)
-    Io.commitReplace(spark, path, nv, kept ++ freshKept)
+    Io.commitReplace(spark, path, nv, kept ++ freshKept, stats)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1285,6 +1285,170 @@ object StreamOps extends Serializable {
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
   }
 
+  private val tsrcRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Round 13, oracle-gated: the DSv2 STREAMING SOURCE over the commit
+    * log — closing the loop the I19 sink writes into. The fixture
+    * builds a commit-log table through the EXACTLY-ONCE streaming sink
+    * (foreachBatch → tableAppendIdempotent, one commit per
+    * micro-batch, redelivery no-ops), then a SECOND streaming query
+    * reads it back via `readStream.format("graft")` — commit versions
+    * as offsets, each batch serving exactly the files its version
+    * range added — into a Complete-mode aggregation; MID-STREAM a
+    * further append lands and a second pull must serve ONLY the new
+    * version's files (offset bookkeeping, no re-serve, no drop). The
+    * final aggregate must equal the batch aggregation of the raw
+    * source: exactly-once in BOTH directions. */
+  def tableSourceStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val sink = tsrcRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tsrc_" + fp).toString
+      val table = s"$base/table"
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"), col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      // 1) WRITE via the I19 exactly-once sink: slices 0/1 land as one
+      // micro-batch commit each through tableAppendIdempotent
+      val landing = s"$base/landing"
+      flat.filter(pmod(col("event_id"), lit(3)) === 0)
+        .coalesce(1).write.mode("append").parquet(landing)
+      flat.filter(pmod(col("event_id"), lit(3)) === 1)
+        .coalesce(1).write.mode("append").parquet(landing)
+      val ingest = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val qi = ingest.writeStream
+        .option("checkpointLocation", s"$base/ckpt_in")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val first = graft.sources.Io.tableAppendIdempotent(
+              batch.toDF(), table, batchId)
+            val retry = graft.sources.Io.tableAppendIdempotent(
+              batch.toDF(), table, batchId)
+            require(first && !retry,
+              s"sink batch $batchId: idempotence broken")
+        }
+        .start()
+      qi.processAllAvailable(); qi.stop()
+      // 2) READ BACK via the streaming source into a Complete-mode agg
+      val name = "graft_tsrc_" + fp
+      val qo = spark.readStream.format("graft").load(table)
+        .groupBy(col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", s"$base/ckpt_out")
+        .start()
+      qo.processAllAvailable() // batch 0: versions 0..1
+      // 3) MID-STREAM append (slice 2): the next pull must serve only
+      // the new version's files — the offset is the commit version
+      graft.sources.Io.tableAppend(
+        flat.filter(pmod(col("event_id"), lit(3)) === 2).coalesce(1),
+        table)
+      qo.processAllAvailable() // batch 1: exactly version 2
+      qo.stop()
+      name
+    })
+    spark.table(sink)
+  }
+
+  private val supdateRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H35 (round 13), oracle-gated: STREAMING UPDATE APPLY — the
+    * mutation-apply sibling of H34's CDC merge: a stream of UPDATE
+    * INSTRUCTIONS lands in micro-batches, and `foreachBatch` applies
+    * each as a SQL `UPDATE ... WHERE` through the catalog (the
+    * row-level COW machinery: runtime group filtering rewrites only
+    * the files holding the targeted type class, one OCC commit per
+    * micro-batch). Instructions SET cents to an ABSOLUTE function of
+    * the row (`event_id % mult + add`) and target disjoint type
+    * classes, so a redelivered instruction re-updates to identical
+    * content — the gate re-applies the whole instruction set after
+    * the stream drains and the content must not move (mutation-apply
+    * idempotence). The LANDED TABLE is what the gate reads back; the
+    * oracle replays the final cut from the raw source. */
+  def updateStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tdir = supdateRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h35_" + fp)
+      val table = new java.io.File(base, "wh/g/t").toString
+      val done = new java.io.File(base, "_done")
+      spark.conf.set("spark.sql.catalog.graftsu",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftsu.warehouse",
+        new java.io.File(base, "wh").toString)
+      if (!done.exists()) {
+        if (base.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(base)
+        }
+        val raw = graft.Tables.eventsRaw(spark, dir)
+        val flat = raw.select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        graft.sources.Io.tableAppend(
+          flat.repartitionByRange(4, col("typ"), col("event_id")), table)
+        // the instruction stream: one file per instruction so
+        // maxFilesPerTrigger=1 yields one UPDATE per micro-batch
+        import spark.implicits._
+        val landing = new java.io.File(base, "landing").toString
+        Seq(("purchase", 1000L, 1L)).toDF("typ", "mult", "add")
+          .coalesce(1).write.mode("append").parquet(landing)
+        Seq(("click", 777L, 2L)).toDF("typ", "mult", "add")
+          .coalesce(1).write.mode("append").parquet(landing)
+        def applyUpdates(s: SparkSession, batch: DataFrame): Unit =
+          // instruction batches are 1-row files — the collect is the
+          // CDC-instruction envelope, never data-scale
+          batch.collect().foreach { r =>
+            s.sql(s"UPDATE graftsu.g.t SET cents = " +
+              s"event_id % ${r.getAs[Long]("mult")} + ${r.getAs[Long]("add")} " +
+              s"WHERE typ = '${r.getAs[String]("typ")}'")
+          }
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = stream.writeStream
+          .option("checkpointLocation",
+            new java.io.File(base, "ckpt").toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              applyUpdates(batch.sparkSession, batch.toDF())
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        // redelivery: re-apply the WHOLE instruction set — absolute
+        // SET expressions make it a content no-op (more versions,
+        // same cut)
+        val before = graft.sources.Io.readTableVersion(spark, table,
+          graft.sources.Io.tableVersion(spark, table))
+          .agg(count(lit(1)), sum(col("cents"))).collect()(0)
+        applyUpdates(spark, spark.read.parquet(landing))
+        val after = graft.sources.Io.readTableVersion(spark, table,
+          graft.sources.Io.tableVersion(spark, table))
+          .agg(count(lit(1)), sum(col("cents"))).collect()(0)
+        require(before == after,
+          s"UPDATE re-apply must be a content no-op: $before != $after")
+        done.createNewFile()
+      }
+      table
+    })
+    graft.sources.Io.readTableVersion(spark, tdir,
+        graft.sources.Io.tableVersion(spark, tdir))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
   /** H3: checkpointed ingest to the lakehouse layout — the WAL analog.
     * foreachBatch appends day-partitioned parquet; the streaming
     * checkpoint gives exactly-once batches across restarts (the spec

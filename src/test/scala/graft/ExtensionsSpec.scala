@@ -270,7 +270,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // round 12: a DV-carrying version is served MERGE-ON-READ by the
     // connector itself — the key-set row filter wraps the parquet
     // readers, so `format("graft")` ≡ the API read ≡ the TVF
-    sources.Io.tableDeleteWhereDv(s, t, col("k") === 4, "k") // v2
+    sources.Io.tableDeleteWhereDv(s, t, col("k") === 4) // v2
     val dvHead = s.read.format("graft").load(t)
     assert(dvHead.count() == 19)
     assert(dvHead.filter(col("k") === 4).count() == 0)
@@ -636,7 +636,7 @@ class ExtensionsSpec extends AnyFunSuite {
     sources.Io.tableAppend(
       (1L to 20L).map(k => (k, k * 10L)).toDF("k", "v"), t)
     sources.Io.tableDeleteWhereDv(s,
-      t, org.apache.spark.sql.functions.col("k") === 3L, "k")
+      t, org.apache.spark.sql.functions.col("k") === 3L)
     assert(new java.io.File(s"$t/_commits/00000001.dv").exists())
     assert(sources.Io.readTableVersion(s, t, 1L).count() == 19)
     // catalog DELETE with an untranslatable predicate → COW rewrite
@@ -704,7 +704,7 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(pin.getMessage.contains("HEAD"), s"unexpected: ${pin.getMessage}")
     // appends through the connector carry DV sidecars like any flavor
-    sources.Io.tableDeleteWhereDv(s, t, col("k") === 5, "k") // v12
+    sources.Io.tableDeleteWhereDv(s, t, col("k") === 5) // v12
     Seq(200L).toDF("k").write.format("graft").mode("append").save(t) // v13
     val afterDv = s.read.format("graft").load(t)
     assert(afterDv.count() == 19 && afterDv.filter(col("k") === 5).count() == 0,
@@ -723,5 +723,95 @@ class ExtensionsSpec extends AnyFunSuite {
     val gap = intercept[Exception] { txnWrite(5L, 50L) }
     assert(gap.getMessage.contains("delivered before"),
       s"unexpected: ${gap.getMessage}")
+  }
+
+  test("round-13 ALTER TABLE ADD COLUMN: sidecar evolves, null " +
+      "backfill at HEAD, pinned versions keep their era's schema, " +
+      "non-add changes refuse") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_alter").toString
+    s.conf.set("spark.sql.catalog.galter", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.galter.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS galter.db")
+    s.sql("CREATE TABLE galter.db.a AS SELECT CAST(1 AS BIGINT) AS k")
+    s.sql("ALTER TABLE galter.db.a ADD COLUMN v BIGINT")
+    s.sql("INSERT INTO galter.db.a VALUES (CAST(2 AS BIGINT), " +
+      "CAST(20 AS BIGINT))")
+    val rows = s.sql("SELECT k, v FROM galter.db.a ORDER BY k").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(1),
+      "pre-evolution row must null-backfill the added column")
+    assert(rows(1).getLong(0) == 2L && rows(1).getLong(1) == 20L)
+    // a pinned pre-evolution version keeps its own era's schema
+    val v0 = s.sql("SELECT * FROM galter.db.a VERSION AS OF 0")
+    assert(v0.columns.toSeq == Seq("k"),
+      s"v0 must not grow phantom columns, got ${v0.columns.mkString(",")}")
+    // non-add changes refuse; added columns must be nullable
+    intercept[Exception] {
+      s.sql("ALTER TABLE galter.db.a DROP COLUMN v")
+    }
+    intercept[Exception] {
+      s.sql("ALTER TABLE galter.db.a ALTER COLUMN k TYPE INT")
+    }
+    intercept[Exception] {
+      s.sql("ALTER TABLE galter.db.a ADD COLUMN w BIGINT NOT NULL")
+    }
+    // the add survives a fresh loadTable (sidecar, not session state)
+    assert(s.sql("SELECT count(v) FROM galter.db.a").head().getLong(0) == 1)
+  }
+
+  test("round-13 DSv2 streaming source: appends stream exactly once " +
+      "(mid-stream append served by its own batch); non-append " +
+      "commits refuse; DV tables refuse") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    val t = s"$base/table"
+    sources.Io.tableAppend((1L to 10L).toDF("k"), t) // v0
+    val q = s.readStream.format("graft").load(t)
+      .writeStream.queryName("gsrc_rows").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    assert(s.table("gsrc_rows").count() == 10)
+    sources.Io.tableAppend((11L to 15L).toDF("k"), t) // v1 mid-stream
+    q.processAllAvailable()
+    assert(s.table("gsrc_rows").count() == 15,
+      "the mid-stream append must arrive exactly once")
+    assert(s.table("gsrc_rows").agg(sum("k")).head().getLong(0) ==
+      (1L to 15L).sum)
+    // a non-append commit (COW delete) poisons the next batch range —
+    // processAllAvailable rethrows the query's failure
+    sources.Io.tableDeleteWhere(s, t, col("k") <= 3) // v2 removes files
+    sources.Io.tableAppend(Seq(100L).toDF("k"), t)   // v3
+    try q.processAllAvailable() catch { case _: Throwable => () }
+    def msgs(e: Throwable): String =
+      if (e == null) "" else e.getMessage + " | " + msgs(e.getCause)
+    assert(q.exception.isDefined &&
+      msgs(q.exception.get).contains("non-append"),
+      s"expected a non-append refusal, got ${q.exception}")
+    // DV-carrying tables refuse at stream construction
+    val t2 = s"$base/table2"
+    sources.Io.tableAppend((1L to 10L).toDF("k"), t2)
+    sources.Io.tableDeleteWhereDv(s, t2, col("k") === 5)
+    val dvq = intercept[Exception] {
+      s.readStream.format("graft").load(t2)
+        .writeStream.format("memory").queryName("gsrc_dv")
+        .option("checkpointLocation", s"$base/ckpt2").start()
+        .processAllAvailable()
+    }
+    assert(dvq.getMessage != null)
   }
 }

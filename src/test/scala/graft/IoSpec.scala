@@ -582,7 +582,7 @@ class IoSpec extends AnyFunSuite {
     assert(files0.count() == 20)
     val commit0 = Io.versionFiles(spark, t, 0L).toSet
     // 1 of ~10 rows in its file (10% < default 20%) → DV path
-    assert(Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") == 1L)
+    assert(Io.tableDeleteWhereDv(spark, t, col("k") === 3) == 1L)
     val commit1 = Io.versionFiles(spark, t, 1L).toSet
     assert(commit1 == commit0, "DV delete must not rewrite data files")
     assert(new java.io.File(s"$t/_commits/00000001.dv").exists())
@@ -593,7 +593,7 @@ class IoSpec extends AnyFunSuite {
     assert(Io.readTableVersionMor(spark, t, 0L).count() == 20)
     // 6 of the first file's 9 LIVE rows (> 20%) → that file COWs;
     // the second file is untouched and carried by reference
-    assert(Io.tableDeleteWhereDv(spark, t, col("k") <= 7, "k") == 2L)
+    assert(Io.tableDeleteWhereDv(spark, t, col("k") <= 7) == 2L)
     val commit2 = Io.versionFiles(spark, t, 2L).toSet
     assert(commit2 != commit1, "over-threshold delete must rewrite")
     assert((commit2 & commit1).nonEmpty,
@@ -685,8 +685,8 @@ class IoSpec extends AnyFunSuite {
     import spark.implicits._
     val t = s"$tmp/dvcdf"
     Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
-    Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") // v1: DV only
-    Io.tableDeleteWhereDv(spark, t, col("k") <= 7, "k")  // v2: COW file 1
+    Io.tableDeleteWhereDv(spark, t, col("k") === 3) // v1: DV only
+    Io.tableDeleteWhereDv(spark, t, col("k") <= 7)  // v2: COW file 1
     // v0→v1: no file changed — the feed must come from the DV entries
     // (changeFeed and changeFeedMor are one path since round 11)
     val f01 = Io.changeFeed(spark, t, 0L, 1L).collect()
@@ -709,7 +709,7 @@ class IoSpec extends AnyFunSuite {
     import spark.implicits._
     val t = s"$tmp/dvopt"
     Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
-    Io.tableDeleteWhereDv(spark, t, col("k") === 15, "k") // v1, DV path
+    Io.tableDeleteWhereDv(spark, t, col("k") === 15) // v1, DV path
     assert(Io.readTableVersionMor(spark, t, 1L).count() == 19)
     val v2 = Io.optimizeTableDv(spark, t)
     assert(v2 == 2L)
@@ -731,6 +731,71 @@ class IoSpec extends AnyFunSuite {
       .map(_.length).getOrElse(0)
     assert(dvLeft == 0, "unreferenced dv dirs must be collected")
     assert(Io.readTableVersion(spark, t, 2L).count() == 19)
+  }
+
+  test("round-13 positional DVs: row positions stay exact across " +
+      "split-parallel reads of multi-row-group files") {
+    // tiny parquet row groups + tiny maxPartitionBytes, so ONE data
+    // file spans many splits — the positions a delete records must
+    // survive both the scattered write layout and the scattered read
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = Option(hc.get("parquet.block.size"))
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    hc.set("parquet.block.size", "4096")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try {
+      val t = s"$tmp/dvsplit"
+      Io.tableAppend(
+        (1L to 20000L).map(k => (k, ("x" * 40) + k)).toDF("k", "pad")
+          .coalesce(1), t)
+      val maxIdx = spark.read.parquet(s"$t/data/c0")
+        .select(col("_metadata.row_index").as("ri"))
+        .agg(max("ri")).head().getLong(0)
+      assert(maxIdx == 19999L, "row_index must be file-scoped, 0-based")
+      // many splits per file; the delete records positions via
+      // _metadata.row_index on the scattered read
+      Io.tableDeleteWhereDv(spark, t, col("k") % 97 === 0)
+      val mor = Io.readTableVersion(spark, t, 1L)
+      assert(mor.count() == 20000L - 206L) // floor(20000/97) = 206
+      assert(mor.filter(col("k") % 97 === 0).count() == 0)
+      // the DSv2 connector's per-file positional filter agrees under
+      // the same forced split parallelism
+      val dsv2 = spark.read.format("graft").load(t)
+      assert(dsv2.count() == 20000L - 206L)
+      assert(dsv2.filter(col("k") % 97 === 0).count() == 0)
+      assert(dsv2.filter(col("k") === 97L * 3).count() == 0)
+      assert(dsv2.filter(col("k") === 98L).count() == 1)
+    } finally {
+      prevBlock match {
+        case Some(b) => hc.set("parquet.block.size", b)
+        case None => hc.unset("parquet.block.size")
+      }
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    }
+  }
+
+  test("round-13 positional DVs: predicate deletes work on tables with " +
+      "DUPLICATE rows (no key column), and a re-appended equal row is " +
+      "NOT hidden by carried deletes") {
+    import spark.implicits._
+    val t = s"$tmp/dvdup"
+    // v0: duplicate full rows — the key-based model had no identity
+    // for these; positions always do
+    Io.tableAppend(Seq(1L, 2L, 2L, 3L, 4L).toDF("v").coalesce(1), t)
+    Io.tableDeleteWhereDv(spark, t, col("v") === 2)
+    val v1 = Io.readTableVersion(spark, t, 1L)
+    assert(v1.count() == 3 && v1.filter(col("v") === 2).count() == 0)
+    // v2: append a FRESH v=2 row — equal in value to the deleted ones;
+    // carried (file, pos) entries cannot touch the new copy
+    Io.tableAppend(Seq(2L).toDF("v"), t)
+    val v2 = Io.readTableVersion(spark, t, 2L)
+    assert(v2.count() == 4 && v2.filter(col("v") === 2).count() == 1,
+      "a re-appended equal row must serve despite carried deletes")
+    // and the old copies stay hidden (no resurrect)
+    assert(Io.readTableVersion(spark, t, 2L)
+      .groupBy(col("v")).count().filter(col("v") === 2)
+      .head().getLong(1) == 1L)
   }
 
   test("changeFeed: identical file sets yield an EMPTY feed that still " +
@@ -829,13 +894,31 @@ class IoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Io.tableMerge(spark, t, Seq(1L).toDF("k"), "k")
     }
-    // DV-carrying tables refuse (re-inserted key would vanish behind
-    // the carried anti-join)
-    Io.tableDeleteWhereDv(spark, t, col("k") === 7, "k") // v3
-    val dv = intercept[IllegalArgumentException] {
-      Io.tableMerge(spark, t, Seq((7L, 1L)).toDF("k", "v"), "k")
-    }
-    assert(dv.getMessage.contains("deletion vectors"))
+    // DV-carrying tables COMPOSE (round 13, positional DVs): a merge
+    // re-inserting a previously DV-deleted key lands as a fresh insert
+    // — the old row stays hidden behind its (file, rowPos) entry
+    Io.tableDeleteWhereDv(spark, t, col("k") === 7) // v3
+    assert(Io.readTableVersion(spark, t, 3L)
+      .filter(col("k") === 7).count() == 0)
+    val v4 = Io.tableMerge(spark, t, Seq((7L, 777L)).toDF("k", "v"), "k")
+    assert(v4 == 4L)
+    val re = Io.readTableVersion(spark, t, 4L).filter(col("k") === 7)
+    assert(re.count() == 1 && re.select("v").head().getLong(0) == 777L,
+      "re-inserted key must serve the fresh row, not the deleted one")
+    // the pre-merge version still hides the key (time-travel isolation)
+    assert(Io.readTableVersion(spark, t, 3L)
+      .filter(col("k") === 7).count() == 0)
+    // a merge UPDATING a key whose file carries OTHER rows' DV entries
+    // must keep those entries effective: delete k=9 (same file as 10),
+    // then merge-update k=10 — k=9 must stay hidden, and the carried
+    // DV entry for the rewritten file is inert
+    Io.tableDeleteWhereDv(spark, t, col("k") === 9) // v5
+    val v6 = Io.tableMerge(spark, t, Seq((10L, 111L)).toDF("k", "v"), "k")
+    assert(v6 == 6L)
+    val m6 = Io.readTableVersion(spark, t, 6L)
+    assert(m6.filter(col("k") === 9).count() == 0,
+      "a merge rewrite must not resurrect a DV-deleted row")
+    assert(m6.filter(col("k") === 10).select("v").head().getLong(0) == 111L)
   }
 
   test("round-12 MERGE × stats: the sidecar carries, rewritten files " +
@@ -859,7 +942,7 @@ class IoSpec extends AnyFunSuite {
     import spark.implicits._
     val t = s"$tmp/dvharden"
     Io.tableAppend((1L to 20L).toDF("k").repartitionByRange(2, col("k")), t)
-    Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") // v1: DV-only
+    Io.tableDeleteWhereDv(spark, t, col("k") === 3) // v1: DV-only
     // (1) generic OPTIMIZE on the DV-carrying HEAD: the packed content
     // is the MOR view (19 rows, no k=3) and the commit is DV-free —
     // the raw-file rewrite would have resurrected k=3 permanently
@@ -894,7 +977,7 @@ class IoSpec extends AnyFunSuite {
       (1L to 20L).toDF("k").repartitionByRange(2, col("k")), t, "k")
     // DV-path delete (1 of 10 rows in file 1): stats must carry so the
     // skipping read still plans — and must NOT serve the deleted row
-    Io.tableDeleteWhereDv(spark, t, col("k") === 3, "k") // v1
+    Io.tableDeleteWhereDv(spark, t, col("k") === 3) // v1
     assert(new java.io.File(s"$t/_commits/00000001.stats").exists(),
       "DV delete must carry the stats sidecar")
     val skip1 = Io.readTableVersionSkipping(spark, t, 1L, "k", 1L, 11L)
@@ -911,7 +994,7 @@ class IoSpec extends AnyFunSuite {
     assert(scanned(skip1) == 1, "stats pruning must still skip file 2")
     // COW-fallback delete (6 of 9 live rows in file 1): the rewritten
     // file gets FRESH stats, the carried file keeps its entry
-    Io.tableDeleteWhereDv(spark, t, col("k") <= 7, "k") // v2
+    Io.tableDeleteWhereDv(spark, t, col("k") <= 7) // v2
     val st2 = Io.readStatsFile(spark, t, 2L)
     assert(st2.size == 2, s"2 files × 1 col expected, got ${st2.size}")
     assert(st2.values.exists(_._1 == 8L),
