@@ -99,7 +99,7 @@ object PlanDump {
       // the connector), the reinsert merge, ALTER-evolved reads, and
       // the streaming-source/update twins' landed reads
       "io_dv_dsv2", "io_merge_reinsert", "io_alter_add",
-      "stream_table_source", "stream_update")
+      "stream_table_source", "stream_update", "io_update_mor")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` at sf0.001. What to look for:\n")

@@ -29,7 +29,7 @@ object ScaleProbe {
     val headline = Set("match_conj", "agg_hourly", "promql_range_grid",
       "minhash_bands", "ivfpq_train_probe",
       "rollup_tier_daily", "dsir_buckets", "paragraph_dedup",
-      "gapfill_grid", "rowlevel_update")
+      "gapfill_grid", "rowlevel_update", "mor_update")
     // `only <row names...>`: probe just the named rows (new-operator
     // measurement without re-running the full suite)
     val only: Set[String] =
@@ -356,6 +356,38 @@ object ScaleProbe {
         spark.sql("UPDATE gprobe.t SET cents = cents + 1 " +
           "WHERE event_id >= 5000 AND event_id < 15000")
       }
+    }
+    // round 13: the same fixed-band UPDATE through the MERGE-ON-READ
+    // delta path (graft.dml.mode=mor) — no file is rewritten at ALL:
+    // the write is ∝ matched rows (a DV parquet of (file,pos) entries
+    // + one small insert file), the scan pushes the band predicate to
+    // parquet, so wall time should stay flat AND sit below the COW
+    // probe at every factor (write amplification 1, the 100-TB DML
+    // end-state).
+    if (only.isEmpty || only("mor_update") ||
+        (headlineOnly && headline("mor_update"))) {
+      val morDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_probe_mor_$factor")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(morDir)
+      val tdir = new java.io.File(morDir, "wh/t").toString
+      sources.Io.tableAppend(
+        big.select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .repartitionByRange(32 * math.max(1, factor / 2),
+            col("event_id")),
+        tdir)
+      spark.conf.set("spark.sql.catalog.gmprobe",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gmprobe.warehouse",
+        new java.io.File(morDir, "wh").toString)
+      spark.conf.set("graft.dml.mode", "mor")
+      try t("mor_update") {
+        spark.sql("UPDATE gmprobe.t SET cents = cents + 1 " +
+          "WHERE event_id >= 5000 AND event_id < 15000")
+      } finally spark.conf.unset("graft.dml.mode")
     }
     spark.stop()
   }

@@ -212,6 +212,7 @@ object SparkEntry {
     "io_merge_reinsert" -> (sources.Io.mergeReinsertRead _),
     "io_merge_sql" -> (sources.Io.mergeSqlRead _),
     "io_update" -> (sources.Io.updateRead _),
+    "io_update_mor" -> (sources.Io.updateMorRead _),
     "io_dv_cdf" -> (sources.Io.dvCdfRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
     "io_history" -> (sources.Io.historyRead _),
@@ -2556,6 +2557,25 @@ object SparkEntry {
         |    min(event_id) AS min_id, max(event_id) AS max_id
         |  FROM m GROUP BY 2)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1""".stripMargin,
+    // round 13: MERGE-ON-READ DML (SupportsDelta over positional DVs)
+    // — UPDATE purchases to id%1000+7, RE-UPDATE the id%10=0 slice
+    // (+5), DV-delete error∧(id%23=0); no data file ever rewritten
+    "io_update_mor" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT typ, event_id,
+        |    CASE WHEN typ = 'purchase'
+        |         THEN event_id % 1000 + 7 +
+        |           (CASE WHEN event_id % 10 = 0 THEN 5 ELSE 0 END)
+        |         ELSE cents END AS cents
+        |  FROM src
+        |  WHERE NOT (typ = 'error' AND event_id % 23 = 0))
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
     // round 13: ALTER TABLE ADD COLUMN through the catalog — era 1
     // (even ids, 3 cols) null-backfills the added `band`, era 2 (odd
     // ids) carries it physically (band = cents % 10)

@@ -184,17 +184,19 @@ private[graft] object GraftTables {
       if (version == head) readSchemaSidecar(spark, path) else None
     val basePt = ParquetTable(s"graft:$path@$version", spark, options,
       pruned.toIndexedSeq, declared, classOf[ParquetFileFormat])
-    // a DV version's ParquetTable carries the row-index temp column in
-    // its declared schema: Spark's parquet readers synthesize the
-    // row's position within its file into that column (footer-exact,
-    // row-group-skip-safe), which is what the positional filter keys
-    // on. GraftTable.schema() hides it from queries.
-    val pt =
-      if (dvDirs.isEmpty) basePt
-      else ParquetTable(s"graft:$path@$version", spark, options,
-        pruned.toIndexedSeq,
-        Some(StructType(basePt.schema.fields :+ PosDv.rowIndexField)),
-        classOf[ParquetFileFormat])
+    // EVERY GraftTable's ParquetTable carries the row-index temp
+    // column in its declared schema: Spark's parquet readers
+    // synthesize the row's position within its file into that column
+    // (footer-exact, row-group-skip-safe) — the positional DV filter
+    // and the `_graft_pos` row-id both key on it. GraftTable.schema()
+    // hides it from queries, and a scan that never requests it prunes
+    // it away at zero cost.
+    val pt = ParquetTable(s"graft:$path@$version", spark, options,
+      pruned.toIndexedSeq,
+      Some(StructType(
+        basePt.schema.fields.filterNot(_.name == PosDv.TmpCol) :+
+          PosDv.rowIndexField)),
+      classOf[ParquetFileFormat])
     new GraftTable(pt, spark, path, version, head,
       Option(options.get("deleteKey")), dvDirs)
   }
@@ -228,11 +230,10 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
   with connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = pt.name
-  // a DV version's ParquetTable declares the row-index temp column so
-  // the readers synthesize positions — hidden from the SQL surface
+  // the ParquetTable declares the row-index temp column so the readers
+  // synthesize positions — hidden from the SQL surface
   override def schema(): StructType =
-    if (dvDirs.isEmpty) pt.schema
-    else StructType(pt.schema.fields.filterNot(_.name == PosDv.TmpCol))
+    StructType(pt.schema.fields.filterNot(_.name == PosDv.TmpCol))
 
   /** Table metadata for `DESCRIBE TABLE EXTENDED` (round 12 s3):
     * the commit-log facts a table browser wants — served from state
@@ -255,14 +256,27 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     * unchanged. */
   override def metadataColumns()
       : Array[connector.catalog.MetadataColumn] =
-    Array(new connector.catalog.MetadataColumn {
-      override def name(): String = RowLevel.FileCol
-      override def dataType(): DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = true
-      override def comment(): String =
-        "table-relative data file serving this row (graft COW group)"
-    })
+    Array(
+      new connector.catalog.MetadataColumn {
+        override def name(): String = RowLevel.FileCol
+        override def dataType(): DataType =
+          org.apache.spark.sql.types.StringType
+        // non-null: every row has a serving file (and row-id
+        // attributes of the MOR delta path must not be nullable)
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "table-relative data file serving this row (graft COW group)"
+      },
+      // round 13: with FileCol this is the ROW ID of the merge-on-read
+      // DML path — the identity positional DVs key on
+      new connector.catalog.MetadataColumn {
+        override def name(): String = RowLevel.PosCol
+        override def dataType(): DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row position within its data file (graft DV identity)"
+      })
 
   /** SQL UPDATE / MERGE INTO / (untranslatable-predicate) DELETE —
     * Spark's row-level-operation framework over the group-based COW
@@ -281,8 +295,18 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
         s"pinned to v$version via versionAsOf/timestampAsOf")
     new connector.write.RowLevelOperationBuilder {
       override def build(): connector.write.RowLevelOperation =
-        new GraftRowLevelOperation(spark, path, version, info.command,
-          opts => baseScanBuilder(opts))
+        // `graft.dml.mode=mor` (round 13) switches every verb to the
+        // MERGE-ON-READ delta representation: touched rows become
+        // (file, pos) DV entries + fresh inserted rows — a 1-row
+        // UPDATE writes one DV entry and one row instead of rewriting
+        // its file (the Delta DV-update shape). Default stays the
+        // group-based COW rewrite.
+        if (spark.conf.getOption("graft.dml.mode").contains("mor"))
+          new GraftDeltaRowLevelOperation(spark, path, version,
+            info.command, opts => baseScanBuilder(opts))
+        else
+          new GraftRowLevelOperation(spark, path, version, info.command,
+            opts => baseScanBuilder(opts))
     }
   }
   // Writes (round 12) stage through the OCC commit protocol
@@ -411,9 +435,13 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
         s"v$version via versionAsOf/timestampAsOf")
     val pred = filters.flatMap(toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    // deleteKey is the MOR opt-in flag; positions are the delete
-    // identity (round 13), so the option's value is not consulted
-    if (deleteKey.isDefined) Io.tableDeleteWhereDv(spark, path, pred)
+    // deleteKey (view option) or graft.dml.mode=mor (session conf)
+    // opt the metadata delete into the DV merge-on-read path;
+    // positions are the delete identity (round 13), so the option's
+    // value is not consulted
+    if (deleteKey.isDefined ||
+        spark.conf.getOption("graft.dml.mode").contains("mor"))
+      Io.tableDeleteWhereDv(spark, path, pred)
     else Io.tableDeleteWhere(spark, path, pred)
     ()
   }
@@ -444,6 +472,10 @@ private[graft] class PosDvScanBuilder(delegate: ScanBuilder,
   private var userSchema: Option[StructType] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // an EXPLICIT row-index request (the row-id serving wrapper of the
+    // merge-on-read DML path) keeps the column in the reported schema;
+    // otherwise it is read-augmented and projected back out
+    val wantTmp = requiredSchema.fieldNames.contains(PosDv.TmpCol)
     val stripped = StructType(
       requiredSchema.fields.filterNot(_.name == PosDv.TmpCol))
     delegate match {
@@ -451,7 +483,9 @@ private[graft] class PosDvScanBuilder(delegate: ScanBuilder,
         d.pruneColumns(StructType(stripped.fields :+ PosDv.rowIndexField))
       case _ => ()
     }
-    userSchema = Some(stripped)
+    userSchema = Some(
+      if (wantTmp) StructType(stripped.fields :+ PosDv.rowIndexField)
+      else stripped)
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
@@ -584,7 +618,14 @@ private[graft] class PosDvReaderFactory(delegate: PartitionReaderFactory,
 private[graft] class GraftStreamableScan(delegate: Scan,
     spark: SparkSession, path: String, hasDv: Boolean,
     options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = delegate.readSchema()
+  // the row-index temp column never leaves the connector: a streaming
+  // read may skip column pruning entirely, in which case the delegate
+  // ParquetScan's schema still carries it — strip it from everything
+  // the stream serves (batch plans always pruned it already)
+  private def stripped: StructType =
+    StructType(delegate.readSchema().fields
+      .filterNot(_.name == PosDv.TmpCol))
+  override def readSchema(): StructType = stripped
   override def description(): String = delegate.description()
   override def toBatch: Batch = delegate.toBatch
   override def toMicroBatchStream(checkpointLocation: String)
@@ -592,7 +633,7 @@ private[graft] class GraftStreamableScan(delegate: Scan,
     require(!hasDv,
       s"table at $path carries deletion vectors — an insert-only " +
         "stream cannot represent deletes; optimizeTableDv first")
-    new GraftMicroBatchStream(spark, path, delegate.readSchema(), options)
+    new GraftMicroBatchStream(spark, path, stripped, options)
   }
 }
 

@@ -939,6 +939,16 @@ object Io {
     writeCommit(spark, table, version, files,
       carriedDv(spark, table, version), stats)
 
+  /** Land a merge-on-read DELTA commit (round 13, the SupportsDelta
+    * write): prior files all carry, fresh inserted files append, and
+    * the statement's new dv/ dir of (file, pos) deletes joins the
+    * carried DV sidecar — one OCC version, nothing rewritten. */
+  private[graft] def commitDelta(spark: SparkSession, table: String,
+      version: Long, files: Seq[String], extraDv: Seq[String],
+      stats: Option[Seq[(String, String, Long, Long)]]): Unit =
+    writeCommit(spark, table, version, files,
+      carriedDv(spark, table, version) ++ extraDv, stats)
+
   /** Commit `df` as the next version: an APPEND (prior files carried by
     * reference + the new batch's files). Version 0 creates the table.
     */
@@ -2491,6 +2501,65 @@ object Io {
       "count(band) AS n_band, sum(band) AS sum_band, " +
       "min(event_id) AS min_id, max(event_id) AS max_id " +
       "FROM graftalt.g.ev GROUP BY typ")
+  }
+
+  private val morRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** MERGE-ON-READ DML gate (round 13, SupportsDelta over positional
+    * DVs): with `graft.dml.mode=mor`, three SQL mutations land WITHOUT
+    * rewriting a single data file — v1 UPDATEs every purchase
+    * (cents = id%1000+7: DV entries for the old rows + fresh row
+    * images), v2 RE-UPDATEs the id%10=0 slice of those already-updated
+    * rows (cents+5 — the case the retired key-based DV model could not
+    * express: the second update DV-deletes the FIRST update's fresh
+    * row by its own (file, pos)), v3 DV-deletes the sparse
+    * error∧(id%23=0) class. The builder asserts every prior file
+    * carried by reference at every version; the gate reads the final
+    * cut back through the catalog and the oracle replays it from the
+    * raw source. */
+  def updateMorRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = morRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val w = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_mor_wh_" + fp).toString
+      fsFor(spark, w).delete(new org.apache.hadoop.fs.Path(w), true)
+      spark.conf.set("spark.sql.catalog.graftmor",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftmor.warehouse", w)
+      val raw = Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .createOrReplaceTempView("__graft_mor_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftmor.g")
+      spark.sql("CREATE TABLE graftmor.g.ev AS " +
+        "SELECT * FROM __graft_mor_src")
+      spark.conf.set("graft.dml.mode", "mor")
+      try {
+        spark.sql("UPDATE graftmor.g.ev SET cents = event_id % 1000 + 7 " +
+          "WHERE typ = 'purchase'")
+        spark.sql("UPDATE graftmor.g.ev SET cents = cents + 5 " +
+          "WHERE typ = 'purchase' AND event_id % 10 = 0")
+        spark.sql("DELETE FROM graftmor.g.ev " +
+          "WHERE typ = 'error' AND event_id % 23 = 0")
+      } finally spark.conf.unset("graft.dml.mode")
+      val t = s"$w/g/ev"
+      (1L to 3L).foreach { v =>
+        val prev = commitEntries(spark, t, v - 1).toSet
+        val cur = commitEntries(spark, t, v).toSet
+        require(prev.subsetOf(cur),
+          s"MOR v$v must carry EVERY prior file by reference " +
+            s"(missing: ${prev -- cur})")
+        require(dvDirsOf(spark, t, v).nonEmpty,
+          s"MOR v$v must carry a DV sidecar")
+      }
+      w
+    })
+    require(wh.nonEmpty)
+    spark.sql("SELECT typ, count(*) AS n, sum(cents) AS sum_cents, " +
+      "min(event_id) AS min_id, max(event_id) AS max_id " +
+      "FROM graftmor.g.ev GROUP BY typ")
   }
 
   private val msqlRuns =

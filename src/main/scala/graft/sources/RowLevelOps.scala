@@ -72,6 +72,11 @@ import org.apache.spark.util.SerializableConfiguration
 private[graft] object RowLevel {
   val FileCol = "_graft_file"
   val fileColRef: NamedReference = Expressions.column(FileCol)
+  // round 13: the row's position within its data file — with FileCol
+  // it forms the ROW ID of the merge-on-read (SupportsDelta) DML path
+  // and the identity the positional DVs key on
+  val PosCol = "_graft_pos"
+  val posColRef: NamedReference = Expressions.column(PosCol)
 }
 
 /** The row-level operation: one instance is shared between the
@@ -111,37 +116,46 @@ private[graft] class GraftRowLevelOperation(spark: SparkSession,
     Array(RowLevel.fileColRef)
 }
 
-/** Scan builder serving the `_graft_file` metadata column over any
-  * delegate (the raw ParquetTable builder, or the DV merge-on-read
-  * wrapper). Column pruning forwards (with the metadata column
-  * stripped); filter pushdown deliberately does NOT (see the module
-  * doc — group rewrites must read whole files). When the query never
-  * references the column and no runtime filtering is requested,
-  * `build()` returns the delegate scan untouched. */
+/** Scan builder serving the `_graft_file` and `_graft_pos` metadata
+  * columns over any delegate (the raw ParquetTable builder, or the DV
+  * merge-on-read wrapper). Column pruning forwards (with the metadata
+  * columns stripped; a `_graft_pos` request forwards the row-index
+  * temp column so Spark's parquet reader synthesizes positions);
+  * filter pushdown deliberately does NOT (see the module doc — group
+  * rewrites must read whole files). When the query never references
+  * the columns and no runtime filtering is requested, `build()`
+  * returns the delegate scan untouched. */
 private[graft] class GraftFileScanBuilder(delegate: ScanBuilder,
     runtimeFilterable: Boolean,
     onPlanned: Seq[String] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var wantFileCol = false
+  private var wantPosCol = false
   private var required: Option[StructType] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantFileCol = requiredSchema.fieldNames.contains(RowLevel.FileCol)
+    wantPosCol = requiredSchema.fieldNames.contains(RowLevel.PosCol)
     required = Some(requiredSchema)
-    val stripped = StructType(
-      requiredSchema.fields.filterNot(_.name == RowLevel.FileCol))
+    val stripped = StructType(requiredSchema.fields.filterNot(f =>
+      f.name == RowLevel.FileCol || f.name == RowLevel.PosCol))
+    val fwd =
+      if (!wantPosCol) stripped
+      else StructType(
+        stripped.fields.filterNot(_.name == PosDv.TmpCol) :+
+          PosDv.rowIndexField)
     delegate match {
-      case d: SupportsPushDownRequiredColumns => d.pruneColumns(stripped)
+      case d: SupportsPushDownRequiredColumns => d.pruneColumns(fwd)
       case _ => ()
     }
   }
 
   override def build(): Scan = {
     val d = delegate.build()
-    if (!wantFileCol && !runtimeFilterable) d
+    if (!wantFileCol && !wantPosCol && !runtimeFilterable) d
     else new GraftFileScan(d, required.getOrElse(d.readSchema()),
-      wantFileCol, runtimeFilterable, onPlanned)
+      wantFileCol, wantPosCol, runtimeFilterable, onPlanned)
   }
 }
 
@@ -175,7 +189,7 @@ private[graft] class GraftFileScanBuilderPushdown(delegate: ScanBuilder,
   * from Spark's group-filter subquery prunes whole files before
   * execution. */
 private[graft] class GraftFileScan(delegate: Scan, outSchema: StructType,
-    withFileCol: Boolean, runtimeFilterable: Boolean,
+    withFileCol: Boolean, withPosCol: Boolean, runtimeFilterable: Boolean,
     onPlanned: Seq[String] => Unit)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
@@ -184,7 +198,8 @@ private[graft] class GraftFileScan(delegate: Scan, outSchema: StructType,
   override def readSchema(): StructType = outSchema
   override def description(): String =
     s"${delegate.description()} (graft file groups" +
-      (if (withFileCol) s" +${RowLevel.FileCol}" else "") + ")"
+      (if (withFileCol) s" +${RowLevel.FileCol}" else "") +
+      (if (withPosCol) s" +${RowLevel.PosCol}" else "") + ")"
   override def toBatch: Batch = this
 
   override def filterAttributes(): Array[NamedReference] =
@@ -228,24 +243,25 @@ private[graft] class GraftFileScan(delegate: Scan, outSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFileReaderFactory(dBatch.createReaderFactory(),
-      delegate.readSchema(), outSchema, withFileCol)
+      delegate.readSchema(), outSchema, withFileCol || withPosCol)
 }
 
-/** Wraps the delegate readers; when the file column is requested,
-  * projects each row onto the required schema with the partition's
-  * (constant) file path appended. */
+/** Wraps the delegate readers; when the file/pos columns are
+  * requested, projects each row onto the required schema with the
+  * partition's (constant) file path appended and the position bound
+  * to the parquet reader's row-index synthesis column. */
 private[graft] class GraftFileReaderFactory(
     delegate: PartitionReaderFactory, dSchema: StructType,
-    outSchema: StructType, withFileCol: Boolean)
+    outSchema: StructType, withMetaCols: Boolean)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    if (withFileCol) false else delegate.supportColumnarReads(partition)
+    if (withMetaCols) false else delegate.supportColumnarReads(partition)
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val inner = delegate.createReader(partition)
-    if (!withFileCol) inner
+    if (!withMetaCols) inner
     else {
       val file = partition match {
         case fp: FilePartition => fp.files.head.filePath.toString
@@ -255,7 +271,9 @@ private[graft] class GraftFileReaderFactory(
         if (f.name == RowLevel.FileCol)
           CatalystLiteral(UTF8String.fromString(file), StringType)
         else {
-          val i = dSchema.fieldIndex(f.name)
+          val name =
+            if (f.name == RowLevel.PosCol) PosDv.TmpCol else f.name
+          val i = dSchema.fieldIndex(name)
           BoundReference(i, dSchema(i).dataType, dSchema(i).nullable)
         }
       }
@@ -332,6 +350,194 @@ private[graft] class GraftReplaceWrite(spark: SparkSession, path: String,
       new org.apache.hadoop.fs.Path(s"$path/data/$tag"), true)
     catch { case _: Throwable => () }
   }
+}
+
+/** Round 13: the MERGE-ON-READ row-level operation (`SupportsDelta`,
+  * opted in via `graft.dml.mode=mor`) — instead of rewriting touched
+  * files (the group-based COW above), Spark plans a WriteDelta: the
+  * scan serves each row's ROW ID (`_graft_file`, `_graft_pos` — the
+  * positional-DV identity, synthesized by the parquet reader), updates
+  * are represented as DELETE + INSERT, and the write lands
+  *
+  *  - deleted row ids as a fresh dv/ parquet dir of (file, pos)
+  *    entries appended to the version's DV sidecar, and
+  *  - inserted/updated row images as fresh data files,
+  *
+  * with EVERY prior file carried by reference — a 1-row UPDATE on a
+  * 100 TB table writes one DV entry + one row. The scan is
+  * DV-filtered (prior deletes can't re-match) and pushes filters to
+  * parquet (a delta rewrite reads only MATCHING rows — group rewrites
+  * can't, this one can), so the rewrite cost is ∝ matched rows, not
+  * touched files. Re-updating an already-updated key works: the first
+  * update's fresh row is live, the second update DV-deletes THAT
+  * (file, pos) and inserts again — exactly what the retired key-based
+  * DV model could not express. OPTIMIZE folds the accumulated DV
+  * state back into clean files.
+  */
+private[graft] class GraftDeltaRowLevelOperation(spark: SparkSession,
+    path: String, version: Long, cmd: Command,
+    delegateBuilder: org.apache.spark.sql.util.CaseInsensitiveStringMap
+      => ScanBuilder)
+  extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = cmd
+  override def description(): String =
+    s"graft MOR $cmd $path@v$version"
+
+  // pushdown-forwarding (the delta rewrite wants ONLY matching rows);
+  // no runtime group filtering — there are no groups to prune
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftFileScanBuilderPushdown(delegateBuilder(options),
+      runtimeFilterable = false)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(spark, path, version, info.schema())
+    }
+
+  override def rowId(): Array[NamedReference] =
+    Array(RowLevel.fileColRef, RowLevel.posColRef)
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(RowLevel.fileColRef, RowLevel.posColRef)
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+}
+
+/** The MOR delta write: tasks stream inserted row images into fresh
+  * parquet under `data/<tag>/` and deleted row ids into a fresh
+  * `dv/<tag>/` of (file trail, pos) entries; the driver commit lands
+  * prior-files-unchanged + fresh inserts, with the new dv dir appended
+  * to the carried DV sidecar — ONE OCC version, nothing rewritten. */
+private[graft] class GraftDeltaWrite(spark: SparkSession, path: String,
+    version: Long, writeSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaWrite
+  with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val nv = version + 1
+  private val uid = java.util.UUID.randomUUID().toString.take(8)
+  private val dataTag = s"c$nv-mor-$uid"
+  private val dvDir = s"dv/d$nv-mor-$uid"
+
+  override def toBatch
+      : org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+  override def description(): String =
+    s"graft MOR delta $path v$version->v$nv"
+
+  private def confFor(schema: StructType): SerializableConfiguration = {
+    val conf = new Configuration(spark.sessionState.newHadoopConf())
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
+    new SerializableConfiguration(conf)
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftDeltaWriterFactory(s"$path/data/$dataTag", s"$path/$dvDir",
+      confFor(writeSchema), confFor(GraftDeltaWrite.dvSchema))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect {
+      case GraftDeltaFiles(Some(rel), _) => s"data/$dataTag/$rel"
+    }.sorted.toIndexedSeq
+    val anyDv = messages.exists {
+      case GraftDeltaFiles(_, Some(_)) => true
+      case _ => false
+    }
+    val prior = Io.commitEntries(spark, path, version)
+    val (freshKept, stats) = Io.carryStatsFor(spark, path, version,
+      prior, fresh, dataTag)
+    Io.commitDelta(spark, path, nv, prior ++ freshKept,
+      if (anyDv) Seq(dvDir) else Seq.empty, stats)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = Io.fsFor(spark, path)
+    try fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/$dataTag"),
+      true)
+    catch { case _: Throwable => () }
+    try fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dvDir"), true)
+    catch { case _: Throwable => () }
+  }
+}
+
+private[graft] object GraftDeltaWrite {
+  val dvSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("f", StringType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("p",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+private[graft] case class GraftDeltaFiles(dataRel: Option[String],
+    dvRel: Option[String]) extends WriterCommitMessage
+
+private[graft] class GraftDeltaWriterFactory(dataDir: String,
+    dvDir: String, dataConf: SerializableConfiguration,
+    dvConf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaTaskWriter(
+      new GraftParquetDataWriter(dataDir,
+        f"part-$partitionId%05d-$taskId.snappy.parquet", dataConf.value),
+      new GraftParquetDataWriter(dvDir,
+        f"part-$partitionId%05d-$taskId.snappy.parquet", dvConf.value))
+}
+
+/** Per-task MOR writer: `insert` streams the row image to the data
+  * file, `delete` streams the row id — (file trail, position) — to the
+  * dv file; `update` (only if Spark ever bypasses the
+  * delete-and-insert representation) is exactly both. Files are
+  * created lazily, so a task that only deletes lands no data part and
+  * vice versa. */
+private[graft] class GraftDeltaTaskWriter(
+    data: GraftParquetDataWriter, dv: GraftParquetDataWriter)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  // row id layout per GraftDeltaRowLevelOperation.rowId():
+  // ordinal 0 = _graft_file (full path), 1 = _graft_pos
+  private def writeDelete(id: InternalRow): Unit = {
+    val full = id.getUTF8String(0).toString
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(2)
+    row.update(0, UTF8String.fromString(Io.trailOf(full)))
+    row.setLong(1, id.getLong(1))
+    dv.write(row)
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    writeDelete(id)
+  override def insert(row: InternalRow): Unit = data.write(row)
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    writeDelete(id); data.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val d = data.commit() match {
+      case GraftWrittenFile(rel) => Some(rel)
+      case _ => None
+    }
+    val v = dv.commit() match {
+      case GraftWrittenFile(rel) => Some(rel)
+      case _ => None
+    }
+    GraftDeltaFiles(d, v)
+  }
+
+  override def abort(): Unit = { data.abort(); dv.abort() }
+  override def close(): Unit = { data.close(); dv.close() }
 }
 
 private[graft] case class GraftWrittenFile(rel: String)

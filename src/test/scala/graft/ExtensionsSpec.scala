@@ -802,10 +802,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(q.exception.isDefined &&
       msgs(q.exception.get).contains("non-append"),
       s"expected a non-append refusal, got ${q.exception}")
-    // DV-carrying tables refuse at stream construction
+    // DV-carrying tables refuse at stream construction (one file so
+    // the 1-of-10 delete stays under the COW threshold and actually
+    // leaves a DV — the session's parallelism must not decide that)
     val t2 = s"$base/table2"
-    sources.Io.tableAppend((1L to 10L).toDF("k"), t2)
+    sources.Io.tableAppend((1L to 10L).toDF("k").coalesce(1), t2)
     sources.Io.tableDeleteWhereDv(s, t2, col("k") === 5)
+    assert(sources.Io.dvDirsOf(s, t2, 1L).nonEmpty)
     val dvq = intercept[Exception] {
       s.readStream.format("graft").load(t2)
         .writeStream.format("memory").queryName("gsrc_dv")
@@ -813,5 +816,86 @@ class ExtensionsSpec extends AnyFunSuite {
         .processAllAvailable()
     }
     assert(dvq.getMessage != null)
+  }
+
+  test("round-13 MERGE-ON-READ DML (SupportsDelta): UPDATE/DELETE/MERGE " +
+      "write DV entries + fresh rows, never rewrite a data file; " +
+      "re-updating an updated key works") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_mor").toString
+    s.conf.set("spark.sql.catalog.gmor", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gmor.db")
+    // 50-row files so single-row mutations stay under the DV
+    // COW-fallback threshold (a 5-row file would COW at 20%)
+    s.sql("CREATE TABLE gmor.db.t AS SELECT id AS k, id * 10 AS v " +
+      "FROM range(1, 201)")
+    val t = s"$wh/db/t"
+    val v0 = sources.Io.commitEntries(s, t, 0L).toSet
+    s.conf.set("graft.dml.mode", "mor")
+    try {
+      // (1) MOR UPDATE: one DV entry + one fresh row, all files carried
+      s.sql("UPDATE gmor.db.t SET v = 333 WHERE k = 3")
+      val v1 = sources.Io.commitEntries(s, t, 1L).toSet
+      assert(v0.subsetOf(v1), "MOR UPDATE must carry every prior file")
+      assert((v1 -- v0).size == 1, "exactly one fresh insert file")
+      assert(sources.Io.dvDirsOf(s, t, 1L).nonEmpty, "DV sidecar at v1")
+      assert(s.sql("SELECT v FROM gmor.db.t WHERE k = 3")
+        .head().getLong(0) == 333L)
+      assert(s.sql("SELECT count(*) FROM gmor.db.t").head().getLong(0)
+        == 200L)
+      // history: v0 still serves the original value
+      assert(s.sql("SELECT v FROM gmor.db.t VERSION AS OF 0 WHERE k = 3")
+        .head().getLong(0) == 30L)
+      // (2) RE-UPDATE of the already-updated key — the second update
+      // DV-deletes the FIRST update's fresh row by its own (file, pos)
+      // (the retired key-based model killed both copies here)
+      s.sql("UPDATE gmor.db.t SET v = 444 WHERE k = 3")
+      assert(s.sql("SELECT v FROM gmor.db.t WHERE k = 3")
+        .head().getLong(0) == 444L)
+      assert(s.sql("SELECT count(*) FROM gmor.db.t WHERE k = 3")
+        .head().getLong(0) == 1L, "exactly one live copy after re-update")
+      assert(sources.Io.commitEntries(s, t, 1L).toSet
+        .subsetOf(sources.Io.commitEntries(s, t, 2L).toSet))
+      // (3) MOR DELETE through the metadata path: DV entries only
+      s.sql("DELETE FROM gmor.db.t WHERE k = 5")
+      assert(sources.Io.commitEntries(s, t, 3L).toSet ==
+        sources.Io.commitEntries(s, t, 2L).toSet,
+        "a MOR DELETE must not touch the file list")
+      assert(s.sql("SELECT count(*) FROM gmor.db.t").head().getLong(0)
+        == 199L)
+      // (4) MOR MERGE: matched rows update (delete+insert), unmatched
+      // insert; still zero rewrites
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW __mor_src AS " +
+        "SELECT id AS k, id * 100 AS v FROM range(190, 211)")
+      s.sql(
+        """MERGE INTO gmor.db.t AS tg USING __mor_src AS src
+          |ON tg.k = src.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val vLast = sources.Io.tableVersion(s, t)
+      assert(sources.Io.commitEntries(s, t, vLast - 1).toSet
+        .subsetOf(sources.Io.commitEntries(s, t, vLast).toSet),
+        "MOR MERGE must carry every prior file")
+      assert(s.sql("SELECT v FROM gmor.db.t WHERE k = 195")
+        .head().getLong(0) == 19500L)
+      assert(s.sql("SELECT v FROM gmor.db.t WHERE k = 205")
+        .head().getLong(0) == 20500L)
+      assert(s.sql("SELECT count(*) FROM gmor.db.t").head().getLong(0)
+        == 209L) // 200 - k5 + inserts 201..210
+      // OPTIMIZE folds the accumulated DV state into clean files
+      sources.Io.optimizeTableDv(s, t)
+      assert(sources.Io.dvDirsOf(s, t,
+        sources.Io.tableVersion(s, t)).isEmpty)
+      assert(s.sql("SELECT count(*) FROM gmor.db.t").head().getLong(0)
+        == 209L)
+      assert(s.sql("SELECT v FROM gmor.db.t WHERE k = 3")
+        .head().getLong(0) == 444L)
+    } finally s.conf.unset("graft.dml.mode")
   }
 }
