@@ -198,7 +198,7 @@ private[graft] object GraftTables {
           PosDv.rowIndexField)),
       classOf[ParquetFileFormat])
     new GraftTable(pt, spark, path, version, head,
-      Option(options.get("deleteKey")), dvDirs)
+      Option(options.get("deleteKey")), dvDirs, pruned.size)
   }
 }
 
@@ -224,7 +224,7 @@ private[graft] object PosDv {
   * HEAD only (a pinned versionAsOf/timestampAsOf view refuses). */
 private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     path: String, version: Long, head: Long, deleteKey: Option[String],
-    dvDirs: Seq[String])
+    dvDirs: Seq[String], numFiles: Int)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with connector.catalog.SupportsMetadataColumns
   with connector.catalog.SupportsRowLevelOperations {
@@ -242,6 +242,7 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     val m = new java.util.HashMap[String, String]()
     m.put("graft.version", version.toString)
     m.put("graft.head", head.toString)
+    m.put("graft.numFiles", numFiles.toString)
     m.put("graft.format", "graft commit-log parquet")
     deleteKey.foreach(m.put("graft.deleteKey", _))
     if (dvDirs.nonEmpty)
@@ -662,12 +663,35 @@ private[graft] case class GraftStreamOffset(v: Long)
 private[graft] class GraftMicroBatchStream(spark: SparkSession,
     path: String, requiredSchema: StructType,
     options: CaseInsensitiveStringMap)
-  extends connector.read.streaming.MicroBatchStream {
+  extends connector.read.streaming.MicroBatchStream
+  with connector.read.streaming.SupportsAdmissionControl {
+
+  // rate control (round 13): `maxVersionsPerTrigger` caps how many
+  // commit versions one micro-batch may span — a stream catching up on
+  // a long table history processes it in bounded chunks instead of one
+  // giant first batch (Delta's maxFilesPerTrigger idea at version
+  // granularity, which is the unit our offsets already count).
+  private val maxVersions: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+      .map { v => require(v > 0, "maxVersionsPerTrigger must be > 0"); v }
 
   override def initialOffset(): connector.read.streaming.Offset =
     GraftStreamOffset(Option(options.get("startingVersion"))
       .map(_.toLong - 1L).getOrElse(-1L))
   override def latestOffset(): connector.read.streaming.Offset =
+    GraftStreamOffset(Io.tableVersion(spark, path))
+  override def getDefaultReadLimit: connector.read.streaming.ReadLimit =
+    connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(start: connector.read.streaming.Offset,
+      limit: connector.read.streaming.ReadLimit)
+      : connector.read.streaming.Offset = {
+    val head = Io.tableVersion(spark, path)
+    GraftStreamOffset(maxVersions match {
+      case Some(n) => math.min(head, ver(start) + n)
+      case None => head
+    })
+  }
+  override def reportLatestOffset(): connector.read.streaming.Offset =
     GraftStreamOffset(Io.tableVersion(spark, path))
   override def deserializeOffset(json: String)
       : connector.read.streaming.Offset =

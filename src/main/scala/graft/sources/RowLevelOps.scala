@@ -182,12 +182,16 @@ private[graft] class GraftFileScanBuilderPushdown(delegate: ScanBuilder,
   }
 }
 
-/** File-attributed scan: partitions are regrouped ONE PER DATA FILE
-  * (splits of the same file stay together), each row is optionally
-  * augmented with its file's path as `_graft_file`, and — when
-  * runtime-filterable — an `IN (_graft_file, ...)` runtime predicate
-  * from Spark's group-filter subquery prunes whole files before
-  * execution. */
+/** File-attributed scan: Spark's OWN split packing is PRESERVED
+  * (round 13 — a multi-GB file's splits process in parallel across
+  * partitions, and a partition keeps serving many small files; the
+  * round-12 one-partition-per-file layout serialized big-file
+  * rewrites), each row is optionally augmented with its file's path
+  * as `_graft_file` / its position as `_graft_pos` (the reader
+  * concatenates per-file sub-readers, so the attribution stays a
+  * sub-reader constant), and — when runtime-filterable — an
+  * `IN (_graft_file, ...)` runtime predicate from Spark's
+  * group-filter subquery prunes WHOLE FILES before execution. */
 private[graft] class GraftFileScan(delegate: Scan, outSchema: StructType,
     withFileCol: Boolean, withPosCol: Boolean, runtimeFilterable: Boolean,
     onPlanned: Seq[String] => Unit)
@@ -224,19 +228,22 @@ private[graft] class GraftFileScan(delegate: Scan, outSchema: StructType,
   private lazy val dBatch = delegate.toBatch
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val splits: Array[PartitionedFile] = dBatch.planInputPartitions()
-      .flatMap {
-        case fp: FilePartition => fp.files
-        case other => sys.error(
-          s"graft file-group scan expected FilePartitions, got $other")
-      }
-    val byFile = splits.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
-    val kept = runtimeKeep match {
-      case Some(k) => byFile.filter { case (f, _) => k.contains(f) }
-      case None => byFile
+    // keep the delegate's packing; drop pruned files' splits wholesale
+    // (runtime group filtering is file-granular — a kept file keeps
+    // EVERY split, so a group rewrite still reads whole files)
+    val parts = dBatch.planInputPartitions().map {
+      case fp: FilePartition => fp
+      case other => sys.error(
+        s"graft file-group scan expected FilePartitions, got $other")
     }
-    onPlanned(kept.map(_._1))
-    kept.zipWithIndex.map { case ((_, fs), i) =>
+    val kept = runtimeKeep match {
+      case Some(k) =>
+        parts.map(fp => fp.files.filter(f => k.contains(f.filePath.toString)))
+          .filter(_.nonEmpty)
+      case None => parts.map(_.files)
+    }
+    onPlanned(kept.flatMap(_.map(_.filePath.toString)).distinct.toSeq)
+    kept.zipWithIndex.map { case (fs, i) =>
       FilePartition(i, fs): InputPartition
     }.toArray
   }
@@ -247,9 +254,11 @@ private[graft] class GraftFileScan(delegate: Scan, outSchema: StructType,
 }
 
 /** Wraps the delegate readers; when the file/pos columns are
-  * requested, projects each row onto the required schema with the
-  * partition's (constant) file path appended and the position bound
-  * to the parquet reader's row-index synthesis column. */
+  * requested, a partition's splits are read as PER-FILE sub-readers
+  * in sequence (the partition may pack many files, or a slice of a
+  * big one), each projecting onto the required schema with its file's
+  * path appended and the position bound to the parquet reader's
+  * row-index synthesis column. */
 private[graft] class GraftFileReaderFactory(
     delegate: PartitionReaderFactory, dSchema: StructType,
     outSchema: StructType, withMetaCols: Boolean)
@@ -260,29 +269,47 @@ private[graft] class GraftFileReaderFactory(
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val inner = delegate.createReader(partition)
-    if (!withMetaCols) inner
-    else {
-      val file = partition match {
-        case fp: FilePartition => fp.files.head.filePath.toString
-        case other => sys.error(s"unexpected partition $other")
-      }
-      val exprs: Seq[Expression] = outSchema.fields.toSeq.map { f =>
+    if (!withMetaCols) return delegate.createReader(partition)
+    val groups: Seq[(String, Array[PartitionedFile])] = partition match {
+      case fp: FilePartition =>
+        fp.files.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
+      case other => sys.error(s"unexpected partition $other")
+    }
+    def projFor(file: String): UnsafeProjection =
+      UnsafeProjection.create(outSchema.fields.toSeq.map { f =>
         if (f.name == RowLevel.FileCol)
           CatalystLiteral(UTF8String.fromString(file), StringType)
+            : Expression
         else {
           val name =
             if (f.name == RowLevel.PosCol) PosDv.TmpCol else f.name
           val i = dSchema.fieldIndex(name)
           BoundReference(i, dSchema(i).dataType, dSchema(i).nullable)
         }
+      })
+    new PartitionReader[InternalRow] {
+      private var gi = -1
+      private var inner: PartitionReader[InternalRow] = _
+      private var proj: UnsafeProjection = _
+      private def advance(): Boolean = {
+        if (inner != null) { inner.close(); inner = null }
+        gi += 1
+        if (gi >= groups.length) return false
+        val (file, splits) = groups(gi)
+        inner = delegate.createReader(FilePartition(gi, splits))
+        proj = projFor(file)
+        true
       }
-      val proj = UnsafeProjection.create(exprs)
-      new PartitionReader[InternalRow] {
-        override def next(): Boolean = inner.next()
-        override def get(): InternalRow = proj(inner.get())
-        override def close(): Unit = inner.close()
+      override def next(): Boolean = {
+        while (inner != null || gi < groups.length) {
+          if (inner == null) { if (!advance()) return false }
+          else if (inner.next()) return true
+          else { inner.close(); inner = null }
+        }
+        false
       }
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = if (inner != null) inner.close()
     }
   }
 

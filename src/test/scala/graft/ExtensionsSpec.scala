@@ -898,4 +898,33 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getLong(0) == 444L)
     } finally s.conf.unset("graft.dml.mode")
   }
+
+  test("round-13 streaming source rate control: maxVersionsPerTrigger " +
+      "bounds each micro-batch to N commit versions") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_rate").toString
+    val t = s"$base/table"
+    sources.Io.tableAppend((1L to 5L).toDF("k"), t)   // v0
+    sources.Io.tableAppend((6L to 10L).toDF("k"), t)  // v1
+    sources.Io.tableAppend((11L to 15L).toDF("k"), t) // v2
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.queryName("gsrc_rate").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    assert(s.table("gsrc_rate").count() == 15)
+    // catching up on 3 versions under a 1-version cap takes >= 3
+    // non-empty batches (one giant first batch would be exactly 1)
+    val fed = q.recentProgress.count(_.numInputRows > 0)
+    assert(fed >= 3, s"expected >=3 rate-limited batches, got $fed")
+    q.stop()
+  }
 }
