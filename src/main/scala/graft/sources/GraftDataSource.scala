@@ -618,7 +618,22 @@ private[graft] class PosDvReaderFactory(delegate: PartitionReaderFactory,
   * (run Io.optimizeTableDv first, or read the change feed). */
 private[graft] class GraftStreamableScan(delegate: Scan,
     spark: SparkSession, path: String, hasDv: Boolean,
-    options: CaseInsensitiveStringMap) extends Scan {
+    options: CaseInsensitiveStringMap) extends Scan
+  with connector.read.SupportsReportStatistics {
+  // join sizing must not degrade behind the wrapper: forward the
+  // delegate ParquetScan's size/row estimates (AQE/broadcast decisions
+  // read them through SupportsReportStatistics)
+  override def estimateStatistics(): connector.read.Statistics =
+    delegate match {
+      case s: connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
   // the row-index temp column never leaves the connector: a streaming
   // read may skip column pruning entirely, in which case the delegate
   // ParquetScan's schema still carries it — strip it from everything
@@ -675,9 +690,30 @@ private[graft] class GraftMicroBatchStream(spark: SparkSession,
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
       .map { v => require(v > 0, "maxVersionsPerTrigger must be > 0"); v }
 
-  override def initialOffset(): connector.read.streaming.Offset =
-    GraftStreamOffset(Option(options.get("startingVersion"))
-      .map(_.toLong - 1L).getOrElse(-1L))
+  // `startingVersion` or `startingTimestamp` (commit-mtime cut, the
+  // timestampAsOf analog — serves commits STRICTLY AFTER the instant)
+  // skip history; default is the full history from v0
+  override def initialOffset(): connector.read.streaming.Offset = {
+    val byVersion = Option(options.get("startingVersion"))
+      .map(_.toLong - 1L)
+    val byTs = Option(options.get("startingTimestamp")).map { ts =>
+      require(byVersion.isEmpty,
+        "startingVersion and startingTimestamp are mutually exclusive")
+      val millis =
+        try ts.toLong
+        catch {
+          case _: NumberFormatException =>
+            java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+      // the newest commit at-or-before the cut is the START offset
+      // (exclusive): the stream serves everything after it; a cut
+      // before the first retained commit streams from the beginning
+      try Io.versionAtTimestamp(spark, path, millis)
+      catch { case _: IllegalArgumentException => -1L }
+    }
+    GraftStreamOffset(byTs.orElse(byVersion).getOrElse(-1L))
+  }
   override def latestOffset(): connector.read.streaming.Offset =
     GraftStreamOffset(Io.tableVersion(spark, path))
   override def getDefaultReadLimit: connector.read.streaming.ReadLimit =

@@ -2147,6 +2147,30 @@ object Io {
     nv
   }
 
+  /** DV-sidecar COMPACTION (round 13): MOR DML appends one small dv/
+    * dir per statement, so a mutation-heavy table accumulates sidecar
+    * fan-out (every MOR read unions the dirs) until OPTIMIZE rewrites
+    * data files. This is the CHEAP middle ground: union HEAD's dv/
+    * dirs into ONE fresh dir and commit a version with the SAME file
+    * list — no data file touched, reads collapse to a single DV
+    * source, vacuum collects the superseded dirs once their versions
+    * expire. A no-op (≤1 dir) returns HEAD unchanged. */
+  def compactTableDv(spark: SparkSession, table: String): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val dirs = dvDirsOf(spark, table, v)
+    if (dirs.size <= 1) return v
+    val nv = v + 1
+    val d = f"dv/d$nv%08d-compact"
+    dvEntries(spark, table, dirs)
+      .select(col("__f").as("f"), col("__p").as("p"))
+      .write.mode("overwrite").parquet(s"$table/$d")
+    val files = readCommit(spark, table, v)
+    val (_, st) = carryStats(spark, table, v, nv, files, Seq.empty)
+    writeCommit(spark, table, nv, files, Seq(d), st)
+    nv
+  }
+
   /** Data-skipping time-travel read: version `version`'s file list
     * pruned by the commit-embedded stats to those overlapping
     * [lo, hi) on `statsCol`, with the residual predicate making the

@@ -906,6 +906,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    import org.apache.spark.sql.functions._
     import s.implicits._
     val base = java.nio.file.Files
       .createTempDirectory("graft_stream_rate").toString
@@ -926,5 +927,33 @@ class ExtensionsSpec extends AnyFunSuite {
     val fed = q.recentProgress.count(_.numInputRows > 0)
     assert(fed >= 3, s"expected >=3 rate-limited batches, got $fed")
     q.stop()
+    // startingVersion skips history: a v2-start stream sees only v2
+    val q2 = s.readStream.format("graft")
+      .option("startingVersion", "2").load(t)
+      .writeStream.queryName("gsrc_sv").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt_sv")
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(s.table("gsrc_sv").agg(min("k"), max("k"), count(lit(1)))
+      .head().toSeq == Seq(11L, 15L, 5L))
+    // startingTimestamp: a cut at the last commit's mtime serves
+    // nothing until a NEWER append lands
+    val cut = System.currentTimeMillis()
+    val q3 = s.readStream.format("graft")
+      .option("startingTimestamp", cut.toString).load(t)
+      .writeStream.queryName("gsrc_st").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt_st")
+      .start()
+    q3.processAllAvailable()
+    assert(s.table("gsrc_st").count() == 0,
+      "a now-cut stream must start empty")
+    Thread.sleep(1100) // commit mtimes are second-ish granular
+    sources.Io.tableAppend((16L to 18L).toDF("k"), t) // v3
+    q3.processAllAvailable(); q3.stop()
+    assert(s.table("gsrc_st").agg(min("k"), max("k"), count(lit(1)))
+      .head().toSeq == Seq(16L, 18L, 3L),
+      "only the post-cut append streams")
   }
 }

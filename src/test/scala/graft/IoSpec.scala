@@ -798,6 +798,34 @@ class IoSpec extends AnyFunSuite {
       .head().getLong(1) == 1L)
   }
 
+  test("round-13 DV-sidecar compaction: many MOR dv/ dirs fold into " +
+      "one, reads identical, file list untouched, vacuum collects") {
+    import spark.implicits._
+    val t = s"$tmp/dvcompact"
+    Io.tableAppend((1L to 100L).toDF("k").coalesce(2), t) // v0
+    Io.tableDeleteWhereDv(spark, t, col("k") === 3)  // v1: dv dir 1
+    Io.tableDeleteWhereDv(spark, t, col("k") === 55) // v2: dv dir 2
+    Io.tableDeleteWhereDv(spark, t, col("k") === 7)  // v3: dv dir 3
+    assert(Io.dvDirsOf(spark, t, 3L).size == 3)
+    val files3 = Io.versionFiles(spark, t, 3L).toSet
+    val v4 = Io.compactTableDv(spark, t)
+    assert(v4 == 4L)
+    assert(Io.dvDirsOf(spark, t, 4L).size == 1, "one compacted dir")
+    assert(Io.versionFiles(spark, t, 4L).toSet == files3,
+      "compaction must not touch data files")
+    val r4 = Io.readTableVersion(spark, t, 4L)
+    assert(r4.count() == 97 &&
+      r4.filter(col("k").isin(3L, 7L, 55L)).count() == 0)
+    // pre-compaction versions still serve their own dv sets
+    assert(Io.readTableVersion(spark, t, 2L).count() == 98)
+    // a no-op compaction returns HEAD unchanged
+    assert(Io.compactTableDv(spark, t) == 4L)
+    // vacuum: superseded dv dirs die with their expired versions
+    val removed = Io.vacuumTable(spark, t, 4L)
+    assert(removed >= 3, s"expected >=3 superseded dv parts, got $removed")
+    assert(Io.readTableVersion(spark, t, 4L).count() == 97)
+  }
+
   test("changeFeed: identical file sets yield an EMPTY feed that still " +
       "carries the schema + change_type") {
     import spark.implicits._
