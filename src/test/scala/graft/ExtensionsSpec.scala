@@ -435,7 +435,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toMap
     val tblProps = props.getOrElse("Table Properties", "")
     assert(tblProps.contains("graft.version=2") &&
-      tblProps.contains("graft.head=2"),
+      tblProps.contains("graft.head=2") &&
+      tblProps.contains("graft.numFiles="),
       s"expected commit-log props, got: $tblProps")
     // SHOW TABLES sees it; RENAME moves it; DROP removes it
     assert(s.sql("SHOW TABLES IN gcat.db").collect()
