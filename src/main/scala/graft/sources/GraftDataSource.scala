@@ -679,7 +679,18 @@ private[graft] class GraftMicroBatchStream(spark: SparkSession,
     path: String, requiredSchema: StructType,
     options: CaseInsensitiveStringMap)
   extends connector.read.streaming.MicroBatchStream
-  with connector.read.streaming.SupportsAdmissionControl {
+  with connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow (the backfill pattern): the commit HEAD is
+  // snapshotted at prepare time and every batch — still under the
+  // rate cap — runs against that frozen end, so the query drains
+  // exactly the prepared history in bounded chunks and terminates
+  // even while writers keep appending.
+  @volatile private var availableEnd: Long = -2L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Io.tableVersion(spark, path)
+  private def headNow: Long =
+    if (availableEnd >= -1L) availableEnd else Io.tableVersion(spark, path)
 
   // rate control (round 13): `maxVersionsPerTrigger` caps how many
   // commit versions one micro-batch may span — a stream catching up on
@@ -715,20 +726,20 @@ private[graft] class GraftMicroBatchStream(spark: SparkSession,
     GraftStreamOffset(byTs.orElse(byVersion).getOrElse(-1L))
   }
   override def latestOffset(): connector.read.streaming.Offset =
-    GraftStreamOffset(Io.tableVersion(spark, path))
+    GraftStreamOffset(headNow)
   override def getDefaultReadLimit: connector.read.streaming.ReadLimit =
     connector.read.streaming.ReadLimit.allAvailable()
   override def latestOffset(start: connector.read.streaming.Offset,
       limit: connector.read.streaming.ReadLimit)
       : connector.read.streaming.Offset = {
-    val head = Io.tableVersion(spark, path)
+    val head = headNow
     GraftStreamOffset(maxVersions match {
       case Some(n) => math.min(head, ver(start) + n)
       case None => head
     })
   }
   override def reportLatestOffset(): connector.read.streaming.Offset =
-    GraftStreamOffset(Io.tableVersion(spark, path))
+    GraftStreamOffset(headNow)
   override def deserializeOffset(json: String)
       : connector.read.streaming.Offset =
     GraftStreamOffset(json.trim.toLong)

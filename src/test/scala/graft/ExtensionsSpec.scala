@@ -956,5 +956,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s.table("gsrc_st").agg(min("k"), max("k"), count(lit(1)))
       .head().toSeq == Seq(16L, 18L, 3L),
       "only the post-cut append streams")
+    // Trigger.AvailableNow (the backfill pattern): drain everything
+    // committed so far under the rate cap, then TERMINATE on its own
+    val q4 = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2").load(t)
+      .writeStream.queryName("gsrc_now").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt_now")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q4.awaitTermination(120000),
+      "an AvailableNow stream must terminate after draining")
+    assert(s.table("gsrc_now").count() == 18,
+      "AvailableNow must drain every committed version exactly once")
   }
 }
