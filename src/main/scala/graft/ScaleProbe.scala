@@ -29,7 +29,7 @@ object ScaleProbe {
     val headline = Set("match_conj", "agg_hourly", "promql_range_grid",
       "minhash_bands", "ivfpq_train_probe",
       "rollup_tier_daily", "dsir_buckets", "paragraph_dedup",
-      "gapfill_grid", "rowlevel_update", "mor_update")
+      "gapfill_grid", "rowlevel_update", "mor_update", "mor_bulk_delete")
     // `only <row names...>`: probe just the named rows (new-operator
     // measurement without re-running the full suite)
     val only: Set[String] =
@@ -388,6 +388,42 @@ object ScaleProbe {
         spark.sql("UPDATE gmprobe.t SET cents = cents + 1 " +
           "WHERE event_id >= 5000 AND event_id < 15000")
       } finally spark.conf.unset("graft.dml.mode")
+    }
+    // round 14: BULK MOR delete — ~40% of every file matches, so the
+    // over-threshold fallback (GraftDeltaWrite commit guard) must
+    // materialize the touched files in its follow-up commit and leave
+    // BOUNDED DV state; the untranslatable tail keeps the predicate
+    // off the metadata-delete path so WriteDelta (the guarded path) is
+    // what runs. Time includes delta + materialize — the claim is
+    // bounded state at bulk scale, not zero rewrites.
+    if (only.isEmpty || only("mor_bulk_delete") ||
+        (headlineOnly && headline("mor_bulk_delete"))) {
+      val mbDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_probe_morbulk_$factor")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(mbDir)
+      val tdir = new java.io.File(mbDir, "wh/t").toString
+      sources.Io.tableAppend(
+        big.select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .repartitionByRange(32 * math.max(1, factor / 2),
+            col("event_id")),
+        tdir)
+      spark.conf.set("spark.sql.catalog.gmbprobe",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gmbprobe.warehouse",
+        new java.io.File(mbDir, "wh").toString)
+      spark.conf.set("graft.dml.mode", "mor")
+      try t("mor_bulk_delete") {
+        spark.sql("DELETE FROM gmbprobe.t " +
+          "WHERE typ IN ('view', 'click') AND cents % 1 = 0")
+      } finally spark.conf.unset("graft.dml.mode")
+      val t2 = tdir
+      val head = sources.Io.tableVersion(spark, t2)
+      println(s"mor_bulk_delete: head v$head, dv dirs " +
+        s"${sources.Io.dvDirsOf(spark, t2, head).size} (bounded)")
     }
     spark.stop()
   }

@@ -207,6 +207,7 @@ object SparkEntry {
     "io_catalog" -> (sources.Io.catalogRead _),
     "io_ctas" -> (sources.Io.ctasRead _),
     "io_alter_add" -> (sources.Io.alterAddRead _),
+    "io_alter_dml" -> (sources.Io.alterDmlRead _),
     "io_overwrite" -> (sources.Io.overwriteRead _),
     "io_merge" -> (sources.Io.mergeRead _),
     "io_merge_reinsert" -> (sources.Io.mergeReinsertRead _),
@@ -215,13 +216,16 @@ object SparkEntry {
     "io_update_mor" -> (sources.Io.updateMorRead _),
     "io_dv_cdf" -> (sources.Io.dvCdfRead _),
     "io_cdf" -> (sources.Io.cdfRead _),
+    "io_cdf_mor" -> (sources.Io.cdfMorRead _),
     "io_history" -> (sources.Io.historyRead _),
     "io_clone" -> (sources.Io.cloneRead _),
     "io_vacuum" -> (sources.Io.vacuumRead _),
     "io_stream_sink" -> (streaming.StreamOps.tableSinkStreamed _),
+    "stream_sink_dsv2" -> (streaming.StreamOps.tableSinkDsv2Streamed _),
     "stream_merge" -> (streaming.StreamOps.mergeStreamed _),
     "stream_update" -> (streaming.StreamOps.updateStreamed _),
     "stream_table_source" -> (streaming.StreamOps.tableSourceStreamed _),
+    "stream_table_source_dv" -> (streaming.StreamOps.tableSourceDvStreamed _),
     "io_restore" -> (sources.Io.restoreRead _),
     "io_optimize" -> (sources.Io.optimizeRead _),
     "io_skipping" -> (sources.Io.skippingRead _),
@@ -2594,6 +2598,51 @@ object SparkEntry {
         |  count(band) AS n_band, CAST(sum(band) AS BIGINT) AS sum_band,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM t GROUP BY 1""".stripMargin,
+    // round 14 (round-13 ADVICE high): cross-era DML — the io_alter_add
+    // evolution followed by a COW DELETE whose touched files span both
+    // eras; era-2 rows must keep their band through the rewrite
+    "io_alter_dml" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (
+        |  SELECT typ, event_id, cents, CAST(NULL AS BIGINT) AS band
+        |  FROM src WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT typ, event_id, cents, cents % 10 AS band
+        |  FROM src WHERE event_id % 2 = 1)
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(band) AS n_band, CAST(sum(band) AS BIGINT) AS sum_band,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM t WHERE typ <> 'view' GROUP BY 1""".stripMargin,
+    // round 14 (round-13 VERDICT #3): MOR-update CDC pairing — the
+    // 0→1 feed emits update_preimage/update_postimage pairs for the
+    // statement's rows, the 1→2 plain append stays insert
+    "io_cdf_mor" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |pre AS (
+        |  SELECT CAST(0 AS BIGINT) AS from_v,
+        |    'update_preimage' AS change_type, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM src WHERE event_id % 2 = 0 AND typ = 'purchase'
+        |  GROUP BY 3),
+        |post AS (
+        |  SELECT CAST(0 AS BIGINT) AS from_v,
+        |    'update_postimage' AS change_type, typ, count(*) AS n,
+        |    CAST(sum(event_id % 1000 + 7) AS BIGINT) AS sum_cents
+        |  FROM src WHERE event_id % 2 = 0 AND typ = 'purchase'
+        |  GROUP BY 3),
+        |ins AS (
+        |  SELECT CAST(1 AS BIGINT) AS from_v,
+        |    'insert' AS change_type, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM src WHERE event_id % 2 = 1 GROUP BY 3)
+        |SELECT * FROM pre UNION ALL SELECT * FROM post
+        |UNION ALL SELECT * FROM ins""".stripMargin,
     // round 13: MERGE × positional DVs — v1 DV-deletes error∧(id%7=0),
     // v2 merges updates (non-error id%5=0 → 2c+1) + RE-INSERTS the
     // id%14=0 half of the deleted class; the error file carries by
@@ -2656,6 +2705,24 @@ object SparkEntry {
         |    AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY 1""".stripMargin,
+    // round 14 (round-13 VERDICT #4): withSnapshot streaming over a
+    // DV-carrying table — batch 0 is the MOR cut of v1 (the id%3=0
+    // slice minus the error∧(id%7=0) DV deletes), batch 1 the id%3=1
+    // append; final aggregate ≡ the replayed union
+    "stream_table_source_dv" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT * FROM src
+        |  WHERE event_id % 3 = 0
+        |    AND NOT (typ = 'error' AND event_id % 7 = 0)
+        |  UNION ALL
+        |  SELECT * FROM src WHERE event_id % 3 = 1)
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
     // H35 (round 13): streaming UPDATE apply — two absolute-SET
     // instructions (purchase: cents = id%1000+1, click: id%777+2)
     // applied as SQL UPDATE per micro-batch; final landed cut ≡ the
@@ -2841,6 +2908,14 @@ object SparkEntry {
     // every micro-batch delivered TWICE, retries must no-op, latest
     // version ≡ the batch aggregation over the source
     "io_stream_sink" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    // round 14: the DIRECT DSv2 streaming sink (writeStream
+    // .format("graft"), no foreachBatch) — epochs ≡ versions, a full
+    // fresh-checkpoint replay must no-op; same content contract as I19
+    "stream_sink_dsv2" ->
       """SELECT event_type AS typ, count(*) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS sum_cents

@@ -167,7 +167,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Pinned `VERSION AS OF` reads keep their own era's schema (the
     * sidecar applies to HEAD only — see [[GraftTables.forPath]]).
     * Everything else (drop/rename/type change) keeps refusing: those
-    * would rewrite history. */
+    * would rewrite history.
+    *
+    * Round 14 (round-13 VERDICT #5): the evolution lands as a
+    * CLAIM-SERIALIZED COMMIT ([[Io.commitSchemaChange]] — one more
+    * version with the same file list, sidecar written inside the
+    * claimed-lock window), so two racing ALTERs — or an ALTER racing a
+    * REPLACE/INSERT — serialize at the version claim: one wins, the
+    * loser gets a catchable CommitConflictException against its stale
+    * base, never an interleaved sidecar. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val p = tablePath(ident)
@@ -178,6 +186,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "only ALTER TABLE ADD COLUMN is supported: schema evolution is " +
         "an append-time property of the commit log (I24) — " +
         "drop/rename/type changes would rewrite history")
+    val basedOn = Io.tableVersion(spark, p)
     val cur = GraftTables.readSchemaSidecar(spark, p).getOrElse(
       GraftTables.forPath(spark, p, CaseInsensitiveStringMap.empty())
         .schema())
@@ -193,7 +202,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "null-backfill (there is no default-value rewrite)")
       sch.add(name, a.dataType(), nullable = true)
     }
-    GraftTables.writeSchemaSidecar(spark, p, next)
+    Io.commitSchemaChange(spark, p, basedOn, next)
     loadTable(ident)
   }
 

@@ -69,6 +69,27 @@ import org.apache.spark.util.SerializableConfiguration
   * pinned readers, which the commit-log OCC protocol guarantees for
   * every DML verb here.
   */
+/** The Hadoop conf an executor-side [[ParquetWriteSupport]] writer
+  * needs (shared by the COW replace write, the MOR delta write and the
+  * round-14 streaming sink): the session conf copies only SET entries,
+  * so defaults the write support asserts on must be pinned explicitly
+  * or they arrive as the literal string "null". */
+private[graft] object GraftParquetConf {
+  def forSchema(spark: SparkSession,
+      schema: StructType): SerializableConfiguration = {
+    val conf = new Configuration(spark.sessionState.newHadoopConf())
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
+    new SerializableConfiguration(conf)
+  }
+}
+
 private[graft] object RowLevel {
   val FileCol = "_graft_file"
   val fileColRef: NamedReference = Expressions.column(FileCol)
@@ -336,19 +357,9 @@ private[graft] class GraftReplaceWrite(spark: SparkSession, path: String,
     s"graft COW replace $path v$version->v$nv"
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = new Configuration(spark.sessionState.newHadoopConf())
-    ParquetWriteSupport.setSchema(writeSchema, conf)
-    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
-    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
-    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
-    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
-      "false")
+      info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDataWriterFactory(s"$path/data/$tag",
-      new SerializableConfiguration(conf))
-  }
+      GraftParquetConf.forSchema(spark, writeSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect {
@@ -425,7 +436,7 @@ private[graft] class GraftDeltaRowLevelOperation(spark: SparkSession,
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.DeltaWrite =
-        new GraftDeltaWrite(spark, path, version, info.schema())
+        new GraftDeltaWrite(spark, path, version, info.schema(), cmd)
     }
 
   override def rowId(): Array[NamedReference] =
@@ -441,37 +452,38 @@ private[graft] class GraftDeltaRowLevelOperation(spark: SparkSession,
   * prior-files-unchanged + fresh inserts, with the new dv dir appended
   * to the carried DV sidecar — ONE OCC version, nothing rewritten. */
 private[graft] class GraftDeltaWrite(spark: SparkSession, path: String,
-    version: Long, writeSchema: StructType)
+    version: Long, writeSchema: StructType, cmd: Command)
   extends org.apache.spark.sql.connector.write.DeltaWrite
   with org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private val nv = version + 1
   private val uid = java.util.UUID.randomUUID().toString.take(8)
-  private val dataTag = s"c$nv-mor-$uid"
-  private val dvDir = s"dv/d$nv-mor-$uid"
+  // the STATEMENT MARKER (round 14, round-13 VERDICT #3): the data tag
+  // and the dv dir share the statement's uid AND its command letter,
+  // so the change feed can pair a MOR UPDATE's DV entries
+  // (update_preimage) with its fresh row images (update_postimage)
+  // instead of emitting bare delete+insert — Delta's CDF row types.
+  // DELETE/MERGE keep their unpaired types (a MERGE's files mix
+  // matched updates with NOT-MATCHED inserts — file-granular pairing
+  // would lie).
+  private val cmdTag = cmd match {
+    case Command.UPDATE => "moru"
+    case Command.DELETE => "mord"
+    case _ => "morm"
+  }
+  private val dataTag = s"c$nv-$cmdTag-$uid"
+  private val dvDir = s"dv/d$nv-$cmdTag-$uid"
 
   override def toBatch
       : org.apache.spark.sql.connector.write.DeltaBatchWrite = this
   override def description(): String =
     s"graft MOR delta $path v$version->v$nv"
 
-  private def confFor(schema: StructType): SerializableConfiguration = {
-    val conf = new Configuration(spark.sessionState.newHadoopConf())
-    ParquetWriteSupport.setSchema(schema, conf)
-    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
-    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
-    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
-    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
-      "false")
-    new SerializableConfiguration(conf)
-  }
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new GraftDeltaWriterFactory(s"$path/data/$dataTag", s"$path/$dvDir",
-      confFor(writeSchema), confFor(GraftDeltaWrite.dvSchema))
+      GraftParquetConf.forSchema(spark, writeSchema),
+      GraftParquetConf.forSchema(spark, GraftDeltaWrite.dvSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect {
@@ -486,6 +498,21 @@ private[graft] class GraftDeltaWrite(spark: SparkSession, path: String,
       prior, fresh, dataTag)
     Io.commitDelta(spark, path, nv, prior ++ freshKept,
       if (anyDv) Seq(dvDir) else Seq.empty, stats)
+    // round 14 (round-13 VERDICT #2a): the COW fallback the MOR verbs
+    // lacked — files whose LIVE deleted fraction now exceeds
+    // `graft.dml.mor.cowFraction` (default 0.2, tableDeleteWhereDv's
+    // threshold) are materialized in a follow-up commit that also
+    // CONSOLIDATES the surviving DV state, so a bulk MOR delete lands
+    // bounded DV payload instead of a table-sized broadcast until a
+    // manual OPTIMIZE. Footer-count detection is ∝ #DV-carrying files.
+    if (anyDv) {
+      val frac = spark.conf.getOption("graft.dml.mor.cowFraction")
+        .map(_.toDouble).getOrElse(0.2)
+      val floor = spark.conf.getOption("graft.dml.mor.minDvEntries")
+        .map(_.toLong).getOrElse(1024L)
+      val over = Io.dvOverThresholdFiles(spark, path, nv, frac, floor)
+      if (over.nonEmpty) Io.optimizeTableDvFiles(spark, path, over)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -583,12 +610,20 @@ private[graft] class GraftDataWriterFactory(dir: String,
   * [[ParquetWriteSupport]] (the exact encoder `df.write.parquet`
   * uses, so files are byte-compatible with every other read path).
   * The file is created lazily on the first row — empty partitions
-  * land nothing — and an aborted task deletes its own file (the
-  * commit coordinator guarantees one committed attempt per
-  * partition; crash orphans are the vacuum's usual class). */
+  * land nothing — and rows stream into a HIDDEN attempt-unique temp
+  * name (`.<name>.tmp-<uuid>` — Spark's directory reads filter
+  * dot-files) that is RENAMED to the final name only at task
+  * `commit()` (round 14, round-13 ADVICE medium): a task attempt that
+  * dies without `abort()` (executor crash, speculation kill) leaves
+  * only an invisible temp, never a partial/corrupt part readable
+  * inside a dir-referenced DV sidecar. The commit coordinator
+  * guarantees one committed attempt per partition; crash orphans are
+  * the vacuum's usual class. */
 private[graft] class GraftParquetDataWriter(dir: String, name: String,
     conf: Configuration) extends DataWriter[InternalRow] {
 
+  private val tmpName =
+    s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var closed = false
 
@@ -604,7 +639,7 @@ private[graft] class GraftParquetDataWriter(dir: String, name: String,
   override def write(r: InternalRow): Unit = {
     if (writer == null)
       writer = new RowParquetBuilder(
-        new org.apache.hadoop.fs.Path(dir, name))
+        new org.apache.hadoop.fs.Path(dir, tmpName))
         .withConf(conf)
         .withCompressionCodec(
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
@@ -614,16 +649,25 @@ private[graft] class GraftParquetDataWriter(dir: String, name: String,
 
   override def commit(): WriterCommitMessage = {
     if (writer == null) GraftNoFile
-    else { writer.close(); closed = true; GraftWrittenFile(name) }
+    else {
+      writer.close(); closed = true
+      val tmp = new org.apache.hadoop.fs.Path(dir, tmpName)
+      val fin = new org.apache.hadoop.fs.Path(dir, name)
+      val fs = tmp.getFileSystem(conf)
+      require(fs.rename(tmp, fin),
+        s"task commit rename $tmp -> $fin failed")
+      GraftWrittenFile(name)
+    }
   }
 
   override def abort(): Unit = {
     try {
       if (writer != null && !closed) { writer.close(); closed = true }
       if (writer != null) {
-        val p = new org.apache.hadoop.fs.Path(dir, name)
-        val fs = p.getFileSystem(conf)
-        fs.delete(p, false)
+        val fs = new org.apache.hadoop.fs.Path(dir, tmpName)
+          .getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, tmpName), false)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, name), false)
         ()
       }
     } catch { case _: Throwable => () }

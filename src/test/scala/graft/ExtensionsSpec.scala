@@ -970,4 +970,173 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s.table("gsrc_now").count() == 18,
       "AvailableNow must drain every committed version exactly once")
   }
+
+  test("round-14 streaming source withSnapshot: a DV table's initial " +
+      "snapshot serves MOR-filtered as batch 0, appends tail exactly " +
+      "once, a post-start DV change refuses, default still refuses") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snap_src").toString
+    val t = s"$base/table"
+    sources.Io.tableAppend((1L to 10L).toDF("k").coalesce(1), t) // v0
+    sources.Io.tableDeleteWhereDv(s, t, col("k") === 5)          // v1 DV
+    assert(sources.Io.dvDirsOf(s, t, 1L).nonEmpty)
+    // default (no option): DV tables refuse at stream construction
+    val refuse = intercept[Exception] {
+      s.readStream.format("graft").load(t)
+        .writeStream.format("memory").queryName("snap_refuse")
+        .option("checkpointLocation", s"$base/ckpt0").start()
+        .processAllAvailable()
+    }
+    assert(refuse.getMessage != null)
+    // withSnapshot: batch 0 = the MOR cut (9 rows, k=5 absent)
+    val q = s.readStream.format("graft")
+      .option("withSnapshot", "true").load(t)
+      .writeStream.queryName("snap_rows").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    assert(s.table("snap_rows").count() == 9)
+    assert(s.table("snap_rows").filter(col("k") === 5).count() == 0,
+      "the DV-deleted row must never enter the stream")
+    // a mid-stream append tails exactly once
+    sources.Io.tableAppend((11L to 13L).toDF("k"), t) // v2
+    q.processAllAvailable()
+    assert(s.table("snap_rows").agg(count(lit(1)), sum("k"))
+      .head().toSeq == Seq(12L, (1L to 13L).sum - 5L))
+    // a post-start DV change refuses loudly
+    sources.Io.tableDeleteWhereDv(s, t, col("k") === 7) // v3: new DV
+    sources.Io.tableAppend(Seq(100L).toDF("k"), t)      // v4
+    try q.processAllAvailable() catch { case _: Throwable => () }
+    def msgs(e: Throwable): String =
+      if (e == null) "" else e.getMessage + " | " + msgs(e.getCause)
+    assert(q.exception.isDefined &&
+      msgs(q.exception.get).contains("deletion vectors changed"),
+      s"expected a DV-change refusal, got ${q.exception}")
+  }
+
+  test("round-14 ALTER serializes through the OCC protocol: a schema " +
+      "change is a claim-serialized commit; a stale-base change " +
+      "conflicts loudly; sequential ALTERs compose") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_alter_occ").toString
+    s.conf.set("spark.sql.catalog.gaocc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gaocc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gaocc.db")
+    s.sql("CREATE TABLE gaocc.db.t AS SELECT CAST(1 AS BIGINT) AS k")
+    val t = s"$wh/db/t"
+    val v0 = sources.Io.tableVersion(s, t)
+    assert(v0 == 0L)
+    // ALTER lands as a version: HEAD advances, file list unchanged
+    s.sql("ALTER TABLE gaocc.db.t ADD COLUMN a BIGINT")
+    assert(sources.Io.tableVersion(s, t) == 1L,
+      "ALTER must land as a claim-serialized commit")
+    assert(sources.Io.commitEntries(s, t, 1L) ==
+      sources.Io.commitEntries(s, t, 0L),
+      "a schema-change commit carries the same file list")
+    // two schema changes computed against the SAME base version: the
+    // second claim must conflict loudly (the racing-ALTER shape, made
+    // deterministic by replaying the stale base)
+    val base = sources.Io.tableVersion(s, t)
+    val sch = sources.GraftTables.readSchemaSidecar(s, t).get
+    sources.Io.commitSchemaChange(s, t, base, sch.add("b",
+      org.apache.spark.sql.types.LongType, nullable = true))
+    intercept[sources.Io.CommitConflictException] {
+      sources.Io.commitSchemaChange(s, t, base, sch.add("c",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    }
+    // the winner's column is the one that landed; the loser's never
+    // interleaved into the sidecar
+    val after = sources.GraftTables.readSchemaSidecar(s, t).get
+    assert(after.fieldNames.contains("b") && !after.fieldNames.contains("c"))
+    // sequential ALTERs (each reading fresh state) compose fine
+    s.sql("ALTER TABLE gaocc.db.t ADD COLUMN d BIGINT")
+    assert(sources.GraftTables.readSchemaSidecar(s, t).get
+      .fieldNames.toSeq.containsSlice(Seq("b", "d")))
+    // and the evolved table still reads: old rows null-backfill
+    val row = s.sql("SELECT k, a, b, d FROM gaocc.db.t").head()
+    assert(row.getLong(0) == 1L && row.isNullAt(1) && row.isNullAt(2) &&
+      row.isNullAt(3))
+  }
+
+  test("round-14 direct DSv2 streaming sink: writeStream.format(graft) " +
+      "commits one version per epoch; sink -> source round-trip; " +
+      "Complete mode refuses") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dsink_spec").toString
+    val landing = s"$base/landing"
+    val t = s"$base/table"
+    (1L to 10L).toDF("k").coalesce(1)
+      .write.mode("append").parquet(landing)
+    (11L to 20L).toDF("k").coalesce(1)
+      .write.mode("append").parquet(landing)
+    sources.Io.tableCreate(s, t, s.read.parquet(landing).schema)
+    val q = s.readStream.schema(s.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start(t)
+    q.processAllAvailable(); q.stop()
+    // one version per epoch (2 landing files → epochs 0 and 1)
+    assert(sources.Io.tableVersion(s, t) == 1L,
+      s"expected v1 after 2 epochs, got v${sources.Io.tableVersion(s, t)}")
+    assert(sources.Io.readTableVersion(s, t, 0L).count() == 10)
+    assert(sources.Io.readTableVersion(s, t, 1L).count() == 20)
+    // sink → source round-trip: the round-13 streaming SOURCE tails
+    // the table the round-14 direct sink wrote
+    val q2 = s.readStream.format("graft").load(t)
+      .writeStream.queryName("dsink_rt").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt_rt")
+      .start()
+    q2.processAllAvailable()
+    assert(s.table("dsink_rt").agg(count(lit(1)), sum("k"))
+      .head().toSeq == Seq(20L, (1L to 20L).sum))
+    // a mid-stream DIRECT-SINK epoch is served exactly once by the tail
+    (21L to 25L).toDF("k").coalesce(1)
+      .write.mode("append").parquet(landing)
+    val q3 = s.readStream.schema(s.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt") // same checkpoint
+      .start(t)
+    q3.processAllAvailable(); q3.stop()
+    assert(sources.Io.tableVersion(s, t) == 2L,
+      "the resumed sink must commit exactly the new epoch")
+    q2.processAllAvailable(); q2.stop()
+    assert(s.table("dsink_rt").agg(count(lit(1)), sum("k"))
+      .head().toSeq == Seq(25L, (1L to 25L).sum))
+    // Complete mode refuses (no insert-only representation) — against
+    // the committed table so OUR toStreaming require is what fires,
+    // not a capability check on an empty table
+    val agg = s.readStream.schema(s.read.parquet(landing).schema)
+      .parquet(landing).select(col("k")).groupBy().count()
+    val err = intercept[Exception] {
+      agg.withColumnRenamed("count", "k")
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt_c")
+        .start(t)
+        .processAllAvailable()
+    }
+    assert(err.getMessage != null)
+  }
 }

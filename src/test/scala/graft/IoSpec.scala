@@ -1045,4 +1045,82 @@ class IoSpec extends AnyFunSuite {
     assert(Io.readStatsFile(spark, t, 5L) == st2)
     assert(Io.readTableVersionMor(spark, t, 5L).count() == 13)
   }
+
+  test("round-14 MOR DV payload bound: a bulk MOR UPDATE (WriteDelta) " +
+      "materializes over-threshold files in a follow-up commit and " +
+      "CONSOLIDATES surviving DV state; under-threshold stays pure") {
+    import spark.implicits._
+    val wh = s"$tmp/morbound_wh"
+    spark.conf.set("spark.sql.catalog.gmb", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmb.db")
+    // 2 range-clustered files: k 1..100 and k 101..200 (translatable
+    // MOR DELETEs route through tableDeleteWhereDv, which already has
+    // the fallback — UPDATE/MERGE take WriteDelta, the path this test
+    // pins)
+    (1L to 200L).toDF("k").withColumn("v", col("k") * 10)
+      .repartitionByRange(2, col("k"))
+      .createOrReplaceTempView("__mb_src")
+    spark.sql("CREATE TABLE gmb.db.t AS SELECT * FROM __mb_src")
+    val t = s"$wh/db/t"
+    val v0Files = Io.commitEntries(spark, t, 0L).toSet
+    assert(v0Files.size == 2)
+    spark.conf.set("graft.dml.mode", "mor")
+    // the fixture's files are 100 rows — drop the triviality floor so
+    // the fraction threshold is what the test exercises
+    spark.conf.set("graft.dml.mor.minDvEntries", "10")
+    try {
+      // bulk MOR UPDATE: 90% of file 1's rows → 90 DV entries on it →
+      // the follow-up commit must rewrite file 1 and consolidate
+      spark.sql("UPDATE gmb.db.t SET v = 0 WHERE k <= 90")
+      val head = Io.tableVersion(spark, t)
+      assert(head == 2L,
+        s"expected delta commit v1 + materialize commit v2, got v$head")
+      assert(Io.dvDirsOf(spark, t, 1L).nonEmpty,
+        "the delta commit itself carries the statement's DV dir")
+      assert(Io.dvDirsOf(spark, t, 2L).isEmpty,
+        "consolidation must drop the materialized file's entries")
+      val v2Files = Io.commitEntries(spark, t, 2L).toSet
+      assert(v2Files.intersect(v0Files).size == 1,
+        "the clean file must carry by reference")
+      assert(spark.sql(
+        "SELECT count(*), sum(CASE WHEN k <= 90 THEN v ELSE 0 END) " +
+          "FROM gmb.db.t").head().toSeq == Seq(200L, 0L))
+      // history intact: v0 original values, v1 ≡ v2 content (MOR cut)
+      assert(Io.readTableVersion(spark, t, 0L)
+        .filter(col("k") === 1).head().getLong(1) == 10L)
+      assert(Io.readTableVersion(spark, t, 1L)
+        .filter(col("v") === 0).count() == 90L)
+      // under-threshold UPDATE stays pure MOR: 5 of file 2's 100 rows
+      spark.sql("UPDATE gmb.db.t SET v = 1 WHERE k > 100 AND k <= 105")
+      assert(Io.tableVersion(spark, t) == 3L,
+        "an under-threshold update is ONE delta commit")
+      assert(Io.dvDirsOf(spark, t, 3L).nonEmpty)
+      assert(v2Files.subsetOf(Io.commitEntries(spark, t, 3L).toSet),
+        "no file rewritten under the threshold")
+      // the consolidation is PARTIAL: a live entry on a kept file
+      // survives another file's materialization. 1-of-10 on the
+      // k91..100 rewrite (pure delta, v4) ...
+      spark.sql("UPDATE gmb.db.t SET v = 2 WHERE k = 95")
+      assert(Io.tableVersion(spark, t) == 4L)
+      // ... then push file 2 over the threshold (75 more of its 95
+      // live rows → 80/100 deleted): delta v5 + materialize v6
+      spark.sql("UPDATE gmb.db.t SET v = 3 WHERE k > 105 AND k <= 180")
+      val h3 = Io.tableVersion(spark, t)
+      assert(h3 == 6L, "over-threshold again: delta + materialize")
+      assert(Io.dvDirsOf(spark, t, 6L).size == 1,
+        "kept-file entries must survive into ONE consolidated dir")
+      // content: exactly one live copy of k=95 with the v4 value
+      assert(spark.sql("SELECT v FROM gmb.db.t WHERE k = 95")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+      assert(spark.sql("SELECT count(*) FROM gmb.db.t")
+        .head().getLong(0) == 200L)
+      assert(spark.sql(
+        "SELECT count(*) FROM gmb.db.t WHERE v = 3").head().getLong(0)
+        == 75L)
+    } finally {
+      spark.conf.unset("graft.dml.mode")
+      spark.conf.unset("graft.dml.mor.minDvEntries")
+    }
+  }
 }
