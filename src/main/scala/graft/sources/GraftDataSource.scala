@@ -665,27 +665,42 @@ private[graft] class PosDvScan(delegate: Scan, outSchema: StructType,
       delegate.readSchema(), outSchema, posIdx, dv)
 }
 
-/** Row-filtering wrapper: drops rows whose (file, position) is in the
-  * version's deleted set — a binary search in the file's sorted
-  * position array per row — and projects out the read-augmented
-  * row-index column. Rows only — columnar reads are declined so the
-  * delegate hands us row-based parquet readers (the transitional DV
-  * cost OPTIMIZE erases). */
+/** Filtering wrapper: drops rows whose (file, position) is in the
+  * version's deleted set — a binary search in the file's packed
+  * position set per row — and projects out the read-augmented
+  * row-index column.
+  *
+  * Round 14 (round-13 VERDICT #7): VECTORIZED reads are kept. When
+  * every output type is an atomic the wrapper supports — which is
+  * what Spark's vectorized parquet reader itself requires plus a
+  * decimal exclusion — the delegate's COLUMNAR batches flow through:
+  * a clean batch (no deleted positions) is served as a zero-copy
+  * column projection, a partially-deleted batch copies only the
+  * SURVIVORS into fresh on-heap vectors (one pass, still far cheaper
+  * than falling back to the row-based parquet reader for the whole
+  * file). Unsupported types take the row path as before. */
 private[graft] class PosDvReaderFactory(delegate: PartitionReaderFactory,
     dSchema: StructType, outSchema: StructType, posIdx: Int,
     dv: org.apache.spark.broadcast.Broadcast[Map[String, PackedPositions]])
   extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    false
+  import org.apache.spark.sql.types._
 
-  override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] = {
-    val inner = delegate.createReader(partition)
-    // DV-carrying files were planned one-per-partition, so the file
-    // attribution is a partition constant; multi-file partitions are
-    // clean by construction
-    val deleted: PackedPositions = partition match {
+  private val copyable = outSchema.fields.forall(_.dataType match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | DateType | TimestampType |
+        TimestampNTZType | StringType | BinaryType => true
+    case _ => false
+  })
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    copyable && delegate.supportColumnarReads(partition)
+
+  // DV-carrying files were planned one-per-partition, so the file
+  // attribution is a partition constant; multi-file partitions are
+  // clean by construction
+  private def deletedOf(partition: InputPartition): PackedPositions =
+    partition match {
       case fp: org.apache.spark.sql.execution.datasources.FilePartition
           if fp.files.nonEmpty &&
             fp.files.forall(_.filePath == fp.files.head.filePath) =>
@@ -694,6 +709,11 @@ private[graft] class PosDvReaderFactory(delegate: PartitionReaderFactory,
           PackedPositions.empty)
       case _ => PackedPositions.empty
     }
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(partition)
+    val deleted = deletedOf(partition)
     val proj = UnsafeProjection.create(
       outSchema.fields.toIndexedSeq.map { f =>
         val i = dSchema.fieldIndex(f.name)
@@ -715,6 +735,84 @@ private[graft] class PosDvReaderFactory(delegate: PartitionReaderFactory,
       override def get(): InternalRow = proj(cur)
       override def close(): Unit = inner.close()
     }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = delegate.createColumnarReader(partition)
+    val deleted = deletedOf(partition)
+    val outIdx: Array[Int] =
+      outSchema.fields.map(f => dSchema.fieldIndex(f.name))
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val b = inner.get()
+          val n = b.numRows()
+          if (deleted.count == 0L) { // zero-copy column projection
+            cur = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              outIdx.map(b.column), n)
+            return true
+          }
+          val pos = b.column(posIdx)
+          val keep = new Array[Int](n)
+          var k = 0
+          var i = 0
+          while (i < n) {
+            if (!deleted.contains(pos.getLong(i))) { keep(k) = i; k += 1 }
+            i += 1
+          }
+          if (k == n) {
+            cur = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              outIdx.map(b.column), n)
+            return true
+          }
+          if (k > 0) {
+            val vs = outIdx.map { ci =>
+              copySurvivors(b.column(ci), dSchema(ci).dataType, keep, k)
+                : org.apache.spark.sql.vectorized.ColumnVector
+            }
+            cur = new org.apache.spark.sql.vectorized.ColumnarBatch(vs, k)
+            return true
+          }
+          // fully-deleted batch: pull the next one
+        }
+        false
+      }
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = cur
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  /** One-pass survivor copy into a fresh on-heap vector. */
+  private def copySurvivors(
+      src: org.apache.spark.sql.vectorized.ColumnVector,
+      dt: DataType, keep: Array[Int], k: Int)
+      : org.apache.spark.sql.execution.vectorized.OnHeapColumnVector = {
+    val v = new org.apache.spark.sql.execution.vectorized
+      .OnHeapColumnVector(k, dt)
+    var j = 0
+    while (j < k) {
+      val i = keep(j)
+      if (src.isNullAt(i)) v.putNull(j)
+      else dt match {
+        case BooleanType => v.putBoolean(j, src.getBoolean(i))
+        case ByteType => v.putByte(j, src.getByte(i))
+        case ShortType => v.putShort(j, src.getShort(i))
+        case IntegerType | DateType => v.putInt(j, src.getInt(i))
+        case LongType | TimestampType | TimestampNTZType =>
+          v.putLong(j, src.getLong(i))
+        case FloatType => v.putFloat(j, src.getFloat(i))
+        case DoubleType => v.putDouble(j, src.getDouble(i))
+        case StringType =>
+          val s = src.getUTF8String(i); v.putByteArray(j, s.getBytes); ()
+        case BinaryType => v.putByteArray(j, src.getBinary(i)); ()
+        case other => sys.error(s"unreachable: $other filtered upstream")
+      }
+      j += 1
+    }
+    v
   }
 }
 

@@ -440,4 +440,36 @@ class PlanSpec extends AnyFunSuite {
       s"base-table scan leaked into consumption:\n$consumed")
     Memo.clear(spark)
   }
+
+  test("round-14 DV versions keep VECTORIZED parquet: the positional " +
+      "filter serves columnar batches (survivor copy), results exact") {
+    import spark.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_dv_columnar").toString + "/t"
+    sources.Io.tableAppend(
+      (1L to 1000L).toDF("k").withColumn("v", col("k") * 2)
+        .repartitionByRange(2, col("k")), t)
+    // sparse delete → DV entries survive (under the COW threshold)
+    sources.Io.tableDeleteWhereDv(spark, t,
+      col("k") % 100 === 0 && col("k") <= 500)
+    assert(sources.Io.dvDirsOf(spark, t, 1L).nonEmpty)
+    val df = spark.read.format("graft").load(t)
+    // the scan must plan COLUMNAR (a ColumnarToRow above the batch
+    // scan) — before round 14 DV versions declined vectorized reads
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"),
+      s"DV version must keep vectorized parquet:\n$p")
+    assert(p.contains("graft DV positional filter"),
+      s"positional filter missing from the scan description:\n$p")
+    // exactness through the columnar path: 5 rows deleted, the rest
+    // served with correct values (projection indices, survivor copy)
+    assert(df.count() == 995L)
+    assert(df.filter(col("k") % 100 === 0 && col("k") <= 500).count() == 0)
+    assert(df.agg(org.apache.spark.sql.functions.sum(col("v")))
+      .head().getLong(0) ==
+      2L * ((1L to 1000L).sum - Seq(100L, 200L, 300L, 400L, 500L).sum))
+    // column pruning still reaches parquet behind the filter
+    val pruned = df.select(col("k")).queryExecution.executedPlan.toString
+    assert(pruned.contains("ColumnarToRow"), pruned)
+  }
 }
