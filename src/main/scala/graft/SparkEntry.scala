@@ -198,6 +198,8 @@ object SparkEntry {
     "io_bucketed" -> (sources.Io.bucketedRead _),
     "io_retention" -> (sources.Io.retentionRead _),
     "io_timetravel" -> (sources.Io.timetravelRead _),
+    "io_convert" -> (sources.Io.convertRead _),
+    "io_constraint" -> (sources.Io.constraintRead _),
     "io_timetravel_dsv2" -> (sources.Io.dsv2TimetravelRead _),
     "io_skipping_dsv2" -> (sources.Io.dsv2SkippingRead _),
     "io_dv" -> (sources.Io.dvRead _),
@@ -2598,6 +2600,51 @@ object SparkEntry {
         |  count(band) AS n_band, CAST(sum(band) AS BIGINT) AS sum_band,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM t GROUP BY 1""".stripMargin,
+    // round 14: CONVERT a plain parquet dir to a commit-log table —
+    // v0 serves the original content byte-for-byte (zero copy), a
+    // post-convert COW DELETE (typ='view') and an append (displaced
+    // clicks) land as v1/v2; v0 and HEAD both replayed from source
+    "io_convert" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM src GROUP BY 2),
+        |m AS (
+        |  SELECT typ, event_id, cents FROM src WHERE typ <> 'view'
+        |  UNION ALL
+        |  SELECT typ, event_id + 1000000000000, cents
+        |  FROM src WHERE typ = 'click'),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, typ, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM m GROUP BY 2)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v2""".stripMargin,
+    // round 14: CHECK constraints — declare-refusal on violated adds,
+    // valid appends land, violating append/MERGE refuse atomically,
+    // drop re-opens; final cut = src ∪ valid clicks ∪ post-drop
+    // negated errors
+    "io_constraint" ->
+      """WITH src AS (
+        |  SELECT event_type AS typ, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT typ, event_id, cents FROM src
+        |  UNION ALL
+        |  SELECT typ, event_id + 1000000000000, cents
+        |  FROM src WHERE typ = 'click'
+        |  UNION ALL
+        |  SELECT typ, event_id + 2000000000000, -cents
+        |  FROM src WHERE typ = 'error')
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
     // round 14 (round-13 ADVICE high): cross-era DML — the io_alter_add
     // evolution followed by a COW DELETE whose touched files span both
     // eras; era-2 rows must keep their band through the rewrite

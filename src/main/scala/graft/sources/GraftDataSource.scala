@@ -1101,6 +1101,10 @@ private[graft] class GraftStreamingWrite(spark: SparkSession, path: String,
     val files = messages.collect {
       case GraftWrittenFile(rel) => s"data/$t/$rel"
     }.sorted.toIndexedSeq
+    // CHECK constraints (round 14): the epoch's landed batch validates
+    // before its commit — a violating micro-batch fails the query
+    // instead of poisoning the table
+    Io.checkConstraintsFiles(spark, path, files)
     // an EMPTY epoch still commits (prior files only): the version ≡
     // epoch mapping must stay aligned for redelivery detection
     Io.commitStreamEpoch(spark, path, epochId, files)

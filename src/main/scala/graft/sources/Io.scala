@@ -631,11 +631,16 @@ object Io {
   // last-writer-winning the sidecar. Unlike dv/stats, None leaves any
   // existing sidecar alone: the sidecar is table-level state, not
   // per-version.
+  // `constraints` (round 14): like `schema`, a CHECK-constraint set
+  // change lands its `_constraints` sidecar inside the claimed-lock
+  // window — add/drop serialize through version claims; None leaves
+  // the existing sidecar alone.
   private def writeCommit(spark: SparkSession, table: String,
       version: Long, files: Seq[String],
       dv: Seq[String] = Seq.empty,
       stats: Option[Seq[(String, String, Long, Long)]] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      constraints: Option[Seq[(String, String)]] = None): Unit = {
     val fs = fsFor(spark, table)
     val dir = new org.apache.hadoop.fs.Path(table, "_commits")
     fs.mkdirs(dir)
@@ -723,6 +728,7 @@ object Io {
       // declared-schema sidecar: claim-serialized like dv/stats (the
       // residual claim-to-rename window is the same one they carry)
       schema.foreach(s => GraftTables.writeSchemaSidecar(spark, table, s))
+      constraints.foreach(cs => writeConstraintsSidecar(spark, table, cs))
       if (!fs.rename(tmp, fin)) {
         // rename-onto-existing returns false: if fin appeared in the
         // verify→rename window that is the same lost race; anything
@@ -888,9 +894,13 @@ object Io {
   }
 
   // land a batch as immutable data files under data/<tag>/, returning
-  // their table-root-relative paths (the _SUCCESS marker is not data)
+  // their table-root-relative paths (the _SUCCESS marker is not data).
+  // CHECK constraints validate here (round 14) — the chokepoint every
+  // DataFrame-shaped write path (appends, OCC, idempotent epochs,
+  // overwrites, COW rewrites, merges) flows through.
   private def landData(df: DataFrame, table: String, tag: String): Seq[String] = {
     val spark = df.sparkSession
+    checkConstraints(spark, table, df)
     df.write.mode("overwrite").parquet(s"$table/data/$tag")
     val fs = fsFor(spark, table)
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/data/$tag"))
@@ -932,6 +942,150 @@ object Io {
       s"table at $path already exists")
     fsFor(spark, path).mkdirs(new org.apache.hadoop.fs.Path(path))
     GraftTables.writeSchemaSidecar(spark, path, schema)
+  }
+
+  // ---- CHECK constraints (round 14 — Delta's table constraints):
+  // a `_constraints` sidecar of (name, SQL expression) rows; every
+  // write path validates its batch (SQL CHECK semantics: TRUE or NULL
+  // passes, FALSE refuses the whole write). Add/drop are
+  // claim-serialized commits like schema changes. ----
+
+  private def constraintsSidecar(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_constraints")
+
+  /** The table's CHECK constraints — empty when none declared. */
+  def readConstraints(spark: SparkSession,
+      table: String): Seq[(String, String)] = {
+    val fs = fsFor(spark, table)
+    val p = constraintsSidecar(table)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  private def writeConstraintsSidecar(spark: SparkSession, table: String,
+      cs: Seq[(String, String)]): Unit = {
+    val fs = fsFor(spark, table)
+    if (cs.isEmpty) {
+      try fs.delete(constraintsSidecar(table), false)
+      catch { case _: Throwable => () }
+    } else {
+      val out = fs.create(constraintsSidecar(table), true)
+      try out.write(cs.map { case (n, e) => s"$n\t$e" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Validate a batch against the table's CHECK constraints BEFORE it
+    * lands — SQL CHECK semantics (NULL passes); a violation refuses
+    * the WHOLE write with the constraint named. One `limit(1)` job
+    * per constraint, only on constraint-carrying tables (the sidecar
+    * probe is one exists() otherwise). */
+  private[graft] def checkConstraints(spark: SparkSession, table: String,
+      df: DataFrame): Unit =
+    readConstraints(spark, table).foreach { case (n, e) =>
+      val bad = df.filter(!coalesce(expr(e), lit(true))).limit(1).count()
+      require(bad == 0L,
+        s"CHECK constraint $n ($e) violated — write to $table refused")
+    }
+
+  /** The executor-write commits' variant (COW replace, MOR delta,
+    * streaming-sink epochs): the fresh files are already on disk, so
+    * validation reads just them (∝ the statement/batch, never the
+    * table) with the declared schema applied. A violation throws
+    * before the commit lands — the files stay orphans of the vacuum's
+    * usual class. */
+  private[graft] def checkConstraintsFiles(spark: SparkSession,
+      table: String, fresh: Seq[String]): Unit =
+    if (fresh.nonEmpty && readConstraints(spark, table).nonEmpty)
+      checkConstraints(spark, table,
+        readFilesDeclared(spark, table, fresh.map(resolve(table, _))))
+
+  /** Declare a CHECK constraint (round 14): existing data must already
+    * satisfy it (one distributed scan — Delta's ADD CONSTRAINT
+    * contract), and the sidecar lands as a claim-serialized commit so
+    * racing metadata changes conflict loudly. Every subsequent write
+    * through any path (appends, OCC, streaming epochs, COW rewrites,
+    * MOR deltas, the DSv2/catalog writers) validates against it. */
+  def tableAddConstraint(spark: SparkSession, table: String,
+      name: String, exprSql: String): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    require(name.nonEmpty && !name.contains('\t') && !exprSql.contains('\n'),
+      "constraint names must be tab-free and expressions single-line")
+    val cur = readConstraints(spark, table)
+    require(!cur.exists(_._1 == name), s"constraint $name already exists")
+    val bad = readTableVersion(spark, table, v)
+      .filter(!coalesce(expr(exprSql), lit(true))).limit(1).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint $name ($exprSql): existing rows " +
+        s"at $table v$v violate it")
+    val nv = v + 1
+    val files = readCommit(spark, table, v)
+    val st = carryStats(spark, table, v, nv, files, Seq.empty)._2
+    writeCommit(spark, table, nv, files, dvDirsOf(spark, table, v), st,
+      constraints = Some(cur :+ (name -> exprSql)))
+    nv
+  }
+
+  /** Drop a CHECK constraint — claim-serialized like the add. */
+  def tableDropConstraint(spark: SparkSession, table: String,
+      name: String): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val cur = readConstraints(spark, table)
+    require(cur.exists(_._1 == name), s"no constraint $name at $table")
+    val nv = v + 1
+    val files = readCommit(spark, table, v)
+    val st = carryStats(spark, table, v, nv, files, Seq.empty)._2
+    writeCommit(spark, table, nv, files, dvDirsOf(spark, table, v), st,
+      constraints = Some(cur.filterNot(_._1 == name)))
+    nv
+  }
+
+  /** CONVERT a plain parquet directory into a commit-log table
+    * (round 14 — Delta's CONVERT TO DELTA): the existing part files
+    * become version 0 WITHOUT copying a byte — each is RENAMED into
+    * the table's `data/c0-convert/` dir (a same-filesystem rename is
+    * a metadata operation at any file size) and the commit lists
+    * them, after which every table verb (time travel, DML, DV
+    * deletes, the DSv2 connector, streaming) applies unchanged.
+    * Idempotent across crashes: a re-run moves whatever still sits in
+    * the root and commits the union of moved files; once v0 exists
+    * the convert refuses (it is a table now). Hidden/metadata files
+    * (`_SUCCESS`, checksums) are left behind, not listed. */
+  def tableConvert(spark: SparkSession, dir: String): Long = {
+    require(tableVersion(spark, dir) < 0,
+      s"$dir is already a commit-log table")
+    val fs = fsFor(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    require(fs.exists(root), s"no directory at $dir")
+    val tag = "c0-convert"
+    val dataDir = new org.apache.hadoop.fs.Path(s"$dir/data/$tag")
+    fs.mkdirs(dataDir)
+    val loose = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }
+    loose.foreach { st =>
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dataDir, st.getPath.getName)),
+        s"convert rename failed for ${st.getPath}")
+    }
+    val moved = fs.listStatus(dataDir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith("."))
+      .sorted.map(n => s"data/$tag/$n").toIndexedSeq
+    require(moved.nonEmpty, s"no parquet part files to convert at $dir")
+    writeCommit(spark, dir, 0L, moved)
+    0L
   }
 
   /** Land a DECLARED-SCHEMA change (ALTER TABLE ADD COLUMN) as a
@@ -1302,8 +1456,14 @@ object Io {
     require(dvDirsOf(spark, srcTable, v).isEmpty,
       s"source at $srcTable carries deletion vectors — a by-reference " +
         "clone would resurrect deleted rows; optimizeTableDv first")
+    // table-level metadata travels with the clone (round 14): the
+    // declared schema and CHECK constraints are part of the table's
+    // contract, exactly as Delta clones copy table properties
     writeCommit(spark, dstTable, 0L,
-      readCommit(spark, srcTable, v).map(resolve(srcTable, _)))
+      readCommit(spark, srcTable, v).map(resolve(srcTable, _)),
+      schema = GraftTables.readSchemaSidecar(spark, srcTable),
+      constraints = Some(readConstraints(spark, srcTable))
+        .filter(_.nonEmpty))
     0L
   }
 
@@ -2284,12 +2444,21 @@ object Io {
     if (dirs.size <= 1) return v
     val nv = v + 1
     val d = f"dv/d$nv%08d-compact"
-    dvEntries(spark, table, dirs)
-      .select(col("__f").as("f"), col("__p").as("p"))
-      .write.mode("overwrite").parquet(s"$table/$d")
     val files = readCommit(spark, table, v)
+    // round 14: compaction also DROPS INERT entries — (f, p) rows whose
+    // trail left the file list (COW rewrites, OPTIMIZE) filter nothing
+    // but still cost every read's collect + broadcast
+    val live = files.map(trail).toSet
+    val kept = dvEntries(spark, table, dirs)
+      .filter(col("__f").isInCollection(live))
+      .select(col("__f").as("f"), col("__p").as("p"))
     val (_, st) = carryStats(spark, table, v, nv, files, Seq.empty)
-    writeCommit(spark, table, nv, files, Seq(d), st)
+    if (kept.isEmpty) { // every entry inert: the compacted state is DV-free
+      writeCommit(spark, table, nv, files, Seq.empty, st)
+    } else {
+      kept.write.mode("overwrite").parquet(s"$table/$d")
+      writeCommit(spark, table, nv, files, Seq(d), st)
+    }
     nv
   }
 
@@ -2770,6 +2939,113 @@ object Io {
       "count(band) AS n_band, sum(band) AS sum_band, " +
       "min(event_id) AS min_id, max(event_id) AS max_id " +
       "FROM graftadml.g.ev GROUP BY typ")
+  }
+
+  private val constrRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** CHECK-constraint gate (round 14), oracle-gated: the full
+    * constraint lifecycle — declare `cents >= 0` on an existing table
+    * (validated against current data), a VALID append lands, a
+    * VIOLATING append refuses (the builder asserts the refusal and
+    * that no version landed), a violating MERGE refuses the same way,
+    * and dropping the constraint lets the once-refused batch land.
+    * The gate reads the final cut; the oracle replays source ∪ valid
+    * batch ∪ post-drop batch — so enforcement, refusal atomicity and
+    * drop semantics are all content-checked. */
+  def constraintRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = constrRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_constr_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(flat, tt) // v0
+      // a constraint existing data violates refuses at declaration
+      val badAdd = try { tableAddConstraint(spark, tt, "impossible",
+        "cents > 1000000"); false }
+      catch { case _: IllegalArgumentException => true }
+      require(badAdd, "adding a violated constraint must refuse")
+      val v1 = tableAddConstraint(spark, tt, "cents_nonneg", "cents >= 0")
+      require(v1 == 1L, s"ADD CONSTRAINT must land a commit, got v$v1")
+      // valid append passes
+      tableAppend(flat.filter(col("typ") === "click")
+        .withColumn("event_id", col("event_id") + 1000000000000L), tt) // v2
+      // violating append refuses ATOMICALLY (no version lands)
+      val before = tableVersion(spark, tt)
+      val refused = try { tableAppend(flat.limit(50)
+        .withColumn("cents", lit(-1L)), tt); false }
+      catch { case _: IllegalArgumentException => true }
+      require(refused && tableVersion(spark, tt) == before,
+        "a violating append must refuse without committing")
+      // violating MERGE refuses too (the rewrite chokepoint)
+      val refusedMerge = try { tableMerge(spark, tt,
+        flat.filter(col("typ") === "purchase").limit(20)
+          .withColumn("cents", col("cents") - 1000000L), "event_id")
+        false }
+      catch { case _: IllegalArgumentException => true }
+      require(refusedMerge && tableVersion(spark, tt) == before,
+        "a violating merge must refuse without committing")
+      // drop, and the once-refused shape (negative cents) now lands
+      tableDropConstraint(spark, tt, "cents_nonneg") // v3
+      tableAppend(flat.filter(col("typ") === "error")
+        .withColumn("event_id", col("event_id") + 2000000000000L)
+        .withColumn("cents", -col("cents")), tt) // v4
+      tt
+    })
+    readTableVersion(spark, t, tableVersion(spark, t))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
+  private val convRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** CONVERT gate (round 14), oracle-gated: a plain parquet directory
+    * becomes a commit-log table with ZERO data copied
+    * ([[tableConvert]] — renames into `data/c0-convert/`, commits v0),
+    * then the full verb set applies: a COW DELETE rewrites only
+    * touched files at v1, an append lands v2, and BOTH v0 (the
+    * pre-conversion content, served by the original bytes) and HEAD
+    * read back — the oracle replays each cut from the raw source, so
+    * conversion losslessness AND post-conversion DML are
+    * content-checked. */
+  def convertRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = convRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_conv_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      // the pre-existing plain layout a user would convert
+      flat.repartitionByRange(4, col("typ"), col("event_id"))
+        .write.mode("overwrite").parquet(tt)
+      val v0 = tableConvert(spark, tt)
+      require(v0 == 0L)
+      val v1 = tableDeleteWhere(spark, tt, col("typ") === "view")
+      require(v1 == 1L)
+      // untouched files must carry BY REFERENCE through the delete
+      require(commitEntries(spark, tt, 0L).toSet
+          .intersect(commitEntries(spark, tt, 1L).toSet).nonEmpty,
+        "post-convert COW delete must carry untouched converted files")
+      tableAppend(
+        flat.filter(col("typ") === "click")
+          .withColumn("event_id", col("event_id") + 1000000000000L), tt)
+      tt
+    })
+    def agg(v: Long): DataFrame =
+      readTableVersion(spark, t, v)
+        .groupBy(lit(v).as("version"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    agg(0L).unionByName(agg(2L))
   }
 
   private val morRuns =

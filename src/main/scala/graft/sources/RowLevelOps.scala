@@ -380,6 +380,10 @@ private[graft] class GraftReplaceWrite(spark: SparkSession, path: String,
     val kept = prior.filterNot(f => scanned.contains(Io.trailOf(f)))
     val (freshKept, stats) = Io.carryStatsFor(spark, path, version,
       kept, fresh, tag)
+    // CHECK constraints (round 14): the rewritten rows (∝ touched
+    // files) validate before the commit — an UPDATE/MERGE that would
+    // land violating rows refuses, files stay vacuum-class orphans
+    Io.checkConstraintsFiles(spark, path, freshKept)
     Io.commitReplace(spark, path, nv, kept ++ freshKept, stats)
   }
 
@@ -496,6 +500,9 @@ private[graft] class GraftDeltaWrite(spark: SparkSession, path: String,
     val prior = Io.commitEntries(spark, path, version)
     val (freshKept, stats) = Io.carryStatsFor(spark, path, version,
       prior, fresh, dataTag)
+    // CHECK constraints (round 14): the delta's fresh row images
+    // (∝ matched rows) validate before the commit
+    Io.checkConstraintsFiles(spark, path, freshKept)
     Io.commitDelta(spark, path, nv, prior ++ freshKept,
       if (anyDv) Seq(dvDir) else Seq.empty, stats)
     // round 14 (round-13 VERDICT #2a): the COW fallback the MOR verbs
