@@ -228,6 +228,10 @@ object SparkEntry {
     "stream_update" -> (streaming.StreamOps.updateStreamed _),
     "stream_table_source" -> (streaming.StreamOps.tableSourceStreamed _),
     "stream_table_source_dv" -> (streaming.StreamOps.tableSourceDvStreamed _),
+    "stream_cdf_source" -> (streaming.StreamOps.cdfSourceStreamed _),
+    "io_copy_into" -> (sources.Io.copyIntoRead _),
+    "io_optimize_zorder" -> (sources.Io.optimizeZorderRead _),
+    "io_replace_where" -> (sources.Io.replaceWhereRead _),
     "io_restore" -> (sources.Io.restoreRead _),
     "io_optimize" -> (sources.Io.optimizeRead _),
     "io_skipping" -> (sources.Io.skippingRead _),
@@ -2770,6 +2774,93 @@ object SparkEntry {
         |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM m GROUP BY 1""".stripMargin,
+    // round 14: COPY INTO — idempotent landing-dir ingest (exactly
+    // once per source file; re-runs no-op, incremental runs ingest
+    // only fresh files); final cut ≡ the whole source
+    "io_copy_into" ->
+      """SELECT event_type AS typ, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin,
+    // round 14: OPTIMIZE ZORDER BY — the z-order-compacted table's
+    // stats-skipping band reads (one per clustered dimension; pruning
+    // asserted in the builder) must reproduce the oracle's band
+    // replays; bands are quarter/eighth spans off each dimension's
+    // [min, max] (positive values, so Long `/` ≡ DuckDB `//`)
+    "io_optimize_zorder" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT min(event_id) AS mni, max(event_id) AS mxi,
+        |    min(cents) AS mnc, max(cents) AS mxc
+        |  FROM src)
+        |SELECT 'by_id' AS band, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM src, b
+        |WHERE event_id >= mni + (mxi - mni) // 4
+        |  AND event_id < mni + (mxi - mni) // 2
+        |UNION ALL
+        |SELECT 'by_cents', count(*), CAST(sum(cents) AS BIGINT),
+        |  min(event_id), max(event_id)
+        |FROM src, b
+        |WHERE cents >= mnc + (mxc - mnc) // 8
+        |  AND cents < mnc + (mxc - mnc) // 4""".stripMargin,
+    // round 14: replaceWhere — the predicate-scoped overwrite's final
+    // cut: purchases re-priced by the replacement batch, every other
+    // region untouched (violating batch refused before this landed)
+    "io_replace_where" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, typ, cents FROM src WHERE typ <> 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, typ, cents + 100000 FROM src
+        |  WHERE typ = 'purchase')
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
+    // round 14: the streaming CHANGE-DATA-FEED source
+    // (readChangeFeed) — four commit shapes feed typed change rows:
+    // appends (v0/v1 + the mid-stream v4) as `insert`, a MOR DELETE's
+    // rows as `delete` (positional keep-filter over the shared files),
+    // a MOR UPDATE as paired update_preimage/update_postimage, each
+    // stamped with its _commit_version
+    "stream_cdf_source" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(CASE WHEN event_id % 3 = 0 THEN 0
+        |              WHEN event_id % 3 = 1 THEN 1
+        |              ELSE 4 END AS BIGINT) AS v
+        |  FROM events),
+        |changes AS (
+        |  SELECT 'insert' AS change_type, typ, cents, event_id, v
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'delete', typ, cents, event_id, CAST(2 AS BIGINT)
+        |  FROM src
+        |  WHERE v <= 1 AND typ = 'error' AND event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', typ, cents, event_id,
+        |    CAST(3 AS BIGINT)
+        |  FROM src
+        |  WHERE v <= 1 AND typ = 'purchase' AND event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', typ, cents + 100000, event_id,
+        |    CAST(3 AS BIGINT)
+        |  FROM src
+        |  WHERE v <= 1 AND typ = 'purchase' AND event_id % 5 = 0)
+        |SELECT change_type, typ, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM changes GROUP BY 1, 2""".stripMargin,
     // H35 (round 13): streaming UPDATE apply — two absolute-SET
     // instructions (purchase: cents = id%1000+1, click: id%777+2)
     // applied as SQL UPDATE per micro-batch; final landed cut ≡ the

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -136,6 +136,14 @@ private[graft] object GraftTables {
 
   def forPath(spark: SparkSession, path: String,
       options: CaseInsensitiveStringMap): Table = {
+    val cdf = Option(options.get("readChangeFeed")).exists(_.toBoolean)
+    require(!cdf || !options.containsKey("versionAsOf") &&
+        !options.containsKey("timestampAsOf") &&
+        !options.containsKey("skipCol") &&
+        !options.containsKey("withSnapshot"),
+      "readChangeFeed streams the change history itself — it cannot " +
+        "combine with versionAsOf/timestampAsOf/skipCol/withSnapshot " +
+        "(use startingVersion/startingTimestamp to cut the feed)")
     val head = Io.tableVersion(spark, path)
     if (head < 0) {
       // a created-but-never-written table serves its declared schema,
@@ -223,7 +231,7 @@ private[graft] object GraftTables {
           PosDv.rowIndexField)),
       classOf[ParquetFileFormat])
     new GraftTable(pt, spark, path, version, head,
-      Option(options.get("deleteKey")), dvDirs, pruned.size)
+      Option(options.get("deleteKey")), dvDirs, pruned.size, cdf)
   }
 }
 
@@ -237,6 +245,23 @@ private[graft] object PosDv {
   val rowIndexField: org.apache.spark.sql.types.StructField =
     org.apache.spark.sql.types.StructField(TmpCol,
       org.apache.spark.sql.types.LongType, nullable = true)
+}
+
+/** The streaming CHANGE-DATA-FEED virtual columns (round 14): Delta's
+  * `readChangeFeed` surface — `_change_type` ∈ {insert, delete,
+  * update_preimage, update_postimage} and `_commit_version`, appended
+  * to the table schema when the stream is opened with
+  * `option("readChangeFeed", "true")`. */
+private[graft] object Cdf {
+  val TypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+  val fields: Seq[org.apache.spark.sql.types.StructField] = Seq(
+    org.apache.spark.sql.types.StructField(TypeCol,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(VersionCol,
+      org.apache.spark.sql.types.LongType, nullable = false))
+  def isCdfCol(name: String): Boolean =
+    name == TypeCol || name == VersionCol
 }
 
 /** A file's deleted row positions in the read-side broadcast —
@@ -317,16 +342,20 @@ private[graft] object PackedPositions {
   * HEAD only (a pinned versionAsOf/timestampAsOf view refuses). */
 private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     path: String, version: Long, head: Long, deleteKey: Option[String],
-    dvDirs: Seq[String], numFiles: Int)
+    dvDirs: Seq[String], numFiles: Int, cdf: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with connector.catalog.SupportsMetadataColumns
   with connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = pt.name
   // the ParquetTable declares the row-index temp column so the readers
-  // synthesize positions — hidden from the SQL surface
-  override def schema(): StructType =
-    StructType(pt.schema.fields.filterNot(_.name == PosDv.TmpCol))
+  // synthesize positions — hidden from the SQL surface. A
+  // `readChangeFeed` handle (round 14) additionally exposes the CDF
+  // virtual columns, served by [[GraftCdfMicroBatchStream]].
+  override def schema(): StructType = {
+    val base = pt.schema.fields.filterNot(_.name == PosDv.TmpCol)
+    if (cdf) StructType(base ++ Cdf.fields) else StructType(base)
+  }
 
   /** Table metadata for `DESCRIBE TABLE EXTENDED` (round 12 s3):
     * the commit-log facts a table browser wants — served from state
@@ -420,7 +449,8 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
   /** Exactly-once `df.write.format("graft").mode("append")`: one OCC
@@ -432,15 +462,38 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     * connector cannot infer a schema from an empty log). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       // `txnVersion` (round 12): the Delta txnAppId/txnVersion idea as
       // a writer option — a foreachBatch sink passes the micro-batch
       // id and redelivery of an already-committed batch becomes a
       // NO-OP (tableAppendIdempotent, the I19 exactly-once contract);
       // without it each save is one OCC commit.
       private val txn = Option(info.options.get("txnVersion")).map(_.toLong)
+      // Delta's `replaceWhere` writer option: a mode("overwrite") save
+      // scoped to a predicate region (I48) instead of the whole table
+      private val replaceWhereOpt =
+        Option(info.options.get("replaceWhere")).map(expr)
       private var replace = false
+      private var replaceCond: Option[Column] = None
       override def truncate(): WriteBuilder = { replace = true; this }
+      // round 14 (I48): `writeTo(...).overwrite(cond)` / OVERWRITE_BY_
+      // FILTER — Spark hands the condition as V1 filters; an all-
+      // AlwaysTrue set is the full truncate, anything else scopes the
+      // replace to the predicate region via tableReplaceWhere
+      override def overwrite(filters: Array[sources.Filter])
+          : WriteBuilder = {
+        if (filters.forall {
+          case sources.AlwaysTrue() => true; case _ => false
+        }) { replace = true }
+        else {
+          val cols = filters.map(f => toColumn(f).getOrElse(sys.error(
+            s"overwrite condition $f is not expressible by the graft " +
+              "connector — use option(\"replaceWhere\", <sql>) for " +
+              "arbitrary predicates")))
+          replaceCond = Some(cols.reduce(_ && _))
+        }
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: sources.InsertableRelation =
           new sources.InsertableRelation {
@@ -448,10 +501,16 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
               require(version == head,
                 s"writes apply to HEAD (v$head) — this view is " +
                   s"pinned to v$version via versionAsOf/timestampAsOf")
-              if (replace || overwrite) {
+              if (replaceCond.isDefined) {
+                Io.tableReplaceWhere(data, path, replaceCond.get)
+              } else if (replace || overwrite) {
                 // INSERT OVERWRITE / mode("overwrite"): one replace
-                // commit — fresh files only, history intact
-                Io.tableOverwrite(data, path)
+                // commit — fresh files only, history intact — unless
+                // the replaceWhere option scopes it to a region
+                replaceWhereOpt match {
+                  case Some(p) => Io.tableReplaceWhere(data, path, p)
+                  case None => Io.tableOverwrite(data, path)
+                }
               } else txn match {
                 case Some(b) => Io.tableAppendIdempotent(data, path, b)
                 case None => Io.tableAppendOcc(data, path,
@@ -470,7 +529,7 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
           require(version == head,
             s"streaming writes apply to HEAD (v$head) — this view is " +
               s"pinned to v$version via versionAsOf/timestampAsOf")
-          require(!replace,
+          require(!replace && replaceCond.isEmpty,
             "the graft streaming sink is APPEND-only: Complete mode " +
               "would truncate per epoch, which the commit log cannot " +
               "represent as inserts (use foreachBatch + tableOverwrite)")
@@ -501,7 +560,13 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
   // `readStream.format("graft")` reaches toMicroBatchStream through
   // it, batch plans are forwarded untouched.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFileScanBuilderPushdown(baseScanBuilder(options),
+    if (cdf)
+      // the change-data-feed path (round 14): a streaming-only scan
+      // that serves per-transition change ROWS instead of table state
+      new GraftCdfScanBuilder(spark, path,
+        StructType(pt.schema.fields.filterNot(_.name == PosDv.TmpCol)),
+        options)
+    else new GraftFileScanBuilderPushdown(baseScanBuilder(options),
       runtimeFilterable = false) {
       override def build(): Scan =
         new GraftStreamableScan(super.build(), spark, path,
@@ -874,55 +939,17 @@ private[graft] case class GraftStreamOffset(v: Long)
   override def json(): String = v.toString
 }
 
-/** Round 13: a MICRO-BATCH STREAMING SOURCE over the commit log —
-  * Delta's streaming reads re-expressed:
-  *
-  * {{{ spark.readStream.format("graft").load(tablePath) }}}
-  *
-  * The commit VERSION is the offset; each micro-batch serves exactly
-  * the files ADDED in (startV, endV] — append commits, the I19
-  * exactly-once sink's output being the canonical producer — and the
-  * reading itself is Spark's own parquet machinery over those files
-  * (column pruning forwarded, vectorized reads, codegen). Planning
-  * cost per batch: two commit fetches + one footer-less ParquetTable
-  * over the added files — metadata-scale, never ∝ table size. A
-  * NON-APPEND transition (removed files, new deletion vectors)
-  * refuses loudly: a replace/delete has no insert-only representation
-  * (Delta's ignoreChanges trap, made an error instead of silent
-  * row duplication). `startingVersion` optionally skips history. */
-private[graft] class GraftMicroBatchStream(spark: SparkSession,
-    path: String, requiredSchema: StructType,
-    options: CaseInsensitiveStringMap, snapshotDv: Boolean = false)
+/** Shared version-offset bookkeeping of the commit-log streaming
+  * sources (round 14 refactor): the table-state stream
+  * ([[GraftMicroBatchStream]]) and the change-data-feed stream
+  * ([[GraftCdfMicroBatchStream]]) count offsets in commit VERSIONS and
+  * share `startingVersion`/`startingTimestamp` cuts,
+  * `maxVersionsPerTrigger` rate control and `Trigger.AvailableNow`
+  * draining — only what a micro-batch SERVES differs. */
+private[graft] abstract class GraftVersionStreamBase(spark: SparkSession,
+    path: String, options: CaseInsensitiveStringMap)
   extends connector.read.streaming.MicroBatchStream
   with connector.read.streaming.SupportsTriggerAvailableNow {
-
-  // `withSnapshot` over a DV-carrying table (round 14): the DV state
-  // is pinned ONCE at stream construction — batch 0 serves its end
-  // version MOR-filtered through the positional machinery, every
-  // batch requires the version's DV set to EQUAL the pinned one (a
-  // post-start delete refuses, and a restart after a DV change
-  // refuses before any batch could serve wrong rows), and later
-  // batches' fresh files pass the filter untouched (no entries).
-  private val snapBaseV: Long =
-    if (!snapshotDv) -1L else Io.tableVersion(spark, path)
-  private val snapDv: Seq[String] =
-    if (!snapshotDv) Seq.empty else Io.dvDirsOf(spark, path, snapBaseV)
-  private lazy val snapBcast = GraftTables.dvPositions(spark, path,
-    snapBaseV, Io.dvDirsResolved(spark, path, snapBaseV))
-
-  // the MOR-filtered scan of the snapshot path: every batch reads
-  // through the positional filter (fresh files have no entries and
-  // pass untouched), so one reader-factory template serves snapshot
-  // and tail batches alike
-  private def dvScanOver(files: Seq[String]): Scan = {
-    val pt = ParquetTable(s"graft-stream:$path", spark, options,
-      files.toIndexedSeq,
-      Some(StructType(requiredSchema.fields :+ PosDv.rowIndexField)),
-      classOf[ParquetFileFormat])
-    val sb = new PosDvScanBuilder(pt.newScanBuilder(options), snapBcast)
-    sb.pruneColumns(requiredSchema)
-    sb.build()
-  }
 
   // Trigger.AvailableNow (the backfill pattern): the commit HEAD is
   // snapshotted at prepare time and every batch — still under the
@@ -932,7 +959,7 @@ private[graft] class GraftMicroBatchStream(spark: SparkSession,
   @volatile private var availableEnd: Long = -2L
   override def prepareForTriggerAvailableNow(): Unit =
     availableEnd = Io.tableVersion(spark, path)
-  private def headNow: Long =
+  protected def headNow: Long =
     if (availableEnd >= -1L) availableEnd else Io.tableVersion(spark, path)
 
   // rate control (round 13): `maxVersionsPerTrigger` caps how many
@@ -989,9 +1016,59 @@ private[graft] class GraftMicroBatchStream(spark: SparkSession,
   override def commit(end: connector.read.streaming.Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private def ver(o: connector.read.streaming.Offset): Long = o match {
+  protected def ver(o: connector.read.streaming.Offset): Long = o match {
     case GraftStreamOffset(v) => v
     case other => other.json().trim.toLong
+  }
+}
+
+/** Round 13: a MICRO-BATCH STREAMING SOURCE over the commit log —
+  * Delta's streaming reads re-expressed:
+  *
+  * {{{ spark.readStream.format("graft").load(tablePath) }}}
+  *
+  * The commit VERSION is the offset; each micro-batch serves exactly
+  * the files ADDED in (startV, endV] — append commits, the I19
+  * exactly-once sink's output being the canonical producer — and the
+  * reading itself is Spark's own parquet machinery over those files
+  * (column pruning forwarded, vectorized reads, codegen). Planning
+  * cost per batch: two commit fetches + one footer-less ParquetTable
+  * over the added files — metadata-scale, never ∝ table size. A
+  * NON-APPEND transition (removed files, new deletion vectors)
+  * refuses loudly: a replace/delete has no insert-only representation
+  * (Delta's ignoreChanges trap, made an error instead of silent
+  * row duplication). `startingVersion` optionally skips history. */
+private[graft] class GraftMicroBatchStream(spark: SparkSession,
+    path: String, requiredSchema: StructType,
+    options: CaseInsensitiveStringMap, snapshotDv: Boolean = false)
+  extends GraftVersionStreamBase(spark, path, options) {
+
+  // `withSnapshot` over a DV-carrying table (round 14): the DV state
+  // is pinned ONCE at stream construction — batch 0 serves its end
+  // version MOR-filtered through the positional machinery, every
+  // batch requires the version's DV set to EQUAL the pinned one (a
+  // post-start delete refuses, and a restart after a DV change
+  // refuses before any batch could serve wrong rows), and later
+  // batches' fresh files pass the filter untouched (no entries).
+  private val snapBaseV: Long =
+    if (!snapshotDv) -1L else Io.tableVersion(spark, path)
+  private val snapDv: Seq[String] =
+    if (!snapshotDv) Seq.empty else Io.dvDirsOf(spark, path, snapBaseV)
+  private lazy val snapBcast = GraftTables.dvPositions(spark, path,
+    snapBaseV, Io.dvDirsResolved(spark, path, snapBaseV))
+
+  // the MOR-filtered scan of the snapshot path: every batch reads
+  // through the positional filter (fresh files have no entries and
+  // pass untouched), so one reader-factory template serves snapshot
+  // and tail batches alike
+  private def dvScanOver(files: Seq[String]): Scan = {
+    val pt = ParquetTable(s"graft-stream:$path", spark, options,
+      files.toIndexedSeq,
+      Some(StructType(requiredSchema.fields :+ PosDv.rowIndexField)),
+      classOf[ParquetFileFormat])
+    val sb = new PosDvScanBuilder(pt.newScanBuilder(options), snapBcast)
+    sb.pruneColumns(requiredSchema)
+    sb.build()
   }
 
   // resolved paths of the files ADDED in (startV, endV]; refuses
@@ -1061,6 +1138,328 @@ private[graft] class GraftMicroBatchStream(spark: SparkSession,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     readerFactoryTemplate
+}
+
+/** Round 14: the streaming CHANGE-DATA-FEED scan —
+  *
+  * {{{
+  *   spark.readStream.format("graft")
+  *     .option("readChangeFeed", "true").load(tablePath)
+  * }}}
+  *
+  * Delta's CDF streaming surface re-expressed over the commit log.
+  * Streaming-only by design: the batch form of the feed is
+  * [[Io.changeFeed]] (whose exceptAll multiset diff has no
+  * scan-shaped representation); this scan refuses `toBatch` with a
+  * pointer there. */
+private[graft] class GraftCdfScanBuilder(spark: SparkSession, path: String,
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType =
+    StructType(tableSchema.fields ++ Cdf.fields)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new GraftCdfScan(spark, path, required, options)
+}
+
+private[graft] class GraftCdfScan(spark: SparkSession, path: String,
+    required: StructType, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String = s"graft change feed: $path"
+  override def toBatch: Batch =
+    sys.error("readChangeFeed is a STREAMING option " +
+      "(spark.readStream.format(\"graft\")); for a batch change feed " +
+      "between two versions use graft.sources.Io.changeFeed")
+  override def toMicroBatchStream(checkpointLocation: String)
+      : connector.read.streaming.MicroBatchStream =
+    new GraftCdfMicroBatchStream(spark, path, required, options)
+}
+
+/** The CHANGE-DATA-FEED micro-batch stream (round 14): each
+  * micro-batch serves the ROW-LEVEL CHANGES of the commit versions in
+  * (startV, endV], typed like Delta's CDF — per transition:
+  *
+  *  - files ADDED by an append/MERGE-insert feed as `insert` rows;
+  *  - files added by a MOR UPDATE statement (the `moru-<uid>` stamp)
+  *    feed as `update_postimage`;
+  *  - DV entries added by a MOR DELETE feed as `delete` rows — the
+  *    deleted rows themselves, read POSITIONALLY out of the files both
+  *    versions share (a KEEP-filter: the inverse of the MOR read's
+  *    drop-filter, over the same packed position sets);
+  *  - DV entries added by a MOR UPDATE feed as `update_preimage`.
+  *
+  * Each change row carries `_change_type` and `_commit_version`.
+  * A COW rewrite/OVERWRITE/OPTIMIZE in the range refuses loudly: its
+  * row-level feed is a multiset diff (rewritten-but-surviving rows
+  * must cancel), which no scan can represent — Delta's streaming CDF
+  * has the same hole and plugs it with stored change files; ours
+  * points the caller at the batch [[Io.changeFeed]]. Planning cost
+  * per batch: two metadata fetches per version + scans over only the
+  * TOUCHED files — never ∝ table size. Pure-insert batches keep
+  * VECTORIZED parquet reads (the CDF columns append as constant
+  * vectors); keep-filtered batches take the row path. */
+private[graft] class GraftCdfMicroBatchStream(spark: SparkSession,
+    path: String, requiredSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends GraftVersionStreamBase(spark, path, options) {
+
+  // the columns actually read from parquet: the required schema minus
+  // the two virtual CDF columns, plus the row-index synthesis column
+  // (read unconditionally — it costs nothing and keeps ONE reader
+  // factory template serving insert and keep-filter partitions alike)
+  private val dataCols = StructType(
+    requiredSchema.fields.filterNot(f => Cdf.isCdfCol(f.name)))
+  private val parquetSchema = StructType(
+    dataCols.fields :+ PosDv.rowIndexField)
+
+  private def scanOver(files: Seq[String]): Scan = {
+    val pt = ParquetTable(s"graft-cdf:$path", spark, options,
+      files.toIndexedSeq, Some(parquetSchema), classOf[ParquetFileFormat])
+    val sb = pt.newScanBuilder(options)
+    sb match {
+      case s: SupportsPushDownRequiredColumns =>
+        s.pruneColumns(parquetSchema)
+      case _ => ()
+    }
+    sb.build()
+  }
+
+  // a DV dir set's (file trail → sorted distinct positions) — driver
+  // collect, metadata-scale (DV state is bounded by the COW-fallback
+  // threshold + compaction)
+  private def entriesOf(dirs: Seq[String]): Map[String, Array[Long]] =
+    if (dirs.isEmpty) Map.empty
+    else spark.read.parquet(dirs.map(Io.resolve(path, _)): _*)
+      .select(col("f"), col("p")).distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+
+  override def planInputPartitions(
+      start: connector.read.streaming.Offset,
+      end: connector.read.streaming.Offset): Array[InputPartition] = {
+    val startV = ver(start)
+    val endV = ver(end)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[
+      (Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+        String, Long, Option[PackedPositions])]
+    def planFiles(files: Seq[String], changeType: String, v: Long): Unit =
+      if (files.nonEmpty)
+        scanOver(files).toBatch.planInputPartitions().foreach {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            buf += ((fp.files, changeType, v, None))
+          case other => sys.error(
+            s"graft CDF scan expected FilePartitions, got $other")
+        }
+    // keep-filtered rows need constant per-partition file attribution:
+    // one partition per touched file, like the MOR drop-filter
+    def planKeep(fresh: Map[String, Array[Long]], changeType: String,
+        v: Long): Unit =
+      if (fresh.nonEmpty) {
+        val files = fresh.keys.toSeq.sorted.map(Io.resolve(path, _))
+        val byFile = scala.collection.mutable.LinkedHashMap.empty[String,
+          scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.execution.datasources.PartitionedFile]]
+        scanOver(files).toBatch.planInputPartitions().foreach {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.foreach { f =>
+              byFile.getOrElseUpdate(Io.trailOf(f.filePath.toString),
+                scala.collection.mutable.ArrayBuffer.empty) += f
+            }
+          case other => sys.error(
+            s"graft CDF scan expected FilePartitions, got $other")
+        }
+        byFile.foreach { case (trail, fs) =>
+          buf += ((fs.toArray, changeType, v,
+            Some(PackedPositions(fresh(trail)))))
+        }
+      }
+
+    var prevFiles =
+      if (startV < 0) Seq.empty[String]
+      else Io.versionFiles(spark, path, startV)
+    var prevDv =
+      if (startV < 0) Seq.empty[String]
+      else Io.dvDirsOf(spark, path, startV)
+    var v = startV + 1
+    while (v <= endV) {
+      val cur = Io.versionFiles(spark, path, v)
+      val curDv = Io.dvDirsOf(spark, path, v)
+      val curSet = cur.toSet
+      require(prevFiles.forall(curSet),
+        s"change feed at $path: commit v$v removed files — a COW " +
+          "rewrite/OVERWRITE/OPTIMIZE has no row-level stream " +
+          "representation (rewritten-but-surviving rows must cancel); " +
+          "read Io.changeFeed as a batch for this range, or restart " +
+          s"the stream with startingVersion=${v + 1}")
+      val curDvSet = curDv.toSet
+      require(prevDv.forall(curDvSet),
+        s"change feed at $path: commit v$v replaced deletion-vector " +
+          "sidecars (compaction) — restart the stream past it with " +
+          s"startingVersion=${v + 1}, or read Io.changeFeed as a batch")
+      val prevSet = prevFiles.toSet
+      val added = cur.filterNot(prevSet)
+      val (updAdd, insAdd) = added.partition(Io.isMoruDataFile)
+      planFiles(insAdd, "insert", v)
+      planFiles(updAdd, "update_postimage", v)
+      val newDirs = curDv.filterNot(prevDv.toSet)
+      if (newDirs.nonEmpty) {
+        val old = entriesOf(prevDv)
+        val sharedTrails = prevFiles.map(Io.trailOf).toSet
+        def freshOf(dirs: Seq[String]): Map[String, Array[Long]] =
+          entriesOf(dirs).map { case (f, arr) =>
+            require(sharedTrails.contains(f),
+              s"change feed at $path: commit v$v carries DV entries " +
+                s"for $f, which v${v - 1} does not serve — cannot " +
+                "attribute the deleted rows")
+            val o = old.getOrElse(f, Array.empty[Long])
+            f -> arr.filterNot(p =>
+              java.util.Arrays.binarySearch(o, p) >= 0)
+          }.filter(_._2.nonEmpty)
+        val (updDirs, delDirs) = newDirs.partition(Io.isMoruDvDir)
+        planKeep(freshOf(delDirs), "delete", v)
+        planKeep(freshOf(updDirs), "update_preimage", v)
+      }
+      prevFiles = cur
+      prevDv = curDv
+      v += 1
+    }
+    // Spark refuses MIXED row/columnar partition sets, so the columnar
+    // decision is BATCH-uniform: vectorized only when no partition in
+    // this batch needs the keep-filter (pure insert/postimage batches —
+    // the steady-state tail)
+    val columnarOk = buf.forall(_._4.isEmpty)
+    buf.zipWithIndex.map { case ((fs, ct, cv, keep), i) =>
+      CdfInputPartition(
+        org.apache.spark.sql.execution.datasources.FilePartition(i, fs),
+        ct, cv, keep, columnarOk): InputPartition
+    }.toArray
+  }
+
+  // file-list independent (reads whatever FilePartition it is handed),
+  // built once per stream — the round-13 VERDICT #6 discipline
+  private lazy val readerFactoryTemplate: PartitionReaderFactory = {
+    val head = Io.tableVersion(spark, path)
+    val files =
+      if (head < 0) Seq.empty[String]
+      else Io.versionFiles(spark, path, head)
+    new CdfReaderFactory(
+      scanOver(files).toBatch.createReaderFactory(),
+      parquetSchema, requiredSchema)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactoryTemplate
+}
+
+/** A CDF micro-batch partition: the underlying file split(s) plus the
+  * change-type/version constants its rows carry, and — for
+  * delete/update_preimage partitions — the packed KEEP positions (the
+  * partition's rows are exactly the file's freshly-deleted rows). */
+private[graft] case class CdfInputPartition(delegate: InputPartition,
+    changeType: String, version: Long, keep: Option[PackedPositions],
+    columnarOk: Boolean)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    delegate.preferredLocations()
+}
+
+/** Wraps the parquet readers with the CDF row assembly: optional
+  * positional keep-filter, then a projection appending the
+  * `_change_type`/`_commit_version` constants and dropping the
+  * row-index column. Insert/postimage partitions with atomic-typed
+  * output keep COLUMNAR reads — the constants append as
+  * [[org.apache.spark.sql.execution.vectorized.ConstantColumnVector]]s
+  * over the delegate's batch, zero row copies. */
+private[graft] class CdfReaderFactory(delegate: PartitionReaderFactory,
+    dSchema: StructType, outSchema: StructType)
+  extends PartitionReaderFactory {
+
+  import org.apache.spark.sql.types._
+
+  private val posIdx = dSchema.fieldIndex(PosDv.TmpCol)
+  private val copyable = outSchema.fields.forall(_.dataType match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | DateType | TimestampType |
+        TimestampNTZType | StringType | BinaryType => true
+    case _ => false
+  })
+
+  // batch-uniform (stamped at planning): Spark refuses mixed
+  // row/columnar partition sets within one scan
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case c: CdfInputPartition =>
+        c.columnarOk && copyable &&
+          delegate.supportColumnarReads(c.delegate)
+      case _ => false
+    }
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val c = partition.asInstanceOf[CdfInputPartition]
+    val inner = delegate.createReader(c.delegate)
+    val proj = UnsafeProjection.create(
+      outSchema.fields.toIndexedSeq.map { f =>
+        if (f.name == Cdf.TypeCol)
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(c.changeType), StringType): Expression
+        else if (f.name == Cdf.VersionCol)
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            c.version, LongType)
+        else {
+          val i = dSchema.fieldIndex(f.name)
+          BoundReference(i, dSchema(i).dataType, dSchema(i).nullable)
+        }
+      })
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (c.keep.forall(_.contains(r.getLong(posIdx)))) {
+            cur = r; return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(cur)
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val c = partition.asInstanceOf[CdfInputPartition]
+    val inner = delegate.createColumnarReader(c.delegate)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        if (!inner.next()) return false
+        val b = inner.get()
+        val n = b.numRows()
+        val vs = outSchema.fields.map { f =>
+          if (f.name == Cdf.TypeCol) {
+            val v = new org.apache.spark.sql.execution.vectorized
+              .ConstantColumnVector(n, StringType)
+            v.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+              .fromString(c.changeType))
+            v: org.apache.spark.sql.vectorized.ColumnVector
+          } else if (f.name == Cdf.VersionCol) {
+            val v = new org.apache.spark.sql.execution.vectorized
+              .ConstantColumnVector(n, LongType)
+            v.setLong(c.version)
+            v: org.apache.spark.sql.vectorized.ColumnVector
+          } else b.column(dSchema.fieldIndex(f.name))
+        }
+        cur = new org.apache.spark.sql.vectorized.ColumnarBatch(vs, n)
+        true
+      }
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = cur
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 /** Round 14 (round-13 VERDICT #1): the DIRECT streaming sink —

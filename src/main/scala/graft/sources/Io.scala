@@ -635,12 +635,18 @@ object Io {
   // change lands its `_constraints` sidecar inside the claimed-lock
   // window — add/drop serialize through version claims; None leaves
   // the existing sidecar alone.
+  // `copiedAdd` (round 14, COPY INTO): source files this commit
+  // ingested — appended to the table-level `_copyinto` ledger inside
+  // the claim window, with a CONFLICT if any was ingested concurrently
+  // (exactly-once per source file under racing COPY INTO); rolled back
+  // if the commit rename fails, so an uncommitted ingest can re-run.
   private def writeCommit(spark: SparkSession, table: String,
       version: Long, files: Seq[String],
       dv: Seq[String] = Seq.empty,
       stats: Option[Seq[(String, String, Long, Long)]] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      constraints: Option[Seq[(String, String)]] = None): Unit = {
+      constraints: Option[Seq[(String, String)]] = None,
+      copiedAdd: Option[Seq[String]] = None): Unit = {
     val fs = fsFor(spark, table)
     val dir = new org.apache.hadoop.fs.Path(table, "_commits")
     fs.mkdirs(dir)
@@ -694,6 +700,7 @@ object Io {
     def releaseIfOwned(): Unit =
       try { if (lockOwner(fs, lock).contains(token)) fs.delete(lock, false) }
       catch { case _: Throwable => () }
+    var copiedPrev: Option[Seq[String]] = None
     try {
       val payload = encodeCommit(spark, table, version, files)
       val out = fs.create(tmp, true)
@@ -729,6 +736,19 @@ object Io {
       // residual claim-to-rename window is the same one they carry)
       schema.foreach(s => GraftTables.writeSchemaSidecar(spark, table, s))
       constraints.foreach(cs => writeConstraintsSidecar(spark, table, cs))
+      // COPY INTO ledger: the claim serializes racing ingests, so the
+      // read-check-union here is race-free; a concurrently-ingested
+      // source file surfaces as a conflict (the caller recomputes its
+      // fresh set and retries)
+      copiedAdd.foreach { freshSrc =>
+        val cur = readCopiedFiles(spark, table)
+        val dup = freshSrc.filter(cur)
+        if (dup.nonEmpty) throw new CommitConflictException(
+          s"COPY INTO at $table: ${dup.size} source files were " +
+            "ingested by a concurrent writer")
+        copiedPrev = Some(cur.toSeq.sorted)
+        writeCopiedSidecar(spark, table, (cur.toSeq ++ freshSrc).sorted)
+      }
       if (!fs.rename(tmp, fin)) {
         // rename-onto-existing returns false: if fin appeared in the
         // verify→rename window that is the same lost race; anything
@@ -740,6 +760,10 @@ object Io {
     } catch {
       case t: Throwable =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
+        // an uncommitted ingest must stay re-runnable: restore the
+        // COPY INTO ledger to its pre-attempt content
+        try copiedPrev.foreach(writeCopiedSidecar(spark, table, _))
+        catch { case _: Throwable => () }
         releaseIfOwned()
         throw t
     }
@@ -820,8 +844,16 @@ object Io {
   // A commit entry is normally table-root-relative (`data/<tag>/<part>`);
   // a SHALLOW CLONE commit references the source table's files by
   // absolute path, so resolution passes absolute/URI entries through.
-  private def resolve(table: String, f: String): String =
+  private[graft] def resolve(table: String, f: String): String =
     if (f.startsWith("/") || f.contains("://")) f else s"$table/$f"
+
+  // The `moru-<uid>` statement stamp a MOR UPDATE leaves on its insert
+  // tag and dv dir (round 14, CDC pre/post-image pairing) — shared by
+  // the batch change feed and the streaming CDF source.
+  private[graft] def isMoruDataFile(f: String): Boolean =
+    trail(f).matches("data/c\\d+-moru-.*")
+  private[graft] def isMoruDvDir(d: String): Boolean =
+    d.matches("dv/d\\d+-moru-.*")
 
   // The trailing `data/<tag>/<part>` segment of a commit entry (or an
   // input_file_name): part files carry writer UUIDs, so this segment
@@ -942,6 +974,105 @@ object Io {
       s"table at $path already exists")
     fsFor(spark, path).mkdirs(new org.apache.hadoop.fs.Path(path))
     GraftTables.writeSchemaSidecar(spark, path, schema)
+  }
+
+  // ---- COPY INTO (round 14 — Delta's idempotent landing-dir ingest):
+  // each source file is ingested EXACTLY ONCE into the commit log,
+  // tracked in a table-level `_copyinto` ledger (one source path per
+  // line) that updates inside the commit's claimed-lock window — a
+  // re-run over the same landing dir is a no-op, a re-run after new
+  // files land ingests only those, and racing COPY INTOs serialize at
+  // the version claim (the loser recomputes its fresh set). ----
+
+  private def copyIntoSidecar(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_copyinto")
+
+  /** Source files already ingested via [[tableCopyInto]]. */
+  private[graft] def readCopiedFiles(spark: SparkSession,
+      table: String): Set[String] = {
+    val fs = fsFor(spark, table)
+    val p = copyIntoSidecar(table)
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private def writeCopiedSidecar(spark: SparkSession, table: String,
+      entries: Seq[String]): Unit = {
+    val fs = fsFor(spark, table)
+    if (entries.isEmpty) {
+      try fs.delete(copyIntoSidecar(table), false)
+      catch { case _: Throwable => () }
+    } else {
+      val out = fs.create(copyIntoSidecar(table), true)
+      try out.write(entries.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** COPY INTO (round 14): ingest the parquet files under `sourceDir`
+    * matching `pattern` into the commit-log table, EXACTLY ONCE per
+    * source file — the Delta COPY INTO contract. Returns the number of
+    * files ingested this call (0 = nothing new, no commit lands, HEAD
+    * unmoved). The batch re-writes through the table's own write path
+    * (never a by-reference rename: the source dir stays the caller's),
+    * so CHECK constraints validate and a declared `_schema` aligns the
+    * batch — present columns must type-match, missing nullable columns
+    * null-backfill, extra columns refuse. Cost ∝ the FRESH files only.
+    */
+  def tableCopyInto(spark: SparkSession, table: String, sourceDir: String,
+      pattern: String = "part-*.parquet", maxRetries: Int = 50): Long = {
+    val sfs = fsFor(spark, sourceDir)
+    val found = Option(sfs.globStatus(
+        new org.apache.hadoop.fs.Path(sourceDir, pattern)))
+      .getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted.toIndexedSeq
+    val writer = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    while (true) {
+      val fresh = found.filterNot(readCopiedFiles(spark, table))
+      if (fresh.isEmpty) return 0L
+      val raw = spark.read.parquet(fresh: _*)
+      val df = GraftTables.readSchemaSidecar(spark, table) match {
+        case Some(decl) =>
+          val names = raw.columns.toSet
+          val extra = names -- decl.fieldNames
+          require(extra.isEmpty, s"COPY INTO $table: source columns " +
+            s"${extra.toSeq.sorted.mkString(", ")} are not in the " +
+            "table schema")
+          decl.fields.foreach { f =>
+            if (names.contains(f.name))
+              require(raw.schema(f.name).dataType == f.dataType,
+                s"COPY INTO $table: column ${f.name} is " +
+                  s"${raw.schema(f.name).dataType.simpleString} in the " +
+                  s"source but ${f.dataType.simpleString} in the table")
+            else require(f.nullable,
+              s"COPY INTO $table: non-nullable column ${f.name} " +
+                "missing from the source")
+          }
+          raw.select(decl.fields.toIndexedSeq.map { f =>
+            if (names.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+        case None => raw
+      }
+      val v = tableVersion(spark, table) + 1
+      val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
+      val landed = landData(df, table, s"c$v-copyinto-$writer-a$attempt")
+      try {
+        writeCommit(spark, table, v, prior ++ landed,
+          carriedDv(spark, table, v), copiedAdd = Some(fresh))
+        return fresh.size.toLong
+      } catch {
+        case _: CommitConflictException if attempt < maxRetries =>
+          attempt += 1 // HEAD moved or a racer ingested some of our
+          // files — recompute the fresh set against the new ledger
+          Thread.sleep(20L * attempt)
+      }
+    }
+    -1L // unreachable
   }
 
   // ---- CHECK constraints (round 14 — Delta's table constraints):
@@ -1278,10 +1409,69 @@ object Io {
       if (touchedFull.isEmpty) Seq.empty[String]
       else landData(
         readFilesDeclared(spark, table, touchedFull.map(resolve(table, _)))
-          .filter(!pred), table, s"c$nv")
+          // SQL DELETE removes rows where pred IS TRUE — a NULL
+          // predicate row is NOT deleted, so the keep filter must be
+          // `NOT coalesce(pred, false)` (a bare `!pred` is NULL on
+          // those rows and filter would silently drop them)
+          .filter(!coalesce(pred, lit(false))), table, s"c$nv")
     val keptFiles = files.filterNot(f => touched(trail(f)))
     val (rewritten, st) = carryStats(spark, table, v, nv, keptFiles, rewritten0)
     writeCommit(spark, table, nv, keptFiles ++ rewritten, stats = st)
+    nv
+  }
+
+  /** I48: replaceWhere — Delta's predicate-scoped overwrite as ONE
+    * commit: atomically (a) removes every row where `pred` IS TRUE
+    * (COW at file granularity — only files CONTAINING matches
+    * rewrite, the rest carry by reference) and (b) inserts `df`,
+    * REFUSING the whole statement if the batch holds rows OUTSIDE the
+    * predicate (the Delta replaceWhere constraint: a partition
+    * backfill can never leak rows into regions it did not claim —
+    * validation is one pass over the batch, refusal lands nothing).
+    * Surviving region rows and the fresh batch land under one tag so
+    * the stats sidecar re-derives in one pass; DV tables refuse like
+    * tableDeleteWhere (a COW region rewrite over raw files would
+    * resurrect DV-deleted rows; optimizeTableDv first). At 100 TB the
+    * rewrite is ∝ the replaced region, never the table.
+    */
+  def tableReplaceWhere(df: DataFrame, table: String, pred: Column): Long = {
+    val spark = df.sparkSession
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    require(dvDirsOf(spark, table, v).isEmpty,
+      s"table at $table carries deletion vectors — replaceWhere's COW " +
+        "region rewrite would resurrect DV-deleted rows; run " +
+        "optimizeTableDv first")
+    val bad = df.filter(!coalesce(pred, lit(false))).count()
+    require(bad == 0L, s"replaceWhere at $table: $bad batch rows fall " +
+      "outside the predicate — the batch may only write the region it " +
+      "replaces")
+    val files = readCommit(spark, table, v)
+    val cur = readFilesDeclared(spark, table, files.map(resolve(table, _)))
+    val relFile = regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
+    val touched = cur.filter(pred).select(relFile.as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val nv = v + 1
+    val touchedFull = files.filter(f => touched(trail(f)))
+    val aligned = GraftTables.readSchemaSidecar(spark, table) match {
+      case Some(decl) =>
+        df.select(decl.fieldNames.toIndexedSeq.map(col): _*)
+      case None => df
+    }
+    val unioned =
+      if (touchedFull.isEmpty) aligned
+      else {
+        val survivors = readFilesDeclared(spark, table,
+            touchedFull.map(resolve(table, _)))
+          .filter(!coalesce(pred, lit(false)))
+        survivors.unionByName(aligned.select(
+          survivors.columns.toIndexedSeq.map(col): _*))
+      }
+    val landed = landData(unioned, table, s"c$nv-rw")
+    val keptFiles = files.filterNot(f => touched(trail(f)))
+    val (fresh, st) =
+      carryStatsFor(spark, table, v, keptFiles, landed, s"c$nv-rw")
+    writeCommit(spark, table, nv, keptFiles ++ fresh, stats = st)
     nv
   }
 
@@ -1400,11 +1590,18 @@ object Io {
     dvFilter(spark, table, version, readTableVersionRaw(spark, table, version))
 
   /** The raw file union of a version — the internal reader the DV
-    * machinery itself builds on (matched-scan, rewrite, OPTIMIZE). */
+    * machinery itself builds on (matched-scan, rewrite, OPTIMIZE).
+    * HEAD reads apply the DECLARED `_schema` when present (the
+    * connector's I34 semantics: post-ALTER, pre-evolution files
+    * null-backfill the added column instead of a single-footer
+    * inference randomly dropping or keeping it); pinned versions keep
+    * their own era, exactly like `format("graft")`. */
   private def readTableVersionRaw(spark: SparkSession, table: String,
       version: Long): DataFrame = {
     val files = readCommit(spark, table, version)
     if (files.isEmpty) spark.emptyDataFrame
+    else if (version == tableVersion(spark, table))
+      readFilesDeclared(spark, table, files.map(resolve(table, _)))
     else spark.read.parquet(files.map(resolve(table, _)): _*)
   }
 
@@ -1604,8 +1801,7 @@ object Io {
     // updates with NOT-MATCHED inserts) keep their unpaired types.
     // A COW materialization folds preimages into the file diff, so
     // pairing is per-commit-granular by design.
-    def isUpdFile(f: String) = trail(f).matches("data/c\\d+-moru-.*")
-    val (updAdd, restAdd) = (to -- from).partition(isUpdFile)
+    val (updAdd, restAdd) = (to -- from).partition(isMoruDataFile)
     val fileFeed0 = (readMor(from -- to, fromDv), readMor(restAdd, toDv)) match {
       case (None, None) => None
       case (None, Some(add)) => Some(add.withColumn("change_type", lit("insert")))
@@ -1626,8 +1822,7 @@ object Io {
     // re-emits an old delete. Update-statement dirs feed as
     // update_preimage (see above).
     val newDirs = toDv.filterNot(fromDv.toSet)
-    val (updDirs, delDirs) =
-      newDirs.partition(_.matches("dv/d\\d+-moru-.*"))
+    val (updDirs, delDirs) = newDirs.partition(isMoruDvDir)
     val sharedFiles = from intersect to
     def dvBranch(dirs: Seq[String], changeType: String): Option[DataFrame] =
       (sharedFiles.nonEmpty, entries(dirs)) match {
@@ -1901,11 +2096,80 @@ object Io {
     // on a DV-carrying table materializes the deletes into the packed
     // files (≡ optimizeTableDv + bin-packing) and commits DV-free —
     // a raw-file rewrite would permanently resurrect DV-deleted rows
-    // (round-11 ADVICE high).
+    // (round-11 ADVICE high). Read with the DECLARED schema (I42):
+    // after ALTER ADD COLUMN a single-footer inference over mixed-era
+    // files could silently drop the evolved column from the packed
+    // rewrite.
     val packed0 = landData(
       dvFilter(spark, table, v,
-        spark.read.parquet(files.map(resolve(table, _)): _*))
+        readFilesDeclared(spark, table, files.map(resolve(table, _))))
         .coalesce(targetFiles), table, s"c$nv")
+    val (packed, st) = carryStats(spark, table, v, nv, Seq.empty, packed0)
+    writeCommit(spark, table, nv, packed, stats = st)
+    nv
+  }
+
+  /** I47: OPTIMIZE ... ZORDER BY (x, y) — Delta's clustered compaction
+    * as a LOG COMMIT: HEAD's MOR view is re-laid-out along the Morton
+    * z-value of the two clustering columns (the I11 write-side
+    * machinery — range-repartition + in-partition sort on the
+    * interleaved-bit value, so every output file stays range-bounded
+    * in BOTH dimensions) and committed as the next version with
+    * IDENTICAL content; the commit's stats sidecar RE-DERIVES per new
+    * file (carryStats' fresh pass), so a subsequent I22 stats-skipping
+    * band read on EITHER column prunes most files — the point of the
+    * rewrite. Prior versions stay readable through the original
+    * layout; at 100 TB the re-cluster is one shuffle ∝ data and the
+    * commit stays metadata-scale. Reads with the declared `_schema`
+    * (I42) so mixed-era tables keep evolved columns through the
+    * rewrite. */
+  def tableOptimizeZorder(spark: SparkSession, table: String,
+      xCol: String, yCol: String, targetFiles: Int): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val files = readCommit(spark, table, v)
+    val nv = v + 1
+    val input = dvFilter(spark, table, v,
+      readFilesDeclared(spark, table, files.map(resolve(table, _))))
+    // RANGE-NORMALIZE each dimension to 16 bits before interleaving
+    // (what Delta's ZORDER does with range-partition ids): a raw
+    // interleave is dominated by whichever column spans more bits —
+    // a 2^16-range column next to a 2^13-range one would make every
+    // top z bit the wide column's and the narrow dimension would
+    // never prune. One bounds aggregate ∝ data (it is a compaction;
+    // the shuffle that follows costs more), then pure codegen bit
+    // arithmetic: bucket = (v − min) >> s with the shift sized so the
+    // bucket fits 16 bits — shifts, not multiplication or floating
+    // division, so nanosecond-scale spans neither overflow the Long
+    // nor lose precision past 2^53.
+    val b = input.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"ZORDER BY columns $xCol/$yCol at $table must be non-null")
+    // align BOTH dimensions to exactly 16 significant bits: wide spans
+    // shift down, narrow spans shift UP (a 14-bit span next to a
+    // 16-bit one would still lose every top-bit comparison)
+    def shiftOf(mn: Long, mx: Long): Int =
+      64 - java.lang.Long.numberOfLeadingZeros(mx - mn) - 16
+    def bucket(c: Column, mn: Long, s: Int): Column = {
+      val d = c.cast("long") - mn
+      if (s >= 0) shiftright(d, s) else shiftleft(d, -s)
+    }
+    val xi = bucket(col(xCol), b.getLong(0),
+      shiftOf(b.getLong(0), b.getLong(1)))
+    val yi = bucket(col(yCol), b.getLong(2),
+      shiftOf(b.getLong(2), b.getLong(3)))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(xi, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    val clustered = input
+      .withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val packed0 = landData(clustered, table, s"c$nv")
     val (packed, st) = carryStats(spark, table, v, nv, Seq.empty, packed0)
     writeCommit(spark, table, nv, packed, stats = st)
     nv
@@ -1934,6 +2198,133 @@ object Io {
       tt
     })
     readTableVersion(spark, t, 3L)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
+  private val zoptRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** How many of a version's files a stats band read on `colName`
+    * would keep (the readTableVersionSkipping pruning rule). */
+  private def skipKeepCount(spark: SparkSession, table: String,
+      version: Long, colName: String, lo: Long, hi: Long): Int = {
+    val files = readCommit(spark, table, version)
+    val stats = readStatsFile(spark, table, version)
+    files.count(f => stats.get((trail(f), colName)) match {
+      case Some((mn, mx)) => mx >= lo && mn < hi
+      case None => true
+    })
+  }
+
+  /** I47, oracle-gated: OPTIMIZE ZORDER BY — a deliberately scrambled
+    * 8-file stats table (round-robin repartition: every file spans
+    * both dimensions, so band reads on either keep ALL files) is
+    * z-order-compacted on (event_id, cents); the builder requires the
+    * pre-state un-prunable and the post-state prunable on BOTH
+    * dimensions (the clustered layout's whole point), then the gate
+    * serves a band read per dimension THROUGH the skipping reader at
+    * HEAD — content must ≡ the oracle's replay of the same bands from
+    * the raw source (pruning is conservative, the residual predicate
+    * exact). */
+  def optimizeZorderRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = zoptRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_zopt_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val flat = Tables.eventsRaw(spark, dir)
+        .select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .repartition(8)
+      tableAppendStats(flat, tt, "event_id", "cents")
+      val (ilo, ihi, clo, chi) = zoptBands(spark, tt)
+      require(skipKeepCount(spark, tt, 0L, "event_id", ilo, ihi) == 8 &&
+        skipKeepCount(spark, tt, 0L, "cents", clo, chi) == 8,
+        s"scrambled pre-state at $tt must keep all 8 files on both bands")
+      val v = tableOptimizeZorder(spark, tt, "event_id", "cents", 8)
+      require(v == 1L, s"expected zorder commit v1 at $tt, got $v")
+      require(skipKeepCount(spark, tt, 1L, "event_id", ilo, ihi) < 8,
+        s"z-ordered layout at $tt must prune the event_id band")
+      require(skipKeepCount(spark, tt, 1L, "cents", clo, chi) < 8,
+        s"z-ordered layout at $tt must prune the cents band")
+      tt
+    })
+    val (ilo, ihi, clo, chi) = zoptBands(spark, t)
+    // global agg (not groupBy-on-literal): an empty band still yields
+    // one row, matching the oracle's aggregate-without-GROUP-BY
+    def agg(tag: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .select(lit(tag).as("band"), col("n"), col("sum_cents"),
+          col("min_id"), col("max_id"))
+    agg("by_id",
+        readTableVersionSkipping(spark, t, 1L, "event_id", ilo, ihi))
+      .unionByName(agg("by_cents",
+        readTableVersionSkipping(spark, t, 1L, "cents", clo, chi)))
+  }
+
+  /** The two deterministic band cuts of the zorder gate — quarter and
+    * eighth spans off each dimension's [min, max] (all values
+    * positive, so Long `/` matches DuckDB's floor `//`). */
+  private def zoptBands(spark: SparkSession,
+      table: String): (Long, Long, Long, Long) = {
+    val st = readStatsFile(spark, table, 0L)
+    def span(c: String): (Long, Long) = {
+      val es = st.collect { case ((_, `c`), mm) => mm }
+      (es.map(_._1).min, es.map(_._2).max)
+    }
+    val (mni, mxi) = span("event_id")
+    val (mnc, mxc) = span("cents")
+    (mni + (mxi - mni) / 4, mni + (mxi - mni) / 2,
+      mnc + (mxc - mnc) / 8, mnc + (mxc - mnc) / 4)
+  }
+
+  private val rwRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** I48, oracle-gated: replaceWhere through the connector write
+    * surface — v0 lands typ-hashed across 4 files, then a
+    * `mode("overwrite").option("replaceWhere", "typ = 'purchase'")`
+    * save replaces exactly the purchase region with a re-priced batch
+    * in ONE commit; the builder first requires a VIOLATING batch (a
+    * click row smuggled in) to refuse atomically with HEAD unmoved,
+    * then requires untouched files to carry by reference (file-
+    * granular COW, not a table rewrite). Final cut ≡ the oracle's
+    * region replay. */
+  def replaceWhereRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = rwRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_rw_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val flat = Tables.eventsRaw(spark, dir)
+        .select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(flat.repartition(4, col("typ")), tt) // v0
+      val newBatch = flat.filter(col("typ") === "purchase")
+        .withColumn("cents", col("cents") + 100000L)
+      val thrown =
+        try {
+          newBatch.unionByName(flat.filter(col("typ") === "click").limit(1))
+            .write.format("graft").mode("overwrite")
+            .option("replaceWhere", "typ = 'purchase'").save(tt)
+          false
+        } catch { case _: Throwable => true }
+      require(thrown && tableVersion(spark, tt) == 0L,
+        s"a violating replaceWhere batch at $tt must refuse with HEAD " +
+          "unmoved")
+      newBatch.write.format("graft").mode("overwrite")
+        .option("replaceWhere", "typ = 'purchase'").save(tt)
+      require(tableVersion(spark, tt) == 1L,
+        s"replaceWhere at $tt must land exactly one commit")
+      require(readCommit(spark, tt, 1L).toSet
+          .intersect(readCommit(spark, tt, 0L).toSet).nonEmpty,
+        s"replaceWhere at $tt must carry untouched files by reference")
+      tt
+    })
+    readTableVersion(spark, t, tableVersion(spark, t))
       .groupBy(col("typ"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
@@ -2391,7 +2782,11 @@ object Io {
     val rewritten0 =
       if (cowFull.isEmpty) Seq.empty[String]
       else landData(
-        live.filter(col("__f").isInCollection(cowSet) && !pred)
+        // `NOT coalesce(pred, false)`: NULL-predicate rows are not
+        // deleted and must SURVIVE the rewrite (a bare `!pred` is
+        // NULL there and filter would drop them)
+        live.filter(col("__f").isInCollection(cowSet) &&
+            !coalesce(pred, lit(false)))
           .drop("__f", "__p"), table, s"c$nv")
     val keptFiles = files.filterNot(f => cowSet(trail(f)))
     val (rewritten, st) = carryStats(spark, table, v, nv, keptFiles, rewritten0)
@@ -2560,6 +2955,12 @@ object Io {
     val base =
       if (keep.isEmpty) readTableVersion(spark, table, version)
         .filter(lit(false))
+      else if (version == tableVersion(spark, table))
+        // HEAD skipping reads honor the declared `_schema` (I34/I42):
+        // a mixed-era file subset must not lose the evolved column to
+        // single-footer inference
+        dvFilter(spark, table, version,
+          readFilesDeclared(spark, table, keep.map(resolve(table, _))))
       else dvFilter(spark, table, version,
         spark.read.parquet(keep.map(resolve(table, _)): _*))
     base.filter(col(statsCol) >= lo && col(statsCol) < hi)
@@ -3168,6 +3569,50 @@ object Io {
         .groupBy(lit(fromV).as("from_v"), col("change_type"), col("typ"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     agg(0L).unionByName(agg(1L))
+  }
+
+  private val copyRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** COPY INTO gate (round 14), oracle-gated: idempotent landing-dir
+    * ingest — two slices land as one file each and the first COPY INTO
+    * ingests both in one commit; a RE-RUN over the same dir is a no-op
+    * (zero files, HEAD unmoved — the exactly-once ledger); a third
+    * slice lands and the next run ingests ONLY it. The final table cut
+    * must equal the oracle's replay of the whole source. */
+  def copyIntoRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = copyRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_copyinto_" + fp).toString
+      val table = s"$base/table"
+      val landing = s"$base/landing"
+      val raw = Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"), col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      flat.filter(pmod(col("event_id"), lit(3)) === 0).coalesce(1)
+        .write.mode("append").parquet(landing)
+      flat.filter(pmod(col("event_id"), lit(3)) === 1).coalesce(1)
+        .write.mode("append").parquet(landing)
+      val n1 = tableCopyInto(spark, table, landing)
+      require(n1 == 2L,
+        s"first COPY INTO must ingest both landed files, got $n1")
+      val v1 = tableVersion(spark, table)
+      require(tableCopyInto(spark, table, landing) == 0L,
+        "a re-run over the same landing dir must be a no-op")
+      require(tableVersion(spark, table) == v1,
+        "a no-op COPY INTO must not move HEAD")
+      flat.filter(pmod(col("event_id"), lit(3)) === 2).coalesce(1)
+        .write.mode("append").parquet(landing)
+      val n2 = tableCopyInto(spark, table, landing)
+      require(n2 == 1L,
+        s"incremental COPY INTO must ingest only the new file, got $n2")
+      table
+    })
+    readTableVersion(spark, t, tableVersion(spark, t))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
   }
 
   private val msqlRuns =

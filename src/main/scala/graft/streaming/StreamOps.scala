@@ -1467,6 +1467,83 @@ object StreamOps extends Serializable {
     spark.table(sink)
   }
 
+  private val cdfSrcRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Round 14, oracle-gated: the streaming CHANGE-DATA-FEED source —
+    * `readStream.format("graft").option("readChangeFeed", "true")` —
+    * Delta's CDF streaming surface over the commit log. The fixture
+    * builds four commit shapes: two append slices (v0/v1, one file
+    * each), a MOR DELETE leaving deletion vectors (v2), and a MOR
+    * UPDATE through the catalog (v3, the `moru` statement stamp); the
+    * feed must serve them typed — `insert` rows for the appends, the
+    * DELETED ROWS THEMSELVES as `delete` (read positionally out of the
+    * shared files via the keep-filter), and PAIRED `update_preimage` /
+    * `update_postimage` rows for the update — each stamped with its
+    * `_commit_version`. MID-STREAM a further append lands v4 and the
+    * next pull serves exactly its rows as inserts (offset bookkeeping
+    * across change types). The Complete-mode aggregate per
+    * (change_type, typ) must equal the oracle's replay of every change
+    * set from the raw source, versions included. */
+  def cdfSourceStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val sink = cdfSrcRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_cdfsrc_" + fp).toString
+      val wh = s"$base/wh"
+      spark.conf.set("spark.sql.catalog.graftcdfs",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftcdfs.warehouse", wh)
+      val raw = graft.Tables.eventsRaw(spark, dir)
+      val flat = raw.select(col("event_id"), col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val table = s"$wh/g/ev"
+      // v0, v1: one file per slice keeps the MOR delete sparse (under
+      // the COW-fallback fraction, so DV entries actually land)
+      graft.sources.Io.tableAppend(
+        flat.filter(pmod(col("event_id"), lit(3)) === 0).coalesce(1), table)
+      graft.sources.Io.tableAppend(
+        flat.filter(pmod(col("event_id"), lit(3)) === 1).coalesce(1), table)
+      // v2: MOR DELETE — the feed must serve these rows as `delete`
+      graft.sources.Io.tableDeleteWhereDv(spark, table,
+        col("typ") === "error" && pmod(col("event_id"), lit(7)) === 0)
+      require(graft.sources.Io.dvDirsOf(spark, table, 2L).nonEmpty,
+        s"fixture at $table must carry DVs at v2")
+      // v3: MOR UPDATE through the catalog — pre/post-image pairing
+      spark.conf.set("graft.dml.mode", "mor")
+      spark.conf.set("graft.dml.mor.cowFraction", "1.0")
+      try spark.sql("UPDATE graftcdfs.g.ev SET cents = cents + 100000 " +
+        "WHERE typ = 'purchase' AND event_id % 5 = 0")
+      finally {
+        spark.conf.unset("graft.dml.mode")
+        spark.conf.unset("graft.dml.mor.cowFraction")
+      }
+      val name = "graft_cdfsrc_" + fp
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(table)
+        .groupBy(col("_change_type").as("change_type"), col("typ"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          min(col("_commit_version")).as("min_v"),
+          max(col("_commit_version")).as("max_v"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable() // batch 0: v0..v3, all four change types
+      // mid-stream append: the next pull serves exactly v4's rows
+      graft.sources.Io.tableAppend(
+        flat.filter(pmod(col("event_id"), lit(3)) === 2).coalesce(1), table)
+      q.processAllAvailable()
+      q.stop()
+      name
+    })
+    spark.table(sink)
+  }
+
   private val supdateRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

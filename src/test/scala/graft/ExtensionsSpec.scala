@@ -1022,6 +1022,108 @@ class ExtensionsSpec extends AnyFunSuite {
       s"expected a DV-change refusal, got ${q.exception}")
   }
 
+  test("round-14 streaming CDF source: typed change rows per " +
+      "transition, appends tail exactly once, COW rewrites refuse " +
+      "mid-stream, batch reads and pinned views refuse") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cdf_src").toString
+    val t = s"$base/table"
+    sources.Io.tableAppend((1L to 10L).toDF("k").coalesce(1), t) // v0
+    sources.Io.tableDeleteWhereDv(s, t, col("k") === 5)          // v1 DV
+    assert(sources.Io.dvDirsOf(s, t, 1L).nonEmpty)
+    val q = s.readStream.format("graft")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.queryName("cdf_rows").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    val b0 = s.table("cdf_rows")
+    assert(b0.filter(col("_change_type") === "insert").count() == 10)
+    assert(b0.filter(col("_change_type") === "insert")
+      .agg(max("_commit_version")).head().getLong(0) == 0L)
+    // the DELETED ROW ITSELF feeds, typed and version-stamped
+    assert(b0.filter(col("_change_type") === "delete")
+      .select("k", "_commit_version").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))) == Seq((5L, 1L)))
+    // a mid-stream append tails exactly once
+    sources.Io.tableAppend((11L to 12L).toDF("k"), t) // v2
+    q.processAllAvailable()
+    assert(s.table("cdf_rows")
+      .filter(col("_commit_version") === 2L)
+      .agg(count(lit(1)), sum("k")).head().toSeq == Seq(2L, 23L))
+    // a rewrite commit (file removal — OPTIMIZE materializing the DVs)
+    // refuses loudly mid-stream
+    sources.Io.optimizeTableDv(s, t) // v3: rewrites the DV-carrying file
+    try q.processAllAvailable() catch { case _: Throwable => () }
+    def msgs(e: Throwable): String =
+      if (e == null) "" else e.getMessage + " | " + msgs(e.getCause)
+    assert(q.exception.isDefined &&
+      msgs(q.exception.get).contains("removed files"),
+      s"expected a COW refusal, got ${q.exception}")
+    // batch reads refuse (the batch feed is Io.changeFeed)
+    val batch = intercept[Exception] {
+      s.read.format("graft").option("readChangeFeed", "true")
+        .load(t).count()
+    }
+    assert(msgs(batch).contains("STREAMING option"), msgs(batch))
+    // pinned views refuse at resolution
+    val pinned = intercept[Exception] {
+      s.readStream.format("graft").option("readChangeFeed", "true")
+        .option("versionAsOf", "0").load(t)
+    }
+    assert(msgs(pinned).contains("readChangeFeed"), msgs(pinned))
+  }
+
+  test("round-14 replaceWhere: writeTo(...).overwrite(cond) replaces " +
+      "exactly the region in one commit, a violating batch refuses " +
+      "with HEAD unmoved, and NULL-predicate rows survive COW deletes") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rw_spec").toString
+    s.conf.set("spark.sql.catalog.graftrw", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftrw.warehouse", s"$base/wh")
+    val t = s"$base/wh/g/ev"
+    sources.Io.tableAppend(
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("k", "g")
+        .repartition(2, col("g")), t) // v0
+    // region replace through the DSv2 overwrite-by-filter surface
+    Seq((30L, "b"), (40L, "b")).toDF("k", "g")
+      .writeTo("graftrw.g.ev").overwrite(col("g") === "b")
+    assert(sources.Io.tableVersion(s, t) == 1L)
+    assert(s.table("graftrw.g.ev").orderBy("k").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "a"), (2L, "a"), (30L, "b"), (40L, "b")))
+    // a batch holding rows OUTSIDE the region refuses atomically
+    intercept[Throwable] {
+      Seq((5L, "a")).toDF("k", "g")
+        .writeTo("graftrw.g.ev").overwrite(col("g") === "b")
+    }
+    assert(sources.Io.tableVersion(s, t) == 1L)
+    // SQL DELETE semantics: rows where the predicate is NULL are NOT
+    // deleted — they must SURVIVE the COW rewrite
+    val t2 = s"$base/t2"
+    sources.Io.tableAppend(
+      Seq(Some(1L), None, Some(10L)).toDF("v").coalesce(1), t2)
+    sources.Io.tableDeleteWhere(s, t2, col("v") > 5)
+    assert(sources.Io.readTableVersion(s, t2, 1L)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      .sorted.toSeq == Seq(-1L, 1L))
+  }
+
   test("round-14 ALTER serializes through the OCC protocol: a schema " +
       "change is a claim-serialized commit; a stale-base change " +
       "conflicts loudly; sequential ALTERs compose") {
