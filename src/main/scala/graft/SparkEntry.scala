@@ -200,6 +200,8 @@ object SparkEntry {
     "io_timetravel" -> (sources.Io.timetravelRead _),
     "io_convert" -> (sources.Io.convertRead _),
     "io_constraint" -> (sources.Io.constraintRead _),
+    "io_generated" -> (sources.Io.generatedRead _),
+    "io_merge_evolve" -> (sources.Io.mergeEvolveRead _),
     "io_timetravel_dsv2" -> (sources.Io.dsv2TimetravelRead _),
     "io_skipping_dsv2" -> (sources.Io.dsv2SkippingRead _),
     "io_dv" -> (sources.Io.dvRead _),
@@ -2647,6 +2649,47 @@ object SparkEntry {
         |  SELECT typ, event_id + 2000000000000, -cents
         |  FROM src WHERE typ = 'error')
         |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
+    // round 14: GENERATED ALWAYS AS — all three append slices carry
+    // band = cents % 97 (computed at the chokepoint for the slice
+    // written without it, validated for the explicit ones; the
+    // mismatching batch refused before landing)
+    "io_generated" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(cents % 97) AS BIGINT) AS sum_band,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM src GROUP BY 1""".stripMargin,
+    // round 14: MERGE WITH SCHEMA EVOLUTION — matched purchases update
+    // with the source-only score column (schema evolved first as its
+    // own commit), pre-evolution rows read score NULL, new restock
+    // keys insert; min_v arithmetic matches the builder's pmod on the
+    // PRE-offset id for inserts
+    "io_merge_evolve" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |upd AS (
+        |  SELECT event_id, typ, cents + 50000 AS cents,
+        |    event_id % 13 AS score
+        |  FROM src WHERE typ = 'purchase'),
+        |ins AS (
+        |  SELECT event_id + 1000000000000 AS event_id, 'restock' AS typ,
+        |    cents, event_id % 13 AS score
+        |  FROM src WHERE typ = 'purchase' AND event_id % 10 = 0),
+        |rest AS (
+        |  SELECT event_id, typ, cents, CAST(NULL AS BIGINT) AS score
+        |  FROM src WHERE typ <> 'purchase'),
+        |m AS (
+        |  SELECT * FROM upd UNION ALL SELECT * FROM ins
+        |  UNION ALL SELECT * FROM rest)
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(score) AS n_score, CAST(sum(score) AS BIGINT) AS sum_score,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM m GROUP BY 1""".stripMargin,
     // round 14 (round-13 ADVICE high): cross-era DML — the io_alter_add

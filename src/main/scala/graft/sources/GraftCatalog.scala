@@ -182,27 +182,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(p))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident)
-    require(changes.forall(_.isInstanceOf[TableChange.AddColumn]),
-      "only ALTER TABLE ADD COLUMN is supported: schema evolution is " +
-        "an append-time property of the commit log (I24) — " +
-        "drop/rename/type changes would rewrite history")
-    val basedOn = Io.tableVersion(spark, p)
-    val cur = GraftTables.readSchemaSidecar(spark, p).getOrElse(
-      GraftTables.forPath(spark, p, CaseInsensitiveStringMap.empty())
-        .schema())
-    val next = changes.foldLeft(cur) { (sch, c) =>
-      val a = c.asInstanceOf[TableChange.AddColumn]
-      require(a.fieldNames().length == 1,
-        "nested ADD COLUMN is not supported")
-      val name = a.fieldNames()(0)
-      require(!sch.fieldNames.contains(name),
-        s"column $name already exists")
-      require(a.isNullable,
-        "added columns must be NULLABLE — pre-evolution rows " +
-          "null-backfill (there is no default-value rewrite)")
-      sch.add(name, a.dataType(), nullable = true)
+    // round 14: SET/UNSET TBLPROPERTIES land as claim-serialized
+    // commits on the `_props` sidecar (Delta's table properties)
+    val (propCh, rest) = changes.partition(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    require(rest.forall(_.isInstanceOf[TableChange.AddColumn]),
+      "only ALTER TABLE ADD COLUMN and SET/UNSET TBLPROPERTIES are " +
+        "supported: schema evolution is an append-time property of " +
+        "the commit log (I24) — drop/rename/type changes would " +
+        "rewrite history")
+    val sets = propCh.collect {
+      case s: TableChange.SetProperty => s.property -> s.value }
+    val unsets = propCh.collect {
+      case r: TableChange.RemoveProperty => r.property }
+    if (sets.nonEmpty) Io.tableSetProperties(spark, p, sets)
+    if (unsets.nonEmpty) Io.tableUnsetProperties(spark, p, unsets)
+    if (rest.nonEmpty) {
+      val basedOn = Io.tableVersion(spark, p)
+      val cur = GraftTables.readSchemaSidecar(spark, p).getOrElse(
+        GraftTables.forPath(spark, p, CaseInsensitiveStringMap.empty())
+          .schema())
+      val next = rest.foldLeft(cur) { (sch, c) =>
+        val a = c.asInstanceOf[TableChange.AddColumn]
+        require(a.fieldNames().length == 1,
+          "nested ADD COLUMN is not supported")
+        val name = a.fieldNames()(0)
+        require(!sch.fieldNames.contains(name),
+          s"column $name already exists")
+        require(a.isNullable,
+          "added columns must be NULLABLE — pre-evolution rows " +
+            "null-backfill (there is no default-value rewrite)")
+        sch.add(name, a.dataType(), nullable = true)
+      }
+      Io.commitSchemaChange(spark, p, basedOn, next)
     }
-    Io.commitSchemaChange(spark, p, basedOn, next)
     loadTable(ident)
   }
 

@@ -362,6 +362,9 @@ private[graft] class GraftTable(pt: ParquetTable, spark: SparkSession,
     * the provider already resolved, zero extra IO. */
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
+    // user TBLPROPERTIES first (round 14) — the graft.* facts below
+    // stay authoritative even against a shadowing user key
+    Io.readTableProps(spark, path).foreach { case (k, v) => m.put(k, v) }
     m.put("graft.version", version.toString)
     m.put("graft.head", head.toString)
     m.put("graft.numFiles", numFiles.toString)

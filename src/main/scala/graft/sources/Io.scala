@@ -646,7 +646,9 @@ object Io {
       stats: Option[Seq[(String, String, Long, Long)]] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       constraints: Option[Seq[(String, String)]] = None,
-      copiedAdd: Option[Seq[String]] = None): Unit = {
+      copiedAdd: Option[Seq[String]] = None,
+      generated: Option[Seq[(String, String)]] = None,
+      props: Option[Seq[(String, String)]] = None): Unit = {
     val fs = fsFor(spark, table)
     val dir = new org.apache.hadoop.fs.Path(table, "_commits")
     fs.mkdirs(dir)
@@ -736,6 +738,8 @@ object Io {
       // residual claim-to-rename window is the same one they carry)
       schema.foreach(s => GraftTables.writeSchemaSidecar(spark, table, s))
       constraints.foreach(cs => writeConstraintsSidecar(spark, table, cs))
+      generated.foreach(gs => writeGeneratedSidecar(spark, table, gs))
+      props.foreach(ps => writePropsSidecar(spark, table, ps))
       // COPY INTO ledger: the claim serializes racing ingests, so the
       // read-check-union here is race-free; a concurrently-ingested
       // source file surfaces as a conflict (the caller recomputes its
@@ -932,8 +936,9 @@ object Io {
   // overwrites, COW rewrites, merges) flows through.
   private def landData(df: DataFrame, table: String, tag: String): Seq[String] = {
     val spark = df.sparkSession
-    checkConstraints(spark, table, df)
-    df.write.mode("overwrite").parquet(s"$table/data/$tag")
+    val df1 = applyGenerated(spark, table, df)
+    checkConstraints(spark, table, df1)
+    df1.write.mode("overwrite").parquet(s"$table/data/$tag")
     val fs = fsFor(spark, table)
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/data/$tag"))
       .map(_.getPath.getName).filter(_.startsWith("part-")).sorted
@@ -1084,11 +1089,11 @@ object Io {
   private def constraintsSidecar(table: String) =
     new org.apache.hadoop.fs.Path(table, "_constraints")
 
-  /** The table's CHECK constraints — empty when none declared. */
-  def readConstraints(spark: SparkSession,
-      table: String): Seq[(String, String)] = {
-    val fs = fsFor(spark, table)
-    val p = constraintsSidecar(table)
+  /** Shared TSV-sidecar read: `key\tvalue` lines → pairs (the
+    * constraints / generated-columns / table-properties encoding). */
+  private def readKvSidecar(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Seq[(String, String)] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1099,19 +1104,28 @@ object Io {
     }
   }
 
-  private def writeConstraintsSidecar(spark: SparkSession, table: String,
-      cs: Seq[(String, String)]): Unit = {
-    val fs = fsFor(spark, table)
-    if (cs.isEmpty) {
-      try fs.delete(constraintsSidecar(table), false)
-      catch { case _: Throwable => () }
+  /** Shared TSV-sidecar write; an empty list deletes the sidecar. */
+  private def writeKvSidecar(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path, kvs: Seq[(String, String)]): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (kvs.isEmpty) {
+      try fs.delete(p, false) catch { case _: Throwable => () }
     } else {
-      val out = fs.create(constraintsSidecar(table), true)
-      try out.write(cs.map { case (n, e) => s"$n\t$e" }
+      val out = fs.create(p, true)
+      try out.write(kvs.map { case (n, e) => s"$n\t$e" }
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
   }
+
+  /** The table's CHECK constraints — empty when none declared. */
+  def readConstraints(spark: SparkSession,
+      table: String): Seq[(String, String)] =
+    readKvSidecar(spark, constraintsSidecar(table))
+
+  private def writeConstraintsSidecar(spark: SparkSession, table: String,
+      cs: Seq[(String, String)]): Unit =
+    writeKvSidecar(spark, constraintsSidecar(table), cs)
 
   /** Validate a batch against the table's CHECK constraints BEFORE it
     * lands — SQL CHECK semantics (NULL passes); a violation refuses
@@ -1129,14 +1143,167 @@ object Io {
   /** The executor-write commits' variant (COW replace, MOR delta,
     * streaming-sink epochs): the fresh files are already on disk, so
     * validation reads just them (∝ the statement/batch, never the
-    * table) with the declared schema applied. A violation throws
-    * before the commit lands — the files stay orphans of the vacuum's
-    * usual class. */
+    * table) with the declared schema applied. Covers CHECK constraints
+    * AND generated-column conformance (an UPDATE that SETs a generated
+    * column off its expression, or moves a base column without it,
+    * refuses here). A violation throws before the commit lands — the
+    * files stay orphans of the vacuum's usual class. */
   private[graft] def checkConstraintsFiles(spark: SparkSession,
       table: String, fresh: Seq[String]): Unit =
-    if (fresh.nonEmpty && readConstraints(spark, table).nonEmpty)
-      checkConstraints(spark, table,
-        readFilesDeclared(spark, table, fresh.map(resolve(table, _))))
+    if (fresh.nonEmpty &&
+        (readConstraints(spark, table).nonEmpty ||
+          readGenerated(spark, table).nonEmpty)) {
+      val df = readFilesDeclared(spark, table, fresh.map(resolve(table, _)))
+      checkConstraints(spark, table, df)
+      readGenerated(spark, table).foreach { case (n, e) =>
+        if (df.columns.contains(n)) {
+          val bad = df.filter(!(col(n) <=> expr(e))).limit(1).count()
+          require(bad == 0L, s"generated column $n must equal ($e) — " +
+            s"statement wrote a mismatching value, commit to $table refused")
+        }
+      }
+    }
+
+  // ---- GENERATED columns (round 14 — Delta's GENERATED ALWAYS AS):
+  // a `_generated` sidecar of (column, SQL expression) rows; every
+  // DataFrame-shaped write COMPUTES absent generated columns at the
+  // landData chokepoint and VALIDATES explicitly-supplied ones
+  // (null-safe equality — a mismatch refuses the whole write);
+  // executor-written statements validate at their commits via
+  // checkConstraintsFiles. Declare/drop are claim-serialized commits
+  // like constraints. ----
+
+  private def generatedSidecar(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_generated")
+
+  /** The table's generated-column definitions — empty when none. */
+  def readGenerated(spark: SparkSession,
+      table: String): Seq[(String, String)] =
+    readKvSidecar(spark, generatedSidecar(table))
+
+  private def writeGeneratedSidecar(spark: SparkSession, table: String,
+      gs: Seq[(String, String)]): Unit =
+    writeKvSidecar(spark, generatedSidecar(table), gs)
+
+  // ---- TBLPROPERTIES (round 14 — Delta's table properties): a
+  // `_props` sidecar of key\tvalue rows; SET/UNSET land as
+  // claim-serialized commits (racing metadata mutations conflict
+  // loudly, like schema/constraint changes), DESCRIBE EXTENDED serves
+  // them through the connector's properties() map, clones carry them
+  // (the Delta clone-properties contract). ----
+
+  private def propsSidecar(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_props")
+
+  /** The table's user properties — empty when none set. */
+  def readTableProps(spark: SparkSession,
+      table: String): Seq[(String, String)] =
+    readKvSidecar(spark, propsSidecar(table))
+
+  private[graft] def writePropsSidecar(spark: SparkSession, table: String,
+      ps: Seq[(String, String)]): Unit =
+    writeKvSidecar(spark, propsSidecar(table), ps)
+
+  /** SET TBLPROPERTIES as a claim-serialized commit: upserts the
+    * given keys, every other key carries. */
+  def tableSetProperties(spark: SparkSession, table: String,
+      kvs: Seq[(String, String)]): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    require(kvs.forall { case (k, vv) =>
+      k.nonEmpty && !k.contains('\t') && !vv.contains('\n') },
+      "property keys must be tab-free and values single-line")
+    val cur = readTableProps(spark, table)
+    val keys = kvs.map(_._1).toSet
+    val next = cur.filterNot(p => keys(p._1)) ++ kvs
+    val nv = v + 1
+    val files = readCommit(spark, table, v)
+    val st = carryStats(spark, table, v, nv, files, Seq.empty)._2
+    writeCommit(spark, table, nv, files, dvDirsOf(spark, table, v), st,
+      props = Some(next))
+    nv
+  }
+
+  /** UNSET TBLPROPERTIES — claim-serialized like the set; missing
+    * keys are a no-op (IF EXISTS semantics). */
+  def tableUnsetProperties(spark: SparkSession, table: String,
+      keys: Seq[String]): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val ks = keys.toSet
+    val nv = v + 1
+    val files = readCommit(spark, table, v)
+    val st = carryStats(spark, table, v, nv, files, Seq.empty)._2
+    writeCommit(spark, table, nv, files, dvDirsOf(spark, table, v), st,
+      props = Some(readTableProps(spark, table).filterNot(p => ks(p._1))))
+    nv
+  }
+
+  /** Compute absent generated columns / validate supplied ones — the
+    * landData half of the GENERATED ALWAYS AS contract. */
+  private def applyGenerated(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame = {
+    val gens = readGenerated(spark, table)
+    if (gens.isEmpty) return df
+    gens.foldLeft(df) { case (d, (n, e)) =>
+      if (!d.columns.contains(n)) d.withColumn(n, expr(e))
+      else {
+        val bad = d.filter(!(col(n) <=> expr(e))).limit(1).count()
+        require(bad == 0L, s"generated column $n must equal ($e) — " +
+          s"explicit value mismatches, write to $table refused")
+        d
+      }
+    }
+  }
+
+  /** Declare a generated column (round 14): the column must already
+    * exist CONFORMING in the table (or the table be empty) — one
+    * distributed scan, the ADD CONSTRAINT discipline — and the
+    * sidecar lands as a claim-serialized commit. Every subsequent
+    * DataFrame write computes it when absent and validates it when
+    * supplied; executor-written DML validates at commit. */
+  def tableAddGeneratedColumn(spark: SparkSession, table: String,
+      name: String, exprSql: String): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    require(name.nonEmpty && !name.contains('\t') && !exprSql.contains('\n'),
+      "generated-column names must be tab-free and expressions single-line")
+    val cur = readGenerated(spark, table)
+    require(!cur.exists(_._1 == name),
+      s"generated column $name already declared")
+    val head = readTableVersion(spark, table, v)
+    if (head.columns.nonEmpty) {
+      require(head.columns.contains(name),
+        s"cannot declare generated column $name: it does not exist at " +
+          s"$table (add the column with conforming values first)")
+      val bad = head.filter(!(col(name) <=> expr(exprSql))).limit(1).count()
+      require(bad == 0L, s"cannot declare generated column $name " +
+        s"($exprSql): existing rows at $table v$v do not conform")
+    }
+    val nv = v + 1
+    val files = readCommit(spark, table, v)
+    val st = carryStats(spark, table, v, nv, files, Seq.empty)._2
+    writeCommit(spark, table, nv, files, dvDirsOf(spark, table, v), st,
+      generated = Some(cur :+ (name -> exprSql)))
+    nv
+  }
+
+  /** Drop a generated-column declaration (the column stays, as plain
+    * data) — claim-serialized like the add. */
+  def tableDropGeneratedColumn(spark: SparkSession, table: String,
+      name: String): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val cur = readGenerated(spark, table)
+    require(cur.exists(_._1 == name),
+      s"no generated column $name at $table")
+    val nv = v + 1
+    val files = readCommit(spark, table, v)
+    val st = carryStats(spark, table, v, nv, files, Seq.empty)._2
+    writeCommit(spark, table, nv, files, dvDirsOf(spark, table, v), st,
+      generated = Some(cur.filterNot(_._1 == name)))
+    nv
+  }
 
   /** Declare a CHECK constraint (round 14): existing data must already
     * satisfy it (one distributed scan — Delta's ADD CONSTRAINT
@@ -1496,9 +1663,29 @@ object Io {
     * error — which duplicate wins would be nondeterministic).
     */
   def tableMerge(spark: SparkSession, table: String, source: DataFrame,
-      keyCol: String): Long = {
-    val v = tableVersion(spark, table)
+      keyCol: String, schemaEvolution: Boolean = false): Long = {
+    var v = tableVersion(spark, table)
     require(v >= 0, s"no table at $table")
+    // round 14: MERGE WITH SCHEMA EVOLUTION (Delta's
+    // withSchemaEvolution()): source-only columns first evolve the
+    // declared schema — a nullable top-level add, the I34 semantics,
+    // landed as its own CLAIM-SERIALIZED commit — and the merge then
+    // proceeds against the evolved table, where pre-evolution rows
+    // null-backfill the new columns through the declared-schema reads.
+    // Without the flag a source/target column mismatch refuses below,
+    // exactly as before.
+    if (schemaEvolution) {
+      val cur = GraftTables.readSchemaSidecar(spark, table)
+        .getOrElse(readTableVersion(spark, table, v).schema)
+      val extra = source.schema.fields
+        .filterNot(f => cur.fieldNames.contains(f.name))
+      if (extra.nonEmpty) {
+        val evolved = extra.foldLeft(cur)((s, f) =>
+          s.add(f.name, f.dataType, nullable = true))
+        commitSchemaChange(spark, table, v, evolved)
+        v += 1
+      }
+    }
     val priorDv = dvDirsOf(spark, table, v)
     val files = readCommit(spark, table, v)
     val raw = withFilePos(
@@ -1660,6 +1847,10 @@ object Io {
       readCommit(spark, srcTable, v).map(resolve(srcTable, _)),
       schema = GraftTables.readSchemaSidecar(spark, srcTable),
       constraints = Some(readConstraints(spark, srcTable))
+        .filter(_.nonEmpty),
+      generated = Some(readGenerated(spark, srcTable))
+        .filter(_.nonEmpty),
+      props = Some(readTableProps(spark, srcTable))
         .filter(_.nonEmpty))
     0L
   }
@@ -3612,6 +3803,103 @@ object Io {
     readTableVersion(spark, t, tableVersion(spark, t))
       .groupBy(col("typ"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
+  private val genRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Generated-column gate (round 14), oracle-gated: the GENERATED
+    * ALWAYS AS lifecycle — v0 lands WITH a conforming `band =
+    * pmod(cents, 97)` column, the declaration commits (after a
+    * nonconforming declaration refuses), an append WITHOUT the column
+    * gets it COMPUTED at the chokepoint, an append with a WRONG
+    * explicit value refuses atomically, and an append with matching
+    * explicit values passes. Final cut ≡ the oracle recomputing the
+    * column for every row from source. */
+  def generatedRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = genRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_gen_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val flat = Tables.eventsRaw(spark, dir)
+        .select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val withBand = flat.withColumn("band", pmod(col("cents"), lit(97L)))
+      tableAppend(withBand.filter(pmod(col("event_id"), lit(3)) === 0), tt) // v0
+      // a nonconforming declaration refuses
+      val badDecl = try { tableAddGeneratedColumn(spark, tt, "band",
+        "pmod(cents, 96)"); false }
+      catch { case _: IllegalArgumentException => true }
+      require(badDecl, "declaring a nonconforming generated column must refuse")
+      val v1 = tableAddGeneratedColumn(spark, tt, "band", "pmod(cents, 97)")
+      require(v1 == 1L, s"generated declaration must commit, got v$v1")
+      // an append WITHOUT the column gets it computed
+      tableAppend(flat.filter(pmod(col("event_id"), lit(3)) === 1), tt) // v2
+      // a wrong explicit value refuses atomically
+      val before = tableVersion(spark, tt)
+      val refused = try { tableAppend(
+        withBand.filter(pmod(col("event_id"), lit(3)) === 2)
+          .withColumn("band", col("band") + 1L), tt); false }
+      catch { case _: IllegalArgumentException => true }
+      require(refused && tableVersion(spark, tt) == before,
+        "a mismatching generated value must refuse without committing")
+      // matching explicit values pass
+      tableAppend(withBand.filter(pmod(col("event_id"), lit(3)) === 2), tt) // v3
+      tt
+    })
+    readTableVersion(spark, t, tableVersion(spark, t))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("band")).as("sum_band"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
+  private val mevoRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** MERGE WITH SCHEMA EVOLUTION gate (round 14), oracle-gated: the
+    * source carries a `score` column the target lacks plus brand-new
+    * keys — without the flag the merge refuses (column mismatch, HEAD
+    * unmoved); with it, the schema evolves as its own commit and the
+    * merge lands as the next one: matched purchases update WITH their
+    * score, pre-evolution rows read score NULL, new keys insert.
+    * Final cut ≡ the oracle's era-aware replay. */
+  def mergeEvolveRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = mevoRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_mevo_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val flat = Tables.eventsRaw(spark, dir)
+        .select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(flat.repartition(4, col("typ")), tt) // v0
+      val upd = flat.filter(col("typ") === "purchase")
+        .withColumn("cents", col("cents") + 50000L)
+        .withColumn("score", pmod(col("event_id"), lit(13L)))
+      val ins = flat.filter(col("typ") === "purchase" &&
+          pmod(col("event_id"), lit(10)) === 0)
+        .select((col("event_id") + 1000000000000L).as("event_id"),
+          lit("restock").as("typ"), col("cents"),
+          pmod(col("event_id"), lit(13L)).as("score"))
+      val source = upd.unionByName(ins)
+      // without the flag: a source/target mismatch refuses, HEAD unmoved
+      val refused = try { tableMerge(spark, tt, source, "event_id"); false }
+      catch { case _: IllegalArgumentException => true }
+      require(refused && tableVersion(spark, tt) == 0L,
+        s"an unflagged wider-source merge at $tt must refuse")
+      val vEnd = tableMerge(spark, tt, source, "event_id",
+        schemaEvolution = true)
+      require(vEnd == 2L,
+        s"evolving merge at $tt must land schema + merge commits, got $vEnd")
+      tt
+    })
+    readTableVersion(spark, t, tableVersion(spark, t))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        count(col("score")).as("n_score"), sum(col("score")).as("sum_score"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
   }
 

@@ -1082,6 +1082,92 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(msgs(pinned).contains("readChangeFeed"), msgs(pinned))
   }
 
+  test("round-14 streaming CDF source inherits the rate/cut controls: " +
+      "maxVersionsPerTrigger bounds catch-up, startingVersion cuts " +
+      "the feed") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cdf_rate").toString
+    val t = s"$base/table"
+    sources.Io.tableAppend((1L to 5L).toDF("k"), t)   // v0
+    sources.Io.tableAppend((6L to 10L).toDF("k"), t)  // v1
+    sources.Io.tableAppend((11L to 15L).toDF("k"), t) // v2
+    val q = s.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.queryName("gcdf_rate").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    assert(s.table("gcdf_rate").count() == 15)
+    assert(s.table("gcdf_rate")
+      .filter(col("_change_type") === "insert").count() == 15)
+    val fed = q.recentProgress.count(_.numInputRows > 0)
+    assert(fed >= 3, s"expected >=3 rate-limited CDF batches, got $fed")
+    q.stop()
+    // startingVersion cuts the change history like the plain source
+    val q2 = s.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(t)
+      .writeStream.queryName("gcdf_sv").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$base/ckpt_sv")
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(s.table("gcdf_sv")
+      .agg(min("k"), max("k"), count(lit(1)), max("_commit_version"))
+      .head().toSeq == Seq(11L, 15L, 5L, 2L))
+  }
+
+  test("round-14 TBLPROPERTIES: SET/UNSET land as commits, DESCRIBE " +
+      "EXTENDED serves them, clones carry them, graft.* facts stay " +
+      "authoritative") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_props_spec").toString
+    s.conf.set("spark.sql.catalog.graftpp", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftpp.warehouse", s"$base/wh")
+    val t = s"$base/wh/g/ev"
+    sources.Io.tableAppend(Seq((1L, "a")).toDF("k", "g"), t) // v0
+    s.sql("ALTER TABLE graftpp.g.ev SET TBLPROPERTIES " +
+      "('pipeline.owner' = 'data-eng', 'retention.days' = '30')")
+    assert(sources.Io.tableVersion(s, t) == 1L) // a claim-serialized commit
+    def props(): Map[String, String] = {
+      val rows = s.sql("DESCRIBE TABLE EXTENDED graftpp.g.ev").collect()
+      val line = rows.find(_.getString(0) == "Table Properties")
+        .map(_.getString(1)).getOrElse("")
+      line.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap
+    }
+    assert(props().get("pipeline.owner").contains("data-eng"))
+    assert(props().get("retention.days").contains("30"))
+    // a shadowing user key cannot override the commit-log facts
+    s.sql("ALTER TABLE graftpp.g.ev SET TBLPROPERTIES " +
+      "('graft.version' = '999')")
+    assert(props().get("graft.version").contains("2"))
+    s.sql("ALTER TABLE graftpp.g.ev UNSET TBLPROPERTIES ('pipeline.owner')")
+    assert(!props().contains("pipeline.owner"))
+    assert(props().get("retention.days").contains("30"))
+    // clones carry the properties (the Delta clone contract)
+    sources.Io.tableClone(s, t, s"$base/wh/g/ev2")
+    assert(sources.Io.readTableProps(s, s"$base/wh/g/ev2")
+      .toMap.get("retention.days").contains("30"))
+  }
+
   test("round-14 replaceWhere: writeTo(...).overwrite(cond) replaces " +
       "exactly the region in one commit, a violating batch refuses " +
       "with HEAD unmoved, and NULL-predicate rows survive COW deletes") {
