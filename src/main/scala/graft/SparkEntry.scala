@@ -382,6 +382,17 @@ object SparkEntry {
         "2024-01-03 00:00:00", "2024-01-31 00:00:00",
         stepSec = 86400L, forSec = 172800L, alertName = "HighPurchaseVolume")
     }),
+    // B63 (round 14): keep_firing_for — same rule, but once firing the
+    // alert survives condition dropouts ≤ 2d (synthetic firing rows at
+    // absent steps, chained episodes stay firing, trailing windows cap
+    // at the grid end)
+    "promql_alerts_keep" -> ((s: SparkSession, dir: String) => {
+      promql.Rules.alerts(index.TagIndex.forEvents(s, dir),
+        """sum by (usr) (count_over_time({typ="purchase"}[2d])) > 2""",
+        "2024-01-03 00:00:00", "2024-01-31 00:00:00",
+        stepSec = 86400L, forSec = 172800L,
+        alertName = "HighPurchaseVolumeKeep", keepFiringSec = 172800L)
+    }),
     // B51: info() — data labels joined from an info metric evaluated
     // AT the query timestamp (as-of), Prometheus 3.x semantics
     "promql_info" -> ((s: SparkSession, dir: String) => {
@@ -2844,8 +2855,8 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM src, b
-        |WHERE event_id >= mni + (mxi - mni) // 4
-        |  AND event_id < mni + (mxi - mni) // 2
+        |WHERE event_id >= mni + 5 * (mxi - mni) // 16
+        |  AND event_id < mni + 7 * (mxi - mni) // 16
         |UNION ALL
         |SELECT 'by_cents', count(*), CAST(sum(cents) AS BIGINT),
         |  min(event_id), max(event_id)
@@ -5085,6 +5096,62 @@ object SparkEntry {
         |  CASE WHEN (i - since) * 86400 >= 172800
         |       THEN 'firing' ELSE 'pending' END AS alertstate
         |FROM a""".stripMargin,
+    // B63 (round 14): keep_firing_for = 2d on the same rule — islands
+    // chain when the gap never reaches a resolving evaluation
+    // (s − prev_e < keep + 2·step ⇔ < 4 steps), chained islands and
+    // their leading gaps fire throughout, fresh episodes stay
+    // pending→firing, trailing keep windows extend ≤ 2 steps capped
+    // at the grid end; all in step units (step = 1d)
+    "promql_alerts_keep" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 28)) AS i),
+        |w AS (
+        |  SELECT CAST(e.user_id AS VARCHAR) AS usr, g.i
+        |  FROM events e, g
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= 1704240000000000 + g.i*86400000000 - 172800000000
+        |    AND epoch_us(e.ts) <= 1704240000000000 + g.i*86400000000),
+        |c AS (SELECT usr, i, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |f AS (SELECT usr, i FROM c WHERE cnt > 2),
+        |r AS (SELECT usr, i,
+        |    i - row_number() OVER (PARTITION BY usr ORDER BY i) AS isl FROM f),
+        |isle AS (SELECT usr, isl, min(i) AS s, max(i) AS e
+        |  FROM r GROUP BY 1, 2),
+        |sg AS (SELECT usr, s, e,
+        |    lag(e) OVER (PARTITION BY usr ORDER BY s) AS pe,
+        |    CASE WHEN lag(e) OVER (PARTITION BY usr ORDER BY s) IS NULL
+        |          OR s - lag(e) OVER (PARTITION BY usr ORDER BY s) >= 4
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM isle),
+        |sg2 AS (SELECT *, sum(brk) OVER (PARTITION BY usr ORDER BY s)
+        |    AS seg FROM sg),
+        |mk AS (SELECT usr, s, e, pe, seg,
+        |    CASE WHEN e - s >= 2 THEN 1 ELSE 0 END AS selff,
+        |    coalesce(max(CASE WHEN e - s >= 2 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY usr, seg ORDER BY s
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS fb,
+        |    CASE WHEN lead(s) OVER (PARTITION BY usr, seg ORDER BY s)
+        |           IS NULL THEN 1 ELSE 0 END AS lst
+        |  FROM sg2),
+        |pres AS (SELECT usr, unnest(generate_series(s, e)) AS i, s, fb
+        |  FROM mk),
+        |pres2 AS (SELECT usr, i,
+        |    CASE WHEN fb = 1 OR i - s >= 2
+        |         THEN 'firing' ELSE 'pending' END AS st
+        |  FROM pres),
+        |gaps AS (SELECT usr, unnest(generate_series(pe + 1, s - 1)) AS i,
+        |    'firing' AS st
+        |  FROM mk WHERE fb = 1 AND pe IS NOT NULL),
+        |trail AS (SELECT usr,
+        |    unnest(generate_series(e + 1, least(e + 2, 28))) AS i,
+        |    'firing' AS st
+        |  FROM mk WHERE lst = 1 AND (fb = 1 OR selff = 1)),
+        |al AS (SELECT usr, i, st FROM pres2
+        |  UNION ALL SELECT usr, i, st FROM gaps
+        |  UNION ALL SELECT usr, i, st FROM trail)
+        |SELECT 'HighPurchaseVolumeKeep' AS alertname, usr,
+        |  1704240000 + i * 86400 AS t_sec, st AS alertstate
+        |FROM al""".stripMargin,
     // H21: the streamed alert state machine must reproduce the batch
     // gaps-and-islands derivation verbatim — same oracle as B49
     "stream_alerts" ->

@@ -594,6 +594,10 @@ object PromQl {
     java.time.LocalDateTime.parse(t.replace(' ', 'T'))
       .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
 
+  /** Epoch seconds of a query-time string (the grid-end anchor the
+    * keep_firing_for extension caps at). */
+  private[promql] def secOf(t: String): Long = usOf(t) / 1000000L
+
   /** Evaluate `expr` as an instant query at time `t` over the events
     * index of `dir`. `lookbackSec` is the staleness horizon for instant
     * selectors (Prometheus hardcodes 5m; the sparse test corpus wants

@@ -51,7 +51,8 @@ object Rules {
     */
   def alerts(idx: TagIndex, expr: String, start: String, end: String,
       stepSec: Long, forSec: Long, alertName: String,
-      lookbackSec: Long = 86400L, limit: Long = 0L): DataFrame = {
+      lookbackSec: Long = 86400L, limit: Long = 0L,
+      keepFiringSec: Long = 0L): DataFrame = {
     val v = capSeries(
       PromQl.evalRangeIndexed(idx, expr, start, end, stepSec, lookbackSec),
       limit)
@@ -60,14 +61,98 @@ object Rules {
     val islanded = v
       .withColumn("__isl",
         col("t_sec") - lit(stepSec) * row_number().over(wOrd).cast("long"))
-    val wIsl = Window.partitionBy(labels.map(col) :+ col("__isl"): _*)
-    islanded
-      .withColumn("__since", min(col("t_sec")).over(wIsl))
+    if (keepFiringSec == 0L) {
+      val wIsl = Window.partitionBy(labels.map(col) :+ col("__isl"): _*)
+      islanded
+        .withColumn("__since", min(col("t_sec")).over(wIsl))
+        .withColumn("alertstate",
+          when(col("t_sec") - col("__since") >= forSec, lit("firing"))
+            .otherwise(lit("pending")))
+        .select(lit(alertName).as("alertname") +: labels.map(col)
+          :+ col("t_sec") :+ col("alertstate"): _*)
+    } else alertsKeepFiring(islanded, labels, stepSec, forSec,
+      keepFiringSec, PromQl.secOf(end), alertName)
+  }
+
+  /** `keep_firing_for` (Prometheus 3.x): once FIRING, an alert stays
+    * firing for `keepFiringSec` after the last evaluation where the
+    * condition held — absent grid steps inside that window emit
+    * synthetic `firing` rows, and if the condition RESUMES before the
+    * alert resolves the episode continues firing (a short re-presence
+    * never re-enters `pending`). Pending alerts reset on absence
+    * exactly as without the field (keep applies only to firing).
+    *
+    * Pure window algebra — no driver fold, no recursion: (1) islands
+    * of consecutive presence summarize to (since, end) rows (∝
+    * series × transitions); (2) SEGMENTS chain islands whose gap is
+    * small enough that no intermediate evaluation resolved the alert
+    * (Prometheus resolves at the first eval ≥ keep after the
+    * condition stopped: gap < keep + 2·step); (3) within a segment, a
+    * running max marks islands PRECEDED by a self-firing island
+    * (length ≥ for) — those are firing throughout, their leading gaps
+    * emit firing rows, and chains propagate from the self-firing
+    * origin with no iteration (an island before any self-firing one
+    * is an independent pending episode, which is exactly Prometheus's
+    * reset rule). Trailing keep windows cap at the grid end. */
+  private def alertsKeepFiring(islanded: DataFrame, labels: Seq[String],
+      stepSec: Long, forSec: Long, keepFiringSec: Long, endSec: Long,
+      alertName: String): DataFrame = {
+    val isle = islanded.groupBy(labels.map(col) :+ col("__isl"): _*)
+      .agg(min(col("t_sec")).as("__s"), max(col("t_sec")).as("__e"))
+    val wS = Window.partitionBy(labels.map(col): _*).orderBy(col("__s"))
+    val fb = isle
+      .withColumn("__pe", lag(col("__e"), 1).over(wS))
+      .withColumn("__brk",
+        when(col("__pe").isNull ||
+          col("__s") - col("__pe") >= keepFiringSec + 2 * stepSec,
+          1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__brk")).over(
+        wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__selff",
+        when(col("__e") - col("__s") >= forSec, 1L).otherwise(0L))
+    val wSeg = Window
+      .partitionBy(labels.map(col) :+ col("__seg"): _*)
+      .orderBy(col("__s"))
+    val marked = fb
+      .withColumn("__fb", coalesce(max(col("__selff")).over(
+        wSeg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__last", lead(col("__s"), 1).over(wSeg).isNull)
+    val outCols = lit(alertName).as("alertname") +: labels.map(col) :+
+      col("t_sec") :+ col("alertstate")
+    // presence rows: chained islands are firing throughout, fresh
+    // episodes go pending → firing at the for threshold
+    val pres = marked
+      .withColumn("t_sec",
+        explode(sequence(col("__s"), col("__e"), lit(stepSec))))
       .withColumn("alertstate",
-        when(col("t_sec") - col("__since") >= forSec, lit("firing"))
+        when(col("__fb") === 1L ||
+          col("t_sec") - col("__s") >= forSec, lit("firing"))
           .otherwise(lit("pending")))
-      .select(lit(alertName).as("alertname") +: labels.map(col)
-        :+ col("t_sec") :+ col("alertstate"): _*)
+      .select(outCols: _*)
+    // leading-gap rows of a chained island: every step since the
+    // previous island's end is inside the keep window (the chain
+    // condition guarantees it)
+    val gaps = marked
+      .filter(col("__fb") === 1L && col("__pe").isNotNull)
+      .withColumn("t_sec", explode(sequence(
+        col("__pe") + stepSec, col("__s") - stepSec, lit(stepSec))))
+      .withColumn("alertstate", lit("firing"))
+      .select(outCols: _*)
+    // trailing keep rows at segment end: last firing step is the
+    // largest t with t − (end + step) < keep (Prometheus resolves at
+    // the first eval ≥ keep past the stop), capped at the grid end
+    val kMax = (keepFiringSec + stepSec - 1) / stepSec
+    val trail = marked
+      .filter(col("__last") &&
+        (col("__fb") === 1L || col("__selff") === 1L))
+      .withColumn("__cap",
+        least(col("__e") + lit(kMax * stepSec), lit(endSec)))
+      .filter(col("__cap") >= col("__e") + stepSec)
+      .withColumn("t_sec", explode(sequence(
+        col("__e") + stepSec, col("__cap"), lit(stepSec))))
+      .withColumn("alertstate", lit("firing"))
+      .select(outCols: _*)
+    pres.unionByName(gaps).unionByName(trail)
   }
 
   /** B51: PromQL `info()` (Prometheus 3.x experimental) — enrich a
@@ -128,9 +213,11 @@ object Rules {
   /** `record: name / expr: ...` (+ `limit:` — see [[capSeries]]) */
   final case class Record(name: String, expr: String, limit: Long = 0L)
     extends GroupRule
-  /** `alert: name / expr: ... / for: forSec` (+ `limit:`) */
+  /** `alert: name / expr: ... / for: forSec` (+ `limit:` and the
+    * round-14 `keep_firing_for: keepFiringSec` — see
+    * [[alertsKeepFiring]]) */
   final case class Alert(name: String, expr: String, forSec: Long,
-      limit: Long = 0L) extends GroupRule
+      limit: Long = 0L, keepFiringSec: Long = 0L) extends GroupRule
 
   /** A rule group definition (rules/group.go): the evaluation INTERVAL
     * is a property of the group, not of the caller — [[evalGroupDef]]
@@ -227,7 +314,7 @@ object Rules {
 
   private def exprOf(r: GroupRule): String = r match {
     case Record(_, e, _) => e
-    case Alert(_, e, _, _) => e
+    case Alert(_, e, _, _, _) => e
   }
 
   /** Dependency batches: consecutive rules none of which references a
@@ -238,7 +325,7 @@ object Rules {
     * never under. */
   private[graft] def ruleName(r: GroupRule): String = r match {
     case Record(n, _, _) => n
-    case Alert(n, _, _, _) => n
+    case Alert(n, _, _, _, _) => n
   }
 
   private[graft] def dependencyBatches(
@@ -313,9 +400,9 @@ object Rules {
             base.labelNames)
         }
         batch.foreach {
-          case Alert(name, ex, forSec, limit) =>
+          case Alert(name, ex, forSec, limit, keepFiringSec) =>
             alertFrames += alerts(entry, ex, s0, e0, stepSec, forSec,
-              name, alertLookbackSec, limit)
+              name, alertLookbackSec, limit, keepFiringSec)
           case _: Record => ()
         }
       }

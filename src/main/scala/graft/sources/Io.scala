@@ -2322,36 +2322,29 @@ object Io {
     val nv = v + 1
     val input = dvFilter(spark, table, v,
       readFilesDeclared(spark, table, files.map(resolve(table, _))))
-    // RANGE-NORMALIZE each dimension to 16 bits before interleaving
-    // (what Delta's ZORDER does with range-partition ids): a raw
-    // interleave is dominated by whichever column spans more bits —
-    // a 2^16-range column next to a 2^13-range one would make every
-    // top z bit the wide column's and the narrow dimension would
-    // never prune. One bounds aggregate ∝ data (it is a compaction;
-    // the shuffle that follows costs more), then pure codegen bit
-    // arithmetic: bucket = (v − min) >> s with the shift sized so the
-    // bucket fits 16 bits — shifts, not multiplication or floating
-    // division, so nanosecond-scale spans neither overflow the Long
-    // nor lose precision past 2^53.
-    val b = input.agg(
-      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
-      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
-    require(!b.isNullAt(0) && !b.isNullAt(2),
-      s"ZORDER BY columns $xCol/$yCol at $table must be non-null")
-    // align BOTH dimensions to exactly 16 significant bits: wide spans
-    // shift down, narrow spans shift UP (a 14-bit span next to a
-    // 16-bit one would still lose every top-bit comparison)
-    def shiftOf(mn: Long, mx: Long): Int =
-      64 - java.lang.Long.numberOfLeadingZeros(mx - mn) - 16
-    def bucket(c: Column, mn: Long, s: Int): Column = {
-      val d = c.cast("long") - mn
-      if (s >= 0) shiftright(d, s) else shiftleft(d, -s)
-    }
-    val xi = bucket(col(xCol), b.getLong(0),
-      shiftOf(b.getLong(0), b.getLong(1)))
-    val yi = bucket(col(yCol), b.getLong(2),
-      shiftOf(b.getLong(2), b.getLong(3)))
-    val z = (0 until 16).map { i =>
+    // RANGE-ID normalization (what Delta's ZORDER actually interleaves
+    // — range_partition_id, not raw values): each dimension maps to
+    // its ~equi-depth QUANTILE bucket (0..255) before the bit
+    // interleave. Raw or min-max-scaled values break two ways: a
+    // wider-span column dominates every top z bit, and a SKEWED
+    // column concentrates the data in a few buckets so the other
+    // dimension decides every split anyway — rank space is uniform by
+    // construction, immune to both. One approxQuantile pass over the
+    // two columns (it is a compaction; the shuffle that follows costs
+    // more), then a 256-element fold per row — no codegen-hostile
+    // UDF, no extra sort. Pruning still reads VALUE stats: rank is
+    // monotone in value, so value bands stay contiguous in z blocks.
+    val quant = (1 to 255).map(_ / 256.0).toArray
+    val cuts = input.na.drop(Seq(xCol, yCol))
+      .select(col(xCol).cast("double").as("__zx"),
+        col(yCol).cast("double").as("__zy"))
+      .stat.approxQuantile(Array("__zx", "__zy"), quant, 0.01)
+    def bucket(c: Column, cs: Array[Double]): Column =
+      aggregate(typedlit(cs.distinct.sorted.toIndexedSeq), lit(0),
+        (acc, cut) => acc + when(c.cast("double") >= cut, 1).otherwise(0))
+    val xi = bucket(col(xCol), cuts(0))
+    val yi = bucket(col(yCol), cuts(1))
+    val z = (0 until 8).map { i =>
       shiftleft(shiftright(xi, i).bitwiseAND(1), 2 * i)
         .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(1), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
@@ -2434,11 +2427,12 @@ object Io {
       require(skipKeepCount(spark, tt, 0L, "event_id", ilo, ihi) == 8 &&
         skipKeepCount(spark, tt, 0L, "cents", clo, chi) == 8,
         s"scrambled pre-state at $tt must keep all 8 files on both bands")
-      val v = tableOptimizeZorder(spark, tt, "event_id", "cents", 8)
+      val v = tableOptimizeZorder(spark, tt, "event_id", "cents", 16)
       require(v == 1L, s"expected zorder commit v1 at $tt, got $v")
-      require(skipKeepCount(spark, tt, 1L, "event_id", ilo, ihi) < 8,
+      val nf = readCommit(spark, tt, 1L).size
+      require(skipKeepCount(spark, tt, 1L, "event_id", ilo, ihi) < nf,
         s"z-ordered layout at $tt must prune the event_id band")
-      require(skipKeepCount(spark, tt, 1L, "cents", clo, chi) < 8,
+      require(skipKeepCount(spark, tt, 1L, "cents", clo, chi) < nf,
         s"z-ordered layout at $tt must prune the cents band")
       tt
     })
@@ -2468,7 +2462,10 @@ object Io {
     }
     val (mni, mxi) = span("event_id")
     val (mnc, mxc) = span("cents")
-    (mni + (mxi - mni) / 4, mni + (mxi - mni) / 2,
+    // the id band sits at [5/16, 7/16) of the span — margins off the
+    // quantile split boundaries (a band edge ON a partition boundary
+    // keeps every upper file: its min lands a hair under the edge)
+    (mni + 5 * (mxi - mni) / 16, mni + 7 * (mxi - mni) / 16,
       mnc + (mxc - mnc) / 8, mnc + (mxc - mnc) / 4)
   }
 

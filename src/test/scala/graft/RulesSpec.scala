@@ -47,6 +47,54 @@ class RulesSpec extends AnyFunSuite {
     }
   }
 
+  test("alerts keep_firing_for ≡ the sequential Prometheus state " +
+      "machine (chaining, synthetic gap rows, trailing windows, " +
+      "pending resets)") {
+    val forSec = 2 * 86400L
+    val keep = 2 * 86400L
+    val kexpr = """sum by (usr) (count_over_time({typ="purchase"}[2d])) > 1"""
+    val got = promql.Rules.alerts(idx, kexpr, start, end, step, forSec,
+        "K", keepFiringSec = keep)
+      .collect().map(r => (r.getAs[String]("usr"), r.getAs[Long]("t_sec"),
+        r.getAs[String]("alertstate"))).toSet
+    val active = promql.PromQl.evalRange(spark, dir, kexpr, start, end, step)
+      .select("usr", "t_sec").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(active.nonEmpty, "fixture must produce active steps")
+    // literal rules/alerting.go re-derivation: ActiveAt resets on
+    // absence while pending; once firing, KeepFiringSince = the first
+    // failed evaluation, the alert emits firing rows while
+    // t - KeepFiringSince < keep and resumes (still firing) if the
+    // condition returns inside that window
+    def sec(ts: String): Long =
+      java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+    val endSec = sec(end)
+    val expected = scala.collection.mutable.Set[(String, Long, String)]()
+    for (usr <- active.map(_._1)) {
+      var activeAt = -1L; var firing = false; var lastHold = -1L
+      var t = sec(start)
+      while (t <= endSec) {
+        if (active((usr, t))) {
+          if (!firing) {
+            if (activeAt < 0) activeAt = t
+            if (t - activeAt >= forSec) firing = true
+          }
+          expected += ((usr, t, if (firing) "firing" else "pending"))
+          lastHold = t
+        } else {
+          if (firing && t - (lastHold + step) < keep) {
+            expected += ((usr, t, "firing"))
+          } else { firing = false; activeAt = -1L }
+        }
+        t += step
+      }
+    }
+    assert(got == expected.toSet,
+      s"missing=${(expected.toSet -- got).take(5)} " +
+        s"extra=${(got -- expected).take(5)}")
+  }
+
   test("recording rule: store read-back ≡ direct evaluation") {
     val rule = """sum by (usr) (count_over_time({typ="purchase"}[1d]))"""
     val ri = promql.Rules.recordedIndex(spark, dir, "spec_rule_purch1d",
