@@ -99,7 +99,14 @@ object PlanDump {
       // the connector), the reinsert merge, ALTER-evolved reads, and
       // the streaming-source/update twins' landed reads
       "io_dv_dsv2", "io_merge_reinsert", "io_alter_add",
-      "stream_table_source", "stream_update", "io_update_mor")
+      "stream_table_source", "stream_update", "io_update_mor",
+      // round 14: the new lakehouse verbs' landed reads (zorder
+      // band-skipping, region replace, generated/evolved cuts, the
+      // COPY INTO ledger read), the streaming CDF aggregate, and the
+      // keep_firing_for window stack
+      "io_optimize_zorder", "io_replace_where", "io_generated",
+      "io_merge_evolve", "io_copy_into", "stream_cdf_source",
+      "stream_replace", "promql_alerts_keep")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` at sf0.001. What to look for:\n")

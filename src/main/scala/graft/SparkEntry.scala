@@ -202,6 +202,7 @@ object SparkEntry {
     "io_constraint" -> (sources.Io.constraintRead _),
     "io_generated" -> (sources.Io.generatedRead _),
     "io_merge_evolve" -> (sources.Io.mergeEvolveRead _),
+    "io_alter_widen" -> (sources.Io.alterWidenRead _),
     "io_timetravel_dsv2" -> (sources.Io.dsv2TimetravelRead _),
     "io_skipping_dsv2" -> (sources.Io.dsv2SkippingRead _),
     "io_dv" -> (sources.Io.dvRead _),
@@ -231,6 +232,7 @@ object SparkEntry {
     "stream_table_source" -> (streaming.StreamOps.tableSourceStreamed _),
     "stream_table_source_dv" -> (streaming.StreamOps.tableSourceDvStreamed _),
     "stream_cdf_source" -> (streaming.StreamOps.cdfSourceStreamed _),
+    "stream_replace" -> (streaming.StreamOps.replaceStreamed _),
     "io_copy_into" -> (sources.Io.copyIntoRead _),
     "io_optimize_zorder" -> (sources.Io.optimizeZorderRead _),
     "io_replace_where" -> (sources.Io.replaceWhereRead _),
@@ -2703,6 +2705,22 @@ object SparkEntry {
         |  count(score) AS n_score, CAST(sum(score) AS BIGINT) AS sum_score,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM m GROUP BY 1""".stripMargin,
+    // round 14: TYPE WIDENING — the INT-era slice (even ids) reads
+    // through the BIGINT declared schema unrewritten, the post-widen
+    // slice (odd ids) carries values past the int range
+    "io_alter_widen" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, typ, cents FROM src WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, typ, cents + 3000000000 FROM src
+        |  WHERE event_id % 2 = 1)
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
     // round 14 (round-13 ADVICE high): cross-era DML — the io_alter_add
     // evolution followed by a COW DELETE whose touched files span both
     // eras; era-2 rows must keep their band through the rewrite
@@ -2876,6 +2894,26 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT event_id, typ, cents + 100000 FROM src
         |  WHERE typ = 'purchase')
+        |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM m GROUP BY 1""".stripMargin,
+    // H36 (round 14): streaming replaceWhere apply — two region
+    // snapshots land per micro-batch (purchases re-priced +100000,
+    // clicks +5), every other region untouched; redelivery asserted a
+    // content no-op before the gate reads the landed table
+    "stream_replace" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type AS typ,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, typ, cents + 100000 AS cents FROM src
+        |  WHERE typ = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, typ, cents + 5 FROM src WHERE typ = 'click'
+        |  UNION ALL
+        |  SELECT event_id, typ, cents FROM src
+        |  WHERE typ NOT IN ('purchase', 'click'))
         |SELECT typ, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM m GROUP BY 1""".stripMargin,

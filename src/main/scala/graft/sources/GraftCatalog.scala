@@ -187,11 +187,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (propCh, rest) = changes.partition(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])
-    require(rest.forall(_.isInstanceOf[TableChange.AddColumn]),
-      "only ALTER TABLE ADD COLUMN and SET/UNSET TBLPROPERTIES are " +
-        "supported: schema evolution is an append-time property of " +
-        "the commit log (I24) — drop/rename/type changes would " +
-        "rewrite history")
+    require(rest.forall(c => c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType]),
+      "only ALTER TABLE ADD COLUMN, ALTER COLUMN ... TYPE (widening) " +
+        "and SET/UNSET TBLPROPERTIES are supported: schema evolution " +
+        "is an append-time property of the commit log (I24) — " +
+        "drop/rename/narrowing changes would rewrite history")
     val sets = propCh.collect {
       case s: TableChange.SetProperty => s.property -> s.value }
     val unsets = propCh.collect {
@@ -203,17 +204,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val cur = GraftTables.readSchemaSidecar(spark, p).getOrElse(
         GraftTables.forPath(spark, p, CaseInsensitiveStringMap.empty())
           .schema())
-      val next = rest.foldLeft(cur) { (sch, c) =>
-        val a = c.asInstanceOf[TableChange.AddColumn]
-        require(a.fieldNames().length == 1,
-          "nested ADD COLUMN is not supported")
-        val name = a.fieldNames()(0)
-        require(!sch.fieldNames.contains(name),
-          s"column $name already exists")
-        require(a.isNullable,
-          "added columns must be NULLABLE — pre-evolution rows " +
-            "null-backfill (there is no default-value rewrite)")
-        sch.add(name, a.dataType(), nullable = true)
+      val next = rest.foldLeft(cur) {
+        case (sch, a: TableChange.AddColumn) =>
+          require(a.fieldNames().length == 1,
+            "nested ADD COLUMN is not supported")
+          val name = a.fieldNames()(0)
+          require(!sch.fieldNames.contains(name),
+            s"column $name already exists")
+          require(a.isNullable,
+            "added columns must be NULLABLE — pre-evolution rows " +
+              "null-backfill (there is no default-value rewrite)")
+          sch.add(name, a.dataType(), nullable = true)
+        // round 14: TYPE WIDENING (Delta's type widening) — a
+        // metadata-only change: Spark 4's parquet readers upcast
+        // narrower physical types at scan time, so pre-widening
+        // files serve unrewritten through the declared schema while
+        // pinned versions keep their era; narrowing (or any
+        // non-widening change) refuses — it would corrupt history
+        case (sch, u: TableChange.UpdateColumnType) =>
+          require(u.fieldNames().length == 1,
+            "nested ALTER COLUMN is not supported")
+          val name = u.fieldNames()(0)
+          val i = sch.fieldNames.indexOf(name)
+          require(i >= 0, s"no column $name to alter")
+          val from = sch.fields(i).dataType
+          val to = u.newDataType()
+          require(GraftCatalog.widens(from, to),
+            s"ALTER COLUMN $name: ${from.simpleString} -> " +
+              s"${to.simpleString} is not a widening — only " +
+              "byte/short/int -> wider integral and float -> double " +
+              "are metadata-only (anything else would rewrite " +
+              "history)")
+          org.apache.spark.sql.types.StructType(
+            sch.fields.updated(i, sch.fields(i).copy(dataType = to)))
+        case (_, other) =>
+          sys.error(s"unsupported ALTER change $other")
       }
       Io.commitSchemaChange(spark, p, basedOn, next)
     }
@@ -285,4 +310,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.delete(dir, true)
     }
   }
+}
+
+object GraftCatalog {
+  import org.apache.spark.sql.types._
+
+  /** The metadata-only type widenings Spark 4's parquet readers
+    * upcast at scan time (SPARK-40876): narrower integrals to wider
+    * ones and float to double. Everything else needs a rewrite. */
+  private[graft] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
 }

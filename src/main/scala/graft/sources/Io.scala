@@ -1614,10 +1614,18 @@ object Io {
       "outside the predicate — the batch may only write the region it " +
       "replaces")
     val files = readCommit(spark, table, v)
-    val cur = readFilesDeclared(spark, table, files.map(resolve(table, _)))
-    val relFile = regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
-    val touched = cur.filter(pred).select(relFile.as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // an empty table (staged CTAS, never written) has no region to
+    // delete — the replace is a plain first insert
+    val touched =
+      if (files.isEmpty) Set.empty[String]
+      else {
+        val cur = readFilesDeclared(spark, table,
+          files.map(resolve(table, _)))
+        val relFile =
+          regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
+        cur.filter(pred).select(relFile.as("f"))
+          .distinct().collect().map(_.getString(0)).toSet
+      }
     val nv = v + 1
     val touchedFull = files.filter(f => touched(trail(f)))
     val aligned = GraftTables.readSchemaSidecar(spark, table) match {
@@ -3528,6 +3536,55 @@ object Io {
       "count(band) AS n_band, sum(band) AS sum_band, " +
       "min(event_id) AS min_id, max(event_id) AS max_id " +
       "FROM graftadml.g.ev GROUP BY typ")
+  }
+
+  private val alterWidenRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** TYPE-WIDENING gate (round 14), oracle-gated: a CTAS table with an
+    * INT cents column is widened to BIGINT (`ALTER COLUMN ... TYPE` —
+    * a metadata-only commit; the builder first requires a NARROWING
+    * and a float→int change to refuse), then an INSERT lands values
+    * past the int range; the final cut sums exactly — pre-widening
+    * files served through Spark's parquet upcast, unrewritten. */
+  def alterWidenRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = alterWidenRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val w = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_alterw_wh_" + fp).toString
+      fsFor(spark, w).delete(new org.apache.hadoop.fs.Path(w), true)
+      spark.conf.set("spark.sql.catalog.graftaw",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftaw.warehouse", w)
+      val raw = Tables.eventsRaw(spark, dir)
+      raw.select(col("event_id"),
+        col("event_type").as("typ"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .createOrReplaceTempView("__graft_aw_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftaw.g")
+      spark.sql("CREATE TABLE graftaw.g.ev AS " +
+        "SELECT event_id, typ, CAST(cents AS INT) AS cents " +
+        "FROM __graft_aw_src WHERE event_id % 2 = 0")
+      val narrowed = try {
+        spark.sql("ALTER TABLE graftaw.g.ev ALTER COLUMN cents TYPE SMALLINT")
+        false
+      } catch { case _: Exception => true }
+      require(narrowed, "a NARROWING type change must refuse")
+      val crossed = try {
+        spark.sql("ALTER TABLE graftaw.g.ev ALTER COLUMN typ TYPE INT")
+        false
+      } catch { case _: Exception => true }
+      require(crossed, "a non-widening type change must refuse")
+      spark.sql("ALTER TABLE graftaw.g.ev ALTER COLUMN cents TYPE BIGINT")
+      spark.sql("INSERT INTO graftaw.g.ev " +
+        "SELECT event_id, typ, cents + 3000000000 " +
+        "FROM __graft_aw_src WHERE event_id % 2 = 1")
+      w
+    })
+    require(wh.nonEmpty)
+    spark.sql("SELECT typ, count(*) AS n, sum(cents) AS sum_cents, " +
+      "min(event_id) AS min_id, max(event_id) AS max_id " +
+      "FROM graftaw.g.ev GROUP BY typ")
   }
 
   private val constrRuns =

@@ -1544,6 +1544,88 @@ object StreamOps extends Serializable {
     spark.table(sink)
   }
 
+  private val sreplRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** H36 (round 14) — streaming replaceWhere apply, the region-
+    * backfill twin of H34/H35: each micro-batch is a REGION SNAPSHOT
+    * (the full replacement content of one predicate region — here one
+    * event type, re-priced) and `foreachBatch` lands it via
+    * [[graft.sources.Io.tableReplaceWhere]] — region delete + insert
+    * in ONE commit per batch, with the violating-rows guard enforcing
+    * that a batch can only write the region it claims. Redelivery is
+    * a content no-op because a region snapshot is ABSOLUTE (the
+    * builder re-applies the whole instruction set and requires the
+    * cut unchanged — more versions, same content). The gate reads the
+    * LANDED table; the oracle replays both region swaps from source. */
+  def replaceStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tdir = sreplRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_h36_" + fp)
+      val table = new java.io.File(base, "table").toString
+      val done = new java.io.File(base, "_done")
+      if (!done.exists()) {
+        if (base.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(base)
+        }
+        val raw = graft.Tables.eventsRaw(spark, dir)
+        val flat = raw.select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        graft.sources.Io.tableAppend(
+          flat.repartition(4, col("typ")), table)
+        // region snapshots, one file each → maxFilesPerTrigger=1
+        // applies one region per micro-batch
+        val landing = new java.io.File(base, "landing").toString
+        flat.filter(col("typ") === "purchase")
+          .withColumn("cents", col("cents") + 100000L)
+          .coalesce(1).write.mode("append").parquet(landing)
+        flat.filter(col("typ") === "click")
+          .withColumn("cents", col("cents") + 5L)
+          .coalesce(1).write.mode("append").parquet(landing)
+        def applyRegions(batch: DataFrame): Unit =
+          // the distinct-typ envelope is tiny (one region per file);
+          // the region rows themselves never reach the driver
+          batch.select(col("typ")).distinct().collect()
+            .map(_.getString(0)).foreach { t =>
+              graft.sources.Io.tableReplaceWhere(
+                batch.filter(col("typ") === t), table, col("typ") === t)
+            }
+        val stream = spark.readStream
+          .schema(spark.read.parquet(landing).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = stream.writeStream
+          .option("checkpointLocation",
+            new java.io.File(base, "ckpt").toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => applyRegions(batch.toDF())
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        // redelivery: a region snapshot is absolute — re-applying the
+        // whole set must leave the content identical
+        def cut() = graft.sources.Io.readTableVersion(spark, table,
+            graft.sources.Io.tableVersion(spark, table))
+          .agg(count(lit(1)), sum(col("cents"))).collect()(0)
+        val before = cut()
+        applyRegions(spark.read.parquet(landing))
+        require(before == cut(),
+          s"replaceWhere re-apply must be a content no-op at $table")
+        done.createNewFile()
+      }
+      table
+    })
+    graft.sources.Io.readTableVersion(spark, tdir,
+        graft.sources.Io.tableVersion(spark, tdir))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
   private val supdateRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
