@@ -106,7 +106,8 @@ object PlanDump {
       // keep_firing_for window stack
       "io_optimize_zorder", "io_replace_where", "io_generated",
       "io_merge_evolve", "io_copy_into", "stream_cdf_source",
-      "stream_replace", "promql_alerts_keep")
+      "stream_replace", "promql_alerts_keep", "io_alter_widen",
+      "io_identity")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.PlanDump` at sf0.001. What to look for:\n")

@@ -203,6 +203,7 @@ object SparkEntry {
     "io_generated" -> (sources.Io.generatedRead _),
     "io_merge_evolve" -> (sources.Io.mergeEvolveRead _),
     "io_alter_widen" -> (sources.Io.alterWidenRead _),
+    "io_identity" -> (sources.Io.identityRead _),
     "io_timetravel_dsv2" -> (sources.Io.dsv2TimetravelRead _),
     "io_skipping_dsv2" -> (sources.Io.dsv2SkippingRead _),
     "io_dv" -> (sources.Io.dvRead _),
@@ -2705,6 +2706,15 @@ object SparkEntry {
         |  count(score) AS n_score, CAST(sum(score) AS BIGINT) AS sum_score,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM m GROUP BY 1""".stripMargin,
+    // round 14: IDENTITY — per-type distinct-id count must equal the
+    // row count (system-assigned values are globally unique; builder
+    // asserts they clear the seeded range and advance the high water)
+    "io_identity" ->
+      """SELECT event_type AS typ, count(*) AS n, count(*) AS n_ids,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin,
     // round 14: TYPE WIDENING — the INT-era slice (even ids) reads
     // through the BIGINT declared schema unrewritten, the post-widen
     // slice (odd ids) carries values past the int range

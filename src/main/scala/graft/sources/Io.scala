@@ -648,7 +648,9 @@ object Io {
       constraints: Option[Seq[(String, String)]] = None,
       copiedAdd: Option[Seq[String]] = None,
       generated: Option[Seq[(String, String)]] = None,
-      props: Option[Seq[(String, String)]] = None): Unit = {
+      props: Option[Seq[(String, String)]] = None,
+      identitySet: Option[Seq[(String, Long, Long, Long)]] = None,
+      identityAdv: Option[Seq[(String, Long, Long)]] = None): Unit = {
     val fs = fsFor(spark, table)
     val dir = new org.apache.hadoop.fs.Path(table, "_commits")
     fs.mkdirs(dir)
@@ -740,6 +742,26 @@ object Io {
       constraints.foreach(cs => writeConstraintsSidecar(spark, table, cs))
       generated.foreach(gs => writeGeneratedSidecar(spark, table, gs))
       props.foreach(ps => writePropsSidecar(spark, table, ps))
+      identitySet.foreach(ids => writeIdentitySidecar(spark, table, ids))
+      // identity high-water CAS (round 14): the claim serializes
+      // writers, so comparing the sidecar's high water against the
+      // value the batch assigned FROM is race-free — a concurrent
+      // advance surfaces as a conflict and the OCC loop re-lands
+      identityAdv.foreach { advs =>
+        val cur = readIdentity(spark, table)
+        advs.foreach { case (c, exp, _) =>
+          val curHw = cur.find(_._1 == c).map(_._4)
+          if (!curHw.contains(exp)) throw new CommitConflictException(
+            s"identity column $c at $table advanced concurrently " +
+              s"(expected hw $exp, found ${curHw.orNull})")
+        }
+        writeIdentitySidecar(spark, table, cur.map { case (c, st, sp, hw) =>
+          advs.find(_._1 == c) match {
+            case Some((_, _, nw)) => (c, st, sp, math.max(hw, nw))
+            case None => (c, st, sp, hw)
+          }
+        })
+      }
       // COPY INTO ledger: the claim serializes racing ingests, so the
       // read-check-union here is race-free; a concurrently-ingested
       // source file surfaces as a conflict (the caller recomputes its
@@ -789,10 +811,13 @@ object Io {
     while (true) {
       val v = tableVersion(spark, table) + 1
       val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
-      val fresh = landData(df, table, s"c$v-$writer")
+      val (df2, idAssigned) = assignIdentity(spark, table, df)
+      val fresh = landData(df2, table, s"c$v-$writer")
       try {
         writeCommit(spark, table, v, prior ++ fresh,
-          carriedDv(spark, table, v))
+          carriedDv(spark, table, v),
+          identityAdv = identityAdvOf(spark, table, s"c$v-$writer",
+            idAssigned))
         return v
       } catch {
         case _: CommitConflictException if attempt < maxRetries =>
@@ -1185,6 +1210,115 @@ object Io {
       gs: Seq[(String, String)]): Unit =
     writeKvSidecar(spark, generatedSidecar(table), gs)
 
+  // ---- IDENTITY columns (round 14 — Delta's GENERATED BY DEFAULT AS
+  // IDENTITY): an `_identity` sidecar of (col, start, step, highWater)
+  // rows. The append verbs ASSIGN system values when the column is
+  // absent from the batch — base = highWater + step, plus
+  // monotonically_increasing_id()·step on top (per-partition blocks,
+  // gaps allowed — exactly Delta's allocation) — and the high-water
+  // advance CASes INSIDE the commit's claimed-lock window, so racing
+  // OCC appends can never double-allocate: the loser's conflict
+  // bubbles into the tableAppendOcc retry loop, which re-lands the
+  // batch against the fresh high water. Explicit values pass through
+  // (BY DEFAULT, not ALWAYS — rewrite verbs re-land existing rows
+  // with their ids untouched). A crash after the sidecar write leaves
+  // only an id GAP, which the contract permits. ----
+
+  private def identitySidecar(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_identity")
+
+  /** (column, start, step, highWater) per declared identity column. */
+  def readIdentity(spark: SparkSession,
+      table: String): Seq[(String, Long, Long, Long)] =
+    readKvSidecar(spark, identitySidecar(table)).map { case (c, v) =>
+      val Array(st, sp, hw) = v.split(","); (c, st.toLong, sp.toLong, hw.toLong)
+    }
+
+  private def writeIdentitySidecar(spark: SparkSession, table: String,
+      ids: Seq[(String, Long, Long, Long)]): Unit =
+    writeKvSidecar(spark, identitySidecar(table),
+      ids.map { case (c, st, sp, hw) => (c, s"$st,$sp,$hw") })
+
+  /** Assign absent identity columns; returns the frame plus the
+    * (column, highWaterAtAssign) pairs the commit must CAS on. */
+  private def assignIdentity(spark: SparkSession, table: String,
+      df: DataFrame): (DataFrame, Seq[(String, Long)]) = {
+    val ids = readIdentity(spark, table)
+    if (ids.isEmpty) return (df, Seq.empty)
+    val assigned = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val out = ids.foldLeft(df) { case (d, (c, _, step, hw)) =>
+      if (d.columns.contains(c)) d
+      else {
+        assigned += ((c, hw))
+        d.withColumn(c,
+          lit(hw + step) + monotonically_increasing_id() * step)
+      }
+    }
+    (out, assigned.toSeq)
+  }
+
+  /** The landed tag's max per assigned identity column → the CAS
+    * triple (col, expectedHw, newHw); an empty batch advances nothing. */
+  private def identityAdvOf(spark: SparkSession, table: String,
+      tag: String, assigned: Seq[(String, Long)])
+      : Option[Seq[(String, Long, Long)]] = {
+    if (assigned.isEmpty) return None
+    val st = landedStats(spark, table, tag, assigned.map(_._1))
+    Some(assigned.map { case (c, exp) =>
+      val mxs = st.collect { case ((_, `c`), (_, mx)) => mx }
+      (c, exp, if (mxs.isEmpty) exp else mxs.max)
+    })
+  }
+
+  /** Declare an identity column (round 14): on a table with rows the
+    * column must already EXIST, non-null and with the high water
+    * seeded from its max (Delta's SYNC IDENTITY shape); the sidecar
+    * lands claim-serialized. Subsequent appends without the column
+    * get system-assigned values, explicit values pass through. */
+  def tableAddIdentityColumn(spark: SparkSession, table: String,
+      name: String, start: Long = 1L, step: Long = 1L): Long = {
+    require(step > 0, "identity step must be positive")
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val cur = readIdentity(spark, table)
+    require(!cur.exists(_._1 == name),
+      s"identity column $name already declared")
+    val head = readTableVersion(spark, table, v)
+    val hw =
+      if (head.columns.isEmpty) start - step
+      else {
+        require(head.columns.contains(name),
+          s"cannot declare identity column $name: it does not exist at " +
+            s"$table (seed it with explicit unique values first)")
+        val r = head.agg(max(col(name).cast("long")), count(lit(1)),
+          count(col(name))).head()
+        require(r.getLong(1) == r.getLong(2),
+          s"identity column $name must be non-null")
+        if (r.getLong(1) == 0L) start - step else r.getLong(0)
+      }
+    val nv = v + 1
+    val files = readCommit(spark, table, v)
+    val st = carryStats(spark, table, v, nv, files, Seq.empty)._2
+    writeCommit(spark, table, nv, files, dvDirsOf(spark, table, v), st,
+      identitySet = Some(cur :+ ((name, start, step, hw))))
+    nv
+  }
+
+  /** Drop an identity declaration (the column stays, as plain data). */
+  def tableDropIdentityColumn(spark: SparkSession, table: String,
+      name: String): Long = {
+    val v = tableVersion(spark, table)
+    require(v >= 0, s"no table at $table")
+    val cur = readIdentity(spark, table)
+    require(cur.exists(_._1 == name), s"no identity column $name at $table")
+    val nv = v + 1
+    val files = readCommit(spark, table, v)
+    val st = carryStats(spark, table, v, nv, files, Seq.empty)._2
+    writeCommit(spark, table, nv, files, dvDirsOf(spark, table, v), st,
+      identitySet = Some(cur.filterNot(_._1 == name)))
+    nv
+  }
+
   // ---- TBLPROPERTIES (round 14 — Delta's table properties): a
   // `_props` sidecar of key\tvalue rows; SET/UNSET land as
   // claim-serialized commits (racing metadata mutations conflict
@@ -1486,8 +1620,11 @@ object Io {
     val spark = df.sparkSession
     val v = tableVersion(spark, table) + 1
     val prior = if (v == 0) Seq.empty else readCommit(spark, table, v - 1)
-    writeCommit(spark, table, v, prior ++ landData(df, table, s"c$v"),
-      carriedDv(spark, table, v))
+    val (df2, idAssigned) = assignIdentity(spark, table, df)
+    val fresh = landData(df2, table, s"c$v")
+    writeCommit(spark, table, v, prior ++ fresh,
+      carriedDv(spark, table, v),
+      identityAdv = identityAdvOf(spark, table, s"c$v", idAssigned))
     v
   }
 
@@ -3954,6 +4091,48 @@ object Io {
       .groupBy(col("typ"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
         count(col("score")).as("n_score"), sum(col("score")).as("sum_score"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
+  private val identRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** IDENTITY gate (round 14), oracle-gated on derived invariants:
+    * v0 seeds `rid` with explicit unique values (the event ids), the
+    * declaration syncs the high water from their max, an append
+    * WITHOUT the column gets system-assigned values strictly above
+    * it; per-type `count(DISTINCT rid)` must equal `count(*)` —
+    * global uniqueness the oracle replays as count-of-rows — and the
+    * builder asserts every assigned id clears the seeded range. */
+  def identityRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = identRuns.computeIfAbsent((spark, dir), _ => {
+      val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
+      val tt = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_io_ident_" + fp).toString
+      fsFor(spark, tt).delete(new org.apache.hadoop.fs.Path(tt), true)
+      val flat = Tables.eventsRaw(spark, dir)
+        .select(col("event_id"), col("event_type").as("typ"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      tableAppend(flat.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("rid", col("event_id")), tt) // v0: explicit seed
+      val v1 = tableAddIdentityColumn(spark, tt, "rid")
+      require(v1 == 1L, s"identity declaration must commit, got v$v1")
+      val seedMax = readIdentity(spark, tt).head._4
+      tableAppend(flat.filter(pmod(col("event_id"), lit(2)) === 1), tt) // v2
+      val assignedMin = readTableVersion(spark, tt, 2L)
+        .filter(pmod(col("event_id"), lit(2)) === 1)
+        .agg(min(col("rid"))).head().getLong(0)
+      require(assignedMin > seedMax,
+        s"assigned ids must clear the seeded range at $tt " +
+          s"($assignedMin !> $seedMax)")
+      require(readIdentity(spark, tt).head._4 >= assignedMin,
+        s"the high water at $tt must advance with the assignment")
+      tt
+    })
+    readTableVersion(spark, t, tableVersion(spark, t))
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("rid")).as("n_ids"),
+        sum(col("cents")).as("sum_cents"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
   }
 

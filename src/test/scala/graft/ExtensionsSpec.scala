@@ -1126,6 +1126,53 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().toSeq == Seq(11L, 15L, 5L, 2L))
   }
 
+  test("round-14 identity columns: racing OCC appends never " +
+      "double-allocate (high-water CAS in the claim window), explicit " +
+      "values pass through, drop re-opens the column") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ident_spec").toString
+    val t = s"$base/table"
+    sources.Io.tableAppend(
+      (1L to 10L).map(k => (k, s"seed$k")).toDF("rid", "payload"), t)
+    sources.Io.tableAddIdentityColumn(s, t, "rid")
+    // two racing OCC appends, neither carrying rid — the loser's CAS
+    // conflict must re-land against the fresh high water
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = sources.Io.tableAppendOcc(
+            (1L to 500L).map(k => s"w$w-$k").toDF("payload"), t,
+            writer = s"w$w")
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val cut = sources.Io.readTableVersion(s, t,
+      sources.Io.tableVersion(s, t))
+    assert(cut.count() == 1010L)
+    assert(cut.agg(countDistinct(col("rid"))).head().getLong(0) == 1010L,
+      "racing appends must never share an id")
+    assert(cut.filter(col("rid").isNull).count() == 0)
+    // explicit values pass through (BY DEFAULT semantics)
+    sources.Io.tableAppend(
+      Seq((999999L, "explicit")).toDF("rid", "payload"), t)
+    assert(sources.Io.readTableVersion(s, t,
+        sources.Io.tableVersion(s, t))
+      .filter(col("payload") === "explicit")
+      .head().getAs[Long]("rid") == 999999L)
+    // drop: the column stays as plain data, appends stop assigning
+    sources.Io.tableDropIdentityColumn(s, t, "rid")
+    assert(sources.Io.readIdentity(s, t).isEmpty)
+  }
+
   test("round-14 TBLPROPERTIES: SET/UNSET land as commits, DESCRIBE " +
       "EXTENDED serves them, clones carry them, graft.* facts stay " +
       "authoritative") {
