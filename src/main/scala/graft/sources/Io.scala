@@ -2424,6 +2424,20 @@ object Io {
     */
   def tableOptimize(spark: SparkSession, table: String,
       targetFiles: Int): Long = {
+    // round 14 (the liquid-clustering shape): a table declaring
+    // `graft.clusterBy = "x,y"` in its TBLPROPERTIES routes every
+    // OPTIMIZE through the z-order re-cluster — compaction keeps the
+    // clustered layout without the caller naming the columns
+    readTableProps(spark, table).toMap.get("graft.clusterBy") match {
+      case Some(cols) =>
+        val parts = cols.split(",").map(_.trim).filter(_.nonEmpty)
+        require(parts.length == 2,
+          s"graft.clusterBy at $table must name exactly two columns, " +
+            s"got '$cols'")
+        return tableOptimizeZorder(spark, table, parts(0), parts(1),
+          targetFiles)
+      case None => ()
+    }
     val v = tableVersion(spark, table)
     require(v >= 0, s"no table at $table")
     val files = readCommit(spark, table, v)

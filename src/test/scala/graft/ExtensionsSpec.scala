@@ -1126,6 +1126,39 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().toSeq == Seq(11L, 15L, 5L, 2L))
   }
 
+  test("round-14 graft.clusterBy property: OPTIMIZE routes through " +
+      "the z-order re-cluster, band pruning holds on both columns") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cluster_spec").toString
+    val t = s"$base/table"
+    // two uniform dimensions, scrambled across 4 files
+    val df = (0L until 4000L)
+      .map(i => (i, (i * 2654435761L) % 4000L)).toDF("k1", "k2")
+      .repartition(4)
+    sources.Io.tableAppendStats(df, t, "k1", "k2") // v0
+    sources.Io.tableSetProperties(s, t,
+      Seq("graft.clusterBy" -> "k1, k2")) // v1
+    val v = sources.Io.tableOptimize(s, t, 4) // routes through zorder
+    assert(v == 2L)
+    def keep(c: String, lo: Long, hi: Long): Long =
+      sources.Io.readTableVersionSkipping(s, t, 2L, c, lo, hi)
+        .inputFiles.length
+    // bands with rank margin inside a half/quarter: both must prune
+    assert(keep("k1", 1000L, 1800L) < 4, "clusterBy must prune k1 bands")
+    assert(keep("k2", 1000L, 1800L) < 4, "clusterBy must prune k2 bands")
+    // content identical through the re-cluster
+    assert(sources.Io.readTableVersion(s, t, 2L)
+      .agg(count(lit(1)), sum("k1"), sum("k2")).head().toSeq ==
+      Seq(4000L, 7998000L, df.agg(sum("k2")).head().getLong(0)))
+  }
+
   test("round-14 identity columns: racing OCC appends never " +
       "double-allocate (high-water CAS in the claim window), explicit " +
       "values pass through, drop re-opens the column") {
