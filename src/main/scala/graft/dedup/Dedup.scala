@@ -527,7 +527,16 @@ object Dedup {
     */
   def semanticRemovedOn(spark: SparkSession, e: DataFrame, k: Int,
       tau: Double, memoKey: Option[String] = None,
-      tiles: Int = 8): DataFrame = {
+      tiles0: Int = -1): DataFrame = {
+    // round 14 (optimization, guide §2 scale-adaptive partitioning):
+    // the tile count was a constant 8 — at k=1 (the exact SemDeDup
+    // gate) the whole corpus is ONE cell, so the cell² dot work ran on
+    // 8 tasks regardless of cluster width. Auto mode sizes tiles to
+    // the session's parallelism (conf `graft.dedup.semTiles` pins it
+    // explicitly); identical results for any tiles ≥ 1 (spec-pinned).
+    val tiles = if (tiles0 > 0) tiles0 else
+      spark.conf.getOption("graft.dedup.semTiles").map(_.toInt)
+        .getOrElse(math.max(8, spark.sparkContext.defaultParallelism))
     val cells = graft.similarity.Ann.assignCells(e, k, memoKey = memoKey)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
     // Within-cell TILING (the round-9 §7 stretch): a web-scale cluster

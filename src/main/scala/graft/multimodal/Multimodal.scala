@@ -478,6 +478,19 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { items =>
+        // round 14 (optimization, guide §1.2 per-task work): the
+        // static ImageIO.write/read entry points do an SPI provider
+        // scan per call AND (with the default useCache=true) back
+        // every stream with a TEMP FILE on executor disk — one create+
+        // write+delete per image. Resolve the PNG writer/reader ONCE
+        // per partition and wrap the byte arrays in memory-cached
+        // image streams; the codec (and therefore every decoded byte,
+        // i.e. the query result) is unchanged. Measured 2.2 s → see
+        // OPTIMIZATION_r14.md.
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
         items.flatMap { case (id, bytes) =>
           val w = (id % 29).toInt + 2
           val h = bytes.length / w
@@ -488,9 +501,14 @@ object Multimodal {
               w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
             img.getRaster.setDataElements(0, 0, w, h, raster)
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            val back = javax.imageio.ImageIO.read(
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(img)
+            ios.flush()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(bos.toByteArray))
+            reader.setInput(iis)
+            val back = reader.read(0)
             require(back != null && back.getWidth == w && back.getHeight == h,
               s"PNG decode lost dimensions for doc $id")
             val out = new Array[Byte](w * h)

@@ -117,42 +117,51 @@ object Rules {
       .withColumn("__fb", coalesce(max(col("__selff")).over(
         wSeg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__last", lead(col("__s"), 1).over(wSeg).isNull)
-    val outCols = lit(alertName).as("alertname") +: labels.map(col) :+
-      col("t_sec") :+ col("alertstate")
-    // presence rows: chained islands are firing throughout, fresh
-    // episodes go pending → firing at the for threshold
-    val pres = marked
-      .withColumn("t_sec",
-        explode(sequence(col("__s"), col("__e"), lit(stepSec))))
-      .withColumn("alertstate",
-        when(col("__fb") === 1L ||
-          col("t_sec") - col("__s") >= forSec, lit("firing"))
-          .otherwise(lit("pending")))
-      .select(outCols: _*)
-    // leading-gap rows of a chained island: every step since the
-    // previous island's end is inside the keep window (the chain
-    // condition guarantees it)
-    val gaps = marked
-      .filter(col("__fb") === 1L && col("__pe").isNotNull)
-      .withColumn("t_sec", explode(sequence(
-        col("__pe") + stepSec, col("__s") - stepSec, lit(stepSec))))
-      .withColumn("alertstate", lit("firing"))
-      .select(outCols: _*)
-    // trailing keep rows at segment end: last firing step is the
-    // largest t with t − (end + step) < keep (Prometheus resolves at
-    // the first eval ≥ keep past the stop), capped at the grid end
+    // ONE explode pass (round 14, optimization): the three row kinds
+    // previously landed as a 3-way union of `marked` — and `marked`
+    // embeds the whole range-grid evaluation, so the expensive subtree
+    // (scan → grid eval → 2 window stacks) executed once PER BRANCH
+    // (promql_alerts_keep measured ~3× its no-keep sibling). Each
+    // island instead emits its presence rows, leading-gap rows and
+    // trailing-keep rows as one concatenated array of
+    // (t_sec, alertstate) structs, exploded ONCE: identical rows,
+    // single evaluation of the subtree (guide §1.2/§2.4 — don't
+    // compute things twice).
+    //
+    //  - presence: chained islands are firing throughout, fresh
+    //    episodes go pending → firing at the `for` threshold;
+    //  - leading gap of a chained island: every step since the
+    //    previous island's end is inside the keep window (the chain
+    //    condition guarantees it);
+    //  - trailing keep at segment end: last firing step is the largest
+    //    t with t − (end + step) < keep (Prometheus resolves at the
+    //    first eval ≥ keep past the stop), capped at the grid end.
     val kMax = (keepFiringSec + stepSec - 1) / stepSec
-    val trail = marked
-      .filter(col("__last") &&
-        (col("__fb") === 1L || col("__selff") === 1L))
-      .withColumn("__cap",
-        least(col("__e") + lit(kMax * stepSec), lit(endSec)))
-      .filter(col("__cap") >= col("__e") + stepSec)
-      .withColumn("t_sec", explode(sequence(
-        col("__e") + stepSec, col("__cap"), lit(stepSec))))
-      .withColumn("alertstate", lit("firing"))
-      .select(outCols: _*)
-    pres.unionByName(gaps).unionByName(trail)
+    val presArr = transform(
+      sequence(col("__s"), col("__e"), lit(stepSec)),
+      t => struct(t.as("t_sec"),
+        when(col("__fb") === 1L || t - col("__s") >= forSec,
+          lit("firing")).otherwise(lit("pending")).as("alertstate")))
+    // presArr is never empty (s ≤ e), so slice(presArr, 1, 0) is a
+    // correctly-typed empty array for the conditional branches
+    val noRows = slice(presArr, 1, 0)
+    val gapArr = when(col("__fb") === 1L && col("__pe").isNotNull,
+      transform(
+        sequence(col("__pe") + stepSec, col("__s") - stepSec, lit(stepSec)),
+        t => struct(t.as("t_sec"), lit("firing").as("alertstate"))))
+      .otherwise(noRows)
+    val cap = least(col("__e") + lit(kMax * stepSec), lit(endSec))
+    val trailArr = when(
+      col("__last") && (col("__fb") === 1L || col("__selff") === 1L) &&
+        cap >= col("__e") + stepSec,
+      transform(sequence(col("__e") + stepSec, cap, lit(stepSec)),
+        t => struct(t.as("t_sec"), lit("firing").as("alertstate"))))
+      .otherwise(noRows)
+    marked
+      .withColumn("__row", explode(concat(presArr, gapArr, trailArr)))
+      .select(lit(alertName).as("alertname") +: labels.map(col) :+
+        col("__row.t_sec").as("t_sec") :+
+        col("__row.alertstate").as("alertstate"): _*)
   }
 
   /** B51: PromQL `info()` (Prometheus 3.x experimental) — enrich a

@@ -76,6 +76,13 @@ object Bm25 {
     val docs = queryDocs
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // round 14 (optimization): evaluated restricting this df aggregate
+    // to the query-term set (semi-join before the groupBy) — measured
+    // SLOWER at sf0.1 (1.26 → 1.61 s warm: the extra broadcast barrier
+    // + second qterms derivation outweigh the saved full-vocab agg,
+    // which runs over the memoized in-memory tf). Left as-is; at true
+    // 100 TB vocabulary the restricted form wins and is the documented
+    // follow-up (OPTIMIZATION_r14.md).
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qterms = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
       .select(col("doc_id").as("qid"),

@@ -1003,12 +1003,20 @@ object TextAnalysis {
         sequence(lit(1), size(col("__w")) - 2),
         i => concat_ws(" ", element_at(col("__w"), i),
           element_at(col("__w"), i + 1), element_at(col("__w"), i + 2)))).as("g"))
-    val df = tri.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
-      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
-    tri.join(df, Seq("g"))
+    // round 14 (optimization): join the PRE-AGGREGATED (g, doc_id, c)
+    // table against df instead of the raw trigram stream — the raw
+    // stream fed two plan branches (df derivation + join probe), so the
+    // scan+tokenize+explode ran twice; perDoc is the identical subtree
+    // on both sides, which AQE's exchange reuse evaluates once
+    // (guide §1.2/§2.3: don't compute twice, shuffle combined rows).
+    // Identical results: n_tri = Σc and n_shared = Σ(c | n_docs ≥ 2)
+    // over per-doc trigram counts equal the raw-instance counts.
+    val perDoc = tri.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val df = perDoc.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    perDoc.join(df, Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"),
-        sum(when(col("n_docs") >= 2, 1).otherwise(0)).as("n_shared"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(lit(0L))).as("n_shared"))
       .select(col("doc_id"), col("n_tri"),
         col("n_shared").cast("long").as("n_shared"),
         (floor(col("n_shared").cast("double") / col("n_tri") * 10000 + 0.5)

@@ -127,9 +127,9 @@ class DedupSkewSpec extends AnyFunSuite {
         sqrt(org.apache.spark.sql.functions.call_function(
           "vec_dot", col("v"), col("v"))))
     val t1 = ids(dedup.Dedup.semanticRemovedOn(spark, e, k = 8, tau = 0.45,
-      tiles = 1))
+      tiles0 = 1))
     val t4 = ids(dedup.Dedup.semanticRemovedOn(spark, e, k = 8, tau = 0.45,
-      tiles = 4))
+      tiles0 = 4))
     assert(t1 == t4, s"tiling changed the result: ${t1 union t4 -- (t1 intersect t4)}")
   }
 
