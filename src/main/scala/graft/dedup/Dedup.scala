@@ -764,18 +764,27 @@ object Dedup {
       .filter(expr("1 + 8*i + d >= 1 AND 8*i + d + 8 <= 24"))
       .select(col("doc_id"), col("i"),
         expr("substring(k, 1 + 8*i + d, 8)").as("s"), col("k"))
-    val cand = segs.alias("a").join(probes.alias("b"),
+    // round 14 (optimization): verify BEFORE the dedup exchange, with
+    // the BANDED DP. Measured at sf0.1: 168k raw block-join candidates
+    // deduped to 112k (ia, ib) pairs of which only ~500 verify at
+    // ed ≤ 2 — so the old shape shuffled 112k×(ids + both 24-char
+    // keys) through a distinct and then ran the full O(24²) DP per
+    // surviving pair. Running `levenshtein(ka, kb, 2)` (threshold form,
+    // O(24·(2k+1)) band with early exit — exact distance whenever
+    // ≤ threshold, -1 otherwise) on the raw join output and filtering
+    // first means the distinct exchange carries only true pairs
+    // (guide §2.3: shuffle fewer bytes; §1.2: cheaper per-task work).
+    // Identical result set: dist is a function of (ia, ib), so
+    // distinct over (ia, ib, dist) = distinct over (ia, ib).
+    segs.alias("a").join(probes.alias("b"),
         col("a.i") === col("b.i") && col("a.s") === col("b.s") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("ia"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("ib"),
-        when(col("a.doc_id") < col("b.doc_id"), col("a.k")).otherwise(col("b.k")).as("ka"),
-        when(col("a.doc_id") < col("b.doc_id"), col("b.k")).otherwise(col("a.k")).as("kb"))
+        levenshtein(col("a.k"), col("b.k"), 2).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
       .distinct()
-    cand
-      .withColumn("dist", levenshtein(col("ka"), col("kb")))
-      .filter(col("dist") <= 2)
       .select(col("ia"), col("ib"), col("dist").cast("long").as("dist"))
   }
 

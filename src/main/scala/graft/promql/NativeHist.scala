@@ -405,6 +405,16 @@ object NativeHist {
     // magnitudes, and floor matches the arithmetic shift on negatives).
     // The target schema travels on the result, so downstream
     // interpolation happens at the aggregated resolution.
+    // round 14 (optimization note): tried deriving this target schema
+    // from the main scalar aggregate below (broadcasting its
+    // (keys, schema) projection into the bucket branch) to drop one
+    // evaluation of `base` — measured SLOWER at sf0.1 (1.56 → 2.66 s
+    // warm on promql_native_schema): a BroadcastExchange over an
+    // aggregate subtree is NOT reusable with the same aggregate's
+    // shuffle-side twin, so the full aggregate ran twice and the
+    // bucket branch serialized behind it. The separate cheap min()
+    // aggregate keeps tgt and the main aggregate independent (they run
+    // concurrently) and is what the measurements favor.
     val tgt = base.groupBy(kcols: _*).agg(min(col("schema")).as("schema"))
     val sb = base.select(kcols ++ Seq(col("schema").as("__s"),
         explode(col("buckets")).as("x")): _*)
