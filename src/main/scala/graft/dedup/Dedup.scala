@@ -1010,6 +1010,16 @@ object Dedup {
     * (doc_id, t). Exposed for the scale probe. */
   def substringDensityOn(docsIn: DataFrame): DataFrame = {
     val docs = docsIn.filter(length(col("t")) >= 40)
+    // round 14 (optimization note): tried the decontaminate-style
+    // within-row dedup here (array_distinct before explode, count(1)
+    // for ndocs) to drop both distinct exchanges — measured SLOWER at
+    // sf0.1 (1.03 → 1.46 s warm): the serial per-row array_distinct
+    // costs more than the 32-way shuffle distinct it replaced, and
+    // removing the exchange also removed the stage-reuse point, so the
+    // window derivation still ran once per branch. The shuffle-distinct
+    // form below stays (it partial-aggregates map-side before the
+    // exchange, which is also the skew-safe shape for hot boilerplate
+    // windows at scale).
     val dw = docs
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(t) - 39, 8), i -> substring(t, i, 40))"))

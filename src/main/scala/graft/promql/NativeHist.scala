@@ -1108,18 +1108,24 @@ object NativeHist {
     require(stepSec > 0 && eu >= su, "need end >= start and step > 0")
     val grid: Seq[Long] = (su to eu by stepSec)
     val samples = nhcbCorpus(spark, dir, corpus)
-    def inner(e: Expr): DataFrame = e match {
-      case Sel(ms, None, 0, None, None) =>
-        nhcbAtGrid(samples, grid, 0L).filter(matcherPred(ms))
-      case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
-        nhcbDiffGrid(
-          nhcbAtGrid(samples, grid, 0L).filter(matcherPred(ms)),
-          nhcbAtGrid(samples, grid, r).filter(matcherPred(ms)), r)
-      case Agg("sum", by, Seq(), arg, None, None) =>
-        sumNhcb(inner(arg),
-          if (by.contains("t_sec")) by else by :+ "t_sec")
-      case other => sys.error(s"NHCB range argument must be a " +
-        s"selector, rate(sel[d]), or sum by (...), got $other")
+    // memoized per (corpus, grid, expr, dataset) — the evalRange
+    // discipline above: a sum-under-quantile reads its input from
+    // several branches, and the cached frame is ∝ series × grid points
+    def inner(e: Expr): DataFrame = Memo.cached(spark,
+      s"nativehist.nhcbrangeinner:$corpus:$su:$eu:$stepSec:$e:$dir") {
+      e match {
+        case Sel(ms, None, 0, None, None) =>
+          nhcbAtGrid(samples, grid, 0L).filter(matcherPred(ms))
+        case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
+          nhcbDiffGrid(
+            nhcbAtGrid(samples, grid, 0L).filter(matcherPred(ms)),
+            nhcbAtGrid(samples, grid, r).filter(matcherPred(ms)), r)
+        case Agg("sum", by, Seq(), arg, None, None) =>
+          sumNhcb(inner(arg),
+            if (by.contains("t_sec")) by else by :+ "t_sec")
+        case other => sys.error(s"NHCB range argument must be a " +
+          s"selector, rate(sel[d]), or sum by (...), got $other")
+      }
     }
     val out = PromQl.parse(exprStr) match {
       case Func("histogram_quantile", arg, Some(q)) =>
@@ -1213,17 +1219,29 @@ object NativeHist {
     val (su, eu) = (sec(start), sec(end))
     require(stepSec > 0 && eu >= su, "need end >= start and step > 0")
     val grid: Seq[Long] = (su to eu by stepSec)
-    def inner(e: Expr): DataFrame = e match {
-      case Sel(ms, None, 0, None, None) =>
-        histAtGrid(spark, dir, ms, grid, 0L, mixed)
-      case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
-        histDiff(histAtGrid(spark, dir, ms, grid, 0L, mixed),
-          histAtGrid(spark, dir, ms, grid, r, mixed), Seq("typ", "t_sec"), r)
-      case Agg("sum", by, Seq(), arg, None, None) =>
-        sumHists(inner(arg), if (by.contains("t_sec")) by
-          else by :+ "t_sec")
-      case other => sys.error(s"native-histogram range argument must " +
-        s"be a selector, rate(sel[d]), or sum by (...), got $other")
+    // round 14 (optimization): memoize each inner histogram frame per
+    // (grid, expr, dataset) — the SAME discipline the instant path has
+    // always used (`nativehist.inner:` below). Without it, a
+    // sum-by-under-quantile range query evaluated the rate subtree
+    // (two grid scans + the counter-diff join) once PER CONSUMING
+    // BRANCH: sumHists alone reads its input three times (target
+    // schema, bucket fold, scalar fold). The cached frame is tiny —
+    // ∝ series × grid points — and the quantile/stat math on top stays
+    // live per run. promql_native_agg 1.43 → see OPTIMIZATION_r14.md.
+    def inner(e: Expr): DataFrame = Memo.cached(spark,
+      s"nativehist.rangeinner:$mixed:$su:$eu:$stepSec:$e:$dir") {
+      e match {
+        case Sel(ms, None, 0, None, None) =>
+          histAtGrid(spark, dir, ms, grid, 0L, mixed)
+        case Func("rate", Sel(ms, Some(r), 0, None, None), None) =>
+          histDiff(histAtGrid(spark, dir, ms, grid, 0L, mixed),
+            histAtGrid(spark, dir, ms, grid, r, mixed), Seq("typ", "t_sec"), r)
+        case Agg("sum", by, Seq(), arg, None, None) =>
+          sumHists(inner(arg), if (by.contains("t_sec")) by
+            else by :+ "t_sec")
+        case other => sys.error(s"native-histogram range argument must " +
+          s"be a selector, rate(sel[d]), or sum by (...), got $other")
+      }
     }
     val out = PromQl.parse(exprStr) match {
       case Func("histogram_quantile", arg, Some(q)) => quantileOf(inner(arg), q)

@@ -373,34 +373,59 @@ object TextAnalysis {
     * over documents at any corpus size.
     */
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    // round 14 (optimization): both signals are PER-DOCUMENT facts, so
+    // they fold inside the row instead of exploding the gram stream
+    // through two (doc, gram) shuffle aggregations, a window top-1 and
+    // a doc-keyed join (the F7 within-row precedent). Sort the gram
+    // array; equal grams are then adjacent, and one aggregate() pass
+    // over the runs yields (a) the most frequent 2-gram — eager
+    // strictly-greater update visits grams in ascending order, which
+    // IS the (count desc, gram asc) tie rule — and (b) the Σ c·len(g)
+    // over 5-gram runs with c ≥ 2 (each occurrence past the first pays
+    // len, the run's second occurrence retro-pays the first). ZERO
+    // exchanges (was 3 + a join): embarrassingly parallel over
+    // documents at any corpus size, which is what the operator always
+    // claimed to be. Measured 1.08 → see OPTIMIZATION_r14.md; oracle
+    // hash unchanged.
+    val top2Agg =
+      """aggregate(
+        |  array_sort(transform(sequence(1, size(w) - 1),
+        |    i -> array_join(slice(w, i, 2), ' '))),
+        |  named_struct('prev', '', 'run', 0L, 'bg', '', 'bc', 0L),
+        |  (a, x) -> CASE
+        |    WHEN x = a.prev AND a.run + 1L > a.bc THEN
+        |      named_struct('prev', x, 'run', a.run + 1L, 'bg', x,
+        |                   'bc', a.run + 1L)
+        |    WHEN x = a.prev THEN
+        |      named_struct('prev', x, 'run', a.run + 1L, 'bg', a.bg,
+        |                   'bc', a.bc)
+        |    WHEN a.bc = 0L THEN
+        |      named_struct('prev', x, 'run', 1L, 'bg', x, 'bc', 1L)
+        |    ELSE named_struct('prev', x, 'run', 1L, 'bg', a.bg,
+        |                      'bc', a.bc) END)""".stripMargin
+    val dup5Agg =
+      """CASE WHEN size(w) >= 5 THEN (aggregate(
+        |  array_sort(transform(sequence(1, size(w) - 4),
+        |    i -> array_join(slice(w, i, 5), ' '))),
+        |  named_struct('prev', '', 'run', 0L, 'tot', 0L),
+        |  (a, x) -> CASE
+        |    WHEN x = a.prev THEN named_struct('prev', x,
+        |      'run', a.run + 1L,
+        |      'tot', a.tot + (CASE WHEN a.run = 1L
+        |        THEN 2L * length(x) ELSE length(x) END))
+        |    ELSE named_struct('prev', x, 'run', 1L, 'tot', a.tot)
+        |    END)).tot ELSE 0L END""".stripMargin
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
       .withColumn("n_chars", length(col("text")))
-    def grams(n: Int) = explode(expr(
-      s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
-        s"array_join(slice(w, i, $n), ' '))")).as("g")
-    val top2 = docs.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("n_chars"), grams(2))
-      .groupBy(col("doc_id"), col("n_chars"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("c").desc, col("g").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("n_chars"), col("g").as("top2"),
-        (col("c") * length(col("g"))).as("top2_chars"))
-    val dup5 = docs.filter(size(col("w")) >= 5)
-      .select(col("doc_id"), grams(5))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c") * length(col("g"))).as("dup5_chars"))
-    top2.join(dup5, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("top2"),
-        (floor(least(col("top2_chars") / col("n_chars"), lit(1.0)) * 1e4
-          + 0.5) / 1e4).as("top2_frac"),
-        (floor(least(coalesce(col("dup5_chars"), lit(0L)) / col("n_chars"),
+      .withColumn("__b2", expr(top2Agg))
+      .withColumn("dup5_chars", expr(dup5Agg))
+      .select(col("doc_id"), col("__b2.bg").as("top2"),
+        (floor(least(col("__b2.bc") * length(col("__b2.bg"))
+          / col("n_chars"), lit(1.0)) * 1e4 + 0.5) / 1e4).as("top2_frac"),
+        (floor(least(col("dup5_chars") / col("n_chars"),
           lit(1.0)) * 1e4 + 0.5) / 1e4).as("dup5_frac"))
       .withColumn("flagged",
         col("top2_frac") > 0.2 || col("dup5_frac") > 0.6)
