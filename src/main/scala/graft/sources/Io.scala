@@ -2494,10 +2494,33 @@ object Io {
     // UDF, no extra sort. Pruning still reads VALUE stats: rank is
     // monotone in value, so value bands stay contiguous in z blocks.
     val quant = (1 to 255).map(_ / 256.0).toArray
-    val cuts = input.na.drop(Seq(xCol, yCol))
+    // round 14 (optimization round, determinism fix): approxQuantile's
+    // GK-sketch result depends on partition merge ORDER, so two runs
+    // over the same table could land different band layouts — the
+    // ExtensionsSpec pruning assertion flaked under a loaded full-suite
+    // run. Deterministic replacement: EXACT percentiles over a
+    // hash-deterministic row sample (≤ ~256k rows, so the exact
+    // aggregate's buffer stays bounded at any table size; at 4k-row
+    // spec scale the sample is the full input, so cuts are exact).
+    val zbase = input.na.drop(Seq(xCol, yCol))
       .select(col(xCol).cast("double").as("__zx"),
         col(yCol).cast("double").as("__zy"))
-      .stat.approxQuantile(Array("__zx", "__zy"), quant, 0.01)
+    val zn = zbase.count()
+    val zrate = math.max(1L, zn / 262144L)
+    val zsample = if (zrate == 1L) zbase else {
+      val s = zbase.filter(
+        pmod(xxhash64(col("__zx"), col("__zy")), lit(zrate)) === 0)
+      if (s.isEmpty) zbase else s
+    }
+    val qlist = quant.mkString(",")
+    val cuts: Array[Array[Double]] =
+      if (zn == 0L) Array(Array.empty, Array.empty)
+      else {
+        val r = zsample.selectExpr(
+          s"percentile(__zx, array($qlist)) as cx",
+          s"percentile(__zy, array($qlist)) as cy").head()
+        Array(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+      }
     def bucket(c: Column, cs: Array[Double]): Column =
       aggregate(typedlit(cs.distinct.sorted.toIndexedSeq), lit(0),
         (acc, cut) => acc + when(c.cast("double") >= cut, 1).otherwise(0))
