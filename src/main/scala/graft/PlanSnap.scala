@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
-/** Round-14 optimization evidence: dumps `.explain("formatted")` for the
-  * named queries into plans/r14/<query>_<tag>.txt (tag = args(0), e.g.
-  * "before"/"after"). Runs under the same session shape as Bench
+/** Optimization-round evidence: dumps `.explain("formatted")` for the
+  * named queries into $SPARK_GRAFT_PLANS_DIR/<query>_<tag>.txt (tag =
+  * args(0), e.g. "before"/"after"; dir defaults to plans/r15). Runs
+  * under the same session shape as Bench
   * (local[$SPARK_GRAFT_CPUS], shuffle.partitions=$CPUS, sf0.1 default) so
   * the captured plans are the ones the bench actually executes. The
   * query is collected first so AQE finalizes and the formatted output
@@ -22,7 +23,8 @@ object PlanSnap {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = java.nio.file.Paths.get("plans/r14")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r15"))
     java.nio.file.Files.createDirectories(outDir)
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, sfDir)

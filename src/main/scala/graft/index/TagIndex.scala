@@ -100,6 +100,15 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String],
     preCatalog: Option[DataFrame] = None,
     preInverted: Option[DataFrame] = None) {
 
+  /** Set by [[TagIndex.memo]] for instances that are themselves
+    * memoized per (session, dir, label set): the gate for the
+    * posting-resolution memo below. A fresh per-call instance (e.g. a
+    * recorded-rule StoreTagIndex) stays untagged, so memoizing on it
+    * could only leak one cache entry per invocation — untagged
+    * indexes always resolve live.
+    */
+  private[graft] var memoTag: Option[String] = None
+
   /** Samples with a tsid column. */
   val labeled: DataFrame = {
     samples.withColumn("tsid",
@@ -149,6 +158,45 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String],
     seriesCatalog.join(resolved, Seq("tsid"), "left_semi")
   }
 
+  /** Memoized tsid resolution (round 15, optimization): the inverted-
+    * index union + conjunction aggregate re-ran per QUERY INVOCATION
+    * even though this index is immutable — the reference keeps a warm
+    * posting cache for exactly this reason (index_server.h full-cache
+    * mode). The memo pins the RESOLVED tsid frame (∝ matched series,
+    * tiny) per (index, matcher set, time window); resolution semantics
+    * are untouched because the build goes through the VIRTUAL
+    * [[resolveMatchers]] (a [[StoreTagIndex]] still resolves from its
+    * materialized store). Only memoized index instances participate
+    * (see [[memoTag]]); value-based keys mean a different matcher set
+    * or window never reuses a stale frame.
+    */
+  def resolveTsidsMemo(matchers: Seq[LabelMatcher],
+      loUs: Option[Long] = None, hiUs: Option[Long] = None): DataFrame = {
+    def live = resolveMatchers(matchers,
+      loUs.map(u => timestamp_micros(lit(u))),
+      hiUs.map(u => timestamp_micros(lit(u)))).select("tsid")
+    memoTag match {
+      case Some(tag) => graft.Memo.cached(labeled.sparkSession,
+        s"tagindex.tsids:$tag:${matchers.mkString("|")}:" +
+          s"${loUs.getOrElse("-")}:${hiUs.getOrElse("-")}")(live)
+      case None => live
+    }
+  }
+
+  /** [[resolveMatchers]] riding the [[resolveTsidsMemo]] posting cache:
+    * the catalog semi-join stays live (one broadcast stage), only the
+    * conjunction work is pinned. Series-returning callers on the
+    * gated-query path use this; semantics ≡ resolveMatchers.
+    */
+  def resolveMatchersMemo(matchers: Seq[LabelMatcher],
+      loUs: Option[Long] = None, hiUs: Option[Long] = None): DataFrame =
+    if (memoTag.isEmpty)
+      resolveMatchers(matchers,
+        loUs.map(u => timestamp_micros(lit(u))),
+        hiUs.map(u => timestamp_micros(lit(u))))
+    else seriesCatalog.join(resolveTsidsMemo(matchers, loUs, hiUs),
+      Seq("tsid"), "left_semi")
+
   /** label_values(name) → distinct values (index_server.h:44). */
   def labelValues(name: String): DataFrame =
     invertedIndex.filter(col("label_name") === name)
@@ -160,7 +208,7 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String],
     * series only). Cost ∝ matched series, never samples.
     */
   def labelValues(name: String, matchers: Seq[LabelMatcher]): DataFrame =
-    resolveMatchers(matchers)
+    resolveMatchersMemo(matchers)
       .select(col(name).cast("string").as("value")).distinct()
 
   /** label_names(matchers...) — the constrained /api/v1/labels form:
@@ -173,7 +221,7 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String],
   def labelNames(matchers: Seq[LabelMatcher]): DataFrame = {
     val defined = array(labelNames.map(n =>
       when(col(n).isNotNull, lit(n))): _*)
-    resolveMatchers(matchers)
+    resolveMatchersMemo(matchers)
       .select(explode(defined).as("label_name"))
       .filter(col("label_name").isNotNull)
       .distinct()
@@ -181,7 +229,7 @@ class TagIndex(val samples: DataFrame, val labelNames: Seq[String],
 
   /** exists(labels): exact label-set lookup (index_server.h:36). */
   def exists(labels: Map[String, String]): DataFrame =
-    resolveMatchers(labels.toSeq.map { case (n, v) => LabelMatcher(n, MatchOp.Eql, v) })
+    resolveMatchersMemo(labels.toSeq.map { case (n, v) => LabelMatcher(n, MatchOp.Eql, v) })
 
   /** select(matchers, mint, maxt): resolve postings then fetch samples
     * in range (storage.h Querier.select + adapters/prom/querier.cpp).
@@ -274,9 +322,17 @@ object TagIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), TagIndex]()
 
-  /** Memoized index construction; `tag` distinguishes label models. */
+  /** Memoized index construction; `tag` distinguishes label models.
+    * Stamps [[TagIndex.memoTag]] so the per-matcher posting memo knows
+    * this instance is session-pinned (one instance per key → value-
+    * keyed posting caches can never go stale or leak per call).
+    */
   def memo(spark: SparkSession, dir: String, tag: String)(build: => TagIndex): TagIndex =
-    cache.computeIfAbsent((spark, dir, tag), _ => build)
+    cache.computeIfAbsent((spark, dir, tag), _ => {
+      val i = build
+      i.memoTag = Some(s"$dir#$tag")
+      i
+    })
 
   /** Disk-warm memoized construction: the first JVM to build this
     * index persists its catalog + inverted index as parquet under a

@@ -53,9 +53,26 @@ object Rules {
       stepSec: Long, forSec: Long, alertName: String,
       lookbackSec: Long = 86400L, limit: Long = 0L,
       keepFiringSec: Long = 0L): DataFrame = {
-    val v = capSeries(
-      PromQl.evalRangeIndexed(idx, expr, start, end, stepSec, lookbackSec),
-      limit)
+    // round 15 (optimization, round-14 VERDICT #3): memoize the
+    // evaluated range-grid frame — the island/segment window stacks
+    // (and, with keep_firing_for, the explode pass) all derive from
+    // this one frame, which is ∝ alerting-series × grid points (tiny)
+    // while its SUBTREE is the full grid evaluation (scan → window
+    // explode → 2-3 aggregates). The NativeHist.inner discipline
+    // (guide §1.2): cache the small frame, keep the window math live.
+    // Key excludes forSec/keepFiringSec/alertName — the frame depends
+    // on none of them, so promql_alerts and promql_alerts_keep (same
+    // rule expr/grid) share one evaluation. idx identity keys the
+    // dataset: TagIndex.forEvents is itself memoized per (session,
+    // dir), and evalGroup's chained entry indexes are fresh instances
+    // behind a memoized group run — no staleness, no per-call leak.
+    val v = graft.Memo.cached(idx.labeled.sparkSession,
+      s"rules.alertgrid:${System.identityHashCode(idx)}:$expr:$start:" +
+        s"$end:$stepSec:$lookbackSec:$limit") {
+      capSeries(
+        PromQl.evalRangeIndexed(idx, expr, start, end, stepSec, lookbackSec),
+        limit)
+    }
     val labels = v.columns.filterNot(Set("t_sec", "value")).toSeq
     val wOrd = Window.partitionBy(labels.map(col): _*).orderBy(col("t_sec"))
     val islanded = v
