@@ -39,7 +39,8 @@ object Bm25 {
     */
   def topk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    rankPostings(spark, cachedPostings(spark, s"docs:$dir", postings(docs)), docs)
+    rankPostings(spark, cachedPostings(spark, s"docs:$dir", postings(docs)),
+      docs, Some(s"docs:$dir"))
   }
 
   // Postings memoized per (session, source): every invocation would
@@ -67,14 +68,27 @@ object Bm25 {
     * gates both. `queryDocs` only sources the query-term table.
     */
   private[graft] def rankPostings(spark: SparkSession, tf0: DataFrame,
-      queryDocs: DataFrame): DataFrame = {
+      queryDocs: DataFrame, memoKey: Option[String] = None): DataFrame = {
     // the postings table is the ONE expensive intermediate — every
     // derived table (dl, df, corpus stats, the scored stream) reads it,
     // so cache it instead of replaying tokenize+aggregate per branch
     // (a no-op when the caller passed a memoized already-cached table)
     val tf = tf0.cache()
     val docs = queryDocs
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // round 15 (optimization, round-14 VERDICT #6): the doc-length and
+    // document-frequency tables are INDEX components (∝ docs / ∝
+    // vocabulary, the two sidecars every BM25 index persists), not
+    // query results — memoize them per postings key so each of the
+    // three gated consumers (bm25_topk, ann_hybrid_rrf's lexical arm,
+    // the stored/streamed rankings) pays the two aggregates once per
+    // session instead of once per invocation. Probe paths with no
+    // memo key (ScaleProbe's one-shot corpora) keep deriving live.
+    def memod(sub: String)(build: => DataFrame): DataFrame =
+      memoKey match {
+        case Some(k) => graft.Memo.cached(spark, s"text.bm25_$sub:$k")(build)
+        case None => build
+      }
+    val dl = memod("dl")(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // round 14 (optimization): evaluated restricting this df aggregate
     // to the query-term set (semi-join before the groupBy) — measured
@@ -83,7 +97,7 @@ object Bm25 {
     // which runs over the memoized in-memory tf). Left as-is; at true
     // 100 TB vocabulary the restricted form wins and is the documented
     // follow-up (OPTIMIZATION_r14.md).
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dfreq = memod("df")(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
     val qterms = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
       .select(col("doc_id").as("qid"),
         explode(array_distinct(slice(split(col("text"), " "), 1, 4))).as("w"))
@@ -143,7 +157,8 @@ object Bm25 {
       p
     })
     rankPostings(spark,
-      cachedPostings(spark, s"store:$path", TermStore.load(spark, path)), docs)
+      cachedPostings(spark, s"store:$path", TermStore.load(spark, path)),
+      docs, Some(s"store:$path"))
   }
 
   /** Ranking over an arbitrary materialized TermStore (H31's
@@ -153,7 +168,7 @@ object Bm25 {
       queryDocs: DataFrame, memoKey: String): DataFrame =
     rankPostings(spark,
       cachedPostings(spark, s"store:$memoKey", TermStore.load(spark, path)),
-      queryDocs)
+      queryDocs, Some(s"store:$memoKey"))
 }
 
 /** LSM-lite store for the BM25 postings: one `seg=b<batchId>` parquet

@@ -1031,12 +1031,19 @@ object TextAnalysis {
     // round 14 (optimization): join the PRE-AGGREGATED (g, doc_id, c)
     // table against df instead of the raw trigram stream — the raw
     // stream fed two plan branches (df derivation + join probe), so the
-    // scan+tokenize+explode ran twice; perDoc is the identical subtree
-    // on both sides, which AQE's exchange reuse evaluates once
-    // (guide §1.2/§2.3: don't compute twice, shuffle combined rows).
-    // Identical results: n_tri = Σc and n_shared = Σ(c | n_docs ≥ 2)
-    // over per-doc trigram counts equal the raw-instance counts.
-    val perDoc = tri.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+    // scan+tokenize+explode ran twice. Identical results: n_tri = Σc
+    // and n_shared = Σ(c | n_docs ≥ 2) over per-doc trigram counts
+    // equal the raw-instance counts.
+    // round 15 (round-14 VERDICT #7): the r14 dump showed NO
+    // ReusedExchange — the two branches still planned two full
+    // tokenize+explode+aggregate subtrees. Forcing the shared subtree
+    // through one memoized frame makes the sharing structural instead
+    // of hoping for AQE reuse: both branches read one
+    // InMemoryTableScan (it is the trigram postings table — the same
+    // index shape Bm25 memoizes, ∝ distinct (gram, doc) pairs).
+    val perDoc = graft.Memo.cached(spark, s"text.ngram_perdoc:$dir") {
+      tri.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+    }
     val df = perDoc.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
     perDoc.join(df, Seq("g"))
       .groupBy(col("doc_id"))
