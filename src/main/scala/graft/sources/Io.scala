@@ -2530,11 +2530,48 @@ object Io {
       shiftleft(shiftright(xi, i).bitwiseAND(1), 2 * i)
         .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(1), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
-    val clustered = input
-      .withColumn("__z", z)
-      .repartitionByRange(targetFiles, col("__z"))
+    // round 15 (determinism, round-14 VERDICT #1): repartitionByRange
+    // draws its range bounds from a RESERVOIR SAMPLE whose seed derives
+    // from the RDD id — i.e. from session history — so two OPTIMIZE
+    // runs over identical data could land different file boundaries
+    // (deterministic in an isolated test, flaky in a full-suite run:
+    // the surviving ExtensionsSpec failure after the round-14 cut fix).
+    // Replace the sampled range exchange with EXACT file-band cuts
+    // (same bounded-sample percentile discipline as the band cuts
+    // above) and an exact partitioner: band b holds the rows between
+    // consecutive z-quantiles, partition index = band. Layout is now a
+    // pure function of the data. The row-level shuffle moves the same
+    // bytes the range exchange did; this is the OPTIMIZE path only.
+    val withZ = input.withColumn("__z", z)
+    val zq = (1 until targetFiles).map(_.toDouble / targetFiles)
+    val zcuts: Array[Double] =
+      if (zn == 0L || targetFiles <= 1) Array.empty
+      else {
+        val zs = withZ.select(col("__z").cast("double").as("__zv"))
+        val zss = if (zrate == 1L) zs else {
+          val s = zs.filter(pmod(xxhash64(col("__zv")), lit(zrate)) === 0)
+          if (s.isEmpty) zs else s
+        }
+        zss.selectExpr(
+          s"percentile(__zv, array(${zq.mkString(",")})) as cz")
+          .head().getSeq[Double](0).toArray.distinct.sorted
+      }
+    val bandCol = zcuts.foldLeft(lit(0))((acc, cut) =>
+      acc + when(col("__z").cast("double") > lit(cut), 1).otherwise(0))
+    val withBand = withZ.withColumn("__band", bandCol)
+    val schema = withBand.schema
+    val bi = schema.fieldIndex("__band")
+    val nParts = targetFiles
+    val parted = withBand.rdd
+      .map(r => (r.getInt(bi), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    val clustered = spark.createDataFrame(parted, schema)
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__band")
     val packed0 = landData(clustered, table, s"c$nv")
     val (packed, st) = carryStats(spark, table, v, nv, Seq.empty, packed0)
     writeCommit(spark, table, nv, packed, stats = st)

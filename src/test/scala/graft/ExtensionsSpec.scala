@@ -1159,6 +1159,46 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq(4000L, 7998000L, df.agg(sum("k2")).head().getLong(0)))
   }
 
+  test("round-15 OPTIMIZE ZORDER layout is a pure function of the data: " +
+      "identical tables re-cluster to identical per-file stats under " +
+      "different session histories") {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zrepro_spec").toString
+    val df = (0L until 4000L)
+      .map(i => (i, (i * 2654435761L) % 4000L)).toDF("k1", "k2")
+      .repartition(4)
+    def statsOf(t: String): Seq[(String, Long, Long)] = {
+      sources.Io.tableAppendStats(df, t, "k1", "k2")
+      sources.Io.tableSetProperties(s, t, Seq("graft.clusterBy" -> "k1, k2"))
+      assert(sources.Io.tableOptimize(s, t, 4) == 2L)
+      // compare the layout itself (the multiset of per-file band
+      // bounds), not file names: if two runs disagree here, pruning
+      // quality is run-dependent — the round-14 flake
+      sources.Io.readStatsFile(s, t, 2L).toSeq
+        .map { case ((_, c), (mn, mx)) => (c, mn, mx) }.sorted
+    }
+    val a = statsOf(s"$base/ta")
+    // perturb session history between the two runs: RDD ids, shuffle
+    // ids and cached-plan state all advance — the inputs
+    // repartitionByRange's sampler used to draw its seed from
+    (1 to 3).foreach { i =>
+      s.range(1000L * i).repartition(3).selectExpr("sum(id)").collect()
+    }
+    val b = statsOf(s"$base/tb")
+    assert(a == b, s"z-order layout must not depend on session history:\n$a\nvs\n$b")
+    // and the band layout must actually prune on both dimensions
+    def keep(t: String, c: String): Long =
+      sources.Io.readTableVersionSkipping(s, t, 2L, c, 1000L, 1800L)
+        .inputFiles.length
+    for (t <- Seq(s"$base/ta", s"$base/tb"); c <- Seq("k1", "k2"))
+      assert(keep(t, c) < 4, s"clusterBy must prune $c bands at $t")
+  }
+
   test("round-14 identity columns: racing OCC appends never " +
       "double-allocate (high-water CAS in the claim window), explicit " +
       "values pass through, drop re-opens the column") {
