@@ -271,6 +271,30 @@ object Io {
       val fp = graft.Tables.fingerprint(s"$dir/events.parquet")
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_io_maint_" + fp).toString
+      // `_done`-marker discipline (round 15): the fixture is a pure
+      // function of the fingerprinted dataset, but this builder used
+      // to re-run all four rewrites on every fresh JVM OVER the
+      // previous JVM's completed output — wasted work charged to the
+      // first io_* query, and the rebuild-over-existing path proved
+      // fragile (a mid-round bench run lost io_compact run 1 to a
+      // FileNotFound inside the re-compaction's read of a day it had
+      // just rewritten). Like every other cross-JVM fixture
+      // (streamedStoreFor, recordedIndexOn, memoWarm): a committed
+      // build is REUSED; anything without the marker is wiped and
+      // rebuilt from scratch — never resumed into.
+      val doneMarker = new java.io.File(base, "_done")
+      if (!doneMarker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(base))
+        buildMaint(spark, dir, base)
+        doneMarker.createNewFile()
+      }
+      base
+    })
+
+  private def buildMaint(spark: SparkSession, dir: String, base: String): Unit = {
       // compaction target: the day-partitioned layout, rewritten to
       // ~1 MB files (small target so the rewrite genuinely re-buckets)
       writePartitionedSamples(spark, dir, s"$base/compacted")
@@ -303,8 +327,7 @@ object Io {
           .withColumn("event_id", lit(maxId + 1))
           .withColumn("value", lit(42.0)))
       upsertPartitioned(spark, s"$base/upserted", updates, "event_id")
-      base
-    })
+  }
 
   /** I6, oracle-gated: content preserved bit-for-bit by the rewrite. */
   def compactedRead(spark: SparkSession, dir: String): DataFrame =
