@@ -885,9 +885,14 @@ object TextAnalysis {
     * a TakeOrdered, not a global sort.
     */
   def ngramCount(spark: SparkSession, dir: String): DataFrame =
-    ngramCountOn(Tables.documents(spark, dir))
+    // shares ngramNovelty's memoized (g, doc_id, c) trigram postings
+    // (identical derivation — round 15): one tokenize+explode+aggregate
+    // per session instead of one per query family member
+    ngramCountOn(Tables.documents(spark, dir),
+      Some((spark, s"text.ngram_perdoc:$dir")))
 
-  private[graft] def ngramCountOn(docs: DataFrame): DataFrame = {
+  private[graft] def ngramCountOn(docs: DataFrame,
+      memoKey: Option[(SparkSession, String)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tri = docs
       .filter(size(words) >= 3)
@@ -896,7 +901,10 @@ object TextAnalysis {
         sequence(lit(1), size(col("__w")) - 2),
         i => concat_ws(" ", element_at(col("__w"), i),
           element_at(col("__w"), i + 1), element_at(col("__w"), i + 2)))).as("g"))
-    val perDoc = tri.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+    def perDocBuild = tri.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val perDoc = memoKey
+      .map { case (s, k) => graft.Memo.cached(s, k)(perDocBuild) }
+      .getOrElse(perDocBuild)
     val counts = perDoc.groupBy(col("g"))
       .agg(sum(col("c")).as("n"), count(lit(1)).as("n_docs"))
       .filter(col("n") >= 5)
