@@ -177,16 +177,26 @@ object Dedup {
     * the join stays df(prefix-shingle)-bounded — the skew property
     * DedupSkewSpec pins for this path too.
     */
-  private[graft] def containmentCandidates(sh: DataFrame, t: Double): DataFrame = {
+  private[graft] def containmentCandidates(sh: DataFrame, t: Double,
+      prefixMemoKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val df = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(df, Seq("sid"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val prefix = ranked
-      .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
-      .select(col("doc_id").as("ia"), col("sid"), col("n").as("na"))
+    // the Bayardo prefix table is an INDEX artifact (what an all-pairs
+    // system persists: per doc, the n − ⌈t·n⌉ + 1 rarest shingles +
+    // the doc's count) — ∝ corpus like the memoized shingle/postings
+    // frames it derives from. Gated callers pin it per (session,
+    // dataset, t); probe/spec callers derive live (round 15).
+    def prefixBuild = {
+      val df = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("sid"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
+        .select(col("doc_id").as("ia"), col("sid"), col("n").as("na"))
+    }
+    val prefix = prefixMemoKey
+      .map(k => graft.Memo.cached(sh.sparkSession, s"$k:$t")(prefixBuild))
+      .getOrElse(prefixBuild)
     // round 15 (optimization, guide §2.3): carry the contained side's
     // shingle count `na` through the candidate pair — it is already on
     // the prefix rows (the same window count the verify denominator
@@ -217,7 +227,8 @@ object Dedup {
     // generic/probe path keeps a per-call cache for its one-shot corpus
     val sh = memoKey.map(k => graft.Memo.cached(spark, k)(shBuild))
       .getOrElse(shBuild.cache())
-    val cand = containmentCandidates(sh, t)
+    val cand = containmentCandidates(sh, t,
+      memoKey.map(k => s"$k.prefix"))
     // verify reads `na` off the candidate row (carried from the prefix
     // window — see containmentCandidates): the per-doc count aggregate
     // and its broadcast join are gone (round 15, guide §2.3 — fold the
