@@ -380,6 +380,7 @@ object Dedup {
   def clearMemos(): Unit = {
     clusterCache.values().forEach(_.unpersist(false))
     clusterCache.clear()
+    bloomSketchMemo.clear()
   }
 
   private[graft] def computeClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -1077,6 +1078,9 @@ object Dedup {
         floor(col("n_shared") / col("n_windows").cast("double") * 1e4 + 0.5) / 1e4)
   }
 
+  private val bloomSketchMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Byte]]()
+
   def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.BloomFuncs
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -1091,10 +1095,17 @@ object Dedup {
     val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .select(xxhash64(col("text")).as("ch"), col("text").as("ctext")).distinct()
     // one corpus pass -> ~100 KB sketch on the driver (the broadcast
-    // pattern: like IVF's k x dim centroids, the reduction is tiny)
-    val sketch = corpus
+    // pattern: like IVF's k x dim centroids, the reduction is tiny).
+    // round 15 (optimization, guide §1.2): the sketch IS the index
+    // artifact of this operator — a 100 KB byte array that is a pure
+    // function of the fingerprinted corpus, the same model shape as
+    // ivfModelMemo/bpeModelMemo. It was rebuilt (one full corpus
+    // aggregate + driver action) on every invocation; pin one per
+    // (session, dataset). The membership probes, the confirm join and
+    // the keep-first window stay live.
+    val sketch = bloomSketchMemo.computeIfAbsent((spark, dir), _ => corpus
       .agg(BloomFuncs.bloomAgg(spark, col("ch"), 100000L, 800000L).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head.getAs[Array[Byte]](0))
     val survivors = batch
       .filter(BloomFuncs.mightContain(spark, lit(sketch), col("h")))
       .select(col("doc_id"), col("h"), col("text"))

@@ -382,24 +382,36 @@ object Ann {
     // Round frames are session-transient and all released before
     // return — no per-invocation cache leak (the returned frame is a
     // local k-row toDF).
+    // round 15 (optimization, guide §1.2 driver round-trips): ONE
+    // action per round instead of two. Each round's argmax collect is
+    // the FIRST action on the current dist frame, so it materializes
+    // the one new least()/dot column against the still-cached parent
+    // as a side effect of the scan — the separate `next.count()`
+    // materialization barrier is redundant work. The parent is
+    // released AFTER the collect that materialized its child
+    // (unpersist-lag-1), preserving the ancestor-closure guarantee:
+    // at no point does an unmaterialized frame lose its cached parent,
+    // so every round still computes exactly ONE new dot column and
+    // picks are bit-identical (AnnMipsSpec pins them).
     var dist = u.withColumn("dist",
       lit(1.0) - call_function("vec_dot", col("u"),
         typedlit(seed.getSeq[Double](1)))).persist()
+    var parent: Option[org.apache.spark.sql.DataFrame] = None
     for (r <- 2 to k) {
       val sel = dist
         .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
         .orderBy(col("dist").desc, col("vec_id").asc).limit(1)
-        .collect()(0)
+        .collect()(0) // materializes dist against the cached parent
+      parent.foreach(_.unpersist())
+      parent = Some(dist)
       chosen :+= ((sel.getLong(0), sel.getAs[Double]("dist")))
       if (r < k) { // the post-final-pick update would never be read
-        val next = dist.withColumn("dist",
+        dist = dist.withColumn("dist",
           least(col("dist"), lit(1.0) - call_function("vec_dot", col("u"),
             typedlit(sel.getSeq[Double](1))))).persist()
-        next.count() // materialize against the still-cached parent
-        dist.unpersist()
-        dist = next
       }
     }
+    parent.foreach(_.unpersist())
     dist.unpersist()
     import spark.implicits._
     chosen.zipWithIndex

@@ -81,6 +81,25 @@ class AnnMipsSpec extends AnyFunSuite {
       s"round-2 pick ${picks(1)._2} != hand-computed farthest ${far._1}")
   }
 
+  test("round-15 k-center one-action rounds: no per-round cache leak") {
+    // The unpersist-lag-1 restructure (one driver action per greedy
+    // round) must release every per-round dist frame: after the call,
+    // the only persisted RDDs are session-scoped memos (kcenter_u
+    // etc.), never the k-1 round frames a leak would leave behind.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val p1 = similarity.Ann.kcenterSample(spark, dir).collect()
+    val afterOnce = spark.sparkContext.getPersistentRDDs.size
+    val p2 = similarity.Ann.kcenterSample(spark, dir).collect()
+    val afterTwice = spark.sparkContext.getPersistentRDDs.size
+    // first call may pin the kcenter_u memo (≤1 new entry); the second
+    // call must add nothing at all
+    assert(afterOnce <= before + 1,
+      s"round frames leaked: $before -> $afterOnce persisted RDDs")
+    assert(afterTwice == afterOnce,
+      s"repeat invocation leaked: $afterOnce -> $afterTwice")
+    assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
+  }
+
   test("E15 MMR: λ=1 is pure relevance; λ=1/2 swaps in the diverse doc") {
     import spark.implicits._
     val s3 = math.sqrt(3) / 2

@@ -48,6 +48,18 @@ class PipelineSpec extends AnyFunSuite {
     } finally enc.unpersist()
   }
 
+  test("round-15 BPE model memo: one train per (session, dataset, params)") {
+    // The learned merge table is memoized like the IVF centroids —
+    // repeat invocations must return the SAME pinned model instance
+    // (no re-train), and distinct params must train distinct models.
+    val a = text.TextAnalysis.bpeTrain(spark, dir)
+    val b = text.TextAnalysis.bpeTrain(spark, dir)
+    assert(a eq b, "repeat bpeTrain re-trained instead of memo hit")
+    val unfloored = text.TextAnalysis.bpeTrain(spark, dir, minCount = 1L)
+    assert(!(a eq unfloored), "distinct params must not share a memo slot")
+    assert(a.size == 8 && a == b)
+  }
+
   test("minhash LSH output equals exact ngram jaccard pairs (full recall here)") {
     val exact = dedup.Dedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
