@@ -114,22 +114,37 @@ object Multimodal {
     * table row carries metadata plus a `uri` pointer; the payload bytes
     * live in the object store, not in the table.
     */
-  def pointerTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+  // round 15 (optimization, guide §4/§6): pointer rows are METADATA —
+  // deriving them by mapping the payload-bearing table synthesized the
+  // full payload per row (UTF-8 encode, and for WAV the whole RIFF
+  // container build) only to drop it in the copy, and the lambda-map
+  // blocked column pruning so the documents scan read `text` too.
+  // Build the pointer row directly from the metadata columns: the scan
+  // reads (doc_id, n_chars) only, zero payload synthesis. Fields are
+  // identical by construction (fmt/width/height formulas unchanged;
+  // the store build — behind its _SUCCESS marker — still synthesizes
+  // real payloads once per (dataset, tag)).
+  private def pointerRows(spark: SparkSession, dir: String, store: String,
+      fmt: String): Dataset[MediaItem] = {
     import spark.implicits._
-    val store = objectStoreFor(spark, dir, "raw", mediaTable(spark, dir))
-    mediaTable(spark, dir).map(m => m.copy(
-      payload = Array.emptyByteArray,
-      uri = s"file://$store/doc_${m.doc_id}.bin"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lit(Array.emptyByteArray).as("payload"),
+        concat(lit(s"file://$store/doc_"), col("doc_id"), lit(".bin")).as("uri"),
+        lit(fmt).as("fmt"),
+        (pmod(col("n_chars"), lit(64)) + 1).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(48)) + 1).cast("int").as("height"))
+      .as[MediaItem]
   }
 
+  def pointerTable(spark: SparkSession, dir: String): Dataset[MediaItem] =
+    pointerRows(spark, dir,
+      objectStoreFor(spark, dir, "raw", mediaTable(spark, dir)), "fake/raw")
+
   /** Pointer table over the WAV object store (G1's input). */
-  def wavPointerTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
-    import spark.implicits._
-    val store = objectStoreFor(spark, dir, "wav", wavTable(spark, dir))
-    wavTable(spark, dir).map(m => m.copy(
-      payload = Array.emptyByteArray,
-      uri = s"file://$store/doc_${m.doc_id}.bin"))
-  }
+  def wavPointerTable(spark: SparkSession, dir: String): Dataset[MediaItem] =
+    pointerRows(spark, dir,
+      objectStoreFor(spark, dir, "wav", wavTable(spark, dir)), "audio/wav")
 
   /** Pointer-dereferencing fetch stage ahead of decode: items that
     * carry bytes inline pass through; pointer-only items are fetched

@@ -536,14 +536,32 @@ object TextAnalysis {
     * the rank/cumulative window runs over 50 rows. Shares are
     * floor-quantized from exact integer counts, so the gate is exact.
     */
-  def vocab(spark: SparkSession, dir: String): DataFrame =
-    vocabOn(Tables.documents(spark, dir))
+  /** The corpus word-frequency table (w, cnt) — THE vocabulary index
+    * every tokenizer-side operator consumes (F13's count table, the
+    * BPE trainer's state, the encode path's vocab). round 15
+    * (optimization, guide §1.2): one memoized derivation per (session,
+    * dataset) — the same sidecar shape as Bm25's df table, ∝ distinct
+    * words, never corpus-sized. Raw counts (no length/min-count
+    * filter): each consumer applies its own floor over the bounded
+    * frame.
+    */
+  private[graft] def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(spark, s"text.wordfreq:$dir") {
+      Tables.documents(spark, dir)
+        .select(explode(words).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    }
 
-  def vocabOn(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = docs
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    vocabFrom(wordFreq(spark, dir).select(col("w"), col("cnt").as("n")))
+
+  def vocabOn(docs: DataFrame): DataFrame =
+    vocabFrom(docs
       .select(explode(words).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n")))
+
+  private def vocabFrom(c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = c.agg(sum(col("n")).as("tot"))
     val top = c.filter(col("n") >= 5)
       .orderBy(col("n").desc, col("w")).limit(50)
@@ -979,15 +997,23 @@ object TextAnalysis {
     */
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = Tables.documents(spark, dir)
-      .select(explode(words).as("w"))
+    // round 15 (optimization, guide §2.3 pre-aggregation): enumerate
+    // pairs over the memoized VOCABULARY weighted by word count
+    // instead of over every corpus word instance — n(p) = Σ_w
+    // cnt(w)·occurrences(p in w) ≡ the per-instance count (exact
+    // integer algebra, position enumeration unchanged, within-word
+    // multiplicity preserved). The per-instance form built one pair
+    // string per corpus CHARACTER; this builds ∝ vocabulary chars —
+    // at real corpus scale orders of magnitude less expression work,
+    // and the word explode it rides is the shared wordFreq index scan.
+    val pairs = wordFreq(spark, dir)
       .filter(length(col("w")) >= 2)
-      .select(explode(transform(
+      .select(col("cnt"), explode(transform(
         sequence(lit(1), length(col("w")) - 1),
         i => concat(col("w").substr(i, lit(1)),
           col("w").substr(i + 1, lit(1))))).as("p"))
     val wRk = Window.orderBy(col("n").desc, col("p"))
-    pairs.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    pairs.groupBy(col("p")).agg(sum(col("cnt")).as("n"))
       .filter(col("n") >= 5)
       .orderBy(col("n").desc, col("p")).limit(50)
       .withColumn("rk", row_number().over(wRk))
@@ -1177,10 +1203,8 @@ object TextAnalysis {
     // only by singleton words can never beat one backed by repeated
     // words until deep into the tail (PipelineSpec pins floored ≡
     // unfloored on the test corpus). Set minCount=1 to disable.
-    val wf = Tables.documents(spark, dir)
-      .select(explode(words).as("w")).filter(length(col("w")) >= 1)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+    val wf = wordFreq(spark, dir)
+      .filter(length(col("w")) >= 1 && col("cnt") >= minCount)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var toks: Array[(Vector[String], Long)] =
       wf.map { case (w, c) => (w.map(_.toString).toVector, c) }
@@ -1245,9 +1269,10 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val ms = bpeTrain(spark, dir)
     val soh = "\u0001"
-    val vocabBase = Tables.documents(spark, dir)
-      .select(explode(words).as("w")).filter(length(col("w")) >= 1)
-      .distinct()
+    // the distinct-word base is the memoized vocabulary's key column
+    // (one shared derivation instead of a fresh corpus distinct)
+    val vocabBase = wordFreq(spark, dir)
+      .filter(length(col("w")) >= 1).select(col("w"))
     val tok0 = regexp_replace(col("w"), "(.)", soh + "$1" + soh)
     val encoded = ms.foldLeft(tok0) { case (c, (f, t, _)) =>
       call_function("replace", c,
