@@ -1068,8 +1068,14 @@ object Dedup {
         "transform(sequence(1, length(t) - 39, 8), i -> substring(t, i, 40))"))
         .as("win"))
       .distinct()
+    // round 15 (optimization, guide §4): dw is DISTINCT on
+    // (doc_id, win) by construction, so per win the doc_ids are
+    // already unique and countDistinct(doc_id) ≡ count(1) — the
+    // count(1) form drops the distinct-aggregate phase (partial
+    // distinct hash agg per partition) the planner would otherwise
+    // insert on top of the already-deduplicated exchange.
     val df = dw.groupBy(col("win"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .agg(count(lit(1)).as("ndocs"))
     dw.join(df, Seq("win"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
