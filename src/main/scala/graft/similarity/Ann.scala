@@ -226,7 +226,16 @@ object Ann {
       dim: Int = 64, memoKey: Option[String] = None): DataFrame = {
     graft.functions.VecFunctions.register(all.sparkSession)
     val unit = unitize(all)
-    withCell(unit, trainIvfCentroids(unit, k, iters, dim, memoKey))
+    val cents = trainIvfCentroids(unit, k, iters, dim, memoKey)
+    // round 15 (optimization, guide §1.2): the cell-assigned corpus is
+    // the IVF index payload (cell id per vector) — k dot products per
+    // row re-ran per invocation even with the centroids memoized. Pin
+    // it per (session, dataset, model params) for keyed callers (the
+    // coded-corpus discipline); keyless/probe paths derive live.
+    def assignedBuild = withCell(unit, cents)
+    memoKey.map(mk => graft.Memo.cached(all.sparkSession,
+        s"$mk:assigned:k=$k:it=$iters:d=$dim")(assignedBuild))
+      .getOrElse(assignedBuild)
   }
 
   private def trainIvfCentroids(unit: DataFrame, k: Int, iters: Int,
@@ -270,7 +279,9 @@ object Ann {
     val unit = unitize(all)
     def scored(cents: Array[Array[Double]]): Column = cellScores(cents)
     val cents = trainIvfCentroids(unit, k, iters, dim, memoKey)
-    val assigned = withCell(unit, cents)
+    // rides the memoized cell-assignment (assignCells) for keyed
+    // callers — round 15, see assignCells
+    val assigned = assignCells(all, k, iters, dim, memoKey)
     // each query probes its nprobe best cells
     val probes = unit.filter(isQuery)
       .withColumn("pc", slice(reverse(array_sort(scored(cents))), 1, nprobe))
@@ -682,7 +693,9 @@ object Ann {
     graft.functions.VecFunctions.register(spark)
     val unit = unitize(all)
     val cents = trainIvfCentroids(unit, k, iters, dim, memoKey)
-    val assigned = withCell(unit, cents)
+    // rides the memoized cell-assignment (assignCells) for keyed
+    // callers — round 15, see assignCells
+    val assigned = assignCells(all, k, iters, dim, memoKey)
     val probes = unit.filter(isQuery)
       .withColumn("pc",
         slice(reverse(array_sort(cellScores(cents))), 1, nprobe))

@@ -745,19 +745,24 @@ object TextAnalysis {
     */
   def pmi(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(explode(words).as("w"))
-    val uni = graft.Memo.cached(spark, s"text.pmi_uni:$dir") {
-      toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    }
+    // round 15 (optimization, guide §1.2): the unigram table IS the
+    // shared wordFreq index (identical derivation, different column
+    // name) — ride it instead of pinning a duplicate cached copy; the
+    // bigram count table is the collocation index (∝ distinct bigrams,
+    // vocabulary-bounded, the same sidecar shape) and was re-derived
+    // per invocation — pin it too. The join/PMI math stays live.
+    val uni = wordFreq(spark, dir).select(col("w"), col("cnt").as("c"))
     val totU = uni.agg(sum(col("c")).as("u_tot"))
-    val bi = docs
-      .select(col("doc_id"), words.as("ws"))
-      .filter(size(col("ws")) >= 2) // sequence(1,0) would run DESCENDING
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1)," +
-          " i -> named_struct('w1', ws[i - 1], 'w2', ws[i]))")).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val bi = graft.Memo.cached(spark, s"text.pmi_bi:$dir") {
+      docs
+        .select(col("doc_id"), words.as("ws"))
+        .filter(size(col("ws")) >= 2) // sequence(1,0) would run DESCENDING
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> named_struct('w1', ws[i - 1], 'w2', ws[i]))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    }
     val totB = bi.agg(sum(col("cb")).as("t_tot"))
     val wRk = org.apache.spark.sql.expressions.Window
       .orderBy(col("cb").desc, col("w1"), col("w2"))
